@@ -1,0 +1,550 @@
+"""Relational query surface over the driver's TPC-H-ish tables.
+
+The reference delegates all relational querying to downstream engines
+(SURVEY.md §2.7: it implements no joins/aggs itself — its job is to emit
+layouts those engines can query). In this engine the downstream engine IS
+Spark, so these queries are the public query surface, expressed
+declaratively so Catalyst handles pushdown, join ordering, and AQE
+handles skew/coalescing at scale.
+
+Scale notes (100 TB):
+- Fact tables (lineitem, orders, events) are only ever filtered,
+  partially aggregated map-side, and shuffled on their group/join keys.
+- Dimensions (region, nation, customer, supplier, part) are broadcast —
+  explicitly via F.broadcast where the dim is guaranteed small, else
+  left to AQE's size estimate.
+- All aggregate/computed columns are aliased identically in the Spark
+  plan and the oracle SQL (the driver hash-compares by column name).
+- Float aggregates are rounded identically on both sides so the
+  hash-compare is insensitive to summation order across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
+    if name == "events":
+        return read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table, tolerating TIMESTAMP(NANOS) parquet.
+
+    Spark has no nanosecond timestamp type; the parquet scan rejects
+    INT64(TIMESTAMP(NANOS)) outright. We read nanos as raw long
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds
+    — exactly what DuckDB does when it loads the same file into its
+    microsecond TIMESTAMP.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.floor(F.col("ts") / F.lit(1000)).cast("long")
+            ).cast("timestamp_ntz"),
+        )
+    return df
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): scan + filter + wide agg.
+# Plan shape to verify: PushedFilters on l_shipdate, partial HashAggregate
+# before the exchange (map-side combine), single shuffle on 2 group cols.
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 4)                                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: selective dim filter, 3-way join, top-k.
+# customer is broadcast (post-filter it is tiny); lineitem never moves
+# except the final shuffle on o_orderkey for the aggregation.
+# --------------------------------------------------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join through two dim chains.
+# region/nation/supplier/customer broadcast; single shuffle joining
+# lineitem->orders on orderkey dominates, then a tiny agg on n_name.
+# --------------------------------------------------------------------------
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation over orders by priority — simple groupBy with exact and
+# rounded aggregates.
+# --------------------------------------------------------------------------
+def agg_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+AGG_ORDERS_SQL = """
+SELECT o_orderpriority,
+       count(*)                      AS order_count,
+       round(sum(o_totalprice), 2)   AS total_price,
+       round(avg(o_totalprice), 4)   AS avg_price,
+       round(min(o_totalprice), 2)   AS min_price,
+       round(max(o_totalprice), 2)   AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Broadcast dim chain: customers per region — two broadcast joins, no
+# fact shuffle beyond the final 5-row agg.
+# --------------------------------------------------------------------------
+def join_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+JOIN_REGION_SQL = """
+SELECT r_name,
+       count(*)                   AS customer_count,
+       round(avg(c_acctbal), 4)   AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Window top-k per group: top 3 orders per customer by totalprice.
+# Shuffle on o_custkey once; rank inside partitions. Deterministic via
+# the orderkey tiebreak.
+# --------------------------------------------------------------------------
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank_in_cust
+  FROM orders
+) t
+WHERE rank_in_cust <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins — EXISTS / NOT EXISTS territory.
+# --------------------------------------------------------------------------
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+)
+"""
+
+
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operation: nations that have both customers and suppliers.
+# --------------------------------------------------------------------------
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup: customer counts at (region, nation), (region), () grains.
+# --------------------------------------------------------------------------
+def rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS customer_count
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery: parts priced above the global average.
+# --------------------------------------------------------------------------
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("a"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("a"))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+PARTS_ABOVE_AVG_SQL = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+"""
+
+
+# --------------------------------------------------------------------------
+# Global top-k with deterministic tiebreak.
+# --------------------------------------------------------------------------
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+TOPK_GLOBAL_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: tumbling-window aggregation (the batch analogue of the
+# streaming windowed agg in stac_geoparquet_spark.streaming).
+# --------------------------------------------------------------------------
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.count_distinct(F.col("user_id")).alias("unique_users"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts)        AS hour,
+       event_type,
+       count(*)                      AS event_count,
+       round(sum(value), 2)          AS value_sum,
+       count(DISTINCT user_id)       AS unique_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: JSON property extraction (semi-structured column).
+# --------------------------------------------------------------------------
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+       sum(CAST(props->>'$.k' AS BIGINT))           AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: per-user sessionization via window lag (gap > 30 min starts a
+# new session) — counts sessions per user. Deterministic; exercises
+# window + conditional cumulative sum.
+# --------------------------------------------------------------------------
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap measured in exact integer microseconds (timestamps ARE integer
+    # micros), so Spark and the oracle agree bit-for-bit and the check is
+    # independent of the driver session's timezone (NTZ-safe).
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull() | (gap_us > 1_800_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+    )
+
+
+EVENTS_SESSION_SQL = """
+SELECT user_id,
+       sum(new_session) AS session_count,
+       count(*)         AS event_count
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR datediff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "agg_orders_by_priority": agg_orders_by_priority,
+    "join_customers_per_region": join_customers_per_region,
+    "window_topk_orders_per_customer": window_topk_orders_per_customer,
+    "semi_join_active_customers": semi_join_active_customers,
+    "anti_join_inactive_customers": anti_join_inactive_customers,
+    "intersect_nations": intersect_nations,
+    "rollup_customers": rollup_customers,
+    "parts_above_avg_price": parts_above_avg_price,
+    "topk_orders_global": topk_orders_global,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_json_extract": events_json_extract,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "agg_orders_by_priority": AGG_ORDERS_SQL,
+    "join_customers_per_region": JOIN_REGION_SQL,
+    "window_topk_orders_per_customer": WINDOW_TOPK_SQL,
+    "semi_join_active_customers": SEMI_JOIN_SQL,
+    "anti_join_inactive_customers": ANTI_JOIN_SQL,
+    "intersect_nations": INTERSECT_SQL,
+    "rollup_customers": ROLLUP_SQL,
+    "parts_above_avg_price": PARTS_ABOVE_AVG_SQL,
+    "topk_orders_global": TOPK_GLOBAL_SQL,
+    "events_hourly_rollup": EVENTS_HOURLY_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "events_sessionize": EVENTS_SESSION_SQL,
+}
+
+__all__ = ["QUERIES", "ORACLE", "load_tables"]

@@ -1,0 +1,86 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for correctness-at-scale first (AQE on, skew-join
+handling on, UTC session time) and tuned so the same code runs on
+local[32] for tests and on a large cluster unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "stac-geoparquet-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    - AQE enabled: runtime coalescing of shuffle partitions, skew-join
+      splitting, and dynamic join-strategy switching cover the 100-TB
+      cases (skewed keys, mis-estimated build sides) without hand-tuning.
+    - Arrow enabled for all pandas/arrow UDF paths (the geometry codec
+      and multimodal operators run as Arrow-vectorized batches).
+    - Session timezone pinned to UTC: the reference types all STAC
+      timestamps as timestamp[us, UTC] (arrow/_to_arrow.py:101-103).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # TPC-H-ish dims (region/nation/customer/supplier/part at test SFs)
+        # are broadcast; at 100 TB the fact side never ships.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the driver testdata parquet tables as temp views.
+
+    Returns a dict name -> DataFrame. Views let both the DataFrame API
+    and spark.sql(...) address the same inputs.
+    """
+    if names is None:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
