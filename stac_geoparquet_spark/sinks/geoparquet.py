@@ -1,0 +1,216 @@
+"""GeoParquet sink (K1): parquet files stamped with ``geo`` and
+``stac-geoparquet`` file metadata.
+
+The reference streams record batches through a pyarrow ParquetWriter
+and injects the two metadata keys (arrow/_to_parquet.py:23-175). Spark's
+``df.write.parquet`` cannot set custom key-value footer metadata, so we
+run the same pyarrow writer *inside* the executors via mapInArrow: each
+partition writes one footer-stamped parquet file directly to the target
+filesystem. This keeps the write fully distributed (no driver
+materialization) and produces a directory Spark/DuckDB/pyarrow read
+back natively.
+
+Row-group statistics on the bbox struct give readers the GeoParquet 1.1
+"covering" skipping behavior for free; the ``covering`` metadata block
+points at those struct fields.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from stac_geoparquet_spark.stac.constants import (
+    STAC_GEOPARQUET_VERSION,
+    WGS84_PROJJSON,
+)
+
+SUPPORTED_VERSIONS = ("1.0.0", "1.1.0")
+
+
+def _geometry_columns(schema: T.StructType) -> list[str]:
+    """Top-level WKB geometry columns: ``geometry`` plus
+    ``proj:geometry`` when hoisted (arrow/_to_parquet.py:115-127)."""
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.BinaryType) and f.name in (
+            "geometry",
+            "proj:geometry",
+        ):
+            out.append(f.name)
+    return out
+
+
+def build_geo_metadata(
+    schema: T.StructType, schema_version: str = "1.1.0"
+) -> dict[str, Any]:
+    """The ``geo`` file-metadata JSON (GeoParquet spec; reference
+    construction at arrow/_to_parquet.py:82-141)."""
+    if schema_version not in SUPPORTED_VERSIONS:
+        raise ValueError(
+            f"schema_version must be one of {SUPPORTED_VERSIONS}, got {schema_version!r}"
+        )
+    columns: dict[str, Any] = {}
+    for name in _geometry_columns(schema):
+        col: dict[str, Any] = {
+            "encoding": "WKB",
+            "geometry_types": [],
+        }
+        if name == "geometry":
+            col["crs"] = WGS84_PROJJSON
+            col["edges"] = "planar"
+            if schema_version >= "1.1.0" and _has_bbox_struct(schema):
+                col["covering"] = {
+                    "bbox": {
+                        "xmin": ["bbox", "xmin"],
+                        "ymin": ["bbox", "ymin"],
+                        "xmax": ["bbox", "xmax"],
+                        "ymax": ["bbox", "ymax"],
+                    }
+                }
+        else:
+            # proj:geometry is in the asset/item's own projection; the
+            # reference writes crs: null for it
+            col["crs"] = None
+        columns[name] = col
+    return {
+        "version": schema_version,
+        "primary_column": "geometry",
+        "columns": columns,
+    }
+
+
+def _has_bbox_struct(schema: T.StructType) -> bool:
+    try:
+        dt = schema["bbox"].dataType
+    except KeyError:
+        return False
+    return isinstance(dt, T.StructType) and {"xmin", "ymin", "xmax", "ymax"} <= {
+        f.name for f in dt.fields
+    }
+
+
+def build_stac_metadata(collections: list[str] | None = None) -> dict[str, Any]:
+    md: dict[str, Any] = {"version": STAC_GEOPARQUET_VERSION}
+    if collections:
+        md["collections"] = collections
+    return md
+
+
+def to_geoparquet(
+    df: DataFrame,
+    output_path: str,
+    schema_version: str = "1.1.0",
+    collections: list[str] | None = None,
+    compression: str = "snappy",
+    extra_metadata: dict[str, str] | None = None,
+) -> list[str]:
+    """Write ``df`` as a directory of footer-stamped GeoParquet files.
+
+    Returns the list of files written. Fully distributed: each input
+    partition streams through a pyarrow ParquetWriter on its executor.
+    """
+    geo_md = json.dumps(build_geo_metadata(df.schema, schema_version))
+    stac_md = json.dumps(build_stac_metadata(collections))
+    kv: dict[str, str] = {"geo": geo_md, "stac-geoparquet": stac_md}
+    for k, v in (extra_metadata or {}).items():
+        kv[k] = v
+
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("num_rows", T.LongType()),
+        ]
+    )
+
+    def write_partition(batches):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        writer = None
+        n = 0
+        fname = None
+        filesystem, base = pafs.FileSystem.from_uri(output_path)
+        try:
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    fname = f"{base}/part-{uuid.uuid4().hex}.parquet"
+                    schema = batch.schema.with_metadata(kv)
+                    writer = pq.ParquetWriter(
+                        fname,
+                        schema,
+                        compression=compression,
+                        filesystem=filesystem,
+                    )
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        result = pa.record_batch(
+            {
+                "path": pa.array([fname] if fname else [], pa.string()),
+                "num_rows": pa.array([n] if fname else [], pa.int64()),
+            }
+        )
+        yield result
+
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(output_path)
+    filesystem.create_dir(base, recursive=True)
+
+    files = [r["path"] for r in df.mapInArrow(write_partition, out_schema).collect()]
+    if not files:
+        # empty input: still emit one file carrying schema + metadata
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(df.schema).with_metadata(kv)
+        fname = f"{base}/part-empty.parquet"
+        with pq.ParquetWriter(fname, schema, filesystem=filesystem) as w:
+            w.write_table(pa.table([[] for _ in schema.names], schema=schema))
+        files = [fname]
+    return files
+
+
+def read_geoparquet_metadata(path: str) -> dict[str, Any]:
+    """Read the ``geo`` + ``stac-geoparquet`` footer metadata from a
+    GeoParquet file or directory (first file)."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(path)
+    info = filesystem.get_file_info(base)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(base)
+        candidates = sorted(
+            f.path
+            for f in filesystem.get_file_info(sel)
+            if f.path.endswith(".parquet")
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        base = candidates[0]
+    md = pq.read_schema(base, filesystem=filesystem).metadata or {}
+    out: dict[str, Any] = {}
+    for key in (b"geo", b"stac-geoparquet"):
+        if key in md:
+            out[key.decode()] = json.loads(md[key])
+    return out
+
+
+def read_geoparquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a GeoParquet directory back as a DataFrame (S9). Plain
+    parquet read — the normalized layout is already query-optimal."""
+    return spark.read.parquet(path)

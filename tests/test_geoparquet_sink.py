@@ -1,0 +1,116 @@
+"""GeoParquet sink tests: metadata stamping, covering block, read-back
+round trip (reference parity: tests/test_parquet.py:27-111)."""
+
+import json
+
+import pytest
+
+from tests import stac_fixtures as fx
+from tests.json_semantic import items_equal
+
+
+@pytest.fixture()
+def normalized(spark, tmp_path):
+    from stac_geoparquet_spark.stac import read_items
+
+    src = str(tmp_path / "in.ndjson")
+    fx.write_ndjson(fx.naip_like_items(), src)
+    return read_items(spark, src)
+
+
+def test_metadata_keys_written(spark, tmp_path, normalized):
+    from stac_geoparquet_spark.sinks import read_geoparquet_metadata, to_geoparquet
+
+    dest = str(tmp_path / "out_gpq")
+    files = to_geoparquet(normalized, dest, collections=["naip-like"])
+    assert files and all(f.endswith(".parquet") for f in files)
+    md = read_geoparquet_metadata(dest)
+    geo = md["geo"]
+    assert geo["version"] == "1.1.0"
+    assert geo["primary_column"] == "geometry"
+    gcol = geo["columns"]["geometry"]
+    assert gcol["encoding"] == "WKB"
+    assert gcol["crs"]["id"] == {"authority": "EPSG", "code": 4326}
+    assert gcol["edges"] == "planar"
+    assert gcol["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+    stac = md["stac-geoparquet"]
+    assert stac["version"] == "1.0.0"
+    assert stac["collections"] == ["naip-like"]
+
+
+def test_geoparquet_10_no_covering(spark, tmp_path, normalized):
+    from stac_geoparquet_spark.sinks import read_geoparquet_metadata, to_geoparquet
+
+    dest = str(tmp_path / "out_gpq10")
+    to_geoparquet(normalized, dest, schema_version="1.0.0")
+    geo = read_geoparquet_metadata(dest)["geo"]
+    assert geo["version"] == "1.0.0"
+    assert "covering" not in geo["columns"]["geometry"]
+
+
+def test_proj_geometry_column_entry(spark, tmp_path):
+    from stac_geoparquet_spark.sinks import read_geoparquet_metadata, to_geoparquet
+    from stac_geoparquet_spark.stac import read_items
+
+    src = str(tmp_path / "lidar.ndjson")
+    fx.write_ndjson(fx.lidar_like_items(), src)
+    df = read_items(spark, src)
+    dest = str(tmp_path / "out_lidar")
+    to_geoparquet(df, dest)
+    geo = read_geoparquet_metadata(dest)["geo"]
+    assert "proj:geometry" in geo["columns"]
+    assert geo["columns"]["proj:geometry"]["crs"] is None
+
+
+def test_full_roundtrip_through_parquet(spark, tmp_path):
+    from stac_geoparquet_spark.sinks import to_geoparquet
+    from stac_geoparquet_spark.sinks.geoparquet import read_geoparquet
+    from stac_geoparquet_spark.stac import read_items, to_item_dicts
+
+    items = fx.sentinel_like_items()
+    src = str(tmp_path / "s2.ndjson")
+    fx.write_ndjson(items, src)
+    dest = str(tmp_path / "s2_gpq")
+    to_geoparquet(read_items(spark, src), dest)
+    back = list(to_item_dicts(read_geoparquet(spark, dest)))
+    ok, why = items_equal(items, back)
+    assert ok, why
+
+
+def test_invalid_version_rejected(normalized, tmp_path):
+    from stac_geoparquet_spark.sinks import to_geoparquet
+
+    with pytest.raises(ValueError, match="schema_version"):
+        to_geoparquet(normalized, str(tmp_path / "x"), schema_version="2.0.0")
+
+
+def test_empty_dataframe_writes_schema_file(spark, tmp_path, normalized):
+    from stac_geoparquet_spark.sinks import read_geoparquet_metadata, to_geoparquet
+
+    empty = normalized.filter("id = 'no-such-id'")
+    dest = str(tmp_path / "empty_gpq")
+    files = to_geoparquet(empty, dest)
+    assert len(files) == 1
+    assert "geo" in read_geoparquet_metadata(dest)
+    assert spark.read.parquet(dest).count() == 0
+
+
+def test_bbox_stats_enable_row_group_skipping(spark, tmp_path, normalized):
+    """The whole point of the bbox covering: parquet min/max stats on
+    bbox struct fields are present so readers can skip row groups."""
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.sinks import to_geoparquet
+
+    dest = str(tmp_path / "stats_gpq")
+    files = to_geoparquet(normalized, dest)
+    f = pq.ParquetFile(files[0])
+    names = f.schema_arrow.names
+    assert "bbox" in names
+    meta = f.metadata
+    cols = {
+        meta.row_group(0).column(i).path_in_schema: meta.row_group(0).column(i)
+        for i in range(meta.num_columns)
+    }
+    assert cols["bbox.xmin"].statistics is not None
+    assert cols["bbox.xmin"].statistics.has_min_max
