@@ -1,4 +1,224 @@
-"""Placeholder registry — filled in this round."""
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality scoring, language ID, document fingerprinting.
 
-QUERIES = {}
-ORACLE = {}
+All pure DataFrame expressions (JVM-side, codegen'd — no Python UDFs),
+each with an exact DuckDB oracle. At 100 TB these are embarrassingly
+parallel single-pass scans: no shuffle at all except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+# language marker profiles for the n-gram/stopword heuristic (tiebreak
+# order = tuple order)
+LANG_MARKERS = (
+    ("en", ("the", "is", "and", "of", "to")),
+    ("es", ("el", "la", "los", "que", "y")),
+    ("de", ("der", "die", "das", "und", "ist")),
+    ("fr", ("le", "les", "et", "est", "une")),
+    ("zh", ("de5", "shi4", "le5", "zai4", "he2")),
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # single small file => one split; spread the per-row expression work
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _sql_words(expr: str = "text") -> str:
+    return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# token counting: whitespace tokens + a BPE-ish subword estimate
+# (ceil(chars/4) per word, the common ~4-chars-per-token rule)
+# --------------------------------------------------------------------------
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    subword = F.aggregate(
+        w,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("bigint"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        subword.alias("n_subword_est"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({_sql_words()})                                            AS n_tokens,
+       list_sum(list_transform({_sql_words()},
+                               x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+                                                                      AS n_subword_est,
+       length(text)                                                   AS n_chars_measured
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# quality scoring: length / punctuation / stopword ratios
+# --------------------------------------------------------------------------
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    n_words = F.size(w).cast("double")
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
+    n_chars = F.length("text").cast("double")
+    punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    ).cast("double")
+    mean_wlen = (
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / F.size(w)
+    ).cast("double")
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct / n_chars * F.lit(10.0), F.lit(1.0))) * 0.3
+        + F.least(stop / n_words * F.lit(5.0), F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.round(stop / n_words, 6).alias("stopword_ratio"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+QUALITY_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len({_sql_words()}) AS n_words,
+         len(list_filter({_sql_words()}, x -> x IN ({_STOP_IN}))) AS n_stop,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+)
+SELECT doc_id,
+       n_words,
+       round(n_stop * 1.0 / n_words, 6)    AS stopword_ratio,
+       round(n_punct * 1.0 / n_chars, 6)   AS punct_ratio,
+       round(n_nonspace * 1.0 / n_words, 6) AS mean_word_len,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + (1.0 - least(n_punct * 10.0 / n_chars, 1.0)) * 0.3
+             + least(n_stop * 5.0 / n_words, 1.0) * 0.3, 6) AS quality_score
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# language ID: stopword-profile scoring with deterministic tiebreak
+# --------------------------------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    scored = docs.select("doc_id", "lang", w.alias("w"))
+    for lang, markers in LANG_MARKERS:
+        scored = scored.withColumn(
+            f"s_{lang}",
+            F.size(F.filter(F.col("w"), lambda x: x.isin(*markers))),
+        )
+    pred = None
+    all_scores = [F.col(f"s_{lang}") for lang, _ in LANG_MARKERS]
+    best = F.greatest(*all_scores) if len(all_scores) > 1 else all_scores[0]
+    for lang, _ in LANG_MARKERS:
+        cond = F.col(f"s_{lang}") == best
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        *[F.col(f"s_{lang}").cast("bigint").alias(f"s_{lang}") for lang, _ in LANG_MARKERS],
+    )
+
+
+def _lang_oracle_sql() -> str:
+    score_cols = ",\n       ".join(
+        f"len(list_filter({_sql_words()}, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
+        for lang, markers in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, {case} AS pred_lang,
+       {', '.join(f's_{l}' for l in langs)}
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting: md5 over whitespace-normalized content +
+# prefix fingerprint (cheap rolling-hash-style partial signature)
+# --------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.substring(norm, 1, 128)).alias("prefix_fp"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm)                 AS fingerprint,
+       md5(substr(norm, 1, 128)) AS prefix_fp,
+       length(norm)              AS norm_len
+FROM n
+"""
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE = {
+    "text_token_count": TOKEN_COUNT_SQL,
+    "text_quality_score": QUALITY_SQL,
+    "text_lang_id": _lang_oracle_sql(),
+    "text_fingerprint": FINGERPRINT_SQL,
+}
