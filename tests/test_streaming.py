@@ -1,0 +1,100 @@
+"""Structured Streaming tests: the streaming rollup must equal the
+batch rollup over the same data; incremental sync must be exactly-once
+across invocations."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_event_files(spark, src_dir, n_files=3, rows_per_file=100):
+    from stac_geoparquet_spark.streaming.events import EVENTS_SCHEMA
+
+    os.makedirs(src_dir, exist_ok=True)
+    base = 1704067200  # 2024-01-01T00:00:00Z epoch seconds
+    for f in range(n_files):
+        rows = []
+        for i in range(rows_per_file):
+            eid = f * rows_per_file + i
+            rows.append(
+                (
+                    eid,
+                    None,
+                    eid % 17,
+                    ["click", "view", "purchase"][eid % 3],
+                    float(eid % 50) / 2.0,
+                    '{"k": %d}' % (eid % 100),
+                )
+            )
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA).withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(base) + F.col("event_id") * 47).cast(
+                "timestamp_ntz"
+            ),
+        )
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+    return src_dir
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    from stac_geoparquet_spark.streaming.events import (
+        hourly_rollup,
+        stream_events_hourly,
+    )
+
+    src = _write_event_files(spark, str(tmp_path / "events_src"))
+    ckpt = str(tmp_path / "ckpt")
+    stream_events_hourly(spark, src, ckpt, output_table="t_stream_rollup")
+    streamed = {
+        tuple(r) for r in spark.table("t_stream_rollup").collect()
+    }
+    batch = {
+        tuple(r) for r in hourly_rollup(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_incremental_sync_exactly_once(spark, tmp_path):
+    from stac_geoparquet_spark.streaming.events import stream_events_to_sink
+
+    src = str(tmp_path / "sync_src")
+    out = str(tmp_path / "sync_out")
+    ckpt = str(tmp_path / "sync_ckpt")
+
+    _write_event_files(spark, src, n_files=2, rows_per_file=50)
+    stream_events_to_sink(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+
+    # second invocation with NO new data: nothing re-processed
+    stream_events_to_sink(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+
+    # new file arrives: only it is processed
+    _write_event_files(spark, src, n_files=1, rows_per_file=30)
+    # (the helper wrote files 0..0 again -> 30 new rows appended)
+    stream_events_to_sink(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 130
+
+
+def test_sync_with_transform(spark, tmp_path):
+    from stac_geoparquet_spark.streaming.events import stream_events_to_sink
+
+    src = str(tmp_path / "tr_src")
+    out = str(tmp_path / "tr_out")
+    ckpt = str(tmp_path / "tr_ckpt")
+    _write_event_files(spark, src, n_files=1, rows_per_file=60)
+
+    stream_events_to_sink(
+        spark,
+        src,
+        out,
+        ckpt,
+        transform=lambda df: df.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "value"
+        ),
+    )
+    got = spark.read.parquet(out)
+    assert got.columns == ["event_id", "ts", "value"]
+    assert got.count() == 20
