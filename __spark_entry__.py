@@ -23,9 +23,15 @@ if _REPO not in sys.path:
 
 
 def _registries():
-    from stac_geoparquet_spark.operators import dedup, relational, similarity, text
+    from stac_geoparquet_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
-    modules = [relational, dedup, similarity, text]
+    modules = [relational, dedup, similarity, text, multimodal]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
     for m in modules:

@@ -1,0 +1,250 @@
+"""Multimodal-column operators: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+A 100-TB training-data pipeline carries media as binary payloads next
+to structured metadata. The real decoders (PIL / librosa / ffmpeg) are
+NOT in this container, so the *decode* step is stubbed behind an
+import-try (``decode_image`` raises ``NotImplementedError`` without
+PIL), while everything Spark-side — schema, binary column handling,
+Arrow batch shape through ``mapInPandas``, partitioning — is real and
+oracle-tested.
+
+The media table is synthesized deterministically from ``documents``
+(the driver's tables carry no binary columns): ``payload =
+unhex(repeat(md5(text), 1 + doc_id % 4))`` — byte-identical in Spark
+and DuckDB, so even the byte-level feature extraction has an exact SQL
+oracle (a byte's high nibble IS its first hex char).
+
+Scale notes (100 TB):
+- Payloads stay opaque binary end-to-end; Parquet stores them unencoded
+  and Spark never materializes them except inside the Arrow batches of
+  the one ``mapInPandas`` stage that decodes.
+- ``mapInPandas`` receives Arrow record batches bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` — with ~10 KB
+  payloads the default 10k rows/batch is ~100 MB; real deployments set
+  it lower for 1-10 MB images (documented knob, not hard-coded).
+- Frame sampling is a generator explode: linear output, no shuffle
+  until the terminal aggregation.
+- The manifest aggregation is a single map-side-combinable groupBy on a
+  3-value key.
+
+Reference scope note: stac-geoparquet itself has no media handling; the
+nearest analogue is its opaque-WKB geometry column + typed metadata
+convention (arrow/_batch.py:47-57), which this module generalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HIST_BINS = 16  # byte high-nibble histogram
+FRAME_STEP = 2  # sample every 2nd frame
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic media table: one row per document with a
+    binary payload and typed per-modality metadata.
+
+    Columns: doc_id, media_type, payload (binary), meta
+    (struct<width,height,sample_rate,n_frames>) — absent fields null per
+    modality, mirroring how a real lakehouse carries mixed media.
+    """
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    doc_id = F.col("doc_id")
+    media_type = (
+        F.when(doc_id % 3 == 0, "image")
+        .when(doc_id % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload_hex = F.expr("repeat(md5(text), cast(1 + doc_id % 4 as int))")
+    return docs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        F.unhex(payload_hex).alias("payload"),
+        F.struct(
+            F.when(doc_id % 3 == 0, (64 + (doc_id % 16) * 32).cast("int"))
+            .alias("width"),
+            F.when(doc_id % 3 == 0, (64 + (doc_id % 9) * 32).cast("int"))
+            .alias("height"),
+            F.when(doc_id % 3 == 1, F.lit(16000).cast("int")).alias("sample_rate"),
+            F.when(doc_id % 3 == 2, (1 + doc_id % 7).cast("int")).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. media manifest — per-modality stats (pure built-ins, one shuffle)
+# --------------------------------------------------------------------------
+def mm_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.round(F.avg(F.octet_length("payload")), 4).alias("avg_bytes"),
+            F.round(F.avg("meta.width"), 4).alias("avg_width"),
+            F.sum("meta.n_frames").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MM_MANIFEST_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         unhex(repeat(md5(text), CAST(1 + doc_id % 4 AS INT))) AS payload,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id % 16) * 32 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 7 AS INT) END AS n_frames
+  FROM documents
+)
+SELECT media_type,
+       count(*) AS n_items,
+       sum(octet_length(payload)) AS total_bytes,
+       round(avg(octet_length(payload)), 4) AS avg_bytes,
+       round(avg(width), 4) AS avg_width,
+       sum(n_frames) AS total_frames
+FROM m GROUP BY media_type ORDER BY media_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. video frame sampling — generator explode, no Python in the path
+# --------------------------------------------------------------------------
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every FRAME_STEP-th frame index of each video, with a
+    deterministic per-frame content key (stand-in for the frame-decode
+    output a real pipeline would hash)."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    frames = m.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.n_frames") - 1, F.lit(FRAME_STEP)
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("frame_idx"))).alias(
+            "frame_key"
+        ),
+    )
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+WITH v AS (
+  SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       unnest(generate_series(0, n_frames - 1, {FRAME_STEP})) AS frame_idx,
+       md5(doc_id || ':' || unnest(generate_series(0, n_frames - 1, {FRAME_STEP}))) AS frame_key
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. byte-histogram feature extraction — REAL binary mapInPandas path
+# --------------------------------------------------------------------------
+def extract_byte_histogram(payload: bytes) -> list[int]:
+    """Deterministic fake 'decoder': 16-bin histogram of byte high
+    nibbles. Stands in for image feature extraction; the Spark plumbing
+    around it (binary column -> Arrow batch -> numpy -> array column)
+    is exactly what a real decoder needs."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return np.bincount(arr >> 4, minlength=HIST_BINS).tolist()
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image byte-nibble histogram, exploded to (doc_id, bin, cnt)
+    rows so the byte-level decode is exactly checkable in SQL (a byte's
+    high nibble is the first hex char of its hex pair)."""
+    import numpy as np
+    import pandas as pd
+
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+
+    def feats(batches):
+        for pdf in batches:
+            out_ids, out_bins, out_cnts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hist = np.bincount(
+                    np.frombuffer(payload, dtype=np.uint8) >> 4,
+                    minlength=HIST_BINS,
+                )
+                nz = np.nonzero(hist)[0]
+                out_ids.extend([doc_id] * len(nz))
+                out_bins.extend(nz.tolist())
+                out_cnts.extend(hist[nz].tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "bin": out_bins, "cnt": out_cnts}
+            )
+
+    return m.select("doc_id", "payload").mapInPandas(
+        feats, schema="doc_id bigint, bin int, cnt bigint"
+    )
+
+
+MM_IMAGE_FEATURES_SQL = """
+WITH img AS (
+  SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
+  FROM documents WHERE doc_id % 3 = 0
+),
+nib AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, length(hx) // 2),
+           i -> substr(hx, 2 * i - 1, 1)
+         )) AS c
+  FROM img
+)
+SELECT doc_id,
+       CAST(('0x' || c)::BIGINT AS INT) AS bin,
+       count(*) AS cnt
+FROM nib GROUP BY doc_id, c
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. gated real decoder (import-try stub — PIL not in container)
+# --------------------------------------------------------------------------
+def decode_image(payload: bytes):
+    """Real image decode, gated on PIL availability. The container has
+    no imaging libs; callers get a clear NotImplementedError while the
+    surrounding Spark plumbing (mm_image_features) stays fully
+    exercised with the deterministic fake decoder."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - PIL absent by design
+        raise NotImplementedError(
+            "image decoding requires PIL, which is not installed; "
+            "use extract_byte_histogram for the deterministic fake path"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+QUERIES = {
+    "mm_media_manifest": mm_media_manifest,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_image_features": mm_image_features,
+}
+
+ORACLE = {
+    "mm_media_manifest": MM_MANIFEST_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_image_features": MM_IMAGE_FEATURES_SQL,
+}
