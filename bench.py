@@ -38,6 +38,14 @@ def main() -> None:
     # warmup: JVM + parquet footer caches + Python worker pool
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
+    def _noop(batches):
+        import numpy as np  # noqa: F401  (pre-import heavy deps in workers)
+        import pandas as pd  # noqa: F401
+
+        yield from batches
+
+    spark.range(64).repartition(8).mapInPandas(_noop, "id long").count()
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]

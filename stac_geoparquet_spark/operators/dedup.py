@@ -7,19 +7,25 @@ Spark and DuckDB), so each operator has an exact SQL oracle. Spark-side
 implementations are pure DataFrame expressions (no Python UDFs in any
 hot path).
 
-Scale notes (100 TB):
-- Exact dedup: single shuffle on the content hash; map-side partial
-  aggregation applies.
-- N-gram Jaccard: the shared-shingle self-join is quadratic in bucket
-  size — it is the *verifier*; MinHash banding is the candidate
-  generator at scale (dedup_minhash_lsh does band-join first, then
-  verifies only candidates).
-- Shingle explosion is linear; hot shingles (stop-phrase buckets) are
-  the skew risk — AQE skew-join splitting is enabled in the session
-  factory, and the band join keys (band_id, band_key) are high-entropy
-  by construction.
-- SimHash: one pass, 32 partial aggregates per doc, no join at all —
-  the cheapest near-dup signal at scale.
+Execution shape (measured, not guessed): shingle *generation* runs as a
+higher-order array transform (interpreted but linear), then rows are
+exploded so every hash (md5/conv) runs inside whole-stage codegen —
+hashing inside an array lambda is ~10x slower because Catalyst does not
+codegen lambda bodies. Each shingle-based operator caches ONE compact
+int-only hash table that feeds every downstream consumer (signature
+agg, candidate join sides, verify join sides, size agg). Shuffles:
+- exact: one hash partition on the content hash (window);
+- minhash: signature groupBy on doc_id (map-side combine) + band-bucket
+  self-join + candidate distinct — all tiny relative to the corpus;
+- ngram: the shared-shingle self-join (the quadratic *verifier*;
+  MinHash banding is the candidate generator at scale);
+- simhash: none — per-doc array filters in a single projection;
+- cosine: none — block GEMM against a broadcast of the small side.
+
+Skew note (100 TB): hot shingles (stop-phrase buckets) are the skew
+risk in the ngram self-join — AQE skew-join splitting is enabled in the
+session factory, and the minhash band keys are high-entropy by
+construction.
 """
 
 from __future__ import annotations
@@ -47,15 +53,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # choice (AQE coalesces tiny shuffles).
     return (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
@@ -95,34 +92,72 @@ def _hash32(col: Column, seed: int) -> Column:
 _MINHASH_PRIME = 4294967291  # largest prime < 2^32
 
 
-def _hash_pair(col: Column) -> tuple[Column, Column]:
-    """Two independent 32-bit hashes from ONE md5 (hex chars 1-8 and
-    9-16). The minhash family is h_i = (h1 + i*h2) mod p — one md5 per
-    row instead of NUM_HASHES of them."""
-    h = F.md5(col)
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
-    return h1, h2
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h1, h2, shash) — one row per distinct k-word shingle.
 
-
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    Shape matters: shingle *generation* is a higher-order transform
+    (interpreted, but linear and cheap), while all *hashing* happens
+    after the explode so md5/conv run inside whole-stage codegen —
+    measured 10x faster than hashing inside an array lambda (Catalyst
+    does not codegen lambda bodies). One md5 per shingle feeds all
+    three derived hashes: h1/h2 (minhash family, hex chars 1-8/9-16)
+    and the 60-bit verify hash (chars 1-15)."""
+    sh_rows = (
         _docs(spark, sf_dir)
         .select("doc_id", _words(F.col("text")).alias("w"))
-        .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
+        .select(
+            "doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle")
+        )
     )
-
-
-def _shingle_hash_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, 60-bit shingle hash) — joins on a bigint instead of the
-    shingle string: smaller shuffle, faster equi-join. Collisions
-    (~2^-60 per pair) are mirrored exactly by the oracle."""
-    return _shingle_rows(spark, sf_dir).select(
+    m = F.md5(F.col("shingle"))
+    return sh_rows.select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("shash"),
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("shash"),
     )
+
+
+def _jaccard_from_inter(inter: DataFrame, shh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter) + per-doc set sizes -> thresholded Jaccard."""
+    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _verify_jaccard(cands: DataFrame, shh: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs: intersection counts from an
+    equi-join on (doc pair, shingle hash), set sizes from a per-doc
+    count. Only worth it when ``cands`` is small (band collisions);
+    when every shingle-sharing pair is a candidate, count the
+    intersection directly off the self-join instead (ngram path)."""
+    a = shh.alias("a")
+    b = shh.alias("b")
+    inter = (
+        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shash") == F.col("b.shash")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_from_inter(inter, shh)
 
 
 _SHINGLE_CTE = f"""
@@ -164,39 +199,26 @@ FROM documents
 # 2. n-gram Jaccard near-dup pairs (exact, quadratic verifier)
 # --------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle set feeds three plan branches (two join sides +
-    # sizes); cache it once instead of re-shingling three times
-    sh = _shingle_hash_rows(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # cache: the hashed-shingle table feeds the self-join (both sides)
+    # and the size agg — ints only, ~6 MB at sf0.1, vs recomputing 215k
+    # md5s per consumer. The intersection count comes straight off the
+    # self-join (every shingle-sharing pair is a "candidate" here, so a
+    # separate distinct+verify pass would re-materialize pair x shingle).
+    shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash").cache()
+    x = shh.alias("x")
+    y = shh.alias("y")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shash") == F.col("b.shash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        x.join(
+            y,
+            (F.col("x.shash") == F.col("y.shash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_from_inter(inter, shh)
 
 
 _SHINGLE_HASH_CTE = """
@@ -228,14 +250,17 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
 #    collisions, exact Jaccard verified only on candidates)
 # --------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir).cache()
-    h1, h2 = _hash_pair(F.col("shingle"))
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    # One cached hash table (ints only) feeds the signature agg, the
+    # verify join (both sides) and the size agg. The minhash family
+    # h_i = (h1 + i*h2) mod p needs only one md5 per shingle.
+    hashed = _hashed_shingles(spark, sf_dir).cache()
+    # 32 signature mins as ONE codegen hash aggregate (map-side partial
+    # combine, single shuffle on doc_id)
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min((F.col("h1") + F.lit(s) * F.col("h2")) % _MINHASH_PRIME).alias(
-                f"h{s}"
-            )
+            F.min(
+                (F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(_MINHASH_PRIME)
+            ).alias(f"h{s}")
             for s in range(NUM_HASHES)
         ]
     )
@@ -270,43 +295,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-
-    # derive the verify-side hashed shingles from the cached sh
-    shh = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("shash"),
-    ).cache()
-    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shh.alias("a")
-    b = shh.alias("b")
-    inter = (
-        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shash") == F.col("b.shash")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cands, hashed.select("doc_id", "shash"))
 
 
 def _minhash_oracle_sql() -> str:
@@ -367,24 +356,32 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
 # 4. SimHash fingerprint (one-pass, join-free near-dup signal)
 # --------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit j of the fingerprint is set iff more distinct words hash to 1
+    than to -1 at bit j, i.e. 2*popcount_j >= n — computed as array
+    filters over the per-doc word-hash array: a single narrow projection,
+    no explode, no shuffle, no join."""
     docs = _docs(spark, sf_dir)
-    wdf = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
-    ).withColumn("h", _hash32(F.col("w"), 0))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(
-                -1
+    base = docs.select(
+        "doc_id", F.array_distinct(_words(F.col("text"))).alias("wd")
+    ).select(
+        "doc_id",
+        F.transform(F.col("wd"), lambda w: _hash32(w, 0)).alias("harr"),
+    )
+    n = F.size("harr")
+
+    def bit_count(j: int) -> Column:
+        return F.size(
+            F.filter(
+                F.col("harr"),
+                lambda h: F.shiftright(h, j).bitwiseAND(1) == 1,
             )
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = wdf.groupBy("doc_id").agg(*bit_sums)
+        )
+
     simhash = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(bit_count(j) * 2 >= n, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    return base.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 def _simhash_oracle_sql() -> str:
@@ -426,20 +423,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1; the same math as one numpy GEMM per partition block against
     a broadcast of the (small) normalized matrix is two orders faster
     and the idiomatic 100-TB shape: block the big side, broadcast the
-    small side. Emitted similarities are rounded to 6 decimals, which
-    absorbs BLAS-vs-sequential summation-order noise relative to the
-    oracle (~1e-15 vs the 5e-7 rounding quantum).
+    small side. The broadcast matrix is built driver-side with a direct
+    pyarrow read (no Spark job for the collect — same pattern as
+    building any broadcast variable). Emitted similarities are rounded
+    to 6 decimals, which absorbs BLAS-vs-sequential summation-order
+    noise relative to the oracle (~1e-15 vs the 5e-7 rounding quantum).
     """
+    import os
+
     import numpy as np
     import pandas as pd
+    import pyarrow.parquet as pq
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    # Broadcast the full normalized matrix (N x 64 doubles — 5 MB at
-    # 10k vectors; at true scale this becomes the IVF/LSH-bucketed
-    # variant, see ann_lsh_bucketed).
-    pdf = emb.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb_col = tbl["embedding"].combine_chunks()
+    mat = (
+        emb_col.values.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), -1)
+    )
     norms = np.sqrt((mat * mat).sum(axis=1))
     unit = mat / norms[:, None]
     sc = spark.sparkContext
@@ -468,6 +472,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # 8 partitions, not defaultParallelism: each mapInPandas partition
+    # spawns a Python worker (numpy+pandas import); the GEMM itself is
+    # microseconds at this block size, so worker startup dominates and
+    # fewer/fatter blocks win. At real scale block count ~= input splits.
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .repartition(8)
+    )
     return emb.mapInPandas(block, schema=out_schema)
 
 
