@@ -27,11 +27,12 @@ def _registries():
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         text,
     )
 
-    modules = [relational, dedup, similarity, text, multimodal]
+    modules = [relational, relational_ext, dedup, similarity, text, multimodal]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
     for m in modules:

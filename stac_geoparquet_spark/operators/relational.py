@@ -48,11 +48,11 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
+        # integer `div`, NOT float division: ns epochs (~2^60) exceed a
+        # double's 53-bit mantissa, so floor(ts/1000.0) is off by ±1us
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(
-                F.floor(F.col("ts") / F.lit(1000)).cast("long")
-            ).cast("timestamp_ntz"),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 
