@@ -27,6 +27,29 @@ from pyspark.sql import functions as F
 from stac_geoparquet_spark.session import load_tables
 
 
+def _dsum(col, scale: int = 2):
+    """Order-independent rounded sum of a money-like double column.
+
+    The synthetic prices/discounts are 2-decimal values, so group sums
+    land *exactly* on round-half boundaries (x.xx5) all the time; a
+    double sum's last-ulp then depends on partition/thread summation
+    order and the rounded cent flips between Spark and DuckDB runs.
+    Accumulating in decimal(18,6) makes the sum exact and the rounding
+    deterministic on both engines. Oracle mirror:
+    CAST(round(sum(CAST(x AS DECIMAL(18,6))), k) AS DOUBLE)."""
+    return F.round(F.sum(col.cast("decimal(18,6)")), scale).cast("double")
+
+
+def _davg(col, scale: int = 4):
+    """Order-independent rounded mean: exact decimal sum, then one
+    double division. Oracle mirror:
+    round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), k)."""
+    return F.round(
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+        scale,
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
@@ -70,13 +93,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued: double sums are exact in
+            # any order, no decimal needed
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -85,12 +110,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4)                                          AS avg_qty,
-       round(avg(l_extendedprice), 4)                                     AS avg_price,
-       round(avg(l_discount), 4)                                          AS avg_disc,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)      AS avg_disc,
        count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -113,9 +138,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -124,7 +149,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT o_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -167,16 +192,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -201,8 +226,8 @@ def agg_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+            _davg(F.col("o_totalprice")).alias("avg_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
@@ -212,8 +237,8 @@ def agg_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_ORDERS_SQL = """
 SELECT o_orderpriority,
        count(*)                      AS order_count,
-       round(sum(o_totalprice), 2)   AS total_price,
-       round(avg(o_totalprice), 4)   AS avg_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
        round(min(o_totalprice), 2)   AS min_price,
        round(max(o_totalprice), 2)   AS max_price
 FROM orders
@@ -235,7 +260,7 @@ def join_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("customer_count"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            _davg(F.col("c_acctbal")).alias("avg_acctbal"),
         )
     )
 
@@ -243,7 +268,7 @@ def join_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_REGION_SQL = """
 SELECT r_name,
        count(*)                   AS customer_count,
-       round(avg(c_acctbal), 4)   AS avg_acctbal
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

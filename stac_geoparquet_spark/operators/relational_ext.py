@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stac_geoparquet_spark.operators.relational import _t
+from stac_geoparquet_spark.operators.relational import _dsum, _t
 
 
 def _rev() -> F.Column:
@@ -45,15 +45,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
         )
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -99,14 +99,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_dsum(_rev()).alias("revenue"))
     )
 
 
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -138,13 +138,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("sum_profit"))
+        .agg(_dsum(_rev()).alias("sum_profit"))
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -242,8 +242,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -251,10 +255,11 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             4) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-06-01'
   AND l_shipdate <  TIMESTAMP '1996-07-01'
@@ -278,13 +283,19 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
         )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#1'
@@ -353,12 +364,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((b == "Brand#2") & q.between(10, 25))
             | ((b == "Brand#3") & q.between(20, 35))
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_dsum(_rev()).alias("revenue"))
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
@@ -385,13 +396,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
 
 Q22_SQL = """
-SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT c_mktsegment, count(*) AS numcust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (
@@ -491,7 +502,7 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.to_date(F.col("o_orderdate")).alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
+        .agg(_dsum(F.col("o_totalprice")).alias("day_revenue"))
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return daily.select(
@@ -508,7 +519,7 @@ SELECT day, day_revenue,
              4) AS ma7
 FROM (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         round(sum(o_totalprice), 2) AS day_revenue
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS day_revenue
   FROM orders GROUP BY CAST(o_orderdate AS DATE)
 ) t
 """
