@@ -361,3 +361,35 @@ def read_items(
     return normalize_items(
         read_stac_json(spark, path, schema=schema), on_collision=on_collision
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — self-link extraction (stac_geoparquet.py:119-129, :22-24)
+# ---------------------------------------------------------------------------
+_MEDIA_JSON = ("application/json", "application/geo+json")
+
+
+def extract_self_link(df: DataFrame) -> DataFrame:
+    """Add a ``self_link`` column: href of the first link with
+    rel='self', a JSON media type (or none), and an absolute href —
+    entirely as higher-order Column expressions (no UDF)."""
+    if "links" not in df.columns:
+        return df.withColumn("self_link", F.lit(None).cast("string"))
+    link_fields = {
+        f.name
+        for f in df.schema["links"].dataType.elementType.fields  # type: ignore[union-attr]
+    }
+    has_type = "type" in link_fields
+
+    def ok(link: Column) -> Column:
+        cond = link["rel"] == "self"
+        if has_type:
+            t = link["type"]
+            cond = cond & (t.isNull() | (t == "") | t.isin(*_MEDIA_JSON))
+        # absolute href: scheme://netloc with a non-empty netloc
+        return cond & link["href"].rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+")
+
+    # try_element_at: null on empty match list (plain element_at throws
+    # under ANSI mode, the Spark 4 default)
+    first = F.try_element_at(F.filter(F.col("links"), ok), F.lit(1))
+    return df.withColumn("self_link", first["href"])
