@@ -1,0 +1,111 @@
+"""Physical-plan regression tests: the scale properties we rely on —
+filter pushdown into the parquet scan, column pruning, broadcast joins
+for dimensions, map-side partial aggregation — must be visible in the
+plan, not assumed. A refactor that silently drops one of these would
+still pass the value-correctness oracle but regress at scale; these
+tests pin the plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from stac_geoparquet_spark.operators import dedup, relational, relational_ext
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_ops(plan: str, name: str) -> int:
+    """Count physical operators by their detail header '(id) Name' —
+    the tree section repeats each operator, so a raw substring count
+    double-counts."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_q1_pushdown_pruning_partial_agg(spark, sf):
+    plan = plan_of(relational.q1_pricing_summary(spark, sf))
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: never reads orderkey/partkey/suppkey
+    assert "l_orderkey" not in plan.split("ReadSchema")[1]
+    # two-phase aggregate: a partial HashAggregate before the exchange
+    assert n_ops(plan, "HashAggregate") == 2
+    assert n_ops(plan, "Exchange") == 1
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf):
+    plan = plan_of(relational_ext.q6_forecast_revenue(spark, sf))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.03)" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    for col in ("l_quantity", "l_discount", "l_extendedprice", "l_shipdate"):
+        assert col in read
+    assert "l_orderkey" not in read
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf):
+    plan = plan_of(relational.q3_shipping_priority(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    # the BUILDING filter is pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # top-k is TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_dimension_chain_broadcast(spark, sf):
+    plan = plan_of(relational.q5_region_revenue(spark, sf))
+    # every dimension join is broadcast; only lineitem<->orders shuffles
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_semi_anti_join_physical(spark, sf):
+    assert "LeftSemi" in plan_of(
+        relational.semi_join_active_customers(spark, sf)
+    )
+    assert "LeftAnti" in plan_of(
+        relational.anti_join_inactive_customers(spark, sf)
+    )
+
+
+def test_dedup_exact_single_exchange(spark, sf):
+    plan = plan_of(dedup.dedup_exact(spark, sf))
+    # one hash partition on the content hash (window) + the explicit
+    # spread repartition - no other shuffles
+    assert n_ops(plan, "Exchange") <= 2
+
+
+def test_simhash_no_shuffle(spark, sf):
+    plan = plan_of(dedup.dedup_simhash(spark, sf))
+    # a single projection pipeline: the only exchange is the explicit
+    # input-spread repartition
+    assert n_ops(plan, "Exchange") == 1
+
+
+def test_q17_threshold_table_broadcast(spark, sf):
+    plan = plan_of(relational_ext.q17_small_qty_revenue(spark, sf))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_moving_avg_single_window_sort(spark, sf):
+    plan = plan_of(relational_ext.moving_avg_daily_revenue(spark, sf))
+    assert "Window" in plan
+    assert "RunningWindowFunction" in plan or "Sort" in plan
