@@ -29,10 +29,19 @@ def _registries():
         relational,
         relational_ext,
         similarity,
+        stac_query,
         text,
     )
 
-    modules = [relational, relational_ext, dedup, similarity, text, multimodal]
+    modules = [
+        relational,
+        relational_ext,
+        stac_query,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
     for m in modules:

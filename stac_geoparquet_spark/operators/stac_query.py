@@ -1,0 +1,181 @@
+"""STAC pipeline queries for the driver's correctness gate.
+
+The STAC conversion surface (forward T1-T5, inverse U1-U5, SURVEY.md
+§2.3/§2.4) is covered by round-trip unit tests on fixture items, but
+the driver's oracle gate only sees ``queries()`` entries. This module
+bridges the gap: it synthesizes a deterministic STAC item table from
+the driver's own ``part`` parquet, pushes it through the real forward
+and inverse pipelines *distributed*, and returns invariant counts that
+a literal-expectation DuckDB oracle pins:
+
+- every item keeps its id/collection,
+- the 8-column timestamp typing round-trips to the same RFC3339 string,
+- bbox list -> struct -> list round-trips exactly,
+- properties hoist + re-nest loses nothing,
+- GeoJSON -> WKB is stable (re-encoding the inverse's input yields the
+  identical bytes).
+
+If any pipeline stage drifts semantically the counts drop and the
+value hash breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_ITEMS = 500
+
+
+def _synth_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JSON-shape STAC items derived from `part`:
+    geometry as a GeoJSON string (pre-T1 shape), bbox as a 4-list,
+    nested properties."""
+    import os
+
+    part = (
+        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        .orderBy("p_partkey")
+        .limit(N_ITEMS)
+    )
+    lon = (F.col("p_partkey") % 340 - 170).cast("double") + 0.25
+    lat = (F.col("p_partkey") % 160 - 80).cast("double") + 0.25
+    geom = F.format_string(
+        '{"type":"Point","coordinates":[%.2f,%.2f]}', lon, lat
+    )
+    dt_str = F.date_format(
+        F.timestamp_micros(
+            F.lit(1704067200000000) + F.col("p_partkey") * F.lit(86400000000)
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    return part.select(
+        F.concat(F.lit("item-"), F.col("p_partkey")).alias("id"),
+        F.lit("Feature").alias("type"),
+        F.lit("1.0.0").alias("stac_version"),
+        F.col("p_brand").alias("collection"),
+        geom.alias("geometry"),
+        F.array(lon, lat, lon + 0.5, lat + 0.5).alias("bbox"),
+        F.struct(
+            dt_str.alias("datetime"),
+            F.col("p_retailprice").alias("gsd"),
+            F.col("p_type").alias("platform"),
+            F.col("p_size").alias("proj:epsg"),
+        ).alias("properties"),
+        F.array(
+            F.struct(
+                F.lit("self").alias("rel"),
+                F.format_string(
+                    "https://example.com/items/%d", F.col("p_partkey")
+                ).alias("href"),
+                F.lit("application/geo+json").alias("type"),
+            )
+        ).alias("links"),
+        F.struct(
+            F.struct(
+                F.format_string(
+                    "s3://bucket/%d.tif", F.col("p_partkey")
+                ).alias("href"),
+                F.lit("image/tiff").alias("type"),
+            ).alias("image")
+        ).alias("assets"),
+    )
+
+
+def stac_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-normalize synthesized items, inverse back to JSON shape,
+    and count the invariants that must survive — one row, all counts
+    equal to N_ITEMS when the pipelines are semantics-preserving."""
+    from stac_geoparquet_spark.stac.forward import (
+        _make_wkb_encode_udf,
+        normalize_items,
+    )
+    from stac_geoparquet_spark.stac.inverse import to_json_shape
+
+    src = _synth_items(spark, sf_dir)
+    norm = normalize_items(src)
+    back = to_json_shape(norm)
+
+    wkb = _make_wkb_encode_udf()
+    orig = src.select(
+        "id",
+        F.col("collection").alias("o_collection"),
+        F.col("properties.datetime").alias("o_datetime"),
+        F.col("properties.gsd").alias("o_gsd"),
+        F.col("properties.proj:epsg").alias("o_epsg"),
+        F.col("bbox").alias("o_bbox"),
+        wkb(F.col("geometry")).alias("o_wkb"),
+        F.col("assets.image.href").alias("o_href"),
+    )
+    joined = back.join(orig, "id")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("collection") == F.col("o_collection")).cast("bigint")
+        ).alias("n_collection_ok"),
+        F.sum(
+            (F.col("properties.datetime") == F.col("o_datetime")).cast(
+                "bigint"
+            )
+        ).alias("n_datetime_ok"),
+        F.sum(
+            (
+                (F.col("properties.gsd") == F.col("o_gsd"))
+                & (F.col("properties.`proj:epsg`") == F.col("o_epsg"))
+            ).cast("bigint")
+        ).alias("n_props_ok"),
+        F.sum((F.col("bbox") == F.col("o_bbox")).cast("bigint")).alias(
+            "n_bbox_ok"
+        ),
+        F.sum((F.col("geometry") == F.col("o_wkb")).cast("bigint")).alias(
+            "n_geom_ok"
+        ),
+        F.sum(
+            (F.col("assets.image.href") == F.col("o_href")).cast("bigint")
+        ).alias("n_assets_ok"),
+    )
+    return agg
+
+
+STAC_ROUNDTRIP_SQL = f"""
+SELECT CAST(n AS BIGINT) AS n_items,
+       CAST(n AS BIGINT) AS n_collection_ok,
+       CAST(n AS BIGINT) AS n_datetime_ok,
+       CAST(n AS BIGINT) AS n_props_ok,
+       CAST(n AS BIGINT) AS n_bbox_ok,
+       CAST(n AS BIGINT) AS n_geom_ok,
+       CAST(n AS BIGINT) AS n_assets_ok
+FROM (SELECT least(count(*), {N_ITEMS}) AS n FROM part) t
+"""
+
+
+def stac_self_link_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 self-link extraction over the synthesized items: every item
+    carries an absolute application/geo+json self link, so coverage is
+    total — and the extracted href is checkable per item."""
+    from stac_geoparquet_spark.stac.forward import extract_self_link
+
+    src = _synth_items(spark, sf_dir)
+    out = extract_self_link(src)
+    return out.select(
+        "id",
+        "self_link",
+    ).filter(F.col("self_link").isNotNull())
+
+
+STAC_SELF_LINK_SQL = f"""
+SELECT 'item-' || p_partkey AS id,
+       'https://example.com/items/' || p_partkey AS self_link
+FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT {N_ITEMS}) t
+"""
+
+
+QUERIES = {
+    "stac_pipeline_roundtrip": stac_pipeline_roundtrip,
+    "stac_self_link_coverage": stac_self_link_coverage,
+}
+
+ORACLE = {
+    "stac_pipeline_roundtrip": STAC_ROUNDTRIP_SQL,
+    "stac_self_link_coverage": STAC_SELF_LINK_SQL,
+}
