@@ -170,12 +170,153 @@ FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT {N_ITEMS}) t
 """
 
 
+def cql2_flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README's own goal query (reference README.md:15, SURVEY.md
+    §7.1) expressed as CQL2-JSON and evaluated by the engine's
+    translator against the *normalized* STAC table: collection
+    membership + open-ended datetime interval + bbox intersection
+    (sargable against the bbox struct) + numeric property threshold +
+    LIKE on a string property."""
+    from stac_geoparquet_spark.stac.cql2 import cql2_filter
+    from stac_geoparquet_spark.stac.forward import normalize_items
+
+    expr = {
+        "op": "and",
+        "args": [
+            {
+                "op": "in",
+                "args": [
+                    {"property": "collection"},
+                    ["Brand#1", "Brand#2", "Brand#3"],
+                ],
+            },
+            {
+                "op": "anyinteracts",
+                "args": [
+                    {"property": "datetime"},
+                    {"interval": ["2024-02-01T00:00:00Z", ".."]},
+                ],
+            },
+            {
+                "op": "s_intersects",
+                "args": [
+                    {"property": "geometry"},
+                    {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[-50.0, 0.0], [60.0, 0.0], [60.0, 70.0],
+                             [-50.0, 70.0], [-50.0, 0.0]]
+                        ],
+                    },
+                ],
+            },
+            {"op": "<", "args": [{"property": "gsd"}, 1500.0]},
+            {"op": "like", "args": [{"property": "platform"}, "%E%"]},
+        ],
+    }
+    norm = normalize_items(_synth_items(spark, sf_dir))
+    out = cql2_filter(norm, expr)
+    return out.select(
+        "id",
+        "collection",
+        F.date_format("datetime", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "datetime"
+        ),
+        F.col("gsd"),
+        F.col("bbox.xmin").alias("xmin"),
+    )
+
+
+CQL2_FLAGSHIP_SQL = f"""
+WITH items AS (
+  SELECT 'item-' || p_partkey AS id,
+         p_brand AS collection,
+         TIMESTAMP '2024-01-01 00:00:00' + p_partkey * INTERVAL 1 DAY AS dt,
+         p_retailprice AS gsd,
+         p_type AS platform,
+         ((p_partkey % 340) - 170)::DOUBLE + 0.25 AS xmin,
+         ((p_partkey % 160) - 80)::DOUBLE + 0.25 AS ymin
+  FROM (SELECT * FROM part ORDER BY p_partkey LIMIT {N_ITEMS}) p
+)
+SELECT id, collection,
+       strftime(dt, '%Y-%m-%dT%H:%M:%SZ') AS datetime,
+       gsd, xmin
+FROM items
+WHERE collection IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND dt >= TIMESTAMP '2024-02-01 00:00:00'
+  AND xmin <= 60.0 AND xmin + 0.5 >= -50.0
+  AND ymin <= 70.0 AND ymin + 0.5 >= 0.0
+  AND gsd < 1500.0
+  AND platform LIKE '%E%'
+"""
+
+
+def cql2_orders_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL2 over a plain relational table (the translator is not
+    STAC-specific): priority membership + price between + order-date
+    interval + negated status equality."""
+    import os
+
+    from stac_geoparquet_spark.stac.cql2 import cql2_filter
+
+    expr = {
+        "op": "and",
+        "args": [
+            {
+                "op": "in",
+                "args": [
+                    {"property": "o_orderpriority"},
+                    ["1-URGENT", "2-HIGH"],
+                ],
+            },
+            {
+                "op": "between",
+                "args": [{"property": "o_totalprice"}, 1000.0, 150000.0],
+            },
+            {
+                "op": "t_during",
+                "args": [
+                    {"property": "o_orderdate"},
+                    {
+                        "interval": [
+                            "1996-01-01T00:00:00Z",
+                            "1997-06-30T23:59:59Z",
+                        ]
+                    },
+                ],
+            },
+            {"op": "not", "args": [
+                {"op": "=", "args": [{"property": "o_orderstatus"}, "F"]}
+            ]},
+        ],
+    }
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return cql2_filter(orders, expr).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+
+
+CQL2_ORDERS_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 1000.0 AND 150000.0
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'
+  AND NOT (o_orderstatus = 'F')
+"""
+
+
 QUERIES = {
     "stac_pipeline_roundtrip": stac_pipeline_roundtrip,
     "stac_self_link_coverage": stac_self_link_coverage,
+    "cql2_flagship_query": cql2_flagship_query,
+    "cql2_orders_filter": cql2_orders_filter,
 }
 
 ORACLE = {
     "stac_pipeline_roundtrip": STAC_ROUNDTRIP_SQL,
     "stac_self_link_coverage": STAC_SELF_LINK_SQL,
+    "cql2_flagship_query": CQL2_FLAGSHIP_SQL,
+    "cql2_orders_filter": CQL2_ORDERS_SQL,
 }
