@@ -157,24 +157,28 @@ def _jaccard_from_inter(inter: DataFrame, shh: DataFrame) -> DataFrame:
 
 
 def _verify_jaccard(cands: DataFrame, shh: DataFrame) -> DataFrame:
-    """Exact Jaccard on candidate pairs: intersection counts from an
-    equi-join on (doc pair, shingle hash), set sizes from a per-doc
-    count. Only worth it when ``cands`` is small (band collisions);
-    when every shingle-sharing pair is a candidate, count the
-    intersection directly off the self-join instead (ngram path)."""
-    a = shh.alias("a")
-    b = shh.alias("b")
-    inter = (
-        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shash") == F.col("b.shash")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    """Exact Jaccard on candidate pairs via per-doc shingle-hash *sets*:
+    one groupBy packs each doc's distinct hashes into a sorted-free
+    array (plus its size), then each candidate pair does two equi-joins
+    on doc id and an ``array_intersect`` size — no pair x shingle
+    explosion, no separate sizes joins. The doc-set side is one row per
+    document, so AQE broadcast-joins it when small and shuffle-joins on
+    doc id at scale; either way the join keys are the high-entropy doc
+    ids, not hot shingles."""
+    docsets = shh.groupBy("doc_id").agg(
+        F.collect_list("shash").alias("ss"), F.count(F.lit(1)).alias("n")
     )
-    return _jaccard_from_inter(inter, shh)
+    sa = docsets.alias("sa")
+    sb = docsets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    jac = F.round(inter / (F.col("sa.n") + F.col("sb.n") - inter), 6)
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 _SHINGLE_CTE = f"""
@@ -266,36 +270,30 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
 #    collisions, exact Jaccard verified only on candidates)
 # --------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shared cached hash table feeds the signature agg, the verify
-    # join (both sides) and the size agg. The minhash family
-    # h_i = (h1 + i*h2) mod p needs only one md5 per shingle.
+    # The shared cached hash table feeds the signature agg and the
+    # verify doc-set agg. The minhash family h_i = (h1 + i*h2) mod p
+    # needs only one md5 per shingle. Expressions are built as SQL
+    # strings parsed JVM-side in one shot — constructing the ~300
+    # Column objects through py4j costs >1s of driver time per call,
+    # ~4x the parse cost of the equivalent strings.
     hashed = _hashed_shingles(spark, sf_dir)
     # 32 signature mins as ONE codegen hash aggregate (map-side partial
     # combine, single shuffle on doc_id)
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(_MINHASH_PRIME)
-            ).alias(f"h{s}")
+            F.expr(f"min((h1 + {s} * h2) % {_MINHASH_PRIME}) AS h{s}")
             for s in range(NUM_HASHES)
         ]
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"h{b * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            ).alias("band_key"),
-        )
+    band_parts = ", ".join(
+        f"struct({b} AS band_id, concat_ws('-', "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS band_key)"
         for b in range(NUM_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({band_parts})) AS band"
+    ).selectExpr("doc_id", "band.band_id", "band.band_key")
 
     # Candidate pairs per LSH bucket via ONE groupBy (collect the
     # bucket's sorted doc ids, expand i<j pairs as an array transform)
@@ -305,25 +303,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys are high-entropy); a degenerate hot bucket at 100 TB needs a
     # size cap or salt split — n^2 pair expansion is inherent to LSH
     # candidate generation, not to this formulation.
-    ds = F.col("ds")
-    n = F.size(ds)
-    pair_expr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.slice(ds, i + 2, n),
-                lambda x: F.struct(
-                    F.get(ds, i).alias("a"), x.alias("b")
-                ),
-            ),
-        )
-    )
     cands = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(n >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.expr("sort_array(collect_list(doc_id)) AS ds"))
+        .where("size(ds) >= 2")
+        .selectExpr(
+            "explode(flatten(transform(sequence(0, size(ds)-2),"
+            " i -> transform(slice(ds, i+2, size(ds)),"
+            " x -> struct(ds[i] AS a, x AS b))))) AS p"
+        )
+        .selectExpr("p.a AS doc_a", "p.b AS doc_b")
         .distinct()
     )
     return _verify_jaccard(cands, hashed.select("doc_id", "shash"))
@@ -397,21 +386,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(F.col("wd"), lambda w: _hash32(w, 0)).alias("harr"),
     )
-    n = F.size("harr")
-
-    def bit_count(j: int) -> Column:
-        return F.size(
-            F.filter(
-                F.col("harr"),
-                lambda h: F.shiftright(h, j).bitwiseAND(1) == 1,
-            )
-        )
-
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(bit_count(j) * 2 >= n, F.lit(1 << j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return base.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    # One SQL string instead of 32 py4j-built when/filter chains (same
+    # driver-time rationale as dedup_minhash_lsh).
+    terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(harr, h -> shiftright(h, {j}) & 1 = 1))"
+        f" >= size(harr) THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return base.selectExpr("doc_id", f"CAST({terms} AS BIGINT) AS simhash")
 
 
 def _simhash_oracle_sql() -> str:
