@@ -28,6 +28,7 @@ def _registries():
         multimodal,
         relational,
         relational_ext,
+        relational_tpch2,
         similarity,
         stac_query,
         text,
@@ -36,6 +37,7 @@ def _registries():
     modules = [
         relational,
         relational_ext,
+        relational_tpch2,
         stac_query,
         dedup,
         similarity,
