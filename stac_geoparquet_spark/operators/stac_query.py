@@ -307,11 +307,61 @@ WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 """
 
 
+def cql2_text_lineitem_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CQL2-*text* frontend over a relational table: the text
+    expression parses into the same AST the JSON path evaluates
+    (stac/cql2_text.py), so one translator owns the Column mapping —
+    this entry pins the end-to-end text->AST->Column->rows path against
+    a plain-SQL oracle. Mixes NOT LIKE, BETWEEN, IN, arithmetic and a
+    temporal function so every grammar production is exercised."""
+    import os
+
+    from stac_geoparquet_spark.stac.cql2_text import cql2_text_filter
+
+    text = (
+        "l_returnflag IN ('A', 'R') AND "
+        "l_quantity BETWEEN 10 AND 40 AND "
+        "l_extendedprice * (1 - l_discount) > 20000 AND "
+        "NOT l_linestatus = 'O' AND "
+        "T_DURING(l_shipdate, INTERVAL('1996-01-01T00:00:00Z',"
+        " '1996-12-31T23:59:59Z'))"
+    )
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = cql2_text_filter(li, text)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+CQL2_TEXT_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2) AS DOUBLE) AS net_price
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+  AND l_quantity BETWEEN 10 AND 40
+  AND l_extendedprice * (1 - l_discount) > 20000
+  AND NOT (l_linestatus = 'O')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <= TIMESTAMP '1996-12-31 23:59:59'
+"""
+
+
 QUERIES = {
     "stac_pipeline_roundtrip": stac_pipeline_roundtrip,
     "stac_self_link_coverage": stac_self_link_coverage,
     "cql2_flagship_query": cql2_flagship_query,
     "cql2_orders_filter": cql2_orders_filter,
+    "cql2_text_lineitem_filter": cql2_text_lineitem_filter,
 }
 
 ORACLE = {
@@ -319,4 +369,5 @@ ORACLE = {
     "stac_self_link_coverage": STAC_SELF_LINK_SQL,
     "cql2_flagship_query": CQL2_FLAGSHIP_SQL,
     "cql2_orders_filter": CQL2_ORDERS_SQL,
+    "cql2_text_lineitem_filter": CQL2_TEXT_LINEITEM_SQL,
 }
