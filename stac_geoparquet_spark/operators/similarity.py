@@ -240,12 +240,223 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF ANN: coarse quantizer + n-probe search
+# --------------------------------------------------------------------------
+# Deterministic coarse centroids: the embeddings of a fixed vec_id
+# range (present at every SF). A trained k-means would replace these at
+# production; everything downstream (assignment, probing, pruning) is
+# identical, and fixed seeds keep the DuckDB oracle exact.
+CENTROID_LO = N_QUERIES  # centroids are vec_ids [8, 24)
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _load_centroids(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = tbl["vec_id"].to_numpy()
+    mat = (
+        tbl["embedding"]
+        .combine_chunks()
+        .values.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), -1)
+    )
+    cmask = (ids >= CENTROID_LO) & (ids < CENTROID_LO + N_CENTROIDS)
+    c_ids = ids[cmask]
+    order = np.argsort(c_ids)
+    c_ids = c_ids[order]
+    cm = mat[cmask][order]
+    cnorm = np.sqrt((cm * cm).sum(axis=1))
+    return c_ids, cm, cnorm
+
+
+def _assign_cells(vecs, vnorm, c_ids, cm, cnorm):
+    """Nearest centroid by rounded cosine, ties to the lowest centroid
+    id — the same total order the SQL oracle's row_number uses."""
+    import numpy as np
+
+    sims = np.round(vecs @ cm.T / (vnorm[:, None] * cnorm[None, :]), 6)
+    # argmax returns the FIRST max index and c_ids are ascending, so
+    # the lowest centroid id wins ties — matching the oracle's
+    # ORDER BY sim DESC, cid ASC
+    best = np.argmax(sims, axis=1)
+    return c_ids[best], sims
+
+
+def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, ivf_cell): every vector's coarse cell. At 100 TB this
+    column is the *layout key* — writing the corpus partitioned by
+    ivf_cell turns n-probe search into partition pruning (only nprobe
+    of n_centroids partitions are scanned); this operator is the
+    assignment pass of that write. One GEMM per Arrow batch against the
+    broadcast centroid matrix, no shuffle."""
+    c_ids, cm, cnorm = _load_centroids(sf_dir)
+    b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        c_ids_, cm_, cnorm_ = b_c.value
+        for pdf in batches:
+            v_ids = pdf["vec_id"].to_numpy()
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            cells, _ = _assign_cells(v, vnorm, c_ids_, cm_, cnorm_)
+            yield pd.DataFrame({"vec_id": v_ids, "ivf_cell": cells})
+
+    return _emb_blocks(spark, sf_dir).mapInPandas(
+        assign, "vec_id bigint, ivf_cell bigint"
+    )
+
+
+def _centroid_cte() -> str:
+    return f"""
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+  WHERE vec_id >= {CENTROID_LO} AND vec_id < {CENTROID_LO + N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, ivf_cell FROM (
+    SELECT e.vec_id, cent.cid AS ivf_cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_DOT_SQL.format(a='e.v', b='cent.cv')} / (e.norm * cent.cn), 6) DESC,
+                      cent.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) t WHERE rn = 1
+)"""
+
+
+IVF_ASSIGN_SQL = f"""
+WITH {_centroid_cte()}
+SELECT vec_id, ivf_cell FROM assigned
+"""
+
+
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF n-probe top-k: each query scores only candidates whose cell
+    is among its {N_PROBE} nearest centroids. Same blocked-GEMM shape
+    as the other ANN paths — broadcast (queries + centroids), one GEMM
+    per batch for assignment and one for scoring, per-batch exact
+    top-k, final window over |queries| x k x n_batches rows. With the
+    ivf_cell-partitioned layout (see ivf_cell_assignment) the mask
+    becomes partition pruning and non-probed cells are never read."""
+    import numpy as np
+
+    q_ids, qm, qnorm = _load_queries(sf_dir)
+    c_ids, cm, cnorm = _load_centroids(sf_dir)
+    qsims = np.round(qm @ cm.T / (qnorm[:, None] * cnorm[None, :]), 6)
+    # top-nprobe centroids per query (desc sim, asc centroid id)
+    probes = np.stack(
+        [
+            c_ids[np.lexsort((c_ids, -qsims[i]))[:N_PROBE]]
+            for i in range(len(q_ids))
+        ]
+    )
+    b_q = spark.sparkContext.broadcast(
+        (q_ids, qm, qnorm, probes, c_ids, cm, cnorm)
+    )
+    top_k = TOP_K
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids_, qm_, qnorm_, probes_, c_ids_, cm_, cnorm_ = b_q.value
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy()
+            c = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            cnorm_v = np.sqrt((c * c).sum(axis=1))
+            cells, _ = _assign_cells(c, cnorm_v, c_ids_, cm_, cnorm_)
+            sims = np.round(
+                qm_ @ c.T / (qnorm_[:, None] * cnorm_v[None, :]), 6
+            )
+            # (Q, N) mask: candidate's cell not probed by the query
+            in_probe = (cells[None, :, None] == probes_[:, None, :]).any(
+                axis=2
+            )
+            mask = (q_ids_[:, None] == n_ids[None, :]) | ~in_probe
+            sims[mask] = -np.inf
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(q_ids_)):
+                row = sims[i]
+                valid = np.nonzero(row != -np.inf)[0]
+                if len(valid) == 0:
+                    continue
+                order = valid[np.lexsort((n_ids[valid], -row[valid]))][:top_k]
+                out_q.extend([q_ids_[i]] * len(order))
+                out_n.extend(n_ids[order])
+                out_s.extend(row[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    return _rank_topk(
+        _emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA)
+    )
+
+
+IVF_PROBE_SQL = f"""
+WITH {_centroid_cte()},
+qprobe AS (
+  SELECT query_id, ivf_cell FROM (
+    SELECT e.vec_id AS query_id, cent.cid AS ivf_cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_DOT_SQL.format(a='e.v', b='cent.cv')} / (e.norm * cent.cn), 6) DESC,
+                      cent.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN cent
+    WHERE e.vec_id < {N_QUERIES}
+  ) t WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='q.v', b='c.v')} / (q.norm * c.norm), 6) AS cos_sim
+  FROM e q
+  JOIN assigned a_c ON TRUE
+  JOIN e c ON c.vec_id = a_c.vec_id
+  JOIN qprobe p ON p.query_id = q.vec_id AND p.ivf_cell = a_c.ivf_cell
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ivf_cell_assignment": ivf_cell_assignment,
+    "ann_ivf_probe": ann_ivf_probe,
 }
 
 ORACLE = {
     "knn_brute_force": KNN_SQL,
     "ann_lsh_bucketed": _ann_oracle_sql(),
+    "ivf_cell_assignment": IVF_ASSIGN_SQL,
+    "ann_ivf_probe": IVF_PROBE_SQL,
 }
