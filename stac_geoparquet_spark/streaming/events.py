@@ -99,6 +99,127 @@ def stream_events_hourly(
     q.awaitTermination()
 
 
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, value_sum double"
+)
+_SESSION_STATE_SCHEMA = (
+    "start double, last double, n bigint, v double"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` + event-time timeout.
+
+    Semantics match the batch operator
+    (operators.relational.events_sessionize): a user's events belong to
+    one session while consecutive gaps are <= gap_minutes; a session is
+    *emitted* once the watermark passes its last event + gap (i.e. it
+    can no longer grow). State per user is four scalars (start, last,
+    count, sum) — bounded, skew-safe (keyed by user_id), and the state
+    store scales horizontally with shuffle partitions.
+
+    The reference has nothing stateful (SURVEY.md §2.7); this is the
+    beyond-reference streaming surface of the engine.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, last, n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                    "value_sum": [round(v, 2)],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts = rows["ts"].map(pd.Timestamp.timestamp)
+        out = []
+        if state.exists:
+            start, last, n, v = state.get
+        else:
+            start = None
+        for t, val in zip(ts, rows["value"]):
+            if start is None:
+                start, last, n, v = t, t, 0, 0.0
+            elif t - last > gap_s:
+                out.append((key[0], start, last, n, v))
+                start, last, n, v = t, t, 0, 0.0
+            n += 1
+            v += float(val)
+            last = t
+        state.update((start, last, n, v))
+        # wake up when the watermark passes last + gap
+        state.setTimeoutTimestamp(int((last + gap_s) * 1000) + 1)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [
+                        pd.Timestamp(o[1], unit="s") for o in out
+                    ],
+                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
+                    "n_events": [o[3] for o in out],
+                    "value_sum": [round(o[4], 2) for o in out],
+                }
+            )
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_events_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_table: str = "events_sessions_stream",
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available files through the stateful sessionizer into an
+    in-memory table. maxFilesPerTrigger=1 advances the watermark
+    between micro-batches so closed sessions flush incrementally."""
+    events = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    sessions = sessionize_stream(events, gap_minutes=gap_minutes)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(output_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_events_to_sink(
     spark: SparkSession,
     source_dir: str,

@@ -98,3 +98,103 @@ def test_sync_with_transform(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.columns == ["event_id", "ts", "value"]
     assert got.count() == 20
+
+
+def _write_session_files(spark, src_dir):
+    """Time-ordered files: file f covers a distinct time band so
+    maxFilesPerTrigger=1 advances the watermark between batches.
+    Sessions: user u has events every 5 min for 4 events, then a 2-hour
+    gap to the next file's band -> each file closes the prior band's
+    sessions once the watermark passes band_end + gap."""
+    from stac_geoparquet_spark.streaming.events import EVENTS_SCHEMA
+
+    os.makedirs(src_dir, exist_ok=True)
+    base = 1704067200
+    for f in range(4):
+        rows = []
+        band = base + f * 7200  # 2h apart
+        for u in range(3):
+            for i in range(4):
+                eid = f * 100 + u * 10 + i
+                rows.append(
+                    (
+                        eid,
+                        None,
+                        u,
+                        "click",
+                        1.5,
+                        "{}",
+                    )
+                )
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA).withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(band) + (F.col("event_id") % 10) * 300
+            ).cast("timestamp_ntz"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+    return src_dir
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: every emitted session
+    must exactly match the batch gap-sessionization, and all sessions
+    whose close time precedes the final watermark must be emitted."""
+    from pyspark.sql.window import Window
+
+    from stac_geoparquet_spark.streaming.events import (
+        stream_events_sessions,
+    )
+
+    src = _write_session_files(spark, str(tmp_path / "sess_src"))
+    ckpt = str(tmp_path / "sess_ckpt")
+    stream_events_sessions(
+        spark, src, ckpt, output_table="t_stream_sessions", gap_minutes=30
+    )
+    streamed = spark.table("t_stream_sessions")
+
+    # batch oracle: gap-based sessions over the same events
+    ev = spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                    > 1800
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .drop("sess_id")
+    )
+
+    streamed_set = {
+        tuple(r)
+        for r in streamed.select(
+            "user_id", "session_start", "session_end", "n_events", "value_sum"
+        ).collect()
+    }
+    batch_set = {tuple(r) for r in batch.collect()}
+    # every emitted session is a real batch session (exact values)
+    assert streamed_set <= batch_set
+    # sessions from the first bands are closed well before the final
+    # watermark -> must have been emitted (3 users x >= 2 closed bands)
+    assert len(streamed_set) >= 6
+    # nothing emitted twice
+    assert streamed.count() == len(streamed_set)
