@@ -237,14 +237,67 @@ def decode_image(payload: bytes):
     return Image.open(io.BytesIO(payload))  # pragma: no cover
 
 
+# --------------------------------------------------------------------------
+# 5. resize — binary -> binary transform plumbing (stride downsample)
+# --------------------------------------------------------------------------
+RESIZE_STRIDE = 4
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'resize': stride-downsample the payload bytes (a
+    stand-in for pixel-grid resampling — a real resize is the same
+    binary->binary mapInPandas stage with PIL inside; see decode_image
+    for the gate). Emits the new payload as hex so the byte-exact
+    result is SQL-checkable. No shuffle: pure map over input splits."""
+    import numpy as np
+    import pandas as pd
+
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+
+    def resize(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "orig_len": [], "new_len": [], "resized_hex": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)[::RESIZE_STRIDE]
+                out["doc_id"].append(doc_id)
+                out["orig_len"].append(len(payload))
+                out["new_len"].append(len(arr))
+                out["resized_hex"].append(arr.tobytes().hex())
+            yield pd.DataFrame(out)
+
+    return m.select("doc_id", "payload").mapInPandas(
+        resize,
+        schema="doc_id bigint, orig_len bigint, new_len bigint, "
+        "resized_hex string",
+    )
+
+
+MM_RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       CAST(length(hx) // 2 AS BIGINT) AS orig_len,
+       CAST((length(hx) // 2 + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE} AS BIGINT) AS new_len,
+       array_to_string(list_transform(
+         generate_series(0, length(hx) // 2 - 1, {RESIZE_STRIDE}),
+         i -> substr(hx, 2 * i + 1, 2)
+       ), '') AS resized_hex
+FROM img
+"""
+
+
 QUERIES = {
     "mm_media_manifest": mm_media_manifest,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_features": mm_image_features,
+    "mm_resize": mm_resize,
 }
 
 ORACLE = {
     "mm_media_manifest": MM_MANIFEST_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_image_features": MM_IMAGE_FEATURES_SQL,
+    "mm_resize": MM_RESIZE_SQL,
 }

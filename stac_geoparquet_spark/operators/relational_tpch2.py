@@ -67,7 +67,7 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p_partkey")
     return (
         pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-        .join(eu_supp, pairs.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(eu_supp), pairs.l_suppkey == F.col("s_suppkey"))
         .withColumn("max_bal", F.max("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("max_bal"))
         .select(
