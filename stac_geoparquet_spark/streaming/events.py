@@ -99,6 +99,37 @@ def stream_events_hourly(
     q.awaitTermination()
 
 
+def session_window_rollup(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Built-in gap sessionization: ``F.session_window`` keyed by
+    user — the declarative counterpart of ``sessionize_stream`` (which
+    demonstrates the *custom* stateful path). Same session boundaries;
+    state management is Spark's own session-window store, so prefer
+    this form unless per-event custom state is genuinely needed.
+    Works identically on batch and streaming inputs."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, value_sum double"

@@ -198,3 +198,21 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert len(streamed_set) >= 6
     # nothing emitted twice
     assert streamed.count() == len(streamed_set)
+
+
+def test_session_window_matches_custom_sessionizer(spark, tmp_path):
+    """The built-in session_window rollup (batch mode) must agree with
+    the custom stateful sessionizer's semantics: same session starts,
+    counts and sums per user session."""
+    from stac_geoparquet_spark.streaming.events import session_window_rollup
+
+    src = _write_session_files(spark, str(tmp_path / "sw_src"))
+    ev = spark.read.parquet(src)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.value_sum)
+        for r in session_window_rollup(ev).collect()
+    }
+    # the generator writes 4 bands x 3 users, 4 events each, 5 min
+    # apart inside a band, bands 2h apart -> 12 sessions of 4 events
+    assert len(got) == 12
+    assert all(n == 4 and v == 6.0 for (_, _, n, v) in got)
