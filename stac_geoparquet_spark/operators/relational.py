@@ -536,6 +536,58 @@ GROUP BY user_id
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` gap sessionization (batch mode; the
+    same expression runs streaming in streaming/events.py). Boundary
+    semantics: a session covers [first_ts, last_ts + gap), so an event
+    at exactly last_ts + gap opens a NEW session — the oracle's lag
+    formulation uses >= accordingly. Timestamps stay NTZ in the output
+    (house convention) while the window key is computed on a UTC cast;
+    min/max aggregate the original column, so results are
+    session-timezone independent."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("tsz", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.session_window("tsz", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "value_sum"
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN prev IS NULL
+                    OR datediff('microsecond', prev, ts) >= 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -552,6 +604,7 @@ QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_json_extract": events_json_extract,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
 }
 
 ORACLE = {
@@ -570,6 +623,7 @@ ORACLE = {
     "events_hourly_rollup": EVENTS_HOURLY_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
+    "events_session_window": EVENTS_SESSION_WINDOW_SQL,
 }
 
 __all__ = ["QUERIES", "ORACLE", "load_tables"]
