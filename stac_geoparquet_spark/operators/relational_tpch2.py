@@ -215,12 +215,21 @@ def q11_important_supplier_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_suppkey").agg(_dsum(_rev()).alias("value"))
-    total = li.agg(
-        (F.sum(_rev().cast("decimal(18,6)")) * F.lit(0.001)).alias("cut")
+    # ONE scan of the fact table: the global total is the exact decimal
+    # sum of the per-supplier partials (decimal addition is associative,
+    # so re-aggregating the partials loses nothing), not a second scan.
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_rev().cast("decimal(18,6)")).alias("raw")
+    )
+    total = per_supp.agg(
+        (F.sum("raw").cast("double") * F.lit(0.001)).alias("cut")
     )
     return (
-        per_supp.join(F.broadcast(total))
+        per_supp.select(
+            "l_suppkey",
+            F.round("raw", 2).cast("double").alias("value"),
+        )
+        .join(F.broadcast(total))
         .filter(F.col("value") > F.col("cut"))
         .select("l_suppkey", "value")
     )
@@ -375,23 +384,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
+    # ONE pass over the joined fact: when exactly one supplier shipped
+    # late, max(late suppkey) IS that supplier, so the culprit falls out
+    # of the same orderkey aggregation that counts suppliers — no second
+    # scan, no distinct+re-join of the lo relation.
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(
             F.when(F.col("late"), F.col("l_suppkey"))
         ).alias("n_late_supp"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
     )
-    culprit = (
-        lo.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ),
-            "l_orderkey",
-        )
-    )
+    culprit = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
     supp = _t(spark, sf_dir, "supplier")
     return (
         culprit.groupBy("l_suppkey")
