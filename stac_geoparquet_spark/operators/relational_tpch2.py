@@ -216,20 +216,25 @@ def q11_important_supplier_value(
 ) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # ONE scan of the fact table: the global total is the exact decimal
-    # sum of the per-supplier partials (decimal addition is associative,
-    # so re-aggregating the partials loses nothing), not a second scan.
+    # sum of the per-supplier partials (decimal addition is associative)
+    # computed as an unpartitioned window over the ALREADY-AGGREGATED
+    # relation. Referencing the aggregate twice (agg + cross join) would
+    # re-plan the whole subtree and scan lineitem twice; the window
+    # funnels only |suppliers| tiny rows through one partition — fine up
+    # to millions of suppliers, and the documented trade-off beyond.
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(_rev().cast("decimal(18,6)")).alias("raw")
     )
-    total = per_supp.agg(
-        (F.sum("raw").cast("double") * F.lit(0.001)).alias("cut")
+    cut = (
+        F.sum("raw").over(Window.partitionBy()).cast("double") * F.lit(0.001)
     )
     return (
-        per_supp.select(
+        per_supp.withColumn("cut", cut)
+        .select(
             "l_suppkey",
             F.round("raw", 2).cast("double").alias("value"),
+            "cut",
         )
-        .join(F.broadcast(total))
         .filter(F.col("value") > F.col("cut"))
         .select("l_suppkey", "value")
     )

@@ -109,3 +109,46 @@ def test_moving_avg_single_window_sort(spark, sf):
     plan = plan_of(relational_ext.moving_avg_daily_revenue(spark, sf))
     assert "Window" in plan
     assert "RunningWindowFunction" in plan or "Sort" in plan
+
+
+def test_q2_window_decorrelation_all_broadcast(spark, sf):
+    """q2's correlated max is a window over the correlation key; every
+    join is broadcast (part, supplier chain) — no sort-merge join."""
+    from stac_geoparquet_spark.operators import relational_tpch2
+
+    plan = plan_of(relational_tpch2.q2_best_supplier_per_part(spark, sf))
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "BroadcastHashJoin") >= 3
+    assert n_ops(plan, "Window") == 1
+
+
+def test_q8_share_single_fact_shuffle(spark, sf):
+    """q8: 7 joins, all broadcast; the fact table shuffles exactly once
+    (into the year aggregation)."""
+    from stac_geoparquet_spark.operators import relational_tpch2
+
+    plan = plan_of(relational_tpch2.q8_market_share(spark, sf))
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "BroadcastHashJoin") == 7
+    assert n_ops(plan, "Exchange") == 1
+
+
+def test_q11_single_lineitem_scan(spark, sf):
+    """q11's global-total scalar must be derived from the per-supplier
+    partials, not a second scan of lineitem."""
+    from stac_geoparquet_spark.operators import relational_tpch2
+
+    plan = plan_of(relational_tpch2.q11_important_supplier_value(spark, sf))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q21_one_pass_over_joined_fact(spark, sf):
+    """q21 extracts the lone-late-supplier in the same orderkey
+    aggregation that counts suppliers: lineitem and orders are each
+    scanned once, and there is exactly one join of the two facts."""
+    from stac_geoparquet_spark.operators import relational_tpch2
+
+    plan = plan_of(relational_tpch2.q21_waiting_suppliers(spark, sf))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "ShuffledHashJoin") <= 1
