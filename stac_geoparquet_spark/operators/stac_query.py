@@ -114,9 +114,10 @@ def stac_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("collection") == F.col("o_collection")).cast("bigint")
         ).alias("n_collection_ok"),
         F.sum(
-            (F.col("properties.datetime") == F.col("o_datetime")).cast(
-                "bigint"
-            )
+            (
+                F.to_timestamp(F.col("properties.datetime"))
+                == F.to_timestamp(F.col("o_datetime"))
+            ).cast("bigint")
         ).alias("n_datetime_ok"),
         F.sum(
             (

@@ -36,9 +36,11 @@ try:
 except Exception:  # pragma: no cover
     pass
 
-# Second precision, matching pc.strftime("%Y-%m-%dT%H:%M:%SZ")
-# (arrow/_from_arrow.py:24-28). The legacy GeoDataFrame path uses µs —
-# exposed via timestamp_format="us".
+# The reference formats with pc.strftime("%Y-%m-%dT%H:%M:%SZ")
+# (arrow/_from_arrow.py:24-28), and Arrow's %S — unlike C strftime —
+# always includes the 6-digit fractional part for timestamp[us], so the
+# reference actually emits microsecond precision. Default matches that
+# ("us"); "s" gives true second truncation for callers that want it.
 _TS_FMT_S = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 _TS_FMT_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
@@ -46,7 +48,7 @@ _TS_FMT_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 # ---------------------------------------------------------------------------
 # U1 — timestamps to strings
 # ---------------------------------------------------------------------------
-def timestamps_to_strings(df: DataFrame, precision: str = "s") -> DataFrame:
+def timestamps_to_strings(df: DataFrame, precision: str = "us") -> DataFrame:
     fmt = _TS_FMT_S if precision == "s" else _TS_FMT_US
     out = df
     for f in df.schema.fields:
@@ -95,7 +97,7 @@ def bbox_to_array(df: DataFrame) -> DataFrame:
     )
 
 
-def to_json_shape(df: DataFrame, precision: str = "s") -> DataFrame:
+def to_json_shape(df: DataFrame, precision: str = "us") -> DataFrame:
     """U1 -> U2 -> U3; geometry stays WKB binary (decoded at the JSON
     boundary by ``to_item_dicts`` / ``to_ndjson``)."""
     df = timestamps_to_strings(df, precision=precision)
@@ -199,7 +201,7 @@ def row_to_item(row_dict: dict, geom_paths: list[tuple[str, ...]]) -> dict:
     return item
 
 
-def to_item_dicts(df: DataFrame, precision: str = "s") -> Iterator[dict]:
+def to_item_dicts(df: DataFrame, precision: str = "us") -> Iterator[dict]:
     """Driver-side generator of STAC Item dicts (K4,
     arrow/_api.py:347-367). Streams via toLocalIterator — the driver
     never holds the full table."""
@@ -209,7 +211,7 @@ def to_item_dicts(df: DataFrame, precision: str = "s") -> Iterator[dict]:
         yield row_to_item(row.asDict(recursive=True), geom_paths)
 
 
-def to_ndjson(df: DataFrame, path: str, precision: str = "s", mode: str = "append") -> None:
+def to_ndjson(df: DataFrame, path: str, precision: str = "us", mode: str = "append") -> None:
     """Distributed NDJSON sink (K3, arrow/_api.py:370-403): one JSON
     line per item, written in parallel as text partitions."""
     shaped = to_json_shape(df, precision=precision)
