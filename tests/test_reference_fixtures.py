@@ -87,3 +87,28 @@ def test_umbra_sar_start_end_datetimes(spark, tmp_path):
     back = sorted(to_item_dicts(df), key=lambda d: d["id"])
     ok, msg = items_equal(sorted(items, key=lambda d: d["id"]), back)
     assert ok, msg
+
+
+def test_reference_golden_parquet_readback(spark):
+    """The reference's legacy-writer golden file (tests/data/naip.parquet,
+    produced by its to_geodataframe/to_parquet path) must read straight
+    into our inverse pipeline: WKB geometry decodes, flattened
+    properties re-nest, array bbox passes through, assets stay a
+    struct-of-structs keyed by asset name."""
+    from stac_geoparquet_spark.stac.inverse import to_item_dicts
+
+    df = spark.read.parquet(os.path.join(REF_DATA, "naip.parquet"))
+    items = list(to_item_dicts(df))
+    assert len(items) == df.count() > 0
+    for it in items:
+        assert it["type"] == "Feature"
+        assert it["geometry"]["type"] == "Polygon"
+        ring = it["geometry"]["coordinates"][0]
+        assert ring[0] == ring[-1] and len(ring) >= 4
+        assert len(it["bbox"]) == 4
+        props = it["properties"]
+        assert "datetime" in props and "naip:year" in props
+        assert "image" in it["assets"]
+        assert it["assets"]["image"]["href"].startswith("https://")
+        # no top-level property leakage: everything non-core is nested
+        assert "gsd" not in it and "proj:epsg" not in it
