@@ -147,3 +147,34 @@ def test_ndjson_sink_roundtrip(spark, tmp_path):
             back.extend(json.loads(line) for line in f if line.strip())
     ok, why = items_equal(items, back)
     assert ok, why
+
+
+def test_mixed_datetime_precision_one_column(spark, tmp_path):
+    """Second-precision and microsecond-precision datetime strings in
+    the SAME column must both parse to exact µs timestamps and round-
+    trip (reference tests/test_stac_geoparquet.py:422-437 semantics)."""
+    import json
+
+    from tests.json_semantic import items_equal
+
+    from stac_geoparquet_spark.stac import read_items, to_item_dicts
+
+    items = fx.naip_like_items(2)
+    items[0]["properties"]["datetime"] = "2000-12-10T22:04:58Z"
+    items[1]["properties"]["datetime"] = "2000-12-10T22:04:57.998000Z"
+    src = str(tmp_path / "mixed_dt.ndjson")
+    with open(src, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+    df = read_items(spark, src)
+    got = sorted(
+        r[0] for r in df.select("datetime").collect()
+    )
+    assert [t.isoformat() for t in got] == [
+        "2000-12-10T22:04:57.998000",
+        "2000-12-10T22:04:58",
+    ]
+    back = sorted(to_item_dicts(df), key=lambda d: d["id"])
+    ok, msg = items_equal(sorted(items, key=lambda d: d["id"]), back)
+    assert ok, msg
