@@ -625,3 +625,67 @@ ORACLE = {
     "except_open_not_finished": EXCEPT_SQL,
     "asof_last_click_before_purchase": ASOF_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Approximate sketches — the 100-TB substitutes for exact distinct /
+# percentile. Sketch outputs are engine-specific, so the oracle pins
+# them *behaviorally*: the exact value (hash-compared) plus a boolean
+# asserting the approximation landed within its documented error bound
+# (HLL++ relativeSD default 5%; percentile_approx accuracy 10000).
+# --------------------------------------------------------------------------
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey").alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.05
+        ).alias("approx_ok"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT count(DISTINCT l_partkey) AS n_exact, true AS approx_ok
+FROM lineitem
+"""
+
+
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.5, 0.95))"
+        ).alias("exact"),
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5, 0.95), 10000)"
+        ).alias("approx"),
+    )
+    # elementwise relative error < 1% -> the sketch is behaviorally
+    # correct; exact percentiles are the hash-compared payload
+    return agg.select(
+        F.round(F.element_at("exact", 1), 2).alias("p50"),
+        F.round(F.element_at("exact", 2), 2).alias("p95"),
+        F.expr(
+            "forall(zip_with(approx, exact, (a, e) -> abs(a - e) / e < 0.01),"
+            " x -> x)"
+        ).alias("approx_ok"),
+    )
+
+
+APPROX_PCTL_SQL = """
+SELECT round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+       true AS approx_ok
+FROM orders
+"""
+
+QUERIES["approx_distinct_parts"] = approx_distinct_parts
+QUERIES["approx_percentile_prices"] = approx_percentile_prices
+ORACLE["approx_distinct_parts"] = APPROX_DISTINCT_SQL
+ORACLE["approx_percentile_prices"] = APPROX_PCTL_SQL
