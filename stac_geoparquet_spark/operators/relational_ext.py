@@ -689,3 +689,39 @@ QUERIES["approx_distinct_parts"] = approx_distinct_parts
 QUERIES["approx_percentile_prices"] = approx_percentile_prices
 ORACLE["approx_distinct_parts"] = APPROX_DISTINCT_SQL
 ORACLE["approx_percentile_prices"] = APPROX_PCTL_SQL
+
+
+# --------------------------------------------------------------------------
+# Unpivot (stack) — wide metrics to long rows; the inverse of pivot.
+# --------------------------------------------------------------------------
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        _dsum(F.col("l_extendedprice")).alias("base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', qty, 'base_price', base_price,"
+        " 'disc_price', disc_price) AS (metric, value)",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS base_price,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS disc_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (qty, base_price, disc_price))
+"""
+
+QUERIES["unpivot_flag_metrics"] = unpivot_flag_metrics
+ORACLE["unpivot_flag_metrics"] = UNPIVOT_SQL
