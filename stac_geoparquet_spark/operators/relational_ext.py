@@ -725,3 +725,69 @@ UNPIVOT (value FOR metric IN (qty, base_price, disc_price))
 
 QUERIES["unpivot_flag_metrics"] = unpivot_flag_metrics
 ORACLE["unpivot_flag_metrics"] = UNPIVOT_SQL
+
+
+# --------------------------------------------------------------------------
+# SCD2 merge emulation — the CDC pattern without a MERGE-capable sink:
+# split the dimension against the update batch (anti-join = untouched
+# open rows, semi-join = rows to close), union in the new versions.
+# At scale each leg is one broadcast join against the (small) update
+# batch; the dimension never shuffles.
+# --------------------------------------------------------------------------
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # deterministic update batch: every 10th customer moves to a new
+    # segment (stands in for an incoming CDC batch)
+    updates = dim.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("MACHINERY").alias("c_mktsegment")
+    )
+    eff = F.lit("2000-01-01").cast("timestamp")
+    start = F.lit("1995-01-01").cast("timestamp")
+    untouched = dim.join(updates, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_mktsegment",
+        start.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(updates.select("c_custkey"), "c_custkey", "left_semi").select(
+        "c_custkey",
+        "c_mktsegment",
+        start.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = updates.select(
+        "c_custkey",
+        "c_mktsegment",
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return untouched.unionByName(closed).unionByName(opened)
+
+
+SCD2_SQL = """
+WITH updates AS (
+  SELECT c_custkey, 'MACHINERY' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '1995-01-01' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       true AS is_current
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '1995-01-01', TIMESTAMP '2000-01-01', false
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '2000-01-01', CAST(NULL AS TIMESTAMP), true
+FROM updates
+"""
+
+QUERIES["scd2_customer_segments"] = scd2_customer_segments
+ORACLE["scd2_customer_segments"] = SCD2_SQL
