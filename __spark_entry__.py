@@ -28,6 +28,7 @@ def _registries():
         multimodal,
         relational,
         relational_ext,
+        relational_ext3,
         relational_tpch2,
         similarity,
         stac_query,
@@ -37,6 +38,7 @@ def _registries():
     modules = [
         relational,
         relational_ext,
+        relational_ext3,
         relational_tpch2,
         stac_query,
         dedup,

@@ -1,0 +1,190 @@
+"""Third relational extension batch: TPC-H Q12 adapted to the driver
+schema, GROUPING SETS (the grain combination cube/rollup cannot
+express), and an interval-range join implemented as a linear range
+window.
+
+Same contract as operators/relational.py (SURVEY.md §2.7): declarative
+DataFrame code, every output column aliased identically to its DuckDB
+oracle, money sums accumulated in decimal so the value hash is
+insensitive to partition summation order.
+
+Scale notes (100 TB):
+- q12: one shuffle join lineitem⋈orders on orderkey (both sides large →
+  sort-merge; AQE may convert to broadcast at small SF), then a 3-row
+  groupBy that is all map-side combine.
+- grouping sets: Spark expands the grouping-set grains in a single
+  Expand + one shuffle — same cost profile as cube/rollup, no extra
+  scans per grain.
+- range join: the naive formulation is a per-user quadratic self-join;
+  the implementation here is a range-frame window — one shuffle on
+  user_id, linear per partition. The DuckDB oracle deliberately runs
+  the quadratic self-join to pin identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stac_geoparquet_spark.operators.relational import _dsum, _t
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted) — ship-delay buckets x order priority. TPC-H Q12 counts
+# high/low-priority lines per shipmode (reference delegates this to the
+# downstream engine, SURVEY.md §2.7); the driver schema has no
+# l_shipmode / l_receiptdate, so the bucket key is the ship delay
+# (days from order date to ship date) instead.
+# --------------------------------------------------------------------------
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "0-30")
+        .when(delay <= 60, "31-60")
+        .otherwise("61+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE
+         WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN '0-30'
+         WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN '31-60'
+         ELSE '61+'
+       END AS delay_bucket,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — per-flag, per-status, and grand total in ONE pass.
+# This grain set {(flag), (status), ()} is exactly what neither rollup
+# (adds (flag,status)) nor cube (adds it too) can produce. grouping()
+# flags disambiguate grain-null from data-null.
+# --------------------------------------------------------------------------
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(disc_price).alias("revenue"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER)  AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER)  AS g_status,
+       count(*)                                 AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval-range join — clicks in the hour before each purchase, per
+# user. The textbook formulation is a per-user range self-join
+# (quadratic in events-per-user); the linear shape is a range-frame
+# window over event time: one shuffle on user_id, one ordered pass.
+# The oracle runs the quadratic self-join so both semantics are pinned
+# against each other.
+# --------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000  # range frame bounds are in order-key units (µs)
+
+
+def range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-_HOUR_US, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    clicks = F.count(F.when(is_click, 1)).over(w)
+    click_value = (
+        F.round(
+            F.sum(
+                F.when(is_click, F.col("value")).cast("decimal(18,6)")
+            ).over(w),
+            2,
+        )
+        .cast("double")
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            clicks.alias("clicks_1h"),
+            F.coalesce(click_value, F.lit(0.0)).alias("click_value_1h"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "clicks_1h", "click_value_1h")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       count(CASE WHEN e.event_type = 'click' THEN 1 END) AS clicks_1h,
+       coalesce(CAST(round(sum(CASE WHEN e.event_type = 'click'
+                                    THEN CAST(e.value AS DECIMAL(18,6)) END), 2) AS DOUBLE),
+                0.0) AS click_value_1h
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 1 HOUR
+ AND e.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+QUERIES = {
+    "q12_ship_delay_priority": q12_ship_delay_priority,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "range_join_clicks_before_purchase": range_join_clicks_before_purchase,
+}
+
+ORACLE = {
+    "q12_ship_delay_priority": Q12_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "range_join_clicks_before_purchase": RANGE_JOIN_SQL,
+}
