@@ -177,14 +177,84 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+# --------------------------------------------------------------------------
+# Gap-filled time-series rollup (hypertable-style): hourly purchase
+# revenue densified over the full hour calendar, zero-filled counts,
+# LOCF (last-observation-carried-forward) interpolation. The calendar
+# is generated distributively (sequence over the min/max bounds — no
+# driver-side collect).
+#
+# Scale note: LOCF is inherently sequential in time, so the window here
+# is a single global ordering — fine for a calendar axis (one row per
+# hour: 10 years ≈ 90k rows regardless of fact-table size, and the
+# heavy fact aggregation before it is fully parallel). For per-key
+# gap-fill at scale, partition the window by the series key.
+# --------------------------------------------------------------------------
+def gapfill_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        _dsum(F.col("value")).alias("rev_raw"),
+    )
+    cal = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hour")
+        )
+    )
+    locf = F.last("rev_raw", ignorenulls=True).over(
+        Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_purchases"),
+            F.coalesce(F.col("rev_raw"), F.lit(0.0)).alias("revenue"),
+            locf.alias("revenue_locf"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH p AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         count(*) AS n_raw,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev_raw
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b)
+SELECT cal.hour,
+       coalesce(n_raw, 0)    AS n_purchases,
+       coalesce(rev_raw, 0.0) AS revenue,
+       last_value(rev_raw IGNORE NULLS)
+         OVER (ORDER BY cal.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS revenue_locf
+FROM cal LEFT JOIN p ON p.hour = cal.hour
+"""
+
+
 QUERIES = {
     "q12_ship_delay_priority": q12_ship_delay_priority,
     "grouping_sets_revenue": grouping_sets_revenue,
     "range_join_clicks_before_purchase": range_join_clicks_before_purchase,
+    "gapfill_hourly_purchases": gapfill_hourly_purchases,
 }
 
 ORACLE = {
     "q12_ship_delay_priority": Q12_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "range_join_clicks_before_purchase": RANGE_JOIN_SQL,
+    "gapfill_hourly_purchases": GAPFILL_SQL,
 }

@@ -209,11 +209,52 @@ FROM n
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/holdout split — the sampling primitive a training
+# pipeline actually needs at 100 TB: seeded RNG sampling differs across
+# engines/runs and can't be re-derived per row, while a content-hash
+# split is reproducible, cross-engine identical, and stable under
+# repartitioning/backfill (a document keeps its split forever). Pure
+# codegen expressions, single pass, one 2-row aggregate.
+# --------------------------------------------------------------------------
+TRAIN_PCT = 90
+
+
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pct = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(pct < TRAIN_PCT, "train").otherwise("holdout")
+    return (
+        docs.select(split.alias("split"), F.length("text").alias("len"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+SPLIT_SQL = f"""
+SELECT CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'holdout' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "split_train_holdout": split_train_holdout,
 }
 
 ORACLE = {
@@ -221,4 +262,5 @@ ORACLE = {
     "text_quality_score": QUALITY_SQL,
     "text_lang_id": _lang_oracle_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
+    "split_train_holdout": SPLIT_SQL,
 }
