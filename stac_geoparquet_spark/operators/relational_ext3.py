@@ -198,28 +198,36 @@ def gapfill_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_raw"),
         _dsum(F.col("value")).alias("rev_raw"),
     )
-    cal = (
-        ev.agg(
-            F.date_trunc("hour", F.min("ts")).alias("lo"),
-            F.date_trunc("hour", F.max("ts")).alias("hi"),
-        )
-        .select(
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
-            ).alias("hour")
-        )
+    # Single-branch gap fill: instead of generating a calendar from a
+    # second bounds pass and left-joining (two fact scans, a join, and a
+    # LOCF window), each aggregated row emits itself plus the empty hours
+    # up to its successor via lead+explode(sequence). LOCF falls out for
+    # free: a gap row's last non-null revenue IS its base row's revenue.
+    # One fact scan, one shuffle, and the window runs over the aggregated
+    # hourly rows (hours-count sized, tiny at any data scale).
+    with_next = hourly.withColumn(
+        "nxt", F.lead("hour").over(Window.orderBy("hour"))
     )
-    locf = F.last("rev_raw", ignorenulls=True).over(
-        Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    filled = with_next.select(
+        F.col("hour").alias("base_hour"),
+        "n_raw",
+        "rev_raw",
+        F.explode(
+            F.sequence(
+                F.col("hour"),
+                F.coalesce(
+                    F.col("nxt") - F.expr("interval 1 hour"), F.col("hour")
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour"),
     )
-    return (
-        cal.join(hourly, "hour", "left")
-        .select(
-            "hour",
-            F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_purchases"),
-            F.coalesce(F.col("rev_raw"), F.lit(0.0)).alias("revenue"),
-            locf.alias("revenue_locf"),
-        )
+    is_real = F.col("hour") == F.col("base_hour")
+    return filled.select(
+        "hour",
+        F.when(is_real, F.col("n_raw")).otherwise(F.lit(0)).alias("n_purchases"),
+        F.when(is_real, F.col("rev_raw")).otherwise(F.lit(0.0)).alias("revenue"),
+        F.col("rev_raw").alias("revenue_locf"),
     )
 
 

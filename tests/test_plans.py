@@ -142,6 +142,31 @@ def test_q11_single_lineitem_scan(spark, sf):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_gapfill_single_scan_no_join(spark, sf):
+    """Gap fill is lead+explode over the aggregated hourly rows: one
+    events scan, no calendar join, and only the agg shuffle plus the
+    tiny single-partition window exchange."""
+    from stac_geoparquet_spark.operators import relational_ext3
+
+    plan = plan_of(relational_ext3.gapfill_hourly_purchases(spark, sf))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert n_ops(plan, "Exchange") == 2
+    # event_type predicate reaches the parquet reader
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_split_holdout_single_scan_partial_agg(spark, sf):
+    """The deterministic split is a pure projection over one documents
+    scan feeding a two-phase aggregate; only text is read besides id."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.split_train_holdout(spark, sf))
+    assert plan.count("documents.parquet") == 1
+    assert n_ops(plan, "HashAggregate") == 2
+    assert "Join" not in plan
+
+
 def test_q21_one_pass_over_joined_fact(spark, sf):
     """q21 extracts the lone-late-supplier in the same orderkey
     aggregation that counts suppliers: lineitem and orders are each
