@@ -156,31 +156,6 @@ def _jaccard_from_inter(inter: DataFrame, shh: DataFrame) -> DataFrame:
     )
 
 
-def _verify_jaccard(cands: DataFrame, shh: DataFrame) -> DataFrame:
-    """Exact Jaccard on candidate pairs via per-doc shingle-hash *sets*:
-    one groupBy packs each doc's distinct hashes into a sorted-free
-    array (plus its size), then each candidate pair does two equi-joins
-    on doc id and an ``array_intersect`` size — no pair x shingle
-    explosion, no separate sizes joins. The doc-set side is one row per
-    document, so AQE broadcast-joins it when small and shuffle-joins on
-    doc id at scale; either way the join keys are the high-entropy doc
-    ids, not hot shingles."""
-    docsets = shh.groupBy("doc_id").agg(
-        F.collect_list("shash").alias("ss"), F.count(F.lit(1)).alias("n")
-    )
-    sa = docsets.alias("sa")
-    sb = docsets.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
-    jac = F.round(inter / (F.col("sa.n") + F.col("sb.n") - inter), 6)
-    return (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-
-
 _SHINGLE_CTE = f"""
 sh AS (
   SELECT DISTINCT doc_id,
@@ -220,22 +195,27 @@ FROM documents
 # 2. n-gram Jaccard near-dup pairs (exact, quadratic verifier)
 # --------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shared cached hash table feeds the self-join (both sides) and
-    # the size agg. The intersection count comes straight off the
-    # self-join (every shingle-sharing pair is a "candidate" here, so a
-    # separate distinct+verify pass would re-materialize pair x shingle).
+    # Inverted-index shape: group the cached hash table by shingle hash
+    # (one shuffle), expand each posting list's i<j doc pairs inline,
+    # and count pair co-occurrences. Equivalent to the shash self-join
+    # but with ONE pass over the table instead of two join inputs — and
+    # unlike a broadcast/sort-merge self-join it needs no second copy of
+    # the table at 100 TB. Posting lists are distinct-per-doc by
+    # construction (shingles are de-duped per doc); hot stop-phrase
+    # shingles are the skew risk — their posting lists expand
+    # quadratically, which is inherent to exact all-pairs Jaccard (the
+    # MinHash operator is the scale path that bounds this).
     shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash")
-    x = shh.alias("x")
-    y = shh.alias("y")
     inter = (
-        x.join(
-            y,
-            (F.col("x.shash") == F.col("y.shash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        shh.groupBy("shash")
+        .agg(F.expr("sort_array(collect_list(doc_id)) AS ds"))
+        .where("size(ds) >= 2")
+        .selectExpr(
+            "explode(flatten(transform(sequence(0, size(ds)-2),"
+            " i -> transform(slice(ds, i+2, size(ds)),"
+            " x -> struct(ds[i] AS a, x AS b))))) AS p"
         )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return _jaccard_from_inter(inter, shh)
@@ -270,21 +250,27 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
 #    collisions, exact Jaccard verified only on candidates)
 # --------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shared cached hash table feeds the signature agg and the
-    # verify doc-set agg. The minhash family h_i = (h1 + i*h2) mod p
-    # needs only one md5 per shingle. Expressions are built as SQL
-    # strings parsed JVM-side in one shot — constructing the ~300
-    # Column objects through py4j costs >1s of driver time per call,
-    # ~4x the parse cost of the equivalent strings.
+    # The shared cached hash table feeds ONE per-doc aggregate that
+    # carries both the 32 signature mins (for banding) and the shingle
+    # set + size (for the exact-Jaccard verify). Folding both consumers
+    # into a single groupBy means a single shuffle on doc_id whose
+    # exchange is reused by the band pipeline and by both verify join
+    # sides (ReusedExchange), instead of two separate shuffles of the
+    # full hash table. The minhash family h_i = (h1 + i*h2) mod p needs
+    # only one md5 per shingle. Expressions are built as SQL strings
+    # parsed JVM-side in one shot — constructing the ~300 Column
+    # objects through py4j costs >1s of driver time per call, ~4x the
+    # parse cost of the equivalent strings.
     hashed = _hashed_shingles(spark, sf_dir)
-    # 32 signature mins as ONE codegen hash aggregate (map-side partial
-    # combine, single shuffle on doc_id)
-    sig = hashed.groupBy("doc_id").agg(
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.expr("collect_list(shash) AS ss"),
+        F.expr("count(1) AS n"),
         *[
             F.expr(f"min((h1 + {s} * h2) % {_MINHASH_PRIME}) AS h{s}")
             for s in range(NUM_HASHES)
-        ]
+        ],
     )
+    sig = per_doc
     band_parts = ", ".join(
         f"struct({b} AS band_id, concat_ws('-', "
         + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
@@ -315,7 +301,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("p.a AS doc_a", "p.b AS doc_b")
         .distinct()
     )
-    return _verify_jaccard(cands, hashed.select("doc_id", "shash"))
+    docsets = per_doc.select("doc_id", "ss", "n")
+    sa = docsets.alias("sa")
+    sb = docsets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    jac = F.round(inter / (F.col("sa.n") + F.col("sb.n") - inter), 6)
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def _minhash_oracle_sql() -> str:
