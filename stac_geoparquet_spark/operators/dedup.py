@@ -315,7 +315,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_ctes() -> str:
+    """The minhash pipeline as a CTE chain ending in ``pairs`` —
+    shared by the pair oracle and the connected-components oracle."""
     min_exprs = ",\n         ".join(
         f"min((h1 + {s} * h2) % {_MINHASH_PRIME}) AS h{s}"
         for s in range(NUM_HASHES)
@@ -328,8 +330,7 @@ def _minhash_oracle_sql() -> str:
         + "))"
         for b in range(NUM_BANDS)
     )
-    return f"""
-WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
 hashed AS (
   SELECT doc_id, v >> 28 AS h1, v & {(1 << 28) - 1} AS h2
   FROM (SELECT doc_id,
@@ -358,14 +359,110 @@ inter AS (
   JOIN shh a ON a.doc_id = doc_a
   JOIN shh b ON b.doc_id = doc_b AND b.shash = a.shash
   GROUP BY doc_a, doc_b
-)
-SELECT doc_a, doc_b,
-       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_oracle_ctes()}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
+
+
+def _cluster_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id, count(*) - 1 AS n_dups
+FROM walk GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 3b. near-dup clustering — connected components over the MinHash pair
+#     graph (the step a real dedup pipeline runs after pair generation:
+#     pick one canonical doc per duplicate cluster)
+# --------------------------------------------------------------------------
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every near-duplicate document its cluster id = the
+    minimum doc_id reachable through the verified MinHash pair graph,
+    plus ``n_dups`` = cluster size - 1.
+
+    Iterative min-label propagation over the (tiny relative to the
+    corpus) edge list: each round joins labels to the symmetric edge
+    list, takes min(neighbor label) per node, and stops at fixpoint —
+    O(component diameter) rounds; near-dup components are short chains
+    in practice, so this converges in a handful of rounds. Each round
+    ends in ``localCheckpoint`` to truncate lineage (without it, plan
+    depth grows linearly and planning cost quadratically). At 100-TB
+    edge counts the same loop holds (edges are pairs that survived
+    Jaccard verify — orders of magnitude smaller than the corpus); the
+    alternating large-star/small-star variant bounds rounds to
+    O(log n) if components with large diameters ever appear.
+
+    Genuinely iterative => no single-pass SQL, but DuckDB's recursive
+    CTE expresses the same fixpoint, so this op still has an exact
+    value oracle (WITH RECURSIVE reachability + min label).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where("n.label != o.label")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.count(F.lit(1)).over(w) - F.lit(1)).cast("bigint").alias("n_dups"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -512,6 +609,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -520,6 +618,7 @@ ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_cluster_cc": _cluster_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
 }

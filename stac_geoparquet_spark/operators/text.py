@@ -249,8 +249,81 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF top terms — the classic corpus-statistics join: term frequency
+# per (doc, word), document frequency per word, idf = ln(N/df), top-3
+# terms per doc by tf-idf. Shuffles: one groupBy on (doc_id, word), one
+# on word, one window by doc_id. The df side is one row per distinct
+# word — broadcast when small, shuffle-join keyed by word at scale (hot
+# stopwords are the skew keys; AQE skew-join splits them, and a real
+# pipeline would drop df > 50% words first). N reaches every row via a
+# broadcast 1-row aggregate, never a driver round-trip.
+# --------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tfidf", "rk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_sql_words()}) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+),
+dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.word,
+         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+)
+SELECT doc_id, word, tfidf, rk
+FROM (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rk
+  FROM scored
+) t
+WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -259,6 +332,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_count": TOKEN_COUNT_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
     "text_quality_score": QUALITY_SQL,
     "text_lang_id": _lang_oracle_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
