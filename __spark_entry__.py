@@ -25,6 +25,7 @@ if _REPO not in sys.path:
 def _registries():
     from stac_geoparquet_spark.operators import (
         dedup,
+        layout,
         multimodal,
         relational,
         relational_ext,
@@ -45,6 +46,7 @@ def _registries():
         similarity,
         text,
         multimodal,
+        layout,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

@@ -447,11 +447,124 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# k-means (fixed Lloyd rounds) — the canonical iterative-refinement
+# pattern on Spark: centroids live on the driver and reach every row as
+# literals (a broadcast of K x DIM values), assignment + the per-cluster
+# mean are ONE hash aggregate with map-side partial sums (64 avg columns
+# — no explode, no shuffle of vectors beyond the K-key agg). Distances
+# and recomputed centroid components are rounded to 6 decimals at each
+# synchronization point so both engines iterate from bit-identical
+# state: parallel-vs-sequential mean summation differs ~1e-13, nine
+# orders below the 5e-7 rounding quantum (same margin argument as the
+# cosine ops above). Fixed iteration count keeps the op expressible as
+# a chained-CTE SQL oracle.
+# --------------------------------------------------------------------------
+KMEANS_K = 4
+KMEANS_ROUNDS = 2  # assign -> recompute, twice; final assignment output
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"),
+                                F.lit(c),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        ),
+                        6,
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in cents
+            ]
+        )
+        best = F.array_min(arr)
+        return emb.select(
+            "vec_id",
+            "v",
+            best["cid"].alias("cluster"),
+            best["d"].alias("dist"),
+        )
+
+    # deterministic seeds: the K lowest vec_ids' vectors
+    seeds = (
+        emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    )
+    cents = [(int(r["vec_id"]), list(r["v"])) for r in seeds]
+    for _ in range(KMEANS_ROUNDS - 1):
+        asg = assign(cents)
+        means = asg.groupBy("cluster").agg(
+            *[
+                F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
+                for i in range(DIM)
+            ]
+        )
+        cents = [
+            (int(r["cluster"]), [r[f"m{i}"] for i in range(DIM)])
+            for r in means.collect()
+        ]
+        cents.sort()
+    return assign(cents).select("vec_id", "cluster", "dist")
+
+
+def _kmeans_oracle_sql() -> str:
+    def assign_cte(src: str, cent: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, v, cid AS cluster, d AS dist
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           round(list_sum(list_transform(list_zip(e.v, c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_sum(list_transform(
+                                list_zip(e.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), 6),
+                                c.cid) AS rk
+    FROM {src} e CROSS JOIN {cent} c
+  ) t WHERE rk = 1
+)"""
+
+    def means_cte(src: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cluster AS cid, list(m ORDER BY i) AS c
+  FROM (
+    SELECT cluster, i, round(avg(v[i + 1]), 6) AS m
+    FROM {src} CROSS JOIN (SELECT unnest(range({DIM})) AS i) idx
+    GROUP BY cluster, i
+  ) g GROUP BY cluster
+)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}),
+{assign_cte("e", "c0", "a1")},
+{means_cte("a1", "c1")},
+{assign_cte("e", "c1", "a2")}
+SELECT vec_id, cluster, dist FROM a2
+"""
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ivf_cell_assignment": ivf_cell_assignment,
     "ann_ivf_probe": ann_ivf_probe,
+    "kmeans_embeddings": kmeans_embeddings,
 }
 
 ORACLE = {
@@ -459,4 +572,5 @@ ORACLE = {
     "ann_lsh_bucketed": _ann_oracle_sql(),
     "ivf_cell_assignment": IVF_ASSIGN_SQL,
     "ann_ivf_probe": IVF_PROBE_SQL,
+    "kmeans_embeddings": _kmeans_oracle_sql(),
 }
