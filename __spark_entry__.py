@@ -35,6 +35,7 @@ def _registries():
         stac_query,
         text,
     )
+    from stac_geoparquet_spark.streaming import dedup as streaming_dedup
 
     modules = [
         relational,
@@ -47,6 +48,7 @@ def _registries():
         text,
         multimodal,
         layout,
+        streaming_dedup,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

@@ -216,3 +216,46 @@ def test_session_window_matches_custom_sessionizer(spark, tmp_path):
     # apart inside a band, bands 2h apart -> 12 sessions of 4 events
     assert len(got) == 12
     assert all(n == 4 and v == 6.0 for (_, _, n, v) in got)
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static incremental dedup must emit exactly the pairs
+    the batch-mode entry (oracle-checked) produces for the same split."""
+    from stac_geoparquet_spark.streaming.dedup import (
+        INCOMING_MOD,
+        band_index,
+        dedup_incremental_minhash,
+        stream_dedup_against_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "incoming")
+    # two files => two potential micro-batches
+    inc = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
+    inc.filter(F.col("doc_id") % (2 * INCOMING_MOD) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    inc.filter(F.col("doc_id") % (2 * INCOMING_MOD) != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = stream_dedup_against_index(spark, src, band_index(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        tuple(r)
+        for r in spark.table("t_stream_dedup").distinct().collect()
+    }
+    batch = {
+        tuple(r) for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0 or sf_dir.endswith("sf0.001")
