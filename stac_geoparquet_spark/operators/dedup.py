@@ -98,6 +98,10 @@ _MINHASH_PRIME = 4294967291  # largest prime < 2^32
 # at sf0.1.
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Verified minhash pair set per (session, sf_dir) — shared by the pair
+# query and the connected-components clustering.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h1, h2, shash) — one row per distinct k-word shingle.
@@ -261,6 +265,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parsed JVM-side in one shot — constructing the ~300 Column
     # objects through py4j costs >1s of driver time per call, ~4x the
     # parse cost of the equivalent strings.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     hashed = _hashed_shingles(spark, sf_dir)
     per_doc = hashed.groupBy("doc_id").agg(
         F.expr("collect_list(shash) AS ss"),
@@ -306,13 +314,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = docsets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
     jac = F.round(inter / (F.col("sa.n") + F.col("sb.n") - inter), 6)
-    return (
+    out = (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+        # Materialized once per (session, sf): the verified pair set is
+        # the fan-out point for clustering and reporting, exactly like
+        # the shingle table above — tiny (pairs that survived verify),
+        # so an eager localCheckpoint is cheap and cuts every
+        # consumer's lineage back to a leaf.
+        .localCheckpoint()
     )
+    _PAIRS_CACHE[key] = out
+    return out
 
 
 def _minhash_oracle_ctes() -> str:
