@@ -107,12 +107,42 @@ def to_geoparquet(
     collections: list[str] | None = None,
     compression: str = "snappy",
     extra_metadata: dict[str, str] | None = None,
+    spatial_order: bool = False,
 ) -> list[str]:
     """Write ``df`` as a directory of footer-stamped GeoParquet files.
 
     Returns the list of files written. Fully distributed: each input
     partition streams through a pyarrow ParquetWriter on its executor.
+
+    ``spatial_order=True`` clusters rows on the z-curve of the bbox
+    centroid before writing (requires the bbox struct), so the
+    GeoParquet 1.1 ``covering`` stats this writer emits are *tight*:
+    each file/row-group covers a small spatial window instead of the
+    whole extent, and bbox-predicate readers skip most of them. The
+    reference emits the covering metadata but leaves clustering to the
+    caller; at 100 TB the clustering IS the feature (same z-order
+    machinery as ``operators.layout``, degrees quantized onto a fixed
+    global 2^16 grid so no data-dependent pass is needed).
     """
+    if spatial_order:
+        from pyspark.sql import functions as F
+
+        from stac_geoparquet_spark.operators.layout import zorder_key_sql
+
+        if not _has_bbox_struct(df.schema):
+            raise ValueError("spatial_order=True requires the bbox struct")
+        # fixed global grid: lon/lat in [-180, 180]/[-90, 90] quantized
+        # to 2^16 cells per axis — no data-dependent max pass needed
+        cx = "CAST(((bbox.xmin + bbox.xmax) / 2.0 + 180.0) * 182.04 AS BIGINT)"
+        cy = "CAST(((bbox.ymin + bbox.ymax) / 2.0 + 90.0) * 364.08 AS BIGINT)"
+        n_files = max(df.rdd.getNumPartitions(), 1)
+        df = (
+            df.withColumn("__zkey", F.expr(zorder_key_sql(cx, cy)))
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+
     geo_md = json.dumps(build_geo_metadata(df.schema, schema_version))
     stac_md = json.dumps(build_stac_metadata(collections))
     kv: dict[str, str] = {"geo": geo_md, "stac-geoparquet": stac_md}

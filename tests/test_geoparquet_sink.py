@@ -114,3 +114,67 @@ def test_bbox_stats_enable_row_group_skipping(spark, tmp_path, normalized):
     }
     assert cols["bbox.xmin"].statistics is not None
     assert cols["bbox.xmin"].statistics.has_min_max
+
+
+def test_spatial_order_tightens_file_bbox_stats(spark, tmp_path):
+    """spatial_order=True must cluster rows so each output file covers
+    a small spatial window (tight bbox min/max stats -> reader-side
+    file skipping), vs the scattered layout of an unordered write."""
+    import random
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.sinks import to_geoparquet
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(4000):
+        # points scattered over the full lon/lat domain
+        x = rng.uniform(-170, 170)
+        y = rng.uniform(-80, 80)
+        rows.append((f"item-{i}", x - 0.1, y - 0.1, x + 0.1, y + 0.1))
+    df = (
+        spark.createDataFrame(
+            rows, "id string, xmin double, ymin double, xmax double, ymax double"
+        )
+        .select(
+            "id",
+            F.struct("xmin", "ymin", "xmax", "ymax").alias("bbox"),
+        )
+        .repartition(16)
+    )
+
+    def file_spans(dest):
+        spans = []
+        md_files = [f for f in __import__("glob").glob(dest + "/*.parquet")]
+        for f in md_files:
+            t = pq.read_table(f, columns=["bbox"])
+            xs = t.column("bbox").flatten()[0].to_pylist()
+            if xs:
+                spans.append(max(xs) - min(xs))
+        return spans
+
+    plain_dest = str(tmp_path / "plain")
+    to_geoparquet(df, plain_dest)
+    z_dest = str(tmp_path / "zorder")
+    to_geoparquet(df, z_dest, spatial_order=True)
+
+    assert (
+        spark.read.parquet(z_dest).count()
+        == spark.read.parquet(plain_dest).count()
+        == 4000
+    )
+    plain = file_spans(plain_dest)
+    tight = file_spans(z_dest)
+    assert sum(tight) / len(tight) < 0.5 * sum(plain) / len(plain)
+
+
+def test_spatial_order_requires_bbox(spark):
+    from stac_geoparquet_spark.sinks import to_geoparquet
+
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS id")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bbox"):
+        to_geoparquet(df, "/tmp/never-written", spatial_order=True)
