@@ -102,6 +102,36 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 # query and the connected-components clustering.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Per-doc signature table (doc_id, ss, n, h0..h{NUM_HASHES-1}) per
+# (session, sf_dir) — the "resident MinHash index" a long-running dedup
+# service keeps materialized: built once from the shingle table, then
+# fanned out to LSH banding, verify join sides, and the incremental
+# stream-static index (streaming/dedup.py).
+_PER_DOC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def per_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document carrying everything every MinHash consumer
+    needs: the shingle-hash set ``ss`` + size ``n`` (exact-Jaccard
+    verify) and the ``NUM_HASHES`` signature minima (banding). ONE
+    groupBy on doc_id; cached so the exchange is paid once per session
+    per scale factor."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PER_DOC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    hashed = _hashed_shingles(spark, sf_dir)
+    out = hashed.groupBy("doc_id").agg(
+        F.expr("collect_list(shash) AS ss"),
+        F.expr("count(1) AS n"),
+        *[
+            F.expr(f"min((h1 + {s} * h2) % {_MINHASH_PRIME}) AS h{s}")
+            for s in range(NUM_HASHES)
+        ],
+    ).cache()
+    _PER_DOC_CACHE[key] = out
+    return out
+
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h1, h2, shash) — one row per distinct k-word shingle.
@@ -178,7 +208,16 @@ sh AS (
 # 1. exact dedup — hash-groupBy
 # --------------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    import os
+
+    # Hash in the scan stage, BEFORE any exchange: the window's hash
+    # partition then moves only (doc_id, 32-byte hash) rows — never the
+    # document text. At 100 TB this is the difference between shuffling
+    # ~64 bytes/row and shuffling the corpus. (No _docs() spread
+    # repartition here: that would shuffle full text just to
+    # parallelize md5, which is already scan-parallel across input
+    # splits at real scale.)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     h = F.md5(F.col("text")).alias("content_hash")
     w = Window.partitionBy("content_hash")
     return (
@@ -269,15 +308,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
-    hashed = _hashed_shingles(spark, sf_dir)
-    per_doc = hashed.groupBy("doc_id").agg(
-        F.expr("collect_list(shash) AS ss"),
-        F.expr("count(1) AS n"),
-        *[
-            F.expr(f"min((h1 + {s} * h2) % {_MINHASH_PRIME}) AS h{s}")
-            for s in range(NUM_HASHES)
-        ],
-    )
+    per_doc = per_doc_signatures(spark, sf_dir)
     sig = per_doc
     band_parts = ", ".join(
         f"struct({b} AS band_id, concat_ws('-', "
@@ -453,24 +484,22 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # Carry the previous label through the checkpoint so convergence
+        # is a filter on the materialized frame — no extra old-vs-new
+        # join per round (one join + one agg + one scan per iteration).
+        stepped = (
             labels.join(prop, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where("n.label != o.label")
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where("label != old_label").limit(1).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     w = Window.partitionBy("label")

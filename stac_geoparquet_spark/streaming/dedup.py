@@ -35,8 +35,8 @@ from pyspark.sql import types as T
 
 from stac_geoparquet_spark.operators.dedup import (
     _MINHASH_PRIME,
-    _hashed_shingles,
     _minhash_oracle_ctes,
+    per_doc_signatures,
     JACCARD_THRESHOLD,
     NUM_BANDS,
     NUM_HASHES,
@@ -109,17 +109,12 @@ def incoming_signatures(docs: DataFrame) -> DataFrame:
 
 def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static corpus index: per-doc band keys + shingle set + size,
-    from the fast exploded/codegen pipeline (shared session cache)."""
-    hashed = _hashed_shingles(spark, sf_dir).filter(
+    from the session-cached per-doc signature table (the resident
+    MinHash index — built once, filtered here to the non-incoming
+    partition; band collisions don't depend on which side a doc is
+    on, so filtering the cached table is exact)."""
+    per_doc = per_doc_signatures(spark, sf_dir).filter(
         F.col("doc_id") % INCOMING_MOD != 0
-    )
-    per_doc = hashed.groupBy("doc_id").agg(
-        F.expr("collect_list(shash) AS ss"),
-        F.expr("count(1) AS n"),
-        *[
-            F.expr(f"min((h1 + {s} * h2) % {_MINHASH_PRIME}) AS h{s}")
-            for s in range(NUM_HASHES)
-        ],
     )
     band_parts = ", ".join(
         f"struct({b} AS band_id, concat_ws('-', "

@@ -88,9 +88,9 @@ def test_semi_anti_join_physical(spark, sf):
 
 def test_dedup_exact_single_exchange(spark, sf):
     plan = plan_of(dedup.dedup_exact(spark, sf))
-    # one hash partition on the content hash (window) + the explicit
-    # spread repartition - no other shuffles
-    assert n_ops(plan, "Exchange") <= 2
+    # exactly one exchange: the window's hash partition on the content
+    # hash, moving only (doc_id, hash) rows — text never shuffles
+    assert n_ops(plan, "Exchange") == 1
 
 
 def test_simhash_no_shuffle(spark, sf):
