@@ -32,7 +32,9 @@ def _registries():
         relational_ext3,
         relational_tpch2,
         similarity,
+        spatial,
         stac_query,
+        stats,
         text,
     )
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
@@ -45,6 +47,8 @@ def _registries():
         stac_query,
         dedup,
         similarity,
+        spatial,
+        stats,
         text,
         multimodal,
         layout,

@@ -1,0 +1,145 @@
+"""Sampling + statistical aggregates — the remaining training-data-
+pipeline staples (dataset downsampling for eval splits, per-stratum
+rate control, distribution profiling). The reference has no sampling
+surface (its only "selection" is predicate pushdown, SURVEY §2.6); at
+100 TB a pipeline samples constantly, and `rand()`-based sampling is
+NOT reproducible across retries/speculative tasks — every operator here
+is hash-deterministic (md5, identical in DuckDB) so reruns, retried
+tasks, and the oracle all agree row-for-row.
+
+- ``sample_stratified``: per-stratum Bernoulli sampling by hash bucket
+  (URGENT 20%, HIGH 10%, rest 5%). Embarrassingly parallel: a scan-
+  stage filter, NO shuffle, survives any scale-up unchanged.
+- ``sample_fixed_k``: fixed-size uniform sample as global top-k by
+  hash — the distributed reservoir-sample idiom (per-partition top-k,
+  then merge: TakeOrderedAndProject, no full sort, no single-node
+  bottleneck).
+- ``stats_quantity_price``: per-group second-moment profile (corr /
+  covariance / stddev) — single partial-aggregable groupBy; all
+  moments merge associatively, so map-side combine does the heavy
+  lifting and only per-group moment triples shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SAMPLE_K = 500  # fixed-size sample
+
+
+def _bucket_sql(expr: str, prefix: str) -> str:
+    """Deterministic [0,100) bucket from a key — portable Spark/DuckDB
+    (same md5; DuckDB's ('0x'||...)::BIGINT is written by the oracle)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{prefix}:', CAST({expr} AS STRING)"
+        ")), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+
+
+def _bucket_duck(expr: str, prefix: str) -> str:
+    return f"('0x' || substr(md5('{prefix}:' || CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+_RATE_CASE = (
+    "CASE o_orderpriority WHEN '1-URGENT' THEN 20 WHEN '2-HIGH' THEN 10 "
+    "ELSE 5 END"
+)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample of orders: keep a row
+    iff its hash bucket falls under its stratum's rate. Pure scan-stage
+    filter — zero shuffles, pushdown-friendly, retry-stable."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.where(
+        F.expr(f"{_bucket_sql('o_orderkey', 'smp')} < {_RATE_CASE}")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+def _sample_stratified_oracle() -> str:
+    return f"""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE {_bucket_duck('o_orderkey', 'smp')} < {_RATE_CASE}
+"""
+
+
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K uniform sample of lineitem rows = the K smallest
+    deterministic hashes. Plans as TakeOrderedAndProject: each task
+    keeps its local top-K, the driver merges K*tasks candidates — the
+    scalable fixed-size-sample shape (never a global sort). The hash
+    column rides along so the result set is well-defined (hash is
+    unique per (orderkey, linenumber) in practice; K smallest values)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    h = (
+        "CAST(conv(substring(md5(concat('rsv:', CAST(l_orderkey AS STRING),"
+        " ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        li.selectExpr("l_orderkey", "l_linenumber", f"{h} AS sample_hash")
+        .orderBy("sample_hash")
+        .limit(SAMPLE_K)
+    )
+
+
+def _sample_fixed_k_oracle() -> str:
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       ('0x' || substr(md5('rsv:' || CAST(l_orderkey AS VARCHAR) || ':'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS sample_hash
+FROM lineitem
+ORDER BY sample_hash
+LIMIT {SAMPLE_K}
+"""
+
+
+def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment profile of quantity vs price per return flag:
+    Pearson correlation, sample covariance, sample stddevs, mean.
+    One partial-aggregable groupBy (all moments are associative)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+STATS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "sample_fixed_k": sample_fixed_k,
+    "stats_quantity_price": stats_quantity_price,
+}
+
+ORACLE = {
+    "sample_stratified": _sample_stratified_oracle(),
+    "sample_fixed_k": _sample_fixed_k_oracle(),
+    "stats_quantity_price": STATS_SQL,
+}

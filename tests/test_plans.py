@@ -177,3 +177,47 @@ def test_q21_one_pass_over_joined_fact(spark, sf):
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("orders.parquet") == 1
     assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "ShuffledHashJoin") <= 1
+
+
+def test_spatial_grid_join_is_equi_join(spark, sf):
+    """The grid-binned spatial join must plan as a hash equi-join on
+    the cell key — never a nested-loop over the theta predicate — and
+    emit each pair exactly once without a distinct exchange."""
+    from stac_geoparquet_spark.operators import spatial
+
+    plan = plan_of(spatial.spatial_join_grid(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        n_ops(plan, "SortMergeJoin")
+        + n_ops(plan, "ShuffledHashJoin")
+        + n_ops(plan, "BroadcastHashJoin")
+        == 1
+    )
+    assert n_ops(plan, "HashAggregate") == 0  # no distinct pass
+
+
+def test_sample_stratified_no_shuffle_scan_filter(spark, sf):
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.sample_stratified(spark, sf))
+    assert n_ops(plan, "Exchange") == 0
+    assert "ReadSchema" in plan
+
+
+def test_sample_fixed_k_take_ordered(spark, sf):
+    """Fixed-K hash sample = per-task top-K merged on the driver, not a
+    global sort."""
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.sample_fixed_k(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert n_ops(plan, "Sort") == 0
+
+
+def test_stats_partial_aggregation(spark, sf):
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.stats_quantity_price(spark, sf))
+    assert n_ops(plan, "HashAggregate") == 2  # partial + final
+    assert plan.count("lineitem.parquet") == 1
