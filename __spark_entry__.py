@@ -32,6 +32,7 @@ def _registries():
         relational_ext3,
         relational_tpch2,
         similarity,
+        skew,
         spatial,
         stac_query,
         stats,
@@ -47,6 +48,7 @@ def _registries():
         stac_query,
         dedup,
         similarity,
+        skew,
         spatial,
         stats,
         text,

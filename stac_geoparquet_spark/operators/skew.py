@@ -1,0 +1,102 @@
+"""Hot-key skew handling — explicit salting, the one shuffle-join
+pathology AQE alone cannot always fix (AQE splits oversized *partitions*
+after the fact; a single hot KEY still lands every row in one task
+unless the key itself is decomposed). Complements the session factory's
+`spark.sql.adaptive.skewJoin.enabled` (session.py): salting is the
+deterministic, planner-independent variant a 100-TB pipeline reaches for
+when one join key holds percent-level mass (null surrogate keys, default
+enum values, celebrity users).
+
+Shape: the big side appends ``salt = key2 % SALTS`` (derived from a
+second column so it's deterministic across retries — never rand()); the
+small side is replicated SALTS times via explode. The join key becomes
+(key, salt): the hot key's rows spread across SALTS tasks, the join
+result is IDENTICAL to the unsalted join — which is exactly how the
+oracle checks it (plain join in DuckDB, no salting).
+
+``skew_salted_flag_join`` joins lineitem to a 3-row derived dimension on
+``l_returnflag`` — a worst-case skew key (3 distinct values over the
+whole fact table). The shuffle-hash hint forces the shuffle path
+(broadcast would hide the skew; at real scale the "small" side of a
+skewed join is often too big to broadcast), so the plan demonstrates
+the salt doing the work: 3 hot keys become 3*SALTS balanced keys.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALTS = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_src: Column,
+    n_salts: int = SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big`` with ``small`` on ``on`` with the big side's
+    rows spread over ``n_salts`` sub-keys. ``salt_src`` must be a
+    deterministic big-side column expression (retry-stable)."""
+    b = big.withColumn("__salt", (salt_src % n_salts).cast("int"))
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    return b.join(s.hint("shuffle_hash"), [*on, "__salt"], how).drop("__salt")
+
+
+def skew_salted_flag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_desc", F.concat(F.lit("flag-"), F.col("l_returnflag")))
+    )
+    joined = salted_join(
+        li.select("l_returnflag", "l_orderkey", "l_extendedprice", "l_discount"),
+        dim,
+        on=["l_returnflag"],
+        salt_src=F.col("l_orderkey"),
+    )
+    return joined.groupBy("flag_desc").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SKEW_SQL = """
+WITH dim AS (
+  SELECT DISTINCT l_returnflag, 'flag-' || l_returnflag AS flag_desc
+  FROM lineitem
+)
+SELECT flag_desc,
+       count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN dim USING (l_returnflag)
+GROUP BY flag_desc
+"""
+
+
+QUERIES = {
+    "skew_salted_flag_join": skew_salted_flag_join,
+}
+
+ORACLE = {
+    "skew_salted_flag_join": SKEW_SQL,
+}

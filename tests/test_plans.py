@@ -221,3 +221,14 @@ def test_stats_partial_aggregation(spark, sf):
     plan = plan_of(stats.stats_quantity_price(spark, sf))
     assert n_ops(plan, "HashAggregate") == 2  # partial + final
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_skew_salted_join_shuffle_path(spark, sf):
+    """The salted join must take the shuffle path (broadcast would hide
+    the skew) with the salt in the join keys so hot keys decompose."""
+    from stac_geoparquet_spark.operators import skew
+
+    plan = plan_of(skew.skew_salted_flag_join(spark, sf))
+    assert n_ops(plan, "ShuffledHashJoin") + n_ops(plan, "SortMergeJoin") == 1
+    assert n_ops(plan, "BroadcastHashJoin") == 0
+    assert "__salt" in plan
