@@ -25,6 +25,7 @@ if _REPO not in sys.path:
 def _registries():
     from stac_geoparquet_spark.operators import (
         dedup,
+        funnel,
         layout,
         multimodal,
         relational,
@@ -47,6 +48,7 @@ def _registries():
         relational_tpch2,
         stac_query,
         dedup,
+        funnel,
         similarity,
         skew,
         spatial,

@@ -1,0 +1,164 @@
+"""Event-sequence analytics over the ``events`` table — funnel and
+cohort-retention, the two aggregate shapes every large-scale event
+pipeline runs (alongside the sessionization in streaming/events.py).
+The reference has no event constructs at all (SURVEY §2.7); these are
+part of the beyond-reference surface and follow the same rule as every
+other operator: single-pass, partial-aggregable, exactly oracle-checked.
+
+Scale shape for both: ONE scan of events, ONE groupBy on user_id (the
+natural partition key — any per-user sequence logic colocates), then a
+tiny second aggregate over per-user rows. No self-joins per stage (the
+naive funnel joins events to events once per step — k scans and k-1
+shuffles of the fact table; the conditional-min formulation below does
+k=3 stages in one pass), no window over the raw event log.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    return read_events(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, the earliest view, the earliest click
+    AFTER that view, and the earliest purchase AFTER that click — then
+    one row per stage with the user count that reached it.
+
+    Per-user stage times fall out of one conditional aggregation:
+    t_view = min(ts | view); the "after" chaining is applied in the
+    outer projection (stage k counts only if its min-ts exists and
+    every earlier stage completed before it). This is exact for the
+    earliest-completion funnel definition and needs no per-stage
+    self-join.
+    """
+    ev = _events(spark, sf_dir)
+    per_user = (
+        ev.where(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            *[
+                F.min(
+                    F.when(F.col("event_type") == stage, F.col("ts"))
+                ).alias(f"t_{stage}_any")
+                for stage in ("click", "purchase")
+            ],
+        )
+    )
+    # chained completion: a later stage only counts if it happened
+    # strictly after every earlier completed stage
+    staged = per_user.selectExpr(
+        "user_id",
+        "coalesce(t_view IS NOT NULL, false) AS s1",
+        "coalesce(t_view IS NOT NULL AND t_click_any > t_view, false) AS s2",
+        "coalesce(t_view IS NOT NULL AND t_click_any > t_view"
+        " AND t_purchase_any > t_click_any, false) AS s3",
+    )
+    return (
+        staged.selectExpr(
+            "stack(3,"
+            " 1, 'view', CAST(s1 AS INT),"
+            " 2, 'click', CAST(s2 AS INT),"
+            " 3, 'purchase', CAST(s3 AS INT)"
+            ") AS (stage, stage_name, hit)"
+        )
+        .groupBy("stage", "stage_name")
+        .agg(F.sum("hit").alias("users"))
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase_any
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+staged AS (
+  SELECT user_id,
+         (t_view IS NOT NULL) AS s1,
+         (t_view IS NOT NULL AND t_click_any > t_view) AS s2,
+         (t_view IS NOT NULL AND t_click_any > t_view
+          AND t_purchase_any > t_click_any) AS s3
+  FROM per_user
+)
+SELECT stage, stage_name, users FROM (
+  SELECT 1 AS stage, 'view' AS stage_name, sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS users FROM staged
+  UNION ALL
+  SELECT 2, 'click', sum(CASE WHEN s2 THEN 1 ELSE 0 END) FROM staged
+  UNION ALL
+  SELECT 3, 'purchase', sum(CASE WHEN s3 THEN 1 ELSE 0 END) FROM staged
+) t
+"""
+
+
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by the week of their
+    first event (cohort); for each (cohort_week, week_offset), how many
+    of them were active. Two aggregates: per-(user, week) activity
+    (distinct-ish compaction in the same shuffle as first-week), then
+    the cohort rollup — the fact table shuffles once, on user_id."""
+    ev = _events(spark, sf_dir)
+    weekly = (
+        ev.select(
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
+            .cast("bigint")
+            .alias("week"),
+        )
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = F.min("week").over(Window.partitionBy("user_id"))
+    cohorted = weekly.select("user_id", "week", w.alias("cohort_week"))
+    return (
+        cohorted.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM weekly
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(*) AS active_users
+FROM cohorted
+GROUP BY cohort_week, week - cohort_week
+"""
+
+
+QUERIES = {
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "retention_weekly_cohorts": retention_weekly_cohorts,
+}
+
+ORACLE = {
+    "funnel_view_click_purchase": FUNNEL_SQL,
+    "retention_weekly_cohorts": RETENTION_SQL,
+}
