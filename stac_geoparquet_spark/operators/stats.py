@@ -132,14 +132,68 @@ GROUP BY l_returnflag
 """
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style single-pass column profile of lineitem's measure
+    columns: rows (column_name, n, n_null, n_distinct, min/max/mean).
+    One aggregate computes every stat (the multi-distinct plans via
+    Expand — the standard exact-NDV shape; swap to
+    approx_count_distinct at 100 TB when ±2% NDV is acceptable), then
+    a stack unpivots to one row per column — stats never leave the
+    cluster as anything but this K-row frame."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__n_null"
+            ),
+            F.countDistinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct,"
+        f" {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack})"
+        " AS (column_name, n, n_null, n_distinct, min_v, max_v, mean_v)"
+    )
+
+
+def _table_profile_oracle() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS column_name,
+       count({c}) AS n,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       round(min({c}), 4) AS min_v,
+       round(max({c}), 4) AS max_v,
+       round(avg({c}), 4) AS mean_v
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_fixed_k": sample_fixed_k,
     "stats_quantity_price": stats_quantity_price,
+    "table_profile": table_profile,
 }
 
 ORACLE = {
     "sample_stratified": _sample_stratified_oracle(),
     "sample_fixed_k": _sample_fixed_k_oracle(),
     "stats_quantity_price": STATS_SQL,
+    "table_profile": _table_profile_oracle(),
 }
