@@ -1,0 +1,77 @@
+"""Small-file compaction — the maintenance operator every incremental
+sink eventually needs. The reference's sync path re-exports one parquet
+file per pgstac partition per run (`pgstac_reader.py:340-383`); at
+100-TB ingest rates that pattern degenerates into millions of small
+files whose footer/open costs dominate scans. Compaction rewrites a
+directory into ~target-sized files while preserving rows exactly.
+
+Shape: size the output from actual bytes on disk (Hadoop FS listing —
+no data read), then one job: scan -> repartition(n) -> write to a fresh
+directory, atomic swap by rename. `repartition` (round-robin) rather
+than `coalesce`: coalesce(n) chains small inputs onto few tasks without
+a shuffle, which serializes the read of many small files onto n tasks;
+the shuffle spreads decode work across the cluster and produces evenly
+sized outputs — the right trade for a maintenance job whose entire
+point is I/O layout. For sort-clustered datasets use
+`operators.layout.write_zordered` instead (compaction must not destroy
+clustering).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
+) -> tuple[int, int, int]:
+    """(n_files, total_bytes, n_output_files) from the FS listing only."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    n_files = 0
+    total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            n_files += 1
+            total += st.getLen()
+    n_out = max(1, math.ceil(total / target_bytes))
+    return n_files, total, n_out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_to_compact: int = 4,
+) -> tuple[int, int]:
+    """Compact a parquet directory in place; returns (files_before,
+    files_after). No-op (returns counts unchanged) when the directory
+    already has fewer than ``min_files_to_compact`` files or is already
+    near target size per file."""
+    n_files, total, n_out = plan_compaction(spark, path, target_bytes)
+    if n_files < min_files_to_compact or n_out >= n_files:
+        return n_files, n_files
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: rename old out of the way, new into place
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(jsc.hadoopConfiguration())
+    old = Path(path.rstrip("/") + ".compact-old")
+    fs.rename(Path(path), old)
+    fs.rename(Path(tmp), Path(path))
+    fs.delete(old, True)
+    after, _, _ = plan_compaction(spark, path, target_bytes)
+    return n_files, max(after, 1)

@@ -1,0 +1,51 @@
+"""Small-file compaction: rows preserved exactly, file count reduced to
+the byte-budget plan, no-op guard for already-healthy directories."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from stac_geoparquet_spark.sinks.compact import compact_parquet, plan_compaction
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # fragment: 16 tiny files
+    spark.range(10_000).repartition(16).write.parquet(path)
+    assert len(_parquet_files(path)) == 16
+    before_sum = spark.read.parquet(path).groupBy().sum("id").collect()[0][0]
+
+    n_before, n_after = compact_parquet(
+        spark, path, target_bytes=1 << 30, min_files_to_compact=4
+    )
+    assert (n_before, n_after) == (16, 1)
+    files = _parquet_files(path)
+    assert len(files) == 1
+    df = spark.read.parquet(path)
+    assert df.count() == 10_000
+    assert df.groupBy().sum("id").collect()[0][0] == before_sum
+    # tmp/old dirs cleaned up
+    assert not os.path.exists(path + ".compact-tmp")
+    assert not os.path.exists(path + ".compact-old")
+
+
+def test_compact_noop_below_threshold(spark, tmp_path):
+    path = str(tmp_path / "small")
+    spark.range(100).repartition(2).write.parquet(path)
+    n_before, n_after = compact_parquet(spark, path, min_files_to_compact=4)
+    assert (n_before, n_after) == (2, 2)
+    assert len(_parquet_files(path)) == 2
+
+
+def test_plan_compaction_counts(spark, tmp_path):
+    path = str(tmp_path / "plan")
+    spark.range(1_000).repartition(8).write.parquet(path)
+    n_files, total, n_out = plan_compaction(spark, path, target_bytes=1 << 30)
+    assert n_files == 8
+    assert total > 0
+    assert n_out == 1
