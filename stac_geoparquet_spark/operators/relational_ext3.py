@@ -253,11 +253,105 @@ FROM cal LEFT JOIN p ON p.hour = cal.hour
 """
 
 
+# --------------------------------------------------------------------------
+# Rolling 24 h per-user aggregate — a RANGE frame over event *time*, not
+# row count (the pattern behind rate limiting, rolling spend caps,
+# trailing-day features). Frame bounds are microsecond epochs derived
+# with timestampdiff from a fixed NTZ origin, so the arithmetic is
+# timezone-free and bit-identical in DuckDB (date_diff microseconds) —
+# never unix_timestamp, whose NTZ interpretation depends on session tz.
+# One shuffle on user_id; linear per partition (Spark maintains the
+# sliding frame incrementally over the sorted run).
+# --------------------------------------------------------------------------
+_EPOCH_ORIGIN = "2024-01-01 00:00:00"
+_DAY_US = 86_400_000_000
+
+
+def rolling_24h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{_EPOCH_ORIGIN}', ts)"
+    )
+    keyed = ev.select(
+        "event_id", "user_id", us.alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(_DAY_US - 1), 0)
+    )
+    return keyed.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("v").over(w), 2).cast("double").alias("rolling_sum_24h"),
+        F.count(F.lit(1)).over(w).alias("rolling_n_24h"),
+    )
+
+
+ROLLING_24H_SQL = f"""
+WITH keyed AS (
+  SELECT event_id, user_id,
+         date_diff('microsecond', TIMESTAMP '{_EPOCH_ORIGIN}', ts) AS ts_us,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(round(sum(v) OVER w, 2) AS DOUBLE) AS rolling_sum_24h,
+       count(*) OVER w AS rolling_n_24h
+FROM keyed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {_DAY_US - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram — two-phase: a 1-row min/max aggregate broadcast
+# to every row (same shape as layout.py's quantization maxima), then the
+# bucket groupBy. Never a driver round-trip for the bounds; the bin
+# arithmetic is plain IEEE doubles so both engines land identical bins.
+# --------------------------------------------------------------------------
+N_BINS = 20
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).selectExpr(
+        f"least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {N_BINS}.0))"
+        f" AS BIGINT), {N_BINS - 1}) AS bin",
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+
+
+HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {N_BINS}.0))
+             AS BIGINT), {N_BINS - 1}) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS bin_min,
+       round(max(o_totalprice), 2) AS bin_max
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q12_ship_delay_priority": q12_ship_delay_priority,
     "grouping_sets_revenue": grouping_sets_revenue,
     "range_join_clicks_before_purchase": range_join_clicks_before_purchase,
     "gapfill_hourly_purchases": gapfill_hourly_purchases,
+    "rolling_24h_user_value": rolling_24h_user_value,
+    "histogram_totalprice": histogram_totalprice,
 }
 
 ORACLE = {
@@ -265,4 +359,6 @@ ORACLE = {
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "range_join_clicks_before_purchase": RANGE_JOIN_SQL,
     "gapfill_hourly_purchases": GAPFILL_SQL,
+    "rolling_24h_user_value": ROLLING_24H_SQL,
+    "histogram_totalprice": HISTOGRAM_SQL,
 }
