@@ -2,10 +2,16 @@
 
 - ``knn_brute_force``: exact cosine top-k for a fixed query set — the
   correctness baseline.
-- ``ann_lsh_bucketed``: the scale path — random-hyperplane LSH. Sign
-  bits of hyperplane dot products form a bucket key; only same-bucket
-  candidates are scored. Hyperplanes are derived from md5 so Spark and
-  the oracle share them exactly (embedded as literals on the SQL side).
+- ``ann_lsh_bucketed``: the scale path — random-hyperplane LSH with
+  Hamming<=1 multi-probe. Sign bits of hyperplane dot products form a
+  bucket key; candidates are scored when their bucket is the query's
+  or differs in ONE bit (multi-probe buys most of a second hash
+  table's recall for zero extra index space — the probe set is just
+  N_PLANES power-of-two XORs). Hyperplanes are derived from md5 so
+  Spark and the oracle share them exactly (embedded as literals on the
+  SQL side). Plane count trades candidate volume vs recall: 2^8
+  buckets here; at 100-TB corpus sizes planes grow ~log2(N) to hold
+  the per-bucket candidate count constant.
 
 Execution shape (measured, not guessed): both operators score with one
 numpy GEMM per Arrow batch against a broadcast of the (small) query
@@ -40,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DIM = 64
-N_PLANES = 12
+N_PLANES = 8
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 10
 SCORE_SCHEMA = "query_id bigint, neighbor_id bigint, cos_sim double"
@@ -114,7 +120,10 @@ def _make_score(b_q, top_k: int, bucketed: bool):
                 cbucket = (
                     (c @ planes.T >= 0).astype(np.int64) * weights
                 ).sum(axis=1)
-                mask |= qbucket[:, None] != cbucket[None, :]
+                # multi-probe: candidate iff bucket XOR is 0 or a power
+                # of two (Hamming distance <= 1)
+                xor = qbucket[:, None] ^ cbucket[None, :]
+                mask |= (xor & (xor - 1)) != 0
             sims[mask] = -np.inf
             out_q, out_n, out_s = [], [], []
             for i in range(len(q_ids)):
@@ -228,7 +237,10 @@ scored AS (
          round({_DOT_SQL.format(a='q.v', b='c.v')} / (q.norm * c.norm), 6) AS cos_sim
   FROM bucketed q
   JOIN bucketed c
-    ON q.vec_id < {N_QUERIES} AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ON q.vec_id < {N_QUERIES}
+   AND (q.bucket = c.bucket
+        OR xor(q.bucket, c.bucket) IN ({", ".join(str(1 << p) for p in range(N_PLANES))}))
+   AND q.vec_id <> c.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
