@@ -184,11 +184,56 @@ FROM lineitem"""
     return "\nUNION ALL\n".join(parts)
 
 
+IQR_K = 0.5  # Tukey multiplier; see docstring
+
+
+def outliers_iqr_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per order priority: rows whose
+    total price falls outside [q1 - k*IQR, q3 + k*IQR] of their
+    group. k = 0.5 here (the driver's synthetic prices are uniform —
+    no tail at all survives Tukey's classic 1.5); with real heavy-
+    tailed data the multiplier is the standard 1.5 and nothing else
+    changes. Two-phase: a per-group exact-percentile aggregate (tiny — 5
+    groups; Spark's `percentile` matches DuckDB's `quantile_cont`
+    interpolation exactly) broadcast back onto the fact scan. At
+    100 TB swap `percentile` for `approx_percentile` and keep the
+    identical plan shape; the exact version is what the oracle can
+    pin."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    return (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .where(
+            f"o_totalprice < q1 - {IQR_K} * (q3 - q1)"
+            f" OR o_totalprice > q3 + {IQR_K} * (q3 - q1)"
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+OUTLIERS_IQR_SQL = f"""
+WITH fences AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders JOIN fences USING (o_orderpriority)
+WHERE o_totalprice < q1 - {IQR_K} * (q3 - q1)
+   OR o_totalprice > q3 + {IQR_K} * (q3 - q1)
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_fixed_k": sample_fixed_k,
     "stats_quantity_price": stats_quantity_price,
     "table_profile": table_profile,
+    "outliers_iqr_price": outliers_iqr_price,
 }
 
 ORACLE = {
@@ -196,4 +241,5 @@ ORACLE = {
     "sample_fixed_k": _sample_fixed_k_oracle(),
     "stats_quantity_price": STATS_SQL,
     "table_profile": _table_profile_oracle(),
+    "outliers_iqr_price": OUTLIERS_IQR_SQL,
 }
