@@ -289,17 +289,29 @@ def _load_centroids(sf_dir: str):
     return c_ids, cm, cnorm
 
 
-def _assign_cells(vecs, vnorm, c_ids, cm, cnorm):
-    """Nearest centroid by rounded cosine, ties to the lowest centroid
-    id — the same total order the SQL oracle's row_number uses."""
-    import numpy as np
+def _cell_assigner():
+    """Nearest-centroid helper built as a LOCAL function: worker-side
+    closures must capture it from an enclosing scope so cloudpickle
+    ships it BY VALUE. A module-level function would be pickled by
+    reference (module.qualname) and the driver's Python workers would
+    need this package importable — not true when the driver runs from
+    an arbitrary cwd (the same reason _make_score keeps everything
+    inside the closure)."""
 
-    sims = np.round(vecs @ cm.T / (vnorm[:, None] * cnorm[None, :]), 6)
-    # argmax returns the FIRST max index and c_ids are ascending, so
-    # the lowest centroid id wins ties — matching the oracle's
-    # ORDER BY sim DESC, cid ASC
-    best = np.argmax(sims, axis=1)
-    return c_ids[best], sims
+    def assign_cells(vecs, vnorm, c_ids, cm, cnorm):
+        """Nearest centroid by rounded cosine, ties to the lowest
+        centroid id — the same total order the SQL oracle's
+        row_number uses."""
+        import numpy as np
+
+        sims = np.round(vecs @ cm.T / (vnorm[:, None] * cnorm[None, :]), 6)
+        # argmax returns the FIRST max index and c_ids are ascending,
+        # so the lowest centroid id wins ties — matching the oracle's
+        # ORDER BY sim DESC, cid ASC
+        best = np.argmax(sims, axis=1)
+        return c_ids[best], sims
+
+    return assign_cells
 
 
 def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +323,7 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroid matrix, no shuffle."""
     c_ids, cm, cnorm = _load_centroids(sf_dir)
     b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
+    assign_cells = _cell_assigner()  # local => shipped by value
 
     def assign(batches):
         import numpy as np
@@ -323,7 +336,7 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
             vnorm = np.sqrt((v * v).sum(axis=1))
-            cells, _ = _assign_cells(v, vnorm, c_ids_, cm_, cnorm_)
+            cells, _ = assign_cells(v, vnorm, c_ids_, cm_, cnorm_)
             yield pd.DataFrame({"vec_id": v_ids, "ivf_cell": cells})
 
     return _emb_blocks(spark, sf_dir).mapInPandas(
@@ -385,6 +398,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q_ids, qm, qnorm, probes, c_ids, cm, cnorm)
     )
     top_k = TOP_K
+    assign_cells = _cell_assigner()  # local => shipped by value
 
     def score(batches):
         import numpy as np
@@ -397,7 +411,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
             cnorm_v = np.sqrt((c * c).sum(axis=1))
-            cells, _ = _assign_cells(c, cnorm_v, c_ids_, cm_, cnorm_)
+            cells, _ = assign_cells(c, cnorm_v, c_ids_, cm_, cnorm_)
             sims = np.round(
                 qm_ @ c.T / (qnorm_[:, None] * cnorm_v[None, :]), 6
             )
