@@ -40,6 +40,7 @@ def _registries():
         text,
     )
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
+    from stac_geoparquet_spark.streaming import rollup as streaming_rollup
 
     modules = [
         relational,
@@ -57,6 +58,7 @@ def _registries():
         multimodal,
         layout,
         streaming_dedup,
+        streaming_rollup,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
