@@ -228,12 +228,86 @@ WHERE o_totalprice < q1 - {IQR_K} * (q3 - q1)
 """
 
 
+KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # hash domain: 60-bit md5 slice
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (K-minimum-values) distinct sketch per event type — a
+    custom mergeable NDV sketch built from DataFrame ops alone, unlike
+    the opaque built-ins (HLL/approx_count_distinct), and therefore
+    EXACTLY oracle-checkable: the sketch state is the K smallest
+    distinct 60-bit hashes, the estimator is (K-1)/u_k with u_k the
+    K-th smallest normalized hash (est = exact count when the group
+    has < K distinct members).
+
+    Shape: groupBy(event_type, hash) compacts to distinct pairs (the
+    partial agg absorbs duplicate users map-side), a window keeps each
+    group's K minima, then a K-row-per-group aggregate emits the
+    estimate next to the exact NDV so the error is visible in the
+    result. Mergeability (union state, re-take K minima) is what makes
+    KMV maintainable in the streaming/rollup.py pattern; the kth-hash
+    rides along as evidence."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    h = (
+        "CAST(conv(substring(md5(concat('kmv:', CAST(user_id AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+    pairs = (
+        ev.selectExpr("event_type", f"{h} AS uh")
+        .groupBy("event_type", "uh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("uh")
+    kept = pairs.withColumn("rk", F.row_number().over(w))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("ndv_exact"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("uh"))).alias("kth"),
+        )
+        .selectExpr(
+            "event_type",
+            "ndv_exact",
+            f"""round(CASE WHEN kth IS NULL THEN CAST(ndv_exact AS DOUBLE)
+                     ELSE ({KMV_K} - 1) / (kth / {_KMV_SPACE}) END, 4)
+                AS ndv_est""",
+        )
+    )
+
+
+SKETCH_KMV_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS uh
+  FROM events
+),
+ranked AS (
+  SELECT event_type, uh,
+         row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rk
+  FROM pairs
+)
+SELECT event_type,
+       count(*) AS ndv_exact,
+       round(CASE WHEN max(CASE WHEN rk = {KMV_K} THEN uh END) IS NULL
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE ({KMV_K} - 1)
+                       / (max(CASE WHEN rk = {KMV_K} THEN uh END) / {_KMV_SPACE})
+             END, 4) AS ndv_est
+FROM ranked
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_fixed_k": sample_fixed_k,
     "stats_quantity_price": stats_quantity_price,
     "table_profile": table_profile,
     "outliers_iqr_price": outliers_iqr_price,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
 }
 
 ORACLE = {
@@ -242,4 +316,5 @@ ORACLE = {
     "stats_quantity_price": STATS_SQL,
     "table_profile": _table_profile_oracle(),
     "outliers_iqr_price": OUTLIERS_IQR_SQL,
+    "sketch_kmv_distinct": SKETCH_KMV_SQL,
 }
