@@ -28,6 +28,7 @@ def _registries():
         funnel,
         layout,
         multimodal,
+        quality,
         relational,
         relational_ext,
         relational_ext3,
@@ -56,6 +57,7 @@ def _registries():
         stats,
         text,
         multimodal,
+        quality,
         layout,
         streaming_dedup,
         streaming_rollup,
