@@ -232,3 +232,49 @@ def test_skew_salted_join_shuffle_path(spark, sf):
     assert n_ops(plan, "ShuffledHashJoin") + n_ops(plan, "SortMergeJoin") == 1
     assert n_ops(plan, "BroadcastHashJoin") == 0
     assert "__salt" in plan
+
+
+def test_funnel_single_scan_two_exchanges(spark, sf):
+    """The conditional-min funnel reads events once and shuffles twice
+    (per-user stage mins, then the 3-row stage rollup) — never a
+    per-stage self-join of the event log."""
+    from stac_geoparquet_spark.operators import funnel
+
+    plan = plan_of(funnel.funnel_view_click_purchase(spark, sf))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert n_ops(plan, "Exchange") == 2
+
+
+def test_retention_single_fact_scan(spark, sf):
+    from stac_geoparquet_spark.operators import funnel
+
+    plan = plan_of(funnel.retention_weekly_cohorts(spark, sf))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert n_ops(plan, "Window") == 1
+
+
+def test_rolling_window_single_exchange(spark, sf):
+    """The 24h range frame is one shuffle on user_id + an in-partition
+    sliding frame — no self-join, no aggregate."""
+    from stac_geoparquet_spark.operators import relational_ext3
+
+    plan = plan_of(relational_ext3.rolling_24h_user_value(spark, sf))
+    assert n_ops(plan, "Exchange") == 1
+    assert n_ops(plan, "Window") == 1
+    assert "Join" not in plan
+
+
+def test_histogram_broadcast_bounds_partial_agg(spark, sf):
+    """Bin bounds reach every row via a broadcast 1-row aggregate
+    (never a driver round-trip) and the bucket rollup is two-phase."""
+    from stac_geoparquet_spark.operators import relational_ext3
+
+    plan = plan_of(relational_ext3.histogram_totalprice(spark, sf))
+    assert (
+        n_ops(plan, "BroadcastNestedLoopJoin")
+        + n_ops(plan, "BroadcastHashJoin")
+        == 1
+    )
+    assert n_ops(plan, "HashAggregate") == 4  # bounds pair + bucket pair
