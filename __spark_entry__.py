@@ -26,6 +26,7 @@ def _registries():
     from stac_geoparquet_spark.operators import (
         dedup,
         funnel,
+        graph,
         layout,
         multimodal,
         quality,
@@ -51,6 +52,7 @@ def _registries():
         stac_query,
         dedup,
         funnel,
+        graph,
         similarity,
         skew,
         spatial,

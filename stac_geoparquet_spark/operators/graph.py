@@ -1,0 +1,117 @@
+"""Graph analytics over the near-duplicate pair graph — PageRank as the
+canonical fixed-point companion to the connected-components clustering
+in operators/dedup.py (a dedup pipeline uses centrality to pick the
+canonical document of a cluster: highest-rank member wins, not lowest
+id).
+
+Execution shape: the edge list is the *verified MinHash pair set* —
+session-cached, orders of magnitude smaller than the corpus — so each
+power iteration is a broadcast-scale join + one groupBy on dst. Fixed
+iteration count (3) keeps the op expressible as a chained-CTE DuckDB
+oracle; ranks are rounded to 10 decimals at every synchronization
+point so both engines iterate from bit-identical state (neighbor-sum
+reordering noise ~1e-16 against a 5e-11 rounding quantum). At a
+100-TB corpus the same loop holds — iterations are joins on the pair
+graph, never on the corpus — with localCheckpoint truncating lineage
+per round exactly as in dedup_cluster_cc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.operators.dedup import (
+    _minhash_oracle_ctes,
+    dedup_minhash_lsh,
+)
+
+DAMPING = 0.85
+PR_ITERS = 3
+PR_ROUND = 10
+
+
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pagerank) after PR_ITERS damped power iterations on the
+    symmetric near-dup graph; rank rounded to 8 decimals on output."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    ranks = deg.select(
+        F.col("doc_a").alias("doc_id"),
+        F.round(F.lit(1.0 / n_nodes), PR_ROUND).alias("pr"),
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "doc_a")
+            .join(ranks, edges.doc_a == ranks.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            ranks.select("doc_id")
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit((1.0 - DAMPING) / n_nodes)
+                    + F.lit(DAMPING) * F.coalesce("inflow", F.lit(0.0)),
+                    PR_ROUND,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("doc_id", F.round("pr", 8).alias("pagerank"))
+
+
+def _pagerank_oracle_sql() -> str:
+    iters = []
+    prev = "p0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""p{i} AS (
+  SELECT n.doc_id,
+         round((1.0 - {DAMPING}) / (SELECT count(*) FROM deg)
+               + {DAMPING} * coalesce(inflow, 0.0), {PR_ROUND}) AS pr
+  FROM (SELECT doc_id FROM {prev}) n
+  LEFT JOIN (
+    SELECT e.doc_b AS doc_id, sum(p.pr / d.deg) AS inflow
+    FROM edges e
+    JOIN deg d ON d.doc_a = e.doc_a
+    JOIN {prev} p ON p.doc_id = e.doc_a
+    GROUP BY e.doc_b
+  ) c USING (doc_id)
+)"""
+        )
+        prev = f"p{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY doc_a),
+p0 AS (
+  SELECT doc_a AS doc_id,
+         round(1.0 / (SELECT count(*) FROM deg), {PR_ROUND}) AS pr
+  FROM deg
+),
+{chain}
+SELECT doc_id, round(pr, 8) AS pagerank FROM {prev}
+"""
+
+
+QUERIES = {
+    "pagerank_neardup_graph": pagerank_neardup_graph,
+}
+
+ORACLE = {
+    "pagerank_neardup_graph": _pagerank_oracle_sql(),
+}
