@@ -44,29 +44,44 @@ def _registries():
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
     from stac_geoparquet_spark.streaming import rollup as streaming_rollup
 
+    # Order matters: the driver's CORRECTNESS file evaluated exactly the
+    # first 50 registry entries in round 1, leaving everything after the
+    # relational modules without a hard signal. Families with no
+    # driver-green row yet go FIRST; the already-proven relational 50
+    # rotate to the back (and back into the window in a later round).
     modules = [
-        relational,
-        relational_ext,
-        relational_ext3,
-        relational_tpch2,
         stac_query,
         dedup,
-        funnel,
-        graph,
         similarity,
-        skew,
-        spatial,
-        stats,
         text,
         multimodal,
+        stats,
+        spatial,
+        funnel,
+        graph,
+        skew,
         quality,
         layout,
         streaming_dedup,
         streaming_rollup,
+        relational,
+        relational_ext,
+        relational_ext3,
+        relational_tpch2,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for m in modules:
+    for m in modules[:14]:  # families without a round-1 driver row
+        queries.update(m.QUERIES)
+        oracle.update(m.ORACLE)
+    # The two round-1 hash-fails were fixed (HUGEINT oracle casts) and
+    # need a driver re-verify row, so they go inside the window too
+    # (first insertion wins dict position; the later module update
+    # keeps them here).
+    for name in ("events_json_extract", "events_sessionize"):
+        queries[name] = relational.QUERIES[name]
+        oracle[name] = relational.ORACLE[name]
+    for m in modules[14:]:
         queries.update(m.QUERIES)
         oracle.update(m.ORACLE)
     return queries, oracle

@@ -31,9 +31,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel: per user, the earliest view, the earliest click
-    AFTER that view, and the earliest purchase AFTER that click — then
-    one row per stage with the user count that reached it.
+    """Ordered funnel (earliest-completion definition): per user, take
+    the global earliest event time of each stage and count stage k as
+    reached only when every earlier stage's earliest time strictly
+    precedes it (t_view < min-click < min-purchase). A user whose only
+    pre-view click is followed by a later post-view click is NOT
+    counted at stage 2 — that is the chained-min semantics both the
+    implementation and the oracle share, chosen because it needs one
+    conditional aggregation instead of a per-stage self-join.
 
     Per-user stage times fall out of one conditional aggregation:
     t_view = min(ts | view); the "after" chaining is applied in the
@@ -99,11 +104,11 @@ staged AS (
   FROM per_user
 )
 SELECT stage, stage_name, users FROM (
-  SELECT 1 AS stage, 'view' AS stage_name, sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS users FROM staged
+  SELECT 1 AS stage, 'view' AS stage_name, CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS users FROM staged
   UNION ALL
-  SELECT 2, 'click', sum(CASE WHEN s2 THEN 1 ELSE 0 END) FROM staged
+  SELECT 2, 'click', CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM staged
   UNION ALL
-  SELECT 3, 'purchase', sum(CASE WHEN s3 THEN 1 ELSE 0 END) FROM staged
+  SELECT 3, 'purchase', CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM staged
 ) t
 """
 

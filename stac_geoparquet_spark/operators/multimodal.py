@@ -106,10 +106,10 @@ WITH m AS (
 )
 SELECT media_type,
        count(*) AS n_items,
-       sum(octet_length(payload)) AS total_bytes,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
        round(avg(octet_length(payload)), 4) AS avg_bytes,
        round(avg(width), 4) AS avg_width,
-       sum(n_frames) AS total_frames
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
 FROM m GROUP BY media_type ORDER BY media_type
 """
 
@@ -132,7 +132,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return frames.select(
         "doc_id",
-        "frame_idx",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.md5(F.concat_ws(":", F.col("doc_id"), F.col("frame_idx"))).alias(
             "frame_key"
         ),

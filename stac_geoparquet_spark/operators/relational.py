@@ -289,7 +289,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("rank_in_cust", F.row_number().over(w))
+        .withColumn("rank_in_cust", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank_in_cust") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
     )
@@ -483,7 +483,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type,
        round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
-       sum(CAST(props->>'$.k' AS BIGINT))           AS sum_k
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """
@@ -522,7 +522,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SESSION_SQL = """
 SELECT user_id,
-       sum(new_session) AS session_count,
+       CAST(sum(new_session) AS BIGINT) AS session_count,
        count(*)         AS event_count
 FROM (
   SELECT user_id,

@@ -97,7 +97,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(_dsum(_rev()).alias("revenue"))
     )
@@ -136,7 +138,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("l_shipdate").alias("o_year"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
         )
         .agg(_dsum(_rev()).alias("sum_profit"))
     )

@@ -170,7 +170,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec_rev = _rev().cast("decimal(18,6)")
     return (
-        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
                 F.sum(

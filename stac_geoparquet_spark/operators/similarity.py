@@ -66,48 +66,58 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def _load_queries(sf_dir: str):
-    """Driver-side read of the (tiny) query rows — the same direct
-    pyarrow read any broadcast-variable build uses; no Spark job."""
+def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
+    """Driver-side read of a FIXED-SIZE slice of the embeddings table —
+    the broadcast-variable build for queries/centroids. ``filters``
+    makes pyarrow prune row groups on vec_id statistics, so only the
+    groups containing the slice are decoded; at 100 TB this reads a few
+    row groups, never the table (round-1 review flagged the unfiltered
+    read as a driver OOM at scale)."""
     import numpy as np
     import pyarrow.parquet as pq
 
+    filters = [("vec_id", "<", hi)]
+    if lo is not None:
+        filters.append(("vec_id", ">=", lo))
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
+        filters=filters,
     )
     ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
     mat = (
         tbl["embedding"]
         .combine_chunks()
         .values.to_numpy(zero_copy_only=False)
         .astype(np.float64)
         .reshape(len(ids), -1)
-    )
-    qmask = ids < N_QUERIES
-    q_ids = ids[qmask]
-    qm = mat[qmask]
-    qnorm = np.sqrt((qm * qm).sum(axis=1))
-    return q_ids, qm, qnorm
+    )[order]
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    return ids, mat, norm
 
 
-def _make_score(b_q, top_k: int, bucketed: bool):
-    """Build the worker-side scoring generator. Everything the closure
-    touches is defined inside this function so cloudpickle ships it by
-    value — workers never need this package on their import path.
+def _load_queries(sf_dir: str):
+    return _read_vec_range(sf_dir, None, N_QUERIES)
 
-    Per-batch top-k per query: -inf marks masked (self / off-bucket)
-    pairs; the sort key (-sim, neighbor_id) matches the final window's
-    total order, so taking k per batch is exact, not approximate."""
+
+def _make_score(b_q, top_k: int):
+    """Build the worker-side scoring generator for the EXACT brute
+    force path (the ANN paths join candidates first and use
+    _make_candidate_score). Everything the closure touches is defined
+    inside this function so cloudpickle ships it by value — workers
+    never need this package on their import path.
+
+    Per-batch top-k per query: -inf marks masked (self) pairs; the
+    sort key (-sim, neighbor_id) matches the final window's total
+    order, so taking k per batch is exact, not approximate."""
 
     def score(batches):
         import numpy as np
         import pandas as pd
 
-        if bucketed:
-            q_ids, qm, qnorm, qbucket, planes, weights = b_q.value
-        else:
-            q_ids, qm, qnorm = b_q.value
+        q_ids, qm, qnorm = b_q.value
         for pdf in batches:
             c_ids = pdf["vec_id"].to_numpy()
             c = np.stack(
@@ -116,14 +126,6 @@ def _make_score(b_q, top_k: int, bucketed: bool):
             cnorm = np.sqrt((c * c).sum(axis=1))
             sims = np.round(qm @ c.T / (qnorm[:, None] * cnorm[None, :]), 6)
             mask = q_ids[:, None] == c_ids[None, :]
-            if bucketed:
-                cbucket = (
-                    (c @ planes.T >= 0).astype(np.int64) * weights
-                ).sum(axis=1)
-                # multi-probe: candidate iff bucket XOR is 0 or a power
-                # of two (Hamming distance <= 1)
-                xor = qbucket[:, None] ^ cbucket[None, :]
-                mask |= (xor & (xor - 1)) != 0
             sims[mask] = -np.inf
             out_q, out_n, out_s = [], [], []
             for i in range(len(q_ids)):
@@ -147,7 +149,7 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -171,7 +173,7 @@ def _emb_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids, qm, qnorm = _load_queries(sf_dir)
     b_q = spark.sparkContext.broadcast((q_ids, qm, qnorm))
-    score = _make_score(b_q, TOP_K, bucketed=False)
+    score = _make_score(b_q, TOP_K)
     return _rank_topk(_emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA))
 
 
@@ -199,9 +201,93 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed ANN
+# LSH-bucketed ANN — candidate generation by EQUI-JOIN on the bucket key
 # --------------------------------------------------------------------------
+def _make_bucketize():
+    """(vec_id, embedding) -> (vec_id, embedding, bucket): one tiny
+    N x DIM @ DIM x N_PLANES GEMM per Arrow batch. This is the index
+    pass; at 100 TB the bucket is a persisted layout column (same idea
+    as write_zordered) and this stage disappears from the query path.
+    Closure is self-contained for cloudpickle by-value shipping."""
+    planes_list = _hyperplanes()
+    n_planes = N_PLANES
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array(planes_list)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            c = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            bucket = ((c @ planes.T >= 0).astype(np.int64) * weights).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "bucket": bucket,
+                }
+            )
+
+    return bucketize
+
+
+def _make_candidate_score(b_q, top_k: int):
+    """Score pre-joined (query_id, vec_id, embedding) candidate rows:
+    row-wise dot against the broadcast query matrix — O(candidates),
+    never Q x N. Emits per-(batch, query) top-k; exact because the
+    global top-k is a subset of the union of per-batch top-ks under the
+    shared (-sim, neighbor_id) total order."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qm, qnorm = b_q.value
+        qpos = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qidx = pdf["query_id"].map(qpos).to_numpy()
+            n_ids = pdf["vec_id"].to_numpy()
+            c = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cnorm = np.sqrt((c * c).sum(axis=1))
+            sims = np.round(
+                (c * qm[qidx]).sum(axis=1) / (cnorm * qnorm[qidx]), 6
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": n_ids,
+                    "cos_sim": sims,
+                }
+            )
+            out = (
+                out.sort_values(
+                    ["query_id", "cos_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(top_k)
+            )
+            yield out
+
+    return score
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed retrieval: the corpus is keyed by its LSH bucket, the
+    probe set (query x Hamming<=1 bucket keys, |Q| x (1 + N_PLANES)
+    rows) is broadcast, and ONLY bucket-colliding rows flow into the
+    scorer — an equi-join replaces round 1's full Q x N GEMM + mask, so
+    off-bucket vectors are never scored (round-1 review: the index must
+    do work, not just filter output)."""
     import numpy as np
 
     planes = np.array(_hyperplanes())
@@ -209,11 +295,26 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_ids, qm, qnorm = _load_queries(sf_dir)
     qbucket = ((qm @ planes.T >= 0).astype(np.int64) * weights).sum(axis=1)
-    b_q = spark.sparkContext.broadcast(
-        (q_ids, qm, qnorm, qbucket, planes, weights)
+    # multi-probe keys: own bucket + each single-bit flip
+    probe_rows = [
+        (int(q), int(b) ^ flip)
+        for q, b in zip(q_ids, qbucket)
+        for flip in [0] + [1 << p for p in range(N_PLANES)]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, bucket bigint")
+
+    cand = _emb_blocks(spark, sf_dir).mapInPandas(
+        _make_bucketize(),
+        "vec_id bigint, embedding array<float>, bucket bigint",
     )
-    score = _make_score(b_q, TOP_K, bucketed=True)
-    return _rank_topk(_emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA))
+    joined = (
+        cand.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding")
+    )
+    b_q = spark.sparkContext.broadcast((q_ids, qm, qnorm))
+    scored = joined.mapInPandas(_make_candidate_score(b_q, TOP_K), SCORE_SCHEMA)
+    return _rank_topk(scored)
 
 
 def _ann_oracle_sql() -> str:
@@ -265,28 +366,7 @@ N_PROBE = 4
 
 
 def _load_centroids(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    ids = tbl["vec_id"].to_numpy()
-    mat = (
-        tbl["embedding"]
-        .combine_chunks()
-        .values.to_numpy(zero_copy_only=False)
-        .astype(np.float64)
-        .reshape(len(ids), -1)
-    )
-    cmask = (ids >= CENTROID_LO) & (ids < CENTROID_LO + N_CENTROIDS)
-    c_ids = ids[cmask]
-    order = np.argsort(c_ids)
-    c_ids = c_ids[order]
-    cm = mat[cmask][order]
-    cnorm = np.sqrt((cm * cm).sum(axis=1))
-    return c_ids, cm, cnorm
+    return _read_vec_range(sf_dir, CENTROID_LO, CENTROID_LO + N_CENTROIDS)
 
 
 def _cell_assigner():
@@ -374,14 +454,67 @@ SELECT vec_id, ivf_cell FROM assigned
 """
 
 
+def ivf_layout_path(sf_dir: str) -> str:
+    """Scratch location of the ivf_cell-partitioned copy of the
+    embeddings table for ``sf_dir``."""
+    import hashlib as _h
+    import tempfile
+
+    tag = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"sgs_ivf_layout_{tag}")
+
+
+def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the embeddings table partitioned by ``ivf_cell`` —
+    the IVF index as a LAYOUT (hive-style ivf_cell=K directories).
+    Deterministic content, so an existing _SUCCESS-marked copy is
+    reused. At 100 TB this is the one-off index build; queries then
+    touch only n-probe of n_centroids partitions via partition
+    pruning."""
+    path = ivf_layout_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    c_ids, cm, cnorm = _load_centroids(sf_dir)
+    b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
+    assign_cells = _cell_assigner()  # local => shipped by value
+
+    def tag(batches):
+        import numpy as np
+        import pandas as pd
+
+        c_ids_, cm_, cnorm_ = b_c.value
+        for pdf in batches:
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            cells, _ = assign_cells(v, vnorm, c_ids_, cm_, cnorm_)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "ivf_cell": cells,
+                }
+            )
+
+    (
+        _emb_blocks(spark, sf_dir)
+        .mapInPandas(tag, "vec_id bigint, embedding array<float>, ivf_cell bigint")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    return path
+
+
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF n-probe top-k: each query scores only candidates whose cell
-    is among its {N_PROBE} nearest centroids. Same blocked-GEMM shape
-    as the other ANN paths — broadcast (queries + centroids), one GEMM
-    per batch for assignment and one for scoring, per-batch exact
-    top-k, final window over |queries| x k x n_batches rows. With the
-    ivf_cell-partitioned layout (see ivf_cell_assignment) the mask
-    becomes partition pruning and non-probed cells are never read."""
+    """IVF n-probe top-k over the cell-partitioned layout: the scan
+    carries ``ivf_cell IN (probed cells)`` as a PARTITION filter, so
+    non-probed cells are never read (round-1 review: replace the
+    full-scan + mask with a pruned read). Per-query cell routing is a
+    broadcast equi-join of the |Q| x N_PROBE probe table on ivf_cell;
+    scoring is row-wise against the broadcast query matrix —
+    O(candidates in probed cells), never Q x N."""
     import numpy as np
 
     q_ids, qm, qnorm = _load_queries(sf_dir)
@@ -394,50 +527,29 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(q_ids))
         ]
     )
-    b_q = spark.sparkContext.broadcast(
-        (q_ids, qm, qnorm, probes, c_ids, cm, cnorm)
+    probe_df = spark.createDataFrame(
+        [
+            (int(q), int(cell))
+            for q, row in zip(q_ids, probes)
+            for cell in row
+        ],
+        "query_id bigint, ivf_cell bigint",
     )
-    top_k = TOP_K
-    assign_cells = _cell_assigner()  # local => shipped by value
-
-    def score(batches):
-        import numpy as np
-        import pandas as pd
-
-        q_ids_, qm_, qnorm_, probes_, c_ids_, cm_, cnorm_ = b_q.value
-        for pdf in batches:
-            n_ids = pdf["vec_id"].to_numpy()
-            c = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
-            )
-            cnorm_v = np.sqrt((c * c).sum(axis=1))
-            cells, _ = assign_cells(c, cnorm_v, c_ids_, cm_, cnorm_)
-            sims = np.round(
-                qm_ @ c.T / (qnorm_[:, None] * cnorm_v[None, :]), 6
-            )
-            # (Q, N) mask: candidate's cell not probed by the query
-            in_probe = (cells[None, :, None] == probes_[:, None, :]).any(
-                axis=2
-            )
-            mask = (q_ids_[:, None] == n_ids[None, :]) | ~in_probe
-            sims[mask] = -np.inf
-            out_q, out_n, out_s = [], [], []
-            for i in range(len(q_ids_)):
-                row = sims[i]
-                valid = np.nonzero(row != -np.inf)[0]
-                if len(valid) == 0:
-                    continue
-                order = valid[np.lexsort((n_ids[valid], -row[valid]))][:top_k]
-                out_q.extend([q_ids_[i]] * len(order))
-                out_n.extend(n_ids[order])
-                out_s.extend(row[order])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-            )
-
-    return _rank_topk(
-        _emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA)
+    layout = build_ivf_layout(spark, sf_dir)
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    cand = (
+        spark.read.parquet(layout)
+        # partition-column filter -> pruned at planning time
+        .filter(F.col("ivf_cell").isin(probed_cells))
     )
+    joined = (
+        cand.join(F.broadcast(probe_df), "ivf_cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding")
+    )
+    b_q = spark.sparkContext.broadcast((q_ids, qm, qnorm))
+    scored = joined.mapInPandas(_make_candidate_score(b_q, TOP_K), SCORE_SCHEMA)
+    return _rank_topk(scored)
 
 
 IVF_PROBE_SQL = f"""
@@ -521,7 +633,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.select(
             "vec_id",
             "v",
-            best["cid"].alias("cluster"),
+            best["cid"].cast("bigint").alias("cluster"),
             best["d"].alias("dist"),
         )
 

@@ -177,7 +177,7 @@ def _table_profile_oracle() -> str:
         f"""
 SELECT '{c}' AS column_name,
        count({c}) AS n,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        count(DISTINCT {c}) AS n_distinct,
        round(min({c}), 4) AS min_v,
        round(max({c}), 4) AS max_v,

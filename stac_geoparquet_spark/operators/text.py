@@ -65,9 +65,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        len({_sql_words()})                                            AS n_tokens,
-       list_sum(list_transform({_sql_words()},
-                               x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
-                                                                      AS n_subword_est,
+       CAST(list_sum(list_transform({_sql_words()},
+                                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+            AS BIGINT)                                                AS n_subword_est,
        length(text)                                                   AS n_chars_measured
 FROM documents
 """
@@ -288,7 +288,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").desc(), F.col("word")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "word", "tfidf", "rk")
     )

@@ -65,12 +65,64 @@ def _normalize_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
+def _norm_arrow_type(t):
+    """Collapse Arrow encodings that serialize identically; keep real
+    type-family differences (decimal vs int, int vs float) distinct —
+    those are exactly what the driver's value-hash is sensitive to
+    (round 1: DuckDB sum(BIGINT) -> HUGEINT -> decimal128(38,0) vs
+    Spark int64 hash-failed with identical values)."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return pa.binary()
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us")
+    if pa.types.is_date(t):
+        return pa.date32()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_norm_arrow_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [(f.name, _norm_arrow_type(f.type)) for f in t]
+        )
+    if pa.types.is_decimal(t):
+        return pa.decimal128(38, t.scale)
+    return t
+
+
+def _arrow_type_check(spark_df, d_table) -> str | None:
+    """Strict serialization check: compare the Arrow schema Spark emits
+    against the Arrow schema DuckDB emits, column-name-sorted.  Returns
+    an error string or None."""
+    s_table = spark_df.toArrow()
+    s_fields = {f.name: f.type for f in s_table.schema}
+    d_fields = {f.name: f.type for f in d_table.schema}
+    diffs = []
+    for name in sorted(s_fields):
+        if name not in d_fields:
+            continue  # column-name mismatch reported elsewhere
+        st = _norm_arrow_type(s_fields[name])
+        dt = _norm_arrow_type(d_fields[name])
+        if st != dt:
+            diffs.append(f"{name}: spark={s_fields[name]} duckdb={d_fields[name]}")
+    if diffs:
+        return "arrow type mismatch (driver hash would differ): " + "; ".join(diffs)
+    return None
+
+
+def compare(spark_df, sql: str, sf_dir: str, strict: bool = False) -> tuple[bool, str]:
     con = duckdb_conn(sf_dir)
     try:
         res = con.execute(sql)
         d_cols = [c[0] for c in res.description]
-        d_rows = res.fetchall()
+        if strict:
+            d_table = res.arrow()
+            d_rows = [tuple(r.values()) for r in d_table.to_pylist()]
+        else:
+            d_table = None
+            d_rows = res.fetchall()
     finally:
         con.close()
     s_cols = spark_df.columns
@@ -80,6 +132,10 @@ def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    if strict:
+        err = _arrow_type_check(spark_df, d_table)
+        if err:
+            return False, err
     _, sn = _normalize_rows(s_cols, s_rows)
     _, dn = _normalize_rows(d_cols, d_rows)
     if sn != dn:

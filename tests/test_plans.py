@@ -278,3 +278,38 @@ def test_histogram_broadcast_bounds_partial_agg(spark, sf):
         == 1
     )
     assert n_ops(plan, "HashAggregate") == 4  # bounds pair + bucket pair
+
+
+def test_ann_lsh_is_bucket_equi_join(spark, sf):
+    """The LSH index must do work: candidates come from a broadcast
+    equi-join on the bucket key, so off-bucket vectors never reach the
+    scorer (no full Q x N GEMM + mask)."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.ann_lsh_bucketed(spark, sf))
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert "Join condition" not in plan or "vec_id" in plan  # equi-join form
+    assert "[bucket" in plan or "bucket#" in plan
+    # candidate scoring runs AFTER the join: two Python stages total
+    # (bucketize before the join, candidate scorer after)
+    assert n_ops(plan, "FlatMapsInPandas") + n_ops(plan, "MapInPandas") == 2
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_ann_ivf_partition_pruned_scan(spark, sf):
+    """IVF n-probe reads ONLY the probed cells of the ivf_cell-
+    partitioned layout: the cell predicate must appear as a partition
+    filter on the layout scan (pruning, not post-scan masking)."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.ann_ivf_probe(spark, sf))
+    scan_sections = [
+        s for s in plan.split("(1) Scan parquet") if "ivf_layout" in s
+    ] or [s for s in plan.split("Scan parquet") if "ivf_layout" in s]
+    assert scan_sections, f"no layout scan found:\n{plan}"
+    layout_scan = scan_sections[0]
+    assert "PartitionFilters" in layout_scan
+    assert "INSET" in layout_scan.split("PartitionFilters")[1].splitlines()[0]
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
