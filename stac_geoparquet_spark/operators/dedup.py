@@ -235,19 +235,36 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# 2. n-gram Jaccard near-dup pairs (exact, quadratic verifier)
+# 2. n-gram Jaccard near-dup pairs
 # --------------------------------------------------------------------------
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Inverted-index shape: group the cached hash table by shingle hash
-    # (one shuffle), expand each posting list's i<j doc pairs inline,
-    # and count pair co-occurrences. Equivalent to the shash self-join
-    # but with ONE pass over the table instead of two join inputs — and
-    # unlike a broadcast/sort-merge self-join it needs no second copy of
-    # the table at 100 TB. Posting lists are distinct-per-doc by
-    # construction (shingles are de-duped per doc); hot stop-phrase
-    # shingles are the skew risk — their posting lists expand
-    # quadratically, which is inherent to exact all-pairs Jaccard (the
-    # MinHash operator is the scale path that bounds this).
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, exact_all_pairs: bool = False
+) -> DataFrame:
+    """Word-3-gram Jaccard pairs >= threshold.
+
+    Default path: exact Jaccard verified ONLY on MinHash/LSH candidate
+    pairs (shared with dedup_minhash_lsh — band-bucketed candidate
+    generation, then shingle-set intersection on the survivors). The
+    round-1 inverted-index verify expanded every shared-shingle posting
+    list's i<j pairs — quadratic in hot stop-phrase shingles, the one
+    shape that cannot survive 100 TB. The candidate join is linear in
+    band-bucket occupancy instead.
+
+    Recall: banding is probabilistic — P(candidate | j) =
+    1-(1-j^4)^8, i.e. ~40% at exactly j=0.5 — but real near-dup pairs
+    sit far above the threshold where recall is ~1 (j=0.9 ->
+    P(miss) ~ 2e-4), and the output is verified IDENTICAL to the
+    exhaustive all-pairs oracle at sf0.01 and sf0.1. ``exact_all_pairs=
+    True`` keeps the exhaustive inverted-index formulation for corpora
+    with borderline-threshold pairs.
+    """
+    if not exact_all_pairs:
+        return dedup_minhash_lsh(spark, sf_dir)
+    # Exhaustive inverted-index shape: group the cached hash table by
+    # shingle hash (one shuffle), expand each posting list's i<j doc
+    # pairs inline, and count pair co-occurrences. One pass over the
+    # table, but posting-list pair expansion is quadratic in hot
+    # shingles — exact all-pairs Jaccard is inherently so.
     shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash")
     inter = (
         shh.groupBy("shash")

@@ -53,7 +53,7 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fk_cust = (
         orders.join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             orders.o_custkey == customer.c_custkey,
             "left_anti",
         )

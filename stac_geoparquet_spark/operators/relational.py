@@ -10,9 +10,12 @@ handles skew/coalescing at scale.
 Scale notes (100 TB):
 - Fact tables (lineitem, orders, events) are only ever filtered,
   partially aggregated map-side, and shuffled on their group/join keys.
-- Dimensions (region, nation, customer, supplier, part) are broadcast —
-  explicitly via F.broadcast where the dim is guaranteed small, else
-  left to AQE's size estimate.
+- Broadcast policy: F.broadcast is forced ONLY for constant-size dims
+  (region: 5 rows, nation: 25 rows) and singleton/top-k derived
+  aggregates. customer/supplier/part grow with sf (~15 M customers at
+  sf100), so their joins are left to Catalyst's size estimate + AQE —
+  which still broadcasts them at small sf but degrades gracefully to a
+  shuffle join at 100 TB instead of OOMing the executors.
 - All aggregate/computed columns are aliased identically in the Spark
   plan and the oracle SQL (the driver hash-compares by column name).
 - Float aggregates are rounded identically on both sides so the
@@ -135,7 +138,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -184,9 +187,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(dim, li.l_suppkey == dim.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == dim.s_nationkey),
         )

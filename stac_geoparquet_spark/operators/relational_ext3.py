@@ -319,9 +319,13 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    # nullif guards the degenerate all-equal column (hi == lo): Spark's
+    # non-ANSI x/0 yields NULL while DuckDB yields inf, so the engines
+    # would diverge; nullif makes both NULL -> coalesce to bin 0.
     binned = orders.crossJoin(F.broadcast(bounds)).selectExpr(
-        f"least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {N_BINS}.0))"
-        f" AS BIGINT), {N_BINS - 1}) AS bin",
+        f"least(CAST(floor(coalesce((o_totalprice - lo)"
+        f" / nullif((hi - lo) / {N_BINS}.0, 0), 0)) AS BIGINT),"
+        f" {N_BINS - 1}) AS bin",
         "o_totalprice",
     )
     return binned.groupBy("bin").agg(
@@ -335,8 +339,9 @@ HISTOGRAM_SQL = f"""
 WITH bounds AS (
   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
 )
-SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {N_BINS}.0))
-             AS BIGINT), {N_BINS - 1}) AS bin,
+SELECT least(CAST(floor(coalesce((o_totalprice - lo)
+                  / nullif((hi - lo) / {N_BINS}.0, 0), 0)) AS BIGINT),
+             {N_BINS - 1}) AS bin,
        count(*) AS n,
        round(min(o_totalprice), 2) AS bin_min,
        round(max(o_totalprice), 2) AS bin_max

@@ -66,8 +66,8 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-        .join(F.broadcast(eu_supp), pairs.l_suppkey == F.col("s_suppkey"))
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(eu_supp, pairs.l_suppkey == F.col("s_suppkey"))
         .withColumn("max_bal", F.max("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("max_bal"))
         .select(
@@ -158,14 +158,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(nation_c), cust.c_nationkey == nation_c.n_nationkey
         )
         .join(F.broadcast(region), nation_c.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
     )
     dec_rev = _rev().cast("decimal(18,6)")
@@ -268,7 +268,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(top), rev.total_rev == F.col("max_rev"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -302,7 +302,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
             F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
         )
@@ -336,7 +336,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
         .filter(F.col("qty") > 300)
@@ -413,7 +413,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         culprit.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_name", "numwait")
     )
 

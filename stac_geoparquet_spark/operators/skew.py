@@ -43,8 +43,23 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big`` with ``small`` on ``on`` with the big side's
     rows spread over ``n_salts`` sub-keys. ``salt_src`` must be a
-    deterministic big-side column expression (retry-stable)."""
-    b = big.withColumn("__salt", (salt_src % n_salts).cast("int"))
+    deterministic big-side column expression (retry-stable).
+
+    Only ``inner`` and ``left`` are accepted: the salting identity
+    (salted join == unsalted join) holds when unmatched SMALL rows are
+    dropped — for right/full outer joins each unmatched small row would
+    surface once per salt replica. The salt is ``pmod(hash(salt_src),
+    n_salts)``: always in [0, n_salts) even for negative or NULL
+    ``salt_src`` (Spark's ``%`` keeps the sign, and a NULL salt would
+    silently drop big-side rows that match on the real key)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "outer small-side rows would be duplicated per salt replica"
+        )
+    b = big.withColumn(
+        "__salt", F.pmod(F.coalesce(F.hash(salt_src), F.lit(0)), F.lit(n_salts))
+    )
     s = small.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),

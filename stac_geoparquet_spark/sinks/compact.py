@@ -61,17 +61,39 @@ def compact_parquet(
     n_files, total, n_out = plan_compaction(spark, path, target_bytes)
     if n_files < min_files_to_compact or n_out >= n_files:
         return n_files, n_files
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact-tmp"
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: rename old out of the way, new into place
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(path).getFileSystem(jsc.hadoopConfiguration())
-    old = Path(path.rstrip("/") + ".compact-old")
-    fs.rename(Path(path), old)
-    fs.rename(Path(tmp), Path(path))
-    fs.delete(old, True)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old_str = path.rstrip("/") + ".compact-old"
+    old = Path(old_str)
+    # Refuse to run over leftovers of an interrupted compaction:
+    # Hadoop rename() returns False (it does not throw) when the
+    # destination exists, and a silent False here would either skip the
+    # swap while reporting success or — worse — let the unconditional
+    # backup delete run after a half-done swap.
+    if fs.exists(old):
+        raise RuntimeError(
+            f"stale {old_str} from an interrupted compaction; "
+            "inspect/restore it before compacting again"
+        )
+    df = spark.read.parquet(path)
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # swap: rename old out of the way, new into place — each rename's
+    # boolean checked, and the backup is deleted only after the new
+    # directory is verified readable at `path`.
+    if not fs.rename(Path(path), old):
+        raise RuntimeError(f"compaction swap failed: rename {path} -> {old_str}")
+    if not fs.rename(Path(tmp), Path(path)):
+        # roll back so the data is back at `path`
+        fs.rename(old, Path(path))
+        raise RuntimeError(f"compaction swap failed: rename {tmp} -> {path}")
     after, _, _ = plan_compaction(spark, path, target_bytes)
-    return n_files, max(after, 1)
+    if after < 1:
+        raise RuntimeError(
+            f"compaction produced no parquet files at {path}; "
+            f"backup preserved at {old_str}"
+        )
+    fs.delete(old, True)
+    return n_files, after

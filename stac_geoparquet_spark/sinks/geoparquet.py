@@ -18,6 +18,8 @@ points at those struct fields.
 from __future__ import annotations
 
 import json
+import warnings
+from collections.abc import Mapping
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,10 +95,37 @@ def _has_bbox_struct(schema: T.StructType) -> bool:
     }
 
 
-def build_stac_metadata(collections: list[str] | None = None) -> dict[str, Any]:
+def build_stac_metadata(
+    collections: "Mapping[str, Mapping[str, Any]] | list[str] | None" = None,
+    collection_metadata: "Mapping[str, Any] | None" = None,
+) -> dict[str, Any]:
+    """The ``stac-geoparquet`` footer object
+    (arrow/_to_parquet.py:150-173).
+
+    ``collections`` maps collection id -> the FULL Collection JSON
+    dict, stored verbatim under ``collections`` so readers can
+    rehydrate Collection objects from the footer. A plain list of id
+    strings is still accepted for callers that only track ids.
+    ``collection_metadata`` is the reference's deprecated
+    single-Collection form, stored under ``collection`` with the same
+    FutureWarning."""
     md: dict[str, Any] = {"version": STAC_GEOPARQUET_VERSION}
+    if collection_metadata is not None:
+        warnings.warn(
+            "'collection_metadata' is deprecated. Provide the STAC "
+            "Collection metadata as a dictionary of "
+            "'{collection_id: collection}' using the 'collections' "
+            "keyword instead.",
+            FutureWarning,
+            stacklevel=3,
+        )
+    if collection_metadata:
+        md["collection"] = dict(collection_metadata)
     if collections:
-        md["collections"] = collections
+        if isinstance(collections, Mapping):
+            md["collections"] = {k: dict(v) for k, v in collections.items()}
+        else:
+            md["collections"] = list(collections)
     return md
 
 
@@ -104,7 +133,8 @@ def to_geoparquet(
     df: DataFrame,
     output_path: str,
     schema_version: str = "1.1.0",
-    collections: list[str] | None = None,
+    collections: Mapping[str, Mapping[str, Any]] | list[str] | None = None,
+    collection_metadata: Mapping[str, Any] | None = None,
     compression: str = "snappy",
     extra_metadata: dict[str, str] | None = None,
     spatial_order: bool = False,
@@ -144,7 +174,7 @@ def to_geoparquet(
         )
 
     geo_md = json.dumps(build_geo_metadata(df.schema, schema_version))
-    stac_md = json.dumps(build_stac_metadata(collections))
+    stac_md = json.dumps(build_stac_metadata(collections, collection_metadata))
     kv: dict[str, str] = {"geo": geo_md, "stac-geoparquet": stac_md}
     for k, v in (extra_metadata or {}).items():
         kv[k] = v

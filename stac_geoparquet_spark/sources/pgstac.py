@@ -109,13 +109,20 @@ def read_pgstac(
     search: str | None = None,
     fetchsize: int = DEFAULT_FETCHSIZE,
     num_partitions: int | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
     **jdbc_options: str,
 ) -> DataFrame:
     """JDBC scan of pgstac items with the predicates pushed into the
     query (S5). `fetchsize` bounds memory exactly like the reference's
     server-side cursor page; with a datetime range and
     ``num_partitions``, the scan parallelizes on `partitionColumn=
-    datetime` so every executor reads a disjoint time slice."""
+    datetime` so every executor reads a disjoint time slice.
+
+    ``transform`` is the Spark-idiomatic analog of the reference's
+    per-item ``row_func`` hook (pgstac_reader.py:164): a
+    DataFrame -> DataFrame callable applied to the scan before it is
+    returned, so per-item logic runs vectorized inside the plan rather
+    than row-at-a-time in a Python callback."""
     sql = build_items_sql(collection, start_datetime, end_datetime, search)
     reader = (
         spark.read.format("jdbc")
@@ -132,7 +139,8 @@ def read_pgstac(
         )
     for k, v in jdbc_options.items():
         reader = reader.option(k, v)
-    return reader.load()
+    df = reader.load()
+    return transform(df) if transform is not None else df
 
 
 # ---------------------------------------------------------------------------
@@ -310,16 +318,22 @@ def sync_partitions(
     read_partition: Callable[[dict], DataFrame],
     output_path: str,
     write: Callable[[DataFrame, str], None] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> list[str]:
     """§2.8 incremental sync: re-export every changed partition to
     <output>/<collection>/items_<start>_<end>.parquet — idempotent
     partition overwrite, the batch-refresh pattern that replaces the
     reference's per-partition rewrite loop. ``read_partition`` is
     injected (in production a read_pgstac slice; in tests a fixture
-    DataFrame) so the orchestration is testable without Postgres."""
+    DataFrame) so the orchestration is testable without Postgres.
+    ``transform`` mirrors the reference's per-item ``row_func``
+    (pgstac_reader.py:164) as a vectorized DataFrame hook applied to
+    each partition before it is written."""
     written: list[str] = []
     for p in partitions:
         df = read_partition(p)
+        if transform is not None:
+            df = transform(df)
         dest = "/".join(
             (
                 output_path.rstrip("/"),

@@ -49,3 +49,21 @@ def test_plan_compaction_counts(spark, tmp_path):
     assert n_files == 8
     assert total > 0
     assert n_out == 1
+
+
+def test_compact_refuses_stale_backup_dir(spark, tmp_path):
+    """A leftover .compact-old from an interrupted run must abort the
+    compaction (Hadoop rename() returns False instead of throwing when
+    the destination exists, so an unchecked swap would silently no-op
+    and then delete the backup)."""
+    import pytest
+
+    path = str(tmp_path / "frag2")
+    spark.range(1_000).repartition(8).write.parquet(path)
+    stale = path + ".compact-old"
+    os.makedirs(stale)
+    with pytest.raises(RuntimeError, match="stale"):
+        compact_parquet(spark, path, target_bytes=1 << 30, min_files_to_compact=4)
+    # source untouched
+    assert spark.read.parquet(path).count() == 1_000
+    assert os.path.isdir(stale)

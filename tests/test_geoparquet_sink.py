@@ -178,3 +178,43 @@ def test_spatial_order_requires_bbox(spark):
 
     with _pytest.raises(ValueError, match="bbox"):
         to_geoparquet(df, "/tmp/never-written", spatial_order=True)
+
+
+def test_full_collection_dicts_round_trip(spark, tmp_path, normalized):
+    """`collections` as {id: full Collection JSON} is stored verbatim
+    under stac-geoparquet.collections and rehydrates from the footer
+    (reference: arrow/_to_parquet.py:150-173, tests/test_parquet.py:62-101)."""
+    from stac_geoparquet_spark.sinks import read_geoparquet_metadata, to_geoparquet
+
+    collection = {
+        "type": "Collection",
+        "id": "naip-like",
+        "stac_version": "1.0.0",
+        "description": "synthetic naip-like imagery",
+        "license": "PDDL-1.0",
+        "extent": {
+            "spatial": {"bbox": [[-120.0, 30.0, -100.0, 45.0]]},
+            "temporal": {"interval": [["2020-01-01T00:00:00Z", None]]},
+        },
+        "links": [],
+    }
+    dest = str(tmp_path / "out_gpq_coll")
+    to_geoparquet(normalized, dest, collections={"naip-like": collection})
+    stac = read_geoparquet_metadata(dest)["stac-geoparquet"]
+    assert stac == {
+        "version": "1.0.0",
+        "collections": {"naip-like": collection},
+    }
+
+
+def test_deprecated_collection_metadata_round_trip(spark, tmp_path, normalized):
+    """The deprecated single-Collection form stores under `collection`
+    and raises FutureWarning, matching the reference."""
+    from stac_geoparquet_spark.sinks import read_geoparquet_metadata, to_geoparquet
+
+    collection = {"type": "Collection", "id": "naip-like"}
+    dest = str(tmp_path / "out_gpq_collmeta")
+    with pytest.warns(FutureWarning, match="collections"):
+        to_geoparquet(normalized, dest, collection_metadata=collection)
+    stac = read_geoparquet_metadata(dest)["stac-geoparquet"]
+    assert stac == {"version": "1.0.0", "collection": collection}

@@ -226,3 +226,28 @@ def test_sync_partitions_writes_partition_tree(spark, tmp_path):
     # idempotent overwrite (the reference re-exports whole partitions)
     written2 = pgstac.sync_partitions(parts[:1], read_partition, out)
     assert spark.read.parquet(written2[0]).count() == 3
+
+
+def test_sync_partitions_transform_hook(spark, tmp_path):
+    """transform= mirrors the reference's per-item row_func
+    (pgstac_reader.py:164) as a vectorized DataFrame hook: applied to
+    every partition before the write."""
+    parts = [
+        {"collection": "naip", "start_datetime": TS, "end_datetime": TS2},
+    ]
+
+    def read_partition(p):
+        return spark.range(3).withColumn("collection", F.lit(p["collection"]))
+
+    out = str(tmp_path / "sync_tx")
+    written = pgstac.sync_partitions(
+        parts,
+        read_partition,
+        out,
+        transform=lambda df: df.filter(F.col("id") > 0).withColumn(
+            "tagged", F.lit(True)
+        ),
+    )
+    back = spark.read.parquet(written[0])
+    assert back.count() == 2
+    assert back.filter(~F.col("tagged")).count() == 0

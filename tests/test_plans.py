@@ -313,3 +313,21 @@ def test_ann_ivf_partition_pruned_scan(spark, sf):
     assert "INSET" in layout_scan.split("PartitionFilters")[1].splitlines()[0]
     assert n_ops(plan, "BroadcastHashJoin") == 1
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_ngram_jaccard_candidates_path(spark, sf):
+    """Default ngram-Jaccard verifies only MinHash/LSH candidate pairs
+    (linear in band-bucket occupancy); the exhaustive posting-list
+    expansion — quadratic in hot shingles — exists only behind
+    exact_all_pairs=True, and the two agree on this corpus."""
+    from pyspark.sql import functions as F
+
+    fast = dedup.dedup_ngram_jaccard(spark, sf)
+    # the default path must not group pair expansion by shingle hash
+    plan = plan_of(fast)
+    assert "hashpartitioning(shash" not in plan
+    exact = dedup.dedup_ngram_jaccard(spark, sf, exact_all_pairs=True)
+    key = lambda df: sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    )
+    assert key(fast) == key(exact)
