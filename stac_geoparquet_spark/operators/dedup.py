@@ -667,6 +667,53 @@ WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
 """
 
 
+# --------------------------------------------------------------------------
+# 3c. dedup survivors — the keep-list a training pipeline actually
+#     writes: every doc, flagged keep unless it is a non-canonical
+#     member of a near-dup cluster
+# --------------------------------------------------------------------------
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, keep): left-join the corpus to the (tiny)
+    connected-components labels; keep = not clustered OR the cluster's
+    canonical (minimum) doc. The corpus side never shuffles — the
+    cluster label table is pair-graph-sized (docs that had a verified
+    near-dup), so Catalyst/AQE broadcasts it at any scale."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    cc = dedup_cluster_cc(spark, sf_dir).select("doc_id", "cluster_id")
+    return docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("keep"),
+    )
+
+
+def _survivors_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.doc_id
+),
+cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT d.doc_id, cc.cluster_id,
+       (cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN cc USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -674,6 +721,7 @@ QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_survivors": dedup_survivors,
 }
 
 ORACLE = {
@@ -683,4 +731,5 @@ ORACLE = {
     "dedup_cluster_cc": _cluster_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    "dedup_survivors": _survivors_oracle_sql(),
 }

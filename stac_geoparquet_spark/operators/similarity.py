@@ -697,12 +697,44 @@ SELECT vec_id, cluster, dist FROM a2
 """
 
 
+# --------------------------------------------------------------------------
+# int8 embedding quantization — symmetric per-vector scaling, the
+# storage/serving compression pass (4x smaller vectors, dot products in
+# int arithmetic). Pure column expressions, single projection, no
+# shuffle, no Python. floor(x + 0.5) instead of round() so both
+# engines share one deterministic tie rule; nullif guards the
+# all-zero vector (Spark x/0 -> NULL vs DuckDB -> inf).
+# --------------------------------------------------------------------------
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return emb.selectExpr(
+        "vec_id",
+        "array_max(transform(v, x -> abs(x))) / 127.0 AS scale",
+        "transform(v, x -> CAST(floor(coalesce("
+        "  x / nullif(array_max(transform(v, y -> abs(y))) / 127.0, 0), 0)"
+        " + 0.5) AS INT)) AS q",
+    )
+
+
+QUANTIZE_SQL = """
+SELECT vec_id,
+       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
+       list_transform(v, x -> CAST(floor(coalesce(
+           x / nullif(list_max(list_transform(v, y -> abs(y))) / 127.0, 0), 0)
+         + 0.5) AS INTEGER)) AS q
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+"""
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ivf_cell_assignment": ivf_cell_assignment,
     "ann_ivf_probe": ann_ivf_probe,
     "kmeans_embeddings": kmeans_embeddings,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLE = {
@@ -711,4 +743,5 @@ ORACLE = {
     "ivf_cell_assignment": IVF_ASSIGN_SQL,
     "ann_ivf_probe": IVF_PROBE_SQL,
     "kmeans_embeddings": _kmeans_oracle_sql(),
+    "embedding_quantize_int8": QUANTIZE_SQL,
 }

@@ -321,6 +321,74 @@ WHERE rk <= {TFIDF_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# vocabulary build: global top-K terms by corpus frequency — the
+# tokenizer-training / vocab-pruning pass. Distributed top-K
+# (TakeOrderedAndProject over partial counts), never a global sort;
+# the final row_number runs on the K survivors only.
+# --------------------------------------------------------------------------
+VOCAB_TOP_K = 50
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(VOCAB_TOP_K)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+VOCAB_SQL = f"""
+SELECT word, n, rk FROM (
+  SELECT word, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+  FROM (SELECT unnest({_sql_words()}) AS word FROM documents) t
+  GROUP BY word
+) r
+WHERE rk <= {VOCAB_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# context-length bucketing: docs grouped into power-of-two token-count
+# buckets — the batch-packing histogram a training dataloader needs.
+# Single scan, partial agg; log2 is exact at integer powers of two on
+# both engines (radix-2 libm), so bucket edges agree bit-for-bit.
+# --------------------------------------------------------------------------
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(_words(F.col("text"))).cast("bigint")
+    return (
+        docs.select(
+            F.floor(F.log2(n_tok + F.lit(1))).cast("bigint").alias("bucket"),
+            n_tok.alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+LENGTH_BUCKETS_SQL = f"""
+SELECT CAST(floor(log2(len({_sql_words()}) + 1)) AS BIGINT) AS bucket,
+       count(*)                                             AS n_docs,
+       min(len({_sql_words()}))                             AS min_tokens,
+       max(len({_sql_words()}))                             AS max_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -328,6 +396,8 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "split_train_holdout": split_train_holdout,
+    "vocab_top_terms": vocab_top_terms,
+    "doc_length_buckets": doc_length_buckets,
 }
 
 ORACLE = {
@@ -337,4 +407,6 @@ ORACLE = {
     "text_lang_id": _lang_oracle_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
     "split_train_holdout": SPLIT_SQL,
+    "vocab_top_terms": VOCAB_SQL,
+    "doc_length_buckets": LENGTH_BUCKETS_SQL,
 }
