@@ -673,11 +673,13 @@ WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
 #     member of a near-dup cluster
 # --------------------------------------------------------------------------
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id, keep): left-join the corpus to the (tiny)
+    """(doc_id, cluster_id, keep): left-join the corpus to the
     connected-components labels; keep = not clustered OR the cluster's
-    canonical (minimum) doc. The corpus side never shuffles — the
-    cluster label table is pair-graph-sized (docs that had a verified
-    near-dup), so Catalyst/AQE broadcasts it at any scale."""
+    canonical (minimum) doc. The label table is pair-graph-sized (only
+    docs with a verified near-dup), orders of magnitude smaller than
+    the corpus; its size is data-dependent, so the join is left to
+    AQE — broadcast when it fits, shuffle join when a high-dup corpus
+    makes it large (a forced broadcast would OOM there)."""
     import os
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(

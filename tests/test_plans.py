@@ -331,3 +331,48 @@ def test_ngram_jaccard_candidates_path(spark, sf):
         (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
     )
     assert key(fast) == key(exact)
+
+
+def test_vocab_topk_no_global_sort(spark, sf):
+    """Global vocab top-K is TakeOrderedAndProject over partial counts
+    — never a full sort of the vocabulary; the ranking window runs on
+    the K survivors only (after the limit)."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.vocab_top_terms(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert n_ops(plan, "Window") == 1
+
+
+def test_length_buckets_partial_agg_pruned_scan(spark, sf):
+    """Single-pass bucketing: partial + final hash aggregate around one
+    exchange on the bucket key, and the scan reads ONLY the text
+    column."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.doc_length_buckets(spark, sf))
+    assert n_ops(plan, "HashAggregate") == 2
+    assert "hashpartitioning(bucket" in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read and "doc_id" not in read
+
+
+def test_quantize_single_projection_no_shuffle(spark, sf):
+    """int8 quantization is a pure projection pipeline: no exchange, no
+    join, no Python stage."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.embedding_quantize_int8(spark, sf))
+    assert n_ops(plan, "Exchange") == 0
+    assert n_ops(plan, "FlatMapsInPandas") + n_ops(plan, "MapInPandas") == 0
+
+
+def test_survivors_no_cartesian(spark, sf):
+    """Corpus x labels keep-list join must be an equi-join (broadcast
+    or shuffle — AQE's choice by label-table size), never a cartesian
+    or nested-loop product."""
+    from stac_geoparquet_spark.operators import dedup as dd
+
+    plan = plan_of(dd.dedup_survivors(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
