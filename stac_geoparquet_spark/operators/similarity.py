@@ -474,6 +474,9 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     path = ivf_layout_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    import uuid
+
+    build_dir = f"{path}.build-{uuid.uuid4().hex[:8]}"
     c_ids, cm, cnorm = _load_centroids(sf_dir)
     b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
     assign_cells = _cell_assigner()  # local => shipped by value
@@ -502,8 +505,21 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
         .mapInPandas(tag, "vec_id bigint, embedding array<float>, ivf_cell bigint")
         .write.mode("overwrite")
         .partitionBy("ivf_cell")
-        .parquet(path)
+        .parquet(build_dir)
     )
+    # Publish atomically: build in a private dir, then one rename into
+    # place. Concurrent builders race benignly — whoever renames first
+    # wins (the content is deterministic), the loser discards its copy
+    # — and no reader ever sees a half-written layout (the compact.py
+    # lesson: unchecked overlapping writes to a shared path).
+    import shutil
+
+    try:
+        os.rename(build_dir, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+        shutil.rmtree(build_dir, ignore_errors=True)
     return path
 
 
