@@ -1,0 +1,104 @@
+"""Semantic invariants for the round-2 operators, checked on real
+sf0.001 outputs (the oracle gate proves Spark==DuckDB; these prove the
+shared answer means what it claims)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Symmetric int8: every component reconstructs within scale/2, and
+    every code fits int8's [-127, 127]."""
+    from stac_geoparquet_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    import os
+
+    import pyarrow.parquet as pq
+
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in pq.read_table(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        ).to_pylist()
+    }
+    for r in rows:
+        v, scale, q = orig[r["vec_id"]], r["scale"], r["q"]
+        assert len(q) == len(v)
+        for x, code in zip(v, q):
+            assert -127 <= code <= 127
+            if scale > 0:
+                assert abs(x - code * scale) <= scale / 2 + 1e-12
+
+
+def test_survivors_one_keeper_per_cluster(spark):
+    """Every near-dup cluster keeps exactly one member (its minimum
+    doc_id); every unclustered doc is kept; total keeps = corpus -
+    (cluster sizes - 1)."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.dedup import dedup_survivors
+
+    rows = dedup_survivors(spark, SF_DIR).collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        if r["cluster_id"] is None:
+            assert r["keep"], f"unclustered doc {r['doc_id']} must be kept"
+        else:
+            by_cluster[r["cluster_id"]].append(r)
+    assert by_cluster, "fixture corpus should contain near-dup clusters"
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == min(m["doc_id"] for m in members) == cid
+
+
+def test_length_buckets_partition_corpus(spark):
+    """Buckets tile the corpus: counts sum to |documents| and bucket
+    token ranges are disjoint powers-of-two windows."""
+    import os
+
+    from stac_geoparquet_spark.operators.text import doc_length_buckets
+
+    rows = sorted(
+        doc_length_buckets(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n_docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        lo, hi = 2 ** r["bucket"] - 1, 2 ** (r["bucket"] + 1) - 1
+        assert lo <= r["min_tokens"] <= r["max_tokens"] < hi
+
+
+def test_vocab_topk_counts_are_true_frequencies(spark):
+    """The top-K vocabulary's counts match a direct recount, and ranks
+    are the (count desc, word asc) total order."""
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.operators.text import (
+        VOCAB_TOP_K,
+        vocab_top_terms,
+    )
+
+    rows = sorted(vocab_top_terms(spark, SF_DIR).collect(), key=lambda r: r["rk"])
+    assert 0 < len(rows) <= VOCAB_TOP_K
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    truth = {
+        r["word"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    ranked = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["word"], r["n"]) for r in rows] == ranked
