@@ -271,8 +271,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-06-01'
 # --------------------------------------------------------------------------
 # Q17 — small-quantity-order revenue. The correlated scalar subquery
 # (avg quantity per part) is decorrelated into an aggregate + join —
-# the plan Catalyst produces for the subquery form anyway, written
-# explicitly so the per-part threshold table is broadcast.
+# the plan Catalyst produces for the subquery form anyway. The
+# threshold table is one row per distinct partkey (sf-proportional),
+# so its join is left to AQE: broadcast at small sf, shuffle at scale.
 # --------------------------------------------------------------------------
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -282,7 +283,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(

@@ -303,9 +303,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(
-            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
-        )
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
