@@ -24,6 +24,7 @@ if _REPO not in sys.path:
 
 def _registries():
     from stac_geoparquet_spark.operators import (
+        bucketing,
         dedup,
         funnel,
         graph,
@@ -64,6 +65,7 @@ def _registries():
         layout,
         streaming_dedup,
         streaming_rollup,
+        bucketing,
         relational,
         relational_ext,
         relational_ext3,
@@ -71,7 +73,7 @@ def _registries():
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for m in modules[:14]:  # families without a round-1 driver row
+    for m in modules[:15]:  # families without a round-1 driver row
         queries.update(m.QUERIES)
         oracle.update(m.ORACLE)
     # The two round-1 hash-fails were fixed (HUGEINT oracle casts) and

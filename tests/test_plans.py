@@ -376,3 +376,17 @@ def test_survivors_no_cartesian(spark, sf):
     plan = plan_of(dd.dedup_survivors(spark, sf))
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_bucketed_join_no_exchange(spark, sf):
+    """The co-located fact-fact join: both sides read bucketed on the
+    join key (Bucketed: true), the SortMergeJoin has NO Exchange on
+    either input — the only exchange in the plan is the final tiny
+    aggregation's."""
+    from stac_geoparquet_spark.operators import bucketing
+
+    plan = plan_of(bucketing.bucketed_colocated_join(spark, sf))
+    assert "Bucketed: true" in plan
+    assert n_ops(plan, "SortMergeJoin") == 1
+    assert n_ops(plan, "Exchange") == 1  # only the groupBy's
+    assert "hashpartitioning(o_orderpriority" in plan
