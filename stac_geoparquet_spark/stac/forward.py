@@ -363,6 +363,41 @@ def read_items(
     )
 
 
+def parse_stac_ndjson_to_geoparquet(
+    spark: SparkSession,
+    input_path: str | list[str],
+    output_path: str,
+    *,
+    schema: T.StructType | None = None,
+    limit: int | None = None,
+    schema_version: str = "1.1.0",
+    collections=None,
+    collection_metadata=None,
+    on_collision: str = "warn",
+    **sink_kwargs,
+) -> list[str]:
+    """K5 end-to-end: NDJSON STAC items -> footer-stamped GeoParquet in
+    one call — the Spark analogue of parse_stac_ndjson_to_parquet
+    (arrow/_api.py:281-336), including the ``collections`` /
+    deprecated ``collection_metadata`` footer passthrough. Returns the
+    files written. ``limit`` mirrors the reference's record cap (S3);
+    chunking needs no parameter — Spark splits the input by file
+    blocks."""
+    from stac_geoparquet_spark.sinks.geoparquet import to_geoparquet
+
+    df = read_items(spark, input_path, schema=schema, on_collision=on_collision)
+    if limit is not None:
+        df = df.limit(limit)
+    return to_geoparquet(
+        df,
+        output_path,
+        schema_version=schema_version,
+        collections=collections,
+        collection_metadata=collection_metadata,
+        **sink_kwargs,
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2 — self-link extraction (stac_geoparquet.py:119-129, :22-24)
 # ---------------------------------------------------------------------------

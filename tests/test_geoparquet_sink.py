@@ -218,3 +218,28 @@ def test_deprecated_collection_metadata_round_trip(spark, tmp_path, normalized):
         to_geoparquet(normalized, dest, collection_metadata=collection)
     stac = read_geoparquet_metadata(dest)["stac-geoparquet"]
     assert stac == {"version": "1.0.0", "collection": collection}
+
+
+def test_parse_stac_ndjson_to_geoparquet_end_to_end(spark, tmp_path):
+    """K5 single-call path (reference arrow/_api.py:281-336): NDJSON in,
+    footer-stamped GeoParquet out, collections dict in the footer,
+    limit honored."""
+    from stac_geoparquet_spark.sinks import read_geoparquet_metadata
+    from stac_geoparquet_spark.stac import parse_stac_ndjson_to_geoparquet
+
+    src = str(tmp_path / "e2e.ndjson")
+    items = fx.naip_like_items()
+    fx.write_ndjson(items, src)
+    dest = str(tmp_path / "e2e_gpq")
+    coll = {"type": "Collection", "id": "naip-like", "description": "d"}
+    files = parse_stac_ndjson_to_geoparquet(
+        spark, src, dest, collections={"naip-like": coll}
+    )
+    assert files
+    assert spark.read.parquet(dest).count() == len(items)
+    stac = read_geoparquet_metadata(dest)["stac-geoparquet"]
+    assert stac["collections"] == {"naip-like": coll}
+
+    dest2 = str(tmp_path / "e2e_gpq_lim")
+    parse_stac_ndjson_to_geoparquet(spark, src, dest2, limit=2)
+    assert spark.read.parquet(dest2).count() == 2
