@@ -83,7 +83,7 @@ def _registries():
     for name in ("events_json_extract", "events_sessionize"):
         queries[name] = relational.QUERIES[name]
         oracle[name] = relational.ORACLE[name]
-    for m in modules[14:]:
+    for m in modules[15:]:
         queries.update(m.QUERIES)
         oracle.update(m.ORACLE)
     return queries, oracle

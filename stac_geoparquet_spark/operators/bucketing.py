@@ -62,7 +62,11 @@ def write_bucketed(
 
 
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    # Key the session tables on the FULL path, not the basename — two
+    # data dirs sharing a basename must not alias to one table.
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     li_name = f"sgs_lineitem_b{N_BUCKETS}_{tag}"
     ord_name = f"sgs_orders_b{N_BUCKETS}_{tag}"
     if not spark.catalog.tableExists(li_name):

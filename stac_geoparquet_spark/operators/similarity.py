@@ -456,11 +456,19 @@ SELECT vec_id, ivf_cell FROM assigned
 
 def ivf_layout_path(sf_dir: str) -> str:
     """Scratch location of the ivf_cell-partitioned copy of the
-    embeddings table for ``sf_dir``."""
+    embeddings table for ``sf_dir``. The key includes the source
+    file's (mtime, size) so a regenerated embeddings.parquet gets a
+    fresh layout instead of silently serving stale neighbors."""
     import hashlib as _h
     import tempfile
 
-    tag = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "missing"
+    tag = _h.md5(f"{src}|{stamp}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"sgs_ivf_layout_{tag}")
 
 
@@ -725,11 +733,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(
         os.path.join(sf_dir, "embeddings.parquet")
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # scale computed ONCE in a prior projection: interpreted lambda
+    # bodies are neither codegen'd nor CSE'd, so inlining the max into
+    # the per-element transform would make quantization O(d^2) per row
     return emb.selectExpr(
         "vec_id",
+        "v",
         "array_max(transform(v, x -> abs(x))) / 127.0 AS scale",
-        "transform(v, x -> CAST(floor(coalesce("
-        "  x / nullif(array_max(transform(v, y -> abs(y))) / 127.0, 0), 0)"
+    ).selectExpr(
+        "vec_id",
+        "scale",
+        "transform(v, x -> CAST(floor(coalesce(x / nullif(scale, 0), 0)"
         " + 0.5) AS INT)) AS q",
     )
 

@@ -86,9 +86,18 @@ def compact_parquet(
     if not fs.rename(Path(path), old):
         raise RuntimeError(f"compaction swap failed: rename {path} -> {old_str}")
     if not fs.rename(Path(tmp), Path(path)):
-        # roll back so the data is back at `path`
-        fs.rename(old, Path(path))
-        raise RuntimeError(f"compaction swap failed: rename {tmp} -> {path}")
+        # roll back so the data is back at `path` — and if even the
+        # rollback fails, say exactly where the live data sits
+        if fs.rename(old, Path(path)):
+            raise RuntimeError(
+                f"compaction swap failed: rename {tmp} -> {path}; "
+                "original data restored in place"
+            )
+        raise RuntimeError(
+            f"compaction swap failed: rename {tmp} -> {path}, and rollback "
+            f"also failed — the live data is at {old_str}, the compacted "
+            f"copy at {tmp}; nothing is at {path}"
+        )
     after, _, _ = plan_compaction(spark, path, target_bytes)
     if after < 1:
         raise RuntimeError(

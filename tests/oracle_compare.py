@@ -92,11 +92,10 @@ def _norm_arrow_type(t):
     return t
 
 
-def _arrow_type_check(spark_df, d_table) -> str | None:
+def _arrow_type_check(s_table, d_table) -> str | None:
     """Strict serialization check: compare the Arrow schema Spark emits
     against the Arrow schema DuckDB emits, column-name-sorted.  Returns
     an error string or None."""
-    s_table = spark_df.toArrow()
     s_fields = {f.name: f.type for f in s_table.schema}
     d_fields = {f.name: f.type for f in d_table.schema}
     diffs = []
@@ -126,14 +125,22 @@ def compare(spark_df, sql: str, sf_dir: str, strict: bool = False) -> tuple[bool
     finally:
         con.close()
     s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    if strict:
+        # ONE Spark job: rows and serialized schema both come from the
+        # same toArrow() result (a separate collect() would re-run the
+        # whole query)
+        s_table = spark_df.toArrow()
+        s_rows = [tuple(r.values()) for r in s_table.to_pylist()]
+    else:
+        s_table = None
+        s_rows = [tuple(r) for r in spark_df.collect()]
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
     if strict:
-        err = _arrow_type_check(spark_df, d_table)
+        err = _arrow_type_check(s_table, d_table)
         if err:
             return False, err
     _, sn = _normalize_rows(s_cols, s_rows)

@@ -288,8 +288,10 @@ def test_ann_lsh_is_bucket_equi_join(spark, sf):
 
     plan = plan_of(similarity.ann_lsh_bucketed(spark, sf))
     assert n_ops(plan, "BroadcastHashJoin") == 1
-    assert "Join condition" not in plan or "vec_id" in plan  # equi-join form
-    assert "[bucket" in plan or "bucket#" in plan
+    # the join's hash keys are the bucket columns (equi-join on bucket)
+    detail = plan.split("BroadcastHashJoin")[-1]
+    left_keys = [ln for ln in detail.splitlines() if "Left keys" in ln]
+    assert left_keys and "bucket" in left_keys[0]
     # candidate scoring runs AFTER the join: two Python stages total
     # (bucketize before the join, candidate scorer after)
     assert n_ops(plan, "FlatMapsInPandas") + n_ops(plan, "MapInPandas") == 2
