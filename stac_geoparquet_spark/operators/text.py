@@ -389,6 +389,74 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# unigram log-perplexity: the CCNet-style LM quality filter. A unigram
+# model is fit on the corpus itself (count/total with add-one
+# smoothing), then each doc is scored by its average -log2 p(word) —
+# low = typical text, high = out-of-distribution. Two shuffles total:
+# the model's word-count aggregate and the per-doc score aggregate;
+# the model join is word-keyed and AQE-sized (a real corpus LM is
+# top-K truncated and broadcastable; smoothing covers the tail).
+# Determinism: per-word -log2 p is left UNROUNDED (rounding each word
+# puts every word's value near a potential .5 boundary where Spark and
+# DuckDB libm/round ulps can disagree — observed at sf0.1); instead
+# only the per-doc mean is rounded, at 4 decimals, where the engines'
+# accumulated difference (~1e-13) is nine orders below the quantum.
+# --------------------------------------------------------------------------
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    model = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    totals = model.agg(
+        F.sum("wc").alias("n_total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    scored = (
+        words.join(model, "word")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.col("wc") + F.lit(1))
+                    / (F.col("n_total") + F.col("n_vocab"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 4).alias("avg_neg_log2_p"),
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+    )
+
+
+UNIGRAM_LOGPPL_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_sql_words()}) AS word FROM documents
+),
+model AS (
+  SELECT word, count(*) AS wc FROM words GROUP BY word
+),
+totals AS (
+  SELECT CAST(sum(wc) AS BIGINT) AS n_total,
+         count(*) AS n_vocab
+  FROM model
+),
+scored AS (
+  SELECT doc_id,
+         -log2((wc + 1) * 1.0 / (n_total + n_vocab)) AS nll
+  FROM words JOIN model USING (word) CROSS JOIN totals
+)
+SELECT doc_id,
+       round(avg(nll), 4) AS avg_neg_log2_p,
+       count(*) AS n_scored_tokens
+FROM scored
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -398,6 +466,7 @@ QUERIES = {
     "split_train_holdout": split_train_holdout,
     "vocab_top_terms": vocab_top_terms,
     "doc_length_buckets": doc_length_buckets,
+    "text_unigram_logppl": text_unigram_logppl,
 }
 
 ORACLE = {
@@ -409,4 +478,5 @@ ORACLE = {
     "split_train_holdout": SPLIT_SQL,
     "vocab_top_terms": VOCAB_SQL,
     "doc_length_buckets": LENGTH_BUCKETS_SQL,
+    "text_unigram_logppl": UNIGRAM_LOGPPL_SQL,
 }
