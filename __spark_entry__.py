@@ -30,6 +30,7 @@ def _registries():
         graph,
         layout,
         multimodal,
+        pipeline,
         quality,
         relational,
         relational_ext,
@@ -50,22 +51,25 @@ def _registries():
     # relational modules without a hard signal. Families with no
     # driver-green row yet go FIRST; the already-proven relational 50
     # rotate to the back (and back into the window in a later round).
-    modules = [
+    front = [  # families without a round-1 driver row go first
         stac_query,
         dedup,
         similarity,
         text,
+        pipeline,
         multimodal,
         stats,
         spatial,
         funnel,
         graph,
+        streaming_dedup,
+        streaming_rollup,
         skew,
         quality,
         layout,
-        streaming_dedup,
-        streaming_rollup,
         bucketing,
+    ]
+    back = [
         relational,
         relational_ext,
         relational_ext3,
@@ -73,17 +77,21 @@ def _registries():
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for m in modules[:15]:  # families without a round-1 driver row
+    for m in front[:1]:
         queries.update(m.QUERIES)
         oracle.update(m.ORACLE)
-    # The two round-1 hash-fails were fixed (HUGEINT oracle casts) and
-    # need a driver re-verify row, so they go inside the window too
-    # (first insertion wins dict position; the later module update
-    # keeps them here).
+    # The two round-1 hash-FAILS were fixed (HUGEINT oracle casts) and
+    # need a driver re-verify row most urgently, so they go right after
+    # the STAC family — position 6-7, safely inside the driver's
+    # observed 50-entry CORRECTNESS window (first insertion wins dict
+    # position; the later relational update keeps them here).
     for name in ("events_json_extract", "events_sessionize"):
         queries[name] = relational.QUERIES[name]
         oracle[name] = relational.ORACLE[name]
-    for m in modules[15:]:
+    for m in front[1:]:
+        queries.update(m.QUERIES)
+        oracle.update(m.ORACLE)
+    for m in back:
         queries.update(m.QUERIES)
         oracle.update(m.ORACLE)
     return queries, oracle

@@ -1,0 +1,395 @@
+"""LLM training-data pipeline operators over the ``documents`` table:
+benchmark decontamination, repetition-based quality filtering
+(Gopher-style), sequence packing into fixed token budgets, and
+RAG-style overlapping chunking.
+
+All pure DataFrame expressions (JVM-side, codegen'd — no Python UDFs),
+each with an exact DuckDB oracle.  Scale notes per operator:
+
+- decontaminate_against_holdout: single scan, one shuffle on the gram
+  string, holdout flag via a gram-partition window max (a self-join
+  would re-run the scan per branch).  When the holdout is a genuinely
+  tiny benchmark suite (the production case), an alternative is a
+  broadcast semi-join against its distinct grams — same output.
+- quality_repetition: two aggregations both keyed by doc_id (gram
+  counts, then per-doc rollup) — partial aggregation applies and the
+  second shuffle reuses the doc_id clustering.
+- pack_sequences: a global running sum is NOT computed with a global
+  window (single-task at scale); it is a two-phase prefix sum — per-
+  bucket window + a tiny per-bucket offset table joined back (the
+  offset table has |docs|/BUCKET rows, broadcast by AQE).
+- chunk_documents: embarrassingly parallel single-pass scan, no
+  shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.operators.text import TRAIN_PCT
+
+NGRAM_N = 5  # contamination n-gram width (words)
+PACK_BUDGET = 2048  # tokens per packed sequence
+PACK_BUCKET = 65536  # docs per prefix-sum bucket (offset table = N/65536 rows)
+CHUNK_LEN = 200  # chars per chunk
+CHUNK_STRIDE = 150  # chars between chunk starts (=> 50-char overlap)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+_SQL_WORDS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _word_ngrams(w: Column, n: int) -> Column:
+    """All word n-grams of ``w`` joined by single spaces; empty array
+    when the doc has fewer than ``n`` words.
+
+    Built as a chain of ``zip_with`` over n shifted slices rather than
+    ``transform(sequence, i -> slice(w, i+1, n))``: Catalyst does not
+    CSE across higher-order lambdas, so the transform form re-evaluates
+    the inlined ``split`` once per gram INDEX (O(grams x doc_len) —
+    measured ~8x slower end-to-end at sf0.1).  Here every slice is an
+    argument, evaluated once per row, and the lambda is a cheap concat.
+    """
+    length = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(w, 1, length)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, F.lit(j), length),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return grams
+
+
+def _sql_ngrams(n: int) -> str:
+    # range(1, len-n+2) -> i = 1..len-n+1; words[i:i+n-1] is inclusive
+    # slicing, n elements.  range() is empty when start >= stop, which
+    # covers the short-doc case.
+    return (
+        f"list_transform(range(1, len(words) - {n - 2}), "
+        f"i -> array_to_string(words[i:i+{n - 1}], ' '))"
+    )
+
+
+_SQL_SPLIT_PCT = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100"
+
+
+def _split_pct() -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination: flag train docs sharing any word-5-gram
+# with the holdout split (the stand-in for a benchmark suite)
+# --------------------------------------------------------------------------
+def decontaminate_against_holdout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per contaminated train doc, the number of DISTINCT word-5-grams
+    it shares with the holdout split.
+
+    Same hash split as ``split_train_holdout`` (md5(doc_id) % 100).
+    Both sides explode to (doc, ngram), dedupe per side, and equi-join
+    on the ngram string.  The holdout side collapses to DISTINCT grams
+    first so each train gram matches at most once per gram, not once
+    per holdout occurrence.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _word_ngrams(_words(F.col("text")), NGRAM_N).alias("grams")
+    )
+    labeled = docs.withColumn("split", _split_pct())
+    # Single scan: a train/holdout self-JOIN would re-run the scan +
+    # n-gram build once per branch (the split filters push below any
+    # shared distinct, so ReusedExchange never fires — measured 2x at
+    # sf0.1).  Instead shuffle once on the gram and mark each gram
+    # group holdout-contaminated with a partition-wide window max; a
+    # hot boilerplate gram skews this partition exactly as it would
+    # skew the join's build side — AQE skew handling applies to both.
+    doc_grams = labeled.select(
+        "doc_id", "split", F.explode("grams").alias("ngram")
+    )
+    in_holdout = F.max(
+        (F.col("split") >= TRAIN_PCT).cast("int")
+    ).over(Window.partitionBy("ngram"))
+    return (
+        doc_grams.withColumn("in_holdout", in_holdout)
+        .where((F.col("split") < TRAIN_PCT) & (F.col("in_holdout") == 1))
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("ngram")).alias("n_overlap"))
+    )
+
+
+DECONTAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words,
+         {_SQL_SPLIT_PCT} AS pct
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pct, unnest({_sql_ngrams(NGRAM_N)}) AS ngram FROM w
+),
+hold AS (SELECT DISTINCT ngram FROM g WHERE pct >= {TRAIN_PCT}),
+tr AS (SELECT DISTINCT doc_id, ngram FROM g WHERE pct < {TRAIN_PCT})
+SELECT tr.doc_id, count(*) AS n_overlap
+FROM tr JOIN hold USING (ngram)
+GROUP BY tr.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality filters: top/duplicate 2-gram
+# fractions + symbol-to-word ratio
+# --------------------------------------------------------------------------
+TOP_2GRAM_MAX = 0.20  # Gopher's top-2-gram character-fraction threshold
+DUP_2GRAM_MAX = 0.40
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics: fraction of 2-gram occurrences taken
+    by the most frequent 2-gram, fraction in 2-grams appearing more
+    than once, and '#'-symbol-to-word ratio; plus the pass/fail flag at
+    Gopher-ish thresholds (top<=0.20, dup<=0.40).
+
+    Two aggregations, both clustered by doc_id (gram counts then
+    per-doc rollup) — partial aggregation keeps the shuffle small.
+    """
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"#", ""))
+        ).cast("bigint").alias("n_hash_symbols"),
+        _word_ngrams(w, 2).alias("grams"),
+    )
+    gram_counts = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = gram_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_cnt"
+        ),
+    )
+    joined = base.drop("grams").join(per_doc, "doc_id")
+    top_frac = F.col("top_cnt") / F.col("n_2grams")
+    dup_frac = F.col("dup_cnt") / F.col("n_2grams")
+    return joined.select(
+        "doc_id",
+        F.col("n_2grams").cast("bigint").alias("n_2grams"),
+        F.round(top_frac, 6).alias("top_2gram_frac"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        F.round(F.col("n_hash_symbols") / F.col("n_words"), 6).alias(
+            "symbol_word_ratio"
+        ),
+        (
+            (top_frac <= TOP_2GRAM_MAX) & (dup_frac <= DUP_2GRAM_MAX)
+        ).alias("passes_repetition_filter"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words,
+         length(text) - length(regexp_replace(text, '#', '', 'g'))
+           AS n_hash_symbols
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(words) AS n_words, n_hash_symbols,
+         {_sql_ngrams(2)} AS grams
+  FROM w
+),
+gc AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
+  GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_2grams,
+         max(cnt) AS top_cnt,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_cnt
+  FROM gc GROUP BY doc_id
+)
+SELECT base.doc_id,
+       n_2grams,
+       round(top_cnt * 1.0 / n_2grams, 6) AS top_2gram_frac,
+       round(dup_cnt * 1.0 / n_2grams, 6) AS dup_2gram_frac,
+       round(n_hash_symbols * 1.0 / n_words, 6) AS symbol_word_ratio,
+       (top_cnt * 1.0 / n_2grams <= {TOP_2GRAM_MAX}
+        AND dup_cnt * 1.0 / n_2grams <= {DUP_2GRAM_MAX})
+         AS passes_repetition_filter
+FROM base JOIN per_doc USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing: concatenate docs in doc_id order, chunk the token
+# stream into fixed budgets (GPT-style concatenate-and-chunk)
+# --------------------------------------------------------------------------
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to the training-sequence bin its first token
+    falls into when all docs are concatenated in doc_id order and cut
+    every PACK_BUDGET tokens; report per-bin packing stats.
+
+    The running sum is a two-phase prefix sum, NOT a global window:
+    per-bucket (doc_id div 65536) window cumsum + a tiny bucket-offset
+    table cumulated on the driver-side-small bucket list and joined
+    back (AQE broadcasts it).  Equivalent to the global window the
+    oracle uses, but with no single-task stage at 100 TB.
+    """
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    in_bucket = (
+        F.sum("n_tokens")
+        .over(Window.partitionBy("bucket").orderBy("doc_id"))
+        - F.col("n_tokens")
+    )
+    bucket_tot = per_doc.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    offsets = bucket_tot.select(
+        "bucket",
+        (
+            F.sum("bucket_tokens").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("offset"),
+    ).fillna(0, subset=["offset"])
+    cum = (
+        per_doc.withColumn("in_bucket_excl", in_bucket)
+        .join(offsets, "bucket")
+        .withColumn(
+            "cum_excl", F.col("offset") + F.col("in_bucket_excl")
+        )
+    )
+    binned = cum.withColumn(
+        "bin_id", F.floor(F.col("cum_excl") / PACK_BUDGET)
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_excl
+  FROM t
+)
+SELECT CAST(floor(cum_excl / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# RAG-style chunking: fixed-length overlapping character chunks
+# --------------------------------------------------------------------------
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each doc into CHUNK_LEN-char chunks every CHUNK_STRIDE
+    chars (50-char overlap); one row per chunk with its length and a
+    content hash.  Single-pass scan, no shuffle; chunk count per doc is
+    ceil(max(len-overlap, 1) / stride) so a short doc still yields one
+    chunk."""
+    docs = _docs(spark, sf_dir)
+    overlap = CHUNK_LEN - CHUNK_STRIDE
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - overlap, F.lit(1)) / F.lit(float(CHUNK_STRIDE))
+    )
+    withi = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.col("text").substr(
+        F.col("chunk_idx") * CHUNK_STRIDE + 1, F.lit(CHUNK_LEN)
+    )
+    return withi.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.substring(F.md5(chunk), 1, 16).alias("chunk_hash"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH c AS (
+  SELECT doc_id, i AS chunk_idx,
+         substring(text,
+                   CAST(1 + i * {CHUNK_STRIDE} AS INT),
+                   {CHUNK_LEN}) AS chunk
+  FROM documents,
+       unnest(range(0, CAST(ceil(greatest(length(text) - {CHUNK_LEN - CHUNK_STRIDE}, 1)
+                                 / {CHUNK_STRIDE}.0) AS BIGINT))) AS t(i)
+)
+SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+       substr(md5(chunk), 1, 16) AS chunk_hash
+FROM c
+"""
+
+
+QUERIES = {
+    "decontaminate_against_holdout": decontaminate_against_holdout,
+    "quality_repetition": quality_repetition,
+    "pack_sequences": pack_sequences,
+    "chunk_documents": chunk_documents,
+}
+
+ORACLE = {
+    "decontaminate_against_holdout": DECONTAM_SQL,
+    "quality_repetition": REPETITION_SQL,
+    "pack_sequences": PACK_SQL,
+    "chunk_documents": CHUNK_SQL,
+}

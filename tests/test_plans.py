@@ -392,3 +392,65 @@ def test_bucketed_join_no_exchange(spark, sf):
     assert n_ops(plan, "SortMergeJoin") == 1
     assert n_ops(plan, "Exchange") == 1  # only the groupBy's
     assert "hashpartitioning(o_orderpriority" in plan
+
+
+def test_chunk_documents_no_shuffle(spark, sf):
+    """Chunking is a pure per-row generate: scan -> repartition ->
+    generate/project, with no aggregation exchange and no join."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.chunk_documents(spark, sf))
+    assert n_ops(plan, "Generate") == 1
+    assert n_ops(plan, "HashAggregate") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    # only the deliberate input-spreading round-robin repartition
+    assert "RoundRobinPartitioning" in plan
+    assert n_ops(plan, "Exchange") == 1
+
+
+def test_decontam_single_scan_window_on_gram(spark, sf):
+    """Contamination check must scan the documents table exactly once:
+    the holdout flag comes from a window max over the gram partition,
+    not a train-vs-holdout self-join (whose pushed split filters defeat
+    exchange reuse and re-run the scan + n-gram build per branch)."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.decontaminate_against_holdout(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 1
+    assert "hashpartitioning(ngram" in plan
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_pack_sequences_no_global_window(spark, sf):
+    """The prefix sum must be the two-phase form: every Window over the
+    full doc table is partitioned by the bucket key; the only
+    unpartitioned Window runs over the tiny bucket-offset table (input
+    = an aggregated frame, not the base scan)."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.pack_sequences(spark, sf))
+    # per-doc window is partitioned by bucket
+    assert "partitionBy: [bucket" in plan.replace("#", " #").replace(
+        "bucket#", "bucket #"
+    ) or "[bucket" in plan
+    # the doc-side window exchange hashes on bucket, not a single range
+    assert "hashpartitioning(bucket" in plan
+    # the unpartitioned (SinglePartition) exchange feeds only the
+    # bucket-offset aggregate, which is |docs|/65536 rows
+    assert plan.count("SinglePartition") <= 2
+
+
+def test_quality_repetition_doc_keyed_aggs(spark, sf):
+    """Both aggregations cluster by doc_id: gram counts shuffle on
+    (doc_id, g) with a partial agg; the rollup and the final join
+    shuffle on doc_id only."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.quality_repetition(spark, sf))
+    assert "hashpartitioning(doc_id" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    # two-phase aggregation for the gram counts
+    assert n_ops(plan, "HashAggregate") >= 4
