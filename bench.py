@@ -83,17 +83,68 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+
+    # The driver captures only the LAST 2000 chars of stdout (round-1
+    # BENCH file: "tail" length 2000, "parsed": null because the full
+    # 101-query JSON line was 3.3 KB and lost its opening brace).  So
+    # the one printed line carries the total + a headline subset that
+    # covers every operator family and the heaviest queries, and the
+    # complete per-query map goes to bench_detail.json next to this
+    # file (git-ignored).
+    with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+        json.dump({"total": total, "queries": timings}, f, sort_keys=True)
+
+    headline = [
+        "q1_pricing_summary",
+        "q5_region_revenue",
+        "q9_product_profit",
+        "q18_large_volume_customers",
+        "q21_waiting_suppliers",
+        "events_sessionize",
+        "events_rollup_incremental",
+        "stac_pipeline_roundtrip",
+        "cql2_flagship_query",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_cluster_cc",
+        "dedup_incremental_minhash",
+        "ann_lsh_bucketed",
+        "ann_ivf_probe",
+        "kmeans_embeddings",
+        "knn_brute_force",
+        "text_tfidf_top_terms",
+        "text_unigram_logppl",
+        "decontaminate_against_holdout",
+        "quality_repetition",
+        "pack_sequences",
+        "chunk_documents",
+        "spatial_join_grid",
+        "funnel_view_click_purchase",
+        "retention_weekly_cohorts",
+        "table_profile",
+        "layout_zorder_cells",
+        "bucketed_colocated_join",
+        "mm_image_features",
+        "sample_fixed_k",
+        "skew_salted_flag_join",
+        "pagerank_neardup_graph",
+        "dq_report",
+    ]
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": {
+                k: round(timings[k], 2) for k in headline if k in timings
+            },
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 
