@@ -44,17 +44,13 @@ COSINE_THRESHOLD = 0.45
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    # The per-row work downstream (shingling, hashing) is the expensive
+    # part; read_spread repartitions ONLY when the scan has fewer
+    # splits than cores (single-small-file fixture) — at real scale the
+    # input already has thousands of splits and no shuffle happens.
+    from stac_geoparquet_spark.operators._io import read_documents
 
-    # The source is a single small parquet file => one input split. The
-    # per-row work downstream (shingling, hashing) is the expensive part,
-    # so spread rows across the cluster first; at real scale the input
-    # has thousands of splits and this repartition collapses into a no-op
-    # choice (AQE coalesces tiny shuffles).
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    return read_documents(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -640,15 +636,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # 8 partitions, not defaultParallelism: each mapInPandas partition
-    # spawns a Python worker (numpy+pandas import); the GEMM itself is
-    # microseconds at this block size, so worker startup dominates and
-    # fewer/fatter blocks win. At real scale block count ~= input splits.
-    emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        .select("vec_id", "embedding")
-        .repartition(8)
-    )
+    # Spread a single-split toy input to 8 fat blocks (each mapInPandas
+    # partition spawns a Python worker; the GEMM is microseconds at
+    # this block size, so worker startup dominates). Conditional: at
+    # real scale the table already scans as many splits and NO
+    # repartition happens — an unconditional repartition(8) would
+    # collapse a 100 TB scan to 8 tasks.
+    from stac_geoparquet_spark.operators._io import read_spread
+
+    emb = read_spread(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
+    ).select("vec_id", "embedding")
     return emb.mapInPandas(block, schema=out_schema)
 
 

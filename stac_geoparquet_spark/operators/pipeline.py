@@ -39,10 +39,12 @@ CHUNK_STRIDE = 150  # chars between chunk starts (=> 50-char overlap)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # spread the per-row expression work only when the scan yields
+    # fewer splits than cores (single-small-file fixture); no-op shuffle
+    # at real scale
+    from stac_geoparquet_spark.operators._io import read_documents
+
+    return read_documents(spark, sf_dir)
 
 
 def _words(col: Column) -> Column:

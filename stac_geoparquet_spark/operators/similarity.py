@@ -156,15 +156,17 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
 
 
 def _emb_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 8 partitions: each mapInPandas partition spawns a Python worker,
-    # and the GEMM itself is microseconds at this block size, so worker
-    # startup dominates and fewer/fatter blocks win. At real scale the
-    # block count ~= input splits and this repartition disappears.
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        .select("vec_id", "embedding")
-        .repartition(8)
-    )
+    # Spread a single-split toy input to 8 fat blocks (each mapInPandas
+    # partition spawns a Python worker; the GEMM is microseconds at
+    # this block size, so worker startup dominates and fewer/fatter
+    # blocks win). Conditional: at real scale the table already scans
+    # as many splits and NO repartition happens — an unconditional
+    # repartition(8) would collapse a 100 TB scan to 8 tasks.
+    from stac_geoparquet_spark.operators._io import read_spread
+
+    return read_spread(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
+    ).select("vec_id", "embedding")
 
 
 # --------------------------------------------------------------------------

@@ -25,13 +25,12 @@ LANG_MARKERS = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    # spread the per-row expression work only when the scan yields
+    # fewer splits than cores (single-small-file fixture); no-op shuffle
+    # at real scale
+    from stac_geoparquet_spark.operators._io import read_documents
 
-    # single small file => one split; spread the per-row expression work
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    return read_documents(spark, sf_dir)
 
 
 def _words(col: Column) -> Column:
