@@ -36,6 +36,7 @@ def _registries():
         relational_ext,
         relational_ext3,
         relational_tpch2,
+        scan_opt,
         similarity,
         skew,
         spatial,
@@ -68,6 +69,7 @@ def _registries():
         quality,
         layout,
         bucketing,
+        scan_opt,
     ]
     back = [
         relational,

@@ -1,0 +1,159 @@
+"""Scan-optimization showcases: the two scan-side features that decide
+whether a 100 TB query reads terabytes or kilobytes.
+
+- ``agg_pushdown_stats``: Parquet AGGREGATE pushdown — COUNT/MIN/MAX
+  answered from row-group footer statistics via the DSv2 parquet
+  source, so the data pages are never decoded.  At 100 TB this is the
+  difference between a full scan and reading ~KB of footers.
+- ``dpp_orders_by_year``: DYNAMIC PARTITION PRUNING over a hive-
+  partitioned layout — the fact scan's partition filter is a runtime
+  subquery fed by the broadcast dim, so only the dim-selected
+  partitions are listed and read.
+
+Both have exact DuckDB oracles (they are plan-shape features, not
+semantics changes) and plan pins in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Parquet aggregate pushdown (footer-only COUNT/MIN/MAX)
+# --------------------------------------------------------------------------
+def agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table stats answered from Parquet footers: count + min/max of
+    o_totalprice over orders, with ``PushedAggregation`` visible in the
+    scan.
+
+    Parquet aggregate pushdown is a DSv2-source feature, so the query
+    runs in a cloned session (``newSession`` — same SparkContext, own
+    SQLConf) with the v2 source list and ``parquet.aggregatePushdown``
+    enabled; the caller's session configuration is untouched, and the
+    returned DataFrame stays collectable by the caller (shared
+    context).
+    """
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    orders = s2.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+AGG_PUSHDOWN_SQL = """
+SELECT count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning over a year-partitioned orders layout
+# --------------------------------------------------------------------------
+TARGET_YEARS = (1995, 1996)
+
+
+def orders_year_layout_path(sf_dir: str) -> str:
+    """Scratch location of the o_year-partitioned copy of orders for
+    ``sf_dir``; keyed by the source file's (mtime, size) so a
+    regenerated orders.parquet gets a fresh layout."""
+    import hashlib as _h
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "missing"
+    tag = _h.md5(f"{src}|{stamp}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"sgs_orders_year_{tag}")
+
+
+def build_orders_year_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders hive-partitioned by o_year (one-off layout
+    build, reused when already published; atomic rename publish as in
+    similarity.build_ivf_layout)."""
+    path = orders_year_layout_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import shutil
+    import uuid
+
+    build_dir = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(build_dir)
+    )
+    try:
+        os.rename(build_dir, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+        shutil.rmtree(build_dir, ignore_errors=True)
+    return path
+
+
+def dpp_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue for the dim-selected years, with the fact scan
+    pruned AT RUNTIME by dynamic partition pruning: the year dim is
+    broadcast, and the fact's partition filter is the DPP subquery
+    (``dynamicpruningexpression`` on the scan), so non-selected year
+    partitions are never listed or read.  At 100 TB with daily/yearly
+    partitions this is the standard star-schema pruning path.
+    """
+    path = build_orders_year_layout(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    # 7 candidate years, 'target' rows select 2 -> a selective
+    # predicate on the dim side, which is what DPP's planner heuristic
+    # requires before it inserts the pruning subquery.
+    dim = spark.createDataFrame(
+        [(y, "target" if y in TARGET_YEARS else "other") for y in range(1992, 2003)],
+        "o_year int, label string",
+    ).where(F.col("label") == "target")
+    return (
+        fact.join(F.broadcast(dim), "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.col("o_year").cast("bigint").alias("o_year"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+DPP_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE year(o_orderdate) IN {TARGET_YEARS}
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "agg_pushdown_stats": agg_pushdown_stats,
+    "dpp_orders_by_year": dpp_orders_by_year,
+}
+
+ORACLE = {
+    "agg_pushdown_stats": AGG_PUSHDOWN_SQL,
+    "dpp_orders_by_year": DPP_SQL,
+}

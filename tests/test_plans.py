@@ -454,3 +454,24 @@ def test_quality_repetition_doc_keyed_aggs(spark, sf):
     assert n_ops(plan, "CartesianProduct") == 0
     # two-phase aggregation for the gram counts
     assert n_ops(plan, "HashAggregate") >= 4
+
+
+def test_agg_pushdown_reads_only_footers(spark, sf):
+    """COUNT/MIN/MAX must be answered by the parquet footer statistics:
+    the DSv2 scan carries PushedAggregation and the plan has no
+    full-scan aggregate pass over data pages."""
+    from stac_geoparquet_spark.operators import scan_opt
+
+    plan = plan_of(scan_opt.agg_pushdown_stats(spark, sf))
+    assert "PushedAggregation: [COUNT(*), MIN(o_totalprice), MAX(o_totalprice)]" in plan
+
+
+def test_dpp_fact_scan_is_dynamically_pruned(spark, sf):
+    """The year-partitioned fact scan's PartitionFilters must contain
+    the runtime dynamicpruningexpression fed by the broadcast dim —
+    non-selected year partitions are never listed or read."""
+    from stac_geoparquet_spark.operators import scan_opt
+
+    plan = plan_of(scan_opt.dpp_orders_by_year(spark, sf))
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
