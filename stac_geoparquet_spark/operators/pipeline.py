@@ -29,7 +29,13 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stac_geoparquet_spark.operators.text import TRAIN_PCT
+from stac_geoparquet_spark.operators.text import (
+    TRAIN_PCT,
+    SPLIT_PCT_SQL,
+    _sql_words,
+    _words,
+    split_pct,
+)
 
 NGRAM_N = 5  # contamination n-gram width (words)
 PACK_BUDGET = 2048  # tokens per packed sequence
@@ -47,11 +53,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
 
-def _words(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), r"\s+")
-
-
-_SQL_WORDS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# tokenizer and split hash are text.py's (single definition — the
+# decontamination contract "same hash split as split_train_holdout"
+# must survive any future tokenizer change)
+_SQL_WORDS = _sql_words()
 
 
 def _word_ngrams(w: Column, n: int) -> Column:
@@ -86,18 +91,6 @@ def _sql_ngrams(n: int) -> str:
     )
 
 
-_SQL_SPLIT_PCT = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100"
-
-
-def _split_pct() -> Column:
-    return (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("bigint")
-        % 100
-    )
-
-
 # --------------------------------------------------------------------------
 # benchmark decontamination: flag train docs sharing any word-5-gram
 # with the holdout split (the stand-in for a benchmark suite)
@@ -108,18 +101,18 @@ def decontaminate_against_holdout(
     """Per contaminated train doc, the number of DISTINCT word-5-grams
     it shares with the holdout split.
 
-    Same hash split as ``split_train_holdout`` (md5(doc_id) % 100).
-    Both sides explode to (doc, ngram), dedupe per side, and equi-join
-    on the ngram string.  The holdout side collapses to DISTINCT grams
-    first so each train gram matches at most once per gram, not once
-    per holdout occurrence.
+    Same hash split as ``split_train_holdout`` (text.split_pct).  The
+    corpus explodes once to (doc, split, ngram) rows; a window max over
+    each gram's partition marks grams that occur in any holdout doc,
+    and train rows of marked grams aggregate to a per-doc DISTINCT
+    overlap count.
     """
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", _word_ngrams(_words(F.col("text")), NGRAM_N).alias("grams")
     )
-    labeled = docs.withColumn("split", _split_pct())
+    labeled = docs.withColumn("split", split_pct())
     # Single scan: a train/holdout self-JOIN would re-run the scan +
     # n-gram build once per branch (the split filters push below any
     # shared distinct, so ReusedExchange never fires — measured 2x at
@@ -144,7 +137,7 @@ def decontaminate_against_holdout(
 DECONTAM_SQL = f"""
 WITH w AS (
   SELECT doc_id, {_SQL_WORDS} AS words,
-         {_SQL_SPLIT_PCT} AS pct
+         {SPLIT_PCT_SQL} AS pct
   FROM documents
 ),
 g AS (
@@ -172,8 +165,12 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     than once, and '#'-symbol-to-word ratio; plus the pass/fail flag at
     Gopher-ish thresholds (top<=0.20, dup<=0.40).
 
-    Two aggregations, both clustered by doc_id (gram counts then
-    per-doc rollup) — partial aggregation keeps the shuffle small.
+    SINGLE scan: the per-doc scalars (word count, symbol count) ride
+    along the exploded gram rows and are recovered with first() in the
+    rollup — a join back to the base table would re-read and
+    re-tokenize the corpus in a second branch.  Both aggregations
+    cluster by doc_id, so partial aggregation applies and the rollup
+    reuses the doc_id clustering.
     """
     docs = _docs(spark, sf_dir)
     w = _words(F.col("text"))
@@ -187,9 +184,15 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _word_ngrams(w, 2).alias("grams"),
     )
     gram_counts = (
-        base.select("doc_id", F.explode("grams").alias("g"))
+        base.select(
+            "doc_id", "n_words", "n_hash_symbols", F.explode("grams").alias("g")
+        )
         .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("n_words").alias("n_words"),
+            F.first("n_hash_symbols").alias("n_hash_symbols"),
+        )
     )
     per_doc = gram_counts.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_2grams"),
@@ -197,11 +200,12 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
             "dup_cnt"
         ),
+        F.first("n_words").alias("n_words"),
+        F.first("n_hash_symbols").alias("n_hash_symbols"),
     )
-    joined = base.drop("grams").join(per_doc, "doc_id")
     top_frac = F.col("top_cnt") / F.col("n_2grams")
     dup_frac = F.col("dup_cnt") / F.col("n_2grams")
-    return joined.select(
+    return per_doc.select(
         "doc_id",
         F.col("n_2grams").cast("bigint").alias("n_2grams"),
         F.round(top_frac, 6).alias("top_2gram_frac"),

@@ -21,6 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators.relational import _dsum
+
 
 # --------------------------------------------------------------------------
 # Parquet aggregate pushdown (footer-only COUNT/MIN/MAX)
@@ -62,48 +64,29 @@ FROM orders
 TARGET_YEARS = (1995, 1996)
 
 
-def orders_year_layout_path(sf_dir: str) -> str:
-    """Scratch location of the o_year-partitioned copy of orders for
-    ``sf_dir``; keyed by the source file's (mtime, size) so a
-    regenerated orders.parquet gets a fresh layout."""
-    import hashlib as _h
-    import tempfile
-
-    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "missing"
-    tag = _h.md5(f"{src}|{stamp}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"sgs_orders_year_{tag}")
-
-
 def build_orders_year_layout(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders hive-partitioned by o_year (one-off layout
-    build, reused when already published; atomic rename publish as in
-    similarity.build_ivf_layout)."""
-    path = orders_year_layout_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return path
-    import shutil
-    import uuid
-
-    build_dir = f"{path}.build-{uuid.uuid4().hex[:8]}"
-    (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-        .withColumn("o_year", F.year("o_orderdate"))
-        .write.mode("overwrite")
-        .partitionBy("o_year")
-        .parquet(build_dir)
+    build; mtime-keyed scratch path + atomic publish via the shared
+    _io.materialize_layout protocol)."""
+    from stac_geoparquet_spark.operators._io import (
+        layout_scratch_path,
+        materialize_layout,
     )
-    try:
-        os.rename(build_dir, path)
-    except OSError:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            raise
-        shutil.rmtree(build_dir, ignore_errors=True)
-    return path
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(build_dir: str) -> None:
+        (
+            spark.read.parquet(src)
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(build_dir)
+        )
+
+    return materialize_layout(
+        layout_scratch_path(src, "sgs_orders_year"), build
+    )
 
 
 def dpp_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +111,7 @@ def dpp_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
         )
         .select(
             F.col("o_year").cast("bigint").alias("o_year"),
@@ -141,7 +124,8 @@ def dpp_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 DPP_SQL = f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue
 FROM orders
 WHERE year(o_orderdate) IN {TARGET_YEARS}
 GROUP BY 1

@@ -458,20 +458,14 @@ SELECT vec_id, ivf_cell FROM assigned
 
 def ivf_layout_path(sf_dir: str) -> str:
     """Scratch location of the ivf_cell-partitioned copy of the
-    embeddings table for ``sf_dir``. The key includes the source
-    file's (mtime, size) so a regenerated embeddings.parquet gets a
+    embeddings table for ``sf_dir``; (mtime, size)-keyed via the shared
+    _io.layout_scratch_path so a regenerated embeddings.parquet gets a
     fresh layout instead of silently serving stale neighbors."""
-    import hashlib as _h
-    import tempfile
+    from stac_geoparquet_spark.operators._io import layout_scratch_path
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "missing"
-    tag = _h.md5(f"{src}|{stamp}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"sgs_ivf_layout_{tag}")
+    return layout_scratch_path(
+        os.path.join(sf_dir, "embeddings.parquet"), "sgs_ivf_layout"
+    )
 
 
 def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -481,12 +475,11 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     reused. At 100 TB this is the one-off index build; queries then
     touch only n-probe of n_centroids partitions via partition
     pruning."""
+    from stac_geoparquet_spark.operators._io import materialize_layout
+
     path = ivf_layout_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    import uuid
-
-    build_dir = f"{path}.build-{uuid.uuid4().hex[:8]}"
     c_ids, cm, cnorm = _load_centroids(sf_dir)
     b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
     assign_cells = _cell_assigner()  # local => shipped by value
@@ -510,27 +503,21 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
                 }
             )
 
-    (
-        _emb_blocks(spark, sf_dir)
-        .mapInPandas(tag, "vec_id bigint, embedding array<float>, ivf_cell bigint")
-        .write.mode("overwrite")
-        .partitionBy("ivf_cell")
-        .parquet(build_dir)
-    )
-    # Publish atomically: build in a private dir, then one rename into
-    # place. Concurrent builders race benignly — whoever renames first
-    # wins (the content is deterministic), the loser discards its copy
-    # — and no reader ever sees a half-written layout (the compact.py
-    # lesson: unchecked overlapping writes to a shared path).
-    import shutil
+    def build(build_dir: str) -> None:
+        (
+            _emb_blocks(spark, sf_dir)
+            .mapInPandas(
+                tag, "vec_id bigint, embedding array<float>, ivf_cell bigint"
+            )
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(build_dir)
+        )
 
-    try:
-        os.rename(build_dir, path)
-    except OSError:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            raise
-        shutil.rmtree(build_dir, ignore_errors=True)
-    return path
+    # atomic publish protocol shared with the other derived layouts
+    # (the compact.py lesson: unchecked overlapping writes to a shared
+    # path)
+    return materialize_layout(path, build)
 
 
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,15 +218,28 @@ FROM n
 # --------------------------------------------------------------------------
 TRAIN_PCT = 90
 
+# the one definition of the split hash, shared with pipeline.py's
+# decontamination (which promises "same hash split as
+# split_train_holdout") — keep the Spark and SQL forms in lockstep
+SPLIT_PCT_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100"
+)
 
-def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    pct = (
+
+def split_pct() -> Column:
+    """Deterministic 0-99 bucket of a document: first 16 bits of
+    md5(doc_id) mod 100; identical in DuckDB as ``SPLIT_PCT_SQL``."""
+    return (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
         ).cast("bigint")
         % 100
     )
+
+
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pct = split_pct()
     split = F.when(pct < TRAIN_PCT, "train").otherwise("holdout")
     return (
         docs.select(split.alias("split"), F.length("text").alias("len"))
@@ -239,7 +252,7 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPLIT_SQL = f"""
-SELECT CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < {TRAIN_PCT}
+SELECT CASE WHEN {SPLIT_PCT_SQL} < {TRAIN_PCT}
             THEN 'train' ELSE 'holdout' END AS split,
        count(*) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars

@@ -102,3 +102,24 @@ def test_vocab_topk_counts_are_true_frequencies(spark):
     }
     ranked = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
     assert [(r["word"], r["n"]) for r in rows] == ranked
+
+
+def test_ngram_candidates_path_equals_exhaustive(spark, sf_dir):
+    """The LSH-candidates verify (the gated default) must return exactly
+    the exhaustive all-pairs result on the gated datasets: the oracle is
+    the exhaustive formulation, so any pair the banding misses is a
+    driver hash-FAIL. This pins 100%% candidate recall on the actual
+    data (probabilistically ~60%% per borderline j=0.5 pair in general,
+    so a regenerated corpus that breaks this assumption fails HERE
+    first, not at the driver)."""
+    from stac_geoparquet_spark.operators.dedup import dedup_ngram_jaccard
+
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_dir, exact_all_pairs=True).collect()
+    }
+    assert fast == exact

@@ -14,7 +14,13 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(os.path.join(SF, "documents.parquet")).cache()
+    # unpersist on teardown: a cached scan of documents.parquet would be
+    # substituted (by plan-fragment match) into every later query over
+    # the same file — including test_plans.py's column-pruning pins,
+    # where the cached full-schema relation masks the parquet ReadSchema
+    df = spark.read.parquet(os.path.join(SF, "documents.parquet")).cache()
+    yield df
+    df.unpersist()
 
 
 def test_decontam_only_train_docs_flagged(spark, docs):

@@ -294,7 +294,7 @@ def test_ann_lsh_is_bucket_equi_join(spark, sf):
     assert left_keys and "bucket" in left_keys[0]
     # candidate scoring runs AFTER the join: two Python stages total
     # (bucketize before the join, candidate scorer after)
-    assert n_ops(plan, "FlatMapsInPandas") + n_ops(plan, "MapInPandas") == 2
+    assert n_ops(plan, "FlatMapGroupsInPandas") + n_ops(plan, "MapInPandas") == 2
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
 
@@ -366,7 +366,7 @@ def test_quantize_single_projection_no_shuffle(spark, sf):
 
     plan = plan_of(similarity.embedding_quantize_int8(spark, sf))
     assert n_ops(plan, "Exchange") == 0
-    assert n_ops(plan, "FlatMapsInPandas") + n_ops(plan, "MapInPandas") == 0
+    assert n_ops(plan, "FlatMapGroupsInPandas") + n_ops(plan, "MapInPandas") == 0
 
 
 def test_survivors_no_cartesian(spark, sf):
@@ -443,15 +443,16 @@ def test_pack_sequences_no_global_window(spark, sf):
     assert plan.count("SinglePartition") <= 2
 
 
-def test_quality_repetition_doc_keyed_aggs(spark, sf):
-    """Both aggregations cluster by doc_id: gram counts shuffle on
-    (doc_id, g) with a partial agg; the rollup and the final join
-    shuffle on doc_id only."""
+def test_quality_repetition_single_scan_doc_keyed_aggs(spark, sf):
+    """One documents scan (per-doc scalars ride the exploded gram rows
+    — no join back to the base table); both aggregations cluster by
+    doc_id with partial aggregation."""
     from stac_geoparquet_spark.operators import pipeline as pl
 
     plan = plan_of(pl.quality_repetition(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert "Join" not in plan
     assert "hashpartitioning(doc_id" in plan
-    assert n_ops(plan, "CartesianProduct") == 0
     # two-phase aggregation for the gram counts
     assert n_ops(plan, "HashAggregate") >= 4
 
