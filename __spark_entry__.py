@@ -81,6 +81,9 @@ def _registries():
         relational_ext3,
         relational_tpch2,
     ]
+    rotation = [  # extra per-module registries placed after the window
+        (pipeline.QUERIES_ROTATION, pipeline.ORACLE_ROTATION),
+    ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
     for m in front[:1]:
@@ -97,6 +100,9 @@ def _registries():
     for m in front[1:]:
         queries.update(m.QUERIES)
         oracle.update(m.ORACLE)
+    for q, o in rotation:
+        queries.update(q)
+        oracle.update(o)
     for m in back:
         queries.update(m.QUERIES)
         oracle.update(m.ORACLE)

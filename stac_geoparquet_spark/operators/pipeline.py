@@ -399,3 +399,147 @@ ORACLE = {
     "pack_sequences": PACK_SQL,
     "chunk_documents": CHUNK_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# corpus rebalancing: deterministic per-language downsampling + data-
+# mixing weights (the "data mixture" step of a training pipeline)
+# --------------------------------------------------------------------------
+_REBALANCE_RES = 1_000_000  # hash resolution for the keep threshold
+
+
+def _pct_fine() -> "Column":
+    """Deterministic 0..999999 bucket of a doc (md5(doc_id) high bits),
+    finer-grained sibling of text.split_pct for sampling thresholds."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % _REBALANCE_RES
+    )
+
+
+_SQL_PCT_FINE = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT"
+    f" % {_REBALANCE_RES}"
+)
+
+
+def rebalance_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every language to (approximately) the smallest
+    language's size with a deterministic hash threshold: doc kept iff
+    hash_pct < floor(min_n / n_lang * RES).
+
+    Scale shape: NO per-language window/rank (5 langs would mean 5
+    skewed partitions at 100 TB) — the per-lang keep fraction is a
+    tiny broadcast table joined onto a single corpus scan, so the
+    filter is embarrassingly parallel; the trade is approximate (not
+    exact-count) per-lang sizes, the standard production trade.  The
+    hash threshold makes the sample stable under reruns and backfills:
+    a doc's keep/drop never changes.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    min_n = counts.agg(F.min("n_before").alias("min_n"))
+    thresholds = counts.join(F.broadcast(min_n)).select(
+        "lang",
+        "n_before",
+        F.floor(
+            F.col("min_n") * F.lit(_REBALANCE_RES) / F.col("n_before")
+        ).alias("keep_below"),
+    )
+    kept = (
+        docs.withColumn("pct", _pct_fine())
+        .join(F.broadcast(thresholds), "lang")
+        .where(F.col("pct") < F.col("keep_below"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(thresholds.select("lang", "n_before"), "lang")
+        .select("lang", "n_before", "n_kept")
+    )
+
+
+REBALANCE_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_before FROM documents GROUP BY lang
+),
+m AS (SELECT min(n_before) AS min_n FROM counts),
+th AS (
+  SELECT lang, n_before,
+         CAST(floor(min_n * {_REBALANCE_RES}.0 / n_before) AS BIGINT)
+           AS keep_below
+  FROM counts CROSS JOIN m
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN th USING (lang)
+  WHERE {_SQL_PCT_FINE} < keep_below
+)
+SELECT th.lang, th.n_before, k.n_kept
+FROM th JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+  USING (lang)
+"""
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixing weights: raw share plus the sqrt-scaled
+    weight (upweights small sources, the standard mixture smoothing),
+    and the docs-per-epoch each source contributes under a fixed epoch
+    budget.  One aggregation; the corpus totals reach every row via a
+    broadcast 1-row aggregate, never a driver round-trip."""
+    epoch_budget = 10_000
+    docs = _docs(spark, sf_dir).select("source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs"))).alias("sqrt_total"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("raw_share"),
+            F.round(
+                F.sqrt(F.col("n_docs")) / F.col("sqrt_total"), 6
+            ).alias("sqrt_weight"),
+            F.floor(
+                F.sqrt(F.col("n_docs")) / F.col("sqrt_total") * epoch_budget
+            ).alias("docs_per_epoch"),
+        )
+    )
+
+
+MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         sum(sqrt(n_docs)) AS sqrt_total
+  FROM counts
+)
+SELECT source, n_docs,
+       round(n_docs * 1.0 / n_total, 6) AS raw_share,
+       round(sqrt(n_docs) / sqrt_total, 6) AS sqrt_weight,
+       CAST(floor(sqrt(n_docs) / sqrt_total * 10000) AS BIGINT)
+         AS docs_per_epoch
+FROM counts CROSS JOIN t
+"""
+
+
+# Rotation block: locally strict-gated like everything else, but
+# registered AFTER the 50-entry driver window this round (see
+# __spark_entry__._registries) — they rotate into the window next
+# round.
+QUERIES_ROTATION = {
+    "rebalance_by_lang": rebalance_by_lang,
+    "source_mixture_weights": source_mixture_weights,
+}
+
+ORACLE_ROTATION = {
+    "rebalance_by_lang": REBALANCE_SQL,
+    "source_mixture_weights": MIXTURE_SQL,
+}

@@ -101,3 +101,26 @@ def test_chunk_bounds(spark):
     for r in rows:
         assert 1 <= r.chunk_len <= P.CHUNK_LEN
         assert len(r.chunk_hash) == 16
+
+
+def test_rebalance_keeps_all_of_smallest_lang(spark):
+    out = {r.lang: r for r in P.rebalance_by_lang(spark, SF).collect()}
+    assert out, "expected per-lang rows"
+    min_before = min(r.n_before for r in out.values())
+    for r in out.values():
+        assert 0 < r.n_kept <= r.n_before
+        if r.n_before == min_before:
+            # keep fraction 1.0 -> threshold == RES -> every doc kept
+            assert r.n_kept == r.n_before
+
+
+def test_mixture_weights_normalize(spark):
+    rows = P.source_mixture_weights(spark, SF).collect()
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.sqrt_weight for r in rows) - 1.0) < 1e-3
+    # sqrt smoothing upweights small sources relative to raw share
+    small = min(rows, key=lambda r: r.n_docs)
+    big = max(rows, key=lambda r: r.n_docs)
+    if small.n_docs < big.n_docs:
+        assert small.sqrt_weight >= small.raw_share
+        assert big.sqrt_weight <= big.raw_share
