@@ -83,6 +83,7 @@ def _registries():
     ]
     rotation = [  # extra per-module registries placed after the window
         (pipeline.QUERIES_ROTATION, pipeline.ORACLE_ROTATION),
+        (similarity.QUERIES_ROTATION, similarity.ORACLE_ROTATION),
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

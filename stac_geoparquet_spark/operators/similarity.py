@@ -764,3 +764,84 @@ ORACLE = {
     "kmeans_embeddings": _kmeans_oracle_sql(),
     "embedding_quantize_int8": QUANTIZE_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# per-class embedding-space profile (uses the labels column: cluster
+# cohesion diagnostics a training pipeline runs on labeled eval sets)
+# --------------------------------------------------------------------------
+def embedding_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per label: member count, centroid L2 norm, and mean member
+    distance to the centroid — the class-separation diagnostic for a
+    labeled embedding set.
+
+    Columnar vector math, no Python: posexplode to (label, dim, value)
+    rows, centroid = avg per (label, dim) — a keyed two-phase
+    aggregate — then distances via a (label, dim) equi-join back.  The
+    two passes over the embeddings (centroid pass + distance pass) are
+    inherent to exact centroid distances; at 100 TB the exploded frame
+    is what a pipeline would persist between the passes.
+    """
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("ord", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    c = x.groupBy("label", "ord").agg(F.avg("val").alias("cv"))
+    cn = c.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("centroid_norm")
+    )
+    d = (
+        x.join(c, ["label", "ord"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv")))
+            ).alias("dist")
+        )
+    )
+    return (
+        d.join(F.broadcast(cn), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.first("centroid_norm"), 6).alias("centroid_norm"),
+            F.round(F.avg("dist"), 6).alias("avg_dist_to_centroid"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_members",
+            "centroid_norm",
+            "avg_dist_to_centroid",
+        )
+    )
+
+
+CLASS_PROFILE_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT vec_id, label, v[i + 1] AS val, i AS ord
+      FROM e, unnest(range(0, len(v))) AS t(i)),
+c AS (SELECT label, ord, avg(val) AS cv FROM x GROUP BY 1, 2),
+cn AS (SELECT label, sqrt(sum(cv * cv)) AS centroid_norm FROM c GROUP BY 1),
+d AS (SELECT x.vec_id, x.label,
+             sqrt(sum((x.val - c.cv) * (x.val - c.cv))) AS dist
+      FROM x JOIN c ON x.label = c.label AND x.ord = c.ord GROUP BY 1, 2)
+SELECT CAST(d.label AS BIGINT) AS label,
+       count(*) AS n_members,
+       round(any_value(cn.centroid_norm), 6) AS centroid_norm,
+       round(avg(d.dist), 6) AS avg_dist_to_centroid
+FROM d JOIN cn ON d.label = cn.label
+GROUP BY 1
+"""
+
+
+# Rotation block: registered after the driver's 50-entry window this
+# round (see __spark_entry__._registries).
+QUERIES_ROTATION = {
+    "embedding_class_profile": embedding_class_profile,
+}
+
+ORACLE_ROTATION = {
+    "embedding_class_profile": CLASS_PROFILE_SQL,
+}
