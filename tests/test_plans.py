@@ -476,3 +476,26 @@ def test_dpp_fact_scan_is_dynamically_pruned(spark, sf):
     plan = plan_of(scan_opt.dpp_orders_by_year(spark, sf))
     assert "dynamicpruningexpression" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rebalance_no_window_broadcast_thresholds(spark, sf):
+    """Per-language downsampling must be the scan-side filter form:
+    threshold table broadcast onto one corpus pass — no per-language
+    Window (a handful of skewed partitions at scale) and no cartesian."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.rebalance_by_lang(spark, sf))
+    assert n_ops(plan, "Window") == 0
+    assert "BroadcastHashJoin" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_class_profile_keyed_two_phase_aggs(spark, sf):
+    """Centroids are keyed (label, dim) two-phase aggregates; the
+    distance pass joins back on the same keys — no nested-loop."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.embedding_class_profile(spark, sf))
+    assert "hashpartitioning(label" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
