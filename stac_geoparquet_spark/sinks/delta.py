@@ -47,8 +47,16 @@ def _null_typed_columns(
 
 
 def delta_available(spark: SparkSession) -> bool:
+    """True iff the Delta JVM classes are actually loadable.
+
+    Bare py4j attribute access (``spark._jvm.org...DeltaLog``) can NOT
+    be used here: an unknown dotted path resolves to a JavaPackage
+    object without raising, so that check is always-True.  Class.forName
+    raises ClassNotFoundException for real."""
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
         return True
     except Exception:
         return False
@@ -77,9 +85,22 @@ def to_delta(
         )
     geo = build_geo_metadata(df.schema)
     stac = build_stac_metadata(collections)
+    meta = {"stac-geoparquet": stac}
+    if geo is not None:
+        meta["geo"] = geo
     (
         df.write.format("delta")
         .mode(mode)
-        .option("userMetadata", json.dumps({"geo": geo, "stac-geoparquet": stac}))
+        # commit-level provenance (this write's commitInfo entry only)
+        .option("userMetadata", json.dumps(meta))
         .save(path)
     )
+    # The durable contract ("first-class table metadata") is TABLE
+    # properties, not commitInfo — userMetadata lives only in one log
+    # entry and is superseded by later commits.  Escape any single
+    # quotes for the SQL literal.
+    props = ", ".join(
+        "'{k}' = '{v}'".format(k=k, v=json.dumps(v).replace("'", "''"))
+        for k, v in meta.items()
+    )
+    spark.sql(f"ALTER TABLE delta.`{path}` SET TBLPROPERTIES ({props})")

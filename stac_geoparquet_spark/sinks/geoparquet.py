@@ -48,9 +48,10 @@ def _geometry_columns(schema: T.StructType) -> list[str]:
 
 def build_geo_metadata(
     schema: T.StructType, schema_version: str = "1.1.0"
-) -> dict[str, Any]:
+) -> "dict[str, Any] | None":
     """The ``geo`` file-metadata JSON (GeoParquet spec; reference
-    construction at arrow/_to_parquet.py:82-141)."""
+    construction at arrow/_to_parquet.py:82-141), or None when the
+    schema has no WKB geometry column (the key is then omitted)."""
     if schema_version not in SUPPORTED_VERSIONS:
         raise ValueError(
             f"schema_version must be one of {SUPPORTED_VERSIONS}, got {schema_version!r}"
@@ -78,6 +79,13 @@ def build_geo_metadata(
             # reference writes crs: null for it
             col["crs"] = None
         columns[name] = col
+    if "geometry" not in columns:
+        # Spec: primary_column must name an entry in columns.  A frame
+        # with no binary geometry column (bbox-only spatial table, or
+        # normalize skipped) gets NO `geo` key at all — emitting
+        # primary_column='geometry' with an empty columns dict is
+        # spec-invalid and geopandas/gdal readers reject the file.
+        return None
     return {
         "version": schema_version,
         "primary_column": "geometry",
@@ -173,9 +181,11 @@ def to_geoparquet(
             .drop("__zkey")
         )
 
-    geo_md = json.dumps(build_geo_metadata(df.schema, schema_version))
+    geo = build_geo_metadata(df.schema, schema_version)
     stac_md = json.dumps(build_stac_metadata(collections, collection_metadata))
-    kv: dict[str, str] = {"geo": geo_md, "stac-geoparquet": stac_md}
+    kv: dict[str, str] = {"stac-geoparquet": stac_md}
+    if geo is not None:
+        kv["geo"] = json.dumps(geo)
     for k, v in (extra_metadata or {}).items():
         kv[k] = v
 
@@ -238,7 +248,9 @@ def to_geoparquet(
 
         schema = to_arrow_schema(df.schema).with_metadata(kv)
         fname = f"{base}/part-empty.parquet"
-        with pq.ParquetWriter(fname, schema, filesystem=filesystem) as w:
+        with pq.ParquetWriter(
+            fname, schema, filesystem=filesystem, compression=compression
+        ) as w:
             w.write_table(pa.table([[] for _ in schema.names], schema=schema))
         files = [fname]
     return files

@@ -200,8 +200,12 @@ def cql2_to_column(expr: dict) -> Column:
             return x < lo
         if op == "t_equals":
             return x == lo
-        # t_during / anyinteracts on an instant property: inside interval
-        out = F.lit(True)
+        # t_during / anyinteracts on an instant property: inside
+        # interval. A fully open interval ["..", ".."] still requires
+        # the instant to EXIST — starting from isNotNull (not
+        # lit(True)) keeps null datetimes excluded, consistent with
+        # every closed comparison here (which yields NULL -> dropped).
+        out = x.isNotNull()
         if lo is not None:
             out = out & (x >= lo)
         if hi is not None:

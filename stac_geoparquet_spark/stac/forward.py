@@ -138,14 +138,17 @@ def read_stac_json(
         return df.select(F.explode("features").alias("item")).select("item.*")
 
     if schema is None:
-        inferred = _read(None).schema
         if fmt == "featurecollection":
-            # the explode already applied; re-derive the wrapper schema
-            wrapper = spark.read.option("multiLine", "true").json(first_path).schema
+            # Infer the WRAPPER schema over ALL paths (not just the
+            # first file — a field present only in later files would
+            # otherwise be silently dropped), then do the typed read +
+            # explode.  One inference pass total.
+            wrapper = spark.read.option("multiLine", "true").json(path).schema
             patched = _stringify_geometry_fields(wrapper)
             reader = spark.read.schema(patched).option("multiLine", "true")
             df = reader.json(path)
             return df.select(F.explode("features").alias("item")).select("item.*")
+        inferred = _read(None).schema
         patched = _stringify_geometry_fields(inferred)
         return _read(patched)
     return _read(_stringify_geometry_fields(schema))
@@ -190,13 +193,6 @@ def _geometry_string_paths(schema: T.StructType) -> list[list[str]]:
                     ):
                         paths.append(["assets", a.name, "proj:geometry"])
     return paths
-
-
-def _rebuild_struct_with(col: Column, dtype: T.StructType, path: list[str], new: Column) -> Column:
-    """Return a struct column equal to ``col`` with the nested field at
-    ``path`` replaced by ``new`` (Spark has withField for this)."""
-    field = ".".join(f"`{p}`" for p in path)
-    return col.withField(field, new)
 
 
 def encode_geometries(df: DataFrame) -> DataFrame:
@@ -410,10 +406,17 @@ def extract_self_link(df: DataFrame) -> DataFrame:
     entirely as higher-order Column expressions (no UDF)."""
     if "links" not in df.columns:
         return df.withColumn("self_link", F.lit(None).cast("string"))
-    link_fields = {
-        f.name
-        for f in df.schema["links"].dataType.elementType.fields  # type: ignore[union-attr]
-    }
+    links_dt = df.schema["links"].dataType
+    if not (
+        isinstance(links_dt, T.ArrayType)
+        and isinstance(links_dt.elementType, T.StructType)
+    ):
+        # links inferred as array<string> (all-empty arrays), NullType
+        # (all null), or some non-STAC shape: no links to extract from
+        return df.withColumn("self_link", F.lit(None).cast("string"))
+    link_fields = {f.name for f in links_dt.elementType.fields}
+    if not {"rel", "href"} <= link_fields:
+        return df.withColumn("self_link", F.lit(None).cast("string"))
     has_type = "type" in link_fields
 
     def ok(link: Column) -> Column:

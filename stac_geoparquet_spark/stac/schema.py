@@ -54,7 +54,17 @@ def merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
     if isinstance(b, T.NullType):
         return a
     if a in _NUM_ORDER and b in _NUM_ORDER:
-        return a if _NUM_ORDER[a] >= _NUM_ORDER[b] else b
+        wide = a if _NUM_ORDER[a] >= _NUM_ORDER[b] else b
+        if wide == T.FloatType() and not (
+            a == T.FloatType() and b == T.FloatType()
+        ):
+            # integer + float32 must widen to float64, not float32:
+            # int32/int64 values above 2^24 are not representable in a
+            # float32 and would silently round on the typed read.
+            # Matches pa.unify_schemas(promote_options='permissive'),
+            # which promotes int64+float32 to double.
+            return T.DoubleType()
+        return wide
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         names = [f.name for f in a.fields]
         bmap = {f.name: f for f in b.fields}
@@ -91,7 +101,7 @@ def patch_null_types(schema: T.StructType) -> T.StructType:
     (arrow/_schema/models.py:61-105): concrete types for columns that
     inferred as all-null."""
 
-    def patch_field(f: T.StructField, in_properties: bool) -> T.StructField:
+    def patch_field(f: T.StructField) -> T.StructField:
         dt = f.dataType
         if isinstance(dt, T.NullType):
             if f.name in DATETIME_COLUMNS:
@@ -106,14 +116,14 @@ def patch_null_types(schema: T.StructType) -> T.StructType:
                 f.name,
                 T.StructType(
                     [
-                        patch_field(g, in_properties or f.name == "properties")
+                        patch_field(g)
                         for g in dt.fields
                     ]
                 ),
             )
         return f
 
-    return T.StructType([patch_field(f, False) for f in schema.fields])
+    return T.StructType([patch_field(f) for f in schema.fields])
 
 
 def infer_items_schema(

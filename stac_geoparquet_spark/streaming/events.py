@@ -148,12 +148,19 @@ def sessionize_stream(
     ``applyInPandasWithState`` + event-time timeout.
 
     Semantics match the batch operator
-    (operators.relational.events_sessionize): a user's events belong to
-    one session while consecutive gaps are <= gap_minutes; a session is
-    *emitted* once the watermark passes its last event + gap (i.e. it
-    can no longer grow). State per user is four scalars (start, last,
-    count, sum) — bounded, skew-safe (keyed by user_id), and the state
-    store scales horizontally with shuffle partitions.
+    (operators.relational.events_sessionize) for in-order data: a
+    user's events belong to one session while consecutive gaps are
+    <= gap_minutes.  The OPEN session is emitted when the watermark
+    passes its last event + gap (event-time timeout); a session closed
+    by a larger in-batch gap is emitted immediately — final unless a
+    late event inside the watermark would have bridged the gap (the
+    standard state-store approximation; exactness there would require
+    buffering all events until the watermark).  Late events that the
+    watermark admits extend the stored session bounds monotonically
+    (min start / max end) — they never regress them.  State per user is
+    four scalars (start, last, count, sum) — bounded, skew-safe (keyed
+    by user_id), and the state store scales horizontally with shuffle
+    partitions.
 
     The reference has nothing stateful (SURVEY.md §2.7); this is the
     beyond-reference streaming surface of the engine.
@@ -194,7 +201,14 @@ def sessionize_stream(
                 start, last, n, v = t, t, 0, 0.0
             n += 1
             v += float(val)
-            last = t
+            # Late events admitted by the watermark may precede the
+            # stored bounds: extend, never regress (last = t would
+            # shrink session_end and pull the event-time timeout
+            # backwards; start is likewise min-adjusted).
+            if t < start:
+                start = t
+            if t > last:
+                last = t
         state.update((start, last, n, v))
         # wake up when the watermark passes last + gap
         state.setTimeoutTimestamp(int((last + gap_s) * 1000) + 1)

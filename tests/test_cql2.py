@@ -172,3 +172,21 @@ def test_errors():
             "op": "s_intersects",
             "args": [{"bbox": [0, 0, 1, 1]}, {"bbox": [0, 0, 1, 1]}],
         })
+
+
+def test_open_interval_excludes_null_datetime(spark):
+    """anyinteracts with a fully open interval must still require the
+    instant to exist (round-2 fix: it reduced to lit(True) and kept
+    null-datetime rows)."""
+    from stac_geoparquet_spark.stac.cql2 import cql2_filter
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00",), ("b", None)],
+        "id string, datetime string",
+    ).selectExpr("id", "CAST(datetime AS TIMESTAMP) AS datetime")
+    expr = {
+        "op": "anyinteracts",
+        "args": [{"property": "datetime"}, {"interval": ["..", ".."]}],
+    }
+    out = cql2_filter(df, expr).collect()
+    assert [r.id for r in out] == ["a"]

@@ -243,3 +243,33 @@ def test_parse_stac_ndjson_to_geoparquet_end_to_end(spark, tmp_path):
     dest2 = str(tmp_path / "e2e_gpq_lim")
     parse_stac_ndjson_to_geoparquet(spark, src, dest2, limit=2)
     assert spark.read.parquet(dest2).count() == 2
+
+
+def test_delta_available_is_honest(spark):
+    """delta-spark is not installed here; the availability probe must
+    say so (round-2 fix: bare py4j attribute access resolves unknown
+    paths to a JavaPackage without raising, making the old check
+    always-True)."""
+    from stac_geoparquet_spark.sinks.delta import delta_available
+
+    assert delta_available(spark) is False
+
+
+def test_geo_key_omitted_without_geometry_column(spark, tmp_path):
+    """A bbox-only table gets no 'geo' footer key (primary_column
+    naming a missing column is spec-invalid), but keeps the
+    stac-geoparquet key."""
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.sinks import to_geoparquet
+    from stac_geoparquet_spark.sinks.geoparquet import read_geoparquet_metadata
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0, 1.0, 1.0)],
+        "id string, xmin double, ymin double, xmax double, ymax double",
+    ).select("id", F.struct("xmin", "ymin", "xmax", "ymax").alias("bbox"))
+    dest = str(tmp_path / "nogeo")
+    to_geoparquet(df, dest)
+    md = read_geoparquet_metadata(dest)
+    assert "geo" not in md
+    assert "stac-geoparquet" in md

@@ -199,3 +199,16 @@ def test_extract_self_link_no_links_column(spark):
     df = spark.range(1)
     out = extract_self_link(df)
     assert out.schema["self_link"].dataType == T.StringType()
+
+
+def test_merge_int_and_float_widens_to_double():
+    """int64 + float32 must merge to float64 (float32 silently rounds
+    integers above 2^24), matching pyarrow's permissive promotion."""
+    from pyspark.sql import types as T
+
+    from stac_geoparquet_spark.stac.schema import merge_types
+
+    assert merge_types(T.LongType(), T.FloatType()) == T.DoubleType()
+    assert merge_types(T.FloatType(), T.IntegerType()) == T.DoubleType()
+    assert merge_types(T.FloatType(), T.FloatType()) == T.FloatType()
+    assert merge_types(T.LongType(), T.DoubleType()) == T.DoubleType()

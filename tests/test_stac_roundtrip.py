@@ -178,3 +178,44 @@ def test_mixed_datetime_precision_one_column(spark, tmp_path):
     back = sorted(to_item_dicts(df), key=lambda d: d["id"])
     ok, msg = items_equal(sorted(items, key=lambda d: d["id"]), back)
     assert ok, msg
+
+
+def test_extract_self_link_tolerates_non_struct_links(spark):
+    """All-empty links arrays infer as array<string>; the extractor
+    must emit a null self_link column, not crash on .fields."""
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.stac.forward import extract_self_link
+
+    df = spark.createDataFrame(
+        [("a", []), ("b", [])], "id string, links array<string>"
+    )
+    out = extract_self_link(df)
+    assert out.where(F.col("self_link").isNotNull()).count() == 0
+
+
+def test_featurecollection_union_of_fields_across_files(spark, tmp_path):
+    """A property present only in the SECOND FeatureCollection file
+    must survive the schema inference (round-2 fix: wrapper schema was
+    inferred from the first file only)."""
+    import json
+
+    from stac_geoparquet_spark.stac.forward import read_stac_json
+
+    def fc(items):
+        return {"type": "FeatureCollection", "features": items}
+
+    base = {
+        "type": "Feature",
+        "id": "x",
+        "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+        "properties": {"datetime": "2024-01-01T00:00:00Z"},
+    }
+    extra = dict(base, id="y")
+    extra["properties"] = dict(base["properties"], only_in_second=7)
+    p1, p2 = tmp_path / "a.json", tmp_path / "b.json"
+    p1.write_text(json.dumps(fc([base])))
+    p2.write_text(json.dumps(fc([extra])))
+    df = read_stac_json(spark, [str(p1), str(p2)])
+    assert "only_in_second" in df.schema["properties"].dataType.names
+    assert df.count() == 2
