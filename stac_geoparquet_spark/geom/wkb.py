@@ -98,6 +98,11 @@ def _encode(geom: dict) -> bytes:
     buf += struct.pack("<I", code)
 
     if gtype == "Point":
+        if len(coords) < 2:
+            raise ValueError(
+                "empty Point geometry (coordinates []) cannot be "
+                "WKB-encoded; filter empty geometries before encoding"
+            )
         _pack_point(buf, coords, ndim)
     elif gtype in ("LineString", "MultiPoint"):
         if gtype == "LineString":
@@ -140,10 +145,10 @@ class _Reader:
         self.pos += 4
         return v
 
-    def point(self, fmt: str, ndim: int):
+    def point(self, fmt: str, ndim: int, keep: int):
         vals = struct.unpack_from(f"{fmt}{ndim}d", self.data, self.pos)
         self.pos += 8 * ndim
-        return list(vals)
+        return list(vals[:keep])
 
     def byte(self) -> int:
         v = self.data[self.pos]
@@ -161,18 +166,32 @@ def wkb_to_geojson(data: bytes | None) -> dict | None:
 def _decode(r: _Reader) -> dict:
     fmt = "<" if r.byte() == 1 else ">"
     raw = r.u32(fmt)
-    has_z = False
-    code = raw
-    if raw & 0x80000000:  # EWKB Z flag
-        has_z = True
-        code = raw & 0x0FFFFFFF
-    if code >= 1000:
+    # EWKB flag bits (what PostGIS/pgstac actually emits for
+    # SRID-stamped geometries): Z=0x80000000, M=0x40000000,
+    # SRID=0x20000000 — strip all three from the type code and consume
+    # the 4-byte SRID when flagged (GeoJSON is implicitly CRS84/4326,
+    # so the value itself is dropped).
+    has_z = bool(raw & 0x80000000)
+    has_m = bool(raw & 0x40000000)
+    code = raw & 0x1FFFFFFF
+    if raw & 0x20000000:
+        r.u32(fmt)  # SRID
+    # ISO offsets: 1000=Z, 2000=M, 3000=ZM
+    if code >= 3000:
+        has_z = has_m = True
+        code -= 3000
+    elif code >= 2000:
+        has_m = True
+        code -= 2000
+    elif code >= 1000:
         has_z = True
         code -= 1000
     gtype = _CODE_TYPES.get(code)
     if gtype is None:
         raise ValueError(f"unknown WKB geometry code: {raw}")
-    ndim = 3 if has_z else 2
+    # read every stored ordinate, keep x,y(,z) — GeoJSON has no M
+    ndim = 2 + (1 if has_z else 0) + (1 if has_m else 0)
+    keep = 3 if has_z else 2
 
     if gtype == "GeometryCollection":
         n = r.u32(fmt)
@@ -181,19 +200,19 @@ def _decode(r: _Reader) -> dict:
             "geometries": [_decode(r) for _ in range(n)],
         }
     if gtype == "Point":
-        return {"type": gtype, "coordinates": r.point(fmt, ndim)}
+        return {"type": gtype, "coordinates": r.point(fmt, ndim, keep)}
     if gtype == "LineString":
         n = r.u32(fmt)
         return {
             "type": gtype,
-            "coordinates": [r.point(fmt, ndim) for _ in range(n)],
+            "coordinates": [r.point(fmt, ndim, keep) for _ in range(n)],
         }
     if gtype == "Polygon":
         nr = r.u32(fmt)
         return {
             "type": gtype,
             "coordinates": [
-                [r.point(fmt, ndim) for _ in range(r.u32(fmt))]
+                [r.point(fmt, ndim, keep) for _ in range(r.u32(fmt))]
                 for _ in range(nr)
             ],
         }

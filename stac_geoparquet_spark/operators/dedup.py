@@ -30,6 +30,8 @@ construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -106,13 +108,27 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PER_DOC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Session cache key including the source file's (mtime, size) —
+    same freshness contract as _io.layout_scratch_path: a regenerated
+    documents.parquet mid-session gets fresh cached intermediates, not
+    silently stale ones."""
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "missing"
+    return (spark.sparkContext.applicationId, sf_dir, stamp)
+
+
 def per_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document carrying everything every MinHash consumer
     needs: the shingle-hash set ``ss`` + size ``n`` (exact-Jaccard
     verify) and the ``NUM_HASHES`` signature minima (banding). ONE
     groupBy on doc_id; cached so the exchange is paid once per session
     per scale factor."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _cache_key(spark, sf_dir)
     cached = _PER_DOC_CACHE.get(key)
     if cached is not None:
         return cached
@@ -141,7 +157,7 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 60-bit verify hash is the conv value itself, and the minhash
     family bases are bit-slices of it — h1 = top 32 bits, h2 = low 28
     bits."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _cache_key(spark, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -317,7 +333,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parsed JVM-side in one shot — constructing the ~300 Column
     # objects through py4j costs >1s of driver time per call, ~4x the
     # parse cost of the equivalent strings.
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _cache_key(spark, sf_dir)
     cached = _PAIRS_CACHE.get(key)
     if cached is not None:
         return cached

@@ -99,7 +99,7 @@ def dpp_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = build_orders_year_layout(spark, sf_dir)
     fact = spark.read.parquet(path)
-    # 7 candidate years, 'target' rows select 2 -> a selective
+    # 11 candidate years (1992-2002), 'target' rows select 2 -> a selective
     # predicate on the dim side, which is what DPP's planner heuristic
     # requires before it inserts the pruning subquery.
     dim = spark.createDataFrame(

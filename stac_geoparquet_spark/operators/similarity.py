@@ -403,6 +403,22 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     of n_centroids partitions are scanned); this operator is the
     assignment pass of that write. One GEMM per Arrow batch against the
     broadcast centroid matrix, no shuffle."""
+    assign = _make_cell_assign_fn(spark, sf_dir, carry_embedding=False)
+    return _emb_blocks(spark, sf_dir).mapInPandas(
+        assign, "vec_id bigint, ivf_cell bigint"
+    )
+
+
+def _make_cell_assign_fn(
+    spark: SparkSession, sf_dir: str, carry_embedding: bool
+):
+    """ONE batch-assignment closure shared by ``ivf_cell_assignment``
+    (the oracle-checked query) and ``build_ivf_layout`` (the persisted
+    index write) — the assignment math, including the rounded-cosine
+    tie-break that must match the oracle, lives in exactly one place so
+    the layout can never silently desynchronize from the checked
+    output.  ``carry_embedding`` keeps the vector column in the output
+    (the layout write needs it; the assignment query does not)."""
     c_ids, cm, cnorm = _load_centroids(sf_dir)
     b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
     assign_cells = _cell_assigner()  # local => shipped by value
@@ -413,17 +429,18 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         c_ids_, cm_, cnorm_ = b_c.value
         for pdf in batches:
-            v_ids = pdf["vec_id"].to_numpy()
             v = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
             vnorm = np.sqrt((v * v).sum(axis=1))
             cells, _ = assign_cells(v, vnorm, c_ids_, cm_, cnorm_)
-            yield pd.DataFrame({"vec_id": v_ids, "ivf_cell": cells})
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            if carry_embedding:
+                out["embedding"] = pdf["embedding"]
+            out["ivf_cell"] = cells
+            yield pd.DataFrame(out)
 
-    return _emb_blocks(spark, sf_dir).mapInPandas(
-        assign, "vec_id bigint, ivf_cell bigint"
-    )
+    return assign
 
 
 def _centroid_cte() -> str:
@@ -480,28 +497,10 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     path = ivf_layout_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    c_ids, cm, cnorm = _load_centroids(sf_dir)
-    b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
-    assign_cells = _cell_assigner()  # local => shipped by value
-
-    def tag(batches):
-        import numpy as np
-        import pandas as pd
-
-        c_ids_, cm_, cnorm_ = b_c.value
-        for pdf in batches:
-            v = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
-            )
-            vnorm = np.sqrt((v * v).sum(axis=1))
-            cells, _ = assign_cells(v, vnorm, c_ids_, cm_, cnorm_)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "embedding": pdf["embedding"],
-                    "ivf_cell": cells,
-                }
-            )
+    # the assignment math is shared with ivf_cell_assignment — one
+    # closure, so the persisted layout can't drift from the
+    # oracle-checked assignment
+    tag = _make_cell_assign_fn(spark, sf_dir, carry_embedding=True)
 
     def build(build_dir: str) -> None:
         (

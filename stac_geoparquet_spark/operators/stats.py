@@ -254,7 +254,13 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along as evidence."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    # read_events, not a raw parquet read: events.parquet carries
+    # TIMESTAMP(NANOS), which the plain scan rejects unless the legacy
+    # nanosAsLong conf is set — a raw read here would pass or fail
+    # depending on which operator ran first in the session.
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
     h = (
         "CAST(conv(substring(md5(concat('kmv:', CAST(user_id AS STRING))),"
         " 1, 15), 16, 10) AS BIGINT)"

@@ -275,7 +275,14 @@ def parse_item_strings(spark: SparkSession, items: DataFrame) -> DataFrame:
     stac.forward.normalize_items."""
     from stac_geoparquet_spark.stac.forward import _stringify_geometry_fields
 
-    ds = items.select(F.col("item_json").alias("value"))
+    # Persist the JSON strings before the two json() passes (inference
+    # + typed read): without it the ENTIRE upstream pipeline — the
+    # broadcast hydration join and the per-row decode mapInPandas, the
+    # most expensive stage of the pgstac path — would execute twice.
+    # The cache (memory-and-disk) stays registered so the caller's
+    # first action on the returned frame reuses the inference pass's
+    # blocks; it is evicted LRU or with the session.
+    ds = items.select(F.col("item_json").alias("value")).cache()
     inferred = spark.read.json(ds.rdd.map(lambda r: r[0])).schema
     patched = _stringify_geometry_fields(inferred)
     return spark.read.schema(patched).json(ds.rdd.map(lambda r: r[0]))

@@ -112,3 +112,49 @@ def test_polygon_property_roundtrip(rings):
             assert all(
                 math.isclose(a, b, rel_tol=0, abs_tol=0) for a, b in zip(p1, p2)
             )
+
+
+def test_ewkb_srid_flag_decodes():
+    """PostGIS/pgstac emit EWKB with the SRID flag (0x20000000); the
+    decoder must consume the 4-byte SRID and strip the flag bits
+    (round-2 fix: 2-D SRID input raised 'unknown WKB geometry code',
+    Z+SRID silently decoded garbage coordinates)."""
+    import struct
+
+    from stac_geoparquet_spark.geom.wkb import wkb_to_geojson
+
+    two_d = bytes.fromhex("0101000020E6100000") + struct.pack("<2d", 1.5, 2.5)
+    assert wkb_to_geojson(two_d) == {
+        "type": "Point",
+        "coordinates": [1.5, 2.5],
+    }
+    z_srid = bytes.fromhex("01010000A0E6100000") + struct.pack(
+        "<3d", 1.0, 2.0, 3.0
+    )
+    assert wkb_to_geojson(z_srid) == {
+        "type": "Point",
+        "coordinates": [1.0, 2.0, 3.0],
+    }
+    # M flag: the M ordinate is consumed and dropped (GeoJSON has no M)
+    m_flag = bytes.fromhex("0101000040") + struct.pack("<3d", 1.0, 2.0, 9.9)
+    assert wkb_to_geojson(m_flag) == {
+        "type": "Point",
+        "coordinates": [1.0, 2.0],
+    }
+    # ISO ZM code 3001: four ordinates stored, x/y/z kept
+    zm = b"\x01" + struct.pack("<I", 3001) + struct.pack(
+        "<4d", 1.0, 2.0, 3.0, 9.9
+    )
+    assert wkb_to_geojson(zm) == {
+        "type": "Point",
+        "coordinates": [1.0, 2.0, 3.0],
+    }
+
+
+def test_empty_point_encode_raises_clearly():
+    import pytest
+
+    from stac_geoparquet_spark.geom.wkb import geojson_to_wkb
+
+    with pytest.raises(ValueError, match="empty Point"):
+        geojson_to_wkb({"type": "Point", "coordinates": []})
