@@ -259,3 +259,53 @@ def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0 or sf_dir.endswith("sf0.001")
+
+
+def test_sessionize_stream_late_event_does_not_regress_bounds(spark, tmp_path):
+    """A late event admitted by the watermark must extend the stored
+    session bounds monotonically (round-2 fix: `last = t` shrank
+    session_end and pulled the event-time timeout backwards)."""
+    import time as _time
+
+    from stac_geoparquet_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        stream_events_sessions,
+    )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    base = 1704067200
+
+    def write_file(rows):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA).withColumn(
+            "ts", F.timestamp_seconds(F.col("value")).cast("timestamp_ntz")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mod-times => deterministic file order
+
+    # batch 1: user 7 at t=base and base+50
+    write_file([(1, None, 7, "click", float(base), "{}"),
+                (2, None, 7, "click", float(base + 50), "{}")])
+    # batch 2: LATE event for user 7 at base+20 (admitted: watermark is
+    # base+50 - 1min) + a far-future user-8 event that pushes the
+    # watermark past user 7's last + gap
+    write_file([(3, None, 7, "click", float(base + 20), "{}"),
+                (4, None, 8, "click", float(base + 7200), "{}")])
+    # batch 3: another future event so the timed-out user-7 state emits
+    write_file([(5, None, 8, "click", float(base + 7300), "{}")])
+
+    stream_events_sessions(
+        spark, src, str(tmp_path / "late_ckpt"),
+        output_table="t_late_sessions", gap_minutes=30,
+    )
+    rows = {
+        r.user_id: r
+        for r in spark.table("t_late_sessions").collect()
+    }
+    assert 7 in rows, "user 7's session must have timed out and emitted"
+    s = rows[7]
+    assert s.session_start.timestamp() == base
+    assert s.session_end.timestamp() == base + 50, (
+        "late event must not regress session_end"
+    )
+    assert s.n_events == 3
