@@ -122,6 +122,21 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     return (spark.sparkContext.applicationId, sf_dir, stamp)
 
 
+def band_parts_sql() -> str:
+    """SQL fragment building the LSH band structs
+    array(struct(band_id, band_key), ...) from signature columns
+    h0..h{NUM_HASHES-1} — ONE definition shared by the batch banding
+    (dedup_minhash_lsh), the resident band index, and the streaming
+    signature path (streaming/dedup.py), so band construction can never
+    drift between them."""
+    return ", ".join(
+        f"struct({b} AS band_id, concat_ws('-', "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS band_key)"
+        for b in range(NUM_BANDS)
+    )
+
+
 def per_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document carrying everything every MinHash consumer
     needs: the shingle-hash set ``ss`` + size ``n`` (exact-Jaccard
@@ -339,12 +354,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     per_doc = per_doc_signatures(spark, sf_dir)
     sig = per_doc
-    band_parts = ", ".join(
-        f"struct({b} AS band_id, concat_ws('-', "
-        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ") AS band_key)"
-        for b in range(NUM_BANDS)
-    )
+    band_parts = band_parts_sql()
     bands = sig.selectExpr(
         "doc_id", f"explode(array({band_parts})) AS band"
     ).selectExpr("doc_id", "band.band_id", "band.band_key")

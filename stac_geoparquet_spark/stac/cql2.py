@@ -96,6 +96,8 @@ def _geometry_envelope(node: Any) -> tuple[float, float, float, float]:
         b = node["bbox"]
         if len(b) == 6:  # 3-D bbox: drop z
             return b[0], b[1], b[3], b[4]
+        if len(b) != 4:
+            raise Cql2Error(f"bbox literal must have 4 or 6 values: {b!r}")
         return tuple(b)
     if isinstance(node, dict) and "coordinates" in node:
         xs: list[float] = []
@@ -119,8 +121,20 @@ def _geometry_envelope(node: Any) -> tuple[float, float, float, float]:
 
 def _bbox_intersects(env: tuple[float, float, float, float]) -> Column:
     """Sargable 2-D bbox overlap against the bbox struct column: four
-    double comparisons Catalyst pushes to Parquet row-group stats."""
+    double comparisons Catalyst pushes to Parquet row-group stats.
+
+    An antimeridian-crossing query bbox (west > east, valid per
+    RFC 7946 §5.2) splits into the two hemisphere boxes OR-ed together
+    — still sargable.  Item bboxes themselves are assumed
+    non-crossing (the reference's bbox-struct layout makes the same
+    assumption); polygon literals whose coordinates cross the dateline
+    reduce to a min/max envelope and keep that limitation.
+    """
     xmin, ymin, xmax, ymax = env
+    if xmin > xmax:  # dateline-crossing query box
+        return _bbox_intersects((xmin, ymin, 180.0, ymax)) | _bbox_intersects(
+            (-180.0, ymin, xmax, ymax)
+        )
     b = F.col(BBOX_COL)
     return (
         (b["xmin"] <= F.lit(xmax))
@@ -153,6 +167,20 @@ def cql2_to_column(expr: dict) -> Column:
         raise Cql2Error(f"not a CQL2 expression: {expr!r}")
     op = expr["op"]
     args = expr.get("args", [])
+
+    # arity validation up front so malformed trees raise Cql2Error (the
+    # documented contract), never a bare IndexError from args[i]
+    _min_arity = {
+        "and": 1, "or": 1, "not": 1, "between": 3, "in": 2, "like": 2,
+        "isNull": 1, "casei": 1, "accenti": 1, "t_after": 2,
+        "t_before": 2, "t_equals": 2, "t_during": 2, "anyinteracts": 2,
+        "s_intersects": 2,
+    }
+    need = _min_arity.get(op, 2 if (op in _CMP or op in _ARITH) else 0)
+    if len(args) < need:
+        raise Cql2Error(
+            f"op {op!r} needs at least {need} args, got {len(args)}"
+        )
 
     if op == "and":
         out = cql2_to_column(args[0])
@@ -199,12 +227,25 @@ def cql2_to_column(expr: dict) -> Column:
                 raise Cql2Error("t_before needs a closed lower bound")
             return x < lo
         if op == "t_equals":
-            return x == lo
+            if lo is None or hi is None:
+                raise Cql2Error(
+                    "t_equals needs an instant (or closed degenerate "
+                    "interval) literal — an open interval can never "
+                    "equal an instant"
+                )
+            # an instant equals an interval only when the interval is
+            # degenerate (start == end == x); for a real interval this
+            # conjunction is correctly never true
+            return (x == lo) & (x == hi)
         # t_during / anyinteracts on an instant property: inside
         # interval. A fully open interval ["..", ".."] still requires
         # the instant to EXIST — starting from isNotNull (not
         # lit(True)) keeps null datetimes excluded, consistent with
         # every closed comparison here (which yields NULL -> dropped).
+        # DELIBERATE DEVIATION: bounds are inclusive (>=/<=) for BOTH
+        # ops, whereas OGC 21-065 T_DURING is strict containment — the
+        # STAC-API convention (datetime range filters are closed) wins
+        # here, and the oracle suite pins the inclusive semantics.
         out = x.isNotNull()
         if lo is not None:
             out = out & (x >= lo)

@@ -338,10 +338,15 @@ class _Parser:
             nums = []
             while self.peek() not in (",", ")", None):
                 t = self.next()
-                if t == "-":
-                    nums.append(-float(self.next()))
-                else:
-                    nums.append(float(t))
+                try:
+                    if t == "-":
+                        nums.append(-float(self.next()))
+                    else:
+                        nums.append(float(t))
+                except (TypeError, ValueError):
+                    raise Cql2Error(
+                        f"bad WKT coordinate token: {t!r}"
+                    ) from None
             positions.append(nums)
             if not self.accept(","):
                 break

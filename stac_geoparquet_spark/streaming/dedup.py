@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 from stac_geoparquet_spark.operators.dedup import (
     _MINHASH_PRIME,
     _minhash_oracle_ctes,
+    band_parts_sql,
     per_doc_signatures,
     JACCARD_THRESHOLD,
     NUM_BANDS,
@@ -66,12 +67,7 @@ def incoming_signatures(docs: DataFrame) -> DataFrame:
         f"{_MINHASH_PRIME})) AS h{s}"
         for s in range(NUM_HASHES)
     ]
-    band_parts = ", ".join(
-        f"struct({b} AS band_id, concat_ws('-', "
-        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ") AS band_key)"
-        for b in range(NUM_BANDS)
-    )
+    band_parts = band_parts_sql()
     return (
         docs.selectExpr(
             "doc_id",
@@ -116,12 +112,7 @@ def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = per_doc_signatures(spark, sf_dir).filter(
         F.col("doc_id") % INCOMING_MOD != 0
     )
-    band_parts = ", ".join(
-        f"struct({b} AS band_id, concat_ws('-', "
-        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ") AS band_key)"
-        for b in range(NUM_BANDS)
-    )
+    band_parts = band_parts_sql()
     return per_doc.selectExpr(
         "doc_id", "ss", "n", f"explode(array({band_parts})) AS band"
     ).selectExpr("doc_id", "ss", "n", "band.band_id", "band.band_key")

@@ -27,9 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-STATE_COLS = ("hour", "event_type", "event_count", "value_sum", "user_hll")
-
-
 def hourly_rollup_state(events: DataFrame) -> DataFrame:
     """Aggregate raw events into mergeable hourly state."""
     return (

@@ -190,3 +190,75 @@ def test_open_interval_excludes_null_datetime(spark):
     }
     out = cql2_filter(df, expr).collect()
     assert [r.id for r in out] == ["a"]
+
+
+def test_t_equals_interval_semantics(spark):
+    """t_equals: open interval raises Cql2Error; a non-degenerate
+    closed interval can never equal an instant (round-2 fix: it
+    matched rows equal to the interval's start)."""
+    import pytest
+
+    from stac_geoparquet_spark.stac.cql2 import Cql2Error, cql2_filter
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")], "id string, datetime string"
+    ).selectExpr("id", "CAST(datetime AS TIMESTAMP) AS datetime")
+    with pytest.raises(Cql2Error):
+        cql2_filter(
+            df,
+            {"op": "t_equals",
+             "args": [{"property": "datetime"},
+                      {"interval": ["..", "2024-06-01T00:00:00Z"]}]},
+        ).collect()
+    non_degenerate = cql2_filter(
+        df,
+        {"op": "t_equals",
+         "args": [{"property": "datetime"},
+                  {"interval": ["2024-01-01T00:00:00Z",
+                                "2024-12-31T00:00:00Z"]}]},
+    )
+    assert non_degenerate.count() == 0
+    degenerate = cql2_filter(
+        df,
+        {"op": "t_equals",
+         "args": [{"property": "datetime"},
+                  {"timestamp": "2024-01-01T00:00:00Z"}]},
+    )
+    assert degenerate.count() == 1
+
+
+def test_antimeridian_bbox_splits(spark):
+    """A west>east query bbox (RFC 7946 dateline crossing) must match
+    items on both sides of the antimeridian."""
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.stac.cql2 import cql2_filter
+
+    df = spark.createDataFrame(
+        [("east", 175.0, 0.0, 179.0, 5.0),
+         ("west", -179.0, 0.0, -175.0, 5.0),
+         ("far", 0.0, 0.0, 5.0, 5.0)],
+        "id string, xmin double, ymin double, xmax double, ymax double",
+    ).select("id", F.struct("xmin", "ymin", "xmax", "ymax").alias("bbox"))
+    out = cql2_filter(
+        df,
+        {"op": "s_intersects",
+         "args": [{"property": "geometry"},
+                  {"bbox": [170.0, -10.0, -170.0, 10.0]}]},
+    )
+    assert {r.id for r in out.collect()} == {"east", "west"}
+
+
+def test_malformed_ast_raises_cql2error(spark):
+    import pytest
+
+    from stac_geoparquet_spark.stac.cql2 import Cql2Error, cql2_to_column
+
+    for bad in (
+        {"op": "and", "args": []},
+        {"op": "not", "args": []},
+        {"op": "=", "args": [{"property": "x"}]},
+        {"op": "between", "args": [{"property": "x"}, 1]},
+    ):
+        with pytest.raises(Cql2Error):
+            cql2_to_column(bad)

@@ -165,3 +165,13 @@ def test_errors():
     ):
         with pytest.raises(Cql2Error):
             parse_cql2_text(bad)
+
+
+def test_bad_wkt_coordinate_raises_cql2error():
+    import pytest
+
+    from stac_geoparquet_spark.stac.cql2 import Cql2Error
+    from stac_geoparquet_spark.stac.cql2_text import parse_cql2_text
+
+    with pytest.raises(Cql2Error, match="WKT coordinate"):
+        parse_cql2_text("S_INTERSECTS(geometry, POINT(1 a))")
