@@ -25,6 +25,7 @@ if _REPO not in sys.path:
 def _registries():
     from stac_geoparquet_spark.operators import (
         bucketing,
+        curation,
         dedup,
         funnel,
         graph,
@@ -84,6 +85,7 @@ def _registries():
     rotation = [  # extra per-module registries placed after the window
         (pipeline.QUERIES_ROTATION, pipeline.ORACLE_ROTATION),
         (similarity.QUERIES_ROTATION, similarity.ORACLE_ROTATION),
+        (curation.QUERIES_ROTATION, curation.ORACLE_ROTATION),
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

@@ -1,0 +1,294 @@
+"""Corpus-curation operators beyond the core text/dedup families:
+Zipf-slope corpus health check, cross-language contamination audit,
+character-level duplicated-span coverage, and a PII scan/redact
+surface.
+
+All pure DataFrame expressions (JVM-side, codegen'd — no Python UDFs).
+Scale notes per operator:
+
+- text_zipf_slope: the regression runs on the distributed top-K vocab
+  (TakeOrderedAndProject over partial counts) — the global rank window
+  touches only the K survivors, never the full vocabulary, so the
+  single-task stage is K rows at any corpus size.
+- cross_lang_contamination: one explode + distinct keyed by
+  (lang, gram), then a gram-keyed self-join whose per-gram fan-out is
+  capped at C(|langs|, 2) pairs — bounded by the language count, not
+  the corpus.
+- dedup_substring_spans: strided char shingles keep the explode factor
+  at ~len/stride per doc; the cross-doc test is a window min!=max over
+  the shingle hash (one shuffle), not a self-join.
+- pii_scan / pii_redact: embarrassingly parallel single-pass regex
+  scans (Spark `regexp_count`/`regexp_replace`, JVM codegen). The
+  driver-gated corpus is synthetic word-soup with zero PII-shaped
+  spans, so the operators are verified on injected fixtures with a
+  DuckDB cross-check (tests/test_curation.py) instead of a
+  zero-information oracle row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stac_geoparquet_spark.operators.text import _sql_words, _words
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import read_documents
+
+    return read_documents(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Zipf slope: fit ln(freq) ~ ln(rank) over the top-K vocabulary — the
+# standard corpus-health statistic (natural text ~ -1; synthetic or
+# boilerplate-heavy corpora drift off). regr_slope/regr_intercept are
+# exact single-pass aggregates in both engines.
+# --------------------------------------------------------------------------
+ZIPF_TOP_K = 1000
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the fitted Zipf slope/intercept of ln(freq) on
+    ln(rank) over the ``ZIPF_TOP_K`` most frequent words, plus the
+    head-vocabulary size the fit used.
+
+    Rank ties break by word (both engines), and the regression is rank-
+    order-insensitive (sum-based normal equations), so the only cross-
+    engine drift is float accumulation ~1e-12 — nine orders under the
+    6-decimal rounding.
+    """
+    docs = _docs(spark, sf_dir)
+    head = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(ZIPF_TOP_K)
+    )
+    ranked = head.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("word"))),
+    )
+    return ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col("n")), F.log(F.col("rk"))), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(F.log(F.col("n")), F.log(F.col("rk"))), 6
+        ).alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_head_vocab"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest({_sql_words()}) AS word FROM documents) t
+  GROUP BY word
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk
+  FROM counts
+  ORDER BY n DESC, word
+  LIMIT {ZIPF_TOP_K}
+)
+SELECT round(regr_slope(ln(n), ln(rk)), 6)     AS zipf_slope,
+       round(regr_intercept(ln(n), ln(rk)), 6) AS zipf_intercept,
+       count(*)                                AS n_head_vocab
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# cross-language contamination: language pairs sharing word-5-grams —
+# the audit that catches one language's boilerplate leaking into
+# another's split (or a mislabeled-language subset).
+# --------------------------------------------------------------------------
+XLANG_NGRAM_N = 5
+
+
+def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per unordered language pair (lang_a < lang_b), the number of
+    DISTINCT word-5-grams occurring in both languages.
+
+    SINGLE scan, NO join: a gram-keyed self-join (the oracle's shape)
+    would rescan and re-shingle the corpus once per side, so instead
+    each gram aggregates its distinct language SET (bounded by the
+    language count), the sorted set explodes to its in-row pair
+    combinations — at most C(|langs|, 2) per gram — and a tiny
+    pair-keyed aggregate finishes. Shuffles: the (lang, gram)
+    distinct, the gram-keyed set-collect, and the final count over
+    C(|langs|, 2) groups.
+    """
+    from stac_geoparquet_spark.operators.pipeline import _word_ngrams
+
+    lang_grams = (
+        _docs(spark, sf_dir)
+        .select(
+            "lang",
+            F.explode(
+                _word_ngrams(_words(F.col("text")), XLANG_NGRAM_N)
+            ).alias("ngram"),
+        )
+        .distinct()
+    )
+    gram_langs = lang_grams.groupBy("ngram").agg(
+        F.array_sort(F.collect_set("lang")).alias("ls")
+    )
+    pairs = gram_langs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ls",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ls"), i + 2, F.size("ls")),
+                        lambda y: F.struct(
+                            x.alias("lang_a"), y.alias("lang_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy("p.lang_a", "p.lang_b").agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )
+
+
+def _sql_ngrams_expr(n: int) -> str:
+    from stac_geoparquet_spark.operators.pipeline import _sql_ngrams
+
+    return _sql_ngrams(n)
+
+
+XLANG_SQL = f"""
+WITH w AS (
+  SELECT lang, {_sql_words()} AS words FROM documents
+),
+lg AS (
+  SELECT DISTINCT lang, ngram
+  FROM (SELECT lang, unnest({_sql_ngrams_expr(XLANG_NGRAM_N)}) AS ngram FROM w)
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared_grams
+FROM lg a JOIN lg b ON a.ngram = b.ngram AND a.lang < b.lang
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# character-level duplicated-span coverage: the Lee-et-al-style
+# substring dedup signal, approximated with strided char shingles. A
+# doc's "duplicated fraction" is the share of its shingles that occur
+# verbatim in at least one OTHER doc.
+# --------------------------------------------------------------------------
+SPAN_K = 40  # shingle width (chars)
+SPAN_STRIDE = 10  # shingle start stride (chars)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: total strided 40-char shingles, how many of them also
+    appear verbatim in a different doc, and the duplicated fraction.
+
+    Single scan: shingles explode to (doc_id, hash) rows; a window
+    min/max over each hash's partition marks cross-doc hashes
+    (min(doc_id) != max(doc_id) — no count-distinct needed), and the
+    per-doc rollup keys back on doc_id. Two shuffles (hash, doc_id),
+    both partial-aggregated. A doc shorter than the shingle width
+    contributes its whole text as one shingle, so every doc is scored.
+    """
+    docs = _docs(spark, sf_dir)
+    max_pos = F.greatest(F.length("text") - F.lit(SPAN_K - 1), F.lit(1))
+    pos = F.explode(
+        F.sequence(F.lit(1), max_pos, F.lit(SPAN_STRIDE))
+    ).alias("pos")
+    shingled = docs.select("doc_id", "text", pos).select(
+        "doc_id",
+        F.md5(F.col("text").substr(F.col("pos"), F.lit(SPAN_K))).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    marked = shingled.withColumn(
+        "is_dup",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).cast("int"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_shingles"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+    )
+
+
+SPAN_SQL = f"""
+WITH pos AS (
+  SELECT doc_id,
+         md5(substring(text, CAST(i AS INT), {SPAN_K})) AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {SPAN_K - 1}, 1) + 1,
+                    {SPAN_STRIDE})) AS t(i)
+),
+dup AS (
+  SELECT h FROM pos GROUP BY h HAVING min(doc_id) <> max(doc_id)
+)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(count(dup.h) AS BIGINT) AS n_dup_shingles,
+       round(count(dup.h) * 1.0 / count(*), 6) AS dup_frac
+FROM pos LEFT JOIN dup USING (h)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scan / redact: regex patterns chosen to parse identically under
+# Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
+# --------------------------------------------------------------------------
+PII_PATTERNS: dict[str, str] = {
+    # order matters for redaction: email first (its local part can
+    # contain digits a later pattern would mangle), then the fully
+    # anchored numeric shapes, then the loose phone shape.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\+?\d[\d().-]{7,13}\d\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append one ``pii_n_<kind>`` count column per pattern plus a
+    total; pure ``regexp_count`` projections, no shuffle."""
+    out = df
+    total = F.lit(0).cast("bigint")
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        out = out.withColumn(f"pii_n_{kind}", c)
+        total = total + F.col(f"pii_n_{kind}")
+    return out.withColumn("pii_n_total", total)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII span with ``[<KIND>]`` in ``PII_PATTERNS``
+    order (email before the numeric shapes so phone/ssn never clip an
+    address); single projection, no shuffle."""
+    redacted = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"[{kind.upper()}]")
+    return df.withColumn(text_col, redacted)
+
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+# Locally strict-gated like everything else, registered AFTER the
+# 50-entry driver window this round (see __spark_entry__._registries).
+QUERIES_ROTATION = {
+    "text_zipf_slope": text_zipf_slope,
+    "cross_lang_contamination": cross_lang_contamination,
+    "dedup_substring_spans": dedup_substring_spans,
+}
+
+ORACLE_ROTATION = {
+    "text_zipf_slope": ZIPF_SQL,
+    "cross_lang_contamination": XLANG_SQL,
+    "dedup_substring_spans": SPAN_SQL,
+}

@@ -499,3 +499,68 @@ def test_class_profile_keyed_two_phase_aggs(spark, sf):
     assert "hashpartitioning(label" in plan
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_zipf_fit_on_distributed_topk(spark, sf):
+    """The Zipf regression ranks only the top-K survivors: the vocab
+    head comes from TakeOrderedAndProject (distributed top-K), never a
+    global Sort of the full vocabulary."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.text_zipf_slope(spark, sf))
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert n_ops(plan, "Scan parquet") == 1
+
+
+def test_cross_lang_single_scan_no_join(spark, sf):
+    """The language-pair audit reads the corpus ONCE and never joins:
+    per-gram language sets explode to in-row pair combinations (a
+    gram-keyed self-join would rescan + re-shingle per side)."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.cross_lang_contamination(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
+
+
+def test_substring_spans_single_scan_window_mark(spark, sf):
+    """Duplicated-span coverage is one corpus scan; the cross-doc test
+    is a window min/max over the shingle hash (no self-join), and the
+    rollup is a two-phase doc-keyed aggregate."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.dedup_substring_spans(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "HashAggregate") == 2
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert n_ops(plan, j) == 0
+
+
+def test_pq_encode_single_pass_no_shuffle_after_spread(spark, sf):
+    """The PQ index build is one scan into one Arrow-batched encode
+    pass — no aggregation, no join, no window; the only exchange is
+    the conditional toy-input spread."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.pq_encode_codes(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "Exchange") <= 1
+
+
+def test_pq_adc_batch_topk_then_group_limit(spark, sf):
+    """ADC search: one scan, per-batch local top-k inside the encode+
+    score pass, then the rank window — with WindowGroupLimit pushed
+    below the shuffle so only k rows per (partition, query) move."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.ann_pq_adc(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "WindowGroupLimit") >= 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
