@@ -45,6 +45,7 @@ def _registries():
         stats,
         text,
     )
+    from stac_geoparquet_spark.streaming import decontam as streaming_decontam
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
     from stac_geoparquet_spark.streaming import rollup as streaming_rollup
 
@@ -86,6 +87,7 @@ def _registries():
         (pipeline.QUERIES_ROTATION, pipeline.ORACLE_ROTATION),
         (similarity.QUERIES_ROTATION, similarity.ORACLE_ROTATION),
         (curation.QUERIES_ROTATION, curation.ORACLE_ROTATION),
+        (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

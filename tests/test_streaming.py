@@ -309,3 +309,53 @@ def test_sessionize_stream_late_event_does_not_regress_bounds(spark, tmp_path):
         "late event must not regress session_end"
     )
     assert s.n_events == 3
+
+
+def test_stream_decontam_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static incremental decontamination must yield exactly
+    the per-doc overlap counts the batch-mode entry (oracle-checked)
+    produces for the same incoming split."""
+    from stac_geoparquet_spark.streaming.decontam import (
+        decontam_incremental,
+        holdout_gram_index,
+        stream_decontam_against_holdout,
+    )
+    from stac_geoparquet_spark.streaming.dedup import INCOMING_MOD
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "incoming_decontam")
+    inc = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
+    # two files => two potential micro-batches
+    inc.filter(F.col("doc_id") % (2 * INCOMING_MOD) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    inc.filter(F.col("doc_id") % (2 * INCOMING_MOD) != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = stream_decontam_against_holdout(
+        spark, src, holdout_gram_index(spark, sf_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_decontam")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decontam"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["doc_id"], r["n_overlap"])
+        for r in spark.table("t_stream_decontam")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .collect()
+    }
+    batch = {
+        (r["doc_id"], r["n_overlap"])
+        for r in decontam_incremental(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0 or sf_dir.endswith("sf0.001")
