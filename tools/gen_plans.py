@@ -113,6 +113,35 @@ SHOWCASE = [
         "only exchange is the conditional small-input spreading "
         "round-robin, absent at real scale.",
     ),
+    (
+        "ann_pq_adc",
+        "Product-quantization ADC search: one scan into a fused Arrow "
+        "encode+LUT-score pass (MapInPandas), per-batch local top-k, and "
+        "WindowGroupLimit below the rank window's shuffle — no join, no "
+        "Q x N movement; a deployment scans persisted 8-byte codes "
+        "instead of 256-byte vectors.",
+    ),
+    (
+        "cross_lang_contamination",
+        "Language-pair audit with ONE corpus scan and zero joins: each "
+        "gram aggregates its (bounded) distinct language set and pairs "
+        "explode in-row — the oracle's gram-keyed self-join would rescan "
+        "and re-shingle the corpus per side.",
+    ),
+    (
+        "dedup_substring_spans",
+        "Char-shingle duplicated-span coverage: strided substr explode "
+        "(len/stride rows per doc), cross-doc test as a window min/max "
+        "over the shingle hash (no self-join), two-phase doc-keyed "
+        "rollup.",
+    ),
+    (
+        "decontam_incremental",
+        "Ingest-time decontamination: stateless in-row array_distinct "
+        "gram explode, then a BroadcastHashJoin against the static "
+        "holdout gram index — the same plan the streaming path runs "
+        "per micro-batch with zero aggregation state.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
