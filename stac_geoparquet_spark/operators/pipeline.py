@@ -530,6 +530,154 @@ FROM counts CROSS JOIN t
 """
 
 
+# --------------------------------------------------------------------------
+# corpus yield funnel: the cumulative survivor counts through the
+# curation gates — the yield report a corpus build publishes
+# --------------------------------------------------------------------------
+MIN_WORDS = 30  # length gate
+
+
+def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative doc counts through the chained curation gates:
+    all -> length (>= 30 words) -> repetition (Gopher 2-gram
+    thresholds) -> exact-dedup canonical (min doc_id per content
+    hash) -> train split. One ordered row per stage.
+
+    One corpus scan feeds everything: the content hash and word count
+    ride the exploded 2-gram rows (recovered with first() in the
+    doc-keyed rollup, exactly quality_repetition's shape), the
+    canonical test is a window min over the content-hash partition,
+    and the stage counts collapse in a single conditional aggregate
+    unpivoted to rows. Docs with fewer than 2 words have no 2-grams;
+    explode_outer keeps them as a NULL-gram row (they fail the length
+    gate anyway) so the corpus is scanned exactly ONCE.
+    Shuffles: (doc, gram), doc rollup, hash window, 1-row final agg.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.md5(F.col("text")).alias("h"),
+        split_pct().alias("pct"),
+        _word_ngrams(w, 2).alias("grams"),
+    )
+    # explode_outer keeps 0-gram (short) docs as a NULL-gram row, so no
+    # second corpus scan is needed to union them back in
+    gram_counts = (
+        base.select(
+            "doc_id", "n_words", "h", "pct",
+            F.explode_outer("grams").alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("n_words").alias("n_words"),
+            F.first("h").alias("h"),
+            F.first("pct").alias("pct"),
+        )
+    )
+    real = F.col("g").isNotNull()
+    all_docs = gram_counts.groupBy("doc_id").agg(
+        F.sum(F.when(real, F.col("cnt")).otherwise(0)).alias("n_2grams"),
+        F.coalesce(
+            F.max(F.when(real, F.col("cnt"))), F.lit(0)
+        ).alias("top_cnt"),
+        F.sum(
+            F.when(real & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)
+        ).alias("dup_cnt"),
+        F.first("n_words").alias("n_words"),
+        F.first("h").alias("h"),
+        F.first("pct").alias("pct"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("h"))
+    flagged = all_docs.select(
+        "doc_id",
+        (F.col("n_words") >= MIN_WORDS).alias("s1"),
+        (
+            (F.col("n_2grams") > 0)
+            & (F.col("top_cnt") / F.col("n_2grams") <= TOP_2GRAM_MAX)
+            & (F.col("dup_cnt") / F.col("n_2grams") <= DUP_2GRAM_MAX)
+        ).alias("rep_ok"),
+        (F.col("doc_id") == canon).alias("canon_ok"),
+        (F.col("pct") < TRAIN_PCT).alias("train_ok"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(F.col("s1").cast("bigint")).alias("c1"),
+        F.sum((F.col("s1") & F.col("rep_ok")).cast("bigint")).alias("c2"),
+        F.sum(
+            (F.col("s1") & F.col("rep_ok") & F.col("canon_ok")).cast("bigint")
+        ).alias("c3"),
+        F.sum(
+            (
+                F.col("s1")
+                & F.col("rep_ok")
+                & F.col("canon_ok")
+                & F.col("train_ok")
+            ).cast("bigint")
+        ).alias("c4"),
+    )
+    return agg.selectExpr(
+        "stack(5, 0, 'all', c0, 1, 'length', c1, 2, 'repetition', c2,"
+        " 3, 'exact_dedup', c3, 4, 'train_split', c4)"
+        " AS (stage_id, stage, n_docs)"
+    ).selectExpr("CAST(stage_id AS BIGINT) AS stage_id", "stage", "n_docs")
+
+
+YIELD_FUNNEL_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words, md5(text) AS h,
+         {SPLIT_PCT_SQL} AS pct
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(words) AS n_words, h, pct,
+         {_sql_ngrams(2)} AS grams
+  FROM w
+),
+gc AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
+  GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_2grams,
+         max(cnt) AS top_cnt,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+  FROM gc GROUP BY doc_id
+),
+flags AS (
+  SELECT b.doc_id,
+         b.n_words >= {MIN_WORDS} AS s1,
+         (coalesce(p.n_2grams, 0) > 0
+          AND p.top_cnt * 1.0 / p.n_2grams <= {TOP_2GRAM_MAX}
+          AND p.dup_cnt * 1.0 / p.n_2grams <= {DUP_2GRAM_MAX}) AS rep_ok,
+         b.doc_id = min(b.doc_id) OVER (PARTITION BY b.h) AS canon_ok,
+         b.pct < {TRAIN_PCT} AS train_ok
+  FROM base b LEFT JOIN per_doc p USING (doc_id)
+),
+c AS (
+  SELECT count(*) AS c0,
+         CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN s1 AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN s1 AND rep_ok AND canon_ok THEN 1 ELSE 0 END)
+              AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN s1 AND rep_ok AND canon_ok AND train_ok
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM flags
+)
+SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage, c0 AS n_docs FROM c
+UNION ALL SELECT 1, 'length', c1 FROM c
+UNION ALL SELECT 2, 'repetition', c2 FROM c
+UNION ALL SELECT 3, 'exact_dedup', c3 FROM c
+UNION ALL SELECT 4, 'train_split', c4 FROM c
+"""
+
+
 # Rotation block: locally strict-gated like everything else, but
 # registered AFTER the 50-entry driver window this round (see
 # __spark_entry__._registries) — they rotate into the window next
@@ -537,9 +685,11 @@ FROM counts CROSS JOIN t
 QUERIES_ROTATION = {
     "rebalance_by_lang": rebalance_by_lang,
     "source_mixture_weights": source_mixture_weights,
+    "corpus_yield_funnel": corpus_yield_funnel,
 }
 
 ORACLE_ROTATION = {
     "rebalance_by_lang": REBALANCE_SQL,
     "source_mixture_weights": MIXTURE_SQL,
+    "corpus_yield_funnel": YIELD_FUNNEL_SQL,
 }

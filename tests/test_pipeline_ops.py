@@ -124,3 +124,20 @@ def test_mixture_weights_normalize(spark):
     if small.n_docs < big.n_docs:
         assert small.sqrt_weight >= small.raw_share
         assert big.sqrt_weight <= big.raw_share
+
+
+def test_yield_funnel_monotone(spark, sf_dir):
+    """Each gate can only shrink the survivor set, and every doc is
+    accounted for at stage 0."""
+    from stac_geoparquet_spark.operators.pipeline import corpus_yield_funnel
+
+    rows = sorted(
+        corpus_yield_funnel(spark, sf_dir).collect(),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "all", "length", "repetition", "exact_dedup", "train_split",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:]))

@@ -564,3 +564,16 @@ def test_pq_adc_batch_topk_then_group_limit(spark, sf):
     assert n_ops(plan, "WindowGroupLimit") >= 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert n_ops(plan, j) == 0
+
+
+def test_yield_funnel_single_scan(spark, sf):
+    """The yield report reads the corpus ONCE: explode_outer keeps
+    short docs in-band (no union branch re-scanning the table), and
+    every shuffle is keyed — no join, no cartesian."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.corpus_yield_funnel(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Union") == 0
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
