@@ -88,6 +88,7 @@ def _registries():
         (similarity.QUERIES_ROTATION, similarity.ORACLE_ROTATION),
         (curation.QUERIES_ROTATION, curation.ORACLE_ROTATION),
         (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
+        (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

@@ -276,6 +276,71 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(text_col, redacted)
 
 
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting: one round of byte-pair-encoding
+# tokenizer training — count adjacent character pairs across the
+# corpus weighted by word frequency, rank the top merge candidates.
+# A full BPE train iterates this (merge the winner, recount); the
+# distributed step worth pinning is this count, which at 100 TB runs
+# over the (Heaps-law small) distinct-word table, not the corpus.
+# --------------------------------------------------------------------------
+BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent char pairs by corpus-weighted frequency: word
+    frequencies aggregate first (the corpus-size shuffle), then pairs
+    explode from the DISTINCT word table only — the explode factor
+    applies to the vocabulary, not the corpus. Final top-K is a
+    distributed TakeOrderedAndProject; the rank window touches K
+    rows."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # guard length >= 2: Spark's sequence(1, 0) counts DOWN ([1, 0])
+    # while DuckDB's generate_series(1, 0) is empty — the CASE keeps
+    # both engines on the same (empty) branch for 1-char words
+    pairs = wf.selectExpr(
+        "freq",
+        "explode(CASE WHEN length(word) >= 2"
+        " THEN transform(sequence(1, length(word) - 1),"
+        "                i -> substring(word, i, 2))"
+        " ELSE CAST(array() AS array<string>) END) AS pair",
+    )
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_TOP_K)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+BPE_SQL = f"""
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({_sql_words()}) AS word FROM documents) t
+  GROUP BY word
+),
+p AS (
+  SELECT freq,
+         unnest(CASE WHEN length(word) >= 2
+           THEN list_transform(generate_series(1, length(word) - 1),
+                               i -> substr(word, CAST(i AS INT), 2))
+           ELSE CAST([] AS VARCHAR[]) END) AS pair
+  FROM wf
+),
+c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair)
+SELECT pair, n, rk FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM c
+) WHERE rk <= {BPE_TOP_K}
+"""
+
+
 QUERIES: dict = {}
 ORACLE: dict = {}
 
@@ -285,10 +350,12 @@ QUERIES_ROTATION = {
     "text_zipf_slope": text_zipf_slope,
     "cross_lang_contamination": cross_lang_contamination,
     "dedup_substring_spans": dedup_substring_spans,
+    "bpe_merge_candidates": bpe_merge_candidates,
 }
 
 ORACLE_ROTATION = {
     "text_zipf_slope": ZIPF_SQL,
     "cross_lang_contamination": XLANG_SQL,
     "dedup_substring_spans": SPAN_SQL,
+    "bpe_merge_candidates": BPE_SQL,
 }

@@ -288,6 +288,74 @@ FROM img
 """
 
 
+# --------------------------------------------------------------------------
+# 6. audio window energy — the feature-extraction shape for the audio
+# modality (windowed RMS energy is what VAD / silence trimming runs on)
+# --------------------------------------------------------------------------
+AUDIO_WINDOW = 16  # samples (bytes) per analysis window
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per audio item and 16-sample window: sample count and energy
+    (sum of squared zero-centered 8-bit samples). Integer-exact, so
+    the 'decode' is byte-checkable in SQL like the image histogram.
+    Same scale shape as the other decode stages: pure map over input
+    splits, one Arrow batch pass, no shuffle; a trailing short window
+    is kept (real audio is not window-aligned)."""
+    import numpy as np
+    import pandas as pd
+
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+
+    def energy(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "window_idx": [], "n_samples": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = (
+                    np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                    - 128
+                )
+                for widx in range(-(-len(arr) // AUDIO_WINDOW)):
+                    seg = arr[widx * AUDIO_WINDOW : (widx + 1) * AUDIO_WINDOW]
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(widx)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    return m.select("doc_id", "payload").mapInPandas(
+        energy,
+        schema="doc_id bigint, window_idx bigint, n_samples bigint, "
+        "energy bigint",
+    )
+
+
+MM_AUDIO_ENERGY_SQL = f"""
+WITH au AS (
+  SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
+  FROM documents WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT doc_id, hx, length(hx) // 2 AS n_bytes,
+         unnest(generate_series(
+           0, CAST(ceil(length(hx) / 2.0 / {AUDIO_WINDOW}) AS BIGINT) - 1
+         )) AS window_idx
+  FROM au
+)
+SELECT doc_id, window_idx,
+       CAST(least({AUDIO_WINDOW}, n_bytes - window_idx * {AUDIO_WINDOW})
+            AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(
+         generate_series(window_idx * {AUDIO_WINDOW},
+                         least(window_idx * {AUDIO_WINDOW} + {AUDIO_WINDOW} - 1,
+                               n_bytes - 1)),
+         i -> (('0x' || substr(hx, 2 * i + 1, 2))::BIGINT - 128)
+              * (('0x' || substr(hx, 2 * i + 1, 2))::BIGINT - 128)
+       )) AS BIGINT) AS energy
+FROM w
+"""
+
+
 QUERIES = {
     "mm_media_manifest": mm_media_manifest,
     "mm_frame_sample": mm_frame_sample,
@@ -300,4 +368,14 @@ ORACLE = {
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_image_features": MM_IMAGE_FEATURES_SQL,
     "mm_resize": MM_RESIZE_SQL,
+}
+
+# Registered after the driver window this round (see
+# __spark_entry__._registries).
+QUERIES_ROTATION = {
+    "mm_audio_energy": mm_audio_energy,
+}
+
+ORACLE_ROTATION = {
+    "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
 }
