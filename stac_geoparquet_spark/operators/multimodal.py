@@ -295,19 +295,19 @@ FROM img
 AUDIO_WINDOW = 16  # samples (bytes) per analysis window
 
 
-def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per audio item and 16-sample window: sample count and energy
-    (sum of squared zero-centered 8-bit samples). Integer-exact, so
-    the 'decode' is byte-checkable in SQL like the image histogram.
-    Same scale shape as the other decode stages: pure map over input
-    splits, one Arrow batch pass, no shuffle; a trailing short window
-    is kept (real audio is not window-aligned)."""
-    import numpy as np
-    import pandas as pd
-
-    m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+def audio_energy_frame(m: DataFrame) -> DataFrame:
+    """Windowed energy over any (doc_id, payload binary) frame — the
+    decode stage mm_audio_energy wires to the synthetic media table;
+    tests drive it with injected non-window-aligned payloads. The
+    closure is self-contained (cloudpickle by value; see
+    tests/test_worker_imports.py for why module-level references are
+    forbidden in shipped closures)."""
 
     def energy(batches):
+        import numpy as np
+        import pandas as pd
+
+        win = AUDIO_WINDOW
         for pdf in batches:
             out = {"doc_id": [], "window_idx": [], "n_samples": [], "energy": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -315,8 +315,8 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                     - 128
                 )
-                for widx in range(-(-len(arr) // AUDIO_WINDOW)):
-                    seg = arr[widx * AUDIO_WINDOW : (widx + 1) * AUDIO_WINDOW]
+                for widx in range(-(-len(arr) // win)):
+                    seg = arr[widx * win : (widx + 1) * win]
                     out["doc_id"].append(doc_id)
                     out["window_idx"].append(widx)
                     out["n_samples"].append(len(seg))
@@ -328,6 +328,18 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, window_idx bigint, n_samples bigint, "
         "energy bigint",
     )
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per audio item and 16-sample window: sample count and energy
+    (sum of squared zero-centered 8-bit samples). Integer-exact, so
+    the 'decode' is byte-checkable in SQL like the image histogram.
+    Same scale shape as the other decode stages: pure map over input
+    splits, one Arrow batch pass, no shuffle; a trailing short window
+    is kept (real audio is not window-aligned — pinned on injected
+    odd-length payloads in tests/test_multimodal.py)."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    return audio_energy_frame(m)
 
 
 MM_AUDIO_ENERGY_SQL = f"""

@@ -159,18 +159,62 @@ TOP_2GRAM_MAX = 0.20  # Gopher's top-2-gram character-fraction threshold
 DUP_2GRAM_MAX = 0.40
 
 
+def _gram2_rollup(base: DataFrame, extras: list[str]) -> DataFrame:
+    """Shared per-doc 2-gram repetition rollup (the ONE definition the
+    Gopher gate and the yield funnel both build on): ``base`` carries
+    (doc_id, grams, *extras); per-doc scalars in ``extras`` ride the
+    exploded gram rows and are recovered with first() — the
+    single-scan shape (a join back would re-read the corpus).
+    explode_outer keeps 0-gram (short) docs as n_2grams = 0 rows so
+    callers decide whether to keep or drop them. Both aggregations
+    cluster by doc_id: partial aggregation applies and the rollup
+    reuses the clustering."""
+    real = F.col("g").isNotNull()
+    gram_counts = (
+        base.select("doc_id", *extras, F.explode_outer("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.first(c).alias(c) for c in extras],
+        )
+    )
+    return gram_counts.groupBy("doc_id").agg(
+        F.sum(F.when(real, F.col("cnt")).otherwise(0)).alias("n_2grams"),
+        F.coalesce(F.max(F.when(real, F.col("cnt"))), F.lit(0)).alias(
+            "top_cnt"
+        ),
+        F.sum(
+            F.when(real & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)
+        ).alias("dup_cnt"),
+        *[F.first(c).alias(c) for c in extras],
+    )
+
+
+# the matching oracle CTEs over a caller-provided base(doc_id, grams,
+# ...): unnest drops empty gram lists, so per_doc excludes 0-gram docs
+# — callers that keep them (the funnel) LEFT JOIN and coalesce
+_GRAM2_ROLLUP_CTES = """gc AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
+  GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_2grams,
+         max(cnt) AS top_cnt,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_cnt
+  FROM gc GROUP BY doc_id
+)"""
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition metrics: fraction of 2-gram occurrences taken
     by the most frequent 2-gram, fraction in 2-grams appearing more
     than once, and '#'-symbol-to-word ratio; plus the pass/fail flag at
-    Gopher-ish thresholds (top<=0.20, dup<=0.40).
-
-    SINGLE scan: the per-doc scalars (word count, symbol count) ride
-    along the exploded gram rows and are recovered with first() in the
-    rollup — a join back to the base table would re-read and
-    re-tokenize the corpus in a second branch.  Both aggregations
-    cluster by doc_id, so partial aggregation applies and the rollup
-    reuses the doc_id clustering.
+    Gopher-ish thresholds (top<=0.20, dup<=0.40). Single scan via the
+    shared ``_gram2_rollup``; docs with no 2-grams are excluded (the
+    oracle's inner join drops them identically).
     """
     docs = _docs(spark, sf_dir)
     w = _words(F.col("text"))
@@ -183,25 +227,8 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_hash_symbols"),
         _word_ngrams(w, 2).alias("grams"),
     )
-    gram_counts = (
-        base.select(
-            "doc_id", "n_words", "n_hash_symbols", F.explode("grams").alias("g")
-        )
-        .groupBy("doc_id", "g")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.first("n_words").alias("n_words"),
-            F.first("n_hash_symbols").alias("n_hash_symbols"),
-        )
-    )
-    per_doc = gram_counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_2grams"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
-            "dup_cnt"
-        ),
-        F.first("n_words").alias("n_words"),
-        F.first("n_hash_symbols").alias("n_hash_symbols"),
+    per_doc = _gram2_rollup(base, ["n_words", "n_hash_symbols"]).where(
+        F.col("n_2grams") > 0
     )
     top_frac = F.col("top_cnt") / F.col("n_2grams")
     dup_frac = F.col("dup_cnt") / F.col("n_2grams")
@@ -231,19 +258,7 @@ base AS (
          {_sql_ngrams(2)} AS grams
   FROM w
 ),
-gc AS (
-  SELECT doc_id, g, count(*) AS cnt
-  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
-  GROUP BY doc_id, g
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(sum(cnt) AS BIGINT) AS n_2grams,
-         max(cnt) AS top_cnt,
-         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
-           AS dup_cnt
-  FROM gc GROUP BY doc_id
-)
+{_GRAM2_ROLLUP_CTES}
 SELECT base.doc_id,
        n_2grams,
        round(top_cnt * 1.0 / n_2grams, 6) AS top_2gram_frac,
@@ -543,14 +558,14 @@ def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds) -> exact-dedup canonical (min doc_id per content
     hash) -> train split. One ordered row per stage.
 
-    One corpus scan feeds everything: the content hash and word count
-    ride the exploded 2-gram rows (recovered with first() in the
-    doc-keyed rollup, exactly quality_repetition's shape), the
-    canonical test is a window min over the content-hash partition,
-    and the stage counts collapse in a single conditional aggregate
-    unpivoted to rows. Docs with fewer than 2 words have no 2-grams;
-    explode_outer keeps them as a NULL-gram row (they fail the length
-    gate anyway) so the corpus is scanned exactly ONCE.
+    One corpus scan feeds everything: the rollup is the shared
+    ``_gram2_rollup`` (the funnel's 'repetition' stage and
+    quality_repetition's pass flag can never diverge), with the
+    content hash and split pct riding as extras; the canonical test
+    is a window min over the content-hash partition, and the stage
+    counts collapse in a single conditional aggregate unpivoted to
+    rows. explode_outer keeps sub-2-gram docs in-band (they fail the
+    length gate anyway) so the corpus is scanned exactly ONCE.
     Shuffles: (doc, gram), doc rollup, hash window, 1-row final agg.
     """
     from pyspark.sql import Window
@@ -564,34 +579,7 @@ def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_pct().alias("pct"),
         _word_ngrams(w, 2).alias("grams"),
     )
-    # explode_outer keeps 0-gram (short) docs as a NULL-gram row, so no
-    # second corpus scan is needed to union them back in
-    gram_counts = (
-        base.select(
-            "doc_id", "n_words", "h", "pct",
-            F.explode_outer("grams").alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.first("n_words").alias("n_words"),
-            F.first("h").alias("h"),
-            F.first("pct").alias("pct"),
-        )
-    )
-    real = F.col("g").isNotNull()
-    all_docs = gram_counts.groupBy("doc_id").agg(
-        F.sum(F.when(real, F.col("cnt")).otherwise(0)).alias("n_2grams"),
-        F.coalesce(
-            F.max(F.when(real, F.col("cnt"))), F.lit(0)
-        ).alias("top_cnt"),
-        F.sum(
-            F.when(real & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)
-        ).alias("dup_cnt"),
-        F.first("n_words").alias("n_words"),
-        F.first("h").alias("h"),
-        F.first("pct").alias("pct"),
-    )
+    all_docs = _gram2_rollup(base, ["n_words", "h", "pct"])
     canon = F.min("doc_id").over(Window.partitionBy("h"))
     flagged = all_docs.select(
         "doc_id",
@@ -638,18 +626,7 @@ base AS (
          {_sql_ngrams(2)} AS grams
   FROM w
 ),
-gc AS (
-  SELECT doc_id, g, count(*) AS cnt
-  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
-  GROUP BY doc_id, g
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(sum(cnt) AS BIGINT) AS n_2grams,
-         max(cnt) AS top_cnt,
-         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
-  FROM gc GROUP BY doc_id
-),
+{_GRAM2_ROLLUP_CTES},
 flags AS (
   SELECT b.doc_id,
          b.n_words >= {MIN_WORDS} AS s1,

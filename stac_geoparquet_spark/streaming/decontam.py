@@ -23,8 +23,6 @@ is exact) — the stream itself needs zero aggregation state.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,7 +46,9 @@ def holdout_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once from the corpus (one explode + one distinct shuffle);
     in production this is the benchmark suite, small enough that the
     stream side's join broadcasts it."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from stac_geoparquet_spark.operators._io import read_documents
+
+    docs = read_documents(spark, sf_dir)
     return (
         docs.withColumn("pct", split_pct())
         .filter(F.col("pct") >= TRAIN_PCT)
@@ -90,8 +90,11 @@ def decontam_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-mode entry: per incoming contaminated train doc (doc_id %
     50 == 0), the number of DISTINCT word-5-grams it shares with the
     holdout split."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    incoming = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
+    from stac_geoparquet_spark.operators._io import read_documents
+
+    incoming = read_documents(spark, sf_dir).filter(
+        F.col("doc_id") % INCOMING_MOD == 0
+    )
     matched = _match_holdout(
         _incoming_grams(incoming), holdout_gram_index(spark, sf_dir)
     )

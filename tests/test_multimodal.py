@@ -106,3 +106,53 @@ def test_multimodal_oracles(spark, name):
         multimodal.QUERIES[name](spark, SF), multimodal.ORACLE[name], SF
     )
     assert ok, f"{name}: {msg}"
+
+
+def test_audio_energy_trailing_short_window(spark):
+    """The synthetic media payloads are always 16-byte-aligned, so the
+    trailing-short-window branch never fires in the oracle gate; pin
+    it here on an injected 20-byte payload against a hand computation
+    AND DuckDB evaluating the oracle's window arithmetic on the same
+    literal bytes."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        audio_energy_frame,
+    )
+
+    payload = bytes(range(40, 60))  # 20 bytes: one full window + 4 tail
+    m = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    rows = {
+        r["window_idx"]: r for r in audio_energy_frame(m).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_samples"] == AUDIO_WINDOW
+    assert rows[1]["n_samples"] == 4
+    expect = {
+        0: sum((b - 128) ** 2 for b in payload[:16]),
+        1: sum((b - 128) ** 2 for b in payload[16:]),
+    }
+    assert {w: r["energy"] for w, r in rows.items()} == expect
+
+    hx = payload.hex()
+    duck = dict(
+        duckdb.connect().execute(
+            f"""
+            SELECT window_idx,
+                   CAST(list_sum(list_transform(
+                     generate_series(window_idx * {AUDIO_WINDOW},
+                                     least(window_idx * {AUDIO_WINDOW} + {AUDIO_WINDOW} - 1,
+                                           length('{hx}') // 2 - 1)),
+                     i -> (('0x' || substr('{hx}', 2 * i + 1, 2))::BIGINT - 128)
+                          * (('0x' || substr('{hx}', 2 * i + 1, 2))::BIGINT - 128)
+                   )) AS BIGINT)
+            FROM (SELECT unnest(generate_series(
+                    0, CAST(ceil(length('{hx}') / 2.0 / {AUDIO_WINDOW}) AS BIGINT) - 1
+                  )) AS window_idx)
+            """
+        ).fetchall()
+    )
+    assert duck == expect
