@@ -26,6 +26,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    from pyspark.sql import functions as F
+
     from stac_geoparquet_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
@@ -54,6 +56,24 @@ def main() -> None:
             "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS v"
         )
         .selectExpr("sum(v)")
+        .count()
+    )
+    # set-aggregate + nested higher-order pair-explode shapes (the
+    # cross-lang / zip_with n-gram family): ObjectHashAggregate and the
+    # flatten(transform(..., struct)) codegen compile here, not inside
+    # the first measured query that uses them (~9 s of janino on first
+    # use, observed)
+    (
+        spark.range(50_000)
+        .selectExpr("concat('g', id % 1009) AS g", "id % 7 AS k")
+        .groupBy("g")
+        .agg(F.expr("array_sort(collect_set(k)) AS ls"))
+        .selectExpr(
+            "explode(flatten(transform(ls, (x, i) ->"
+            " transform(slice(ls, i + 2, size(ls)),"
+            " y -> struct(x AS a, y AS b))))) AS p",
+        )
+        .selectExpr("zip_with(array(p.a), array(p.b), (a, b) -> a + b) AS z")
         .count()
     )
 
@@ -131,6 +151,12 @@ def main() -> None:
         "dq_report",
         "agg_pushdown_stats",
         "dpp_orders_by_year",
+        "ann_pq_adc",
+        "corpus_yield_funnel",
+        "decontam_incremental",
+        "cross_lang_contamination",
+        "dedup_substring_spans",
+        "mm_audio_energy",
     ]
     line = json.dumps(
         {
