@@ -277,6 +277,86 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style rolling-hash selection): hash
+# every char 8-gram, keep each 4-window's minimum, distinct — the
+# classic robust document fingerprint. Entirely IN-ROW (higher-order
+# transforms over projected columns), so the corpus scan has NO
+# explode and NO shuffle until the trivial per-doc projection; at
+# 100 TB this is a pure map stage. Each intermediate (norm, hash
+# array) is materialized as a projection column before the lambda
+# that consumes it — Catalyst does not CSE into lambda bodies, and an
+# inlined norm would re-run the regex once per gram (O(len^2)).
+# --------------------------------------------------------------------------
+WINNOW_K = 8  # char-gram width
+WINNOW_W = 4  # winnowing window (grams)
+
+
+def winnow_fingerprint_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps array) — the selected rolling-hash minima per doc;
+    the reusable core `fingerprint_winnowing` summarizes and tests
+    drive with crafted docs to check the shared-region guarantee."""
+    norm = docs.selectExpr(
+        "doc_id",
+        r"regexp_replace(lower(trim(text)), '\\s+', ' ') AS norm",
+    )
+    hashed = norm.selectExpr(
+        "doc_id",
+        f"transform(sequence(1, greatest(length(norm) - {WINNOW_K - 1}, 1)),"
+        f" i -> CAST(conv(substring(md5(substring(norm, i, {WINNOW_K})),"
+        " 1, 15), 16, 10) AS BIGINT)) AS hs",
+    )
+    return hashed.selectExpr(
+        "doc_id",
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)),"
+        f" i -> array_min(slice(hs, i, {WINNOW_W})))) AS fps",
+    )
+
+
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: the winnowing fingerprint-set size and its min/max
+    hash (order-insensitive summary of the selected set; two docs
+    sharing text regions share fingerprints by construction)."""
+    fps = winnow_fingerprint_sets(_docs(spark, sf_dir))
+    return fps.selectExpr(
+        "doc_id",
+        "CAST(size(fps) AS BIGINT) AS n_selected",
+        "array_min(fps) AS fp_min",
+        "array_max(fps) AS fp_max",
+    )
+
+
+WINNOW_SQL = f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(norm) - {WINNOW_K - 1}, 1) + 1),
+           i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), {WINNOW_K})),
+                                1, 15))::BIGINT
+         ) AS hs
+  FROM n
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+           i -> list_min(hs[CAST(i AS INT):CAST(i + {WINNOW_W - 1} AS INT)])
+         )) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_selected,
+       list_min(fps) AS fp_min,
+       list_max(fps) AS fp_max
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge-candidate counting: one round of byte-pair-encoding
 # tokenizer training — count adjacent character pairs across the
 # corpus weighted by word frequency, rank the top merge candidates.
@@ -351,6 +431,7 @@ QUERIES_ROTATION = {
     "cross_lang_contamination": cross_lang_contamination,
     "dedup_substring_spans": dedup_substring_spans,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "fingerprint_winnowing": fingerprint_winnowing,
 }
 
 ORACLE_ROTATION = {
@@ -358,4 +439,5 @@ ORACLE_ROTATION = {
     "cross_lang_contamination": XLANG_SQL,
     "dedup_substring_spans": SPAN_SQL,
     "bpe_merge_candidates": BPE_SQL,
+    "fingerprint_winnowing": WINNOW_SQL,
 }

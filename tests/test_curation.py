@@ -120,3 +120,35 @@ def test_substring_spans_detects_injected_duplicates(spark, tmp_path):
     assert out[1]["n_dup_shingles"] > 0
     assert out[2]["n_dup_shingles"] > 0
     assert out[3]["n_dup_shingles"] == 0
+
+
+def test_winnowing_shared_text_shares_fingerprints(spark):
+    """The guarantee winnowing exists for: docs sharing a long text
+    region share interior fingerprints, unrelated docs share none
+    (60-bit hashes — collisions negligible)."""
+    from stac_geoparquet_spark.operators.curation import (
+        fingerprint_winnowing,
+        winnow_fingerprint_sets,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared),
+            (2, shared + " suffix two"),
+            (3, "zzz completely different content qqq xxx yyy www vvv"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprint_sets(docs).collect()
+    }
+    assert all(len(s) >= 1 for s in sets.values())
+    assert sets[1] & sets[2], "shared region must yield shared minima"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # and the summary operator agrees with the sets on real data
+    rows = fingerprint_winnowing(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_selected"] >= 1 and r["fp_min"] <= r["fp_max"]

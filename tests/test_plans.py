@@ -577,3 +577,17 @@ def test_yield_funnel_single_scan(spark, sf):
     assert n_ops(plan, "Union") == 0
     for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert n_ops(plan, j) == 0
+
+
+def test_winnowing_pure_map_no_shuffle(spark, sf):
+    """Winnowing fingerprints are computed entirely in-row: one scan,
+    only projections — no explode-driven Generate, no aggregation, no
+    window; the only exchange is the conditional toy-input spread."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.fingerprint_winnowing(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Generate") == 0
+    assert n_ops(plan, "HashAggregate") == 0
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "Exchange") <= 1
