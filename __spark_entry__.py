@@ -89,6 +89,7 @@ def _registries():
         (curation.QUERIES_ROTATION, curation.ORACLE_ROTATION),
         (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
+        (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

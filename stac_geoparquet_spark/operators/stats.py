@@ -311,6 +311,105 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the frequency-sketch sibling of the
+# KMV NDV sketch: DEPTH independent hash rows of WIDTH counters, each
+# word's estimated frequency = min over rows of its bucket total.
+# Like KMV, built from DataFrame ops alone so it is EXACTLY
+# oracle-checkable, and mergeable (cell-wise +) for the
+# streaming/rollup.py maintenance pattern. Scale shape: the sketch
+# build is one corpus explode into a (row, bucket)-keyed partial
+# aggregate whose output is bounded at DEPTH x WIDTH cells REGARDLESS
+# of corpus size; the estimate lookup joins the (tiny) exact top-K
+# against the (tiny) cell table. The CMS guarantee est >= exact rides
+# along in the result columns.
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 10
+
+_CMS_HASH = (
+    "CAST(conv(substring(md5(concat('cms', d, ':', word)), 1, 15),"
+    " 16, 10) AS BIGINT) % 256"
+)
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact top-10 corpus words with their exact counts and their
+    count-min-sketch estimates (4 x 256 cells); est >= exact always,
+    equal when the word's minimum-row bucket has no collisions."""
+    from pyspark.sql.window import Window
+
+    from stac_geoparquet_spark.operators._io import read_documents
+
+    docs = read_documents(spark, sf_dir)
+    words = docs.selectExpr(
+        r"explode(split(lower(trim(text)), '\\s+')) AS word"
+    )
+    cells = (
+        words.selectExpr(
+            "explode(transform(sequence(0, %d), d ->"
+            " struct(d AS row, %s AS bucket))) AS c" % (CMS_DEPTH - 1, _CMS_HASH)
+        )
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("word"))
+        .limit(CMS_TOP_K)
+    )
+    probes = top.selectExpr(
+        "word",
+        "exact_n",
+        "explode(transform(sequence(0, %d), d ->"
+        " struct(d AS row, %s AS bucket))) AS c" % (CMS_DEPTH - 1, _CMS_HASH),
+    ).select("word", "exact_n", "c.row", "c.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("word"))
+    return est.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+SKETCH_CMS_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+cells AS (
+  SELECT d AS row,
+         ('0x' || substr(md5('cms' || d || ':' || word), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS bucket,
+         count(*) AS cell_n
+  FROM words, unnest(range(0, {CMS_DEPTH})) AS t(d)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT word, count(*) AS exact_n
+  FROM words GROUP BY word
+  ORDER BY exact_n DESC, word LIMIT {CMS_TOP_K}
+),
+probes AS (
+  SELECT word, exact_n, d AS row,
+         ('0x' || substr(md5('cms' || d || ':' || word), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS bucket
+  FROM top, unnest(range(0, {CMS_DEPTH})) AS t(d)
+),
+est AS (
+  SELECT word, exact_n, min(cell_n) AS cms_est
+  FROM probes JOIN cells USING (row, bucket)
+  GROUP BY 1, 2
+)
+SELECT word, exact_n, cms_est,
+       row_number() OVER (ORDER BY exact_n DESC, word) AS rk
+FROM est
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_fixed_k": sample_fixed_k,
@@ -318,6 +417,16 @@ QUERIES = {
     "table_profile": table_profile,
     "outliers_iqr_price": outliers_iqr_price,
     "sketch_kmv_distinct": sketch_kmv_distinct,
+}
+
+# Registered after the driver window this round (see
+# __spark_entry__._registries).
+QUERIES_ROTATION = {
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+}
+
+ORACLE_ROTATION = {
+    "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
 }
 
 ORACLE = {

@@ -123,3 +123,21 @@ def test_ngram_candidates_path_equals_exhaustive(spark, sf_dir):
         for r in dedup_ngram_jaccard(spark, sf_dir, exact_all_pairs=True).collect()
     }
     assert fast == exact
+
+
+def test_cms_overestimates_and_bounded_cells(spark, sf_dir):
+    """CMS guarantee: estimate >= exact for every reported word; the
+    sketch itself is bounded at DEPTH x WIDTH cells regardless of
+    corpus size (the mergeable-state property)."""
+    from stac_geoparquet_spark.operators.stats import (
+        CMS_DEPTH,
+        CMS_TOP_K,
+        CMS_WIDTH,
+        sketch_cms_heavy_hitters,
+    )
+
+    rows = sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == CMS_TOP_K
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"] > 0
+    assert CMS_DEPTH * CMS_WIDTH == 1024  # the fixed state bound

@@ -591,3 +591,16 @@ def test_winnowing_pure_map_no_shuffle(spark, sf):
     assert n_ops(plan, "HashAggregate") == 0
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "Exchange") <= 1
+
+
+def test_cms_partial_agg_bounded_cells(spark, sf):
+    """The CMS build is a (row, bucket)-keyed two-phase aggregate (its
+    output is bounded at DEPTH x WIDTH cells at any corpus size) and
+    the probe lookup is a broadcast join — no corpus-sized shuffle on
+    the estimate side, no cartesian."""
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.sketch_cms_heavy_hitters(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
