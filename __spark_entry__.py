@@ -90,6 +90,7 @@ def _registries():
         (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
         (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
+        (scan_opt.QUERIES_ROTATION, scan_opt.ORACLE_ROTATION),
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

@@ -132,6 +132,61 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Runtime Bloom-filter join: the shuffle-side sibling of DPP. When the
+# selective dim side is too big to broadcast, Spark can still build a
+# Bloom filter from it at runtime and push `might_contain` into the
+# fact scan, so non-matching fact rows are dropped BEFORE the join
+# shuffle — at 100 TB this cuts the probe-side shuffle to the match
+# rate. The thresholds are relaxed in a cloned session because the
+# defaults require a >=10 GB application side (the injection itself,
+# not its profitability, is what the toy-scale plan pin checks);
+# broadcast is disabled so the demonstration exercises the shuffle
+# path the feature exists for.
+# --------------------------------------------------------------------------
+def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem revenue for urgent orders through a shuffle join whose
+    fact scan is pre-filtered by a runtime Bloom filter built from the
+    filtered orders side (`might_contain(...)` on the lineitem scan,
+    pinned in tests/test_plans.py)."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = s2.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = s2.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+BLOOM_SEMIJOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_pushdown_stats": agg_pushdown_stats,
     "dpp_orders_by_year": dpp_orders_by_year,
@@ -140,4 +195,14 @@ QUERIES = {
 ORACLE = {
     "agg_pushdown_stats": AGG_PUSHDOWN_SQL,
     "dpp_orders_by_year": DPP_SQL,
+}
+
+# Registered after the driver window this round (see
+# __spark_entry__._registries).
+QUERIES_ROTATION = {
+    "bloom_filter_semijoin": bloom_filter_semijoin,
+}
+
+ORACLE_ROTATION = {
+    "bloom_filter_semijoin": BLOOM_SEMIJOIN_SQL,
 }

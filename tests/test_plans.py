@@ -604,3 +604,16 @@ def test_cms_partial_agg_bounded_cells(spark, sf):
     assert "BroadcastHashJoin" in plan
     assert n_ops(plan, "TakeOrderedAndProject") == 1
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_bloom_filter_pushed_into_fact_scan(spark, sf):
+    """The runtime Bloom filter must actually inject: might_contain on
+    the lineitem side, a bloom_filter_agg build on the filtered orders
+    side, and no broadcast (the shuffle path is the one the feature
+    exists for)."""
+    from stac_geoparquet_spark.operators import scan_opt
+
+    plan = plan_of(scan_opt.bloom_filter_semijoin(spark, sf))
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    assert n_ops(plan, "BroadcastHashJoin") == 0
