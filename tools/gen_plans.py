@@ -142,6 +142,27 @@ SHOWCASE = [
         "holdout gram index — the same plan the streaming path runs "
         "per micro-batch with zero aggregation state.",
     ),
+    (
+        "fingerprint_winnowing",
+        "MOSS-style winnowing computed entirely in-row (projected "
+        "norm/hash columns consumed by higher-order transforms): one "
+        "scan, zero Generate/aggregate/window — a pure map stage at "
+        "any corpus size.",
+    ),
+    (
+        "sketch_cms_heavy_hitters",
+        "Count-min sketch build as a (row, bucket)-keyed two-phase "
+        "aggregate bounded at 4x256 cells regardless of corpus size; "
+        "estimates via a broadcast join of the distributed exact top-K "
+        "(TakeOrderedAndProject) against the cell table.",
+    ),
+    (
+        "bloom_filter_semijoin",
+        "Runtime Bloom-filter injection on the shuffle-join path: "
+        "bloom_filter_agg builds from the filtered dim at runtime and "
+        "might_contain prunes the fact scan BEFORE the join exchange — "
+        "the shuffle-side sibling of dynamic partition pruning.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
