@@ -628,6 +628,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "embeddings.parquet")
     tbl = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
+    if len(ids) == 0:
+        # empty table/partition: reshape(0, -1) is a numpy error
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cos_sim double"
+        )
     emb_col = tbl["embedding"].combine_chunks()
     mat = (
         emb_col.values.to_numpy(zero_copy_only=False)

@@ -85,6 +85,10 @@ def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
         filters=filters,
     )
     ids = tbl["vec_id"].to_numpy()
+    if len(ids) == 0:
+        # empty table/partition: reshape(0, -1) is a numpy error; the
+        # scorers handle a 0-row query/centroid matrix fine
+        return ids, np.zeros((0, DIM)), np.zeros(0)
     order = np.argsort(ids)
     ids = ids[order]
     mat = (
@@ -531,6 +535,13 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_ids, qm, qnorm = _load_queries(sf_dir)
     c_ids, cm, cnorm = _load_centroids(sf_dir)
+    if len(q_ids) == 0 or len(c_ids) == 0:
+        # empty table/partition: no queries or no centroids -> no
+        # probes (np.stack over an empty probe list is an error)
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos_sim double,"
+            " rank bigint"
+        )
     qsims = np.round(qm @ cm.T / (qnorm[:, None] * cnorm[None, :]), 6)
     # top-nprobe centroids per query (desc sim, asc centroid id)
     probes = np.stack(
@@ -654,6 +665,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
     )
     cents = [(int(r["vec_id"]), list(r["v"])) for r in seeds]
+    if not cents:
+        # empty table/partition: no seeds -> no assignments; an empty
+        # F.array() is untyped and breaks the struct extraction below
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster bigint, dist double"
+        )
     for _ in range(KMEANS_ROUNDS - 1):
         asg = assign(cents)
         means = asg.groupBy("cluster").agg(
@@ -864,8 +881,11 @@ PQ_TRAIN_LO, PQ_TRAIN_HI = 16, 32  # vec_ids supplying the codebook
 
 def _pq_codebook(sf_dir: str):
     """M x K x SUBDIM float64 codebook from the fixed training slice
-    (row-group-pruned driver read, broadcast to workers)."""
+    (row-group-pruned driver read, broadcast to workers); None when
+    the training slice is empty (empty table/partition)."""
     ids, mat, _ = _read_vec_range(sf_dir, PQ_TRAIN_LO, PQ_TRAIN_HI)
+    if len(ids) < PQ_K:
+        return None
     return mat.reshape(PQ_K, PQ_M, PQ_SUBDIM).transpose(1, 0, 2).copy()
 
 
@@ -903,6 +923,8 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     GEMM-shaped numpy pass per Arrow batch against the broadcast
     codebook."""
     cb = _pq_codebook(sf_dir)
+    if cb is None:  # empty training slice -> nothing to encode against
+        return spark.createDataFrame([], "vec_id bigint, codes array<bigint>")
     b_cb = spark.sparkContext.broadcast(cb)
     return _emb_blocks(spark, sf_dir).mapInPandas(
         _make_pq_encode(b_cb), "vec_id bigint, codes array<bigint>"
@@ -1015,6 +1037,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's reason to exist. Each batch emits its local bottom-k
     per query, so the final window ranks Q x k x n_batches rows."""
     cb = _pq_codebook(sf_dir)
+    if cb is None:  # empty training slice -> no codebook, no results
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_d2 double,"
+            " rank bigint"
+        )
     b_cb = spark.sparkContext.broadcast(cb)
     b_q = spark.sparkContext.broadcast(_load_queries(sf_dir))
     scored = _emb_blocks(spark, sf_dir).mapInPandas(
