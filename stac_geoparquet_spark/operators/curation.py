@@ -196,9 +196,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min(doc_id) != max(doc_id) — no count-distinct needed), and the
     per-doc rollup keys back on doc_id. Two shuffles (hash, doc_id),
     both partial-aggregated. A doc shorter than the shingle width
-    contributes its whole text as one shingle, so every doc is scored.
+    contributes its whole text as one shingle, so every non-null doc
+    is scored; NULL-text docs have no spans and are excluded on both
+    engines (Spark's window would group their NULL hashes together
+    and call them duplicates while the oracle's join drops them — a
+    latent divergence found by NULL-injection differential testing).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     max_pos = F.greatest(F.length("text") - F.lit(SPAN_K - 1), F.lit(1))
     pos = F.explode(
         F.sequence(F.lit(1), max_pos, F.lit(SPAN_STRIDE))
@@ -223,7 +227,7 @@ SPAN_SQL = f"""
 WITH pos AS (
   SELECT doc_id,
          md5(substring(text, CAST(i AS INT), {SPAN_K})) AS h
-  FROM documents,
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) d,
        unnest(range(1, greatest(length(text) - {SPAN_K - 1}, 1) + 1,
                     {SPAN_STRIDE})) AS t(i)
 ),
@@ -294,7 +298,12 @@ WINNOW_W = 4  # winnowing window (grams)
 def winnow_fingerprint_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, fps array) — the selected rolling-hash minima per doc;
     the reusable core `fingerprint_winnowing` summarizes and tests
-    drive with crafted docs to check the shared-region guarantee."""
+    drive with crafted docs to check the shared-region guarantee.
+    NULL-text docs have no fingerprints and are excluded on both
+    engines (Spark's array_distinct keeps a [NULL] entry while
+    DuckDB's list_distinct drops NULLs — a latent divergence found by
+    NULL-injection differential testing)."""
+    docs = docs.where(F.col("text").isNotNull())
     norm = docs.selectExpr(
         "doc_id",
         r"regexp_replace(lower(trim(text)), '\\s+', ' ') AS norm",
@@ -329,7 +338,7 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_SQL = f"""
 WITH n AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 h AS (
   SELECT doc_id,

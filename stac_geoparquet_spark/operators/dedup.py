@@ -556,8 +556,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit j of the fingerprint is set iff more distinct words hash to 1
     than to -1 at bit j, i.e. 2*popcount_j >= n — computed as array
     filters over the per-doc word-hash array: a single narrow projection,
-    no explode, no shuffle, no join."""
-    docs = _docs(spark, sf_dir)
+    no explode, no shuffle, no join.
+
+    NULL-text docs carry no fingerprint and are excluded — explicitly
+    on both engines (without the filter Spark emits a degenerate row
+    while DuckDB's unnest drops it: a latent divergence found by
+    NULL-injection differential testing)."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     base = docs.select(
         "doc_id", F.array_distinct(_words(F.col("text"))).alias("wd")
     ).select(
@@ -587,7 +592,7 @@ def _simhash_oracle_sql() -> str:
 WITH wd AS (
   SELECT DISTINCT doc_id,
          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 hashed AS (
   SELECT doc_id, ('0x'||substr(md5('0:'||w),1,8))::BIGINT AS h FROM wd

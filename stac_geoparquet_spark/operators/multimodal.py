@@ -172,7 +172,9 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    m = media_table(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & F.col("payload").isNotNull()
+    )
 
     def feats(batches):
         for pdf in batches:
@@ -198,7 +200,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_IMAGE_FEATURES_SQL = """
 WITH img AS (
   SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
 ),
 nib AS (
   SELECT doc_id,
@@ -252,7 +254,9 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    m = media_table(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & F.col("payload").isNotNull()
+    )
 
     def resize(batches):
         for pdf in batches:
@@ -275,7 +279,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_RESIZE_SQL = f"""
 WITH img AS (
   SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
 )
 SELECT doc_id,
        CAST(length(hx) // 2 AS BIGINT) AS orig_len,
@@ -338,14 +342,16 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits, one Arrow batch pass, no shuffle; a trailing short window
     is kept (real audio is not window-aligned — pinned on injected
     odd-length payloads in tests/test_multimodal.py)."""
-    m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    m = media_table(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & F.col("payload").isNotNull()
+    )
     return audio_energy_frame(m)
 
 
 MM_AUDIO_ENERGY_SQL = f"""
 WITH au AS (
   SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
-  FROM documents WHERE doc_id % 3 = 1
+  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
 ),
 w AS (
   SELECT doc_id, hx, length(hx) // 2 AS n_bytes,

@@ -287,9 +287,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle uses, but with no single-task stage at 100 TB.
     """
     docs = _docs(spark, sf_dir)
+    # coalesce: a NULL-text doc contributes 0 tokens (without it the
+    # NULL token count makes the doc's cumulative position — and so its
+    # bin — NULL in Spark but 0-advanced in the oracle's coalesced
+    # running sum: a latent divergence found by NULL injection)
     per_doc = docs.select(
         "doc_id",
-        F.size(_words(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(_words(F.col("text"))).cast("bigint"), F.lit(0)).alias(
+            "n_tokens"
+        ),
         F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
     )
     from pyspark.sql import Window
@@ -332,7 +338,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_SQL = f"""
 WITH t AS (
-  SELECT doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+  SELECT doc_id, CAST(coalesce(len({_SQL_WORDS}), 0) AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (

@@ -1,0 +1,84 @@
+"""NULL-injection differential gate: run Spark and the DuckDB oracle
+over a copy of the corpus with NULL text/lang/props rows (production
+data has them; the driver's synthetic tables do not) and require
+agreement. This found four real divergences and three decode crashes:
+Spark's window grouped NULL shingle hashes into a fake duplicate
+class, array_distinct kept a [NULL] fingerprint DuckDB's list_distinct
+drops, a NULL token count shifted packing bins differently per engine,
+simhash emitted degenerate rows the oracle dropped, and the multimodal
+decoders crashed on NULL payloads. The affected operators now share an
+explicit contract (NULL-text docs are excluded from per-doc
+fingerprint/span/media outputs; packing counts them as 0 tokens) and
+this file keeps them honest."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+# previously-diverging operators + one healthy representative per
+# family (full differential sweep is a dev-time probe; this is the
+# regression core)
+SAMPLE = [
+    "dedup_simhash",
+    "pack_sequences",
+    "dedup_substring_spans",
+    "fingerprint_winnowing",
+    "mm_image_features",
+    "mm_resize",
+    "mm_audio_energy",
+    "mm_media_manifest",
+    "text_token_count",
+    "dedup_minhash_lsh",
+    "corpus_yield_funnel",
+    "events_json_extract",
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+              source, n_chars
+            FROM read_parquet('{src}/documents.parquet'))
+          TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT event_id, ts, user_id, event_type, value,
+              CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
+            FROM read_parquet('{src}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "embeddings",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_null_injected_oracle_agreement(spark, null_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(q[name](spark, null_dir), o[name], null_dir, strict=True)
+    assert ok, f"{name}: {msg}"
