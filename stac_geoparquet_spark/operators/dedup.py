@@ -632,6 +632,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    # NULL-embedding rows (failed embedder) carry no vector: excluded
+    # on both engines
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
     ids = tbl["vec_id"].to_numpy()
     if len(ids) == 0:
         # empty table/partition: reshape(0, -1) is a numpy error
@@ -680,9 +685,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse a 100 TB scan to 8 tasks.
     from stac_geoparquet_spark.operators._io import read_spread
 
-    emb = read_spread(
-        spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
-    ).select("vec_id", "embedding")
+    emb = (
+        read_spread(
+            spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
+        )
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     return emb.mapInPandas(block, schema=out_schema)
 
 
@@ -690,7 +699,7 @@ DEDUP_EMBEDDING_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))

@@ -84,6 +84,11 @@ def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
         columns=["vec_id", "embedding"],
         filters=filters,
     )
+    import pyarrow.compute as pc
+
+    # rows with a NULL embedding (failed embedder) carry no vector and
+    # are excluded from every vector operator on both engines
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
     ids = tbl["vec_id"].to_numpy()
     if len(ids) == 0:
         # empty table/partition: reshape(0, -1) is a numpy error; the
@@ -168,9 +173,13 @@ def _emb_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition(8) would collapse a 100 TB scan to 8 tasks.
     from stac_geoparquet_spark.operators._io import read_spread
 
-    return read_spread(
-        spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
-    ).select("vec_id", "embedding")
+    return (
+        read_spread(
+            spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
+        )
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -189,7 +198,7 @@ KNN_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -334,7 +343,7 @@ def _ann_oracle_sql() -> str:
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 bucketed AS (
   SELECT vec_id, v, norm, CAST({bits} AS BIGINT) AS bucket FROM e
@@ -452,7 +461,7 @@ def _centroid_cte() -> str:
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 cent AS (
   SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
@@ -882,11 +891,15 @@ PQ_TRAIN_LO, PQ_TRAIN_HI = 16, 32  # vec_ids supplying the codebook
 def _pq_codebook(sf_dir: str):
     """M x K x SUBDIM float64 codebook from the fixed training slice
     (row-group-pruned driver read, broadcast to workers); None when
-    the training slice is empty (empty table/partition)."""
+    the training slice is empty (empty table/partition). NULL-embedding
+    training rows are excluded, so the codebook may hold K' <= PQ_K
+    centroids; codes are DENSE positions 0..K'-1 (the oracle's
+    row_number-derived j), identical to vec_id - LO on a fully-valid
+    slice."""
     ids, mat, _ = _read_vec_range(sf_dir, PQ_TRAIN_LO, PQ_TRAIN_HI)
-    if len(ids) < PQ_K:
+    if len(ids) == 0:
         return None
-    return mat.reshape(PQ_K, PQ_M, PQ_SUBDIM).transpose(1, 0, 2).copy()
+    return mat.reshape(len(ids), PQ_M, PQ_SUBDIM).transpose(1, 0, 2).copy()
 
 
 def _make_pq_encode(b_cb):
@@ -944,14 +957,18 @@ def _pq_base_ctes() -> str:
     rounded squared distances, and the argmin encoding."""
     return f"""
 cent AS (
-  SELECT m, CAST(vec_id - {PQ_TRAIN_LO} AS BIGINT) AS j,
+  SELECT m,
+         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+              AS BIGINT) AS j,
          {_pq_sub_expr('embedding')} AS c
   FROM embeddings, unnest(range(0,{PQ_M})) AS t(m)
   WHERE vec_id >= {PQ_TRAIN_LO} AND vec_id < {PQ_TRAIN_HI}
+    AND embedding IS NOT NULL
 ),
 sub AS (
   SELECT vec_id, m, {_pq_sub_expr('embedding')} AS v
   FROM embeddings, unnest(range(0,{PQ_M})) AS t(m)
+  WHERE embedding IS NOT NULL
 ),
 d AS (
   SELECT s.vec_id, s.m, c.j,

@@ -82,3 +82,60 @@ def test_null_injected_oracle_agreement(spark, null_dir, name):
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     ok, msg = compare(q[name](spark, null_dir), o[name], null_dir, strict=True)
     assert ok, f"{name}: {msg}"
+
+
+VEC_SAMPLE = [
+    "knn_brute_force",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "ann_pq_adc",
+    "pq_encode_codes",
+    "ivf_cell_assignment",
+    "dedup_embedding_cosine",
+]
+
+
+@pytest.fixture(scope="module")
+def null_vec_dir(tmp_path_factory):
+    """Embeddings with NULL rows (a failed embedder) — these crashed
+    every driver-side loader and worker closure before the excluded-
+    on-both-engines contract."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_nullvec")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT vec_id,
+              CASE WHEN vec_id % 9 = 5 THEN NULL ELSE embedding END
+                AS embedding,
+              label
+            FROM read_parquet('{src}/embeddings.parquet'))
+          TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "documents",
+        "events",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", VEC_SAMPLE)
+def test_null_embedding_oracle_agreement(spark, null_vec_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, null_vec_dir), o[name], null_vec_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
