@@ -649,6 +649,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .astype(np.float64)
         .reshape(len(ids), -1)
     )
+    finite = np.isfinite(mat).all(axis=1)
+    ids, mat = ids[finite], mat[finite]
     norms = np.sqrt((mat * mat).sum(axis=1))
     unit = mat / norms[:, None]
     sc = spark.sparkContext
@@ -684,12 +686,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition happens — an unconditional repartition(8) would
     # collapse a 100 TB scan to 8 tasks.
     from stac_geoparquet_spark.operators._io import read_spread
+    from stac_geoparquet_spark.operators.similarity import (
+        _valid_vec as _sim_valid_vec,
+    )
 
     emb = (
         read_spread(
             spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
         )
-        .where(F.col("embedding").isNotNull())
+        .where(_sim_valid_vec())
         .select("vec_id", "embedding")
     )
     return emb.mapInPandas(block, schema=out_schema)
@@ -699,7 +704,9 @@ DEDUP_EMBEDDING_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND isfinite(list_sum(embedding::DOUBLE[]))
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))

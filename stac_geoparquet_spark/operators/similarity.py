@@ -66,6 +66,32 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
+# SQL fragment + Column predicate for the finite-vector contract: a
+# vector with NaN/Inf components (a failed embedder) poisons cosine
+# math with engine-specific NaN ordering, so such rows are excluded
+# from every vector operator on BOTH engines. NaN/Inf detection via
+# the component sum is order-independent, so Spark's fold and DuckDB's
+# list_sum always agree on the verdict. A production pipeline
+# validates at ingest; these are the query-side guards.
+VALID_VEC_SQL = (
+    "embedding IS NOT NULL"
+    " AND isfinite(list_sum(embedding::DOUBLE[]))"
+)
+
+
+def _valid_vec() -> "Column":
+    s = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        F.col("embedding").isNotNull()
+        & ~F.isnan(s)
+        & (F.abs(s) != F.lit(float("inf")))
+    )
+
+
 def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
     """Driver-side read of a FIXED-SIZE slice of the embeddings table —
     the broadcast-variable build for queries/centroids. ``filters``
@@ -103,6 +129,8 @@ def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
         .astype(np.float64)
         .reshape(len(ids), -1)
     )[order]
+    finite = np.isfinite(mat).all(axis=1)
+    ids, mat = ids[finite], mat[finite]
     norm = np.sqrt((mat * mat).sum(axis=1))
     return ids, mat, norm
 
@@ -177,7 +205,7 @@ def _emb_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_spread(
             spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
         )
-        .where(F.col("embedding").isNotNull())
+        .where(_valid_vec())
         .select("vec_id", "embedding")
     )
 
@@ -198,7 +226,7 @@ KNN_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE {VALID_VEC_SQL}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -343,7 +371,7 @@ def _ann_oracle_sql() -> str:
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE {VALID_VEC_SQL}
 ),
 bucketed AS (
   SELECT vec_id, v, norm, CAST({bits} AS BIGINT) AS bucket FROM e
@@ -461,7 +489,7 @@ def _centroid_cte() -> str:
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE {VALID_VEC_SQL}
 ),
 cent AS (
   SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
@@ -637,6 +665,7 @@ KMEANS_ROUNDS = 2  # assign -> recompute, twice; final assignment output
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .where(_valid_vec())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
 
@@ -726,6 +755,7 @@ def _kmeans_oracle_sql() -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {VALID_VEC_SQL}
 ),
 c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}),
 {assign_cte("e", "c0", "a1")},
@@ -744,9 +774,11 @@ SELECT vec_id, cluster, dist FROM a2
 # all-zero vector (Spark x/0 -> NULL vs DuckDB -> inf).
 # --------------------------------------------------------------------------
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .where(_valid_vec())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
     # scale computed ONCE in a prior projection: interpreted lambda
     # bodies are neither codegen'd nor CSE'd, so inlining the max into
     # the per-element transform would make quantization O(d^2) per row
@@ -762,13 +794,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUANTIZE_SQL = """
+QUANTIZE_SQL = f"""
 SELECT vec_id,
        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
        list_transform(v, x -> CAST(floor(coalesce(
            x / nullif(list_max(list_transform(v, y -> abs(y))) / 127.0, 0), 0)
          + 0.5) AS INTEGER)) AS q
-FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {VALID_VEC_SQL}) e
 """
 
 
@@ -807,7 +839,9 @@ def embedding_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent to exact centroid distances; at 100 TB the exploded frame
     is what a pipeline would persist between the passes.
     """
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).where(_valid_vec())
     x = emb.select(
         "vec_id",
         "label",
@@ -843,8 +877,9 @@ def embedding_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CLASS_PROFILE_SQL = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+CLASS_PROFILE_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE {VALID_VEC_SQL}),
 x AS (SELECT vec_id, label, v[i + 1] AS val, i AS ord
       FROM e, unnest(range(0, len(v))) AS t(i)),
 c AS (SELECT label, ord, avg(val) AS cv FROM x GROUP BY 1, 2),
@@ -963,12 +998,12 @@ cent AS (
          {_pq_sub_expr('embedding')} AS c
   FROM embeddings, unnest(range(0,{PQ_M})) AS t(m)
   WHERE vec_id >= {PQ_TRAIN_LO} AND vec_id < {PQ_TRAIN_HI}
-    AND embedding IS NOT NULL
+    AND {VALID_VEC_SQL}
 ),
 sub AS (
   SELECT vec_id, m, {_pq_sub_expr('embedding')} AS v
   FROM embeddings, unnest(range(0,{PQ_M})) AS t(m)
-  WHERE embedding IS NOT NULL
+  WHERE {VALID_VEC_SQL}
 ),
 d AS (
   SELECT s.vec_id, s.m, c.j,
