@@ -634,9 +634,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = pq.read_table(path, columns=["vec_id", "embedding"])
     import pyarrow.compute as pc
 
-    # NULL-embedding rows (failed embedder) carry no vector: excluded
-    # on both engines
+    # NULL or wrong-dimension embedding rows (failed embedder, corrupt
+    # row) carry no usable vector: excluded on both engines
+    from stac_geoparquet_spark.operators.similarity import DIM
+
     tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
+    tbl = tbl.filter(pc.equal(pc.list_value_length(tbl["embedding"]), DIM))
     ids = tbl["vec_id"].to_numpy()
     if len(ids) == 0:
         # empty table/partition: reshape(0, -1) is a numpy error
@@ -706,6 +709,7 @@ WITH e AS (
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
   FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
     AND isfinite(list_sum(embedding::DOUBLE[]))
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -66,8 +66,9 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-# SQL fragment + Column predicate for the finite-vector contract: a
-# vector with NaN/Inf components (a failed embedder) poisons cosine
+# SQL fragment + Column predicate for the valid-vector contract: a
+# NULL, wrong-dimension, or NaN/Inf vector (failed embedder, corrupt
+# row) poisons cosine
 # math with engine-specific NaN ordering, so such rows are excluded
 # from every vector operator on BOTH engines. NaN/Inf detection via
 # the component sum is order-independent, so Spark's fold and DuckDB's
@@ -75,6 +76,7 @@ def _hyperplanes() -> list[list[float]]:
 # validates at ingest; these are the query-side guards.
 VALID_VEC_SQL = (
     "embedding IS NOT NULL"
+    f" AND len(embedding) = {DIM}"
     " AND isfinite(list_sum(embedding::DOUBLE[]))"
 )
 
@@ -87,6 +89,7 @@ def _valid_vec() -> "Column":
     )
     return (
         F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
         & ~F.isnan(s)
         & (F.abs(s) != F.lit(float("inf")))
     )
@@ -112,9 +115,11 @@ def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
     )
     import pyarrow.compute as pc
 
-    # rows with a NULL embedding (failed embedder) carry no vector and
-    # are excluded from every vector operator on both engines
+    # rows with a NULL or wrong-dimension embedding (failed embedder,
+    # corrupt row) carry no usable vector and are excluded from every
+    # vector operator on both engines
     tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
+    tbl = tbl.filter(pc.equal(pc.list_value_length(tbl["embedding"]), DIM))
     ids = tbl["vec_id"].to_numpy()
     if len(ids) == 0:
         # empty table/partition: reshape(0, -1) is a numpy error; the

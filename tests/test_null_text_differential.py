@@ -191,3 +191,53 @@ def test_nan_embedding_oracle_agreement(spark, nan_vec_dir, name):
         q[name](spark, nan_vec_dir), o[name], nan_vec_dir, strict=True
     )
     assert ok, f"{name}: {msg}"
+
+
+@pytest.fixture(scope="module")
+def ragged_vec_dir(tmp_path_factory):
+    """Embeddings where some vectors have the wrong dimension (corrupt
+    rows) — the valid-vector contract excludes them on both engines
+    (len(embedding) = DIM)."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_ragged")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT vec_id,
+              CASE WHEN vec_id % 23 = 11 THEN embedding[1:32]
+                   ELSE embedding END AS embedding,
+              label
+            FROM read_parquet('{src}/embeddings.parquet'))
+          TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "documents",
+        "events",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    VEC_SAMPLE + ["kmeans_embeddings", "embedding_quantize_int8",
+                  "embedding_class_profile"],
+)
+def test_ragged_embedding_oracle_agreement(spark, ragged_vec_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, ragged_vec_dir), o[name], ragged_vec_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
