@@ -91,6 +91,7 @@ def _registries():
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
         (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
         (scan_opt.QUERIES_ROTATION, scan_opt.ORACLE_ROTATION),
+        (quality.QUERIES_ROTATION, quality.ORACLE_ROTATION),
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

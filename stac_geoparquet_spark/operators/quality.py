@@ -149,3 +149,124 @@ QUERIES = {
 ORACLE = {
     "dq_report": DQ_REPORT_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# corpus validity report: the ingest-time validation for the contracts
+# the text/vector operators rely on (NULL-text exclusion, unique ids,
+# the valid-vector contract: non-null, correct dimension, finite).
+# One scan per table, no joins: each table's checks fold into a single
+# conditional aggregate whose row unpivots to per-check rows — at
+# 100 TB this is two map-side-combined passes, nothing else.
+# --------------------------------------------------------------------------
+DOC_LANGS = ("en", "es", "de", "fr", "zh")
+
+
+def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check, failed, total) over documents and embeddings: NULL
+    text, duplicate doc_ids, out-of-domain lang, n_chars drift,
+    NULL / wrong-dimension / non-finite vectors, duplicate vec_ids.
+    `failed > 0` on any row is the promote/abort gate a pipeline runs
+    before the operators whose contracts these are."""
+    from stac_geoparquet_spark.operators.similarity import DIM, _valid_vec
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    bad_lang = F.col("lang").isNotNull() & ~F.col("lang").isin(*DOC_LANGS)
+    len_drift = F.col("text").isNotNull() & (
+        F.col("n_chars") != F.length("text")
+    )
+    d = docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("text").isNull().cast("bigint")).alias("null_text"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("doc_id"))).alias(
+            "dup_doc_id"
+        ),
+        F.sum(bad_lang.cast("bigint")).alias("lang_domain"),
+        F.sum(len_drift.cast("bigint")).alias("n_chars_drift"),
+    )
+    wrong_dim = F.col("embedding").isNotNull() & (
+        F.size("embedding") != DIM
+    )
+    nonfinite = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
+        & ~_valid_vec()
+    )
+    e = emb.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("embedding").isNull().cast("bigint")).alias("null_vec"),
+        F.sum(wrong_dim.cast("bigint")).alias("wrong_dim"),
+        F.sum(nonfinite.cast("bigint")).alias("nonfinite_vec"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("vec_id"))).alias(
+            "dup_vec_id"
+        ),
+    )
+    drows = d.selectExpr(
+        "stack(4, 'doc_null_text', null_text, 'doc_dup_id', dup_doc_id,"
+        " 'doc_lang_domain', lang_domain, 'doc_n_chars_drift',"
+        " n_chars_drift) AS (check, failed)",
+        "total",
+    )
+    erows = e.selectExpr(
+        "stack(4, 'vec_null', null_vec, 'vec_wrong_dim', wrong_dim,"
+        " 'vec_nonfinite', nonfinite_vec, 'vec_dup_id', dup_vec_id)"
+        " AS (check, failed)",
+        "total",
+    )
+    return drows.unionByName(erows).select(
+        "check",
+        F.col("failed").cast("bigint").alias("failed"),
+        F.col("total").cast("bigint").alias("total"),
+    )
+
+
+def _dq_corpus_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.similarity import DIM
+
+    langs = ", ".join(f"'{x}'" for x in DOC_LANGS)
+    return f"""
+WITH d AS (
+  SELECT count(*) AS total,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_text,
+         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_doc_id,
+         CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS lang_domain,
+         CAST(sum(CASE WHEN text IS NOT NULL AND n_chars <> length(text)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_drift
+  FROM documents
+),
+e AS (
+  SELECT count(*) AS total,
+         CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_vec,
+         CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> {DIM}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS wrong_dim,
+         CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                   AND NOT isfinite(list_sum(embedding::DOUBLE[]))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite_vec,
+         CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS dup_vec_id
+  FROM embeddings
+)
+SELECT 'doc_null_text' AS check, null_text AS failed, total FROM d
+UNION ALL SELECT 'doc_dup_id', dup_doc_id, total FROM d
+UNION ALL SELECT 'doc_lang_domain', lang_domain, total FROM d
+UNION ALL SELECT 'doc_n_chars_drift', n_chars_drift, total FROM d
+UNION ALL SELECT 'vec_null', null_vec, total FROM e
+UNION ALL SELECT 'vec_wrong_dim', wrong_dim, total FROM e
+UNION ALL SELECT 'vec_nonfinite', nonfinite_vec, total FROM e
+UNION ALL SELECT 'vec_dup_id', dup_vec_id, total FROM e
+"""
+
+
+# Registered after the driver window this round (see
+# __spark_entry__._registries).
+QUERIES_ROTATION = {
+    "dq_corpus_report": dq_corpus_report,
+}
+
+ORACLE_ROTATION = {
+    "dq_corpus_report": _dq_corpus_oracle_sql(),
+}

@@ -241,3 +241,23 @@ def test_ragged_embedding_oracle_agreement(spark, ragged_vec_dir, name):
         q[name](spark, ragged_vec_dir), o[name], ragged_vec_dir, strict=True
     )
     assert ok, f"{name}: {msg}"
+
+
+def test_dq_corpus_report_counts_injected_violations(
+    spark, null_dir, null_vec_dir, nan_vec_dir, ragged_vec_dir
+):
+    """The corpus validity report (the promote/abort gate for exactly
+    the contracts these fixtures violate) must count each injected
+    corruption — and report all-zeros on clean data."""
+    from stac_geoparquet_spark.operators.quality import dq_corpus_report
+
+    def failed(d):
+        return {r["check"]: r["failed"] for r in dq_corpus_report(spark, d).collect()}
+
+    clean = failed("/root/testdata/sf0.001")
+    assert all(v == 0 for v in clean.values()), clean
+
+    assert failed(null_dir)["doc_null_text"] > 0
+    assert failed(null_vec_dir)["vec_null"] > 0
+    assert failed(nan_vec_dir)["vec_nonfinite"] > 0
+    assert failed(ragged_vec_dir)["vec_wrong_dim"] > 0
