@@ -501,9 +501,14 @@ GROUP BY o_orderpriority
 # --------------------------------------------------------------------------
 def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DATE on both sides (DuckDB's date_trunc('day') yields DATE, not
-    # a midnight TIMESTAMP)
+    # a midnight TIMESTAMP). NULL-dated orders are excluded explicitly:
+    # a daily series has no NULL day, and the engines would otherwise
+    # diverge on where the NULL group sits in the window's ORDER BY
+    # (Spark sorts NULLs first, DuckDB last — found by NULL-injection
+    # differential testing).
     daily = (
         _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date(F.col("o_orderdate")).alias("day"))
         .agg(_dsum(F.col("o_totalprice")).alias("day_revenue"))
     )
@@ -523,7 +528,8 @@ SELECT day, day_revenue,
 FROM (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS day_revenue
-  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY CAST(o_orderdate AS DATE)
 ) t
 """
 

@@ -261,3 +261,72 @@ def test_dq_corpus_report_counts_injected_violations(
     assert failed(null_vec_dir)["vec_null"] > 0
     assert failed(nan_vec_dir)["vec_nonfinite"] > 0
     assert failed(ragged_vec_dir)["vec_wrong_dim"] > 0
+
+
+REL_SAMPLE = [
+    "moving_avg_daily_revenue",  # the found NULL-ordering divergence
+    "q3_shipping_priority",
+    "q13_customer_distribution",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "window_topk_orders_per_customer",
+    "gapfill_hourly_purchases",
+    "dq_report",
+]
+
+
+@pytest.fixture(scope="module")
+def null_rel_dir(tmp_path_factory):
+    """Orders/lineitem with NULL keys, dates, and measures — found the
+    NULL-ordering divergence in the moving-average window (Spark sorts
+    NULLs first, DuckDB last)."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_nullrel")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 31 = 17 THEN NULL ELSE o_custkey END
+                AS o_custkey,
+              o_orderstatus, o_totalprice,
+              CASE WHEN o_orderkey % 37 = 5 THEN NULL ELSE o_orderdate END
+                AS o_orderdate,
+              o_orderpriority
+            FROM read_parquet('{src}/orders.parquet'))
+          TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+              l_quantity, l_extendedprice,
+              CASE WHEN l_orderkey % 29 = 3 THEN NULL ELSE l_discount END
+                AS l_discount,
+              l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{src}/lineitem.parquet'))
+          TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "documents",
+        "events",
+        "embeddings",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", REL_SAMPLE)
+def test_null_relational_oracle_agreement(spark, null_rel_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, null_rel_dir), o[name], null_rel_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
