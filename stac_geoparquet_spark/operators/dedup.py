@@ -36,6 +36,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stac_geoparquet_spark.operators.similarity import (
+    VALID_VEC_SQL as _VALID_VEC_SQL,
+)
+
 SHINGLE_K = 3  # words per shingle
 NUM_HASHES = 32  # minhash signature length
 NUM_BANDS = 8  # 8 bands x 4 rows
@@ -624,37 +628,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 decimals, which absorbs BLAS-vs-sequential summation-order
     noise relative to the oracle (~1e-15 vs the 5e-7 rounding quantum).
     """
-    import os
-
     import numpy as np
     import pandas as pd
-    import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
-    import pyarrow.compute as pc
+    # ONE loader implements the valid-vector filtering/guards for every
+    # driver-side read (similarity._read_vec_range) — an unbounded read
+    # here is the broadcast-small-side build, not a slice
+    from stac_geoparquet_spark.operators.similarity import _read_vec_range
 
-    # NULL or wrong-dimension embedding rows (failed embedder, corrupt
-    # row) carry no usable vector: excluded on both engines
-    from stac_geoparquet_spark.operators.similarity import DIM
-
-    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
-    tbl = tbl.filter(pc.equal(pc.list_value_length(tbl["embedding"]), DIM))
-    ids = tbl["vec_id"].to_numpy()
+    ids, mat, norms = _read_vec_range(sf_dir, None, None)
     if len(ids) == 0:
-        # empty table/partition: reshape(0, -1) is a numpy error
         return spark.createDataFrame(
             [], "vec_a bigint, vec_b bigint, cos_sim double"
         )
-    emb_col = tbl["embedding"].combine_chunks()
-    mat = (
-        emb_col.values.to_numpy(zero_copy_only=False)
-        .astype(np.float64)
-        .reshape(len(ids), -1)
-    )
-    finite = np.isfinite(mat).all(axis=1)
-    ids, mat = ids[finite], mat[finite]
-    norms = np.sqrt((mat * mat).sum(axis=1))
     unit = mat / norms[:, None]
     sc = spark.sparkContext
     b_ids = sc.broadcast(ids)
@@ -708,9 +694,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
   FROM embeddings
-  WHERE embedding IS NOT NULL
-    AND len(embedding) = 64
-    AND isfinite(list_sum(embedding::DOUBLE[]))
+  WHERE {_VALID_VEC_SQL}
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))

@@ -189,10 +189,13 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong_dim = F.col("embedding").isNotNull() & (
         F.size("embedding") != DIM
     )
+    # coalesce: a NULL-element vector makes _valid_vec() NULL (the
+    # fold propagates the element NULL), and it must COUNT as invalid
+    # here, not silently skip the conditional sum
     nonfinite = (
         F.col("embedding").isNotNull()
         & (F.size("embedding") == DIM)
-        & ~_valid_vec()
+        & ~F.coalesce(_valid_vec(), F.lit(False))
     )
     e = emb.agg(
         F.count(F.lit(1)).alias("total"),
@@ -245,7 +248,8 @@ e AS (
          CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> {DIM}
                   THEN 1 ELSE 0 END) AS BIGINT) AS wrong_dim,
          CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
-                   AND NOT isfinite(list_sum(embedding::DOUBLE[]))
+                   AND NOT (list_aggregate(embedding, 'count') = {DIM}
+                            AND isfinite(list_sum(embedding::DOUBLE[])))
                   THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite_vec,
          CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS dup_vec_id
   FROM embeddings

@@ -67,21 +67,28 @@ def _hyperplanes() -> list[list[float]]:
 
 
 # SQL fragment + Column predicate for the valid-vector contract: a
-# NULL, wrong-dimension, or NaN/Inf vector (failed embedder, corrupt
-# row) poisons cosine
-# math with engine-specific NaN ordering, so such rows are excluded
-# from every vector operator on BOTH engines. NaN/Inf detection via
-# the component sum is order-independent, so Spark's fold and DuckDB's
-# list_sum always agree on the verdict. A production pipeline
-# validates at ingest; these are the query-side guards.
+# NULL, wrong-dimension, NULL-element, or NaN/Inf vector (failed
+# embedder, corrupt row) poisons cosine math with engine-specific NaN
+# ordering, so such rows are excluded from every vector operator on
+# BOTH engines. The verdict is the same on both sides by construction:
+# the element-count term catches NULL elements (DuckDB's list_sum
+# SKIPS them while Spark's fold returns NULL — without this term the
+# engines would disagree on partially-NULL vectors), and NaN/Inf
+# detection via the component sum is order-independent. A production
+# pipeline validates at ingest; these are the query-side guards
+# (dq_corpus_report is the matching promote/abort gate).
 VALID_VEC_SQL = (
     "embedding IS NOT NULL"
     f" AND len(embedding) = {DIM}"
+    f" AND list_aggregate(embedding, 'count') = {DIM}"
     " AND isfinite(list_sum(embedding::DOUBLE[]))"
 )
 
 
 def _valid_vec() -> "Column":
+    # the fold yields NULL when any element is NULL, so the whole
+    # predicate is NULL -> where() drops the row, matching the oracle's
+    # element-count term; ~isnan/abs!=inf match isfinite(sum)
     s = F.aggregate(
         F.col("embedding").cast("array<double>"),
         F.lit(0.0),
@@ -95,23 +102,28 @@ def _valid_vec() -> "Column":
     )
 
 
-def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
-    """Driver-side read of a FIXED-SIZE slice of the embeddings table —
-    the broadcast-variable build for queries/centroids. ``filters``
-    makes pyarrow prune row groups on vec_id statistics, so only the
-    groups containing the slice are decoded; at 100 TB this reads a few
-    row groups, never the table (round-1 review flagged the unfiltered
-    read as a driver OOM at scale)."""
+def _read_vec_range(sf_dir: str, lo: int | None, hi: int | None):
+    """Driver-side read of a slice of the embeddings table — the
+    broadcast-variable build for queries/centroids (lo/hi=None reads
+    unfiltered: the broadcast-small-side build dedup_embedding_cosine
+    shares). ``filters`` makes pyarrow prune row groups on vec_id
+    statistics, so only the groups containing the slice are decoded;
+    at 100 TB a bounded slice reads a few row groups, never the table
+    (round-1 review flagged the unfiltered read as a driver OOM at
+    scale — callers that read unbounded must themselves be the
+    broadcast-small-side case)."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    filters = [("vec_id", "<", hi)]
+    filters = []
+    if hi is not None:
+        filters.append(("vec_id", "<", hi))
     if lo is not None:
         filters.append(("vec_id", ">=", lo))
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
-        filters=filters,
+        filters=filters or None,
     )
     import pyarrow.compute as pc
 
@@ -134,7 +146,11 @@ def _read_vec_range(sf_dir: str, lo: int | None, hi: int):
         .astype(np.float64)
         .reshape(len(ids), -1)
     )[order]
-    finite = np.isfinite(mat).all(axis=1)
+    # the SAME verdict as _valid_vec/VALID_VEC_SQL: finite component
+    # SUM (a NULL element arrives as NaN from arrow and poisons the
+    # sum; an element-wise all-finite mask would disagree with the
+    # contract on sum-overflow vectors)
+    finite = np.isfinite(mat.sum(axis=1))
     ids, mat = ids[finite], mat[finite]
     norm = np.sqrt((mat * mat).sum(axis=1))
     return ids, mat, norm

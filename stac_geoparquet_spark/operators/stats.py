@@ -330,7 +330,7 @@ CMS_TOP_K = 10
 
 _CMS_HASH = (
     "CAST(conv(substring(md5(concat('cms', d, ':', word)), 1, 15),"
-    " 16, 10) AS BIGINT) % 256"
+    f" 16, 10) AS BIGINT) % {CMS_WIDTH}"
 )
 
 
@@ -341,11 +341,10 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from stac_geoparquet_spark.operators._io import read_documents
+    from stac_geoparquet_spark.operators.text import _words
 
     docs = read_documents(spark, sf_dir)
-    words = docs.selectExpr(
-        r"explode(split(lower(trim(text)), '\\s+')) AS word"
-    )
+    words = docs.select(F.explode(_words(F.col("text"))).alias("word"))
     cells = (
         words.selectExpr(
             "explode(transform(sequence(0, %d), d ->"
@@ -375,9 +374,11 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 
+from stac_geoparquet_spark.operators.text import _sql_words
+
 SKETCH_CMS_SQL = f"""
 WITH words AS (
-  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  SELECT unnest({_sql_words()}) AS word
   FROM documents
 ),
 cells AS (

@@ -330,3 +330,67 @@ def test_null_relational_oracle_agreement(spark, null_rel_dir, name):
         q[name](spark, null_rel_dir), o[name], null_rel_dir, strict=True
     )
     assert ok, f"{name}: {msg}"
+
+
+@pytest.fixture(scope="module")
+def null_elem_dir(tmp_path_factory):
+    """Vectors of correct length with one NULL ELEMENT (partial
+    embedder failure) — the subtle case: DuckDB's list_sum SKIPS NULL
+    elements while Spark's fold propagates them, so without the
+    contract's element-count term the engines disagree on whether the
+    row is valid."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_nullelem")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT vec_id,
+              CASE WHEN vec_id % 13 = 4
+                   THEN list_concat(embedding[1:63],
+                                    [CAST(NULL AS FLOAT)])
+                   ELSE embedding END AS embedding,
+              label
+            FROM read_parquet('{src}/embeddings.parquet'))
+          TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "documents",
+        "events",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    VEC_SAMPLE + ["kmeans_embeddings", "embedding_quantize_int8",
+                  "embedding_class_profile", "dq_corpus_report"],
+)
+def test_null_element_oracle_agreement(spark, null_elem_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, null_elem_dir), o[name], null_elem_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
+
+
+def test_null_element_counted_invalid(spark, null_elem_dir):
+    from stac_geoparquet_spark.operators.quality import dq_corpus_report
+
+    counts = {
+        r["check"]: r["failed"]
+        for r in dq_corpus_report(spark, null_elem_dir).collect()
+    }
+    assert counts["vec_nonfinite"] > 0
