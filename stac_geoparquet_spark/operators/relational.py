@@ -500,7 +500,14 @@ GROUP BY event_type
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events")
+    # sessionization is undefined for events with no timestamp or no
+    # user key; exclude them explicitly on both engines (NULL ts would
+    # otherwise sort first in Spark's lag chain and last in DuckDB's —
+    # the same NULL-ordering divergence class as the moving average,
+    # found by NULL-injection differential testing)
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Gap measured in exact integer microseconds (timestamps ARE integer
     # micros), so Spark and the oracle agree bit-for-bit and the check is
@@ -533,6 +540,7 @@ FROM (
                 OR datediff('microsecond', lag(ts) OVER w, ts) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ) t
 GROUP BY user_id
@@ -548,7 +556,9 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (house convention) while the window key is computed on a UTC cast;
     min/max aggregate the original column, so results are
     session-timezone independent."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     return (
         ev.withColumn("tsz", F.col("ts").cast("timestamp"))
         .groupBy(
@@ -571,6 +581,7 @@ WITH gaps AS (
   SELECT user_id, ts, event_id, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 sess AS (
   SELECT user_id, ts, value,

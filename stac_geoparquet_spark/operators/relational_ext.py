@@ -567,7 +567,12 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 def asof_last_click_before_purchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # an as-of lookup is undefined without a timestamp or user key;
+    # exclude such rows on both engines (NULL ts sorts first in Spark's
+    # frame and last in DuckDB's — the NULL-ordering divergence class)
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -592,6 +597,7 @@ FROM (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS last_click_ts
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ) t
 WHERE event_type = 'purchase'
 """

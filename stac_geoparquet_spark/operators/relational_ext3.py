@@ -128,7 +128,12 @@ _HOUR_US = 3_600_000_000  # range frame bounds are in order-key units (µs)
 def range_join_clicks_before_purchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # a time-range lookback is undefined without a timestamp or user
+    # key; exclude such rows on both engines (the NULL-ordering
+    # divergence class found by NULL-injection differential testing)
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
@@ -167,8 +172,10 @@ SELECT p.event_id,
        coalesce(CAST(round(sum(CASE WHEN e.event_type = 'click'
                                     THEN CAST(e.value AS DECIMAL(18,6)) END), 2) AS DOUBLE),
                 0.0) AS click_value_1h
-FROM events p
-LEFT JOIN events e
+FROM (SELECT * FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
+LEFT JOIN (SELECT * FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL) e
   ON e.user_id = p.user_id
  AND e.ts >= p.ts - INTERVAL 1 HOUR
  AND e.ts <  p.ts
