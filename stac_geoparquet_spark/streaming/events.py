@@ -225,7 +225,12 @@ def sessionize_stream(
                 }
             )
 
-    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # same contract as the batch sessionizer: sessionization is
+    # undefined without a timestamp or user key (a NULL ts would reach
+    # the state function as NaT and poison the gap arithmetic)
+    events = events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
