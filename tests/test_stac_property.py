@@ -114,3 +114,44 @@ def test_generated_items_roundtrip(spark, tmp_path_factory, items):
     orig = sorted(items, key=lambda d: d["id"])
     ok, msg = items_equal(orig, back)
     assert ok, msg
+
+
+def test_null_geometry_items_roundtrip(spark, tmp_path):
+    """STAC allows geometry = null (with bbox null); the WKB encode /
+    decode walk and the bbox struct conversion must pass the NULLs
+    through losslessly next to normal items."""
+    from tests.json_semantic import items_equal
+
+    from stac_geoparquet_spark.stac import read_items, to_item_dicts
+
+    items = [
+        {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "id": "geom-null",
+            "collection": "c",
+            "geometry": None,
+            "bbox": None,
+            "links": [],
+            "assets": {},
+            "properties": {"datetime": "2024-06-01T00:00:00Z"},
+        },
+        {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "id": "geom-ok",
+            "collection": "c",
+            "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            "bbox": [1.0, 2.0, 1.0, 2.0],
+            "links": [],
+            "assets": {},
+            "properties": {"datetime": "2024-06-02T00:00:00Z"},
+        },
+    ]
+    src = str(tmp_path / "items.ndjson")
+    with open(src, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+    back = sorted(to_item_dicts(read_items(spark, src)), key=lambda d: d["id"])
+    ok, msg = items_equal(sorted(items, key=lambda d: d["id"]), back)
+    assert ok, msg
