@@ -46,6 +46,13 @@ def _null_typed_columns(
     return out
 
 
+def sql_string_literal(v: str) -> str:
+    """Escape ``v`` for interpolation into a single-quoted Spark SQL
+    string literal: Spark processes BACKSLASH escapes (not ''-doubling),
+    so backslashes must be doubled before quotes are escaped."""
+    return v.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def delta_available(spark: SparkSession) -> bool:
     """True iff the Delta JVM classes are actually loadable.
 
@@ -97,10 +104,13 @@ def to_delta(
     )
     # The durable contract ("first-class table metadata") is TABLE
     # properties, not commitInfo — userMetadata lives only in one log
-    # entry and is superseded by later commits.  Escape any single
-    # quotes for the SQL literal.
+    # entry and is superseded by later commits.  Spark SQL string
+    # literals process BACKSLASH escape sequences (not Postgres-style
+    # '' doubling), so escape backslashes first and then single quotes
+    # — json.dumps output is full of \" sequences that would otherwise
+    # be unescaped by the parser into invalid JSON.
     props = ", ".join(
-        "'{k}' = '{v}'".format(k=k, v=json.dumps(v).replace("'", "''"))
+        f"'{sql_string_literal(k)}' = '{sql_string_literal(json.dumps(v))}'"
         for k, v in meta.items()
     )
     spark.sql(f"ALTER TABLE delta.`{path}` SET TBLPROPERTIES ({props})")

@@ -146,11 +146,19 @@ def to_geoparquet(
     compression: str = "snappy",
     extra_metadata: dict[str, str] | None = None,
     spatial_order: bool = False,
+    mode: str = "overwrite",
 ) -> list[str]:
     """Write ``df`` as a directory of footer-stamped GeoParquet files.
 
     Returns the list of files written. Fully distributed: each input
     partition streams through a pyarrow ParquetWriter on its executor.
+
+    ``mode``: ``"overwrite"`` (default) removes existing parquet files
+    under the destination first so a rerun/retry REPLACES the dataset
+    (the reference writer truncates its output file; without this a
+    second run's uuid-named part files would silently double every
+    row); ``"append"`` keeps existing files; ``"error"`` refuses a
+    non-empty destination.
 
     ``spatial_order=True`` clusters rows on the z-curve of the bbox
     centroid before writing (requires the bbox struct), so the
@@ -233,10 +241,28 @@ def to_geoparquet(
         )
         yield result
 
+    if mode not in ("overwrite", "append", "error"):
+        raise ValueError(f"mode must be overwrite|append|error, got {mode!r}")
+
     from pyarrow import fs as pafs
 
     filesystem, base = pafs.FileSystem.from_uri(output_path)
     filesystem.create_dir(base, recursive=True)
+    existing = [
+        f.path
+        for f in filesystem.get_file_info(
+            pafs.FileSelector(base, allow_not_found=True)
+        )
+        if f.is_file and f.path.endswith(".parquet")
+    ]
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"{output_path} already contains {len(existing)} parquet file(s); "
+            "pass mode='overwrite' or mode='append'"
+        )
+    if existing and mode == "overwrite":
+        for p in existing:
+            filesystem.delete_file(p)
 
     files = [r["path"] for r in df.mapInArrow(write_partition, out_schema).collect()]
     if not files:

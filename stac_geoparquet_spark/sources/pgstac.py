@@ -285,7 +285,13 @@ def parse_item_strings(spark: SparkSession, items: DataFrame) -> DataFrame:
     ds = items.select(F.col("item_json").alias("value")).cache()
     inferred = spark.read.json(ds.rdd.map(lambda r: r[0])).schema
     patched = _stringify_geometry_fields(inferred)
-    return spark.read.schema(patched).json(ds.rdd.map(lambda r: r[0]))
+    # typed pass stays JVM-side: from_json runs the same Jackson parser
+    # the reader would, without piping every row through a Python
+    # worker a second time (the rdd.map form re-serialized the whole
+    # dataset JVM->Python->JVM once more)
+    return ds.select(F.from_json("value", patched).alias("item")).select(
+        "item.*"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -149,7 +149,19 @@ def _operand(node: Any) -> Column:
     if isinstance(node, dict):
         if "property" in node:
             name = node["property"]
-            return F.col(f"`{name}`" if ":" in name or "." in name else name)
+            # A dotted name is a NESTED-field path ("assets.image.
+            # href" — the normalized table never has flat columns
+            # literally named with dots), so quote per SEGMENT: only
+            # segments Spark's identifier grammar cannot resolve
+            # unquoted (colons/spaces/hyphens — the hoisted
+            # "eo:cloud_cover"-style columns) get backticks, and the
+            # dots between segments stay live as path separators.
+            def seg(s: str) -> str:
+                return (
+                    f"`{s}`" if any(c in s for c in (":", " ", "-")) else s
+                )
+
+            return F.col(".".join(seg(s) for s in name.split(".")))
         if "timestamp" in node or "date" in node:
             return _temporal_literal(node)[0]
         if "op" in node:
@@ -207,7 +219,18 @@ def cql2_to_column(expr: dict) -> Column:
         x = _operand(args[0])
         return x.isin([v for v in args[1]])
     if op == "like":
-        return _operand(args[0]).like(args[1])
+        pat = args[1]
+        # casei-wrapped pattern (valid CQL2): lower both sides; any
+        # other non-string pattern node is a Cql2Error, not a raw
+        # py4j TypeError from Column.like
+        if isinstance(pat, dict) and pat.get("op") == "casei":
+            inner = pat.get("args", [None])[0]
+            if not isinstance(inner, str):
+                raise Cql2Error(f"like pattern must be a string: {pat!r}")
+            return F.lower(_operand(args[0])).like(inner.lower())
+        if not isinstance(pat, str):
+            raise Cql2Error(f"like pattern must be a string: {pat!r}")
+        return _operand(args[0]).like(pat)
     if op == "isNull":
         return _operand(args[0]).isNull()
     if op == "casei":

@@ -59,7 +59,7 @@ def _sniff_format(spark: SparkSession, path: str) -> str:
     line-delimited first, fall back to whole-file parse.
     """
     sc = spark.sparkContext
-    head = sc.textFile(path).take(40)
+    head = sc.textFile(path).take(400)
     first = ""
     for line in head:
         if line.strip():
@@ -73,10 +73,22 @@ def _sniff_format(spark: SparkSession, path: str) -> str:
             return "featurecollection"
         return "ndjson"
     except json.JSONDecodeError:
-        # object spans multiple lines: whole-file JSON
+        # Object spans multiple lines: whole-file JSON. Decide FC vs
+        # single item by KEY-SHAPED patterns in the head ("type":
+        # "FeatureCollection" or a "features" array key — a FC carries
+        # both), not a bare substring a property VALUE could contain.
+        # Residual bound: a FC whose first 400 lines contain neither
+        # key is misread as a single item; both keys conventionally
+        # lead the document.
+        import re
+
         whole = "\n".join(head)
-        if '"FeatureCollection"' in whole:
+        if re.search(r'"type"\s*:\s*"FeatureCollection"', whole) or re.search(
+            r'"features"\s*:\s*\[', whole
+        ):
             return "featurecollection"
+        # single multi-line JSON object (one item) — the multiLine
+        # reader used by the "array" path handles it as one row
         return "array"
 
 
@@ -126,6 +138,17 @@ def read_stac_json(
     fmt = _sniff_format(spark, first_path)
 
     def _read(s: T.StructType | None) -> DataFrame:
+        if fmt == "featurecollection" and s is not None:
+            # caller-provided schemas describe an ITEM (the shape every
+            # other path consumes, e.g. infer_items_schema output);
+            # wrap it into the FeatureCollection envelope so the read
+            # applies it to `features` elements, not the wrapper doc
+            s = T.StructType(
+                [
+                    T.StructField("type", T.StringType(), True),
+                    T.StructField("features", T.ArrayType(s), True),
+                ]
+            )
         reader = spark.read
         if s is not None:
             reader = reader.schema(s)

@@ -64,12 +64,34 @@ def timestamps_to_strings(df: DataFrame, precision: str = "us") -> DataFrame:
 # ---------------------------------------------------------------------------
 def nest_properties(df: DataFrame) -> DataFrame:
     """Pack every non-top-level column into a ``properties`` struct
-    (arrow/_from_arrow.py:34-64)."""
-    prop_cols = [c for c in df.columns if c not in TOP_LEVEL_KEYS]
+    (arrow/_from_arrow.py:34-64).
+
+    Idempotent on already-JSON-shape input: an existing ``properties``
+    STRUCT column is kept as the nest target (its fields merged with
+    any still-hoisted columns) instead of being wrapped a second level
+    deep — without this, running the inverse pipeline on a frame whose
+    hoist was skipped (or data read back from a JSON-shape source)
+    silently emitted ``properties.properties``."""
+    existing = None
+    if "properties" in df.columns and isinstance(
+        df.schema["properties"].dataType, T.StructType
+    ):
+        existing = df.schema["properties"].dataType
+    prop_cols = [
+        c for c in df.columns if c not in TOP_LEVEL_KEYS and c != "properties"
+    ]
     if not prop_cols:
+        # nothing hoisted: either already JSON shape (existing struct
+        # stays as-is) or there are no properties at all
         return df
     keep = [c for c in df.columns if c in TOP_LEVEL_KEYS]
-    props = F.struct(*[F.col(f"`{c}`").alias(c) for c in prop_cols])
+    members = [F.col(f"`{c}`").alias(c) for c in prop_cols]
+    if existing is not None:
+        members = [
+            F.col(f"properties.`{f.name}`").alias(f.name)
+            for f in existing.fields
+        ] + members
+    props = F.struct(*members)
     return df.select(
         *[F.col(f"`{c}`") for c in keep], props.alias("properties")
     )
