@@ -34,20 +34,26 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
+def source_stamp(src_file: str) -> str:
+    """(mtime, size) freshness stamp of a source file — the ONE
+    definition of the staleness contract every derived artifact
+    (scratch layouts, bucketed tables, session caches) keys on."""
+    try:
+        st = os.stat(os.path.abspath(src_file))
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "missing"
+
+
 def layout_scratch_path(src_file: str, prefix: str) -> str:
     """Scratch location for a derived layout of ``src_file``, keyed by
-    the source's (mtime, size) so a regenerated source gets a fresh
-    layout instead of silently serving stale data."""
+    the source's stamp so a regenerated source gets a fresh layout
+    instead of silently serving stale data."""
     import hashlib
     import tempfile
 
     src = os.path.abspath(src_file)
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "missing"
-    tag = hashlib.md5(f"{src}|{stamp}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{src}|{source_stamp(src)}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
 
 
@@ -65,11 +71,19 @@ def materialize_layout(path: str, build) -> str:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     build_dir = f"{path}.build-{uuid.uuid4().hex[:8]}"
-    build(build_dir)
     try:
+        build(build_dir)
         os.rename(build_dir, path)
     except OSError:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # real failure (not a lost publish race): don't leak the
+            # partial build dir — repeated retries would otherwise
+            # accumulate full-size partial layouts until the disk fills
+            shutil.rmtree(build_dir, ignore_errors=True)
             raise
         shutil.rmtree(build_dir, ignore_errors=True)
+    except BaseException:
+        # build() itself failed mid-job: clean the private dir
+        shutil.rmtree(build_dir, ignore_errors=True)
+        raise
     return path

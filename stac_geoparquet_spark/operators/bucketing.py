@@ -69,14 +69,12 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     # freshness contract as _io.layout_scratch_path).
     import hashlib
 
-    stamps = []
-    for t in ("lineitem", "orders"):
-        src = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
-        try:
-            st = os.stat(src)
-            stamps.append(f"{st.st_mtime_ns}:{st.st_size}")
-        except OSError:
-            stamps.append("missing")
+    from stac_geoparquet_spark.operators._io import source_stamp
+
+    stamps = [
+        source_stamp(os.path.join(os.path.abspath(sf_dir), f"{t}.parquet"))
+        for t in ("lineitem", "orders")
+    ]
     key = f"{os.path.abspath(sf_dir)}|{'|'.join(stamps)}"
     tag = hashlib.md5(key.encode()).hexdigest()[:10]
     li_name = f"sgs_lineitem_b{N_BUCKETS}_{tag}"

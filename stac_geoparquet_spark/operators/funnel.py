@@ -116,9 +116,12 @@ SELECT stage, stage_name, users FROM (
 def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort retention: users grouped by the week of their
     first event (cohort); for each (cohort_week, week_offset), how many
-    of them were active. Two aggregates: per-(user, week) activity
-    (distinct-ish compaction in the same shuffle as first-week), then
-    the cohort rollup — the fact table shuffles once, on user_id."""
+    of them were active. The FACT table shuffles once — into the
+    per-(user, week) compaction — and every later exchange moves only
+    the compacted (user, week) rows: the first-week window re-hashes
+    them on user_id (hashpartitioning(user_id, week) does not satisfy
+    a user_id-only window) and the cohort rollup re-keys the survivors
+    once more. Three exchanges total, one fact-sized."""
     ev = _events(spark, sf_dir)
     weekly = (
         ev.select(

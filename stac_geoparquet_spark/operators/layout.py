@@ -39,8 +39,12 @@ CELL_LEVEL = 3  # quadtree level for the rollup: 4^3 = 64 cells
 
 def _quant_sql(x: str, xmax: str, idiv: str, bits: int = ZBITS) -> str:
     """Scale non-negative ``x`` onto [0, 2^bits) by its max: exact
-    integer arithmetic, so Spark and DuckDB agree bit-for-bit."""
-    return f"(({x} * {(1 << bits) - 1}) {idiv} {xmax})"
+    integer arithmetic, so Spark and DuckDB agree bit-for-bit. nullif
+    guards the degenerate all-zero column (max = 0): every value maps
+    to bucket 0 instead of an ANSI divide-by-zero."""
+    return (
+        f"coalesce(({x} * {(1 << bits) - 1}) {idiv} nullif({xmax}, 0), 0)"
+    )
 
 
 def zorder_key_sql(x: str, y: str, bits: int = ZBITS) -> str:
@@ -125,17 +129,43 @@ def write_zordered(
     stage), then an in-partition sort makes every file a contiguous z
     range so Parquet row-group min/max stats are tight on both key
     columns.
+
+    Precondition (validated): keys must be NON-NEGATIVE and non-null —
+    the quantizer's bit-interleave is sign-blind, so negative values
+    would interleave sign-extension garbage and the clustering would
+    silently do nothing. Shift signed domains first (e.g. lon + 180).
+    The check rides the bounds aggregate the quantizer needs anyway
+    and fails the write via ``raise_error`` INSIDE the plan — no
+    extra driver action, no second scan at scale.
     """
-    m = df.agg(F.max(x).alias("__xmax"), F.max(y).alias("__ymax"))
+    m = df.agg(
+        F.max(x).alias("__xmax"),
+        F.max(y).alias("__ymax"),
+        F.min(x).alias("__xmin"),
+        F.min(y).alias("__ymin"),
+        F.sum(
+            (F.col(x).isNull() | F.col(y).isNull()).cast("bigint")
+        ).alias("__nulls"),
+    )
     xq = _quant_sql(x, "__xmax", "DIV", bits)
     yq = _quant_sql(y, "__ymax", "DIV", bits)
-    keyed = df.crossJoin(F.broadcast(m)).withColumn(
-        "__zkey", F.expr(zorder_key_sql(xq, yq, bits))
-    )
+    zkey = F.when(
+        (F.col("__nulls") > 0)
+        | (F.col("__xmin") < 0)
+        | (F.col("__ymin") < 0),
+        F.raise_error(
+            F.lit(
+                f"write_zordered: {x}/{y} keys must be non-null and "
+                "non-negative; filter NULLs / shift the domain first "
+                "(e.g. lon + 180)"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.expr(zorder_key_sql(xq, yq, bits)))
+    keyed = df.crossJoin(F.broadcast(m)).withColumn("__zkey", zkey)
     (
         keyed.repartitionByRange(num_files, "__zkey")
         .sortWithinPartitions("__zkey")
-        .drop("__zkey", "__xmax", "__ymax")
+        .drop("__zkey", "__xmax", "__ymax", "__xmin", "__ymin", "__nulls")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -50,15 +50,17 @@ def salted_join(
     dropped — for right/full outer joins each unmatched small row would
     surface once per salt replica. The salt is ``pmod(hash(salt_src),
     n_salts)``: always in [0, n_salts) even for negative or NULL
-    ``salt_src`` (Spark's ``%`` keeps the sign, and a NULL salt would
-    silently drop big-side rows that match on the real key)."""
+    ``salt_src`` (Spark's ``%`` keeps the sign, so pmod — and hash()
+    maps NULL input to its seed constant rather than NULL)."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
             f"salted_join supports how='inner'|'left', got {how!r}: "
             "outer small-side rows would be duplicated per salt replica"
         )
+    # hash() never returns NULL (a NULL input hashes to the seed
+    # constant), so pmod alone keeps the salt in [0, n_salts)
     b = big.withColumn(
-        "__salt", F.pmod(F.coalesce(F.hash(salt_src), F.lit(0)), F.lit(n_salts))
+        "__salt", F.pmod(F.hash(salt_src), F.lit(n_salts))
     )
     s = small.withColumn(
         "__salt",
@@ -80,18 +82,13 @@ def skew_salted_flag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["l_returnflag"],
         salt_src=F.col("l_orderkey"),
     )
+    from stac_geoparquet_spark.operators.relational import _dsum
+
     return joined.groupBy("flag_desc").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("revenue"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
     )
 
 

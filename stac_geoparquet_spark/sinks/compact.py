@@ -26,6 +26,38 @@ from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
+# footer keys Spark/pyarrow stamp themselves — everything else in a
+# source footer is custom metadata compaction must carry forward
+_STANDARD_FOOTER_KEYS = {
+    b"org.apache.spark.sql.parquet.row.metadata",
+    b"org.apache.spark.version",
+    b"pandas",
+    b"ARROW:schema",
+}
+
+
+def _custom_footer_kv(path: str) -> dict[str, str]:
+    """Custom footer key-value metadata of the first parquet file under
+    ``path`` (empty when the dataset carries none)."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(path)
+    sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
+    files = sorted(
+        f.path
+        for f in filesystem.get_file_info(sel)
+        if f.is_file and f.path.endswith(".parquet")
+    )
+    if not files:
+        return {}
+    md = pq.read_schema(files[0], filesystem=filesystem).metadata or {}
+    return {
+        k.decode(): v.decode()
+        for k, v in md.items()
+        if k not in _STANDARD_FOOTER_KEYS
+    }
+
 
 def plan_compaction(
     spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
@@ -40,8 +72,19 @@ def plan_compaction(
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
+        p = st.getPath()
+        name = p.getName()
         if name.endswith(".parquet"):
+            # hive-partitioned layouts (key=value subdirs) are out of
+            # scope: a flat rewrite would silently discard the
+            # partitioning scheme (directory pruning, partition-column
+            # types) — refuse rather than flatten
+            if "=" in str(p.getParent().toUri().getPath()):
+                raise ValueError(
+                    f"{path} is hive-partitioned ({p}); compact each "
+                    "partition directory individually — a flat rewrite "
+                    "would discard the partitioning scheme"
+                )
             n_files += 1
             total += st.getLen()
     n_out = max(1, math.ceil(total / target_bytes))
@@ -79,7 +122,19 @@ def compact_parquet(
             "inspect/restore it before compacting again"
         )
     df = spark.read.parquet(path)
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # Footer key-value metadata (the geoparquet sink's geo /
+    # stac-geoparquet contract) does NOT survive df.write.parquet;
+    # when the source carries custom footer keys, rewrite through the
+    # footer-stamping writer so compaction preserves them verbatim.
+    kv = _custom_footer_kv(path)
+    if kv:
+        from stac_geoparquet_spark.sinks.geoparquet import (
+            write_parquet_with_footer,
+        )
+
+        write_parquet_with_footer(df.repartition(n_out), tmp, kv)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     # swap: rename old out of the way, new into place — each rename's
     # boolean checked, and the backup is deleted only after the new
     # directory is verified readable at `path`.
@@ -104,5 +159,12 @@ def compact_parquet(
             f"compaction produced no parquet files at {path}; "
             f"backup preserved at {old_str}"
         )
-    fs.delete(old, True)
+    # a False return (Hadoop delete does not always throw) would leave
+    # a poison backup that blocks every future compaction via the
+    # stale-dir guard — surface it now, while the swap itself is done
+    if not fs.delete(old, True):
+        raise RuntimeError(
+            f"compaction succeeded but deleting the backup {old_str} "
+            "failed; remove it manually before the next compaction"
+        )
     return n_files, after

@@ -197,6 +197,45 @@ def to_geoparquet(
     for k, v in (extra_metadata or {}).items():
         kv[k] = v
 
+    if mode not in ("overwrite", "append", "error"):
+        raise ValueError(f"mode must be overwrite|append|error, got {mode!r}")
+
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(output_path)
+    filesystem.create_dir(base, recursive=True)
+    existing = [
+        f.path
+        for f in filesystem.get_file_info(
+            pafs.FileSelector(base, allow_not_found=True)
+        )
+        if f.is_file and f.path.endswith(".parquet")
+    ]
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"{output_path} already contains {len(existing)} parquet file(s); "
+            "pass mode='overwrite' or mode='append'"
+        )
+    if existing and mode == "overwrite":
+        for p in existing:
+            filesystem.delete_file(p)
+
+    return write_parquet_with_footer(df, output_path, kv, compression)
+
+
+def write_parquet_with_footer(
+    df: DataFrame,
+    output_path: str,
+    kv: dict[str, str],
+    compression: str = "snappy",
+) -> list[str]:
+    """Distributed parquet write with ``kv`` stamped into every file's
+    footer key-value metadata — the capability ``df.write.parquet``
+    lacks and the reason this sink streams each partition through a
+    pyarrow ParquetWriter. Shared by ``to_geoparquet`` and the
+    compaction rewrite (which must PRESERVE existing footer metadata,
+    not strip it). Appends uuid-named part files; callers own any
+    clearing/mode semantics."""
     out_schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
@@ -241,29 +280,10 @@ def to_geoparquet(
         )
         yield result
 
-    if mode not in ("overwrite", "append", "error"):
-        raise ValueError(f"mode must be overwrite|append|error, got {mode!r}")
-
     from pyarrow import fs as pafs
 
     filesystem, base = pafs.FileSystem.from_uri(output_path)
     filesystem.create_dir(base, recursive=True)
-    existing = [
-        f.path
-        for f in filesystem.get_file_info(
-            pafs.FileSelector(base, allow_not_found=True)
-        )
-        if f.is_file and f.path.endswith(".parquet")
-    ]
-    if existing and mode == "error":
-        raise FileExistsError(
-            f"{output_path} already contains {len(existing)} parquet file(s); "
-            "pass mode='overwrite' or mode='append'"
-        )
-    if existing and mode == "overwrite":
-        for p in existing:
-            filesystem.delete_file(p)
-
     files = [r["path"] for r in df.mapInArrow(write_partition, out_schema).collect()]
     if not files:
         # empty input: still emit one file carrying schema + metadata

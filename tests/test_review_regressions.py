@@ -183,3 +183,58 @@ def test_nest_properties_idempotent(spark):
     assert twice.schema == once.schema
     row = twice.select("properties.gsd", "properties.extra").first()
     assert row["gsd"] == 5.5 and row["extra"] == "x"
+
+
+def test_compaction_preserves_footer_metadata(spark, tmp_path):
+    """Compacting a GeoParquet directory must carry the geo /
+    stac-geoparquet footer metadata forward — df.write.parquet strips
+    it, so the rewrite routes through the footer-stamping writer."""
+    from stac_geoparquet_spark.sinks.compact import compact_parquet
+    from stac_geoparquet_spark.sinks.geoparquet import (
+        read_geoparquet_metadata,
+        to_geoparquet,
+    )
+    from stac_geoparquet_spark.stac import read_items
+
+    src = _write_ndjson(_items(8), tmp_path / "items.ndjson")
+    df = read_items(spark, src).repartition(6)
+    dest = str(tmp_path / "gpq")
+    to_geoparquet(df, dest)
+    before = read_geoparquet_metadata(dest)
+    assert "stac-geoparquet" in before
+    n_before, n_after = compact_parquet(
+        spark, dest, target_bytes=10**9, min_files_to_compact=2
+    )
+    assert n_after < n_before
+    after = read_geoparquet_metadata(dest)
+    assert after == before
+    assert spark.read.parquet(dest).count() == 8
+
+
+def test_compaction_refuses_hive_partitioned_layout(spark, tmp_path):
+    from stac_geoparquet_spark.sinks.compact import plan_compaction
+
+    dest = str(tmp_path / "hive")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.partitionBy(
+        "k"
+    ).parquet(dest)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        plan_compaction(spark, dest)
+
+
+def test_write_zordered_rejects_invalid_keys(spark, tmp_path):
+    """Negative or NULL keys would silently destroy the clustering
+    (sign-blind bit interleave); the write must fail inside the plan."""
+    from stac_geoparquet_spark.operators.layout import write_zordered
+
+    neg = spark.range(10).selectExpr("id - 5 AS a", "id AS b")
+    with pytest.raises(Exception, match="non-negative"):
+        write_zordered(neg, str(tmp_path / "zneg"), "a", "b")
+    nulls = spark.range(10).selectExpr(
+        "CASE WHEN id = 3 THEN NULL ELSE id END AS a", "id AS b"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        write_zordered(nulls, str(tmp_path / "znull"), "a", "b")
+    ok = spark.range(10).selectExpr("id AS a", "id AS b")
+    write_zordered(ok, str(tmp_path / "zok"), "a", "b")
+    assert spark.read.parquet(str(tmp_path / "zok")).count() == 10
