@@ -345,19 +345,23 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents(spark, sf_dir)
     words = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+    # ONE per-word count aggregate feeds both the sketch and the exact
+    # top-K (identical subtree -> ReusedExchange): cell totals are
+    # sums of per-word counts, so the DEPTH md5 probes run once per
+    # DISTINCT word, not once per occurrence — hash work scales with
+    # the (Heaps-law small) vocabulary, not the corpus
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
     cells = (
-        words.selectExpr(
+        counts.selectExpr(
+            "exact_n",
             "explode(transform(sequence(0, %d), d ->"
-            " struct(d AS row, %s AS bucket))) AS c" % (CMS_DEPTH - 1, _CMS_HASH)
+            " struct(d AS row, %s AS bucket))) AS c" % (CMS_DEPTH - 1, _CMS_HASH),
         )
         .groupBy("c.row", "c.bucket")
-        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .agg(F.sum("exact_n").alias("cell_n"))
     )
-    top = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("word"))
-        .limit(CMS_TOP_K)
+    top = counts.orderBy(F.col("exact_n").desc(), F.col("word")).limit(
+        CMS_TOP_K
     )
     probes = top.selectExpr(
         "word",

@@ -88,16 +88,22 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_wlen = (
         F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / F.size(w)
     ).cast("double")
+    # nullif: an empty-string doc has n_chars = 0, and under ANSI mode
+    # (Spark 4 default) a bare division would CRASH the job while the
+    # oracle emits a row — both engines now yield NULL ratios/score for
+    # the degenerate doc
+    safe_chars = F.nullif(n_chars, F.lit(0.0))
     score = (
         F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct / n_chars * F.lit(10.0), F.lit(1.0))) * 0.3
+        + (F.lit(1.0) - F.least(punct / safe_chars * F.lit(10.0), F.lit(1.0)))
+        * 0.3
         + F.least(stop / n_words * F.lit(5.0), F.lit(1.0)) * 0.3
     )
     return docs.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_words"),
         F.round(stop / n_words, 6).alias("stopword_ratio"),
-        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(punct / safe_chars, 6).alias("punct_ratio"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(score, 6).alias("quality_score"),
     )
@@ -118,10 +124,10 @@ WITH m AS (
 SELECT doc_id,
        n_words,
        round(n_stop * 1.0 / n_words, 6)    AS stopword_ratio,
-       round(n_punct * 1.0 / n_chars, 6)   AS punct_ratio,
+       round(n_punct * 1.0 / nullif(n_chars, 0), 6)   AS punct_ratio,
        round(n_nonspace * 1.0 / n_words, 6) AS mean_word_len,
        round(least(n_words / 100.0, 1.0) * 0.4
-             + (1.0 - least(n_punct * 10.0 / n_chars, 1.0)) * 0.3
+             + (1.0 - least(n_punct * 10.0 / nullif(n_chars, 0), 1.0)) * 0.3
              + least(n_stop * 5.0 / n_words, 1.0) * 0.3, 6) AS quality_score
 FROM m
 """

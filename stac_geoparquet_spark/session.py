@@ -117,7 +117,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            if name == "events":
+                # events.parquet may carry TIMESTAMP(NANOS): a raw read
+                # either throws (conf unset) or — if read_events ran
+                # earlier and set nanosAsLong session-wide — silently
+                # exposes ts as raw BIGINT nanoseconds. Route through
+                # the one reader that owns that handling.
+                from stac_geoparquet_spark.operators.relational import (
+                    read_events,
+                )
+
+                df = read_events(spark, path)
+            else:
+                df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -134,8 +134,12 @@ SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, value_sum double"
 )
+# session bounds as INTEGRAL microseconds: float seconds cannot
+# represent microsecond event times exactly (1704067200.000001 has no
+# double representation), so a float state would emit session bounds
+# 1us off the batch sessionizer's and wobble gap comparisons
 _SESSION_STATE_SCHEMA = (
-    "start double, last double, n bigint, v double"
+    "start bigint, last bigint, n bigint, v double"
 )
 
 
@@ -167,7 +171,7 @@ def sessionize_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_s = gap_minutes * 60.0
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -178,8 +182,8 @@ def sessionize_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
                     "n_events": [n],
                     "value_sum": [round(v, 2)],
                 }
@@ -187,7 +191,8 @@ def sessionize_stream(
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        ts = rows["ts"].map(pd.Timestamp.timestamp)
+        # exact integral microseconds, never float seconds
+        ts = rows["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
         out = []
         if state.exists:
             start, last, n, v = state.get
@@ -196,7 +201,7 @@ def sessionize_stream(
         for t, val in zip(ts, rows["value"]):
             if start is None:
                 start, last, n, v = t, t, 0, 0.0
-            elif t - last > gap_s:
+            elif t - last > gap_us:
                 out.append((key[0], start, last, n, v))
                 start, last, n, v = t, t, 0, 0.0
             n += 1
@@ -209,17 +214,19 @@ def sessionize_stream(
                 start = t
             if t > last:
                 last = t
-        state.update((start, last, n, v))
-        # wake up when the watermark passes last + gap
-        state.setTimeoutTimestamp(int((last + gap_s) * 1000) + 1)
+        state.update((int(start), int(last), n, v))
+        # wake up when the watermark passes last + gap (ms resolution)
+        state.setTimeoutTimestamp(int((last + gap_us) // 1000) + 1)
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [o[0] for o in out],
                     "session_start": [
-                        pd.Timestamp(o[1], unit="s") for o in out
+                        pd.Timestamp(o[1], unit="us") for o in out
                     ],
-                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
+                    "session_end": [
+                        pd.Timestamp(o[2], unit="us") for o in out
+                    ],
                     "n_events": [o[3] for o in out],
                     "value_sum": [round(o[4], 2) for o in out],
                 }

@@ -78,7 +78,12 @@ def events_rollup_incremental(spark, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.relational import read_events
 
     events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
-    parts = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    # pmod + coalesce: every row must land in exactly ONE delta —
+    # Spark's % keeps the dividend's sign (negative ids would match no
+    # branch) and NULL % 3 is NULL (a NULL-id row would silently drop
+    # from the maintained state while the full-scan oracle counts it)
+    bucket = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+    parts = [events.where(bucket == i) for i in range(3)]
     state = hourly_rollup_state(parts[1])
     state = merge_rollup_state(state, hourly_rollup_state(parts[0]))
     state = merge_rollup_state(state, hourly_rollup_state(parts[2]))

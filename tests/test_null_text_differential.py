@@ -456,3 +456,52 @@ def test_null_events_oracle_agreement(spark, null_ev_dir, name):
         q[name](spark, null_ev_dir), o[name], null_ev_dir, strict=True
     )
     assert ok, f"{name}: {msg}"
+
+
+@pytest.fixture(scope="module")
+def empty_text_dir(tmp_path_factory):
+    """Empty-string documents (n_chars = 0) — under Spark 4's ANSI
+    default, an unguarded ratio division CRASHES the job while the
+    oracle emits a row (confirmed on text_quality_score)."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_emptytext")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id,
+              CASE WHEN doc_id % 11 = 3 THEN '' ELSE text END AS text,
+              lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet'))
+          TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "events",
+        "embeddings",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_quality_score", "text_token_count", "text_fingerprint",
+     "quality_repetition", "corpus_yield_funnel", "chunk_documents"],
+)
+def test_empty_text_oracle_agreement(spark, empty_text_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, empty_text_dir), o[name], empty_text_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
