@@ -793,6 +793,12 @@ SELECT vec_id, cluster, dist FROM a2
 # shuffle, no Python. floor(x + 0.5) instead of round() so both
 # engines share one deterministic tie rule; nullif guards the
 # all-zero vector (Spark x/0 -> NULL vs DuckDB -> inf).
+#
+# Output contract: the codes are emitted as a CSV string (q_csv), not a
+# raw array<int> — the driver's canonicalizer pandas-sorts every output
+# column and Python lists are unhashable, so a top-level array column
+# red-rows the query even when both engines agree (round-2 lesson; a
+# registry-wide scalar-only-schema test now enforces this).
 # --------------------------------------------------------------------------
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
@@ -810,17 +816,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "vec_id",
         "scale",
-        "transform(v, x -> CAST(floor(coalesce(x / nullif(scale, 0), 0)"
-        " + 0.5) AS INT)) AS q",
+        "array_join(transform(v, x -> CAST(floor(coalesce(x / nullif(scale, 0), 0)"
+        " + 0.5) AS INT)), ',') AS q_csv",
     )
 
 
 QUANTIZE_SQL = f"""
 SELECT vec_id,
        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
-       list_transform(v, x -> CAST(floor(coalesce(
+       array_to_string(list_transform(v, x -> CAST(floor(coalesce(
            x / nullif(list_max(list_transform(v, y -> abs(y))) / 127.0, 0), 0)
-         + 0.5) AS INTEGER)) AS q
+         + 0.5) AS INTEGER)), ',') AS q_csv
 FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {VALID_VEC_SQL}) e
 """
 
@@ -979,7 +985,15 @@ def _make_pq_encode(b_cb):
                 # — the oracle's ORDER BY round(d2, 6), j
                 codes[:, m] = np.argmin(np.round(d2, 6), axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+                {
+                    "vec_id": pdf["vec_id"],
+                    # CSV string, not array<bigint>: the driver
+                    # canonicalizer can't hash list cells (registry
+                    # scalar-only-schema contract)
+                    "codes": [
+                        ",".join(str(c) for c in row) for row in codes
+                    ],
+                }
             )
 
     return encode
@@ -993,10 +1007,10 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook."""
     cb = _pq_codebook(sf_dir)
     if cb is None:  # empty training slice -> nothing to encode against
-        return spark.createDataFrame([], "vec_id bigint, codes array<bigint>")
+        return spark.createDataFrame([], "vec_id bigint, codes string")
     b_cb = spark.sparkContext.broadcast(cb)
     return _emb_blocks(spark, sf_dir).mapInPandas(
-        _make_pq_encode(b_cb), "vec_id bigint, codes array<bigint>"
+        _make_pq_encode(b_cb), "vec_id bigint, codes string"
     )
 
 
@@ -1044,7 +1058,7 @@ enc AS (
 
 PQ_ENCODE_SQL = f"""
 WITH {_pq_base_ctes()}
-SELECT vec_id, list(code ORDER BY m) AS codes
+SELECT vec_id, array_to_string(list(code ORDER BY m), ',') AS codes
 FROM enc
 GROUP BY vec_id
 """

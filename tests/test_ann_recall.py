@@ -63,8 +63,9 @@ def test_pq_codes_complete_and_in_range(spark):
     ids = [r.vec_id for r in rows]
     assert len(ids) == len(set(ids)) > 0
     for r in rows:
-        assert len(r.codes) == S.PQ_M
-        assert all(0 <= c < S.PQ_K for c in r.codes)
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == S.PQ_M
+        assert all(0 <= c < S.PQ_K for c in codes)
 
 
 def test_pq_adc_matches_reconstruction(spark, truth):
@@ -85,7 +86,10 @@ def test_pq_adc_matches_reconstruction(spark, truth):
         int(i): qm[n].reshape(S.PQ_M, S.PQ_SUBDIM)
         for n, i in enumerate(q_ids)
     }
-    codes = {r.vec_id: r.codes for r in pq_encode_codes(spark, SF_MID).collect()}
+    codes = {
+        r.vec_id: [int(c) for c in r.codes.split(",")]
+        for r in pq_encode_codes(spark, SF_MID).collect()
+    }
     rows = ann_pq_adc(spark, SF_MID).collect()
     assert rows
     for r in rows:

@@ -27,7 +27,8 @@ def test_quantize_roundtrip_error_bound(spark):
         ).to_pylist()
     }
     for r in rows:
-        v, scale, q = orig[r["vec_id"]], r["scale"], r["q"]
+        v, scale = orig[r["vec_id"]], r["scale"]
+        q = [int(c) for c in r["q_csv"].split(",")]
         assert len(q) == len(v)
         for x, code in zip(v, q):
             assert -127 <= code <= 127
