@@ -581,6 +581,28 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     return materialize_layout(path, build)
 
 
+def _query_probes(sf_dir: str):
+    """Per-query cell routing shared by the IVF and IVFPQ operators:
+    (q_ids, probes) where probes[i] holds query i's top-``N_PROBE``
+    centroid ids by rounded cosine (desc sim, asc centroid id — the
+    same total order the SQL oracle's row_number uses).  Returns
+    (q_ids, None) when there are no queries or no centroids."""
+    import numpy as np
+
+    q_ids, qm, qnorm = _load_queries(sf_dir)
+    c_ids, cm, cnorm = _load_centroids(sf_dir)
+    if len(q_ids) == 0 or len(c_ids) == 0:
+        return q_ids, None
+    qsims = np.round(qm @ cm.T / (qnorm[:, None] * cnorm[None, :]), 6)
+    probes = np.stack(
+        [
+            c_ids[np.lexsort((c_ids, -qsims[i]))[:N_PROBE]]
+            for i in range(len(q_ids))
+        ]
+    )
+    return q_ids, probes
+
+
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF n-probe top-k over the cell-partitioned layout: the scan
     carries ``ivf_cell IN (probed cells)`` as a PARTITION filter, so
@@ -589,25 +611,14 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast equi-join of the |Q| x N_PROBE probe table on ivf_cell;
     scoring is row-wise against the broadcast query matrix —
     O(candidates in probed cells), never Q x N."""
-    import numpy as np
-
-    q_ids, qm, qnorm = _load_queries(sf_dir)
-    c_ids, cm, cnorm = _load_centroids(sf_dir)
-    if len(q_ids) == 0 or len(c_ids) == 0:
+    q_ids, probes = _query_probes(sf_dir)
+    if probes is None:
         # empty table/partition: no queries or no centroids -> no
         # probes (np.stack over an empty probe list is an error)
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cos_sim double,"
             " rank bigint"
         )
-    qsims = np.round(qm @ cm.T / (qnorm[:, None] * cnorm[None, :]), 6)
-    # top-nprobe centroids per query (desc sim, asc centroid id)
-    probes = np.stack(
-        [
-            c_ids[np.lexsort((c_ids, -qsims[i]))[:N_PROBE]]
-            for i in range(len(q_ids))
-        ]
-    )
     probe_df = spark.createDataFrame(
         [
             (int(q), int(cell))
@@ -628,13 +639,16 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "embedding")
     )
-    b_q = spark.sparkContext.broadcast((q_ids, qm, qnorm))
+    b_q = spark.sparkContext.broadcast(_load_queries(sf_dir))
     scored = joined.mapInPandas(_make_candidate_score(b_q, TOP_K), SCORE_SCHEMA)
     return _rank_topk(scored)
 
 
-IVF_PROBE_SQL = f"""
-WITH {_centroid_cte()},
+def _qprobe_cte() -> str:
+    """Per-query probed-cell CTE (top-``N_PROBE`` centroids by rounded
+    cosine) — the oracle twin of ``_query_probes``, shared by the IVF
+    probe and IVFPQ/ADC oracles."""
+    return f"""
 qprobe AS (
   SELECT query_id, ivf_cell FROM (
     SELECT e.vec_id AS query_id, cent.cid AS ivf_cell,
@@ -646,7 +660,12 @@ qprobe AS (
     FROM e CROSS JOIN cent
     WHERE e.vec_id < {N_QUERIES}
   ) t WHERE rn <= {N_PROBE}
-),
+)"""
+
+
+IVF_PROBE_SQL = f"""
+WITH {_centroid_cte()},
+{_qprobe_cte()},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_DOT_SQL.format(a='q.v', b='c.v')} / (q.norm * c.norm), 6) AS cos_sim
@@ -1026,7 +1045,7 @@ def _pq_base_ctes() -> str:
     """Shared oracle CTEs: codebook, subvectors, all (vec, m, j)
     rounded squared distances, and the argmin encoding."""
     return f"""
-cent AS (
+pqcent AS (
   SELECT m,
          CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
               AS BIGINT) AS j,
@@ -1045,7 +1064,7 @@ d AS (
          round(list_sum(list_transform(range(1,9),
                i -> (s.v[CAST(i AS INT)]-c.c[CAST(i AS INT)])
                     *(s.v[CAST(i AS INT)]-c.c[CAST(i AS INT)]))), 6) AS d2
-  FROM sub s JOIN cent c USING (m)
+  FROM sub s JOIN pqcent c USING (m)
 ),
 enc AS (
   SELECT vec_id, m, j AS code FROM (
@@ -1064,11 +1083,18 @@ GROUP BY vec_id
 """
 
 
-def _make_pq_adc(b_cb, b_q, top_k: int):
+def _make_pq_adc(b_cb, b_q, top_k: int, b_probes):
     """Worker-side closure: encode the batch, then score every query
     against it with LUT lookups only (the ADC hot loop touches no
     embedding floats). Per-batch bottom-k per query is exact: the sort
-    key (d2, neighbor_id) matches the final window's total order."""
+    key (d2, neighbor_id) matches the final window's total order.
+
+    ``b_probes`` broadcasts the |Q| x N_PROBE probed-cell matrix
+    (rows aligned with ``b_q``'s query order): batches arrive from the
+    cell-partitioned layout carrying ``ivf_cell``, and a (query,
+    candidate) pair is scored only when the candidate's cell is in the
+    query's probe list — the IVFPQ residual of the scan-level pruning
+    (the scan itself only reads the union of probed cells)."""
 
     def score(batches):
         import numpy as np
@@ -1076,6 +1102,7 @@ def _make_pq_adc(b_cb, b_q, top_k: int):
 
         cb = b_cb.value  # M x K x SUB
         q_ids, qm, _ = b_q.value
+        probes = b_probes.value  # |Q| x N_PROBE cell ids
         m_dims, k, sub = cb.shape
         qs = qm.reshape(len(q_ids), m_dims, sub)
         # LUT[q, m, j]: rounded partial squared distance — the per-
@@ -1085,6 +1112,7 @@ def _make_pq_adc(b_cb, b_q, top_k: int):
         )
         for pdf in batches:
             c_ids = pdf["vec_id"].to_numpy()
+            c_cells = pdf["ivf_cell"].to_numpy()
             x = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             ).reshape(len(pdf), m_dims, sub)
@@ -1099,6 +1127,13 @@ def _make_pq_adc(b_cb, b_q, top_k: int):
             approx = np.round(approx, 6)
             mask = q_ids[:, None] == c_ids[None, :]
             approx[mask] = np.inf
+            # IVFPQ routing: only candidates whose cell the query
+            # probes are eligible (vectorized |Q| x B x N_PROBE match;
+            # Q and N_PROBE are broadcast-small)
+            allowed = (
+                c_cells[None, :, None] == probes[:, None, :]
+            ).any(axis=2)
+            approx[~allowed] = np.inf
             out_q, out_n, out_s = [], [], []
             for i in range(len(q_ids)):
                 row = approx[i]
@@ -1117,22 +1152,39 @@ def _make_pq_adc(b_cb, b_q, top_k: int):
 
 
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 per query by PQ/ADC distance: encode + LUT
-    scoring fused into one scan (at test scale); a deployment persists
-    ``pq_encode_codes``'s output once and this operator's scan side
-    then reads ONLY the 8-byte codes — the 32x IO reduction is the
-    operator's reason to exist. Each batch emits its local bottom-k
-    per query, so the final window ranks Q x k x n_batches rows."""
+    """IVFPQ: approximate top-10 per query by PQ/ADC distance over the
+    ``ivf_cell``-partitioned layout. Queries are routed to their
+    ``N_PROBE`` nearest coarse cells and the scan carries
+    ``ivf_cell IN (probed cells)`` as a PARTITION filter — non-probed
+    cells are never read (plan-pinned), composing the round-2 PQ/ADC
+    pass with ``build_ivf_layout``'s pruning exactly as a production
+    IVFPQ index does. Encode + LUT scoring stay fused into the single
+    pruned scan; a deployment persists ``pq_encode_codes``'s output
+    once and then reads ONLY the 8-byte codes of probed cells — the
+    32x IO reduction times the nprobe/n_cells scan fraction. Each
+    batch emits its local bottom-k per query, so the final window
+    ranks Q x k x n_batches rows."""
     cb = _pq_codebook(sf_dir)
-    if cb is None:  # empty training slice -> no codebook, no results
+    q_ids, probes = _query_probes(sf_dir)
+    if cb is None or probes is None:
+        # no codebook (empty training slice) or no queries/centroids
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, approx_d2 double,"
             " rank bigint"
         )
     b_cb = spark.sparkContext.broadcast(cb)
     b_q = spark.sparkContext.broadcast(_load_queries(sf_dir))
-    scored = _emb_blocks(spark, sf_dir).mapInPandas(
-        _make_pq_adc(b_cb, b_q, TOP_K),
+    b_probes = spark.sparkContext.broadcast(probes)
+    layout = build_ivf_layout(spark, sf_dir)
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    cand = (
+        spark.read.parquet(layout)
+        # partition-column filter -> pruned at planning time
+        .filter(F.col("ivf_cell").isin(probed_cells))
+        .select("vec_id", "embedding", "ivf_cell")
+    )
+    scored = cand.mapInPandas(
+        _make_pq_adc(b_cb, b_q, TOP_K, b_probes),
         "query_id bigint, neighbor_id bigint, approx_d2 double",
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1146,15 +1198,20 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_ADC_SQL = f"""
-WITH {_pq_base_ctes()},
+WITH {_centroid_cte()},
+{_qprobe_cte()},
+{_pq_base_ctes()},
 lut AS (
   SELECT vec_id AS query_id, m, j, d2 AS pd2
   FROM d WHERE vec_id < {N_QUERIES}
 ),
 adc AS (
-  SELECT l.query_id, e.vec_id AS neighbor_id, round(sum(l.pd2), 6) AS approx_d2
-  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
-  WHERE e.vec_id <> l.query_id
+  SELECT l.query_id, n.vec_id AS neighbor_id, round(sum(l.pd2), 6) AS approx_d2
+  FROM enc n
+  JOIN assigned a ON a.vec_id = n.vec_id
+  JOIN qprobe p ON p.ivf_cell = a.ivf_cell
+  JOIN lut l ON l.query_id = p.query_id AND n.m = l.m AND n.code = l.j
+  WHERE n.vec_id <> l.query_id
   GROUP BY 1, 2
 )
 SELECT query_id, neighbor_id, approx_d2, rank FROM (

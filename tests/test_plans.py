@@ -553,9 +553,11 @@ def test_pq_encode_single_pass_no_shuffle_after_spread(spark, sf):
 
 
 def test_pq_adc_batch_topk_then_group_limit(spark, sf):
-    """ADC search: one scan, per-batch local top-k inside the encode+
-    score pass, then the rank window — with WindowGroupLimit pushed
-    below the shuffle so only k rows per (partition, query) move."""
+    """IVFPQ search: ONE scan of the ivf_cell-partitioned layout with
+    the probed cells as a PARTITION filter (non-probed cells never
+    read), per-batch local top-k inside the encode+score pass, then
+    the rank window — with WindowGroupLimit pushed below the shuffle
+    so only k rows per (partition, query) move."""
     from stac_geoparquet_spark.operators import similarity
 
     plan = plan_of(similarity.ann_pq_adc(spark, sf))
@@ -564,6 +566,13 @@ def test_pq_adc_batch_topk_then_group_limit(spark, sf):
     assert n_ops(plan, "WindowGroupLimit") >= 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert n_ops(plan, j) == 0
+    # the code scan is the IVF layout, pruned to the probed cells
+    scan_sections = [
+        s for s in plan.split("Scan parquet") if "ivf_layout" in s
+    ]
+    assert scan_sections, f"ADC must scan the IVF layout:\n{plan}"
+    pf_line = scan_sections[0].split("PartitionFilters")[1].splitlines()[0]
+    assert "INSET" in pf_line or "isin" in pf_line
 
 
 def test_yield_funnel_single_scan(spark, sf):
