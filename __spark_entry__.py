@@ -175,7 +175,9 @@ def _registries():
 
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    "decontam_bloom_semijoin",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -152,6 +152,102 @@ GROUP BY tr.doc_id
 
 
 # --------------------------------------------------------------------------
+# Bloom-semijoin decontamination: the skew-capped alternative path.
+#
+# The default window form above shuffles EVERY exploded gram once and
+# marks holdout grams with a gram-partition window — one corpus scan,
+# but a hot boilerplate gram concentrates its whole partition on one
+# reducer (AQE-handled, still the skew point at 100x).  This variant
+# instead runs over a PERSISTED per-doc-distinct gram index (the
+# one-off layout a production pipeline maintains anyway — you don't
+# re-tokenize 100 TB per benchmark sweep) and semi-joins train grams
+# against holdout grams, letting Spark inject a runtime Bloom filter
+# (`might_contain` on the train scan): grams that cannot be in the
+# holdout — the overwhelming majority — are dropped AT THE SCAN,
+# before the shuffle, so the hot-gram partition never forms at full
+# size.  The bucket column is a string ('train'/'holdout') rather than
+# a boolean on purpose: InjectRuntimeFilter's isLikelySelective
+# accepts an attr-vs-literal equality but NOT a bare boolean attribute
+# (BooleanSimplification strips `b = true` to `b`), so a boolean
+# column silently disables the Bloom path.
+# --------------------------------------------------------------------------
+def gram_index_path(sf_dir: str) -> str:
+    """Scratch location of the per-doc-distinct word-5-gram index for
+    ``sf_dir``; (mtime, size)-keyed so a regenerated documents.parquet
+    gets a fresh index."""
+    from stac_geoparquet_spark.operators._io import layout_scratch_path
+
+    return layout_scratch_path(
+        os.path.join(sf_dir, "documents.parquet"), "sgs_gram_index"
+    )
+
+
+def build_gram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (doc_id, bucket, ngram): every doc's DISTINCT
+    word-5-grams with its train/holdout bucket.  array_distinct before
+    the explode keeps the build a pure zero-shuffle map; same
+    tokenizer/split-hash definitions as the batch sweep, so the index
+    can never disagree with ``decontaminate_against_holdout``."""
+    from stac_geoparquet_spark.operators._io import materialize_layout
+
+    path = gram_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    docs = _docs(spark, sf_dir).withColumn("split", split_pct())
+    rows = docs.select(
+        "doc_id",
+        F.when(F.col("split") >= TRAIN_PCT, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("bucket"),
+        F.explode(
+            F.array_distinct(_word_ngrams(_words(F.col("text")), NGRAM_N))
+        ).alias("ngram"),
+    )
+
+    def build(build_dir: str) -> None:
+        rows.write.mode("overwrite").parquet(build_dir)
+
+    return materialize_layout(path, build)
+
+
+def decontam_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated train doc, the number of DISTINCT word-5-grams
+    it shares with the holdout split — identical semantics (and
+    oracle) to ``decontaminate_against_holdout``, computed as a
+    Bloom-filtered left-semi join over the persisted gram index.
+    Broadcast is disabled for the gram join so the runtime Bloom +
+    shuffle semi-join path is exercised at every scale (plan-pinned);
+    index rows are per-doc distinct, so count(*) per doc IS the
+    distinct overlap count."""
+    idx = build_gram_index(spark, sf_dir)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tr = (
+        s2.read.parquet(idx)
+        .where(F.col("bucket") == "train")
+        .select("doc_id", "ngram")
+    )
+    ho = s2.read.parquet(idx).where(F.col("bucket") == "holdout").select(
+        "ngram"
+    )
+    return (
+        tr.join(ho, "ngram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition quality filters: top/duplicate 2-gram
 # fractions + symbol-to-word ratio
 # --------------------------------------------------------------------------
@@ -409,6 +505,7 @@ FROM c
 
 QUERIES = {
     "decontaminate_against_holdout": decontaminate_against_holdout,
+    "decontam_bloom_semijoin": decontam_bloom_semijoin,
     "quality_repetition": quality_repetition,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
@@ -416,6 +513,10 @@ QUERIES = {
 
 ORACLE = {
     "decontaminate_against_holdout": DECONTAM_SQL,
+    # same semantics, different physical path (Bloom semi-join over the
+    # persisted gram index) — deliberately shares the window form's
+    # oracle so the two paths can never drift apart
+    "decontam_bloom_semijoin": DECONTAM_SQL,
     "quality_repetition": REPETITION_SQL,
     "pack_sequences": PACK_SQL,
     "chunk_documents": CHUNK_SQL,

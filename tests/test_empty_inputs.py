@@ -29,6 +29,7 @@ SAMPLE = [
     "dedup_substring_spans",
     "dedup_embedding_cosine",
     "decontaminate_against_holdout",
+    "decontam_bloom_semijoin",
     "decontam_incremental",
     "corpus_yield_funnel",
     "pack_sequences",

@@ -575,6 +575,22 @@ def test_pq_adc_batch_topk_then_group_limit(spark, sf):
     assert "INSET" in pf_line or "isin" in pf_line
 
 
+def test_decontam_bloom_semijoin_plan(spark, sf):
+    """The Bloom decontamination path: a runtime Bloom filter built
+    from the holdout side must reach the train-side scan of the gram
+    index (might_contain BEFORE the shuffle), the gram join must be a
+    left-semi shuffle join, and nothing may cartesian."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.decontam_bloom_semijoin(spark, sf))
+    assert "might_contain" in plan, f"no runtime Bloom filter:\n{plan}"
+    assert "LeftSemi" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    # the filtered branch carrying the Bloom is the train bucket
+    assert "= train" in plan
+
+
 def test_yield_funnel_single_scan(spark, sf):
     """The yield report reads the corpus ONCE: explode_outer keeps
     short docs in-band (no union branch re-scanning the table), and
