@@ -490,28 +490,18 @@ FROM walk GROUP BY doc_id
 #     graph (the step a real dedup pipeline runs after pair generation:
 #     pick one canonical doc per duplicate cluster)
 # --------------------------------------------------------------------------
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every near-duplicate document its cluster id = the
-    minimum doc_id reachable through the verified MinHash pair graph,
-    plus ``n_dups`` = cluster size - 1.
+def _min_label_propagate(pairs: DataFrame) -> DataFrame:
+    """Fixpoint min-label propagation over an undirected pair list
+    (doc_a, doc_b) -> (doc_id, label) with label = min reachable id.
 
-    Iterative min-label propagation over the (tiny relative to the
-    corpus) edge list: each round joins labels to the symmetric edge
-    list, takes min(neighbor label) per node, and stops at fixpoint —
-    O(component diameter) rounds; near-dup components are short chains
-    in practice, so this converges in a handful of rounds. Each round
-    ends in ``localCheckpoint`` to truncate lineage (without it, plan
-    depth grows linearly and planning cost quadratically). At 100-TB
-    edge counts the same loop holds (edges are pairs that survived
-    Jaccard verify — orders of magnitude smaller than the corpus); the
-    alternating large-star/small-star variant bounds rounds to
-    O(log n) if components with large diameters ever appear.
-
-    Genuinely iterative => no single-pass SQL, but DuckDB's recursive
-    CTE expresses the same fixpoint, so this op still has an exact
-    value oracle (WITH RECURSIVE reachability + min label).
-    """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    Terminates on a CONVERGENCE CHECK (no label changed), not a fixed
+    round count, so correctness is independent of component diameter —
+    pinned by a chain-graph test far longer than any round budget a
+    fixed-count loop would pick (tests/test_new_ops_invariants.py).
+    Each round
+    is one join + one aggregate and ends in ``localCheckpoint`` to
+    truncate lineage (without it, plan depth grows linearly and
+    planning cost quadratically)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -545,6 +535,32 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    return labels
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every near-duplicate document its cluster id = the
+    minimum doc_id reachable through the verified MinHash pair graph,
+    plus ``n_dups`` = cluster size - 1.
+
+    Iterative min-label propagation over the (tiny relative to the
+    corpus) edge list: each round joins labels to the symmetric edge
+    list, takes min(neighbor label) per node, and stops at fixpoint —
+    O(component diameter) rounds; near-dup components are short chains
+    in practice, so this converges in a handful of rounds. Each round
+    ends in ``localCheckpoint`` to truncate lineage (without it, plan
+    depth grows linearly and planning cost quadratically). At 100-TB
+    edge counts the same loop holds (edges are pairs that survived
+    Jaccard verify — orders of magnitude smaller than the corpus); the
+    alternating large-star/small-star variant bounds rounds to
+    O(log n) if components with large diameters ever appear.
+
+    Genuinely iterative => no single-pass SQL, but DuckDB's recursive
+    CTE expresses the same fixpoint, so this op still has an exact
+    value oracle (WITH RECURSIVE reachability + min label).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_propagate(pairs)
     w = Window.partitionBy("label")
     return labels.select(
         "doc_id",

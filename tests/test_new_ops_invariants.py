@@ -142,3 +142,21 @@ def test_cms_overestimates_and_bounded_cells(spark, sf_dir):
     for r in rows:
         assert r["cms_est"] >= r["exact_n"] > 0
     assert CMS_DEPTH * CMS_WIDTH == 1024  # the fixed state bound
+
+
+def test_min_label_propagation_converges_on_long_chain(spark):
+    """Fixpoint termination is diameter-independent: a 60-node chain
+    (diameter 59 — far beyond any plausible fixed round budget) must
+    collapse to a single component labeled by its minimum id, and a
+    disjoint triangle must keep its own label."""
+    from stac_geoparquet_spark.operators.dedup import _min_label_propagate
+
+    chain = [(i, i + 1) for i in range(100, 160)]
+    triangle = [(7, 8), (8, 9), (7, 9)]
+    pairs = spark.createDataFrame(
+        chain + triangle, "doc_a bigint, doc_b bigint"
+    )
+    labels = {r["doc_id"]: r["label"] for r in _min_label_propagate(pairs).collect()}
+    assert all(labels[i] == 100 for i in range(100, 161))
+    assert all(labels[i] == 7 for i in (7, 8, 9))
+    assert len(labels) == 64
