@@ -114,63 +114,27 @@ def main() -> None:
     with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
         json.dump({"total": total, "queries": timings}, f, sort_keys=True)
 
-    headline = [
-        "q1_pricing_summary",
-        "q5_region_revenue",
-        "q9_product_profit",
-        "q18_large_volume_customers",
-        "q21_waiting_suppliers",
-        "events_sessionize",
-        "events_rollup_incremental",
-        "stac_pipeline_roundtrip",
-        "cql2_flagship_query",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_cluster_cc",
-        "dedup_incremental_minhash",
-        "ann_lsh_bucketed",
-        "ann_ivf_probe",
-        "kmeans_embeddings",
-        "knn_brute_force",
-        "text_tfidf_top_terms",
-        "text_unigram_logppl",
-        "decontaminate_against_holdout",
-        "quality_repetition",
-        "pack_sequences",
-        "chunk_documents",
-        "spatial_join_grid",
-        "funnel_view_click_purchase",
-        "retention_weekly_cohorts",
-        "table_profile",
-        "layout_zorder_cells",
-        "bucketed_colocated_join",
-        "mm_image_features",
-        "sample_fixed_k",
-        "skew_salted_flag_join",
-        "pagerank_neardup_graph",
-        "dq_report",
-        "agg_pushdown_stats",
-        "dpp_orders_by_year",
-        "ann_pq_adc",
-        "corpus_yield_funnel",
-        "decontam_incremental",
-        "cross_lang_contamination",
-        "dedup_substring_spans",
-        "mm_audio_energy",
-    ]
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(timings),
-            "queries": {
-                k: round(timings[k], 2) for k in headline if k in timings
+    # Report the GLOBAL top-40 by wall time (round-2 verdict: a fixed
+    # headline subset can hide the slowest queries; the slowest must
+    # always be visible). Trim further if the line would ever exceed
+    # the driver's capture window.
+    top = sorted(timings, key=timings.get, reverse=True)[:40]
+    line = ""
+    while True:
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": {k: round(timings[k], 2) for k in top},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+            separators=(",", ":"),
+        )
+        if len(line) < 1900 or len(top) <= 20:
+            break
+        top = top[:-5]
     assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
     print(line)
     spark.stop()

@@ -260,12 +260,20 @@ PII_PATTERNS: dict[str, str] = {
 
 def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append one ``pii_n_<kind>`` count column per pattern plus a
-    total; pure ``regexp_count`` projections, no shuffle."""
+    total; pure ``regexp_count`` projections, no shuffle.
+
+    Each kind is counted on the text AFTER earlier kinds were redacted
+    (the same precedence order ``pii_redact`` applies), so overlapping
+    spans are attributed to exactly one kind — an SSN no longer also
+    counts as a phone — and ``pii_n_total`` equals the number of spans
+    redaction would actually replace."""
     out = df
     total = F.lit(0).cast("bigint")
+    remaining = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
-        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        c = F.regexp_count(remaining, F.lit(pat)).cast("bigint")
         out = out.withColumn(f"pii_n_{kind}", c)
+        remaining = F.regexp_replace(remaining, pat, f"[{kind.upper()}]")
         total = total + F.col(f"pii_n_{kind}")
     return out.withColumn("pii_n_total", total)
 

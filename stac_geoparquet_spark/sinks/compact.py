@@ -36,9 +36,17 @@ _STANDARD_FOOTER_KEYS = {
 }
 
 
+_FOOTER_SAMPLE_MAX = 16
+
+
 def _custom_footer_kv(path: str) -> dict[str, str]:
-    """Custom footer key-value metadata of the first parquet file under
-    ``path`` (empty when the dataset carries none)."""
+    """Custom footer key-value metadata of the parquet files under
+    ``path`` (empty when the dataset carries none).
+
+    Footers are read from up to ``_FOOTER_SAMPLE_MAX`` files spread
+    across the sorted listing (footer-only reads — no data pages), and
+    compaction REFUSES on disagreement: stamping one file's metadata
+    onto a mixed-write dataset would silently rewrite the others'."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -51,12 +59,31 @@ def _custom_footer_kv(path: str) -> dict[str, str]:
     )
     if not files:
         return {}
-    md = pq.read_schema(files[0], filesystem=filesystem).metadata or {}
-    return {
-        k.decode(): v.decode()
-        for k, v in md.items()
-        if k not in _STANDARD_FOOTER_KEYS
-    }
+    if len(files) > _FOOTER_SAMPLE_MAX:
+        step = (len(files) - 1) / (_FOOTER_SAMPLE_MAX - 1)
+        sample = [files[round(i * step)] for i in range(_FOOTER_SAMPLE_MAX)]
+    else:
+        sample = files
+
+    def custom_kv(fname: str) -> dict[str, str]:
+        md = pq.read_schema(fname, filesystem=filesystem).metadata or {}
+        return {
+            k.decode(): v.decode()
+            for k, v in md.items()
+            if k not in _STANDARD_FOOTER_KEYS
+        }
+
+    first = custom_kv(sample[0])
+    for fname in sample[1:]:
+        kv = custom_kv(fname)
+        if kv != first:
+            raise ValueError(
+                f"inconsistent custom footer metadata under {path}: "
+                f"{sample[0]} carries {sorted(first)} but {fname} carries "
+                f"{sorted(kv)}; compacting would stamp one file's metadata "
+                "onto all rows — resolve the mixed writes first"
+            )
+    return first
 
 
 def plan_compaction(
@@ -67,6 +94,10 @@ def plan_compaction(
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    # the hive-layout guard below must only see path components BELOW
+    # the dataset root: a base directory that merely contains '='
+    # (e.g. /data/run=3/table) is a fine place for a flat dataset
+    base = str(fs.makeQualified(hpath).toUri().getPath()).rstrip("/")
     n_files = 0
     total = 0
     it = fs.listFiles(hpath, True)
@@ -79,7 +110,9 @@ def plan_compaction(
             # scope: a flat rewrite would silently discard the
             # partitioning scheme (directory pruning, partition-column
             # types) — refuse rather than flatten
-            if "=" in str(p.getParent().toUri().getPath()):
+            parent = str(p.getParent().toUri().getPath())
+            rel = parent[len(base):] if parent.startswith(base) else parent
+            if "=" in rel:
                 raise ValueError(
                     f"{path} is hive-partitioned ({p}); compact each "
                     "partition directory individually — a flat rewrite "

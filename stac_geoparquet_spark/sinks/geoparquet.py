@@ -204,10 +204,15 @@ def to_geoparquet(
 
     filesystem, base = pafs.FileSystem.from_uri(output_path)
     filesystem.create_dir(base, recursive=True)
+    # recursive: a previously Spark-written dataset may hold its part
+    # files in nested (e.g. hive-partitioned) subdirectories; a
+    # top-level-only listing would miss them — mode='error' would not
+    # fire and mode='overwrite' would leave them to double rows on
+    # read-back
     existing = [
         f.path
         for f in filesystem.get_file_info(
-            pafs.FileSelector(base, allow_not_found=True)
+            pafs.FileSelector(base, recursive=True, allow_not_found=True)
         )
         if f.is_file and f.path.endswith(".parquet")
     ]

@@ -67,3 +67,49 @@ def test_compact_refuses_stale_backup_dir(spark, tmp_path):
     # source untouched
     assert spark.read.parquet(path).count() == 1_000
     assert os.path.isdir(stale)
+
+
+def test_compact_allows_equals_in_base_dir(spark, tmp_path):
+    """A dataset whose BASE directory contains '=' is not
+    hive-partitioned; only components below the root trip the guard."""
+    path = str(tmp_path / "run=3" / "frag")
+    spark.range(5_000).repartition(8).write.parquet(path)
+    n_before, n_after = compact_parquet(
+        spark, path, target_bytes=1 << 30, min_files_to_compact=4
+    )
+    assert (n_before, n_after) == (8, 1)
+    assert spark.read.parquet(path).count() == 5_000
+
+
+def test_compact_refuses_hive_subdirs(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "part")
+    spark.range(1_000).selectExpr("id", "id % 3 AS k").write.partitionBy(
+        "k"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        plan_compaction(spark, path)
+
+
+def test_compact_refuses_mixed_footer_metadata(spark, tmp_path):
+    """Files under one dataset carrying DIFFERENT custom footers must
+    refuse compaction instead of silently stamping the first file's
+    metadata onto every row."""
+    import pytest
+
+    from stac_geoparquet_spark.sinks.geoparquet import (
+        write_parquet_with_footer,
+    )
+
+    path = str(tmp_path / "mixed")
+    write_parquet_with_footer(
+        spark.range(2_000).repartition(2), path, {"geo": "{\"v\": 1}"}
+    )
+    write_parquet_with_footer(
+        spark.range(2_000).repartition(2), path, {"geo": "{\"v\": 2}"}
+    )
+    with pytest.raises(ValueError, match="inconsistent custom footer"):
+        compact_parquet(
+            spark, path, target_bytes=1 << 30, min_files_to_compact=2
+        )

@@ -38,16 +38,21 @@ def test_pii_scan_counts(pii_df):
     assert rows[1]["pii_n_email"] == 2
     assert rows[2]["pii_n_ipv4"] == 2
     assert rows[3]["pii_n_ssn"] == 1
-    assert rows[3]["pii_n_phone"] >= 1
+    # the SSN is attributed to ssn only (precedence), the two real
+    # phone numbers still count
+    assert rows[3]["pii_n_phone"] == 2
+    assert rows[3]["pii_n_total"] == 3
     assert rows[4]["pii_n_total"] == 0
     assert rows[5]["pii_n_email"] == 1
     assert rows[5]["pii_n_ipv4"] == 1
     assert rows[5]["pii_n_ssn"] == 1
+    assert rows[5]["pii_n_total"] == 3
 
 
 def test_pii_scan_matches_duckdb_re2(pii_df):
     """Same counts under DuckDB's RE2 — the patterns are written to the
-    common Java-regex/RE2 subset, and this pins that property."""
+    common Java-regex/RE2 subset, and this pins that property (with the
+    same precedence redaction applied between kinds on both engines)."""
     spark_counts = {
         (r["doc_id"], kind): r[f"pii_n_{kind}"]
         for r in pii_scan(pii_df).collect()
@@ -55,11 +60,34 @@ def test_pii_scan_matches_duckdb_re2(pii_df):
     }
     con = duckdb.connect()
     for doc_id, text in PII_DOCS:
+        remaining = text
         for kind, pat in PII_PATTERNS.items():
             (n,) = con.execute(
-                "SELECT len(regexp_extract_all(?, ?))", [text, pat]
+                "SELECT len(regexp_extract_all(?, ?))", [remaining, pat]
             ).fetchone()
             assert spark_counts[(doc_id, kind)] == n, (doc_id, kind)
+            (remaining,) = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                [remaining, pat, f"[{kind.upper()}]"],
+            ).fetchone()
+
+
+def test_pii_scan_total_matches_redaction(pii_df):
+    """pii_n_total = the number of spans pii_redact actually replaces
+    (counting on progressively-redacted text removes the double-count
+    on overlapping patterns)."""
+    import re
+
+    totals = {
+        r["doc_id"]: r["pii_n_total"] for r in pii_scan(pii_df).collect()
+    }
+    for doc_id, text in PII_DOCS:
+        n = 0
+        remaining = text
+        for kind, pat in PII_PATTERNS.items():
+            n += len(re.findall(pat, remaining))
+            remaining = re.sub(pat, f"[{kind.upper()}]", remaining)
+        assert totals[doc_id] == n, doc_id
 
 
 def test_pii_redact(pii_df):

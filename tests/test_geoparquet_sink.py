@@ -273,3 +273,32 @@ def test_geo_key_omitted_without_geometry_column(spark, tmp_path):
     md = read_geoparquet_metadata(dest)
     assert "geo" not in md
     assert "stac-geoparquet" in md
+
+
+def test_overwrite_clears_nested_part_files(spark, tmp_path):
+    """mode='overwrite' over a previously Spark-written PARTITIONED
+    dataset must delete the nested part files too — survivors would
+    double rows on read-back (recursive listing regression)."""
+    from stac_geoparquet_spark.sinks import to_geoparquet
+
+    dest = str(tmp_path / "nested")
+    spark.range(100).selectExpr("id", "id % 2 AS k").write.partitionBy(
+        "k"
+    ).parquet(dest)
+    df = spark.createDataFrame([("a",), ("b",)], "id string")
+    to_geoparquet(df, dest, mode="overwrite")
+    assert spark.read.parquet(dest).count() == 2
+
+
+def test_error_mode_sees_nested_part_files(spark, tmp_path):
+    import pytest
+
+    from stac_geoparquet_spark.sinks import to_geoparquet
+
+    dest = str(tmp_path / "nested_err")
+    spark.range(10).selectExpr("id", "id % 2 AS k").write.partitionBy(
+        "k"
+    ).parquet(dest)
+    df = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(FileExistsError):
+        to_geoparquet(df, dest, mode="error")
