@@ -177,6 +177,9 @@ def _registries():
 # row, so they go straight into the 50-entry window.
 NEW_THIS_ROUND: list[str] = [
     "decontam_bloom_semijoin",
+    "dsir_importance_weights",
+    "select_token_budget",
+    "text_bigram_entropy",
 ]
 
 

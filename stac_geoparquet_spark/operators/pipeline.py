@@ -503,12 +503,290 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): weight each TRAIN doc by
+# how much more likely it is under the target-domain LM (here: the
+# holdout split's add-1-smoothed unigram model) than under the raw
+# corpus LM (the train split's).  log_iw = sum over the doc's tokens of
+# [log2 p_target(w) - log2 p_raw(w)]; the top-DSIR_K by weight are the
+# resampled selection.
+#
+# Spark shape: one exploded token stream feeds BOTH tiny LM aggregates
+# (vocab-sized, broadcast back) and the scoring join — the same
+# two-pass-over-tokens / broadcast-dims shape as text_unigram_logppl,
+# which is the 100-TB-honest plan (the LM tables are KBs; the token
+# stream is never shuffled except by the per-doc aggregate).  Per-word
+# log-ratio is quantized to integer MICRO-units (round 6 decimals, x1e6,
+# bigint) before the per-doc sum, so the accumulation is exact integer
+# math on both engines — a float sum re-rounded to 4 decimals diverged
+# at .X5 boundaries from summation-order noise; the final log_iw is the
+# one exact integer divided by 1e6 (bit-identical across engines).
+# Ranking ties break on doc_id (round-before-rank rule).
+# --------------------------------------------------------------------------
+DSIR_K = 100  # docs selected by importance resampling
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).withColumn("pct", split_pct())
+    words = docs.select(
+        "doc_id",
+        (F.col("pct") >= TRAIN_PCT).alias("is_holdout"),
+        F.explode(_words(F.col("text"))).alias("word"),
+    )
+    lm = words.groupBy("word").agg(
+        F.sum(F.when(F.col("is_holdout"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(F.col("is_holdout"), 0).otherwise(1)).alias("rc"),
+    )
+    totals = lm.agg(
+        F.sum("tc").alias("t_total"),
+        F.sum("rc").alias("r_total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    ratio = (
+        lm.crossJoin(F.broadcast(totals)).select(
+            "word",
+            F.round(
+                (
+                    F.log2(
+                        (F.col("tc") + 1) / (F.col("t_total") + F.col("n_vocab"))
+                    )
+                    - F.log2(
+                        (F.col("rc") + 1) / (F.col("r_total") + F.col("n_vocab"))
+                    )
+                )
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        words.where(~F.col("is_holdout"))
+        .join(ratio, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lr_micro") / F.lit(1_000_000.0)).alias("log_iw"),
+        )
+    )
+    # top-K selection WITHOUT a global row_number window (which would
+    # sort the whole corpus on one task): orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition top-K, then K*partitions
+    # rows merged), and the K-row keep-list broadcasts back as the
+    # `selected` marker.  scored is materialized first (one narrow row
+    # per train doc) so the token-scoring join isn't executed once for
+    # the top-K pass and again for the output.
+    scored = scored.localCheckpoint()
+    topk = (
+        scored.orderBy(F.desc("log_iw"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return (
+        scored.join(F.broadcast(topk), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "log_iw",
+            F.coalesce("sel", F.lit(False)).alias("selected"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {SPLIT_PCT_SQL} >= {TRAIN_PCT} AS is_holdout,
+         unnest({_SQL_WORDS}) AS word
+  FROM documents
+),
+lm AS (
+  SELECT word,
+         sum(CASE WHEN is_holdout THEN 1 ELSE 0 END) AS tc,
+         sum(CASE WHEN is_holdout THEN 0 ELSE 1 END) AS rc
+  FROM w GROUP BY word
+),
+totals AS (
+  SELECT sum(tc) AS t_total, sum(rc) AS r_total, count(*) AS n_vocab FROM lm
+),
+ratio AS (
+  SELECT word,
+         CAST(round((log2((tc + 1) * 1.0 / (t_total + n_vocab))
+                     - log2((rc + 1) * 1.0 / (r_total + n_vocab)))
+                    * 1000000.0, 0) AS BIGINT) AS lr_micro
+  FROM lm CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(lr_micro) AS BIGINT) / 1000000.0 AS log_iw
+  FROM w JOIN ratio USING (word)
+  WHERE NOT is_holdout
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_iw,
+       row_number() OVER (ORDER BY log_iw DESC, doc_id) <= {DSIR_K}
+         AS selected
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# token-budget subset selection: greedily take docs in (quality desc,
+# doc_id) order while the running token total still fits TOKEN_BUDGET —
+# the "best N tokens" curation pass run before a training mix is
+# finalized.  The running sum is the same two-phase prefix sum as
+# pack_sequences, with the bucket key a COARSE QUALITY BAND (a prefix
+# of the sort order, so band-local cumsums + a tiny band-offset table
+# compose to the exact global prefix sum) — no single-task global
+# window at 100 TB.
+# --------------------------------------------------------------------------
+TOKEN_BUDGET = 20_000  # tokens the selected subset may total
+BUDGET_BANDS = 64  # quality quantization for the two-phase prefix sum
+
+
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators.text import quality_score_expr
+
+    per_doc = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.size(_words(F.col("text"))).cast("bigint"), F.lit(0)
+            ).alias("n_tokens"),
+            F.round(quality_score_expr(), 6).alias("q"),
+        )
+        # degenerate (empty-text) docs score NULL and cannot be ranked
+        .where(F.col("q").isNotNull())
+    )
+    banded = per_doc.withColumn(
+        "band",
+        F.floor((F.lit(1.0) - F.col("q")) * BUDGET_BANDS).cast("bigint"),
+    )
+    in_band = (
+        F.sum("n_tokens").over(
+            Window.partitionBy("band").orderBy(F.desc("q"), F.asc("doc_id"))
+        )
+        - F.col("n_tokens")
+    )
+    offsets = (
+        banded.groupBy("band")
+        .agg(F.sum("n_tokens").alias("band_tokens"))
+        .select(
+            "band",
+            F.sum("band_tokens")
+            .over(
+                Window.orderBy("band").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("offset"),
+        )
+        .fillna(0, subset=["offset"])
+    )
+    cum = (
+        banded.withColumn("in_band_excl", in_band)
+        .join(offsets, "band")
+        .withColumn("cum_excl", F.col("offset") + F.col("in_band_excl"))
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "q",
+        (F.col("cum_excl") + F.col("n_tokens") <= TOKEN_BUDGET).alias(
+            "selected"
+        ),
+    )
+
+
+BUDGET_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(coalesce(len({_SQL_WORDS}), 0) AS BIGINT) AS n_tokens,
+         {{score}} AS q
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, q,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_excl
+  FROM m WHERE q IS NOT NULL
+)
+SELECT doc_id, n_tokens, q,
+       cum_excl + n_tokens <= {TOKEN_BUDGET} AS selected
+FROM c
+"""
+
+
+def _budget_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.text import (
+        _STOP_IN,
+        QUALITY_SCORE_SQL,
+    )
+
+    return BUDGET_SQL.format(score=QUALITY_SCORE_SQL.format(stop_in=_STOP_IN))
+
+
+# --------------------------------------------------------------------------
+# per-doc bigram entropy: the information-theoretic repetition signal
+# (low entropy = templated/repetitive text) complementing the Gopher
+# top/dup-2-gram fractions.  H = log2(n) - sum(cnt * log2(cnt)) / n
+# over the doc's 2-gram counts — one explode + one (doc, gram) keyed
+# aggregate + one per-doc rollup, both clustering on doc_id so partial
+# aggregation applies; no joins, no windows.
+# --------------------------------------------------------------------------
+def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(_word_ngrams(_words(F.col("text")), 2)).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.round(
+            F.log2(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+ENTROPY_SQL = f"""
+WITH g AS (
+  SELECT doc_id, unnest({{grams}}) AS g
+  FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents)
+),
+c AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_2grams,
+       round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6) AS entropy
+FROM c
+GROUP BY doc_id
+"""
+
+
+def _entropy_oracle_sql() -> str:
+    return ENTROPY_SQL.format(grams=_sql_ngrams(2))
+
+
 QUERIES = {
     "decontaminate_against_holdout": decontaminate_against_holdout,
     "decontam_bloom_semijoin": decontam_bloom_semijoin,
     "quality_repetition": quality_repetition,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
+    "dsir_importance_weights": dsir_importance_weights,
+    "select_token_budget": select_token_budget,
+    "text_bigram_entropy": text_bigram_entropy,
 }
 
 ORACLE = {
@@ -520,6 +798,9 @@ ORACLE = {
     "quality_repetition": REPETITION_SQL,
     "pack_sequences": PACK_SQL,
     "chunk_documents": CHUNK_SQL,
+    "dsir_importance_weights": DSIR_SQL,
+    "select_token_budget": _budget_oracle_sql(),
+    "text_bigram_entropy": _entropy_oracle_sql(),
 }
 
 

@@ -75,6 +75,39 @@ FROM documents
 # --------------------------------------------------------------------------
 # quality scoring: length / punctuation / stopword ratios
 # --------------------------------------------------------------------------
+def quality_score_expr() -> Column:
+    """THE quality-score definition (weighted length/punctuation/
+    stopword blend in [0, 1]; NULL for empty docs) — shared by
+    ``text_quality_score`` and the token-budget selector so the two
+    can never rank by different scores."""
+    w = _words(F.col("text"))
+    n_words = F.size(w).cast("double")
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
+    n_chars = F.length("text").cast("double")
+    punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    ).cast("double")
+    # nullif: an empty-string doc has n_chars = 0, and under ANSI mode
+    # (Spark 4 default) a bare division would CRASH the job while the
+    # oracle emits a row — both engines now yield NULL ratios/score for
+    # the degenerate doc
+    safe_chars = F.nullif(n_chars, F.lit(0.0))
+    return (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct / safe_chars * F.lit(10.0), F.lit(1.0)))
+        * 0.3
+        + F.least(stop / n_words * F.lit(5.0), F.lit(1.0)) * 0.3
+    )
+
+
+QUALITY_SCORE_SQL = f"""round(least(len({_sql_words()}) / 100.0, 1.0) * 0.4
+  + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 * 10.0 / nullif(length(text), 0), 1.0)) * 0.3
+  + least(len(list_filter({_sql_words()}, x -> x IN ({{stop_in}})))
+          * 5.0 / len({_sql_words()}), 1.0) * 0.3, 6)"""
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = _words(F.col("text"))
@@ -88,17 +121,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_wlen = (
         F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / F.size(w)
     ).cast("double")
-    # nullif: an empty-string doc has n_chars = 0, and under ANSI mode
-    # (Spark 4 default) a bare division would CRASH the job while the
-    # oracle emits a row — both engines now yield NULL ratios/score for
-    # the degenerate doc
     safe_chars = F.nullif(n_chars, F.lit(0.0))
-    score = (
-        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct / safe_chars * F.lit(10.0), F.lit(1.0)))
-        * 0.3
-        + F.least(stop / n_words * F.lit(5.0), F.lit(1.0)) * 0.3
-    )
+    score = quality_score_expr()
     return docs.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_words"),

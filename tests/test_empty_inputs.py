@@ -31,6 +31,9 @@ SAMPLE = [
     "decontaminate_against_holdout",
     "decontam_bloom_semijoin",
     "decontam_incremental",
+    "dsir_importance_weights",
+    "select_token_budget",
+    "text_bigram_entropy",
     "corpus_yield_funnel",
     "pack_sequences",
     "chunk_documents",

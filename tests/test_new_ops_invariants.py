@@ -160,3 +160,58 @@ def test_min_label_propagation_converges_on_long_chain(spark):
     assert all(labels[i] == 100 for i in range(100, 161))
     assert all(labels[i] == 7 for i in (7, 8, 9))
     assert len(labels) == 64
+
+
+def test_dsir_selects_exactly_k_top_weights(spark):
+    """Exactly DSIR_K docs are selected, and every selected weight is
+    >= every unselected one (ties broken by doc_id)."""
+    from stac_geoparquet_spark.operators.pipeline import (
+        DSIR_K,
+        dsir_importance_weights,
+    )
+
+    rows = dsir_importance_weights(spark, SF_DIR).collect()
+    sel = sorted(
+        ((-r["log_iw"], r["doc_id"]) for r in rows if r["selected"])
+    )
+    uns = sorted(
+        ((-r["log_iw"], r["doc_id"]) for r in rows if not r["selected"])
+    )
+    assert len(sel) == min(DSIR_K, len(rows))
+    if sel and uns:
+        assert sel[-1] < uns[0]
+
+
+def test_token_budget_selection_is_greedy_prefix(spark):
+    """The selected set is exactly the maximal greedy prefix of the
+    (quality desc, doc_id) order whose docs each still fit the
+    budget, and its token total never exceeds TOKEN_BUDGET."""
+    from stac_geoparquet_spark.operators.pipeline import (
+        TOKEN_BUDGET,
+        select_token_budget,
+    )
+
+    rows = sorted(
+        select_token_budget(spark, SF_DIR).collect(),
+        key=lambda r: (-r["q"], r["doc_id"]),
+    )
+    cum = 0
+    for r in rows:
+        expect = cum + r["n_tokens"] <= TOKEN_BUDGET
+        assert r["selected"] == expect, r
+        cum += r["n_tokens"]
+    chosen = sum(r["n_tokens"] for r in rows if r["selected"])
+    assert 0 < chosen <= TOKEN_BUDGET
+
+
+def test_bigram_entropy_bounds(spark):
+    """0 <= H <= log2(n_2grams) with equality cases: H = 0 for a doc
+    whose bigrams are all identical, H = log2(n) when all distinct."""
+    import math
+
+    from stac_geoparquet_spark.operators.pipeline import text_bigram_entropy
+
+    rows = text_bigram_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["entropy"] <= math.log2(r["n_2grams"]) + 1e-6

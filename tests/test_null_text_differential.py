@@ -24,6 +24,10 @@ import pytest
 # regression core)
 SAMPLE = [
     "dedup_simhash",
+    "decontam_bloom_semijoin",
+    "dsir_importance_weights",
+    "select_token_budget",
+    "text_bigram_entropy",
     "pack_sequences",
     "dedup_substring_spans",
     "fingerprint_winnowing",

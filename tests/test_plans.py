@@ -443,6 +443,44 @@ def test_pack_sequences_no_global_window(spark, sf):
     assert plan.count("SinglePartition") <= 2
 
 
+def test_dsir_no_global_window_no_cartesian(spark, sf):
+    """DSIR: the top-K selection is TakeOrdered + broadcast keep-list,
+    never a global row_number window (single-task sort of every train
+    doc); the only nested-loop join is the broadcast 1-row totals."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.dsir_importance_weights(spark, sf))
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+
+
+def test_token_budget_two_phase_prefix_sum(spark, sf):
+    """The budget selector's running sum is the banded two-phase form:
+    the per-doc window partitions by the quality band; the only
+    unpartitioned window/exchange runs over the tiny band-offset
+    aggregate."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.select_token_budget(spark, sf))
+    assert "hashpartitioning(band" in plan
+    assert plan.count("SinglePartition") <= 2
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_bigram_entropy_doc_keyed_aggs_no_join(spark, sf):
+    """Entropy is one scan -> explode -> two doc-clustered hash
+    aggregates; no join, no window, no Python."""
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.text_bigram_entropy(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+    assert n_ops(plan, "FlatMapGroupsInPandas") + n_ops(plan, "MapInPandas") == 0
+
+
 def test_quality_repetition_single_scan_doc_keyed_aggs(spark, sf):
     """One documents scan (per-doc scalars ride the exploded gram rows
     — no join back to the base table); both aggregations cluster by
