@@ -115,11 +115,33 @@ SHOWCASE = [
     ),
     (
         "ann_pq_adc",
-        "Product-quantization ADC search: one scan into a fused Arrow "
-        "encode+LUT-score pass (MapInPandas), per-batch local top-k, and "
-        "WindowGroupLimit below the rank window's shuffle — no join, no "
-        "Q x N movement; a deployment scans persisted 8-byte codes "
-        "instead of 256-byte vectors.",
+        "IVFPQ search: ONE scan of the ivf_cell-partitioned layout with "
+        "the probed cells as a PartitionFilter (non-probed cells never "
+        "read), fused Arrow encode+LUT-score pass (MapInPandas), "
+        "per-batch local top-k, and WindowGroupLimit below the rank "
+        "window's shuffle — no join, no Q x N movement; a deployment "
+        "scans persisted 8-byte codes of probed cells only.",
+    ),
+    (
+        "decontam_bloom_semijoin",
+        "Skew-capped decontamination: left-semi join over the persisted "
+        "gram index with a runtime Bloom filter injected on the train-"
+        "side scan (might_contain BEFORE the shuffle) — hot grams are "
+        "dropped at the scan, not split by AQE after the fact.",
+    ),
+    (
+        "dsir_importance_weights",
+        "DSIR selection: token stream joined to the broadcast-small "
+        "log-ratio LM table, doc-keyed aggregate, then TakeOrdered + "
+        "broadcast keep-list for top-K — no global row_number window "
+        "(a single-task sort of every train doc).",
+    ),
+    (
+        "select_token_budget",
+        "Token-budget curation: quality-banded two-phase prefix sum "
+        "(hashpartitioning(band) windows + a tiny band-offset table) — "
+        "the greedy best-first running total with no global single-task "
+        "window.",
     ),
     (
         "cross_lang_contamination",
