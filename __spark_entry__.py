@@ -180,6 +180,7 @@ NEW_THIS_ROUND: list[str] = [
     "dsir_importance_weights",
     "select_token_budget",
     "text_bigram_entropy",
+    "semdedup_cells",
 ]
 
 

@@ -770,6 +770,96 @@ FROM documents d LEFT JOIN cc USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+# embedding space coarsely, then deduplicate ONLY within each cluster —
+# the clustering bounds the quadratic pair space to |cell|^2 instead of
+# N^2, which is the paper's entire scaling argument.  Reuses the IVF
+# coarse cells (``similarity.build_ivf_layout``; one shared cell
+# assignment, so the search index and the dedup partition can never
+# disagree).  Keep rule (deterministic, SQL-expressible): a vector is
+# dropped iff some LOWER-id vector in its cell sits at rounded cosine
+# >= the threshold — the greedy keep-earliest sweep.
+#
+# Spark shape: ONE scan of the cell-partitioned layout, groupBy(cell)
+# -> applyInPandas per-cell GEMM (vectors never pairwise-join through
+# Catalyst: a 64-element fold per pair is interpreted and ~100x slower
+# than the in-worker matrix product — same measurement as
+# dedup_embedding_cosine).  At 100 TB each cell is a bounded partition
+# and cells prune independently; no cross-cell traffic at all.
+# --------------------------------------------------------------------------
+SEMDEDUP_TAU = COSINE_THRESHOLD  # one near-dup threshold across the family
+
+
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.similarity import (
+        _load_centroids,
+        build_ivf_layout,
+    )
+
+    out_schema = "vec_id bigint, ivf_cell bigint, n_cell bigint, keep boolean"
+    if len(_load_centroids(sf_dir)[0]) == 0:
+        # no centroids -> no cells -> nothing to assign or prune
+        return spark.createDataFrame([], out_schema)
+    layout = build_ivf_layout(spark, sf_dir)
+    df = spark.read.parquet(layout).select("vec_id", "embedding", "ivf_cell")
+    tau = SEMDEDUP_TAU
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        a = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )[order]
+        norms = np.sqrt((a * a).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            unit = a / norms[:, None]
+            sims = np.round(unit @ unit.T, 6)
+        # dup[i] = any j < i (id order) with sim >= tau; NaN rows
+        # (zero-norm vectors) compare False -> kept, matching the
+        # oracle's nullif-guarded NULL comparison
+        dup = np.triu(sims >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "ivf_cell": pdf["ivf_cell"].to_numpy()[order],
+                "n_cell": np.full(len(ids), len(ids), dtype=np.int64),
+                "keep": ~dup,
+            }
+        )
+
+    return df.groupBy("ivf_cell").applyInPandas(prune, out_schema)
+
+
+def _semdedup_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.similarity import (
+        _DOT_SQL,
+        _centroid_cte,
+    )
+
+    cos = _DOT_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH {_centroid_cte()},
+dup AS (
+  SELECT DISTINCT hb.vec_id
+  FROM assigned ha
+  JOIN assigned hb ON ha.ivf_cell = hb.ivf_cell AND ha.vec_id < hb.vec_id
+  JOIN e a ON a.vec_id = ha.vec_id
+  JOIN e b ON b.vec_id = hb.vec_id
+  WHERE round({cos} / nullif(a.norm * b.norm, 0), 6) >= {SEMDEDUP_TAU}
+),
+cells AS (SELECT ivf_cell, count(*) AS n_cell FROM assigned GROUP BY ivf_cell)
+SELECT asg.vec_id, asg.ivf_cell, CAST(c.n_cell AS BIGINT) AS n_cell,
+       dup.vec_id IS NULL AS keep
+FROM assigned asg
+JOIN cells c USING (ivf_cell)
+LEFT JOIN dup ON dup.vec_id = asg.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -778,6 +868,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_survivors": dedup_survivors,
+    "semdedup_cells": semdedup_cells,
 }
 
 ORACLE = {
@@ -788,4 +879,5 @@ ORACLE = {
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "dedup_survivors": _survivors_oracle_sql(),
+    "semdedup_cells": _semdedup_oracle_sql(),
 }

@@ -28,6 +28,7 @@ SAMPLE = [
     "dedup_minhash_lsh",
     "dedup_substring_spans",
     "dedup_embedding_cosine",
+    "semdedup_cells",
     "decontaminate_against_holdout",
     "decontam_bloom_semijoin",
     "decontam_incremental",

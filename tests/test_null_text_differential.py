@@ -96,6 +96,7 @@ VEC_SAMPLE = [
     "pq_encode_codes",
     "ivf_cell_assignment",
     "dedup_embedding_cosine",
+    "semdedup_cells",
 ]
 
 

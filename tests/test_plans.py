@@ -443,6 +443,22 @@ def test_pack_sequences_no_global_window(spark, sf):
     assert plan.count("SinglePartition") <= 2
 
 
+def test_semdedup_cell_local_no_pairwise_join(spark, sf):
+    """SemDeDup: one scan of the cell-partitioned layout into ONE
+    grouped per-cell GEMM stage — the pair space never materializes
+    through Catalyst (no self-join, no cartesian), and the only
+    exchange is the groupBy(cell) hash."""
+    from stac_geoparquet_spark.operators import dedup
+
+    plan = plan_of(dedup.semdedup_cells(spark, sf))
+    assert n_ops(plan, "FlatMapGroupsInPandas") == 1
+    assert n_ops(plan, "Scan parquet") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
+    assert "hashpartitioning(ivf_cell" in plan
+
+
 def test_dsir_no_global_window_no_cartesian(spark, sf):
     """DSIR: the top-K selection is TakeOrdered + broadcast keep-list,
     never a global row_number window (single-task sort of every train
