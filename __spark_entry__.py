@@ -181,6 +181,7 @@ NEW_THIS_ROUND: list[str] = [
     "select_token_budget",
     "text_bigram_entropy",
     "semdedup_cells",
+    "events_k_anonymity",
 ]
 
 

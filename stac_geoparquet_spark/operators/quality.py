@@ -265,12 +265,58 @@ UNION ALL SELECT 'vec_dup_id', dup_vec_id, total FROM e
 """
 
 
+# --------------------------------------------------------------------------
+# k-anonymity audit: group the event stream by its quasi-identifier
+# tuple (event_type, hour-of-day, coarse value bucket) and report every
+# group's size with its k-anonymity verdict — the privacy check a
+# training pipeline runs before releasing interaction logs.  Rows with
+# a NULL quasi-identifier component form their own group on both
+# engines (GROUP BY NULL semantics agree).  Pure keyed aggregate:
+# partial map-side combine, one shuffle on the tuple, no joins.
+# --------------------------------------------------------------------------
+K_ANON_K = 5
+K_ANON_VALUE_BUCKET = 50.0
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    g = ev.select(
+        F.col("event_type"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        F.floor(F.col("value") / K_ANON_VALUE_BUCKET)
+        .cast("bigint")
+        .alias("value_bucket"),
+        "user_id",
+    )
+    return g.groupBy("event_type", "hour_of_day", "value_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        (F.count(F.lit(1)) >= K_ANON_K).alias("k_anonymous"),
+    )
+
+
+K_ANON_SQL = f"""
+SELECT event_type,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(floor(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) >= {K_ANON_K} AS k_anonymous
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 # Registered after the driver window this round (see
 # __spark_entry__._registries).
 QUERIES_ROTATION = {
     "dq_corpus_report": dq_corpus_report,
+    "events_k_anonymity": events_k_anonymity,
 }
 
 ORACLE_ROTATION = {
     "dq_corpus_report": _dq_corpus_oracle_sql(),
+    "events_k_anonymity": K_ANON_SQL,
 }

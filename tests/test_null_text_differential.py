@@ -402,6 +402,7 @@ def test_null_element_counted_invalid(spark, null_elem_dir):
 
 
 EV_SAMPLE = [
+    "events_k_anonymity",
     "events_sessionize",
     "events_session_window",
     "asof_last_click_before_purchase",
