@@ -48,6 +48,7 @@ def _registries():
     from stac_geoparquet_spark.streaming import decontam as streaming_decontam
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
     from stac_geoparquet_spark.streaming import rollup as streaming_rollup
+    from stac_geoparquet_spark.streaming import semdedup as streaming_semdedup
 
     # Order matters: the driver's CORRECTNESS file has evaluated exactly
     # the FIRST 50 registry entries each round (confirmed r1 + r2), so
@@ -81,6 +82,7 @@ def _registries():
         (similarity.QUERIES_ROTATION, similarity.ORACLE_ROTATION),
         (curation.QUERIES_ROTATION, curation.ORACLE_ROTATION),
         (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
+        (streaming_semdedup.QUERIES, streaming_semdedup.ORACLE),
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
         (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
         (scan_opt.QUERIES_ROTATION, scan_opt.ORACLE_ROTATION),
@@ -182,6 +184,7 @@ NEW_THIS_ROUND: list[str] = [
     "text_bigram_entropy",
     "semdedup_cells",
     "events_k_anonymity",
+    "semdedup_incremental",
 ]
 
 

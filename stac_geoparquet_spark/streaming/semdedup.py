@@ -1,0 +1,160 @@
+"""Incremental (serving-side) semantic dedup: newly embedded documents
+arrive and are checked against the STATIC cell-partitioned vector index
+— the ingest-time counterpart of the batch ``dedup.semdedup_cells``
+sweep, and the embedding twin of ``streaming/dedup.py``'s MinHash path.
+
+Shape (the same one ``similarity.ann_ivf_probe`` pins): the incoming
+batch is broadcast-small (a micro-batch at 100 TB), its vectors are
+cell-assigned driver-side against the broadcast centroids, and the
+static index scan carries ``ivf_cell IN (assigned cells)`` as a
+PARTITION filter — only the cells the batch actually touches are read.
+Candidate scoring runs in one Arrow pass against the broadcast incoming
+matrix; no pairwise Catalyst join (interpreted 64-element folds), no
+shuffle of the index.
+
+``semdedup_incremental`` is the oracle-gated batch entry (incoming =
+vectors with vec_id % INCOMING_MOD == 0, the same stand-in partition
+the streaming dedup uses; the static index is everything else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.operators.dedup import SEMDEDUP_TAU
+from stac_geoparquet_spark.operators.similarity import (
+    _DOT_SQL,
+    _centroid_cte,
+    _load_centroids,
+    _read_vec_range,
+    build_ivf_layout,
+)
+from stac_geoparquet_spark.streaming.dedup import INCOMING_MOD
+
+OUT_SCHEMA = (
+    "vec_id bigint, ivf_cell bigint, n_index_dups bigint, is_dup boolean"
+)
+
+
+def _incoming_with_cells(sf_dir: str):
+    """(ids, unit_matrix, cells) of the incoming vectors, cell-assigned
+    driver-side — the per-micro-batch routing table. Returns (ids,
+    None, None) when there are no incoming vectors or no centroids."""
+    import numpy as np
+
+    ids, mat, norms = _read_vec_range(sf_dir, None, None)
+    # the stand-in incoming partition, restricted to the valid-vector
+    # contract (non-finite rows are excluded on both engines —
+    # _read_vec_range itself only drops NULL/wrong-dim)
+    keep = (ids % INCOMING_MOD == 0) & np.isfinite(mat.sum(axis=1))
+    ids, mat, norms = ids[keep], mat[keep], norms[keep]
+    c_ids, cm, cnorm = _load_centroids(sf_dir)
+    if len(ids) == 0 or len(c_ids) == 0:
+        return ids, None, None
+    sims = np.round(mat @ cm.T / (norms[:, None] * cnorm[None, :]), 6)
+    # argmax = first max index over ascending centroid ids -> lowest id
+    # wins ties, the oracle's (sim DESC, cid ASC) order
+    cells = c_ids[np.argmax(sims, axis=1)]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unit = mat / norms[:, None]
+    return ids, unit, cells
+
+
+def _make_index_matcher(b_inc, tau: float):
+    """Worker-side closure: count, per incoming vector, the static
+    index rows in this batch at rounded cosine >= tau.  Self-contained
+    (cloudpickle ships it by value)."""
+
+    def match(batches):
+        import numpy as np
+        import pandas as pd
+
+        inc_ids, inc_unit, inc_cells = b_inc.value
+        for pdf in batches:
+            s_ids = pdf["vec_id"].to_numpy()
+            s_cells = pdf["ivf_cell"].to_numpy()
+            a = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            norms = np.sqrt((a * a).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                unit = a / norms[:, None]
+                sims = np.round(inc_unit @ unit.T, 6)
+            hit = (sims >= tau) & (
+                inc_cells[:, None] == s_cells[None, :]
+            )
+            n = hit.sum(axis=1)
+            nz = np.nonzero(n)[0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": inc_ids[nz],
+                    "n": n[nz].astype("int64"),
+                }
+            )
+
+    return match
+
+
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per incoming vector: its assigned cell, how many STATIC index
+    vectors in that cell sit at rounded cosine >= the family threshold,
+    and the resulting duplicate verdict."""
+    ids, unit, cells = _incoming_with_cells(sf_dir)
+    if unit is None:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    inc_df = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in zip(ids, cells)],
+        "vec_id bigint, ivf_cell bigint",
+    )
+    b_inc = spark.sparkContext.broadcast((ids, unit, cells))
+    layout = build_ivf_layout(spark, sf_dir)
+    touched = sorted({int(c) for c in cells})
+    static = (
+        spark.read.parquet(layout)
+        # partition-column filter -> pruned at planning time; the
+        # incoming stand-in rows are excluded from the index side
+        .filter(F.col("ivf_cell").isin(touched))
+        .filter(F.col("vec_id") % INCOMING_MOD != 0)
+        .select("vec_id", "embedding", "ivf_cell")
+    )
+    counts = static.mapInPandas(
+        _make_index_matcher(b_inc, SEMDEDUP_TAU), "vec_id bigint, n bigint"
+    ).groupBy("vec_id").agg(F.sum("n").alias("n_index_dups"))
+    return (
+        inc_df.join(counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "ivf_cell",
+            F.coalesce("n_index_dups", F.lit(0)).alias("n_index_dups"),
+            (F.coalesce("n_index_dups", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
+def _semdedup_incr_oracle_sql() -> str:
+    cos = _DOT_SQL.format(a="ei.v", b="es.v")
+    return f"""
+WITH {_centroid_cte()},
+inc AS (
+  SELECT vec_id, ivf_cell FROM assigned WHERE vec_id % {INCOMING_MOD} = 0
+),
+matches AS (
+  SELECT i.vec_id, count(*) AS n
+  FROM inc i
+  JOIN assigned s
+    ON s.ivf_cell = i.ivf_cell AND s.vec_id % {INCOMING_MOD} <> 0
+  JOIN e ei ON ei.vec_id = i.vec_id
+  JOIN e es ON es.vec_id = s.vec_id
+  WHERE round({cos} / nullif(ei.norm * es.norm, 0), 6) >= {SEMDEDUP_TAU}
+  GROUP BY 1
+)
+SELECT i.vec_id, i.ivf_cell,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_index_dups,
+       coalesce(m.n, 0) > 0 AS is_dup
+FROM inc i LEFT JOIN matches m USING (vec_id)
+"""
+
+
+QUERIES = {"semdedup_incremental": semdedup_incremental}
+ORACLE = {"semdedup_incremental": _semdedup_incr_oracle_sql()}

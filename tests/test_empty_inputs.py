@@ -29,6 +29,7 @@ SAMPLE = [
     "dedup_substring_spans",
     "dedup_embedding_cosine",
     "semdedup_cells",
+    "semdedup_incremental",
     "decontaminate_against_holdout",
     "decontam_bloom_semijoin",
     "decontam_incremental",

@@ -215,3 +215,48 @@ def test_bigram_entropy_bounds(spark):
     assert rows
     for r in rows:
         assert -1e-6 <= r["entropy"] <= math.log2(r["n_2grams"]) + 1e-6
+
+
+def test_semdedup_incremental_flags_injected_duplicate(spark, tmp_path):
+    """An incoming vector identical to a static index vector must be
+    flagged (cos = 1 >= tau) with the same assigned cell."""
+    import shutil
+
+    import duckdb
+
+    src = SF_DIR
+    dst = tmp_path / "sf_dup"
+    dst.mkdir()
+    con = duckdb.connect()
+    # vec_id 100 (incoming stand-in, 100 % 50 == 0) takes vec_id 101's
+    # embedding (static); everything else unchanged
+    con.execute(
+        f"""COPY (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id = 100 THEN s.embedding
+                      ELSE e.embedding END AS embedding,
+                 e.label
+          FROM read_parquet('{src}/embeddings.parquet') e
+          LEFT JOIN read_parquet('{src}/embeddings.parquet') s
+            ON s.vec_id = 101
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    shutil.copy(f"{src}/documents.parquet", str(dst / "documents.parquet"))
+
+    from stac_geoparquet_spark.streaming.semdedup import semdedup_incremental
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r["vec_id"]: r
+        for r in semdedup_incremental(spark, str(dst)).collect()
+    }
+    assert rows[100]["is_dup"] and rows[100]["n_index_dups"] >= 1
+    ok, msg = compare(
+        semdedup_incremental(spark, str(dst)),
+        entry_mod.oracle_sql()["semdedup_incremental"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg

@@ -97,6 +97,7 @@ VEC_SAMPLE = [
     "ivf_cell_assignment",
     "dedup_embedding_cosine",
     "semdedup_cells",
+    "semdedup_incremental",
 ]
 
 

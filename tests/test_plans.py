@@ -443,6 +443,22 @@ def test_pack_sequences_no_global_window(spark, sf):
     assert plan.count("SinglePartition") <= 2
 
 
+def test_semdedup_incremental_pruned_index_scan(spark, sf):
+    """The incremental matcher reads ONLY the cells the incoming batch
+    touches (partition filter on the layout scan), scores in one Arrow
+    pass against the broadcast batch, and never pairwise-joins."""
+    from stac_geoparquet_spark.streaming import semdedup as ssd
+
+    plan = plan_of(ssd.semdedup_incremental(spark, sf))
+    scan_sections = [
+        s for s in plan.split("Scan parquet") if "ivf_layout" in s
+    ]
+    assert scan_sections, f"no layout scan found:\n{plan}"
+    assert "PartitionFilters" in scan_sections[0]
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
 def test_semdedup_cell_local_no_pairwise_join(spark, sf):
     """SemDeDup: one scan of the cell-partitioned layout into ONE
     grouped per-cell GEMM stage — the pair space never materializes
