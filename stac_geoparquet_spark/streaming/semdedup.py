@@ -156,5 +156,94 @@ FROM inc i LEFT JOIN matches m USING (vec_id)
 """
 
 
+def _make_pair_scorer(tau: float):
+    """Worker-side closure: rounded cosine per (incoming, index) row
+    pair, emitting only the >= tau hits.  Self-contained."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            b = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["index_emb"]]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(
+                    (a * b).sum(axis=1)
+                    / (
+                        np.sqrt((a * a).sum(axis=1))
+                        * np.sqrt((b * b).sum(axis=1))
+                    ),
+                    6,
+                )
+            hit = cos >= tau
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[hit],
+                    "index_id": pdf["index_id"].to_numpy()[hit],
+                }
+            )
+
+    return score
+
+
+def stream_semdedup_against_index(
+    spark: SparkSession, source_dir: str, sf_dir: str
+) -> DataFrame:
+    """Streaming incoming embeddings (parquet file source) checked
+    against the static cell index: stateless cell assignment
+    (mapInPandas with broadcast centroids — the SAME closure the layout
+    build uses), a stream-static equi-join on ``ivf_cell``, and a
+    vectorized pair scorer emitting (vec_id, index_id) duplicate hits.
+    Append-mode, zero aggregation state; a vec's hits arrive within its
+    file's micro-batch, so the consumer's per-doc count is exact."""
+    from pyspark.sql import types as T
+
+    from stac_geoparquet_spark.operators.similarity import (
+        _make_cell_assign_fn,
+        _valid_vec,
+    )
+
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    incoming = (
+        spark.readStream.schema(emb_schema)
+        .format("parquet")
+        .option("path", source_dir)
+        .load()
+        .where(_valid_vec())
+        .mapInPandas(
+            _make_cell_assign_fn(spark, sf_dir, carry_embedding=True),
+            "vec_id bigint, embedding array<float>, ivf_cell bigint",
+        )
+    )
+    static = (
+        spark.read.parquet(build_ivf_layout(spark, sf_dir))
+        .filter(F.col("vec_id") % INCOMING_MOD != 0)
+        .select(
+            F.col("vec_id").alias("index_id"),
+            F.col("embedding").alias("index_emb"),
+            "ivf_cell",
+        )
+    )
+    joined = incoming.join(static, "ivf_cell").select(
+        "vec_id", "embedding", "index_id", "index_emb"
+    )
+    return joined.mapInPandas(
+        _make_pair_scorer(SEMDEDUP_TAU), "vec_id bigint, index_id bigint"
+    )
+
+
 QUERIES = {"semdedup_incremental": semdedup_incremental}
 ORACLE = {"semdedup_incremental": _semdedup_incr_oracle_sql()}

@@ -359,3 +359,82 @@ def test_stream_decontam_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0 or sf_dir.endswith("sf0.001")
+
+
+def test_stream_semdedup_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming semantic-dup detector must yield exactly the
+    per-vector index-duplicate counts the batch-mode entry
+    (oracle-checked) produces for the same incoming split — including
+    vectors whose duplicate is found in a different micro-batch's cell
+    (the join is stream-static, so each batch sees the whole index)."""
+    import duckdb
+
+    from stac_geoparquet_spark.streaming.dedup import INCOMING_MOD
+    from stac_geoparquet_spark.streaming.semdedup import (
+        semdedup_incremental,
+        stream_semdedup_against_index,
+    )
+
+    src = str(tmp_path / "incoming_vecs")
+    os.makedirs(src)
+    con = duckdb.connect()
+    # two files => two potential micro-batches; inject one exact
+    # duplicate (vec 100 takes static vec 101's embedding) so the
+    # stream provably fires
+    base = os.path.join(sf_dir, "embeddings.parquet")
+    con.execute(
+        f"""COPY (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id = 100 THEN s.embedding
+                      ELSE e.embedding END AS embedding, e.label
+          FROM read_parquet('{base}') e
+          LEFT JOIN read_parquet('{base}') s ON s.vec_id = 101
+          WHERE e.vec_id % {INCOMING_MOD} = 0
+            AND e.vec_id % {2 * INCOMING_MOD} = 0
+        ) TO '{src}/a.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+          SELECT vec_id, embedding, label FROM read_parquet('{base}')
+          WHERE vec_id % {INCOMING_MOD} = 0
+            AND vec_id % {2 * INCOMING_MOD} <> 0
+        ) TO '{src}/b.parquet' (FORMAT PARQUET)"""
+    )
+    # batch twin over a dataset with the same injected duplicate
+    dup_dir = str(tmp_path / "sf_dup_stream")
+    os.makedirs(dup_dir)
+    con.execute(
+        f"""COPY (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id = 100 THEN s.embedding
+                      ELSE e.embedding END AS embedding, e.label
+          FROM read_parquet('{base}') e
+          LEFT JOIN read_parquet('{base}') s ON s.vec_id = 101
+        ) TO '{dup_dir}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+
+    stream = stream_semdedup_against_index(spark, src, dup_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_semdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_semdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["vec_id"], r["n"])
+        for r in spark.table("t_stream_semdedup")
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["vec_id"], r["n_index_dups"])
+        for r in semdedup_incremental(spark, dup_dir).collect()
+        if r["n_index_dups"] > 0
+    }
+    assert streamed == batch
+    assert any(v == 100 for v, _ in batch), "injected dup must be found"
