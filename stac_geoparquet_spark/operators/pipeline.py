@@ -219,19 +219,10 @@ def decontam_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle semi-join path is exercised at every scale (plan-pinned);
     index rows are per-doc distinct, so count(*) per doc IS the
     distinct overlap count."""
+    from stac_geoparquet_spark.operators.scan_opt import bloom_session
+
     idx = build_gram_index(spark, sf_dir)
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s2.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold",
-        "0",
-    )
-    s2.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-        "100MB",
-    )
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2 = bloom_session(spark)
     tr = (
         s2.read.parquet(idx)
         .where(F.col("bucket") == "train")
@@ -528,8 +519,6 @@ DSIR_K = 100  # docs selected by importance resampling
 
 
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir).withColumn("pct", split_pct())
     words = docs.select(
         "doc_id",
@@ -654,6 +643,11 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_doc = (
         _docs(spark, sf_dir)
+        # contentless docs are excluded EXPLICITLY: least() skips NULL
+        # operands, so a NULL-text doc would otherwise score 0.7 (the
+        # capped-term defaults) and float to the top of the greedy
+        # order, spending budget on garbage (review finding)
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
         .select(
             "doc_id",
             F.coalesce(
@@ -661,7 +655,6 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_tokens"),
             F.round(quality_score_expr(), 6).alias("q"),
         )
-        # degenerate (empty-text) docs score NULL and cannot be ranked
         .where(F.col("q").isNotNull())
     )
     banded = per_doc.withColumn(
@@ -710,6 +703,7 @@ WITH m AS (
          CAST(coalesce(len({_SQL_WORDS}), 0) AS BIGINT) AS n_tokens,
          {{score}} AS q
   FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
 ),
 c AS (
   SELECT doc_id, n_tokens, q,

@@ -290,10 +290,12 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_bucket"),
         "user_id",
     )
+    # the verdict counts DISTINCT individuals, not rows: ten events
+    # from one user still identify that user (review finding)
     return g.groupBy("event_type", "hour_of_day", "value_bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("user_id").alias("n_users"),
-        (F.count(F.lit(1)) >= K_ANON_K).alias("k_anonymous"),
+        (F.count_distinct("user_id") >= K_ANON_K).alias("k_anonymous"),
     )
 
 
@@ -303,7 +305,7 @@ SELECT event_type,
        CAST(floor(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
        count(*) AS n_rows,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       count(*) >= {K_ANON_K} AS k_anonymous
+       count(DISTINCT user_id) >= {K_ANON_K} AS k_anonymous
 FROM events
 GROUP BY 1, 2, 3
 """

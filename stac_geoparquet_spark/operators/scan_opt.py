@@ -144,11 +144,12 @@ GROUP BY 1
 # broadcast is disabled so the demonstration exercises the shuffle
 # path the feature exists for.
 # --------------------------------------------------------------------------
-def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lineitem revenue for urgent orders through a shuffle join whose
-    fact scan is pre-filtered by a runtime Bloom filter built from the
-    filtered orders side (`might_contain(...)` on the lineitem scan,
-    pinned in tests/test_plans.py)."""
+def bloom_session(spark: SparkSession) -> SparkSession:
+    """Cloned session with runtime Bloom-filter injection enabled and
+    broadcast joins disabled (the Bloom path only exists on shuffle
+    joins) — THE one definition shared by every operator that pins a
+    might_contain plan (this module's semijoin, pipeline's Bloom
+    decontamination), so their plan shapes cannot drift apart."""
     s2 = spark.newSession()
     s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s2.conf.set(
@@ -161,6 +162,15 @@ def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100MB",
     )
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return s2
+
+
+def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem revenue for urgent orders through a shuffle join whose
+    fact scan is pre-filtered by a runtime Bloom filter built from the
+    filtered orders side (`might_contain(...)` on the lineitem scan,
+    pinned in tests/test_plans.py)."""
+    s2 = bloom_session(spark)
     li = s2.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     orders = s2.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
         "o_orderpriority = '1-URGENT'"

@@ -583,16 +583,19 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
 
 def _query_probes(sf_dir: str):
     """Per-query cell routing shared by the IVF and IVFPQ operators:
-    (q_ids, probes) where probes[i] holds query i's top-``N_PROBE``
-    centroid ids by rounded cosine (desc sim, asc centroid id — the
-    same total order the SQL oracle's row_number uses).  Returns
-    (q_ids, None) when there are no queries or no centroids."""
+    (queries, probes) where ``queries`` is the (q_ids, qm, qnorm)
+    loader tuple — returned so callers broadcast it WITHOUT a second
+    driver-side parquet read — and probes[i] holds query i's
+    top-``N_PROBE`` centroid ids by rounded cosine (desc sim, asc
+    centroid id — the same total order the SQL oracle's row_number
+    uses).  probes is None when there are no queries or centroids."""
     import numpy as np
 
-    q_ids, qm, qnorm = _load_queries(sf_dir)
+    queries = _load_queries(sf_dir)
+    q_ids, qm, qnorm = queries
     c_ids, cm, cnorm = _load_centroids(sf_dir)
     if len(q_ids) == 0 or len(c_ids) == 0:
-        return q_ids, None
+        return queries, None
     qsims = np.round(qm @ cm.T / (qnorm[:, None] * cnorm[None, :]), 6)
     probes = np.stack(
         [
@@ -600,7 +603,7 @@ def _query_probes(sf_dir: str):
             for i in range(len(q_ids))
         ]
     )
-    return q_ids, probes
+    return queries, probes
 
 
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,7 +614,8 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast equi-join of the |Q| x N_PROBE probe table on ivf_cell;
     scoring is row-wise against the broadcast query matrix —
     O(candidates in probed cells), never Q x N."""
-    q_ids, probes = _query_probes(sf_dir)
+    queries, probes = _query_probes(sf_dir)
+    q_ids = queries[0]
     if probes is None:
         # empty table/partition: no queries or no centroids -> no
         # probes (np.stack over an empty probe list is an error)
@@ -639,7 +643,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "embedding")
     )
-    b_q = spark.sparkContext.broadcast(_load_queries(sf_dir))
+    b_q = spark.sparkContext.broadcast(queries)
     scored = joined.mapInPandas(_make_candidate_score(b_q, TOP_K), SCORE_SCHEMA)
     return _rank_topk(scored)
 
@@ -1165,7 +1169,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch emits its local bottom-k per query, so the final window
     ranks Q x k x n_batches rows."""
     cb = _pq_codebook(sf_dir)
-    q_ids, probes = _query_probes(sf_dir)
+    queries, probes = _query_probes(sf_dir)
     if cb is None or probes is None:
         # no codebook (empty training slice) or no queries/centroids
         return spark.createDataFrame(
@@ -1173,7 +1177,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " rank bigint"
         )
     b_cb = spark.sparkContext.broadcast(cb)
-    b_q = spark.sparkContext.broadcast(_load_queries(sf_dir))
+    b_q = spark.sparkContext.broadcast(queries)
     b_probes = spark.sparkContext.broadcast(probes)
     layout = build_ivf_layout(spark, sf_dir)
     probed_cells = sorted({int(c) for row in probes for c in row})

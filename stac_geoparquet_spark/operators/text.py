@@ -77,9 +77,15 @@ FROM documents
 # --------------------------------------------------------------------------
 def quality_score_expr() -> Column:
     """THE quality-score definition (weighted length/punctuation/
-    stopword blend in [0, 1]; NULL for empty docs) — shared by
-    ``text_quality_score`` and the token-budget selector so the two
-    can never rank by different scores."""
+    stopword blend in [0, 1]) — shared by ``text_quality_score`` and
+    the token-budget selector so the two can never rank by different
+    scores.
+
+    Degenerate docs do NOT score NULL: ``least()`` skips NULL operands
+    on both engines, so a NULL-text doc scores 0.7 (the capped-term
+    defaults) and an empty-string doc ~0.  Consumers that RANK by this
+    score must exclude contentless docs explicitly (the token-budget
+    selector does) or garbage rows float to the top."""
     w = _words(F.col("text"))
     n_words = F.size(w).cast("double")
     stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")

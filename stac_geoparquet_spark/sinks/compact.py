@@ -36,17 +36,16 @@ _STANDARD_FOOTER_KEYS = {
 }
 
 
-_FOOTER_SAMPLE_MAX = 16
-
-
 def _custom_footer_kv(path: str) -> dict[str, str]:
     """Custom footer key-value metadata of the parquet files under
     ``path`` (empty when the dataset carries none).
 
-    Footers are read from up to ``_FOOTER_SAMPLE_MAX`` files spread
-    across the sorted listing (footer-only reads — no data pages), and
-    compaction REFUSES on disagreement: stamping one file's metadata
-    onto a mixed-write dataset would silently rewrite the others'."""
+    EVERY file's footer is read (footer-only reads — no data pages;
+    negligible next to the full rewrite compaction is about to do),
+    and compaction REFUSES on disagreement: stamping one file's
+    metadata onto a mixed-write dataset would silently rewrite the
+    others', and a sampled check would only make the refusal
+    probabilistic."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -59,11 +58,6 @@ def _custom_footer_kv(path: str) -> dict[str, str]:
     )
     if not files:
         return {}
-    if len(files) > _FOOTER_SAMPLE_MAX:
-        step = (len(files) - 1) / (_FOOTER_SAMPLE_MAX - 1)
-        sample = [files[round(i * step)] for i in range(_FOOTER_SAMPLE_MAX)]
-    else:
-        sample = files
 
     def custom_kv(fname: str) -> dict[str, str]:
         md = pq.read_schema(fname, filesystem=filesystem).metadata or {}
@@ -73,13 +67,13 @@ def _custom_footer_kv(path: str) -> dict[str, str]:
             if k not in _STANDARD_FOOTER_KEYS
         }
 
-    first = custom_kv(sample[0])
-    for fname in sample[1:]:
+    first = custom_kv(files[0])
+    for fname in files[1:]:
         kv = custom_kv(fname)
         if kv != first:
             raise ValueError(
                 f"inconsistent custom footer metadata under {path}: "
-                f"{sample[0]} carries {sorted(first)} but {fname} carries "
+                f"{files[0]} carries {sorted(first)} but {fname} carries "
                 f"{sorted(kv)}; compacting would stamp one file's metadata "
                 "onto all rows — resolve the mixed writes first"
             )

@@ -27,7 +27,6 @@ from stac_geoparquet_spark.operators.similarity import (
     _DOT_SQL,
     _centroid_cte,
     _load_centroids,
-    _read_vec_range,
     build_ivf_layout,
 )
 from stac_geoparquet_spark.streaming.dedup import INCOMING_MOD
@@ -37,18 +36,63 @@ OUT_SCHEMA = (
 )
 
 
+def _read_incoming(sf_dir: str):
+    """Driver-side BATCHED read of only the incoming stand-in rows
+    (vec_id % INCOMING_MOD == 0): streams record batches and keeps the
+    slice, so the driver never materializes the full table — at
+    production scale the incoming set IS the micro-batch; this reader
+    is only the batch-mode stand-in extraction.  Applies the same
+    valid-vector contract as ``similarity._read_vec_range``
+    (NULL / wrong-dim / non-finite-sum rows excluded)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.similarity import DIM
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    ids_parts: list = []
+    mat_parts: list = []
+    for rb in pf.iter_batches(columns=["vec_id", "embedding"], batch_size=8192):
+        tbl = pa.Table.from_batches([rb])
+        mask = tbl["vec_id"].to_numpy() % INCOMING_MOD == 0
+        if not mask.any():
+            continue
+        tbl = tbl.filter(pa.array(mask))
+        tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
+        tbl = tbl.filter(pc.equal(pc.list_value_length(tbl["embedding"]), DIM))
+        if tbl.num_rows == 0:
+            continue
+        ids = tbl["vec_id"].to_numpy()
+        m = (
+            tbl["embedding"]
+            .combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids), -1)
+        )
+        fin = np.isfinite(m.sum(axis=1))
+        ids_parts.append(ids[fin])
+        mat_parts.append(m[fin])
+    if not ids_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, DIM)), np.zeros(0)
+    ids = np.concatenate(ids_parts)
+    mat = np.concatenate(mat_parts)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+
+
 def _incoming_with_cells(sf_dir: str):
     """(ids, unit_matrix, cells) of the incoming vectors, cell-assigned
     driver-side — the per-micro-batch routing table. Returns (ids,
     None, None) when there are no incoming vectors or no centroids."""
     import numpy as np
 
-    ids, mat, norms = _read_vec_range(sf_dir, None, None)
-    # the stand-in incoming partition, restricted to the valid-vector
-    # contract (non-finite rows are excluded on both engines —
-    # _read_vec_range itself only drops NULL/wrong-dim)
-    keep = (ids % INCOMING_MOD == 0) & np.isfinite(mat.sum(axis=1))
-    ids, mat, norms = ids[keep], mat[keep], norms[keep]
+    ids, mat, norms = _read_incoming(sf_dir)
     c_ids, cm, cnorm = _load_centroids(sf_dir)
     if len(ids) == 0 or len(c_ids) == 0:
         return ids, None, None

@@ -260,3 +260,75 @@ def test_semdedup_incremental_flags_injected_duplicate(spark, tmp_path):
         strict=True,
     )
     assert ok, msg
+
+
+def test_token_budget_excludes_contentless_docs(spark, tmp_path):
+    """NULL-text and empty-string docs must not appear in the budget
+    selection at all: least() skips NULL operands, so without the
+    explicit filter a NULL-text doc would score 0.7 and buy top
+    selection slots with zero tokens (review regression)."""
+    import shutil
+
+    import duckdb
+
+    dst = tmp_path / "sf_nulls"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL
+                      WHEN doc_id % 7 = 1 THEN ''
+                      ELSE text END AS text,
+                 * EXCLUDE (doc_id, text)
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    from stac_geoparquet_spark.operators.pipeline import select_token_budget
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    rows = select_token_budget(spark, str(dst)).collect()
+    assert rows
+    bad = [r for r in rows if r["doc_id"] % 7 in (0, 1)]
+    assert not bad, f"contentless docs leaked into the ranking: {bad[:3]}"
+    ok, msg = compare(
+        select_token_budget(spark, str(dst)),
+        entry_mod.oracle_sql()["select_token_budget"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
+
+
+def test_k_anonymity_counts_individuals_not_rows(spark, tmp_path):
+    """A quasi-identifier bucket with many events from ONE user is not
+    k-anonymous (review regression: the verdict must test distinct
+    users, not row count)."""
+    import duckdb
+
+    dst = tmp_path / "sf_kanon"
+    dst.mkdir()
+    con = duckdb.connect()
+    # 10 events, one user, one bucket; plus 6 events from 6 users in
+    # another bucket
+    con.execute(
+        f"""COPY (
+          SELECT * FROM (VALUES
+            {", ".join(f"({i}, TIMESTAMP '2024-01-01 03:10:00', 77, 'click', 12.0, '{{}}')" for i in range(10))},
+            {", ".join(f"({10+i}, TIMESTAMP '2024-01-02 09:10:00', {100+i}, 'view', 62.0, '{{}}')" for i in range(6))}
+          ) AS t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    from stac_geoparquet_spark.operators.quality import events_k_anonymity
+
+    rows = {
+        (r["event_type"], r["hour_of_day"]): r
+        for r in events_k_anonymity(spark, str(dst)).collect()
+    }
+    lone = rows[("click", 3)]
+    assert lone["n_rows"] == 10 and lone["n_users"] == 1
+    assert not lone["k_anonymous"]
+    crowd = rows[("view", 9)]
+    assert crowd["n_users"] == 6 and crowd["k_anonymous"]
