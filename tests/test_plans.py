@@ -513,18 +513,19 @@ def test_bigram_entropy_doc_keyed_aggs_no_join(spark, sf):
     assert n_ops(plan, "FlatMapGroupsInPandas") + n_ops(plan, "MapInPandas") == 0
 
 
-def test_quality_repetition_single_scan_doc_keyed_aggs(spark, sf):
-    """One documents scan (per-doc scalars ride the exploded gram rows
-    — no join back to the base table); both aggregations cluster by
-    doc_id with partial aggregation."""
+def test_quality_repetition_single_scan_zero_shuffle(spark, sf):
+    """One documents scan and a pure projection pipeline: the 2-gram
+    repetition rollup is computed in-row (run lengths over the sorted
+    gram array) — no explode, no aggregation, no exchange beyond the
+    conditional toy-input spread, no join."""
     from stac_geoparquet_spark.operators import pipeline as pl
 
     plan = plan_of(pl.quality_repetition(spark, sf))
     assert n_ops(plan, "Scan parquet") == 1
     assert "Join" not in plan
-    assert "hashpartitioning(doc_id" in plan
-    # two-phase aggregation for the gram counts
-    assert n_ops(plan, "HashAggregate") >= 4
+    assert n_ops(plan, "HashAggregate") == 0
+    assert n_ops(plan, "Generate") == 0
+    assert n_ops(plan, "Exchange") <= 1  # the conditional spread only
 
 
 def test_agg_pushdown_reads_only_footers(spark, sf):
