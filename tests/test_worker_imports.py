@@ -26,11 +26,17 @@ spark = (SparkSession.builder.master('local[2]')
          .config('spark.ui.enabled','false').getOrCreate())
 from stac_geoparquet_spark.operators.similarity import (
     ann_ivf_probe, ivf_cell_assignment, knn_brute_force, ann_lsh_bucketed)
-from stac_geoparquet_spark.operators.dedup import dedup_embedding_cosine
+from stac_geoparquet_spark.operators.similarity import (
+    ann_pq_adc, pq_encode_codes)
+from stac_geoparquet_spark.operators.dedup import (
+    dedup_embedding_cosine, semdedup_cells)
+from stac_geoparquet_spark.streaming.semdedup import semdedup_incremental
 from stac_geoparquet_spark.operators.multimodal import QUERIES as MM
 sf = '/root/testdata/sf0.001'
 for fn in (ivf_cell_assignment, ann_ivf_probe, knn_brute_force,
-           ann_lsh_bucketed, dedup_embedding_cosine, *MM.values()):
+           ann_lsh_bucketed, dedup_embedding_cosine, semdedup_cells,
+           semdedup_incremental, pq_encode_codes, ann_pq_adc,
+           *MM.values()):
     fn(spark, sf).count()
 from tests import stac_fixtures as fx
 from stac_geoparquet_spark.stac.forward import read_items
