@@ -332,3 +332,47 @@ def test_k_anonymity_counts_individuals_not_rows(spark, tmp_path):
     assert not lone["k_anonymous"]
     crowd = rows[("view", 9)]
     assert crowd["n_users"] == 6 and crowd["k_anonymous"]
+
+
+def test_min_label_propagation_matches_union_find_on_random_graphs(spark):
+    """Property check: on random edge lists, the distributed fixpoint
+    labels equal a driver-side union-find's min-member labels."""
+    import random
+
+    from stac_geoparquet_spark.operators.dedup import _min_label_propagate
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 70))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        touched = {v for e in edges for v in e}
+        expect = {}
+        roots = {}
+        for v in sorted(touched):
+            r = find(v)
+            roots.setdefault(r, v)  # min member = first in sorted order
+            expect[v] = roots[r]
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {
+            r["doc_id"]: r["label"]
+            for r in _min_label_propagate(pairs).collect()
+        }
+        assert got == expect, f"trial {trial}"
