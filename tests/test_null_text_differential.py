@@ -512,3 +512,74 @@ def test_empty_text_oracle_agreement(spark, empty_text_dir, name):
         q[name](spark, empty_text_dir), o[name], empty_text_dir, strict=True
     )
     assert ok, f"{name}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# weird-whitespace / unicode probe axis: tabs, newlines, repeated
+# spaces, leading/trailing whitespace, whitespace-only docs, NBSP and
+# CJK text.  The tokenizer contract (split(lower(trim(text)), '\s+'))
+# must agree between Java regex (Spark) and RE2 (DuckDB) on all of
+# them — \s is the ASCII class in both, NBSP is a word char in
+# neither's \s, and a whitespace-only doc trims to '' whose split
+# yields [''] on both engines.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def weird_ws_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_weird_ws")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id,
+              CASE doc_id % 9
+                WHEN 0 THEN replace(text, ' ', chr(9))
+                WHEN 1 THEN replace(text, ' ', chr(10))
+                WHEN 2 THEN replace(text, ' ', '   ')
+                WHEN 3 THEN '   ' || text || chr(9) || chr(10)
+                WHEN 4 THEN '  ' || chr(9) || chr(10) || ' '
+                WHEN 5 THEN replace(text, ' ', chr(160))
+                WHEN 6 THEN '日本語 テスト ' || text
+                ELSE text END AS text,
+              lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet'))
+          TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "embeddings",
+        "events",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+WS_SAMPLE = SAMPLE + [
+    "text_quality_score",
+    "text_lang_id",
+    "quality_repetition",
+    "text_unigram_logppl",
+    "vocab_top_terms",
+    "doc_length_buckets",
+    "decontaminate_against_holdout",
+    "chunk_documents",
+]
+
+
+@pytest.mark.parametrize("name", sorted(set(WS_SAMPLE)))
+def test_weird_whitespace_oracle_agreement(spark, weird_ws_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, weird_ws_dir), o[name], weird_ws_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
