@@ -49,14 +49,19 @@ def _read_incoming(sf_dir: str):
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pds
 
     from stac_geoparquet_spark.operators.similarity import DIM
 
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    # dataset(), not ParquetFile(): the source may be a single file OR
+    # a Spark-written directory of part files (the empty-input fixture
+    # is one)
+    src = pds.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    )
     ids_parts: list = []
     mat_parts: list = []
-    for rb in pf.iter_batches(columns=["vec_id", "embedding"], batch_size=8192):
+    for rb in src.to_batches(columns=["vec_id", "embedding"], batch_size=8192):
         tbl = pa.Table.from_batches([rb])
         mask = tbl["vec_id"].to_numpy() % INCOMING_MOD == 0
         if not mask.any():
