@@ -37,3 +37,18 @@ def test_query_output_schema_is_scalar_only(spark, name):
         f"{name}: top-level non-scalar columns {bad} — the driver "
         "canonicalizer cannot hash them; array_join/explode first"
     )
+    # registry-wide plan anti-pattern sweep (piggybacked on the same
+    # DataFrame build): no query may plan a cartesian product or a
+    # row-at-a-time Python UDF.  Broadcast 1-row-aggregate crossjoins
+    # (BroadcastNestedLoopJoin) and tiny global aggregates
+    # (SinglePartition) are the blessed exceptions and not flagged.
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF — use built-ins or an "
+        "Arrow-batched pandas path"
+    )
