@@ -968,13 +968,12 @@ def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One corpus scan feeds everything: the rollup is the shared
     ``_gram2_rollup`` (the funnel's 'repetition' stage and
-    quality_repetition's pass flag can never diverge), with the
-    content hash and split pct riding as extras; the canonical test
-    is a window min over the content-hash partition, and the stage
-    counts collapse in a single conditional aggregate unpivoted to
-    rows. explode_outer keeps sub-2-gram docs in-band (they fail the
-    length gate anyway) so the corpus is scanned exactly ONCE.
-    Shuffles: (doc, gram), doc rollup, hash window, 1-row final agg.
+    quality_repetition's pass flag can never diverge) — now a
+    zero-shuffle in-row run-length projection, with the content hash
+    and split pct riding as ordinary columns; sub-2-gram docs keep
+    their (0,0,0) rows in-band (they fail the length gate anyway) so
+    the corpus is scanned exactly ONCE.  Remaining shuffles: the
+    content-hash window and the 1-row final aggregate.
     """
     from pyspark.sql import Window
 

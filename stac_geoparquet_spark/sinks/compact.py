@@ -45,7 +45,12 @@ def _custom_footer_kv(path: str) -> dict[str, str]:
     and compaction REFUSES on disagreement: stamping one file's
     metadata onto a mixed-write dataset would silently rewrite the
     others', and a sampled check would only make the refusal
-    probabilistic."""
+    probabilistic.  Footer reads are independent, so they run on a
+    thread pool — on a high-latency object store a many-thousand-file
+    dataset would otherwise serialize minutes of driver-side metadata
+    round-trips ahead of the parallel rewrite."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -67,9 +72,10 @@ def _custom_footer_kv(path: str) -> dict[str, str]:
             if k not in _STANDARD_FOOTER_KEYS
         }
 
-    first = custom_kv(files[0])
-    for fname in files[1:]:
-        kv = custom_kv(fname)
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+        kvs = list(pool.map(custom_kv, files))
+    first = kvs[0]
+    for fname, kv in zip(files[1:], kvs[1:]):
         if kv != first:
             raise ValueError(
                 f"inconsistent custom footer metadata under {path}: "

@@ -97,14 +97,16 @@ def _incoming_with_cells(sf_dir: str):
     None, None) when there are no incoming vectors or no centroids."""
     import numpy as np
 
+    from stac_geoparquet_spark.operators.similarity import _cell_assigner
+
     ids, mat, norms = _read_incoming(sf_dir)
     c_ids, cm, cnorm = _load_centroids(sf_dir)
     if len(ids) == 0 or len(c_ids) == 0:
         return ids, None, None
-    sims = np.round(mat @ cm.T / (norms[:, None] * cnorm[None, :]), 6)
-    # argmax = first max index over ascending centroid ids -> lowest id
-    # wins ties, the oracle's (sim DESC, cid ASC) order
-    cells = c_ids[np.argmax(sims, axis=1)]
+    # THE one nearest-centroid definition (rounded cosine, lowest
+    # centroid id on ties) — shared with the layout build so the
+    # incremental routing can never desynchronize from the index cells
+    cells, _ = _cell_assigner()(mat, norms, c_ids, cm, cnorm)
     with np.errstate(divide="ignore", invalid="ignore"):
         unit = mat / norms[:, None]
     return ids, unit, cells
