@@ -185,6 +185,7 @@ NEW_THIS_ROUND: list[str] = [
     "semdedup_cells",
     "events_k_anonymity",
     "semdedup_incremental",
+    "edit_distance_join",
 ]
 
 

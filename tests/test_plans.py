@@ -443,6 +443,20 @@ def test_pack_sequences_no_global_window(spark, sf):
     assert plan.count("SinglePartition") <= 2
 
 
+def test_edit_distance_join_prefix_filtered(spark, sf):
+    """The string-similarity join must never plan a cartesian or
+    nested-loop product: candidates come from an equi-join on prefix
+    grams, the gram-frequency table is broadcast, and the Levenshtein
+    verify runs post-candidate only."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.edit_distance_join(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    assert "levenshtein" in plan
+    assert n_ops(plan, "BroadcastHashJoin") >= 1  # freq and/or name joins
+
+
 def test_semdedup_incremental_pruned_index_scan(spark, sf):
     """The incremental matcher reads ONLY the cells the incoming batch
     touches (partition filter on the layout scan), scores in one Arrow
