@@ -186,6 +186,7 @@ NEW_THIS_ROUND: list[str] = [
     "events_k_anonymity",
     "semdedup_incremental",
     "edit_distance_join",
+    "kmv_source_overlap",
 ]
 
 

@@ -426,12 +426,144 @@ QUERIES = {
 
 # Registered after the driver window this round (see
 # __spark_entry__._registries).
+# --------------------------------------------------------------------------
+# KMV set-intersection sketch: estimated distinct-content overlap
+# between every pair of corpus sources — the cross-dump dedup planning
+# question ("how much of source B is already in source A?") answered
+# from two mergeable K-minimum-values sketches instead of a full
+# content join.  Estimator: merge the per-source bottom-K sketches,
+# re-take the bottom K of the union; jaccard_est = fraction of those
+# union minima present in BOTH sketches, union_est = (K-1)/u_k (exact
+# when the union carries < K distinct hashes), inter_est = jaccard x
+# union.  Deterministic given the md5 hash, so exactly oracle-checked.
+# At 100 TB the sketches are 20 sources x K hashes — driver-trivial —
+# while the exact answer needs a corpus-wide distinct join; the
+# shuffles here are the (source, hash) distinct and two keyed windows.
+# --------------------------------------------------------------------------
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    h = (
+        "CAST(conv(substring(md5(concat('kmvsrc:', text)),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+    hashes = (
+        docs.where(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .selectExpr("source", f"{h} AS th")
+        .distinct()
+    )
+    w_src = Window.partitionBy("source").orderBy("th")
+    sk = (
+        hashes.withColumn("rk", F.row_number().over(w_src))
+        .where(F.col("rk") <= KMV_K)
+        .select("source", "th")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(F.broadcast(srcs.alias("b")))
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    sides = (
+        pairs.join(sk.alias("s"), F.col("s.source") == F.col("src_a"))
+        .select("src_a", "src_b", "th", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(sk.alias("s"), F.col("s.source") == F.col("src_b"))
+            .select("src_a", "src_b", "th", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+    )
+    merged = sides.groupBy("src_a", "src_b", "th").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w_pair = Window.partitionBy("src_a", "src_b").orderBy("th")
+    kept = merged.withColumn("rk", F.row_number().over(w_pair)).where(
+        F.col("rk") <= KMV_K
+    )
+    return (
+        kept.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("u_size"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("th"))).alias("kth"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")
+            ).alias("n_both"),
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            # CAST, not `* 1.0`: a 1.0 literal is DECIMAL in Spark SQL
+            # and the result would serialize as decimal128 vs the
+            # oracle's double
+            "round(CAST(n_both AS DOUBLE) / u_size, 6) AS jaccard_est",
+            f"""round(CASE WHEN kth IS NULL THEN CAST(u_size AS DOUBLE)
+                     ELSE ({KMV_K} - 1) / (kth / {_KMV_SPACE}) END
+                  * (CAST(n_both AS DOUBLE) / u_size), 4) AS inter_est""",
+        )
+    )
+
+
+KMV_OVERLAP_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('kmvsrc:' || text), 1, 15))::BIGINT AS th
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+sk AS (
+  SELECT source, th FROM (
+    SELECT source, th,
+           row_number() OVER (PARTITION BY source ORDER BY th) AS rk
+    FROM hashes
+  ) WHERE rk <= {KMV_K}
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+sides AS (
+  SELECT src_a, src_b, th, 1 AS in_a, 0 AS in_b
+  FROM pairs JOIN sk s ON s.source = src_a
+  UNION ALL
+  SELECT src_a, src_b, th, 0, 1
+  FROM pairs JOIN sk s ON s.source = src_b
+),
+merged AS (
+  SELECT src_a, src_b, th, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM sides GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT src_a, src_b, th, in_a, in_b,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY th) AS rk
+    FROM merged
+  ) WHERE rk <= {KMV_K}
+)
+SELECT src_a, src_b,
+       round(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS jaccard_est,
+       round(CASE WHEN max(CASE WHEN rk = {KMV_K} THEN th END) IS NULL
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE ({KMV_K} - 1)
+                       / (max(CASE WHEN rk = {KMV_K} THEN th END) / {_KMV_SPACE}) END
+             * (sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) * 1.0
+                / count(*)), 4) AS inter_est
+FROM kept
+GROUP BY 1, 2
+"""
+
+
 QUERIES_ROTATION = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "kmv_source_overlap": kmv_source_overlap,
 }
 
 ORACLE_ROTATION = {
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
+    "kmv_source_overlap": KMV_OVERLAP_SQL,
 }
 
 ORACLE = {

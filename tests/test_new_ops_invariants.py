@@ -376,3 +376,45 @@ def test_min_label_propagation_matches_union_find_on_random_graphs(spark):
             for r in _min_label_propagate(pairs).collect()
         }
         assert got == expect, f"trial {trial}"
+
+
+def test_kmv_overlap_detects_injected_cross_source_duplicates(spark, tmp_path):
+    """Copying srcA's texts into srcB must produce a near-1 Jaccard
+    estimate for that pair (and agreement with the oracle), while
+    disjoint pairs stay at 0."""
+    import duckdb
+
+    dst = tmp_path / "sf_overlap"
+    dst.mkdir()
+    con = duckdb.connect()
+    # srcX duplicates src0's texts under new doc_ids; everything else
+    # unchanged
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text, lang,
+                 'srcX' AS source, n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+          WHERE source = 'src0'
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    from stac_geoparquet_spark.operators.stats import kmv_source_overlap
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_source_overlap(spark, str(dst)).collect()
+    }
+    dup_pair = rows[("src0", "srcX")]
+    assert dup_pair["jaccard_est"] >= 0.9, dup_pair
+    assert rows[("src1", "srcX")]["jaccard_est"] <= 0.1
+    ok, msg = compare(
+        kmv_source_overlap(spark, str(dst)),
+        entry_mod.oracle_sql()["kmv_source_overlap"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
