@@ -187,6 +187,7 @@ NEW_THIS_ROUND: list[str] = [
     "semdedup_incremental",
     "edit_distance_join",
     "kmv_source_overlap",
+    "entity_resolution_parts",
 ]
 
 

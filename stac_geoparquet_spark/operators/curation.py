@@ -525,8 +525,52 @@ WHERE length(a.p_name) >= {ED_MIN_LEN} AND length(b.p_name) >= {ED_MIN_LEN}
 """
 
 
+# --------------------------------------------------------------------------
+# entity resolution: connected components over the edit-distance pair
+# graph — the step after candidate matching in every ER pipeline (group
+# name variants under one canonical key).  Composes the prefix-filtered
+# join above with the SAME fixpoint label propagation the MinHash dedup
+# clustering uses (dedup._min_label_propagate: convergence-checked, so
+# correctness is diameter-independent); cluster id = min member key.
+# --------------------------------------------------------------------------
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.dedup import _min_label_propagate
+
+    pairs = edit_distance_join(spark, sf_dir).select(
+        F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
+    )
+    labels = _min_label_propagate(pairs)
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("doc_id").alias("p_partkey"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+    )
+
+
+def _er_parts_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE ed AS ({ED_JOIN_SQL.strip()}),
+edges AS (
+  SELECT a_key AS s, b_key AS d FROM ed
+  UNION ALL
+  SELECT b_key, a_key FROM ed
+),
+walk(k, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.k
+),
+lab AS (SELECT k AS p_partkey, min(label) AS cluster_id FROM walk GROUP BY k)
+SELECT p_partkey, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM lab
+"""
+
+
 QUERIES_ROTATION = {
     "edit_distance_join": edit_distance_join,
+    "entity_resolution_parts": entity_resolution_parts,
     "text_zipf_slope": text_zipf_slope,
     "cross_lang_contamination": cross_lang_contamination,
     "dedup_substring_spans": dedup_substring_spans,
@@ -536,6 +580,7 @@ QUERIES_ROTATION = {
 
 ORACLE_ROTATION = {
     "edit_distance_join": ED_JOIN_SQL,
+    "entity_resolution_parts": _er_parts_oracle_sql(),
     "text_zipf_slope": ZIPF_SQL,
     "cross_lang_contamination": XLANG_SQL,
     "dedup_substring_spans": SPAN_SQL,
