@@ -468,10 +468,18 @@ ED_MIN_LEN = 6  # >= q + q*tau: the prefix bound needs this many chars
 def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    # resolve DISTINCT name strings (min part key as the canonical
+    # representative), not raw rows: ER operates on the string domain,
+    # and a catalog with heavily repeated names would otherwise make
+    # the pair space quadratic in TABLE size instead of vocabulary
+    # size (measured: 57 s at sf0.1 on raw rows vs sub-second on the
+    # 64-name distinct domain)
     p = (
         spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
         .where(F.length("p_name") >= ED_MIN_LEN)
-        .select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s"))
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("k"))
+        .select("k", F.col("p_name").alias("s"))
     )
     g = p.select(
         "k",
@@ -517,21 +525,25 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver hash-FAIL, so candidate completeness is re-proven on the
 # actual data at every gate run
 ED_JOIN_SQL = f"""
-SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-WHERE length(a.p_name) >= {ED_MIN_LEN} AND length(b.p_name) >= {ED_MIN_LEN}
-  AND levenshtein(a.p_name, b.p_name) <= {ED_TAU}
+WITH p AS (
+  SELECT p_name AS s, min(p_partkey) AS k FROM part
+  WHERE length(p_name) >= {ED_MIN_LEN} GROUP BY p_name
+)
+SELECT a.k AS a_key, b.k AS b_key,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.k < b.k
+WHERE levenshtein(a.s, b.s) <= {ED_TAU}
 """
 
 
 # --------------------------------------------------------------------------
 # entity resolution: connected components over the edit-distance pair
 # graph — the step after candidate matching in every ER pipeline (group
-# name variants under one canonical key).  Composes the prefix-filtered
-# join above with the SAME fixpoint label propagation the MinHash dedup
-# clustering uses (dedup._min_label_propagate: convergence-checked, so
-# correctness is diameter-independent); cluster id = min member key.
+# name variants under one canonical key).  Nodes are DISTINCT name
+# representatives (edit_distance_join's domain), composed with the SAME
+# fixpoint label propagation the MinHash dedup clustering uses
+# (dedup._min_label_propagate: convergence-checked, so correctness is
+# diameter-independent); cluster id = min member key.
 # --------------------------------------------------------------------------
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.dedup import _min_label_propagate
