@@ -311,8 +311,9 @@ GROUP BY 1, 2, 3
 """
 
 
-# Registered after the driver window this round (see
-# __spark_entry__._registries).
+# Placement in the driver's 50-entry correctness window is decided by
+# __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
+# by this module's dict split; the rotation dicts only group entries.
 QUERIES_ROTATION = {
     "dq_corpus_report": dq_corpus_report,
     "events_k_anonymity": events_k_anonymity,

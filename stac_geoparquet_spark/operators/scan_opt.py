@@ -207,8 +207,9 @@ ORACLE = {
     "dpp_orders_by_year": DPP_SQL,
 }
 
-# Registered after the driver window this round (see
-# __spark_entry__._registries).
+# Placement in the driver's 50-entry correctness window is decided by
+# __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
+# by this module's dict split; the rotation dicts only group entries.
 QUERIES_ROTATION = {
     "bloom_filter_semijoin": bloom_filter_semijoin,
 }

@@ -1228,8 +1228,9 @@ SELECT query_id, neighbor_id, approx_d2, rank FROM (
 """
 
 
-# Rotation block: registered after the driver's 50-entry window this
-# round (see __spark_entry__._registries).
+# Placement in the driver's 50-entry correctness window is decided by
+# __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
+# by this module's dict split; the rotation dicts only group entries.
 QUERIES_ROTATION = {
     "embedding_class_profile": embedding_class_profile,
     "pq_encode_codes": pq_encode_codes,

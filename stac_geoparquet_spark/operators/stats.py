@@ -236,6 +236,19 @@ KMV_K = 64
 _KMV_SPACE = float(1 << 60)  # hash domain: 60-bit md5 slice
 
 
+def _kmv_est_expr(kth: str, size: str) -> str:
+    """The KMV NDV estimator as a dialect-neutral SQL expression — THE
+    one definition every sketch site uses (both sketch operators, both
+    engines), so the estimator can never silently diverge between the
+    Spark selectExpr and the oracle SQL: (K-1)/u_k with u_k the K-th
+    smallest normalized hash, exact ``size`` when the sketch holds
+    fewer than K values (``kth`` NULL)."""
+    return (
+        f"CASE WHEN {kth} IS NULL THEN CAST({size} AS DOUBLE) "
+        f"ELSE ({KMV_K} - 1) / ({kth} / {_KMV_SPACE}) END"
+    )
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (K-minimum-values) distinct sketch per event type — a
     custom mergeable NDV sketch built from DataFrame ops alone, unlike
@@ -281,9 +294,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "event_type",
             "ndv_exact",
-            f"""round(CASE WHEN kth IS NULL THEN CAST(ndv_exact AS DOUBLE)
-                     ELSE ({KMV_K} - 1) / (kth / {_KMV_SPACE}) END, 4)
-                AS ndv_est""",
+            f"round({_kmv_est_expr('kth', 'ndv_exact')}, 4) AS ndv_est",
         )
     )
 
@@ -301,11 +312,7 @@ ranked AS (
 )
 SELECT event_type,
        count(*) AS ndv_exact,
-       round(CASE WHEN max(CASE WHEN rk = {KMV_K} THEN uh END) IS NULL
-                  THEN CAST(count(*) AS DOUBLE)
-                  ELSE ({KMV_K} - 1)
-                       / (max(CASE WHEN rk = {KMV_K} THEN uh END) / {_KMV_SPACE})
-             END, 4) AS ndv_est
+       round({_kmv_est_expr(f"max(CASE WHEN rk = {KMV_K} THEN uh END)", "count(*)")}, 4) AS ndv_est
 FROM ranked
 GROUP BY event_type
 """
@@ -424,8 +431,9 @@ QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
 }
 
-# Registered after the driver window this round (see
-# __spark_entry__._registries).
+# Placement in the driver's 50-entry correctness window is decided by
+# __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
+# by this module's dict split; the rotation dicts only group entries.
 # --------------------------------------------------------------------------
 # KMV set-intersection sketch: estimated distinct-content overlap
 # between every pair of corpus sources — the cross-dump dedup planning
@@ -499,8 +507,7 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and the result would serialize as decimal128 vs the
             # oracle's double
             "round(CAST(n_both AS DOUBLE) / u_size, 6) AS jaccard_est",
-            f"""round(CASE WHEN kth IS NULL THEN CAST(u_size AS DOUBLE)
-                     ELSE ({KMV_K} - 1) / (kth / {_KMV_SPACE}) END
+            f"""round(({_kmv_est_expr('kth', 'u_size')})
                   * (CAST(n_both AS DOUBLE) / u_size), 4) AS inter_est""",
         )
     )
@@ -545,10 +552,7 @@ kept AS (
 SELECT src_a, src_b,
        round(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS jaccard_est,
-       round(CASE WHEN max(CASE WHEN rk = {KMV_K} THEN th END) IS NULL
-                  THEN CAST(count(*) AS DOUBLE)
-                  ELSE ({KMV_K} - 1)
-                       / (max(CASE WHEN rk = {KMV_K} THEN th END) / {_KMV_SPACE}) END
+       round(({_kmv_est_expr(f"max(CASE WHEN rk = {KMV_K} THEN th END)", "count(*)")})
              * (sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) * 1.0
                 / count(*)), 4) AS inter_est
 FROM kept

@@ -379,16 +379,19 @@ def test_min_label_propagation_matches_union_find_on_random_graphs(spark):
 
 
 def test_kmv_overlap_detects_injected_cross_source_duplicates(spark, tmp_path):
-    """Copying srcA's texts into srcB must produce a near-1 Jaccard
-    estimate for that pair (and agreement with the oracle), while
-    disjoint pairs stay at 0."""
+    """srcX = all of src0/src1/src2's texts: its pair with src0 must
+    show substantial overlap while pairs with disjoint sources stay
+    near 0 — AND the union (75 distinct texts) exceeds K=64, so the
+    (K-1)/u_k estimator branch actually executes on both engines (the
+    fixture corpus never fills a sketch, leaving that branch dead
+    without this test)."""
     import duckdb
+
+    from stac_geoparquet_spark.operators.stats import KMV_K
 
     dst = tmp_path / "sf_overlap"
     dst.mkdir()
     con = duckdb.connect()
-    # srcX duplicates src0's texts under new doc_ids; everything else
-    # unchanged
     con.execute(
         f"""COPY (
           SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')
@@ -396,9 +399,16 @@ def test_kmv_overlap_detects_injected_cross_source_duplicates(spark, tmp_path):
           SELECT doc_id + 1000000 AS doc_id, text, lang,
                  'srcX' AS source, n_chars
           FROM read_parquet('{SF_DIR}/documents.parquet')
-          WHERE source = 'src0'
+          WHERE source IN ('src0', 'src1', 'src2')
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
     )
+    (n_union,) = con.execute(
+        f"""SELECT count(DISTINCT text)
+            FROM read_parquet('{dst}/documents.parquet')
+            WHERE source IN ('src0', 'srcX')"""
+    ).fetchone()
+    assert n_union > KMV_K, "fixture must overflow the sketch"
+
     from stac_geoparquet_spark.operators.stats import kmv_source_overlap
     from tests.oracle_compare import compare
 
@@ -409,11 +419,61 @@ def test_kmv_overlap_detects_injected_cross_source_duplicates(spark, tmp_path):
         for r in kmv_source_overlap(spark, str(dst)).collect()
     }
     dup_pair = rows[("src0", "srcX")]
-    assert dup_pair["jaccard_est"] >= 0.9, dup_pair
-    assert rows[("src1", "srcX")]["jaccard_est"] <= 0.1
+    # src0 is exactly 1/3 of srcX: true jaccard = 25/75
+    assert 0.15 <= dup_pair["jaccard_est"] <= 0.55, dup_pair
+    assert dup_pair["inter_est"] > 0
+    assert rows[("src4", "srcX")]["jaccard_est"] <= 0.1
     ok, msg = compare(
         kmv_source_overlap(spark, str(dst)),
         entry_mod.oracle_sql()["kmv_source_overlap"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
+
+
+def test_edit_distance_join_on_adversarial_alphabet(spark, tmp_path):
+    """Prefix-filter candidate completeness on a worst-case name
+    distribution: random two-letter-alphabet strings (every q-gram is
+    hot, lengths straddle the 6/7 boundary) must match the exhaustive
+    oracle exactly, and planted single-edit variants must be found."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(99)
+    names = {
+        "".join(rng.choice("ab") for _ in range(rng.randrange(6, 10)))
+        for _ in range(120)
+    }
+    names = sorted(names)
+    # planted pair: a known base and its single-substitution variant
+    names += ["abababab", "abababbb"]
+    rows = [(i + 1, n) for i, n in enumerate(names)]
+    dst = tmp_path / "sf_adv"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (p_partkey BIGINT, p_name VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute(
+        f"COPY (SELECT * FROM t) TO '{dst}/part.parquet' (FORMAT PARQUET)"
+    )
+    from stac_geoparquet_spark.operators.curation import edit_distance_join
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    got = edit_distance_join(spark, str(dst)).collect()
+    keys = {n: k for k, n in rows}
+    planted = tuple(
+        sorted((keys["abababab"], keys["abababbb"]))
+    )
+    assert planted in {(r["a_key"], r["b_key"]) for r in got}
+    ok, msg = compare(
+        edit_distance_join(spark, str(dst)),
+        entry_mod.oracle_sql()["edit_distance_join"],
         str(dst),
         strict=True,
     )
