@@ -185,6 +185,36 @@ SHOWCASE = [
         "might_contain prunes the fact scan BEFORE the join exchange — "
         "the shuffle-side sibling of dynamic partition pruning.",
     ),
+    (
+        "quality_repetition",
+        "Gopher repetition gate with the 2-gram rollup computed IN-ROW "
+        "(run lengths over the sorted gram array): one scan, zero "
+        "aggregates, zero Generate, zero shuffles — the explode -> "
+        "(doc, gram) count -> rollup form paid two corpus-sized "
+        "exchanges (measured 3.3x slower).",
+    ),
+    (
+        "semdedup_cells",
+        "SemDeDup: one scan of the ivf_cell-partitioned layout into a "
+        "grouped per-cell GEMM (FlatMapGroupsInPandas) — the quadratic "
+        "pair space is bounded per cell and never materializes through "
+        "Catalyst; the only exchange is the groupBy(cell) hash.",
+    ),
+    (
+        "edit_distance_join",
+        "AllPairs-style string-similarity join: candidates from an "
+        "equi-join on each name's q*tau+1 globally-rarest q-grams "
+        "(frequency table broadcast — bounded by charset^q), exact "
+        "Levenshtein verify on candidates only; the exhaustive oracle "
+        "re-proves candidate completeness every gate run.",
+    ),
+    (
+        "kmv_source_overlap",
+        "KMV set-intersection sketch: per-source bottom-K hash "
+        "sketches merged and re-cut at K — the cross-source overlap "
+        "estimate from keyed windows over (source, hash) distincts, "
+        "never a corpus-wide content join.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
