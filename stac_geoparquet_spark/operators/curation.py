@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stac_geoparquet_spark.operators.text import _sql_words, _words
+from stac_geoparquet_spark.operators.text import SQL_WS, _sql_jtrim, _sql_words, _words
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +345,7 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_SQL = f"""
 WITH n AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  SELECT doc_id, regexp_replace(lower({_sql_jtrim('text')}), '{SQL_WS}+', ' ', 'g') AS norm
   FROM documents WHERE text IS NOT NULL
 ),
 h AS (
@@ -473,10 +473,17 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and a catalog with heavily repeated names would otherwise make
     # the pair space quadratic in TABLE size instead of vocabulary
     # size (measured: 57 s at sf0.1 on raw rows vs sub-second on the
-    # 64-name distinct domain)
+    # 64-name distinct domain).  ASCII-only by contract: Spark's
+    # levenshtein counts CODEPOINTS while DuckDB's counts BYTES
+    # (levenshtein('日本','日本語') = 1 vs 3 — cross-engine fuzz
+    # finding), so cross-engine edit distance is only well-defined
+    # where byte == codepoint.
     p = (
         spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
-        .where(F.length("p_name") >= ED_MIN_LEN)
+        .where(
+            (F.length("p_name") >= ED_MIN_LEN)
+            & F.col("p_name").rlike("^[\\x00-\\x7f]*$")
+        )
         .groupBy("p_name")
         .agg(F.min("p_partkey").alias("k"))
         .select("k", F.col("p_name").alias("s"))
@@ -527,7 +534,9 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ED_JOIN_SQL = f"""
 WITH p AS (
   SELECT p_name AS s, min(p_partkey) AS k FROM part
-  WHERE length(p_name) >= {ED_MIN_LEN} GROUP BY p_name
+  WHERE length(p_name) >= {ED_MIN_LEN}
+    AND regexp_matches(p_name, '^[\\x00-\\x7f]*$')
+  GROUP BY p_name
 )
 SELECT a.k AS a_key, b.k AS b_key,
        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist

@@ -66,6 +66,15 @@ def _words(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+# oracle-side tokenizer fragment — text._sql_words, which carries the
+# Java-trim edge rule (Spark trim strips chars <= 0x20; DuckDB's
+# unicode trim diverges on edge NBSP/control chars — cross-engine fuzz
+# finding)
+from stac_geoparquet_spark.operators.text import _sql_words as _text_sql_words  # noqa: E402
+
+_SQL_WORDS = _text_sql_words()
+
+
 def _shingles_from_words(w: Column, k: int = SHINGLE_K) -> Column:
     """Distinct k-word shingles from a *materialized* words column.
 
@@ -225,9 +234,9 @@ _SHINGLE_CTE = f"""
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
-           range(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - {SHINGLE_K - 1}),
+           range(len({_SQL_WORDS}) - {SHINGLE_K - 1}),
            i -> array_to_string(
-                  (regexp_split_to_array(lower(trim(text)), '\\s+'))[i+1:i+{SHINGLE_K}],
+                  ({_SQL_WORDS})[i+1:i+{SHINGLE_K}],
                   ' ')
          )) AS shingle
   FROM documents
@@ -611,7 +620,7 @@ def _simhash_oracle_sql() -> str:
     return f"""
 WITH wd AS (
   SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         unnest({_SQL_WORDS}) AS w
   FROM documents WHERE text IS NOT NULL
 ),
 hashed AS (

@@ -37,8 +37,28 @@ def _words(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+# Java's \s char class, written out for RE2: Java regex \s is
+# [ \t\n\x0B\f\r] while RE2's \s is [ \t\n\f\r] — a vertical tab
+# (\x0b) splits tokens on Spark but not in a DuckDB '\s' oracle
+# (cross-engine fuzz finding).  Every oracle whitespace regex uses
+# this explicit class so both engines share Java's exact set.
+SQL_WS_CHARS = " \\t\\n\\x0b\\f\\r"
+SQL_WS = f"[{SQL_WS_CHARS}]"
+
+
+def _sql_jtrim(expr: str = "text") -> str:
+    """Spark-trim emulation for the DuckDB oracles: Spark's trim()
+    strips ONLY the ASCII space (0x20) at string edges, while DuckDB's
+    default trim() strips the Unicode Zs class — so a leading/trailing
+    NBSP survives Spark but not DuckDB's native trim (found by the
+    cross-engine fuzz, tests/test_cross_engine_fuzz.py).  The explicit
+    one-char trim set makes both engines share Spark's exact edge
+    rule; every oracle tokenizer trims through this fragment."""
+    return f"trim({expr}, ' ')"
+
+
 def _sql_words(expr: str = "text") -> str:
-    return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+    return f"regexp_split_to_array(lower({_sql_jtrim(expr)}), '{SQL_WS}+')"
 
 
 # --------------------------------------------------------------------------
@@ -108,7 +128,7 @@ def quality_score_expr() -> Column:
 
 
 QUALITY_SCORE_SQL = f"""round(least(len({_sql_words()}) / 100.0, 1.0) * 0.4
-  + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+  + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w{SQL_WS_CHARS}]', '', 'g')))
                  * 10.0 / nullif(length(text), 0), 1.0)) * 0.3
   + least(len(list_filter({_sql_words()}, x -> x IN ({{stop_in}})))
           * 5.0 / len({_sql_words()}), 1.0) * 0.3, 6)"""
@@ -147,8 +167,8 @@ WITH m AS (
          len({_sql_words()}) AS n_words,
          len(list_filter({_sql_words()}, x -> x IN ({_STOP_IN}))) AS n_stop,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+         length(text) - length(regexp_replace(text, '[^\\w{SQL_WS_CHARS}]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '{SQL_WS}+', '', 'g')) AS n_nonspace
   FROM documents
 )
 SELECT doc_id,
@@ -230,10 +250,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FINGERPRINT_SQL = """
+FINGERPRINT_SQL = f"""
 WITH n AS (
   SELECT doc_id,
-         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         regexp_replace(lower({_sql_jtrim('text')}), '{SQL_WS}+', ' ', 'g') AS norm
   FROM documents
 )
 SELECT doc_id,

@@ -1,0 +1,132 @@
+"""Batch cross-engine fuzz of the shared primitives: one generated
+corpus, ONE Spark job and ONE DuckDB query per property (hypothesis-
+style coverage without a JVM round-trip per example).
+
+Every text operator stands on the tokenizer contract
+(split(lower(trim(text)), '\\s+') == regexp_split_to_array(...)), and
+the edit-distance join stands on levenshtein() agreeing between the
+JVM and DuckDB — a silent divergence in either would shift dozens of
+oracles at once, so they get direct adversarial coverage here."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+_ALPHABETS = [
+    string.ascii_letters,
+    string.ascii_letters + "  \t\n",
+    string.printable,  # includes \x0b \x0c and punctuation
+    "ab   ",  # NBSP/em-space: unicode WS that is NOT Java-trim
+    "ab \x01\x1f",  # control chars: Java-trim but NOT unicode WS
+    "日本語 テスト中文字",
+    "aàâæçéñ øß ",
+]
+
+
+def _gen_strings(n: int = 400) -> list[str]:
+    rng = random.Random(20260814)
+    out = []
+    for i in range(n):
+        alpha = _ALPHABETS[i % len(_ALPHABETS)]
+        ln = rng.randrange(0, 40)
+        out.append("".join(rng.choice(alpha) for _ in range(ln)))
+    # deliberate edge shapes
+    out += ["", " ", "  \t ", "\n\n", "a", " a ", " ", "a b"]
+    return out
+
+
+def test_tokenizer_contract_agrees_cross_engine(spark):
+    """THE tokenizer pair (text._words vs text._sql_words) on
+    adversarial strings: the oracle side emulates Java's trim (chars
+    <= 0x20) because DuckDB's native trim strips UNICODE whitespace —
+    edge NBSP diverged until the oracle fragment switched to the
+    explicit class (found by this test)."""
+    from stac_geoparquet_spark.operators.text import _sql_words, _words
+
+    texts = _gen_strings()
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["w"]
+        for r in sdf.select("i", _words(F.col("t")).alias("w")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (exp,) = con.execute(
+            f"SELECT {_sql_words('?')}", [t]
+        ).fetchone()
+        assert got[i] == exp, (i, repr(t), got[i], exp)
+
+
+def test_levenshtein_agrees_cross_engine(spark):
+    rng = random.Random(777)
+    pairs = []
+    for _ in range(300):
+        a = "".join(rng.choice("abc x") for _ in range(rng.randrange(0, 15)))
+        b = "".join(rng.choice("abc x") for _ in range(rng.randrange(0, 15)))
+        pairs.append((a, b))
+    # ASCII only: Spark's levenshtein counts CODEPOINTS while DuckDB's
+    # counts BYTES (levenshtein('日本','日本語') = 1 vs 3), so the
+    # edit-distance join's contract restricts its domain to ASCII names
+    # — pinned by test_edit_distance_domain_is_ascii below.
+    pairs += [("", ""), ("", "abc"), ("same", "same")]
+    sdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a string, b string",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in sdf.select("i", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(pairs):
+        (exp,) = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()
+        assert got[i] == exp, (i, repr(a), repr(b), got[i], exp)
+
+
+def test_edit_distance_domain_is_ascii(spark, tmp_path):
+    """Non-ASCII names are excluded from the edit-distance join on
+    both engines (Spark levenshtein = codepoints, DuckDB = bytes; the
+    distance of a non-ASCII pair is engine-dependent), and the two
+    engines still agree on the remaining ASCII domain."""
+    import duckdb
+
+    rows = [
+        (1, "red widget"),
+        (2, "red widgex"),  # ed 1 from #1
+        (3, "日本語の部品名です"),
+        (4, "日本語の部品名です!"),  # ed 1 from #3 in codepoints
+        (5, "café widget"),
+        (6, "cafe widget"),
+    ]
+    dst = tmp_path / "ascii_dom"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (p_partkey BIGINT, p_name VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute(
+        f"COPY (SELECT * FROM t) TO '{dst}/part.parquet' (FORMAT PARQUET)"
+    )
+    from stac_geoparquet_spark.operators.curation import edit_distance_join
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    got = {
+        (r["a_key"], r["b_key"]) for r in edit_distance_join(spark, str(dst)).collect()
+    }
+    assert (1, 2) in got
+    assert not any(3 in p or 4 in p or 5 in p for p in got)
+    ok, msg = compare(
+        edit_distance_join(spark, str(dst)),
+        entry_mod.oracle_sql()["edit_distance_join"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
