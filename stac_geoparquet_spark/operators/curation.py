@@ -31,7 +31,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stac_geoparquet_spark.operators.text import SQL_WS, _sql_jtrim, _sql_words, _words
+from stac_geoparquet_spark.operators.text import (
+    SQL_WS,
+    _sql_jtrim,
+    _sql_lower,
+    _sql_words,
+    _words,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +351,7 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_SQL = f"""
 WITH n AS (
-  SELECT doc_id, regexp_replace(lower({_sql_jtrim('text')}), '{SQL_WS}+', ' ', 'g') AS norm
+  SELECT doc_id, regexp_replace({_sql_lower(_sql_jtrim('text'))}, '{SQL_WS}+', ' ', 'g') AS norm
   FROM documents WHERE text IS NOT NULL
 ),
 h AS (

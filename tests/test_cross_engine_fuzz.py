@@ -25,6 +25,8 @@ _ALPHABETS = [
     "ab \x01\x1f",  # control chars: Java-trim but NOT unicode WS
     "日本語 テスト中文字",
     "aàâæçéñ øß ",
+    "İstanbul ıİiI",  # JVM full-casing: lower('İ') = 'i' + U+0307
+    "ᲈᲉⰯꟀ \U00010570\U00010d50",  # utf8proc-lagging case pairs
 ]
 
 
