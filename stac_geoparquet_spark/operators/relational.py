@@ -470,10 +470,14 @@ GROUP BY date_trunc('hour', ts), event_type
 # Events: JSON property extraction (semi-structured column).
 # --------------------------------------------------------------------------
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # try_cast, not cast: a malformed payload ('{"k": 2.9}', '{"k":
+    # [1]}') must contribute NULL, not crash the job under ANSI mode
+    # (found by the malformed-props differential probe)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn(
-            "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+            "k",
+            F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"),
         )
         .groupBy("event_type")
         .agg(
@@ -483,10 +487,27 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_JSON_SQL = """
+# The oracle's extraction must match Spark's NULL-on-anything-weird
+# semantics exactly (probed case by case in the malformed-props
+# differential test):
+# - json_valid guard: DuckDB's ->> THROWS on malformed JSON where
+#   get_json_object returns NULL;
+# - the strict-integer regex: DuckDB TRY_CAST accepts '2.9' (rounds)
+#   and '1e2' where Spark's try_cast yields NULL;
+# - the trim: Spark's try_cast ignores surrounding whitespace.
+_J_RAW = (
+    "trim(CASE WHEN json_valid(props) THEN props ->> '$.k' END,"
+    " ' ' || chr(9) || chr(10) || chr(13))"
+)
+_J_K = (
+    f"TRY_CAST(CASE WHEN regexp_matches({_J_RAW}, '^[+-]?[0-9]+$')"
+    f" THEN {_J_RAW} END AS BIGINT)"
+)
+
+EVENTS_JSON_SQL = f"""
 SELECT event_type,
-       round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
-       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+       round(avg({_J_K}), 4) AS avg_k,
+       CAST(sum({_J_K}) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """

@@ -583,3 +583,62 @@ def test_weird_whitespace_oracle_agreement(spark, weird_ws_dir, name):
         q[name](spark, weird_ws_dir), o[name], weird_ws_dir, strict=True
     )
     assert ok, f"{name}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# malformed-props probe axis: production event payloads carry broken
+# JSON, non-integer values, duplicate keys, arrays — the extraction
+# must yield NULL on both engines, never crash (Spark's bare cast threw
+# under ANSI on '{"k": 2.9}'; DuckDB's ->> throws on invalid JSON).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def malformed_props_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_badjson")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT event_id, ts, user_id, event_type, value,
+              CASE event_id % 11
+                WHEN 0 THEN '{{'
+                WHEN 1 THEN ''
+                WHEN 2 THEN 'not json'
+                WHEN 3 THEN '{{"k": 2.9}}'
+                WHEN 4 THEN '{{"k": [1, 2]}}'
+                WHEN 5 THEN '{{"k": "7"}}'
+                WHEN 6 THEN '{{"k": null}}'
+                WHEN 7 THEN '{{"k": 1e2}}'
+                WHEN 8 THEN NULL
+                ELSE props END AS props
+            FROM read_parquet('{src}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "documents",
+        "embeddings",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+def test_malformed_props_oracle_agreement(spark, malformed_props_dir):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q["events_json_extract"](spark, malformed_props_dir),
+        o["events_json_extract"],
+        malformed_props_dir,
+        strict=True,
+    )
+    assert ok, f"events_json_extract: {msg}"
