@@ -133,8 +133,10 @@ def _registries():
         "embedding_quantize_int8",
         # (c) new this round
         *NEW_THIS_ROUND,
-        # (d) r1-green but churned since (283669f / a547ed0 NULL
-        # contracts) — re-verify under current code
+        # (d) previously-green but churned since their last driver row
+        # (NULL contracts; round-3 malformed-JSON hardening) —
+        # re-verify under current code
+        "events_json_extract",
         "events_hourly_rollup",
         "events_session_window",
         "asof_last_click_before_purchase",
