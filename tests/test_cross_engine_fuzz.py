@@ -132,3 +132,27 @@ def test_edit_distance_domain_is_ascii(spark, tmp_path):
         strict=True,
     )
     assert ok, msg
+
+
+def test_hash_slice_primitive_agrees_cross_engine(spark):
+    """The 60-bit hash idiom every dedup/sketch operator builds on:
+    Spark CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) must equal
+    DuckDB ('0x'||substr(md5(s),1,15))::BIGINT — on ASCII, unicode,
+    empty, and whitespace-heavy inputs."""
+    texts = _gen_strings(200)
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in sdf.selectExpr(
+            "i",
+            "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h",
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (exp,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
+        ).fetchone()
+        assert got[i] == exp, (i, repr(t))
