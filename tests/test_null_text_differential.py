@@ -530,7 +530,7 @@ def weird_ws_dir(tmp_path_factory):
     con = duckdb.connect()
     con.execute(
         f"""COPY (SELECT doc_id,
-              CASE doc_id % 9
+              CASE doc_id % 12
                 WHEN 0 THEN replace(text, ' ', chr(9))
                 WHEN 1 THEN replace(text, ' ', chr(10))
                 WHEN 2 THEN replace(text, ' ', '   ')
@@ -538,6 +538,10 @@ def weird_ws_dir(tmp_path_factory):
                 WHEN 4 THEN '  ' || chr(9) || chr(10) || ' '
                 WHEN 5 THEN replace(text, ' ', chr(160))
                 WHEN 6 THEN '日本語 テスト ' || text
+                WHEN 7 THEN chr(160) || text || chr(160)
+                WHEN 8 THEN replace(text, ' ', chr(11))
+                WHEN 9 THEN 'İstanbul ixİI ' || text || ' İ'
+                WHEN 10 THEN chr(1) || text || chr(31)
                 ELSE text END AS text,
               lang, source, n_chars
             FROM read_parquet('{src}/documents.parquet'))
