@@ -156,3 +156,47 @@ def test_hash_slice_primitive_agrees_cross_engine(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
         ).fetchone()
         assert got[i] == exp, (i, repr(t))
+
+
+def test_timestamp_primitives_agree_cross_engine(spark):
+    """hour extraction, hour truncation, and Monday-start week
+    truncation on random timestamps 1900-2090 (value-level compare;
+    DuckDB returns DATE for week-trunc — a type difference the
+    operator oracles handle with casts — and its dayofweek is
+    0-based)."""
+    import datetime
+
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(
+                microseconds=rng.randrange(-2_000_000_000, 3_800_000_000)
+                * 1_000_000
+                + rng.randrange(0, 1_000_000)
+            ),
+        )
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "i long, ts timestamp_ntz")
+    sp = {
+        r["i"]: (r["hr"], r["h"], r["wk"].date(), r["dow"])
+        for r in df.select(
+            "i",
+            F.hour("ts").alias("hr"),
+            F.date_trunc("hour", "ts").alias("h"),
+            F.date_trunc("week", "ts").alias("wk"),
+            F.dayofweek("ts").alias("dow"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, ts in rows:
+        hr, h, wk, dow = con.execute(
+            "SELECT extract(hour FROM ?::TIMESTAMP),"
+            " date_trunc('hour', ?::TIMESTAMP),"
+            " CAST(date_trunc('week', ?::TIMESTAMP) AS DATE),"
+            " dayofweek(?::TIMESTAMP)",
+            [ts, ts, ts, ts],
+        ).fetchone()
+        assert sp[i] == (hr, h, wk, dow + 1), (i, ts, sp[i], (hr, h, wk, dow))
