@@ -317,10 +317,14 @@ def winnow_fingerprint_sets(docs: DataFrame) -> DataFrame:
     engines (Spark's array_distinct keeps a [NULL] entry while
     DuckDB's list_distinct drops NULLs — a latent divergence found by
     NULL-injection differential testing)."""
+    from stac_geoparquet_spark.operators.text import jlower
+
     docs = docs.where(F.col("text").isNotNull())
-    norm = docs.selectExpr(
+    norm = docs.select(
         "doc_id",
-        r"regexp_replace(lower(trim(text)), '\\s+', ' ') AS norm",
+        F.regexp_replace(jlower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "norm"
+        ),
     )
     hashed = norm.selectExpr(
         "doc_id",

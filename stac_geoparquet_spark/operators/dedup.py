@@ -60,16 +60,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# shared text primitives (Spark side; the oracle mirrors each in DuckDB)
+# shared text primitives — BOTH sides come from text.py (the one
+# tokenizer-pair definition: Spark trim strips only the ASCII space,
+# the oracle fragment mirrors it via trim(x, ' ') and carries the
+# aligned whitespace class / case mapping — cross-engine fuzz
+# findings)
 # --------------------------------------------------------------------------
-def _words(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), r"\s+")
-
-
-# oracle-side tokenizer fragment — text._sql_words, which carries the
-# Java-trim edge rule (Spark trim strips chars <= 0x20; DuckDB's
-# unicode trim diverges on edge NBSP/control chars — cross-engine fuzz
-# finding)
+from stac_geoparquet_spark.operators.text import _words  # noqa: E402, F401
 from stac_geoparquet_spark.operators.text import _sql_words as _text_sql_words  # noqa: E402
 
 _SQL_WORDS = _text_sql_words()
@@ -230,16 +227,18 @@ def _jaccard_from_inter(inter: DataFrame, shh: DataFrame) -> DataFrame:
     )
 
 
+# words materialized ONCE in the inner projection: DuckDB does not CSE
+# into lambda bodies either, and the full tokenizer fragment (trim +
+# case-map translate + split) inlined in the per-gram lambda would
+# re-normalize the document once per shingle index
 _SHINGLE_CTE = f"""
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
-           range(len({_SQL_WORDS}) - {SHINGLE_K - 1}),
-           i -> array_to_string(
-                  ({_SQL_WORDS})[i+1:i+{SHINGLE_K}],
-                  ' ')
+           range(len(wds) - {SHINGLE_K - 1}),
+           i -> array_to_string(wds[i+1:i+{SHINGLE_K}], ' ')
          )) AS shingle
-  FROM documents
+  FROM (SELECT doc_id, {_SQL_WORDS} AS wds FROM documents)
 )
 """
 

@@ -472,12 +472,20 @@ GROUP BY date_trunc('hour', ts), event_type
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_cast, not cast: a malformed payload ('{"k": 2.9}', '{"k":
     # [1]}') must contribute NULL, not crash the job under ANSI mode
-    # (found by the malformed-props differential probe)
+    # (found by the malformed-props differential probe).  Payloads with
+    # RAW control characters are treated as invalid on BOTH engines:
+    # RFC 8259 forbids unescaped controls inside JSON strings and
+    # DuckDB's parser rejects them, while get_json_object is lenient —
+    # the contract follows the spec (escaped '\\u000b' forms still
+    # extract on both).
     ev = _t(spark, sf_dir, "events")
+    strict_props = F.when(
+        F.col("props").rlike("[\\x00-\\x1f]"), F.lit(None)
+    ).otherwise(F.col("props"))
     return (
         ev.withColumn(
             "k",
-            F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"),
+            F.get_json_object(strict_props, "$.k").try_cast("bigint"),
         )
         .groupBy("event_type")
         .agg(
@@ -494,10 +502,12 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   get_json_object returns NULL;
 # - the strict-integer regex: DuckDB TRY_CAST accepts '2.9' (rounds)
 #   and '1e2' where Spark's try_cast yields NULL;
-# - the trim: Spark's try_cast ignores surrounding whitespace.
+# - the trim: Spark's try_cast strips EXACTLY [\\x00-\\x20] (all ASCII
+#   controls + space; probed char-by-char, NOT unicode spaces) around
+#   the number, so the oracle strips the same class.
 _J_RAW = (
-    "trim(CASE WHEN json_valid(props) THEN props ->> '$.k' END,"
-    " ' ' || chr(9) || chr(10) || chr(13))"
+    "regexp_replace(CASE WHEN json_valid(props) THEN props ->> '$.k' END,"
+    " '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
 )
 _J_K = (
     f"TRY_CAST(CASE WHEN regexp_matches({_J_RAW}, '^[+-]?[0-9]+$')"

@@ -33,8 +33,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
 
+def jlower(col: Column) -> Column:
+    """THE Spark-side lowercasing for every oracle-paired text
+    operator: capital sigma is normalized to the NON-final form before
+    lower().  Java's toLowerCase applies the context-sensitive
+    Final_Sigma rule ('ΟΔΟΣ' -> 'οδος' with final ς) which utf8proc
+    maps unconditionally to σ and which no per-codepoint patch can
+    express — so the tokenizer CONTRACT normalizes Σ -> σ on BOTH
+    engines instead (the oracle twin is ``_sql_lower``)."""
+    return F.lower(F.regexp_replace(col, "Σ", "σ"))
+
+
 def _words(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    return F.split(jlower(F.trim(col)), r"\s+")
 
 
 # Java's \s char class, written out for RE2: Java regex \s is
@@ -96,9 +107,13 @@ _LOWER_DST = (
 
 def _sql_lower(expr: str) -> str:
     """JVM-lowercase emulation for the DuckDB oracles (see the patch
-    table above); every oracle lower() goes through this fragment."""
+    table above) — the oracle twin of ``jlower``: Σ is normalized to
+    non-final σ on both engines because Java's context-sensitive
+    Final_Sigma rule cannot be expressed by any per-codepoint mapping;
+    every oracle lower() goes through this fragment."""
     return (
-        f"lower(translate(replace({expr}, chr(304), chr(105) || chr(775)),"
+        "lower(translate(replace(replace("
+        f"{expr}, chr(931), chr(963)), chr(304), chr(105) || chr(775)),"
         f" '{_LOWER_SRC}', '{_LOWER_DST}'))"
     )
 
@@ -287,7 +302,7 @@ FROM scored
 # --------------------------------------------------------------------------
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(jlower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),

@@ -68,11 +68,10 @@ def incoming_signatures(docs: DataFrame) -> DataFrame:
         for s in range(NUM_HASHES)
     ]
     band_parts = band_parts_sql()
+    from stac_geoparquet_spark.operators.text import _words
+
     return (
-        docs.selectExpr(
-            "doc_id",
-            r"split(lower(trim(text)), '\\s+') AS w",
-        )
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
         .selectExpr(
             "doc_id",
             f"""array_distinct(

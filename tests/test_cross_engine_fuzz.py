@@ -26,6 +26,7 @@ _ALPHABETS = [
     "日本語 テスト中文字",
     "aàâæçéñ øß ",
     "İstanbul ıİiI",  # JVM full-casing: lower('İ') = 'i' + U+0307
+    "ΟΔΟΣ ΣΟΦΙΑΣ σοφίας Σ",  # Final_Sigma: normalized Σ->σ by contract
     "ᲈᲉⰯꟀ \U00010570\U00010d50",  # utf8proc-lagging case pairs
 ]
 
@@ -44,10 +45,12 @@ def _gen_strings(n: int = 400) -> list[str]:
 
 def test_tokenizer_contract_agrees_cross_engine(spark):
     """THE tokenizer pair (text._words vs text._sql_words) on
-    adversarial strings: the oracle side emulates Java's trim (chars
-    <= 0x20) because DuckDB's native trim strips UNICODE whitespace —
-    edge NBSP diverged until the oracle fragment switched to the
-    explicit class (found by this test)."""
+    adversarial strings: Spark's trim strips ONLY the ASCII space, so
+    the oracle side trims the explicit one-char set (DuckDB's native
+    trim strips Unicode Zs — edge NBSP diverged until the fragment
+    switched; found by this test).  Greek capital sigma exercises the
+    Final_Sigma normalization contract (S -> non-final form on both
+    engines)."""
     from stac_geoparquet_spark.operators.text import _sql_words, _words
 
     texts = _gen_strings()

@@ -602,7 +602,7 @@ def malformed_props_dir(tmp_path_factory):
     con = duckdb.connect()
     con.execute(
         f"""COPY (SELECT event_id, ts, user_id, event_type, value,
-              CASE event_id % 11
+              CASE event_id % 14
                 WHEN 0 THEN '{{'
                 WHEN 1 THEN ''
                 WHEN 2 THEN 'not json'
@@ -612,6 +612,10 @@ def malformed_props_dir(tmp_path_factory):
                 WHEN 6 THEN '{{"k": null}}'
                 WHEN 7 THEN '{{"k": 1e2}}'
                 WHEN 8 THEN NULL
+                WHEN 9 THEN '{{"k": " 42 "}}'
+                WHEN 10 THEN '{{"k": "' || chr(11) || '7"}}'
+                WHEN 11 THEN '{{"k": 1, "k": 2}}'
+                WHEN 12 THEN '{{"k": "+08"}}'
                 ELSE props END AS props
             FROM read_parquet('{src}/events.parquet'))
           TO '{dst}/events.parquet' (FORMAT PARQUET)"""
