@@ -132,9 +132,9 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-        if len(line) < 1900 or len(top) <= 20:
+        if len(line) < 1900 or not top:
             break
-        top = top[:-5]
+        top = top[:-5] if len(top) > 5 else top[:-1]
     assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
     print(line)
     spark.stop()

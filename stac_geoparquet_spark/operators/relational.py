@@ -498,6 +498,14 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle's extraction must match Spark's NULL-on-anything-weird
 # semantics exactly (probed case by case in the malformed-props
 # differential test):
+# - control-char guard: the Spark side nulls any payload containing a
+#   RAW control char [\\x00-\\x1f] ANYWHERE — including \\t/\\n/\\r used
+#   as structural whitespace between tokens, which json_valid would
+#   accept.  The oracle applies the IDENTICAL rejection so the two
+#   engines agree by construction (pretty-printed multi-line JSON is
+#   deliberately out of contract for this operator; escaped forms like
+#   '\\u000b' still extract on both).  Without this clause, DuckDB
+#   would extract from '{"k":\\n1}' while Spark nulls it.
 # - json_valid guard: DuckDB's ->> THROWS on malformed JSON where
 #   get_json_object returns NULL;
 # - the strict-integer regex: DuckDB TRY_CAST accepts '2.9' (rounds)
@@ -506,7 +514,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   controls + space; probed char-by-char, NOT unicode spaces) around
 #   the number, so the oracle strips the same class.
 _J_RAW = (
-    "regexp_replace(CASE WHEN json_valid(props) THEN props ->> '$.k' END,"
+    "regexp_replace(CASE WHEN regexp_matches(props, '[\\x00-\\x1f]')"
+    " THEN NULL"
+    " WHEN json_valid(props) THEN props ->> '$.k' END,"
     " '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
 )
 _J_K = (

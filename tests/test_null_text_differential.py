@@ -602,7 +602,7 @@ def malformed_props_dir(tmp_path_factory):
     con = duckdb.connect()
     con.execute(
         f"""COPY (SELECT event_id, ts, user_id, event_type, value,
-              CASE event_id % 14
+              CASE event_id % 17
                 WHEN 0 THEN '{{'
                 WHEN 1 THEN ''
                 WHEN 2 THEN 'not json'
@@ -616,6 +616,13 @@ def malformed_props_dir(tmp_path_factory):
                 WHEN 10 THEN '{{"k": "' || chr(11) || '7"}}'
                 WHEN 11 THEN '{{"k": 1, "k": 2}}'
                 WHEN 12 THEN '{{"k": "+08"}}'
+                -- structural whitespace between tokens: VALID JSON
+                -- (json_valid = true, ->> extracts) but raw controls,
+                -- so the shared control-char contract nulls it on BOTH
+                -- engines (advisor finding, round 4)
+                WHEN 13 THEN '{{"k":' || chr(10) || '1}}'
+                WHEN 14 THEN '{{"k":' || chr(9) || '2}}'
+                WHEN 15 THEN chr(13) || chr(10) || '{{"k": 3}}'
                 ELSE props END AS props
             FROM read_parquet('{src}/events.parquet'))
           TO '{dst}/events.parquet' (FORMAT PARQUET)"""
