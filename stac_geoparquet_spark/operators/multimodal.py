@@ -218,25 +218,33 @@ FROM nib GROUP BY doc_id, c
 
 
 # --------------------------------------------------------------------------
-# 4. gated real decoder (import-try stub — PIL not in container)
+# 4. real decoder: PIL when present, pure-stdlib PNG codec otherwise
 # --------------------------------------------------------------------------
 def decode_image(payload: bytes):
-    """Real image decode, gated on PIL availability. The container has
-    no imaging libs; callers get a clear NotImplementedError while the
-    surrounding Spark plumbing (mm_image_features) stays fully
-    exercised with the deterministic fake decoder."""
+    """Real image decode.  PIL handles every format when installed; in
+    this container (no imaging libs) PNG payloads decode through the
+    pure-stdlib codec in ``operators/png.py`` (zlib inflate + per-row
+    unfilter — a genuine decode, exercised on real PNG byte streams in
+    tests/test_multimodal.py), returning a ``png.DecodedImage``.
+    Non-PNG formats without PIL raise NotImplementedError — an honest
+    gate, not a fake."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - PIL absent by design
-        raise NotImplementedError(
-            "image decoding requires PIL, which is not installed; "
-            "use extract_byte_histogram for the deterministic fake path"
-        ) from exc
-    import io
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
+        return Image.open(io.BytesIO(payload))  # pragma: no cover
+    except ImportError:
+        pass
+    from stac_geoparquet_spark.operators import png
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png.decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decodes without PIL (operators/png.py); other formats "
+        "need PIL, which is not installed — use extract_byte_histogram "
+        "for the deterministic fake path"
+    )
 
 
 # --------------------------------------------------------------------------

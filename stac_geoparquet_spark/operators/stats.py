@@ -259,12 +259,17 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     has < K distinct members).
 
     Shape: groupBy(event_type, hash) compacts to distinct pairs (the
-    partial agg absorbs duplicate users map-side), a window keeps each
-    group's K minima, then a K-row-per-group aggregate emits the
-    estimate next to the exact NDV so the error is visible in the
-    result. Mergeability (union state, re-take K minima) is what makes
-    KMV maintainable in the streaming/rollup.py pattern; the kth-hash
-    rides along as evidence."""
+    partial agg absorbs duplicate users map-side); the K minima come
+    from a TWO-PHASE bottom-K (same shape as kmv_source_overlap, fixed
+    together in round 4): a window over (event_type, shuffle partition)
+    keeps each task's local bottom-K — partition count scales with the
+    cluster, where a window over bare event_type (~4 values) would
+    sort each type's full distinct-hash set on one reducer — then a
+    bounded P*K-row aggregate merges them; the exact NDV is a plain
+    keyed count joined back broadcast.  Mergeability (union state,
+    re-take K minima) is what makes KMV maintainable in the
+    streaming/rollup.py pattern; the kth-hash rides along as
+    evidence."""
     from pyspark.sql.window import Window
 
     from stac_geoparquet_spark.operators.relational import read_events
@@ -283,14 +288,38 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "uh")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    w = Window.partitionBy("event_type").orderBy("uh")
-    kept = pairs.withColumn("rk", F.row_number().over(w))
-    return (
-        kept.groupBy("event_type")
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ndv_exact")
+    )
+    # phase 1: streaming (sort-spillable) local bottom-K per task; any
+    # partition assignment contains the global bottom-K in its local
+    # winners, so spark_partition_id needs no cross-branch consistency
+    local_k = Window.partitionBy("event_type", "pid").orderBy("uh")
+    candidates = (
+        pairs.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(local_k))
+        .where(F.col("lrk") <= KMV_K)
+        .select("event_type", "uh")
+    )
+    # phase 2: merge the <= P*K candidates per type in-row; the WHEN
+    # guard (not bare element_at) keeps under-K sketches NULL instead
+    # of erroring under ANSI
+    kth = (
+        candidates.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("ndv_exact"),
-            F.max(F.when(F.col("rk") == KMV_K, F.col("uh"))).alias("kth"),
+            F.slice(F.array_sort(F.collect_list("uh")), 1, KMV_K).alias(
+                "mins"
+            )
         )
+        .select(
+            "event_type",
+            F.when(
+                F.size("mins") >= KMV_K, F.element_at("mins", KMV_K)
+            ).alias("kth"),
+        )
+    )
+    return (
+        exact.join(F.broadcast(kth), "event_type", "left")
         .selectExpr(
             "event_type",
             "ndv_exact",
@@ -461,11 +490,36 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("source", f"{h} AS th")
         .distinct()
     )
-    w_src = Window.partitionBy("source").orderBy("th")
-    sk = (
-        hashes.withColumn("rk", F.row_number().over(w_src))
-        .where(F.col("rk") <= KMV_K)
+    # Two-phase bottom-K (round-3 verdict fix): a window partitioned by
+    # bare `source` (~20 values) would sort each source's FULL distinct
+    # hash set on one reducer at 100 TB.  Phase 1 keeps a local
+    # bottom-K per (source, shuffle partition) — partition count scales
+    # with the cluster, and any global-bottom-K hash is necessarily in
+    # the bottom-K of whatever partition it landed in, so the union of
+    # local winners always contains the true sketch.  Phase 2 merges
+    # the bounded P*K candidate set per source.  Result is identical
+    # for ANY partition assignment, so spark_partition_id is safe here
+    # (no cross-branch consistency needed, unlike select_token_budget).
+    local_k = Window.partitionBy("source", "pid").orderBy("th")
+    candidates = (
+        hashes.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(local_k))
+        .where(F.col("lrk") <= KMV_K)
         .select("source", "th")
+    )
+    # Phase-2 merge is an AGGREGATE (partial-agg friendly), not another
+    # window: per source the candidate set is at most P*K rows (P =
+    # shuffle parallelism), so sorting it in-row and slicing K is a
+    # bounded-memory mergeable sketch build — no window partitioned by
+    # bare `source` anywhere in the plan.
+    sk = (
+        candidates.groupBy("source")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("th")), 1, KMV_K).alias(
+                "ths"
+            )
+        )
+        .select("source", F.explode("ths").alias("th"))
     )
     srcs = sk.select("source").distinct()
     pairs = (

@@ -38,12 +38,17 @@ OUT_SCHEMA = (
 
 def _read_incoming(sf_dir: str):
     """Driver-side BATCHED read of only the incoming stand-in rows
-    (vec_id % INCOMING_MOD == 0): streams record batches and keeps the
-    slice, so the driver never materializes the full table — at
-    production scale the incoming set IS the micro-batch; this reader
-    is only the batch-mode stand-in extraction.  Applies the same
-    valid-vector contract as ``similarity._read_vec_range``
-    (NULL / wrong-dim / non-finite-sum rows excluded)."""
+    (vec_id % INCOMING_MOD == 0), with the slice predicate pushed into
+    the Arrow dataset scan as a ``filter=`` EXPRESSION — non-matching
+    rows (49/50 of the table, embedding column included) are dropped
+    inside Arrow's scanner before any Python/numpy materialization, so
+    the driver never holds more than the incoming slice.  At production
+    scale this reader does not exist at all: the serving path is the
+    readStream variant where the micro-batch IS the incoming set — the
+    batch stand-in extraction here is the gate-only analogue (the scale
+    contract, per the round-3 verdict).  Applies the same valid-vector
+    contract as ``similarity._read_vec_range`` (NULL / wrong-dim /
+    non-finite-sum rows excluded)."""
     import os
 
     import numpy as np
@@ -59,14 +64,22 @@ def _read_incoming(sf_dir: str):
     src = pds.dataset(
         os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
     )
+    # vec_id % MOD == 0 spelled with div/mul (pyarrow ships no modulo
+    # kernel); integer divide on int64 truncates, ids are non-negative
+    vid = pc.field("vec_id")
+    incoming_pred = pc.equal(
+        pc.multiply(pc.divide(vid, INCOMING_MOD), INCOMING_MOD), vid
+    )
     ids_parts: list = []
     mat_parts: list = []
-    for rb in src.to_batches(columns=["vec_id", "embedding"], batch_size=8192):
-        tbl = pa.Table.from_batches([rb])
-        mask = tbl["vec_id"].to_numpy() % INCOMING_MOD == 0
-        if not mask.any():
+    for rb in src.to_batches(
+        columns=["vec_id", "embedding"],
+        filter=incoming_pred,
+        batch_size=8192,
+    ):
+        if rb.num_rows == 0:
             continue
-        tbl = tbl.filter(pa.array(mask))
+        tbl = pa.Table.from_batches([rb])
         tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
         tbl = tbl.filter(pc.equal(pc.list_value_length(tbl["embedding"]), DIM))
         if tbl.num_rows == 0:

@@ -156,3 +156,181 @@ def test_audio_energy_trailing_short_window(spark):
         ).fetchall()
     )
     assert duck == expect
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (round-4: real decode for the no-PIL container)
+# ---------------------------------------------------------------------------
+def _rand_pixels(n: int, seed: int) -> bytes:
+    # deterministic pseudo-random bytes without RNG state
+    out = bytearray()
+    x = seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters(channels):
+    """Encode with every row filter (None/Sub/Up/Average/Paeth) forced
+    in turn, decode, and require byte-exact pixels — covers each
+    unfilter branch against a genuine PNG byte stream."""
+    from stac_geoparquet_spark.operators.png import decode_png, encode_png
+
+    w, h = 7, 5
+    pixels = _rand_pixels(w * h * channels, seed=channels)
+    png_bytes = encode_png(w, h, channels, pixels, row_filters=[0, 1, 2, 3, 4])
+    img = decode_png(png_bytes)
+    assert (img.width, img.height, img.channels) == (w, h, channels)
+    assert img.pixels == pixels
+
+
+def test_png_palette_expansion():
+    """Hand-built palette (color type 3) PNG: indices expand through
+    PLTE to RGB."""
+    import struct
+    import zlib
+
+    from stac_geoparquet_spark.operators.png import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    # 3x2 image of indices, each row filter None
+    rows = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    img = decode_png(payload)
+    assert (img.width, img.height, img.channels) == (3, 2, 3)
+    assert img.pixel(0, 0) == (255, 0, 0)
+    assert img.pixel(1, 0) == (0, 255, 0)
+    assert img.pixel(2, 0) == (0, 0, 255)
+    assert img.pixel(0, 1) == (0, 0, 255)
+
+
+def test_png_out_of_scope_shapes_rejected():
+    import struct
+    import zlib
+
+    from stac_geoparquet_spark.operators.png import decode_png, encode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # interlaced
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+    # 16-bit depth
+    bad16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad16)
+    # truncated pixel data
+    short = encode_png(2, 2, 1, bytes(4))[:-20]
+    with pytest.raises(ValueError):
+        decode_png(short)
+
+
+def test_decode_image_falls_back_to_stdlib_png():
+    """Without PIL, decode_image must REALLY decode PNG payloads (the
+    round-3 gate closed) and still raise cleanly for other formats."""
+    from stac_geoparquet_spark.operators.multimodal import decode_image
+    from stac_geoparquet_spark.operators.png import encode_png
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stdlib fallback not exercised")
+    except ImportError:
+        pass
+    pixels = _rand_pixels(4 * 3 * 3, seed=9)
+    img = decode_image(encode_png(4, 3, 3, pixels))
+    assert (img.width, img.height, img.channels) == (4, 3, 3)
+    assert img.pixels == pixels
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_png_resize_nearest():
+    from stac_geoparquet_spark.operators.png import (
+        DecodedImage,
+        resize_nearest,
+    )
+
+    # 2x2 gray checkerboard -> 4x4 block-doubled
+    img = DecodedImage(2, 2, 1, bytes([0, 255, 255, 0]))
+    up = resize_nearest(img, 4, 4)
+    assert up.pixels == bytes(
+        [0, 0, 255, 255, 0, 0, 255, 255, 255, 255, 0, 0, 255, 255, 0, 0]
+    )
+    down = resize_nearest(up, 2, 2)
+    assert down.pixels == img.pixels
+    with pytest.raises(ValueError):
+        resize_nearest(img, 0, 2)
+
+
+def test_png_decode_inside_spark_worker(spark):
+    """The real decode runs where it will in production: inside a
+    mapInPandas closure over a binary payload column (self-contained
+    imports per the worker-closure rule)."""
+    import pandas as pd
+
+    from stac_geoparquet_spark.operators.png import encode_png
+
+    rows = [
+        (i, encode_png(2 + i, 3, 3, _rand_pixels((2 + i) * 3 * 3, seed=i)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    def decode(batches):
+        from stac_geoparquet_spark.operators.png import decode_png
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["channels"].append(img.channels)
+            yield pd.DataFrame(out)
+
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in df.repartition(2).mapInPandas(
+            decode, "doc_id bigint, width int, height int, channels int"
+        ).collect()
+    }
+    assert got == {i: (2 + i, 3, 3) for i in range(4)}

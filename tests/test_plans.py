@@ -758,3 +758,25 @@ def test_bloom_filter_pushed_into_fact_scan(spark, sf):
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
     assert n_ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_kmv_overlap_two_phase_bottom_k(spark, sf):
+    """The per-source KMV sketch build is the two-phase bottom-K
+    (round-3 verdict fix): phase 1 windows over (source, shuffle
+    partition id) — partition count scales with the cluster — and
+    phase 2 merges the bounded P*K candidates with an AGGREGATE; no
+    window anywhere partitions by bare `source` (which would sort a
+    source's full distinct-hash set on one reducer).  The remaining
+    (src_a, src_b) window runs over <= 2K merged sketch rows per pair —
+    bounded input, allowlisted."""
+    import re
+
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.kmv_source_overlap(spark, sf))
+    # phase 1: partition spec is (source, pid)
+    assert re.search(r"windowspecdefinition\(source#\d+, pid#", plan)
+    # the old single-phase shape: a window partitioned by source alone,
+    # ordering by th — must not reappear
+    assert not re.search(r"windowspecdefinition\(source#\d+, th#", plan)
+    assert n_ops(plan, "CartesianProduct") == 0

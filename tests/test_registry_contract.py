@@ -52,3 +52,80 @@ def test_query_output_schema_is_scalar_only(spark, name):
         f"{name}: row-at-a-time Python UDF — use built-ins or an "
         "Arrow-batched pandas path"
     )
+    _assert_no_bounded_cardinality_window(name, plan)
+
+
+# Column names whose value domain does NOT grow with the data: a window
+# partitioned ONLY by such keys has a fixed partition count, so each
+# partition's sorted run grows O(N) — a single-reducer hotspot at 100 TB
+# (the round-3 verdict class: select_token_budget's 64-band key,
+# kmv_source_overlap's bare-source bottom-K; this sweep also caught
+# sketch_kmv_distinct's bare event_type window).  A tuple passes if ANY
+# of its keys scales with the data (doc_id, hashes, user_id, pid, ...).
+_BOUNDED_KEYS = {
+    "band",
+    "source",
+    "src_a",
+    "src_b",
+    "lang",
+    "language",
+    "event_type",
+    "query_id",
+    "o_orderpriority",
+    "o_orderstatus",
+    "c_mktsegment",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "r_name",
+    "n_name",
+    "priority",
+    "status",
+    "segment",
+    "flag",
+}
+
+# Windows whose partition key IS statically bounded but whose INPUT is
+# already bounded by construction — each entry documents why the sorted
+# run per partition cannot grow O(N).
+_BOUNDED_WINDOW_ALLOWLIST = {
+    # merged KMV sketches: <= 2K rows per (src_a, src_b) pair by
+    # construction (union of two K-minimum sketches)
+    ("kmv_source_overlap", ("src_a", "src_b")),
+    # per-query scored candidates are pruned before the ranking window:
+    # LSH bucket candidates / probed IVF cells, not the full corpus
+    ("ann_lsh_bucketed", ("query_id",)),
+    ("ann_ivf_probe", ("query_id",)),
+    ("ann_pq_adc", ("query_id",)),
+    # the documented brute-force BASELINE (the scale path is ann_*);
+    # its global scoring pass is the point of the operator
+    ("knn_brute_force", ("query_id",)),
+}
+
+
+def _assert_no_bounded_cardinality_window(name: str, plan: str) -> None:
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        keys = []
+        for tok in m.group(1).split(", "):
+            if (
+                " ASC" in tok
+                or " DESC" in tok
+                or tok.startswith("specifiedwindowframe")
+            ):
+                break
+            keys.append(re.sub(r"#\d+L?$", "", tok.strip()))
+        if not keys:
+            # unpartitioned window: only legal over tiny aggregates
+            # (offset tables, gap-fill hour spines) — covered by the
+            # per-operator SinglePartition plan pins, skip here
+            continue
+        if all(k in _BOUNDED_KEYS for k in keys):
+            assert (name, tuple(keys)) in _BOUNDED_WINDOW_ALLOWLIST, (
+                f"{name}: window partitioned only by statically-bounded "
+                f"key(s) {keys} — each partition's sorted run grows O(N) "
+                "at scale; use a two-phase form over a scaling key "
+                "(spark_partition_id / doc_id-div buckets) or allowlist "
+                "with a bounded-input justification"
+            )
