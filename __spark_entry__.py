@@ -97,64 +97,45 @@ def _registries():
         pool.update(q)
         pool_oracle.update(o)
 
-    # Round-3 window: (a) the 21 entries parked past position 50 in both
-    # prior rounds — no driver row ever; (b) the round-2 red row
-    # embedding_quantize_int8, fixed this round (array<int> -> CSV);
-    # (c) queries added this round; (d) re-verification of the r1-green
-    # relational entries whose semantics changed AFTER their r1 rows
-    # were recorded (the NULL-contract commits touched the time-ordered
-    # event operators + the daily moving average); (e) filler from the
-    # r1 set, oldest signal first.  Everything else keeps pool order
-    # behind the window.
+    # Round-4 window (r03 verdict task #1 — staleness-driven): (a) new
+    # or changed THIS round, so their rows postdate the code; (b) the
+    # families whose r02 rows predate the round-3 tokenizer/lower/
+    # shingle contract commits (6d0e7b6/d877c59/cd1d632); (c) the
+    # r01-only entries, oldest hard signal first, in r01 order — the
+    # 8 that don't fit (q2/q4/q8/q11/q15/q16/q20/q21) rotate in r05.
+    # tools/gen_ledger.py renders the staleness table this list is
+    # built from.  Everything else keeps pool order behind the window.
     window = [
-        # (a) never driver-evaluated
-        "pagerank_neardup_graph",
-        "skew_salted_flag_join",
-        "dq_report",
-        "layout_zorder_cells",
-        "bucketed_colocated_join",
-        "rebalance_by_lang",
-        "source_mixture_weights",
-        "corpus_yield_funnel",
-        "embedding_class_profile",
-        "pq_encode_codes",
-        "ann_pq_adc",
-        "text_zipf_slope",
-        "cross_lang_contamination",
-        "dedup_substring_spans",
-        "bpe_merge_candidates",
-        "fingerprint_winnowing",
-        "decontam_incremental",
-        "mm_audio_energy",
-        "sketch_cms_heavy_hitters",
-        "bloom_filter_semijoin",
-        "dq_corpus_report",
-        # (b) round-2 red row, output schema fixed this round
-        "embedding_quantize_int8",
-        # (c) new this round
+        # (a) new or changed this round
         *NEW_THIS_ROUND,
-        # (d) previously-green but churned since their last driver row
-        # (NULL contracts; round-3 malformed-JSON hardening) —
-        # re-verify under current code
+        "select_token_budget",
+        "kmv_source_overlap",
+        "sketch_kmv_distinct",
         "events_json_extract",
-        "events_hourly_rollup",
-        "events_session_window",
-        "asof_last_click_before_purchase",
-        "moving_avg_daily_revenue",
-        "rolling_24h_user_value",
-        "range_join_clicks_before_purchase",
-        "gapfill_hourly_purchases",
-        # (e) filler: r1 entries in original order (oldest hard signal)
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "agg_orders_by_priority",
-        "join_customers_per_region",
-        "window_topk_orders_per_customer",
-        "semi_join_active_customers",
-        "anti_join_inactive_customers",
-        "intersect_nations",
-        "rollup_customers",
+        "semdedup_incremental",
+        "mm_image_features",
+        "mm_resize",
+        # (b) churned in r03 after their r02 rows were recorded
+        "text_token_count",
+        "text_tfidf_top_terms",
+        "text_quality_score",
+        "text_lang_id",
+        "text_fingerprint",
+        "split_train_holdout",
+        "vocab_top_terms",
+        "doc_length_buckets",
+        "text_unigram_logppl",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_cluster_cc",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_survivors",
+        "quality_repetition",
+        "events_sessionize",
+        "dedup_incremental_minhash",
+        # (c) r01-only rows, oldest first
         "parts_above_avg_price",
         "topk_orders_global",
         "q6_forecast_revenue",
@@ -165,6 +146,19 @@ def _registries():
         "q14_promo_effect",
         "q17_small_qty_revenue",
         "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q22_idle_customers",
+        "cube_lineitem_flags",
+        "pivot_status_by_priority",
+        "percentile_prices_by_priority",
+        "except_open_not_finished",
+        "approx_distinct_parts",
+        "approx_percentile_prices",
+        "unpivot_flag_metrics",
+        "scd2_customer_segments",
+        "q12_ship_delay_priority",
+        "grouping_sets_revenue",
+        "histogram_totalprice",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -180,16 +174,7 @@ def _registries():
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
 NEW_THIS_ROUND: list[str] = [
-    "decontam_bloom_semijoin",
-    "dsir_importance_weights",
-    "select_token_budget",
-    "text_bigram_entropy",
-    "semdedup_cells",
-    "events_k_anonymity",
-    "semdedup_incremental",
-    "edit_distance_join",
-    "kmv_source_overlap",
-    "entity_resolution_parts",
+    "dedup_substring_removal",
 ]
 
 

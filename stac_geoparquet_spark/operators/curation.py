@@ -599,7 +599,122 @@ FROM lab
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-doc duplicated-span REMOVAL (the Lee et al. 2022 ExactSubstr
+# class, round-3 verdict stretch item): dedup_substring_spans MARKS
+# duplicated spans; this operator actually removes them and rebuilds
+# the cleaned text.  Deterministic, exactly-SQL-checkable contract:
+# each doc splits into non-overlapping TILE_K-char tiles; a tile whose
+# content appears in more than one doc survives ONLY in the
+# lowest-doc_id holder (the canonical occurrence — every occurrence in
+# that doc survives, cross-doc removal only); the kept tiles re-concat
+# in order into the cleaned text, reported as (kept_len, md5) so the
+# output stays scalar while proving the reconstruction byte-for-byte.
+#
+# Scale shape: explode -> ONE hash-partitioned window over the tile
+# hash (key cardinality grows with the corpus — sweep-safe) -> one
+# doc-keyed rollup.  No pairwise candidate join anywhere: duplicate
+# discovery is hash grouping, so the plan is linear in corpus size
+# where a match-pairs formulation would be quadratic in hot spans
+# (plan-pinned: zero joins, no cartesian).  The grid is coarser than a
+# suffix-array ExactSubstr pass (only tile-aligned duplicates are
+# removed) — that is the documented contract; unaligned near-dup spans
+# are DETECTED by fingerprint_winnowing / dedup_substring_spans and
+# handled at doc granularity by the minhash family.
+# --------------------------------------------------------------------------
+TILE_K = SPAN_K  # 40-char tiles, same width the span marker uses
+
+
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    # length > 0 guarantees >= 1 tile, so the sequence is never
+    # degenerate (Spark's sequence(1, 0) counts DOWN — see the verify
+    # gotchas); the last tile may be short, which substring handles on
+    # both engines
+    n_tiles = F.ceil(F.length("text") / F.lit(float(TILE_K))).cast("bigint")
+    tiles = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), n_tiles)).alias("tile_idx"),
+        )
+        .select(
+            "doc_id",
+            "tile_idx",
+            F.expr(
+                f"substring(text, CAST((tile_idx - 1) * {TILE_K} + 1 AS INT),"
+                f" {TILE_K})"
+            ).alias("tile"),
+        )
+        .withColumn("h", F.md5("tile"))
+    )
+    w = Window.partitionBy("h")
+    flagged = (
+        tiles.withColumn("canon", F.min("doc_id").over(w))
+        .withColumn("xdup", F.min("doc_id").over(w) != F.max("doc_id").over(w))
+        .withColumn(
+            "keep", ~(F.col("xdup") & (F.col("doc_id") != F.col("canon")))
+        )
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("tile_idx", "tile"))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_removed"),
+        # collect_list skips the NULL non-kept entries; struct sort
+        # orders by tile_idx (first field), rebuilding document order
+        F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+    )
+    cleaned = F.concat_ws(
+        "", F.transform(F.col("kept"), lambda x: x["tile"])
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tiles",
+        "n_removed",
+        F.length(cleaned).cast("bigint").alias("kept_len"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+SUBSTR_REMOVAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+tiles AS (
+  SELECT doc_id, i AS tile_idx,
+         substring(text, CAST((i - 1) * {TILE_K} + 1 AS INT), {TILE_K}) AS tile
+  FROM base,
+       unnest(range(1, CAST(ceil(length(text) * 1.0 / {TILE_K}) AS BIGINT)
+                       + 1)) AS t(i)
+),
+h AS (SELECT doc_id, tile_idx, tile, md5(tile) AS hh FROM tiles),
+marks AS (
+  SELECT hh, min(doc_id) AS canon, min(doc_id) <> max(doc_id) AS xdup
+  FROM h GROUP BY hh
+),
+flagged AS (
+  SELECT doc_id, tile_idx, tile,
+         NOT (xdup AND doc_id <> canon) AS keep
+  FROM h JOIN marks USING (hh)
+)
+SELECT doc_id,
+       count(*) AS n_tiles,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(coalesce(length(string_agg(CASE WHEN keep THEN tile END, ''
+                                       ORDER BY tile_idx)), 0) AS BIGINT)
+         AS kept_len,
+       md5(coalesce(string_agg(CASE WHEN keep THEN tile END, ''
+                               ORDER BY tile_idx), '')) AS cleaned_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 QUERIES_ROTATION = {
+    "dedup_substring_removal": dedup_substring_removal,
     "edit_distance_join": edit_distance_join,
     "entity_resolution_parts": entity_resolution_parts,
     "text_zipf_slope": text_zipf_slope,
@@ -610,6 +725,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "dedup_substring_removal": SUBSTR_REMOVAL_SQL,
     "edit_distance_join": ED_JOIN_SQL,
     "entity_resolution_parts": _er_parts_oracle_sql(),
     "text_zipf_slope": ZIPF_SQL,

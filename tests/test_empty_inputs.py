@@ -27,6 +27,7 @@ SAMPLE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_substring_spans",
+    "dedup_substring_removal",
     "dedup_embedding_cosine",
     "semdedup_cells",
     "semdedup_incremental",

@@ -478,3 +478,57 @@ def test_edit_distance_join_on_adversarial_alphabet(spark, tmp_path):
         strict=True,
     )
     assert ok, msg
+
+
+def test_substring_removal_canonical_keeps_others_lose(spark, tmp_path):
+    """Inject an identical tile-aligned 40-char span into three docs:
+    the lowest doc_id keeps it, the others drop exactly that tile, and
+    the reported md5 equals the locally reconstructed cleaned text."""
+    import hashlib
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.curation import (
+        TILE_K,
+        dedup_substring_removal,
+    )
+
+    shared = "S" * TILE_K
+    texts = {
+        1: shared + "a" * TILE_K,          # canonical holder
+        2: shared + "b" * (TILE_K // 2),   # loses tile 1
+        3: "c" * TILE_K + shared,          # loses tile 2 (aligned)
+        4: "d" * 25,                       # untouched short doc
+    }
+    dst = tmp_path / "sf"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'en', 'src', {len(t)})" for i, t in texts.items()
+        )
+        + ") v(doc_id, text, lang, source, n_chars)) TO '"
+        + str(dst / "documents.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_substring_removal(spark, str(dst)).collect()
+    }
+    expect_clean = {
+        1: texts[1],
+        2: "b" * (TILE_K // 2),
+        3: "c" * TILE_K,
+        4: texts[4],
+    }
+    for i, clean in expect_clean.items():
+        assert rows[i]["kept_len"] == len(clean), i
+        assert (
+            rows[i]["cleaned_md5"]
+            == hashlib.md5(clean.encode()).hexdigest()
+        ), i
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["n_removed"] == 1
+    assert rows[3]["n_removed"] == 1
+    assert rows[4]["n_removed"] == 0

@@ -30,6 +30,7 @@ SAMPLE = [
     "text_bigram_entropy",
     "pack_sequences",
     "dedup_substring_spans",
+    "dedup_substring_removal",
     "fingerprint_winnowing",
     "mm_image_features",
     "mm_resize",

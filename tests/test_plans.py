@@ -780,3 +780,19 @@ def test_kmv_overlap_two_phase_bottom_k(spark, sf):
     # ordering by th — must not reappear
     assert not re.search(r"windowspecdefinition\(source#\d+, th#", plan)
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_substring_removal_no_pairwise_join(spark, sf):
+    """Duplicate-span REMOVAL discovers duplicates by hash grouping,
+    never by pairwise candidate matching: one documents scan, one
+    window over the tile hash (corpus-scaling key), one doc-keyed
+    rollup — zero joins, zero cartesians."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.dedup_substring_removal(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
+    assert "hashpartitioning(h#" in plan
+    assert n_ops(plan, "Window") == 1
