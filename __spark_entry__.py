@@ -175,6 +175,7 @@ def _registries():
 # row, so they go straight into the 50-entry window.
 NEW_THIS_ROUND: list[str] = [
     "dedup_substring_removal",
+    "cap_docs_per_source",
 ]
 
 

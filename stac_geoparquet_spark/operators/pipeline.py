@@ -1074,17 +1074,119 @@ UNION ALL SELECT 4, 'train_split', c4 FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# per-source document cap: keep at most CAP_M docs per source, best
+# quality first (ties by doc_id) — the "domain quota" curation pass
+# that stops a crawl-heavy source from dominating the mix.  Grouped
+# top-K without a per-group sort: phase 1 takes a local top-M per
+# (source, shuffle partition) — any partition's local winners contain
+# every global winner — phase 2 merges the bounded P*M candidates per
+# source into the M-th-best (neg_q, doc_id) threshold pair, and the
+# corpus joins the tiny per-source threshold table broadcast; selected
+# = key <= threshold (keys are unique, so this IS rank <= M).  No
+# window partitioned by a bounded key anywhere (registry sweep class).
+# --------------------------------------------------------------------------
+CAP_M = 10  # docs kept per source (binds at the sf0.01 gate: ~25 valid docs/source)
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators.text import quality_score_expr
+
+    per_doc = (
+        _docs(spark, sf_dir)
+        .where(
+            F.col("text").isNotNull()
+            & (F.length("text") > 0)
+            & F.col("source").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round(quality_score_expr(), 6).alias("q"),
+        )
+        .where(F.col("q").isNotNull())
+    )
+    key = F.struct((-F.col("q")).alias("nq"), F.col("doc_id").alias("d"))
+    local_w = Window.partitionBy("source", "pid").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    candidates = (
+        per_doc.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(local_w))
+        .where(F.col("lrk") <= CAP_M)
+        .select("source", key.alias("k"))
+    )
+    thresholds = (
+        candidates.groupBy("source")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("k")), 1, CAP_M).alias(
+                "best"
+            )
+        )
+        .select(
+            "source",
+            F.when(
+                F.size("best") >= CAP_M, F.element_at("best", CAP_M)
+            ).alias("thr"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(thresholds), "source")
+        .select(
+            "doc_id",
+            "source",
+            "q",
+            (F.col("thr").isNull() | (key <= F.col("thr"))).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+CAP_SQL = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         {{score}} AS q
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0 AND source IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source, q,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+           AS rk
+  FROM m WHERE q IS NOT NULL
+)
+SELECT doc_id, source, q, rk <= {{cap}} AS selected
+FROM r
+"""
+
+
+def _cap_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.text import (
+        _STOP_IN,
+        QUALITY_SCORE_SQL,
+    )
+
+    return CAP_SQL.format(
+        score=QUALITY_SCORE_SQL.format(stop_in=_STOP_IN), cap=CAP_M
+    )
+
+
 # Rotation block: locally strict-gated like everything else, but
 # registered AFTER the 50-entry driver window this round (see
 # __spark_entry__._registries) — they rotate into the window next
 # round.
 QUERIES_ROTATION = {
+    "cap_docs_per_source": cap_docs_per_source,
     "rebalance_by_lang": rebalance_by_lang,
     "source_mixture_weights": source_mixture_weights,
     "corpus_yield_funnel": corpus_yield_funnel,
 }
 
 ORACLE_ROTATION = {
+    "cap_docs_per_source": _cap_oracle_sql(),
     "rebalance_by_lang": REBALANCE_SQL,
     "source_mixture_weights": MIXTURE_SQL,
     "corpus_yield_funnel": YIELD_FUNNEL_SQL,

@@ -36,6 +36,7 @@ SAMPLE = [
     "decontam_incremental",
     "dsir_importance_weights",
     "select_token_budget",
+    "cap_docs_per_source",
     "text_bigram_entropy",
     "corpus_yield_funnel",
     "pack_sequences",

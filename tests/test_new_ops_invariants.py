@@ -532,3 +532,26 @@ def test_substring_removal_canonical_keeps_others_lose(spark, tmp_path):
     assert rows[2]["n_removed"] == 1
     assert rows[3]["n_removed"] == 1
     assert rows[4]["n_removed"] == 0
+
+
+def test_cap_per_source_keeps_exactly_top_m(spark):
+    """Per source: exactly min(CAP_M, n_valid_docs) selected, and every
+    selected doc quality-dominates every rejected doc of the same
+    source under the (q desc, doc_id) greedy order."""
+    from stac_geoparquet_spark.operators.pipeline import (
+        CAP_M,
+        cap_docs_per_source,
+    )
+
+    rows = cap_docs_per_source(spark, "/root/testdata/sf0.01").collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        sel = [r for r in rs if r["selected"]]
+        assert len(sel) == min(CAP_M, len(rs)), src
+        worst_sel = min((r["q"], -r["doc_id"]) for r in sel)
+        for r in rs:
+            if not r["selected"]:
+                assert (r["q"], -r["doc_id"]) < worst_sel, (src, r)

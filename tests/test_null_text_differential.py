@@ -27,6 +27,7 @@ SAMPLE = [
     "decontam_bloom_semijoin",
     "dsir_importance_weights",
     "select_token_budget",
+    "cap_docs_per_source",
     "text_bigram_entropy",
     "pack_sequences",
     "dedup_substring_spans",

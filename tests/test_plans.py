@@ -796,3 +796,21 @@ def test_substring_removal_no_pairwise_join(spark, sf):
         assert n_ops(plan, j) == 0
     assert "hashpartitioning(h#" in plan
     assert n_ops(plan, "Window") == 1
+
+
+def test_cap_per_source_two_phase_no_bare_source_window(spark, sf):
+    """The per-source quota is a grouped top-K without a per-group
+    sort: the only window partitions by (source, shuffle partition),
+    the M-th-best threshold table joins back broadcast, and no window
+    partitions by bare source (the bounded-key class the registry
+    sweep rejects)."""
+    import re
+
+    from stac_geoparquet_spark.operators import pipeline as pl
+
+    plan = plan_of(pl.cap_docs_per_source(spark, sf))
+    assert re.search(r"windowspecdefinition\(source#\d+, pid#", plan)
+    assert not re.search(r"windowspecdefinition\(source#\d+, q#", plan)
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
