@@ -47,6 +47,7 @@ def _registries():
     )
     from stac_geoparquet_spark.streaming import decontam as streaming_decontam
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
+    from stac_geoparquet_spark.streaming import quota as streaming_quota
     from stac_geoparquet_spark.streaming import rollup as streaming_rollup
     from stac_geoparquet_spark.streaming import semdedup as streaming_semdedup
 
@@ -83,6 +84,7 @@ def _registries():
         (curation.QUERIES_ROTATION, curation.ORACLE_ROTATION),
         (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
         (streaming_semdedup.QUERIES, streaming_semdedup.ORACLE),
+        (streaming_quota.QUERIES, streaming_quota.ORACLE),
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
         (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
         (scan_opt.QUERIES_ROTATION, scan_opt.ORACLE_ROTATION),
@@ -102,7 +104,8 @@ def _registries():
     # families whose r02 rows predate the round-3 tokenizer/lower/
     # shingle contract commits (6d0e7b6/d877c59/cd1d632); (c) the
     # r01-only entries, oldest hard signal first, in r01 order — the
-    # 8 that don't fit (q2/q4/q8/q11/q15/q16/q20/q21) rotate in r05.
+    # ones past the 50-cut (q2/q4/q8/q11/q15/q16/q20/q21 + the trimmed
+    # list tail) rotate in r05.
     # tools/gen_ledger.py renders the staleness table this list is
     # built from.  Everything else keeps pool order behind the window.
     window = [
@@ -176,6 +179,7 @@ def _registries():
 NEW_THIS_ROUND: list[str] = [
     "dedup_substring_removal",
     "cap_docs_per_source",
+    "source_quota_incremental",
 ]
 
 

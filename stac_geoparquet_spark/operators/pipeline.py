@@ -1112,6 +1112,18 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_w = Window.partitionBy("source", "pid").orderBy(
         F.desc("q"), F.asc("doc_id")
     )
+    # Plan-shape note: the candidate branch and the flagging branch
+    # both re-evaluate the quality-score projection above the ONE
+    # reused scan exchange (text is read once).  Deduping the CPU would
+    # need a materialization boundary ABOVE the score, and an exchange
+    # there cannot be AQE-reused because its subtree would contain the
+    # non-deterministic spark_partition_id (verified: only exchanges
+    # BELOW the pid projection reuse, cf. select_token_budget where the
+    # range exchange sits under pid).  A forced slim-row repartition
+    # would trade the duplicate scoring CPU for a full extra shuffle —
+    # at corpus scale the recompute is the cheaper side, and unlike the
+    # prefix sum, correctness here never needs cross-branch pid
+    # consistency (ANY partition's local top-M contains every winner).
     candidates = (
         per_doc.withColumn("pid", F.spark_partition_id())
         .withColumn("lrk", F.row_number().over(local_w))

@@ -814,3 +814,18 @@ def test_cap_per_source_two_phase_no_bare_source_window(spark, sf):
     assert n_ops(plan, "BroadcastHashJoin") == 1
     assert n_ops(plan, "SortMergeJoin") == 0
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_source_quota_two_phase_no_bare_source_window(spark, sf):
+    """The batch quota stand-in is the two-phase first-M: the only
+    window partitions by (source, shuffle partition); the threshold
+    joins back broadcast."""
+    import re
+
+    from stac_geoparquet_spark.streaming import quota
+
+    plan = plan_of(quota.source_quota_incremental(spark, sf))
+    assert re.search(r"windowspecdefinition\(source#\d+, pid#", plan)
+    assert not re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "CartesianProduct") == 0

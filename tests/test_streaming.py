@@ -438,3 +438,53 @@ def test_stream_semdedup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert any(v == 100 for v, _ in batch), "injected dup must be found"
+
+
+def test_stream_source_quota_matches_batch(spark, tmp_path, sf_dir):
+    """Arrival-order per-source quota: the applyInPandasWithState
+    stream over id-ordered files admits exactly the docs the batch
+    stand-in admits, across multiple micro-batches (state carries the
+    running count between batches)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.streaming.quota import (
+        source_quota_incremental,
+        stream_source_quota,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "incoming")
+    # two id-ordered files => the quota must span micro-batches
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    docs.filter(F.col("doc_id") <= half).orderBy("doc_id").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > half).orderBy("doc_id").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    q = (
+        stream_source_quota(spark, src)
+        .writeStream.format("memory")
+        .queryName("t_stream_quota")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_quota"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["doc_id"], r["source"], r["admitted"])
+        for r in spark.table("t_stream_quota").collect()
+    }
+    batch = {
+        (r["doc_id"], r["source"], r["admitted"])
+        for r in source_quota_incremental(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    # the quota actually binds somewhere
+    assert any(not a for (_, _, a) in batch)

@@ -138,10 +138,11 @@ SHOWCASE = [
     ),
     (
         "select_token_budget",
-        "Token-budget curation: quality-banded two-phase prefix sum "
-        "(hashpartitioning(band) windows + a tiny band-offset table) — "
-        "the greedy best-first running total with no global single-task "
-        "window.",
+        "Token-budget curation: range-partitioned two-phase prefix sum "
+        "(ONE rangepartitioning exchange on the greedy order, AQE-reused "
+        "by the offset branch; windows partition by spark_partition_id, "
+        "P-row offset table broadcast back) — the greedy best-first "
+        "running total with no global or fixed-band single-task window.",
     ),
     (
         "cross_lang_contamination",
@@ -210,10 +211,25 @@ SHOWCASE = [
     ),
     (
         "kmv_source_overlap",
-        "KMV set-intersection sketch: per-source bottom-K hash "
-        "sketches merged and re-cut at K — the cross-source overlap "
-        "estimate from keyed windows over (source, hash) distincts, "
+        "KMV set-intersection sketch: two-phase bottom-K build — local "
+        "bottom-K per (source, shuffle partition), bounded P*K aggregate "
+        "merge (no bare-source window sorting a source's full hash set) "
+        "— sketches merged and re-cut at K for the overlap estimate, "
         "never a corpus-wide content join.",
+    ),
+    (
+        "dedup_substring_removal",
+        "Tile-grid ExactSubstr removal: duplicated tiles found by hash "
+        "grouping (one corpus-scaling window, ZERO joins — linear where "
+        "candidate-pair matching goes quadratic on hot spans); cleaned "
+        "text rebuilt in-row from the kept tiles.",
+    ),
+    (
+        "cap_docs_per_source",
+        "Per-source quota: grouped top-K with no per-group sort — local "
+        "top-M per (source, partition) window, bounded P*M threshold "
+        "merge, broadcast threshold join; selected = key <= M-th-best "
+        "pair.",
     ),
 ]
 
