@@ -659,3 +659,66 @@ def test_malformed_props_oracle_agreement(spark, malformed_props_dir):
         strict=True,
     )
     assert ok, f"events_json_extract: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# unicode-injection probe axis (round 4): astral-plane (surrogate-pair),
+# combining-mark, and CJK text stresses cross-engine substring/length
+# parity — the tile/chunk/shingle family indexes INTO text by character
+# position, so a codepoint-vs-code-unit divergence would silently shift
+# every span boundary.
+# ---------------------------------------------------------------------------
+UNICODE_SAMPLE = [
+    "dedup_substring_removal",
+    "dedup_substring_spans",
+    "chunk_documents",
+    "fingerprint_winnowing",
+    "text_token_count",
+    "text_quality_score",
+    "cap_docs_per_source",
+    "mm_resize",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_unicode")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id,
+              CASE doc_id % 5
+                WHEN 0 THEN repeat('\U0001F600á', 30)
+                WHEN 1 THEN repeat('你好 ', 25) || text[1:40]
+                WHEN 2 THEN '\U0001F680' || text
+                ELSE text END AS text,
+              lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet'))
+          TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "events",
+        "embeddings",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", UNICODE_SAMPLE)
+def test_unicode_injected_oracle_agreement(spark, unicode_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(q[name](spark, unicode_dir), o[name], unicode_dir, strict=True)
+    assert ok, f"{name}: {msg}"
