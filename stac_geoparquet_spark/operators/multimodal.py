@@ -2,12 +2,13 @@
 columns with typed metadata.
 
 A 100-TB training-data pipeline carries media as binary payloads next
-to structured metadata. The real decoders (PIL / librosa / ffmpeg) are
-NOT in this container, so the *decode* step is stubbed behind an
-import-try (``decode_image`` raises ``NotImplementedError`` without
-PIL), while everything Spark-side — schema, binary column handling,
-Arrow batch shape through ``mapInPandas``, partitioning — is real and
-oracle-tested.
+to structured metadata. The heavyweight decoders (PIL / librosa /
+ffmpeg) are NOT in this container; ``decode_image`` uses PIL when
+installed, REALLY decodes PNG without it via the pure-stdlib codec in
+``operators/png.py``, and raises ``NotImplementedError`` only for
+non-PNG formats with no PIL. Everything Spark-side — schema, binary
+column handling, Arrow batch shape through ``mapInPandas``,
+partitioning — is real and oracle-tested.
 
 The media table is synthesized deterministically from ``documents``
 (the driver's tables carry no binary columns): ``payload =

@@ -694,9 +694,28 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clean cut of the global order and spark_partition_id() is a
     # monotone bucket id along it.  Both downstream branches (the
     # in-partition cumsum and the per-partition totals) hang off this
-    # ONE exchange; Spark's ReuseExchange dedupes it, which also
-    # guarantees both branches see identical sampled boundaries
-    # (plan-pinned in tests/test_plans.py).
+    # ONE exchange; Spark's ReuseExchange dedupes it, which is also
+    # what guarantees both branches see identical sampled boundaries
+    # (verified to fire under BOTH the AQE stage cache and the non-AQE
+    # ReuseExchange rule — the reused node sits BELOW the
+    # non-deterministic pid projection, so canonicalization matches;
+    # plan-pinned in tests/test_plans.py).  If a session explicitly
+    # disables exchange reuse, each branch would re-sample boundaries
+    # independently and the offsets would silently mismatch the cumsum
+    # partitions — fall back to the exact single-task global window
+    # there (correct, not scale-shaped; the conf is default-on and the
+    # degraded plan is the price of turning it off).
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
+        w_global = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+        cum_excl = F.sum("n_tokens").over(w_global) - F.col("n_tokens")
+        return per_doc.select(
+            "doc_id",
+            "n_tokens",
+            "q",
+            (cum_excl + F.col("n_tokens") <= TOKEN_BUDGET).alias(
+                "selected"
+            ),
+        )
     ranged = per_doc.repartitionByRange(
         F.desc("q"), F.asc("doc_id")
     ).withColumn("part", F.spark_partition_id().cast("bigint"))
@@ -1090,9 +1109,11 @@ CAP_M = 10  # docs kept per source (binds at the sf0.01 gate: ~25 valid docs/sou
 
 
 def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from stac_geoparquet_spark.operators.text import quality_score_expr
+    from stac_geoparquet_spark.operators.twophase import (
+        kth_smallest,
+        local_topk,
+    )
 
     per_doc = (
         _docs(spark, sf_dir)
@@ -1109,9 +1130,6 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q").isNotNull())
     )
     key = F.struct((-F.col("q")).alias("nq"), F.col("doc_id").alias("d"))
-    local_w = Window.partitionBy("source", "pid").orderBy(
-        F.desc("q"), F.asc("doc_id")
-    )
     # Plan-shape note: the candidate branch and the flagging branch
     # both re-evaluate the quality-score projection above the ONE
     # reused scan exchange (text is read once).  Deduping the CPU would
@@ -1123,27 +1141,12 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would trade the duplicate scoring CPU for a full extra shuffle —
     # at corpus scale the recompute is the cheaper side, and unlike the
     # prefix sum, correctness here never needs cross-branch pid
-    # consistency (ANY partition's local top-M contains every winner).
-    candidates = (
-        per_doc.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrk", F.row_number().over(local_w))
-        .where(F.col("lrk") <= CAP_M)
-        .select("source", key.alias("k"))
-    )
-    thresholds = (
-        candidates.groupBy("source")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("k")), 1, CAP_M).alias(
-                "best"
-            )
-        )
-        .select(
-            "source",
-            F.when(
-                F.size("best") >= CAP_M, F.element_at("best", CAP_M)
-            ).alias("thr"),
-        )
-    )
+    # consistency (ANY partition's local top-M contains every winner —
+    # the twophase scaffold's contract).
+    candidates = local_topk(
+        per_doc, ["source"], [F.desc("q"), F.asc("doc_id")], CAP_M
+    ).select("source", key.alias("k"))
+    thresholds = kth_smallest(candidates, ["source"], "k", CAP_M, "thr")
     return (
         per_doc.join(F.broadcast(thresholds), "source")
         .select(

@@ -95,7 +95,15 @@ def decode_png(payload: bytes) -> DecodedImage:
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
     nch = _CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat_parts))
+    if not idat_parts:
+        raise ValueError("PNG without IDAT data")
+    try:
+        raw = zlib.decompress(b"".join(idat_parts))
+    except zlib.error as exc:
+        # keep the documented contract: ValueError on malformed input
+        # (a decode stage guarding `except ValueError` must not die on
+        # zlib.error from corrupt deflate bytes)
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * nch
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")

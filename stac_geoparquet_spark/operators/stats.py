@@ -291,33 +291,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("ndv_exact")
     )
-    # phase 1: streaming (sort-spillable) local bottom-K per task; any
-    # partition assignment contains the global bottom-K in its local
-    # winners, so spark_partition_id needs no cross-branch consistency
-    local_k = Window.partitionBy("event_type", "pid").orderBy("uh")
-    candidates = (
-        pairs.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrk", F.row_number().over(local_k))
-        .where(F.col("lrk") <= KMV_K)
-        .select("event_type", "uh")
+    # two-phase bottom-K (shared scaffold — see operators/twophase.py
+    # for the assignment-independence argument and the under-K NULL
+    # contract)
+    from stac_geoparquet_spark.operators.twophase import (
+        kth_smallest,
+        local_topk,
     )
-    # phase 2: merge the <= P*K candidates per type in-row; the WHEN
-    # guard (not bare element_at) keeps under-K sketches NULL instead
-    # of erroring under ANSI
-    kth = (
-        candidates.groupBy("event_type")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("uh")), 1, KMV_K).alias(
-                "mins"
-            )
-        )
-        .select(
-            "event_type",
-            F.when(
-                F.size("mins") >= KMV_K, F.element_at("mins", KMV_K)
-            ).alias("kth"),
-        )
+
+    candidates = local_topk(
+        pairs.select("event_type", "uh"), ["event_type"], [F.asc("uh")], KMV_K
     )
+    kth = kth_smallest(candidates, ["event_type"], "uh", KMV_K, "kth")
     return (
         exact.join(F.broadcast(kth), "event_type", "left")
         .selectExpr(
@@ -490,37 +475,20 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("source", f"{h} AS th")
         .distinct()
     )
-    # Two-phase bottom-K (round-3 verdict fix): a window partitioned by
-    # bare `source` (~20 values) would sort each source's FULL distinct
-    # hash set on one reducer at 100 TB.  Phase 1 keeps a local
-    # bottom-K per (source, shuffle partition) — partition count scales
-    # with the cluster, and any global-bottom-K hash is necessarily in
-    # the bottom-K of whatever partition it landed in, so the union of
-    # local winners always contains the true sketch.  Phase 2 merges
-    # the bounded P*K candidate set per source.  Result is identical
-    # for ANY partition assignment, so spark_partition_id is safe here
-    # (no cross-branch consistency needed, unlike select_token_budget).
-    local_k = Window.partitionBy("source", "pid").orderBy("th")
-    candidates = (
-        hashes.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrk", F.row_number().over(local_k))
-        .where(F.col("lrk") <= KMV_K)
-        .select("source", "th")
+    # Two-phase bottom-K (round-3 verdict fix; shared scaffold in
+    # operators/twophase.py): a window partitioned by bare `source`
+    # (~20 values) would sort each source's FULL distinct hash set on
+    # one reducer at 100 TB.  Phase 1 keeps a local bottom-K per
+    # (source, shuffle partition); phase 2 merges the bounded P*K
+    # candidate set per source with an AGGREGATE — no window
+    # partitioned by bare `source` anywhere in the plan.
+    from stac_geoparquet_spark.operators.twophase import (
+        local_topk,
+        merge_bottomk,
     )
-    # Phase-2 merge is an AGGREGATE (partial-agg friendly), not another
-    # window: per source the candidate set is at most P*K rows (P =
-    # shuffle parallelism), so sorting it in-row and slicing K is a
-    # bounded-memory mergeable sketch build — no window partitioned by
-    # bare `source` anywhere in the plan.
-    sk = (
-        candidates.groupBy("source")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("th")), 1, KMV_K).alias(
-                "ths"
-            )
-        )
-        .select("source", F.explode("ths").alias("th"))
-    )
+
+    candidates = local_topk(hashes, ["source"], [F.asc("th")], KMV_K)
+    sk = merge_bottomk(candidates, ["source"], "th", KMV_K)
     srcs = sk.select("source").distinct()
     pairs = (
         srcs.alias("a")

@@ -54,36 +54,21 @@ def _valid_docs(docs: DataFrame) -> DataFrame:
 def source_quota_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from pyspark.sql import Window
+    from stac_geoparquet_spark.operators.twophase import (
+        kth_smallest,
+        local_topk,
+    )
 
     docs = _valid_docs(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     )
-    local_w = Window.partitionBy("source", "pid").orderBy("doc_id")
     # the candidate branch re-reads the (reused) scan; see the
     # plan-shape note in pipeline.cap_docs_per_source for why no
     # exchange above the pid projection can be AQE-reused — here both
     # branches are cheap projections, so nothing is worth deduping
-    candidates = (
-        docs.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrk", F.row_number().over(local_w))
-        .where(F.col("lrk") <= QUOTA_M)
-        .select("source", "doc_id")
-    )
-    thresholds = (
-        candidates.groupBy("source")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")), 1, QUOTA_M
-            ).alias("first_m")
-        )
-        .select(
-            "source",
-            F.when(
-                F.size("first_m") >= QUOTA_M,
-                F.element_at("first_m", QUOTA_M),
-            ).alias("thr"),
-        )
+    candidates = local_topk(docs, ["source"], [F.asc("doc_id")], QUOTA_M)
+    thresholds = kth_smallest(
+        candidates, ["source"], "doc_id", QUOTA_M, "thr"
     )
     return docs.join(F.broadcast(thresholds), "source").select(
         "doc_id",

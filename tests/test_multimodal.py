@@ -334,3 +334,29 @@ def test_png_decode_inside_spark_worker(spark):
         ).collect()
     }
     assert got == {i: (2 + i, 3, 3) for i in range(4)}
+
+
+def test_png_corrupt_idat_raises_valueerror():
+    """The documented contract is ValueError on malformed input — a
+    corrupt deflate stream or a missing IDAT must not leak zlib.error
+    through a decode stage guarding `except ValueError`."""
+    import struct
+    import zlib
+
+    from stac_geoparquet_spark.operators.png import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    head = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    )
+    with pytest.raises(ValueError):
+        decode_png(head + chunk(b"IDAT", b"not deflate") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(head + chunk(b"IEND", b""))  # no IDAT at all

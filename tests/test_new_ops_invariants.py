@@ -555,3 +555,34 @@ def test_cap_per_source_keeps_exactly_top_m(spark):
         for r in rs:
             if not r["selected"]:
                 assert (r["q"], -r["doc_id"]) < worst_sel, (src, r)
+
+
+def test_token_budget_reuse_disabled_fallback(spark):
+    """With spark.sql.exchange.reuse=false the two-phase prefix sum
+    cannot trust cross-branch boundary consistency; the operator must
+    detect the conf and produce the same (oracle-identical) answer via
+    its exact fallback."""
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    from stac_geoparquet_spark.operators.pipeline import select_token_budget
+
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = select_token_budget(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "rangepartitioning" not in plan  # fallback path taken
+        ok, msg = compare(
+            df,
+            entry_mod.oracle_sql()["select_token_budget"],
+            SF_DIR,
+            strict=True,
+        )
+        assert ok, msg
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
