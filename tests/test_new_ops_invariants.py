@@ -586,3 +586,47 @@ def test_token_budget_reuse_disabled_fallback(spark):
         assert ok, msg
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+def test_twophase_topk_equals_global_sort_property(spark):
+    """Property: for random grouped data and any k, the two-phase
+    scaffold's kth_smallest / merge_bottomk equal the single-machine
+    ground truth, regardless of how rows landed in partitions."""
+    import random
+
+    from stac_geoparquet_spark.operators.twophase import (
+        kth_smallest,
+        local_topk,
+        merge_bottomk,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        k = rng.choice([1, 3, 8])
+        rows = [
+            (rng.choice(["a", "b", "c", "d"]), rng.randrange(10_000))
+            for _ in range(rng.choice([5, 40, 300]))
+        ]
+        # unique values per group (the scaffold's contract: callers
+        # pass distinct-per-group or tie-broken keys)
+        rows = list({(g, v) for g, v in rows})
+        df = (
+            spark.createDataFrame(rows, "g string, v long")
+            .repartition(rng.choice([1, 5, 17]))
+        )
+        cand = local_topk(df, ["g"], [__import__("pyspark").sql.functions.asc("v")], k)
+        got_kth = {
+            r["g"]: r["thr"]
+            for r in kth_smallest(cand, ["g"], "v", k, "thr").collect()
+        }
+        got_set = {}
+        for r in merge_bottomk(cand, ["g"], "v", k).collect():
+            got_set.setdefault(r["g"], []).append(r["v"])
+        truth: dict = {}
+        for g, v in rows:
+            truth.setdefault(g, []).append(v)
+        for g, vs in truth.items():
+            vs = sorted(vs)
+            want_kth = vs[k - 1] if len(vs) >= k else None
+            assert got_kth[g] == want_kth, (trial, g)
+            assert sorted(got_set[g]) == vs[:k], (trial, g)
