@@ -1,5 +1,5 @@
 """NULL-injection differential gate: run Spark and the DuckDB oracle
-over a copy of the corpus with NULL text/lang/props rows (production
+over a copy of the corpus with NULL text/lang/source/props rows (production
 data has them; the driver's synthetic tables do not) and require
 agreement. This found four real divergences and three decode crashes:
 Spark's window grouped NULL shingle hashes into a fake duplicate
@@ -41,6 +41,10 @@ SAMPLE = [
     "dedup_minhash_lsh",
     "corpus_yield_funnel",
     "events_json_extract",
+    "source_quota_incremental",
+    "kmv_source_overlap",
+    "rebalance_by_lang",
+    "source_mixture_weights",
 ]
 
 
@@ -53,7 +57,8 @@ def null_dir(tmp_path_factory):
         f"""COPY (SELECT doc_id,
               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
-              source, n_chars
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS source,
+              n_chars
             FROM read_parquet('{src}/documents.parquet'))
           TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
     )
