@@ -270,8 +270,6 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-take K minima) is what makes KMV maintainable in the
     streaming/rollup.py pattern; the kth-hash rides along as
     evidence."""
-    from pyspark.sql.window import Window
-
     from stac_geoparquet_spark.operators.relational import read_events
 
     # read_events, not a raw parquet read: events.parquet carries

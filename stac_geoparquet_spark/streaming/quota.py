@@ -32,11 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-QUOTA_M = 15  # admits per source (binds at the sf0.01 gate: ~25/source)
+from stac_geoparquet_spark.streaming.dedup import DOCS_SCHEMA
 
-DOCS_SCHEMA = (
-    "doc_id bigint, text string, lang string, source string, n_chars bigint"
-)
+QUOTA_M = 15  # admits per source (binds at the sf0.01 gate: ~25/source)
 
 OUT_SCHEMA = "doc_id bigint, source string, admitted boolean"
 
