@@ -203,3 +203,48 @@ def test_timestamp_primitives_agree_cross_engine(spark):
             [ts, ts, ts, ts],
         ).fetchone()
         assert sp[i] == (hr, h, wk, dow + 1), (i, ts, sp[i], (hr, h, wk, dow))
+
+
+def test_substring_indexing_agrees_cross_engine(spark):
+    """Character-position substring + length parity — the contract the
+    tile/chunk/shingle family indexes documents by.  Adversarial mix of
+    astral-plane (surrogate-pair) codepoints, combining marks, CJK, and
+    controls: a codepoint-vs-code-unit divergence would silently shift
+    every span boundary on exactly these inputs."""
+    rng = random.Random(20260815)
+    alphabets = [
+        "😀🚀🔥𐍈𝕏",  # astral only (every char is a surrogate pair in UTF-16)
+        "a😀b́c日本́",  # mixed BMP/astral + combining acute
+        "αβγ𝛼𝛽𝛾",  # BMP greek + mathematical (astral) greek
+        string.printable,
+        "你好世界",
+    ]
+    texts = []
+    for i in range(200):
+        alpha = alphabets[i % len(alphabets)]
+        ln = rng.randrange(0, 30)
+        texts.append("".join(rng.choice(alpha) for _ in range(ln)))
+    texts += ["", "😀", "a😀", "😀a", "é́"]
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        (r["i"], r["p"]): (r["ln"], r["s"])
+        for r in sdf.selectExpr(
+            "i", "t", "explode(array(1, 2, 5, 11)) AS p"
+        )
+        .selectExpr(
+            "i", "p", "length(t) AS ln", "substring(t, p, 7) AS s"
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        for p in (1, 2, 5, 11):
+            ln, s = con.execute(
+                "SELECT length(?), substring(?, ?, 7)", [t, t, p]
+            ).fetchone()
+            g_ln, g_s = got[(i, p)]
+            assert g_ln == ln, (i, p, repr(t))
+            assert (g_s or "") == (s or ""), (i, p, repr(t), g_s, s)
