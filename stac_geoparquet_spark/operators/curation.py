@@ -613,10 +613,17 @@ FROM lab
 #
 # Scale shape: explode -> ONE hash-partitioned window over the tile
 # hash (key cardinality grows with the corpus — sweep-safe) -> one
-# doc-keyed rollup.  No pairwise candidate join anywhere: duplicate
-# discovery is hash grouping, so the plan is linear in corpus size
-# where a match-pairs formulation would be quadratic in hot spans
-# (plan-pinned: zero joins, no cartesian).  The grid is coarser than a
+# doc-keyed rollup, BOTH moving only (doc_id, tile_idx, h) — tile text
+# never shuffles; the cleaned text is rebuilt in-row from each doc's
+# kept-index array joined back to the documents scan (plan-pinned: the
+# h exchange input is slim).  No pairwise candidate join anywhere:
+# duplicate discovery is hash grouping, so the plan is linear in
+# corpus size where a match-pairs formulation would be quadratic in
+# hot spans (plan-pinned: one doc_id equi-join, no cartesian).  A hot
+# boilerplate tile still lands its hash group on one reducer — the
+# same bound the decontaminate gram window carries, and the window's
+# sort over a constant-key run is effectively linear; rows there are
+# 3 slim ints wide.  The grid is coarser than a
 # suffix-array ExactSubstr pass (only tile-aligned duplicates are
 # removed) — that is the documented contract; unaligned near-dup spans
 # are DETECTED by fingerprint_winnowing / dedup_substring_spans and
@@ -634,42 +641,54 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gotchas); the last tile may be short, which substring handles on
     # both engines
     n_tiles = F.ceil(F.length("text") / F.lit(float(TILE_K))).cast("bigint")
-    tiles = (
-        docs.select(
-            "doc_id",
-            "text",
-            F.explode(F.sequence(F.lit(1), n_tiles)).alias("tile_idx"),
-        )
-        .select(
-            "doc_id",
-            "tile_idx",
+    # Tile TEXT never shuffles: the marking pipeline carries only
+    # (doc_id, tile_idx, h) through the hash window and the per-doc
+    # rollup (hashes are 1/2.5 the bytes of a 40-char tile, and at
+    # scale the text column dominates shuffle IO); the cleaned text is
+    # rebuilt IN-ROW after joining each doc's sorted kept-index array
+    # back to the documents scan on doc_id — re-reading text from
+    # Parquet (columnar, pushdown) is cheaper than moving it through
+    # two shuffles.
+    hashes = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_tiles)).alias("tile_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "tile_idx",
+        F.md5(
             F.expr(
                 f"substring(text, CAST((tile_idx - 1) * {TILE_K} + 1 AS INT),"
                 f" {TILE_K})"
-            ).alias("tile"),
-        )
-        .withColumn("h", F.md5("tile"))
+            )
+        ).alias("h"),
     )
     w = Window.partitionBy("h")
     flagged = (
-        tiles.withColumn("canon", F.min("doc_id").over(w))
+        hashes.withColumn("canon", F.min("doc_id").over(w))
         .withColumn("xdup", F.min("doc_id").over(w) != F.max("doc_id").over(w))
         .withColumn(
             "keep", ~(F.col("xdup") & (F.col("doc_id") != F.col("canon")))
         )
     )
-    kept_struct = F.when(F.col("keep"), F.struct("tile_idx", "tile"))
     per_doc = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tiles"),
         F.sum((~F.col("keep")).cast("bigint")).alias("n_removed"),
-        # collect_list skips the NULL non-kept entries; struct sort
-        # orders by tile_idx (first field), rebuilding document order
-        F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        # collect_list skips NULL non-kept entries; sorted ints only
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.col("tile_idx")))
+        ).alias("kept_idxs"),
     )
     cleaned = F.concat_ws(
-        "", F.transform(F.col("kept"), lambda x: x["tile"])
+        "",
+        F.transform(
+            F.col("kept_idxs"),
+            lambda i: F.expr("text").substr(
+                ((i - 1) * TILE_K + 1).cast("int"), F.lit(TILE_K)
+            ),
+        ),
     )
-    return per_doc.select(
+    return docs.join(per_doc, "doc_id").select(
         "doc_id",
         "n_tiles",
         "n_removed",

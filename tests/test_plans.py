@@ -782,20 +782,34 @@ def test_kmv_overlap_two_phase_bottom_k(spark, sf):
     assert n_ops(plan, "CartesianProduct") == 0
 
 
-def test_substring_removal_no_pairwise_join(spark, sf):
+def test_substring_removal_slim_marking_no_pairwise_join(spark, sf):
     """Duplicate-span REMOVAL discovers duplicates by hash grouping,
-    never by pairwise candidate matching: one documents scan, one
-    window over the tile hash (corpus-scaling key), one doc-keyed
-    rollup — zero joins, zero cartesians."""
+    never by pairwise candidate matching, and tile TEXT never enters
+    the marking shuffles: the hash window and the doc rollup move only
+    (doc_id, tile_idx, h); the single equi-join rebuilds cleaned text
+    in-row from the kept-index arrays against the documents scan."""
+    import re
+
     from stac_geoparquet_spark.operators import curation
 
     plan = plan_of(curation.dedup_substring_removal(spark, sf))
-    assert n_ops(plan, "Scan parquet") == 1
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-              "CartesianProduct", "BroadcastNestedLoopJoin"):
-        assert n_ops(plan, j) == 0
-    assert "hashpartitioning(h#" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    assert (
+        n_ops(plan, "SortMergeJoin")
+        + n_ops(plan, "ShuffledHashJoin")
+        + n_ops(plan, "BroadcastHashJoin")
+        == 1
+    )
     assert n_ops(plan, "Window") == 1
+    # the h-partitioned exchange's input is slim — no text column rides
+    # through the marking shuffle
+    m = re.search(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning\(h#",
+        plan,
+    )
+    assert m, "h exchange not found"
+    assert "text" not in m.group(1)
 
 
 def test_cap_per_source_two_phase_no_bare_source_window(spark, sf):
