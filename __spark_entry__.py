@@ -115,6 +115,7 @@ def _registries():
         "kmv_source_overlap",
         "sketch_kmv_distinct",
         "events_json_extract",
+        "gapfill_hourly_purchases",
         "semdedup_incremental",
         "mm_image_features",
         "mm_resize",

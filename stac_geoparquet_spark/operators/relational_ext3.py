@@ -198,7 +198,14 @@ GROUP BY p.event_id, p.user_id, p.ts
 # gap-fill at scale, partition the window by the series key.
 # --------------------------------------------------------------------------
 def gapfill_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # ts IS NOT NULL: an untimed purchase belongs to no hour — the
+    # oracle's calendar join drops its NULL-hour group implicitly, and
+    # without the explicit filter Spark's NULL-hour row (which sorts
+    # FIRST in the hour ordering) would seed the LOCF chain (found by
+    # the round-4 NULL-ts/value event probe)
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    )
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
@@ -208,17 +215,27 @@ def gapfill_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-branch gap fill: instead of generating a calendar from a
     # second bounds pass and left-joining (two fact scans, a join, and a
     # LOCF window), each aggregated row emits itself plus the empty hours
-    # up to its successor via lead+explode(sequence). LOCF falls out for
-    # free: a gap row's last non-null revenue IS its base row's revenue.
-    # One fact scan, one shuffle, and the window runs over the aggregated
-    # hourly rows (hours-count sized, tiny at any data scale).
+    # up to its successor via lead+explode(sequence). LOCF is an
+    # ignore-nulls last over the aggregated hourly rows BEFORE the
+    # explode — a real hour whose purchases all carry NULL value (a
+    # production shape: recorded sale, unparsed amount) has rev_raw
+    # NULL, and the gap/real rows alike must carry the last KNOWN
+    # revenue, exactly the oracle's last_value(... IGNORE NULLS); its
+    # reported revenue coalesces to 0 on both engines. One fact scan,
+    # one shuffle, and the windows run over the aggregated hourly rows
+    # (hours-count sized, tiny at any data scale).
+    w_ord = Window.orderBy("hour")
     with_next = hourly.withColumn(
-        "nxt", F.lead("hour").over(Window.orderBy("hour"))
-    )
+        "locf",
+        F.last("rev_raw", ignorenulls=True).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("nxt", F.lead("hour").over(w_ord))
     filled = with_next.select(
         F.col("hour").alias("base_hour"),
         "n_raw",
         "rev_raw",
+        "locf",
         F.explode(
             F.sequence(
                 F.col("hour"),
@@ -233,8 +250,10 @@ def gapfill_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "hour",
         F.when(is_real, F.col("n_raw")).otherwise(F.lit(0)).alias("n_purchases"),
-        F.when(is_real, F.col("rev_raw")).otherwise(F.lit(0.0)).alias("revenue"),
-        F.col("rev_raw").alias("revenue_locf"),
+        F.when(is_real, F.coalesce(F.col("rev_raw"), F.lit(0.0)))
+        .otherwise(F.lit(0.0))
+        .alias("revenue"),
+        F.col("locf").alias("revenue_locf"),
     )
 
 

@@ -727,3 +727,77 @@ def test_unicode_injected_oracle_agreement(spark, unicode_dir, name):
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     ok, msg = compare(q[name](spark, unicode_dir), o[name], unicode_dir, strict=True)
     assert ok, f"{name}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# events-NULL probe axis (round 4): NULL ts/user_id/event_type/value —
+# production event streams carry all four.  Found a real divergence:
+# gapfill's LOCF treated an hour whose purchases all carry NULL value
+# differently per engine (Spark emitted NULL revenue/locf where the
+# oracle coalesced to 0 and carried the last KNOWN revenue), and a
+# NULL-ts purchase would seed Spark's LOCF chain while the oracle's
+# calendar join dropped it.
+# ---------------------------------------------------------------------------
+EVENTS_SAMPLE = [
+    "gapfill_hourly_purchases",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_session_window",
+    "events_json_extract",
+    "events_k_anonymity",
+    "asof_last_click_before_purchase",
+    "moving_avg_daily_revenue",
+    "rolling_24h_user_value",
+    "range_join_clicks_before_purchase",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "sketch_kmv_distinct",
+    "sketch_cms_heavy_hitters",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_nullevents")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT event_id,
+              CASE WHEN event_id % 17 = 0 THEN NULL ELSE ts END AS ts,
+              CASE WHEN event_id % 19 = 0 THEN NULL ELSE user_id END
+                AS user_id,
+              CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_type END
+                AS event_type,
+              CASE WHEN event_id % 29 = 0 THEN NULL ELSE value END AS value,
+              props
+            FROM read_parquet('{src}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "documents",
+        "embeddings",
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+    ):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", EVENTS_SAMPLE)
+def test_null_events_oracle_agreement(spark, null_events_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, null_events_dir), o[name], null_events_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
