@@ -45,15 +45,26 @@ def source_stamp(src_file: str) -> str:
         return "missing"
 
 
+# Bumped whenever the CONTENT a layout build writes changes (e.g. the
+# canonical-by-id contract changed what the IVF layout holds).  Without
+# it a layout materialized by older code is stamp-identical to the new
+# one and would silently keep serving pre-upgrade content — the exact
+# failure a long-lived cluster hits on an engine upgrade.
+LAYOUT_FORMAT_VERSION = 2
+
+
 def layout_scratch_path(src_file: str, prefix: str) -> str:
     """Scratch location for a derived layout of ``src_file``, keyed by
-    the source's stamp so a regenerated source gets a fresh layout
-    instead of silently serving stale data."""
+    the source's stamp AND the layout format version so a regenerated
+    source — or upgraded build code — gets a fresh layout instead of
+    silently serving stale data."""
     import hashlib
     import tempfile
 
     src = os.path.abspath(src_file)
-    tag = hashlib.md5(f"{src}|{source_stamp(src)}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{src}|{source_stamp(src)}|v{LAYOUT_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
 
 

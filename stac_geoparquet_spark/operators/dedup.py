@@ -698,27 +698,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real scale the table already scans as many splits and NO
     # repartition happens — an unconditional repartition(8) would
     # collapse a 100 TB scan to 8 tasks.
-    from stac_geoparquet_spark.operators._io import read_spread
-    from stac_geoparquet_spark.operators.similarity import (
-        _valid_vec as _sim_valid_vec,
-    )
+    from stac_geoparquet_spark.operators.similarity import _emb_blocks
 
-    emb = (
-        read_spread(
-            spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
-        )
-        .where(_sim_valid_vec())
-        .select("vec_id", "embedding")
-    )
+    # canonical=True: the pair graph is KEYED by (vec_a, vec_b) — a
+    # re-ingested duplicate id must not emit duplicate edges, so both
+    # the broadcast side (_read_vec_range, deduped driver-side) and
+    # the blocked side collapse to one row per vec_id (_canon.py)
+    emb = _emb_blocks(spark, sf_dir, canonical=True)
     return emb.mapInPandas(block, schema=out_schema)
 
 
 DEDUP_EMBEDDING_SQL = f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
-  FROM embeddings
-  WHERE {_VALID_VEC_SQL}
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM (SELECT vec_id, min(embedding::DOUBLE[]) AS v FROM embeddings
+        WHERE {_VALID_VEC_SQL} GROUP BY vec_id) et
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))

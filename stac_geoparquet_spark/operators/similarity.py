@@ -152,6 +152,19 @@ def _read_vec_range(sf_dir: str, lo: int | None, hi: int | None):
     # contract on sum-overflow vectors)
     finite = np.isfinite(mat.sum(axis=1))
     ids, mat = ids[finite], mat[finite]
+    # canonical-by-id contract (_canon.py): a re-ingested duplicate id
+    # collapses to the row with the lexicographically smallest vector,
+    # matching min(embedding) GROUP BY vec_id on the oracle side —
+    # query/centroid/codebook sets are keyed, never multisets
+    if len(ids) and len(ids) != len(np.unique(ids)):
+        order = np.lexsort(
+            tuple(mat[:, d] for d in range(mat.shape[1] - 1, -1, -1))
+            + (ids,)
+        )
+        ids, mat = ids[order], mat[order]
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        ids, mat = ids[first], mat[first]
     norm = np.sqrt((mat * mat).sum(axis=1))
     return ids, mat, norm
 
@@ -213,7 +226,9 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def _emb_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_blocks(
+    spark: SparkSession, sf_dir: str, canonical: bool = False
+) -> DataFrame:
     # Spread a single-split toy input to 8 fat blocks (each mapInPandas
     # partition spawns a Python worker; the GEMM is microseconds at
     # this block size, so worker startup dominates and fewer/fatter
@@ -222,13 +237,24 @@ def _emb_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition(8) would collapse a 100 TB scan to 8 tasks.
     from stac_geoparquet_spark.operators._io import read_spread
 
-    return (
+    df = (
         read_spread(
             spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
         )
         .where(_valid_vec())
         .select("vec_id", "embedding")
     )
+    if canonical:
+        # index-build paths (IVF assignment/layout, PQ encode) are
+        # KEYED: a duplicate vec_id (re-ingest) collapses to the
+        # lexicographically-smallest vector, mirroring the oracle's
+        # min(embedding) GROUP BY vec_id.  groupBy-min rather than a
+        # window: partial aggregation combines map-side, and the one
+        # keyed exchange lands where the build already pays a shuffle
+        # (the partitionBy layout write).  Raw scoring scans (knn)
+        # stay multiset and shuffle-free.
+        df = df.groupBy("vec_id").agg(F.min("embedding").alias("embedding"))
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -249,10 +275,15 @@ WITH e AS (
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
   FROM embeddings WHERE {VALID_VEC_SQL}
 ),
+eq AS (
+  SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm
+  FROM (SELECT vec_id, min(embedding::DOUBLE[]) AS v FROM embeddings
+        WHERE {VALID_VEC_SQL} AND vec_id < {N_QUERIES} GROUP BY vec_id) qt
+),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_DOT_SQL.format(a='q.v', b='c.v')} / (q.norm * c.norm), 6) AS cos_sim
-  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+  FROM eq q JOIN e c ON q.vec_id <> c.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
@@ -394,16 +425,23 @@ WITH e AS (
          sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
   FROM embeddings WHERE {VALID_VEC_SQL}
 ),
+eq AS (
+  SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm
+  FROM (SELECT vec_id, min(embedding::DOUBLE[]) AS v FROM embeddings
+        WHERE {VALID_VEC_SQL} AND vec_id < {N_QUERIES} GROUP BY vec_id) qt
+),
 bucketed AS (
   SELECT vec_id, v, norm, CAST({bits} AS BIGINT) AS bucket FROM e
+),
+bucketed_q AS (
+  SELECT vec_id, v, norm, CAST({bits} AS BIGINT) AS bucket FROM eq
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_DOT_SQL.format(a='q.v', b='c.v')} / (q.norm * c.norm), 6) AS cos_sim
-  FROM bucketed q
+  FROM bucketed_q q
   JOIN bucketed c
-    ON q.vec_id < {N_QUERIES}
-   AND (q.bucket = c.bucket
+    ON (q.bucket = c.bucket
         OR xor(q.bucket, c.bucket) IN ({", ".join(str(1 << p) for p in range(N_PLANES))}))
    AND q.vec_id <> c.vec_id
 ),
@@ -466,7 +504,7 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment pass of that write. One GEMM per Arrow batch against the
     broadcast centroid matrix, no shuffle."""
     assign = _make_cell_assign_fn(spark, sf_dir, carry_embedding=False)
-    return _emb_blocks(spark, sf_dir).mapInPandas(
+    return _emb_blocks(spark, sf_dir, canonical=True).mapInPandas(
         assign, "vec_id bigint, ivf_cell bigint"
     )
 
@@ -508,9 +546,9 @@ def _make_cell_assign_fn(
 def _centroid_cte() -> str:
     return f"""
 e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm
-  FROM embeddings WHERE {VALID_VEC_SQL}
+  SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm
+  FROM (SELECT vec_id, min(embedding::DOUBLE[]) AS v FROM embeddings
+        WHERE {VALID_VEC_SQL} GROUP BY vec_id) et
 ),
 cent AS (
   SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
@@ -566,7 +604,7 @@ def build_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
 
     def build(build_dir: str) -> None:
         (
-            _emb_blocks(spark, sf_dir)
+            _emb_blocks(spark, sf_dir, canonical=True)
             .mapInPandas(
                 tag, "vec_id bigint, embedding array<float>, ivf_cell bigint"
             )
@@ -711,6 +749,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # canonical-by-id (_canon.py): k-means is an index build — a
+        # re-ingested duplicate id must not double-weight the means, so
+        # ids collapse to the lexicographically-smallest vector exactly
+        # as the oracle's min() GROUP BY vec_id does
+        .groupBy("vec_id")
+        .agg(F.min("v").alias("v"))
     )
 
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -798,8 +842,8 @@ def _kmeans_oracle_sql() -> str:
 
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-  WHERE {VALID_VEC_SQL}
+  SELECT vec_id, min(embedding::DOUBLE[]) AS v FROM embeddings
+  WHERE {VALID_VEC_SQL} GROUP BY vec_id
 ),
 c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}),
 {assign_cte("e", "c0", "a1")},
@@ -1032,7 +1076,7 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cb is None:  # empty training slice -> nothing to encode against
         return spark.createDataFrame([], "vec_id bigint, codes string")
     b_cb = spark.sparkContext.broadcast(cb)
-    return _emb_blocks(spark, sf_dir).mapInPandas(
+    return _emb_blocks(spark, sf_dir, canonical=True).mapInPandas(
         _make_pq_encode(b_cb), "vec_id bigint, codes string"
     )
 
@@ -1049,19 +1093,21 @@ def _pq_base_ctes() -> str:
     """Shared oracle CTEs: codebook, subvectors, all (vec, m, j)
     rounded squared distances, and the argmin encoding."""
     return f"""
+emb_c AS (
+  SELECT vec_id, min(embedding) AS embedding FROM embeddings
+  WHERE {VALID_VEC_SQL} GROUP BY vec_id
+),
 pqcent AS (
   SELECT m,
          CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
               AS BIGINT) AS j,
          {_pq_sub_expr('embedding')} AS c
-  FROM embeddings, unnest(range(0,{PQ_M})) AS t(m)
+  FROM emb_c, unnest(range(0,{PQ_M})) AS t(m)
   WHERE vec_id >= {PQ_TRAIN_LO} AND vec_id < {PQ_TRAIN_HI}
-    AND {VALID_VEC_SQL}
 ),
 sub AS (
   SELECT vec_id, m, {_pq_sub_expr('embedding')} AS v
-  FROM embeddings, unnest(range(0,{PQ_M})) AS t(m)
-  WHERE {VALID_VEC_SQL}
+  FROM emb_c, unnest(range(0,{PQ_M})) AS t(m)
 ),
 d AS (
   SELECT s.vec_id, s.m, c.j,
