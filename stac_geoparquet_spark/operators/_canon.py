@@ -22,12 +22,13 @@ adopted on BOTH engines:
 
 At scale the canonicalization is the INGEST step — dropDuplicates on
 the id run once when the batch lands (Delta MERGE semantics), with
-every analytic operator reading the canonical table.  In this repo the
-id-keyed operators apply it inline (one keyed exchange ahead of work
-that already shuffles) so each query stays a self-contained
-(spark, sf_dir) callable; the vector family instead folds it into its
-existing one-off index builds (IVF layout, codebooks) where it is
-free.
+every analytic operator reading the canonical table.  This repo does
+exactly that: documents/events canonicalize into a MATERIALIZED layout
+(built once per source stamp via the shared scratch/atomic-publish
+protocol, then read back like any table, so per-query cost is a plain
+parquet scan); the vector family instead folds the rule into its
+existing one-off index builds (IVF layout, codebooks) and driver-side
+broadcast loads, where it is free.
 
 The SQL twins below are built from the same payload tuples so the two
 sides cannot drift; tests/test_dup_id_differential.py re-runs the
@@ -59,22 +60,65 @@ def canonical_rows(df: DataFrame, id_col: str, payload) -> DataFrame:
     )
 
 
-def docs_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stac_geoparquet_spark.operators._io import read_documents
+def _canon_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    payload,
+    spread: bool = True,
+) -> DataFrame:
+    """Materialized canonical copy of ``table`` (one row per id),
+    built once per (source file, stamp, layout version) and reused by
+    every id-keyed operator — the ingest-dedup job run once, not a
+    corpus-sized keyed exchange re-paid inside each query.  Shares the
+    scratch-stamp + atomic-publish protocol of the IVF layout and the
+    gram index, including the format-version key so upgraded build
+    code never serves a stale pre-upgrade copy."""
+    import os
 
-    return canonical_rows(read_documents(spark, sf_dir), "doc_id", DOC_PAYLOAD)
+    from stac_geoparquet_spark.operators._io import (
+        layout_scratch_path,
+        materialize_layout,
+        read_spread,
+    )
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    path = layout_scratch_path(src, f"sgs_canon_{table}")
+
+    def _read(p: str):
+        if table == "events":
+            # events.parquet carries TIMESTAMP(NANOS); read_events is
+            # the one place that truncation contract lives
+            from stac_geoparquet_spark.operators.relational import (
+                read_events,
+            )
+
+            return read_events(spark, p)
+        return spark.read.parquet(p)
+
+    def build(build_dir: str) -> None:
+        canonical_rows(_read(src), id_col, payload).write.mode(
+            "overwrite"
+        ).parquet(build_dir)
+
+    out = materialize_layout(path, build)
+    # ``spread`` parallelizes single-split toy reads for worker-heavy
+    # consumers; hash-early operators (dedup_exact) pass False so the
+    # text column never rides a round-robin exchange
+    return read_spread(spark, out) if spread else spark.read.parquet(out)
+
+
+def docs_canon(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    return _canon_layout(
+        spark, sf_dir, "documents", "doc_id", DOC_PAYLOAD, spread=spread
+    )
 
 
 def events_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from stac_geoparquet_spark.operators._io import read_spread
-
-    return canonical_rows(
-        read_spread(spark, os.path.join(sf_dir, "events.parquet")),
-        "event_id",
-        EVENT_PAYLOAD,
-    )
+    return _canon_layout(spark, sf_dir, "events", "event_id", EVENT_PAYLOAD)
 
 
 def canon_subquery(table: str, id_col: str, payload) -> str:

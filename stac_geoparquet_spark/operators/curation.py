@@ -29,6 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.operators._canon import (
+    DOCS_CANON_SQL as _DOCS_CANON_SQL,
+)
 from pyspark.sql.window import Window
 
 from stac_geoparquet_spark.operators.text import (
@@ -633,7 +637,12 @@ TILE_K = SPAN_K  # 40-char tiles, same width the span marker uses
 
 
 def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).where(
+    # canonical-by-id (_canon.py): tile ownership ("lowest doc_id
+    # holder keeps the duplicated tile") is keyed on doc_id, so a
+    # re-ingested duplicate id must resolve to one text first
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir).where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     # length > 0 guarantees >= 1 tile, so the sequence is never
@@ -699,7 +708,7 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTR_REMOVAL_SQL = f"""
 WITH base AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM {_DOCS_CANON_SQL} documents
   WHERE text IS NOT NULL AND length(text) > 0
 ),
 tiles AS (

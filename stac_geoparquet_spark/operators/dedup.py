@@ -39,6 +39,9 @@ from pyspark.sql.window import Window
 from stac_geoparquet_spark.operators.similarity import (
     VALID_VEC_SQL as _VALID_VEC_SQL,
 )
+from stac_geoparquet_spark.operators._canon import (
+    DOCS_CANON_SQL as _DOCS_CANON_SQL,
+)
 
 SHINGLE_K = 3  # words per shingle
 NUM_HASHES = 32  # minhash signature length
@@ -50,13 +53,15 @@ COSINE_THRESHOLD = 0.45
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The per-row work downstream (shingling, hashing) is the expensive
-    # part; read_spread repartitions ONLY when the scan has fewer
-    # splits than cores (single-small-file fixture) — at real scale the
-    # input already has thousands of splits and no shuffle happens.
-    from stac_geoparquet_spark.operators._io import read_documents
+    # Canonical-by-id corpus (_canon.py): every operator in this module
+    # keys on doc_id (fingerprints, pair graphs, survivor keep-lists),
+    # so a re-ingested duplicate id must resolve to ONE row before any
+    # of them run — the materialized canonical layout is built once per
+    # source stamp and read back like any table, so the downstream
+    # per-row work (shingling, hashing) still runs scan-parallel.
+    from stac_geoparquet_spark.operators._canon import docs_canon
 
-    return read_documents(spark, sf_dir)
+    return docs_canon(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -238,7 +243,7 @@ sh AS (
            range(len(wds) - {SHINGLE_K - 1}),
            i -> array_to_string(wds[i+1:i+{SHINGLE_K}], ' ')
          )) AS shingle
-  FROM (SELECT doc_id, {_SQL_WORDS} AS wds FROM documents)
+  FROM (SELECT doc_id, {_SQL_WORDS} AS wds FROM {_DOCS_CANON_SQL} documents)
 )
 """
 
@@ -256,7 +261,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition here: that would shuffle full text just to
     # parallelize md5, which is already scan-parallel across input
     # splits at real scale.)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir, spread=False)
     h = F.md5(F.col("text")).alias("content_hash")
     w = Window.partitionBy("content_hash")
     return (
@@ -265,11 +272,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EXACT_SQL = """
+DEDUP_EXACT_SQL = f"""
 SELECT doc_id,
        md5(text) AS content_hash,
        doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-FROM documents
+FROM {_DOCS_CANON_SQL} documents
 """
 
 
@@ -620,7 +627,7 @@ def _simhash_oracle_sql() -> str:
 WITH wd AS (
   SELECT DISTINCT doc_id,
          unnest({_SQL_WORDS}) AS w
-  FROM documents WHERE text IS NOT NULL
+  FROM {_DOCS_CANON_SQL} documents WHERE text IS NOT NULL
 ),
 hashed AS (
   SELECT doc_id, ('0x'||substr(md5('0:'||w),1,8))::BIGINT AS h FROM wd
@@ -739,9 +746,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it large (a forced broadcast would OOM there)."""
     import os
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
-    )
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir).select("doc_id")
     cc = dedup_cluster_cc(spark, sf_dir).select("doc_id", "cluster_id")
     return docs.join(cc, "doc_id", "left").select(
         "doc_id",
@@ -769,7 +776,7 @@ walk(doc_id, label) AS (
 cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id)
 SELECT d.doc_id, cc.cluster_id,
        (cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id) AS keep
-FROM documents d LEFT JOIN cc USING (doc_id)
+FROM {_DOCS_CANON_SQL} d LEFT JOIN cc USING (doc_id)
 """
 
 

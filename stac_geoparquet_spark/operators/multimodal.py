@@ -39,6 +39,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._canon import (
+    DOCS_CANON_SQL as _DOCS_CANON_SQL,
+)
+
 HIST_BINS = 16  # byte high-nibble histogram
 FRAME_STEP = 2  # sample every 2nd frame
 
@@ -51,9 +55,13 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (struct<width,height,sample_rate,n_frames>) — absent fields null per
     modality, mirroring how a real lakehouse carries mixed media.
     """
-    import os
+    # canonical-by-id (_canon.py): an asset store is KEYED — one
+    # payload per doc_id even when the doc was re-ingested, so the
+    # whole mm_* family derives from the canonical corpus and its
+    # oracles read the same canonical subquery
+    from stac_geoparquet_spark.operators._canon import docs_canon
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs_canon(spark, sf_dir)
     doc_id = F.col("doc_id")
     media_type = (
         F.when(doc_id % 3 == 0, "image")
@@ -94,7 +102,7 @@ def mm_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MM_MANIFEST_SQL = """
+MM_MANIFEST_SQL = f"""
 WITH m AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -103,7 +111,7 @@ WITH m AS (
          unhex(repeat(md5(text), CAST(1 + doc_id % 4 AS INT))) AS payload,
          CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id % 16) * 32 AS INT) END AS width,
          CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 7 AS INT) END AS n_frames
-  FROM documents
+  FROM {_DOCS_CANON_SQL} documents
 )
 SELECT media_type,
        count(*) AS n_items,
@@ -143,7 +151,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_FRAME_SAMPLE_SQL = f"""
 WITH v AS (
   SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
+  FROM {_DOCS_CANON_SQL} documents WHERE doc_id % 3 = 2
 )
 SELECT doc_id,
        unnest(generate_series(0, n_frames - 1, {FRAME_STEP})) AS frame_idx,
@@ -198,10 +206,10 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MM_IMAGE_FEATURES_SQL = """
+MM_IMAGE_FEATURES_SQL = f"""
 WITH img AS (
   SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
-  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+  FROM {_DOCS_CANON_SQL} documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
 ),
 nib AS (
   SELECT doc_id,
@@ -288,7 +296,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_RESIZE_SQL = f"""
 WITH img AS (
   SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
-  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+  FROM {_DOCS_CANON_SQL} documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
 )
 SELECT doc_id,
        CAST(length(hx) // 2 AS BIGINT) AS orig_len,
@@ -360,7 +368,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_AUDIO_ENERGY_SQL = f"""
 WITH au AS (
   SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
-  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
+  FROM {_DOCS_CANON_SQL} documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
 ),
 w AS (
   SELECT doc_id, hx, length(hx) // 2 AS n_bytes,

@@ -29,6 +29,10 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._canon import (
+    DOCS_CANON_SQL as _DOCS_CANON_SQL,
+)
+
 from stac_geoparquet_spark.operators.text import (
     TRAIN_PCT,
     SPLIT_PCT_SQL,
@@ -42,6 +46,16 @@ PACK_BUDGET = 2048  # tokens per packed sequence
 PACK_BUCKET = 65536  # docs per prefix-sum bucket (offset table = N/65536 rows)
 CHUNK_LEN = 200  # chars per chunk
 CHUNK_STRIDE = 150  # chars between chunk starts (=> 50-char overlap)
+
+
+def _docs_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical-by-id corpus (_canon.py): the id-keyed operators below
+    # (per-doc metrics, packing positions, quota selection, funnel
+    # counts keyed on doc identity) consume one row per doc_id; the
+    # materialized canonical layout is built once per source stamp
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    return docs_canon(spark, sf_dir)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +343,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ``_gram2_rollup``; docs with no 2-grams are excluded (the
     oracle's inner join drops them identically).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_canon(spark, sf_dir)
     w = _words(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -364,7 +378,7 @@ WITH w AS (
   SELECT doc_id, {_SQL_WORDS} AS words,
          length(text) - length(regexp_replace(text, '#', '', 'g'))
            AS n_hash_symbols
-  FROM documents
+  FROM {_DOCS_CANON_SQL} documents
 ),
 base AS (
   SELECT doc_id, len(words) AS n_words, n_hash_symbols,
@@ -399,7 +413,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     back (AQE broadcasts it).  Equivalent to the global window the
     oracle uses, but with no single-task stage at 100 TB.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_canon(spark, sf_dir)
     # coalesce: a NULL-text doc contributes 0 tokens (without it the
     # NULL token count makes the doc's cumulative position — and so its
     # bin — NULL in Spark but 0-advanced in the oracle's coalesced
@@ -452,7 +466,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id, CAST(coalesce(len({_SQL_WORDS}), 0) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM {_DOCS_CANON_SQL} documents
 ),
 c AS (
   SELECT doc_id, n_tokens,
@@ -1008,7 +1022,7 @@ def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_canon(spark, sf_dir)
     w = _words(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -1057,7 +1071,7 @@ YIELD_FUNNEL_SQL = f"""
 WITH w AS (
   SELECT doc_id, {_SQL_WORDS} AS words, md5(text) AS h,
          {SPLIT_PCT_SQL} AS pct
-  FROM documents
+  FROM {_DOCS_CANON_SQL} documents
 ),
 base AS (
   SELECT doc_id, len(words) AS n_words, h, pct,
@@ -1116,7 +1130,7 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     per_doc = (
-        _docs(spark, sf_dir)
+        _docs_canon(spark, sf_dir)
         .where(
             F.col("text").isNotNull()
             & (F.length("text") > 0)
@@ -1164,7 +1178,7 @@ CAP_SQL = f"""
 WITH m AS (
   SELECT doc_id, source,
          {{score}} AS q
-  FROM documents
+  FROM {_DOCS_CANON_SQL} documents
   WHERE text IS NOT NULL AND length(text) > 0 AND source IS NOT NULL
 ),
 r AS (

@@ -25,6 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.operators._canon import (
+    EVENTS_CANON_SQL as _EVENTS_CANON_SQL,
+)
 from pyspark.sql.window import Window
 
 from stac_geoparquet_spark.operators.relational import _dsum, _t
@@ -131,7 +135,13 @@ def range_join_clicks_before_purchase(
     # a time-range lookback is undefined without a timestamp or user
     # key; exclude such rows on both engines (the NULL-ordering
     # divergence class found by NULL-injection differential testing)
-    ev = _t(spark, sf_dir, "events").where(
+    # canonical-by-id (_canon.py): event streams are at-least-once
+    # delivered — the lookback is keyed per purchase EVENT, so a
+    # re-delivered duplicate event_id must neither double-count as a
+    # click nor emit its purchase row twice
+    from stac_geoparquet_spark.operators._canon import events_canon
+
+    ev = events_canon(spark, sf_dir).where(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     w = (
@@ -164,7 +174,7 @@ def range_join_clicks_before_purchase(
     )
 
 
-RANGE_JOIN_SQL = """
+RANGE_JOIN_SQL = f"""
 SELECT p.event_id,
        p.user_id,
        p.ts,
@@ -172,9 +182,9 @@ SELECT p.event_id,
        coalesce(CAST(round(sum(CASE WHEN e.event_type = 'click'
                                     THEN CAST(e.value AS DECIMAL(18,6)) END), 2) AS DOUBLE),
                 0.0) AS click_value_1h
-FROM (SELECT * FROM events
+FROM (SELECT * FROM {_EVENTS_CANON_SQL} events
       WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
-LEFT JOIN (SELECT * FROM events
+LEFT JOIN (SELECT * FROM {_EVENTS_CANON_SQL} events
            WHERE ts IS NOT NULL AND user_id IS NOT NULL) e
   ON e.user_id = p.user_id
  AND e.ts >= p.ts - INTERVAL 1 HOUR

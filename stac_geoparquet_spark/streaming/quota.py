@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._canon import (
+    DOCS_CANON_SQL as _DOCS_CANON_SQL,
+)
+
 from stac_geoparquet_spark.streaming.dedup import DOCS_SCHEMA
 
 QUOTA_M = 15  # admits per source (binds at the sf0.01 gate: ~25/source)
@@ -57,9 +61,11 @@ def source_quota_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_topk,
     )
 
-    docs = _valid_docs(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    )
+    # canonical-by-id (_canon.py): admission is keyed per doc_id — a
+    # re-delivered duplicate id must not consume quota twice
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = _valid_docs(docs_canon(spark, sf_dir))
     # the candidate branch re-reads the (reused) scan; see the
     # plan-shape note in pipeline.cap_docs_per_source for why no
     # exchange above the pid projection can be AQE-reused — here both
@@ -79,7 +85,7 @@ def source_quota_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUOTA_SQL = f"""
 WITH v AS (
-  SELECT doc_id, source FROM documents
+  SELECT doc_id, source FROM {_DOCS_CANON_SQL} documents
   WHERE text IS NOT NULL AND length(text) > 0 AND source IS NOT NULL
 ),
 r AS (

@@ -1,0 +1,151 @@
+"""Duplicate-id differential gate: run Spark and the DuckDB oracle
+over copies of the tables containing re-ingested ids — exact duplicate
+rows plus same-id-different-payload conflicts — and require agreement.
+Production corpora are re-ingested; the driver's synthetic tables are
+not, so this axis is invisible to the correctness gate.
+
+The probe that seeded this file found 20 divergent operators: per-id
+outputs drifting in multiplicity (IVF assignment, PQ codes, SemDeDup,
+simhash, substring removal), double-weighted k-means means, duplicate
+neighbors crowding ANN top-k, shingle-set sizes counting duplicate
+rows, packing bins shifting, quota/cap selections flagging dup rows
+inconsistently, and the events range join emitting collapsed purchase
+groups on one engine only.  The fix is the canonical-by-id contract in
+operators/_canon.py (id-keyed operators consume one row per id — the
+min-payload-tuple winner, NULLS LAST — while row-level multiset scans
+stay raw); this file keeps both sides on it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+# the 20 previously-divergent operators + one healthy representative
+# per family (raw-multiset contract: knn, text, exact dedup, TPC-H agg)
+SAMPLE = [
+    # documents family (canonical corpus)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster_cc",
+    "dedup_simhash",
+    "dedup_survivors",
+    "dedup_substring_removal",
+    "quality_repetition",
+    "pack_sequences",
+    "corpus_yield_funnel",
+    "cap_docs_per_source",
+    "source_quota_incremental",
+    "pagerank_neardup_graph",
+    "mm_image_features",
+    "mm_media_manifest",
+    # vector family (canonical index builds)
+    "ivf_cell_assignment",
+    "ann_ivf_probe",
+    "kmeans_embeddings",
+    "pq_encode_codes",
+    "ann_pq_adc",
+    "semdedup_cells",
+    "semdedup_incremental",
+    "dedup_embedding_cosine",
+    # events family (canonical event log)
+    "range_join_clicks_before_purchase",
+    # raw-multiset representatives (must stay consistent WITHOUT
+    # canonicalization — a regression here means someone canonicalized
+    # one side only)
+    "knn_brute_force",
+    "text_token_count",
+    "dedup_exact",
+    "q1_pricing_summary",
+    "events_sessionize",
+]
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_dup_ids")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{src}/documents.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{src}/documents.parquet')
+          WHERE doc_id % 41 = 7
+          UNION ALL
+          SELECT doc_id, text || ' v2' AS text, lang,
+                 'reingest' AS source, n_chars + 3 AS n_chars
+          FROM read_parquet('{src}/documents.parquet')
+          WHERE doc_id % 43 = 9
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{src}/embeddings.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{src}/embeddings.parquet')
+          WHERE vec_id % 41 = 7
+          UNION ALL
+          SELECT vec_id, embedding, (label + 1) % 10 AS label
+          FROM read_parquet('{src}/embeddings.parquet')
+          WHERE vec_id % 43 = 9
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{src}/events.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{src}/events.parquet')
+          WHERE event_id % 41 = 7
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{src}/orders.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{src}/orders.parquet')
+          WHERE o_orderkey % 41 = 7
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("lineitem", "customer", "supplier", "part", "nation", "region"):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_dup_id_oracle_agreement(spark, dup_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(q[name](spark, dup_dir), o[name], dup_dir, strict=True)
+    assert ok, f"{name}: {msg}"
+
+
+def test_canonical_rows_winner_rule(spark):
+    """The contract itself: min payload tuple, per-column NULLS LAST —
+    a usable payload beats NULL, conflicts resolve row-consistently."""
+    from stac_geoparquet_spark.operators._canon import canonical_rows
+
+    df = spark.createDataFrame(
+        [
+            (1, "b", "en"),
+            (1, "a", "zz"),  # winner: min text, lang rides along
+            (2, None, "en"),
+            (2, "x", None),  # winner: non-NULL text beats NULL text
+            (3, None, None),  # all-NULL payload still yields one row
+        ],
+        "id bigint, text string, lang string",
+    )
+    got = {
+        r["id"]: (r["text"], r["lang"])
+        for r in canonical_rows(df, "id", ("text", "lang")).collect()
+    }
+    assert got == {1: ("a", "zz"), 2: ("x", None), 3: (None, None)}

@@ -89,8 +89,11 @@ def test_semi_anti_join_physical(spark, sf):
 def test_dedup_exact_single_exchange(spark, sf):
     plan = plan_of(dedup.dedup_exact(spark, sf))
     # exactly one exchange: the window's hash partition on the content
-    # hash, moving only (doc_id, hash) rows — text never shuffles
+    # hash, moving only (doc_id, hash) rows — text never shuffles (the
+    # canonical corpus arrives as a materialized layout scan, not an
+    # in-query exchange, and dedup_exact reads it spread=False)
     assert n_ops(plan, "Exchange") == 1
+    assert "sgs_canon_documents" in plan
 
 
 def test_simhash_no_shuffle(spark, sf):
@@ -657,15 +660,20 @@ def test_substring_spans_single_scan_window_mark(spark, sf):
 
 def test_pq_encode_single_pass_no_shuffle_after_spread(spark, sf):
     """The PQ index build is one scan into one Arrow-batched encode
-    pass — no aggregation, no join, no window; the only exchange is
-    the conditional toy-input spread."""
+    pass — no join, no window; exchanges are the conditional toy-input
+    spread plus the canonical-by-id keyed aggregate (index builds
+    collapse re-ingested duplicate vec_ids — _canon.py — and the
+    partial min(embedding) combines map-side before the exchange)."""
     from stac_geoparquet_spark.operators import similarity
 
     plan = plan_of(similarity.pq_encode_codes(spark, sf))
     assert n_ops(plan, "Scan parquet") == 1
     assert n_ops(plan, "MapInPandas") == 1
     assert n_ops(plan, "Window") == 0
-    assert n_ops(plan, "Exchange") <= 1
+    assert n_ops(plan, "Exchange") <= 2
+    # the canonical aggregate must stay partial/final (map-side
+    # combine), not a per-id window
+    assert "partial_min" in plan
 
 
 def test_pq_adc_batch_topk_then_group_limit(spark, sf):
