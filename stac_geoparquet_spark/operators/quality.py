@@ -74,6 +74,12 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("failed"))
     )
     # lineitem scan checks: one pass, then split into report rows
+    nan_any = (
+        F.coalesce(F.isnan("l_quantity"), F.lit(False))
+        | F.coalesce(F.isnan("l_extendedprice"), F.lit(False))
+        | F.coalesce(F.isnan("l_discount"), F.lit(False))
+        | F.coalesce(F.isnan("l_tax"), F.lit(False))
+    )
     scan = lineitem.agg(
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
             "null_qty"
@@ -86,6 +92,12 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
             "bad_price"
         ),
+        # NaN measures are CORRUPT, not merely missing: decimal-exact
+        # cross-engine aggregation cannot represent NaN (DuckDB errors
+        # casting NaN to DECIMAL), so the analytic operators' contract
+        # is non-NaN measures and THIS row is the promote/abort gate
+        # that enforces it (the NaN differential probe's finding)
+        F.sum(nan_any.cast("bigint")).alias("nan_measures"),
     )
 
     parts = [
@@ -103,6 +115,11 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _check_row(
             "positive_price",
             scan.select(F.col("bad_price").alias("failed")),
+            n_li,
+        ),
+        _check_row(
+            "finite_measures",
+            scan.select(F.col("nan_measures").alias("failed")),
             n_li,
         ),
     ]
@@ -139,6 +156,14 @@ UNION ALL
 SELECT 'positive_price',
        (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0),
        (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'finite_measures',
+       (SELECT count(*) FROM lineitem
+         WHERE coalesce(isnan(l_quantity), false)
+            OR coalesce(isnan(l_extendedprice), false)
+            OR coalesce(isnan(l_discount), false)
+            OR coalesce(isnan(l_tax), false)),
+       (SELECT count(*) FROM lineitem)
 """
 
 
@@ -163,9 +188,10 @@ DOC_LANGS = ("en", "es", "de", "fr", "zh")
 
 
 def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(check, failed, total) over documents and embeddings: NULL
-    text, duplicate doc_ids, out-of-domain lang, n_chars drift,
-    NULL / wrong-dimension / non-finite vectors, duplicate vec_ids.
+    """(check, failed, total) over documents, embeddings and events:
+    NULL text, duplicate doc_ids, out-of-domain lang, n_chars drift,
+    NULL / wrong-dimension / non-finite vectors, duplicate vec_ids,
+    NaN event values.
     `failed > 0` on any row is the promote/abort gate a pipeline runs
     before the operators whose contracts these are."""
     from stac_geoparquet_spark.operators.similarity import DIM, _valid_vec
@@ -206,6 +232,17 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_vec_id"
         ),
     )
+    # events: a NaN interaction value poisons bucketed/aggregated
+    # event analytics the same way (floor(NaN/b) has no integer
+    # value); same gate-then-assume contract as finite_measures
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.coalesce(F.isnan("value"), F.lit(False)).cast("bigint")
+        ).alias("nan_value"),
+    )
     drows = d.selectExpr(
         "stack(4, 'doc_null_text', null_text, 'doc_dup_id', dup_doc_id,"
         " 'doc_lang_domain', lang_domain, 'doc_n_chars_drift',"
@@ -218,7 +255,11 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (check, failed)",
         "total",
     )
-    return drows.unionByName(erows).select(
+    evrows = ev.selectExpr(
+        "stack(1, 'event_nan_value', nan_value) AS (check, failed)",
+        "total",
+    )
+    return drows.unionByName(erows).unionByName(evrows).select(
         "check",
         F.col("failed").cast("bigint").alias("failed"),
         F.col("total").cast("bigint").alias("total"),
@@ -262,6 +303,10 @@ UNION ALL SELECT 'vec_null', null_vec, total FROM e
 UNION ALL SELECT 'vec_wrong_dim', wrong_dim, total FROM e
 UNION ALL SELECT 'vec_nonfinite', nonfinite_vec, total FROM e
 UNION ALL SELECT 'vec_dup_id', dup_vec_id, total FROM e
+UNION ALL SELECT 'event_nan_value',
+  (SELECT CAST(sum(CASE WHEN coalesce(isnan(value), false) THEN 1 ELSE 0 END)
+          AS BIGINT) FROM events),
+  (SELECT count(*) FROM events)
 """
 
 

@@ -748,13 +748,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec())
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         # canonical-by-id (_canon.py): k-means is an index build — a
         # re-ingested duplicate id must not double-weight the means, so
         # ids collapse to the lexicographically-smallest vector exactly
-        # as the oracle's min() GROUP BY vec_id does
+        # as the oracle's min() GROUP BY vec_id does.  min() runs on the
+        # raw float array (half the sort-aggregate bytes); the cast
+        # after is element-wise monotone, so the winner is identical.
         .groupBy("vec_id")
-        .agg(F.min("v").alias("v"))
+        .agg(F.min("embedding").alias("embedding"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
 
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
