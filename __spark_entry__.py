@@ -80,6 +80,7 @@ def _registries():
     ]
     rotation = [
         (pipeline.QUERIES_ROTATION, pipeline.ORACLE_ROTATION),
+        (text.QUERIES_ROTATION, text.ORACLE_ROTATION),
         (similarity.QUERIES_ROTATION, similarity.ORACLE_ROTATION),
         (curation.QUERIES_ROTATION, curation.ORACLE_ROTATION),
         (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
@@ -181,6 +182,10 @@ NEW_THIS_ROUND: list[str] = [
     "dedup_substring_removal",
     "cap_docs_per_source",
     "source_quota_incremental",
+    "semantic_decontam_cells",
+    "stratified_split_report",
+    "token_fertility_by_lang",
+    "events_l_diversity",
 ]
 
 

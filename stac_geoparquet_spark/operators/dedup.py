@@ -870,6 +870,104 @@ LEFT JOIN dup ON dup.vec_id = asg.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Semantic decontamination (embedding-space twin of the n-gram
+# decontaminate_against_holdout): a corpus vector is contaminated when
+# some HOLDOUT vector in its IVF cell sits at rounded cosine >= the
+# near-dup threshold.  Eval/holdout membership is a designated id set
+# (vec_id % 10 >= 8 here — in production the eval set's known ids or
+# content hashes), so no label column is involved.  Same scaling
+# argument as SemDeDup: the pair space is bounded per cell, cells
+# prune independently, and the shared IVF layout means the search
+# index and the decontamination partition can never disagree.
+# One scan of the cell-partitioned layout, per-cell cross-set GEMM.
+# --------------------------------------------------------------------------
+HOLDOUT_MOD = 10  # vec_id % 10 >= HOLDOUT_LO -> holdout member
+HOLDOUT_LO = 8
+
+
+def semantic_decontam_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.similarity import (
+        _load_centroids,
+        build_ivf_layout,
+    )
+
+    out_schema = (
+        "vec_id bigint, ivf_cell bigint, n_holdout_in_cell bigint,"
+        " contaminated boolean"
+    )
+    if len(_load_centroids(sf_dir)[0]) == 0:
+        return spark.createDataFrame([], out_schema)
+    layout = build_ivf_layout(spark, sf_dir)
+    df = spark.read.parquet(layout).select("vec_id", "embedding", "ivf_cell")
+    tau = SEMDEDUP_TAU
+    h_mod, h_lo = HOLDOUT_MOD, HOLDOUT_LO
+
+    def scan_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        hold = (ids % h_mod) >= h_lo
+        corp = ~hold
+        n_hold = int(hold.sum())
+        out = {
+            "vec_id": ids[corp],
+            "ivf_cell": pdf["ivf_cell"].to_numpy()[corp],
+            "n_holdout_in_cell": np.full(corp.sum(), n_hold, dtype=np.int64),
+        }
+        if n_hold == 0 or corp.sum() == 0:
+            out["contaminated"] = np.zeros(corp.sum(), dtype=bool)
+            return pd.DataFrame(out)
+        a = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.sqrt((a * a).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            unit = a / norms[:, None]
+            sims = np.round(unit[corp] @ unit[hold].T, 6)
+        # NaN rows (zero-norm) compare False -> clean, matching the
+        # oracle's nullif-guarded comparison (same rule as semdedup)
+        out["contaminated"] = np.nansum(sims >= tau, axis=1) > 0
+        return pd.DataFrame(out)
+
+    return df.groupBy("ivf_cell").applyInPandas(scan_cell, out_schema)
+
+
+def _semantic_decontam_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.similarity import (
+        _DOT_SQL,
+        _centroid_cte,
+    )
+
+    cos = _DOT_SQL.format(a="c.v", b="h.v")
+    return f"""
+WITH {_centroid_cte()},
+contaminated AS (
+  SELECT DISTINCT ca.vec_id
+  FROM assigned ca
+  JOIN assigned ha ON ca.ivf_cell = ha.ivf_cell
+  JOIN e c ON c.vec_id = ca.vec_id
+  JOIN e h ON h.vec_id = ha.vec_id
+  WHERE ca.vec_id % {HOLDOUT_MOD} < {HOLDOUT_LO}
+    AND ha.vec_id % {HOLDOUT_MOD} >= {HOLDOUT_LO}
+    AND round({cos} / nullif(c.norm * h.norm, 0), 6) >= {SEMDEDUP_TAU}
+),
+cells AS (
+  SELECT ivf_cell,
+         CAST(sum(CASE WHEN vec_id % {HOLDOUT_MOD} >= {HOLDOUT_LO}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout_in_cell
+  FROM assigned GROUP BY ivf_cell
+)
+SELECT asg.vec_id, asg.ivf_cell, cells.n_holdout_in_cell,
+       contaminated.vec_id IS NOT NULL AS contaminated
+FROM assigned asg
+JOIN cells USING (ivf_cell)
+LEFT JOIN contaminated ON contaminated.vec_id = asg.vec_id
+WHERE asg.vec_id % {HOLDOUT_MOD} < {HOLDOUT_LO}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -879,6 +977,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_survivors": dedup_survivors,
     "semdedup_cells": semdedup_cells,
+    "semantic_decontam_cells": semantic_decontam_cells,
 }
 
 ORACLE = {
@@ -890,4 +989,5 @@ ORACLE = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "dedup_survivors": _survivors_oracle_sql(),
     "semdedup_cells": _semdedup_oracle_sql(),
+    "semantic_decontam_cells": _semantic_decontam_oracle_sql(),
 }

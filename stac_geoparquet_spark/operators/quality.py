@@ -356,15 +356,60 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# l-diversity audit (k-anonymity's companion): a group can be large
+# (k-anonymous) yet still leak — if every member shares the sensitive
+# attribute, group membership reveals it.  Same quasi-identifier tuple
+# as events_k_anonymity (one shared grouping contract); the sensitive
+# attribute here is the event_type itself viewed from the released
+# (hour, value_bucket) tuple: each released group must contain >= L
+# distinct event types.  Pure keyed aggregate, map-side combined.
+# --------------------------------------------------------------------------
+L_DIVERSITY_L = 3
+
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    g = ev.select(
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        F.floor(F.col("value") / K_ANON_VALUE_BUCKET)
+        .cast("bigint")
+        .alias("value_bucket"),
+        "event_type",
+    )
+    return g.groupBy("hour_of_day", "value_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_type").alias("n_types"),
+        (F.count_distinct("event_type") >= L_DIVERSITY_L).alias(
+            "l_diverse"
+        ),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(floor(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       count(DISTINCT event_type) >= {L_DIVERSITY_L} AS l_diverse
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # Placement in the driver's 50-entry correctness window is decided by
 # __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
 # by this module's dict split; the rotation dicts only group entries.
 QUERIES_ROTATION = {
+    "events_l_diversity": events_l_diversity,
     "dq_corpus_report": dq_corpus_report,
     "events_k_anonymity": events_k_anonymity,
 }
 
 ORACLE_ROTATION = {
+    "events_l_diversity": L_DIVERSITY_SQL,
     "dq_corpus_report": _dq_corpus_oracle_sql(),
     "events_k_anonymity": K_ANON_SQL,
 }

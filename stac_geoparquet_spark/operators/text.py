@@ -586,6 +586,126 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# stratified 3-way split report: per (lang, split) doc counts and the
+# observed fraction within the stratum — the assignment audit run
+# before training (is every stratum's val/test slice the right size?).
+# The split is the same deterministic md5(doc_id) bucket the rest of
+# the engine uses (split_pct), extended to train/val/test cut points.
+# Per-stratum totals reach rows via a small groupBy + broadcast join,
+# NOT a window partitioned by lang (bounded-cardinality window keys
+# are banned by the registry plan sweep).
+# --------------------------------------------------------------------------
+VAL_PCT = 90  # [TRAIN_PCT, VAL_PCT) = val, [VAL_PCT, 100) = test
+
+
+def stratified_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pct = split_pct()
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    g = docs.select(F.col("lang"), split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    # rename the total side's key: tot derives from g, so joining on
+    # the shared column name is an ambiguous self-join to the analyzer
+    tot = (
+        g.groupBy("lang")
+        .agg(F.sum("n_docs").alias("n_lang"))
+        .withColumnRenamed("lang", "lang_t")
+    )
+    return (
+        g.join(F.broadcast(tot), F.col("lang").eqNullSafe(F.col("lang_t")))
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_lang"), 6).alias("frac"),
+        )
+    )
+
+
+STRATIFIED_SPLIT_SQL = f"""
+WITH g AS (
+  SELECT lang,
+         CASE WHEN {SPLIT_PCT_SQL} < {TRAIN_PCT} THEN 'train'
+              WHEN {SPLIT_PCT_SQL} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM g GROUP BY 1)
+SELECT g.lang, g.split, g.n_docs, round(g.n_docs * 1.0 / t.n_lang, 6) AS frac
+FROM g JOIN t ON g.lang IS NOT DISTINCT FROM t.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# tokenizer fertility by language: chars-per-token and bytes-per-token
+# (UTF-8) — the diagnostic that tells you which languages your
+# whitespace/BPE tokenizer fragments worst, i.e. which languages pay
+# the most sequence length per character of content.  Ratio of SUMS
+# (corpus fertility), not mean of per-doc ratios, so short docs don't
+# dominate; NULL-text docs are excluded per the shared contract.
+# One keyed aggregate, map-side combined.
+# --------------------------------------------------------------------------
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    per = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("chars"),
+        F.octet_length("text").cast("bigint").alias("bytes"),
+        F.size(_words(F.col("text"))).cast("bigint").alias("tokens"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.round(
+            F.sum("chars") / F.nullif(F.sum("tokens"), F.lit(0)), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("bytes") / F.nullif(F.sum("tokens"), F.lit(0)), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.sum("tokens") / F.count(F.lit(1)), 6
+        ).alias("tokens_per_doc"),
+    )
+
+
+_SQL_WORDS = _sql_words()
+
+TOKEN_FERTILITY_SQL = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len({_SQL_WORDS})) AS BIGINT) AS total_tokens,
+       round(sum(length(text)) * 1.0
+             / nullif(sum(len({_SQL_WORDS})), 0), 6) AS chars_per_token,
+       round(sum(strlen(text)) * 1.0
+             / nullif(sum(len({_SQL_WORDS})), 0), 6) AS bytes_per_token,
+       round(sum(len({_SQL_WORDS})) * 1.0 / count(*), 6) AS tokens_per_doc
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY lang
+"""
+
+
+# Rotation block: registered after the driver window (see
+# __spark_entry__._registries); locally strict-gated like everything
+# else.
+QUERIES_ROTATION = {
+    "stratified_split_report": stratified_split_report,
+    "token_fertility_by_lang": token_fertility_by_lang,
+}
+
+ORACLE_ROTATION = {
+    "stratified_split_report": STRATIFIED_SPLIT_SQL,
+    "token_fertility_by_lang": TOKEN_FERTILITY_SQL,
+}
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_tfidf_top_terms": text_tfidf_top_terms,
