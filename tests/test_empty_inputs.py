@@ -55,6 +55,12 @@ SAMPLE = [
     "mm_media_manifest",
     "mm_audio_energy",
     "funnel_view_click_purchase",
+    "semantic_decontam_cells",
+    "stratified_split_report",
+    "token_fertility_by_lang",
+    "events_l_diversity",
+    "source_quota_incremental",
+    "range_join_clicks_before_purchase",
 ]
 
 TABLES = (
