@@ -106,7 +106,8 @@ def _registries():
     # shingle contract commits (6d0e7b6/d877c59/cd1d632); (c) the
     # r01-only entries, oldest hard signal first, in r01 order — the
     # ones past the 50-cut (q2/q4/q8/q11/q15/q16/q20/q21 + the trimmed
-    # list tail) rotate in r05.
+    # list tail) rotate in r05.  The ledger in README.md (generated)
+    # shows the resulting in-window split per round.
     # tools/gen_ledger.py renders the staleness table this list is
     # built from.  Everything else keeps pool order behind the window.
     window = [
@@ -120,6 +121,10 @@ def _registries():
         "semdedup_incremental",
         "mm_image_features",
         "mm_resize",
+        # funnel's physical plan changed this round (global agg + stack
+        # replaces stack + groupBy so the fixed stage rows survive an
+        # empty stream) — its r02 row predates that
+        "funnel_view_click_purchase",
         # (b) churned in r03 after their r02 rows were recorded
         "text_token_count",
         "text_tfidf_top_terms",

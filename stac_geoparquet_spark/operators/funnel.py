@@ -72,16 +72,24 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coalesce(t_view IS NOT NULL AND t_click_any > t_view"
         " AND t_purchase_any > t_click_any, false) AS s3",
     )
-    return (
-        staged.selectExpr(
-            "stack(3,"
-            " 1, 'view', CAST(s1 AS INT),"
-            " 2, 'click', CAST(s2 AS INT),"
-            " 3, 'purchase', CAST(s3 AS INT)"
-            ") AS (stage, stage_name, hit)"
-        )
-        .groupBy("stage", "stage_name")
-        .agg(F.sum("hit").alias("users"))
+    # the funnel is a FIXED three-stage report: its rows exist even
+    # when no user reached any stage (degenerate/filtered event
+    # streams), so the counts come from ONE global aggregate (which
+    # always emits a row) and stack() fans it into stage rows —
+    # mirroring the oracle's coalesced global sums (single-row probe
+    # finding: the previous groupBy-after-stack shape emitted ZERO
+    # rows when `staged` was empty while the oracle kept its 3)
+    totals = staged.agg(
+        F.coalesce(F.sum(F.col("s1").cast("bigint")), F.lit(0)).alias("u1"),
+        F.coalesce(F.sum(F.col("s2").cast("bigint")), F.lit(0)).alias("u2"),
+        F.coalesce(F.sum(F.col("s3").cast("bigint")), F.lit(0)).alias("u3"),
+    )
+    return totals.selectExpr(
+        "stack(3,"
+        " 1, 'view', u1,"
+        " 2, 'click', u2,"
+        " 3, 'purchase', u3"
+        ") AS (stage, stage_name, users)"
     )
 
 
@@ -104,11 +112,11 @@ staged AS (
   FROM per_user
 )
 SELECT stage, stage_name, users FROM (
-  SELECT 1 AS stage, 'view' AS stage_name, CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS users FROM staged
+  SELECT 1 AS stage, 'view' AS stage_name, CAST(coalesce(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS users FROM staged
   UNION ALL
-  SELECT 2, 'click', CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM staged
+  SELECT 2, 'click', CAST(coalesce(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM staged
   UNION ALL
-  SELECT 3, 'purchase', CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM staged
+  SELECT 3, 'purchase', CAST(coalesce(sum(CASE WHEN s3 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM staged
 ) t
 """
 

@@ -42,6 +42,10 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty pair graph (tiny/degenerate corpus): no nodes to rank —
+        # the oracle's chained CTEs are empty too
+        return spark.createDataFrame([], "doc_id bigint, pagerank double")
     ranks = deg.select(
         F.col("doc_a").alias("doc_id"),
         F.round(F.lit(1.0 / n_nodes), PR_ROUND).alias("pr"),

@@ -389,12 +389,19 @@ def rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HAVING count(*) > 0: Spark's grouping-sets execution emits NO rows
+# over an empty input while the standard (and DuckDB) emit the ()
+# grand-total row with count 0; the engine exposes Spark-native
+# semantics ("no data -> no report rows") and the oracle mirrors it —
+# the guard only ever drops that empty-input row, since every real
+# group has count >= 1 (single-row differential probe finding).
 ROLLUP_SQL = """
 SELECT r_name, n_name, count(*) AS customer_count
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING count(*) > 0
 """
 
 

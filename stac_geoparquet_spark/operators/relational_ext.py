@@ -436,6 +436,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """
 
 

@@ -115,6 +115,7 @@ SELECT l_returnflag,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+HAVING count(*) > 0
 """
 
 

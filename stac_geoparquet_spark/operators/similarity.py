@@ -503,6 +503,10 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     of n_centroids partitions are scanned); this operator is the
     assignment pass of that write. One GEMM per Arrow batch against the
     broadcast centroid matrix, no shuffle."""
+    if len(_load_centroids(sf_dir)[0]) == 0:
+        # no centroids (empty/tiny table): the oracle's CROSS JOIN cent
+        # is empty; np.argmax over a 0-column sim matrix would throw
+        return spark.createDataFrame([], "vec_id bigint, ivf_cell bigint")
     assign = _make_cell_assign_fn(spark, sf_dir, carry_embedding=False)
     return _emb_blocks(spark, sf_dir, canonical=True).mapInPandas(
         assign, "vec_id bigint, ivf_cell bigint"

@@ -1,0 +1,150 @@
+"""Degenerate-shape differential gates: single-row tables and
+constant-key columns.  The single-row probe found four real defects —
+`ivf_cell_assignment` crashed when the centroid slice was empty
+(missing the guard its siblings had), `pagerank_neardup_graph` divided
+by zero on an empty pair graph, the event funnel emitted ZERO rows
+(vs the oracle's three stage rows) when no user reached any stage,
+and the grouping-sets family exposed a genuine engine split: Spark
+emits no rows over an empty grouping input while DuckDB emits the SQL
+standard's () grand-total row.  Adopted contracts: fixed-stage
+reports always emit their stage rows (zero-valued); grouping-sets
+queries use Spark-native "no data, no report rows" semantics with the
+oracle mirroring via HAVING count(*) > 0 (which can only ever drop
+the empty-input grand-total row — every real group has count >= 1).
+The constant-key axis (every doc one lang+source, every event one
+user+type) probed fully clean.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+_ORDER_COL = {
+    "documents": "doc_id",
+    "events": "event_id",
+    "embeddings": "vec_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
+# previously-divergent ops + the rest of their families as sentinels
+SINGLEROW_SAMPLE = [
+    "ivf_cell_assignment",
+    "ann_ivf_probe",
+    "kmeans_embeddings",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "pagerank_neardup_graph",
+    "rollup_customers",
+    "cube_lineitem_flags",
+    "grouping_sets_revenue",
+    "pivot_status_by_priority",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "semantic_decontam_cells",
+]
+
+CONSTANT_SAMPLE = [
+    "cap_docs_per_source",
+    "source_quota_incremental",
+    "rebalance_by_lang",
+    "source_mixture_weights",
+    "stratified_split_report",
+    "token_fertility_by_lang",
+    "kmv_source_overlap",
+    "events_sessionize",
+    "funnel_view_click_purchase",
+    "events_k_anonymity",
+    "events_l_diversity",
+]
+
+
+@pytest.fixture(scope="module")
+def singlerow_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_singlerow")
+    con = duckdb.connect()
+    for t, key in _ORDER_COL.items():
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')
+                ORDER BY {key} LIMIT 1)
+              TO '{dst}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def constant_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_constant")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id, text, 'en' AS lang, 'src0' AS source,
+              n_chars
+            FROM read_parquet('{src}/documents.parquet'))
+          TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT event_id, ts, CAST(1 AS BIGINT) AS user_id,
+              'click' AS event_type, value, props
+            FROM read_parquet('{src}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("embeddings", "orders", "lineitem", "customer", "supplier",
+              "part", "nation", "region"):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", SINGLEROW_SAMPLE)
+def test_singlerow_oracle_agreement(spark, singlerow_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, singlerow_dir), o[name], singlerow_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", CONSTANT_SAMPLE)
+def test_constant_key_oracle_agreement(spark, constant_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(
+        q[name](spark, constant_dir), o[name], constant_dir, strict=True
+    )
+    assert ok, f"{name}: {msg}"
+
+
+def test_funnel_emits_fixed_stages_on_stageless_stream(spark, singlerow_dir):
+    """The fixed-stage report contract directly: a stream where no
+    user reaches any stage still yields all three stage rows, zeroed."""
+    from stac_geoparquet_spark.operators.funnel import (
+        funnel_view_click_purchase,
+    )
+
+    rows = sorted(
+        funnel_view_click_purchase(spark, singlerow_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == ["view", "click", "purchase"]
+    assert all(r["users"] >= 0 for r in rows)

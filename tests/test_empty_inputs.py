@@ -95,9 +95,14 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
 
     fn = entry_mod.queries()[name]
     rows = fn(spark, empty_dir).collect()
-    if name in ("text_zipf_slope", "corpus_yield_funnel"):
-        # whole-corpus summaries legitimately emit their summary rows
-        # (NULL/zero-valued) for an empty corpus
+    if name in (
+        "text_zipf_slope",
+        "corpus_yield_funnel",
+        "funnel_view_click_purchase",
+    ):
+        # whole-corpus summaries and fixed-stage reports legitimately
+        # emit their summary/stage rows (NULL/zero-valued) for an
+        # empty corpus
         assert len(rows) >= 1
     else:
         assert rows == []
