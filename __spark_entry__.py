@@ -191,6 +191,9 @@ NEW_THIS_ROUND: list[str] = [
     "stratified_split_report",
     "token_fertility_by_lang",
     "events_l_diversity",
+    "gopher_quality_rules",
+    "quality_classifier_score",
+    "embedding_covariance",
 ]
 
 

@@ -1280,6 +1280,126 @@ SELECT query_id, neighbor_id, approx_d2, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed covariance build — the d × d second-moment statistic a
+# PCA / whitening / OPQ-rotation step starts from.  The single scalable
+# shape for this at 100 TB is partial GEMM per batch: each Arrow batch
+# contributes X^T X (d × d) and the column-sum vector via one numpy
+# matmul, the merge is a keyed sum over at most (d(d+1)/2 + d) ×
+# n_batches tiny rows, and the final covariance assembly joins two
+# 64-row broadcast sides.  Nothing about the plan depends on row count
+# except the partial-aggregate merge — the textbook one-pass parallel
+# covariance (sum-of-products minus outer product of means).
+# --------------------------------------------------------------------------
+def _covariance_merged(spark, sf_dir: str) -> DataFrame:
+    """The heavy pass, un-fenced (plan-pinned by the tests): scan →
+    canonical-by-id → per-batch GEMM → bounded (i, j) keyed merge
+    producing the ≤ d(d+1)/2 + d row partial matrix."""
+    dim = DIM
+
+    def partial(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field("i", pa.int32()),
+                pa.field("j", pa.int32()),
+                pa.field("s", pa.float64()),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        iu, ju = np.triu_indices(dim)
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            if len(col) == 0:
+                continue
+            x = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+            gram = x.T @ x
+            sums = x.sum(axis=0)
+            n = np.int64(x.shape[0])
+            i = np.concatenate([iu, np.arange(dim)])
+            j = np.concatenate([ju, np.full(dim, -1)])
+            s = np.concatenate([gram[iu, ju], sums])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i.astype(np.int32)),
+                    pa.array(j.astype(np.int32)),
+                    pa.array(s),
+                    pa.array(np.full(len(i), n)),
+                ],
+                schema=out_schema,
+            )
+
+    return (
+        _emb_blocks(spark, sf_dir, canonical=True)
+        .select("embedding")
+        .mapInArrow(partial, "i int, j int, s double, n bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle (i <= j) sample covariance of the embedding
+    columns, canonical-by-id like every other index/stats build (a
+    re-ingested duplicate vec_id contributes once).  Output: one row
+    per dimension pair with the pooled row count and cov rounded to 6.
+    n = 1 yields NULL covariance on both engines (nullif guard on the
+    n-1 divisor) rather than an ANSI division crash.
+
+    The merged partial matrix is ``localCheckpoint``-fenced before the
+    assembly joins: they consume it twice (sum rows and product rows),
+    and without the fence Catalyst re-executes the whole scan+GEMM per
+    consumer — the explain showed the 100-TB pass TRIPLED.  Same
+    lineage-truncation move as ``pagerank_neardup_graph``; what gets
+    materialized is only the tiny d × d matrix."""
+    merged = _covariance_merged(spark, sf_dir).localCheckpoint()
+    sums = merged.where(F.col("j") == -1).select("i", F.col("s").alias("sv"))
+    prods = merged.where(F.col("j") >= 0)
+    return (
+        prods.join(F.broadcast(sums), "i")
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("j"), F.col("sv").alias("sw"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.col("n"),
+            F.round(
+                (F.col("s") - F.col("sv") * F.col("sw") / F.col("n"))
+                / F.nullif(F.col("n") - 1, F.lit(0)).cast("double"),
+                6,
+            ).alias("cov"),
+        )
+        .select("i", "j", "n", "cov")
+    )
+
+
+COVARIANCE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, min(embedding)::DOUBLE[] AS v
+  FROM embeddings WHERE {VALID_VEC_SQL} GROUP BY vec_id
+),
+x AS (
+  SELECT vec_id, i, v[i + 1] AS xi
+  FROM e, unnest(range(0, len(v))) AS t(i)
+),
+s AS (SELECT i, sum(xi) AS sv, count(*) AS n FROM x GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+       CAST(sa.n AS BIGINT) AS n,
+       round((p.sij - sa.sv * sb.sv / sa.n)
+             / nullif(sa.n - 1, 0), 6) AS cov
+FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+"""
+
+
 # Placement in the driver's 50-entry correctness window is decided by
 # __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
 # by this module's dict split; the rotation dicts only group entries.
@@ -1287,10 +1407,12 @@ QUERIES_ROTATION = {
     "embedding_class_profile": embedding_class_profile,
     "pq_encode_codes": pq_encode_codes,
     "ann_pq_adc": ann_pq_adc,
+    "embedding_covariance": embedding_covariance,
 }
 
 ORACLE_ROTATION = {
     "embedding_class_profile": CLASS_PROFILE_SQL,
     "pq_encode_codes": PQ_ENCODE_SQL,
     "ann_pq_adc": PQ_ADC_SQL,
+    "embedding_covariance": COVARIANCE_SQL,
 }

@@ -692,17 +692,175 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher/MassiveText rule-based quality filter (Rae et al. 2021, table
+# A1 adapted to the word-level rules): word-count bounds, mean-word-
+# length band, minimum distinct stop words, minimum alphabetic-word
+# fraction, maximum symbol-to-word ratio.  Line/paragraph rules are
+# omitted deliberately (single-line corpus fixture; they'd be the same
+# in-row shape).  Pure column expressions, zero shuffle — at 100 TB
+# this is an embarrassingly parallel scan whose predicate pushes into
+# whatever selection runs downstream.  NULL text fails every rule
+# (keep = false) but still emits its doc row, mirroring dq_report's
+# "report rows, never drop silently" convention.
+# --------------------------------------------------------------------------
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_STOP_TYPES = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+# '#' and the one-codepoint ellipsis, the paper's symbol set
+_GOPHER_SYMBOLS = ("#", "…")
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    n_words = F.size(w).cast("bigint")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    mean_wlen = nonspace.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    stop_types = F.size(
+        F.array_distinct(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    ).cast("bigint")
+    alpha_frac = F.size(
+        F.filter(w, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0))
+    n_sym = sum(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(s), F.lit("")))
+        for s in _GOPHER_SYMBOLS
+    )
+    symbol_ratio = n_sym.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    keep = F.coalesce(
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wlen.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (stop_types >= GOPHER_MIN_STOP_TYPES)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO),
+        F.lit(False),
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        stop_types.alias("stop_types"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len({_SQL_WORDS}) AS n_words,
+         length(regexp_replace(text, '{SQL_WS}+', '', 'g')) AS nonspace,
+         len(list_distinct(list_filter({_SQL_WORDS},
+                                       x -> x IN ({_STOP_IN})))) AS stop_types,
+         len(list_filter({_SQL_WORDS},
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, chr(8230), ''))) AS n_sym
+  FROM documents
+)
+SELECT doc_id,
+       n_words,
+       round(nonspace * 1.0 / nullif(n_words, 0), 6)  AS mean_word_len,
+       stop_types,
+       round(n_alpha * 1.0 / nullif(n_words, 0), 6)   AS alpha_frac,
+       round(n_sym * 1.0 / nullif(n_words, 0), 6)     AS symbol_ratio,
+       coalesce(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND nonspace * 1.0 / nullif(n_words, 0)
+                    BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                AND stop_types >= {GOPHER_MIN_STOP_TYPES}
+                AND n_alpha * 1.0 / nullif(n_words, 0)
+                    >= {GOPHER_MIN_ALPHA_FRAC}
+                AND n_sym * 1.0 / nullif(n_words, 0)
+                    <= {GOPHER_MAX_SYMBOL_RATIO},
+                false) AS keep
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# fasttext-style linear quality classifier via the hashing trick: each
+# token hashes to one of CLF_BUCKETS weight slots (first 16 md5 bits,
+# the same cross-engine hash contract as split_pct); the "model" is a
+# deterministic weight table derived from the slot index (a Knuth
+# multiplicative mix onto [-10, 10]) so both engines share it without
+# a side file.  Score = logistic(sum of token weights / scale).  The
+# whole scorer is one in-row fold (aggregate over transform) — zero
+# shuffle, no Python, no broadcast; swapping in real trained weights
+# means replacing the mix with a 1024-slot broadcast array lookup,
+# same plan shape.
+# --------------------------------------------------------------------------
+CLF_BUCKETS = 1024
+CLF_WEIGHT_MOD = 21  # slot weights take values in [-10, 10]
+CLF_MIX = 2654435761  # Knuth's multiplicative-hash constant
+CLF_SCALE = 32.0
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+
+    def tok_weight(x: Column) -> Column:
+        slot = (
+            F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("bigint")
+            % CLF_BUCKETS
+        )
+        return (slot * F.lit(CLF_MIX)) % F.lit(CLF_WEIGHT_MOD) - F.lit(10)
+
+    raw = F.aggregate(
+        w, F.lit(0).cast("bigint"), lambda acc, x: acc + tok_weight(x)
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-raw.cast("double") / F.lit(CLF_SCALE))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        raw.alias("raw_score"),
+        F.round(prob, 6).alias("prob"),
+        F.coalesce(raw > 0, F.lit(False)).alias("keep"),
+    )
+
+
+CLASSIFIER_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_SQL_WORDS}) AS n_tokens,
+         CAST(list_sum(list_transform({_SQL_WORDS},
+             x -> ((('0x' || substr(md5(x), 1, 4))::BIGINT % {CLF_BUCKETS})
+                   * {CLF_MIX}) % {CLF_WEIGHT_MOD} - 10)) AS BIGINT)
+           AS raw_score
+  FROM documents
+)
+SELECT doc_id, n_tokens, raw_score,
+       round(1.0 / (1.0 + exp(-raw_score / {CLF_SCALE})), 6) AS prob,
+       coalesce(raw_score > 0, false) AS keep
+FROM s
+"""
+
+
 # Rotation block: registered after the driver window (see
 # __spark_entry__._registries); locally strict-gated like everything
 # else.
 QUERIES_ROTATION = {
     "stratified_split_report": stratified_split_report,
     "token_fertility_by_lang": token_fertility_by_lang,
+    "gopher_quality_rules": gopher_quality_rules,
+    "quality_classifier_score": quality_classifier_score,
 }
 
 ORACLE_ROTATION = {
     "stratified_split_report": STRATIFIED_SPLIT_SQL,
     "token_fertility_by_lang": TOKEN_FERTILITY_SQL,
+    "gopher_quality_rules": GOPHER_RULES_SQL,
+    "quality_classifier_score": CLASSIFIER_SQL,
 }
 
 

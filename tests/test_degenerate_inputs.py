@@ -51,6 +51,11 @@ SINGLEROW_SAMPLE = [
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "semantic_decontam_cells",
+    # n = 1 drives the covariance (n-1) divisor to zero: both engines
+    # must emit NULL cov rows, not crash
+    "embedding_covariance",
+    "gopher_quality_rules",
+    "quality_classifier_score",
 ]
 
 CONSTANT_SAMPLE = [
@@ -65,6 +70,7 @@ CONSTANT_SAMPLE = [
     "funnel_view_click_purchase",
     "events_k_anonymity",
     "events_l_diversity",
+    "gopher_quality_rules",
 ]
 
 

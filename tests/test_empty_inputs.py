@@ -61,6 +61,9 @@ SAMPLE = [
     "events_l_diversity",
     "source_quota_incremental",
     "range_join_clicks_before_purchase",
+    "gopher_quality_rules",
+    "quality_classifier_score",
+    "embedding_covariance",
 ]
 
 TABLES = (

@@ -45,6 +45,8 @@ SAMPLE = [
     "kmv_source_overlap",
     "rebalance_by_lang",
     "source_mixture_weights",
+    "gopher_quality_rules",
+    "quality_classifier_score",
 ]
 
 
@@ -105,6 +107,7 @@ VEC_SAMPLE = [
     "dedup_embedding_cosine",
     "semdedup_cells",
     "semdedup_incremental",
+    "embedding_covariance",
 ]
 
 

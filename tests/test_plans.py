@@ -851,3 +851,47 @@ def test_source_quota_two_phase_no_bare_source_window(spark, sf):
     assert not re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
     assert n_ops(plan, "BroadcastHashJoin") == 1
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_gopher_rules_pure_scan_no_shuffle(spark, sf):
+    """The Gopher rule filter is an in-row expression pipeline: no
+    exchange beyond the input-spread repartition, no Python stage, and
+    the scan reads only the columns the rules touch."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.gopher_quality_rules(spark, sf))
+    assert n_ops(plan, "Exchange") <= 1  # input-spread only
+    assert n_ops(plan, "MapInPandas") + n_ops(plan, "ArrowEvalPython") == 0
+    assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_classifier_in_row_fold_no_shuffle(spark, sf):
+    """The hashing-trick classifier is one in-row fold: no exchange
+    beyond the input spread, no join, no Python stage."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.quality_classifier_score(spark, sf))
+    assert n_ops(plan, "Exchange") <= 1
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert n_ops(plan, "MapInPandas") + n_ops(plan, "ArrowEvalPython") == 0
+
+
+def test_covariance_partial_gemm_single_merge_shuffle(spark, sf):
+    """Heavy stage (pre-fence): exactly one GEMM pass and one bounded
+    (i, j) merge shuffle on top of the canonical-by-id exchange.
+    Assembly (post-fence): reads the checkpointed partial matrix — NO
+    parquet re-scan, no second MapInArrow — and joins the d-row sum
+    sides broadcast.  Pins the fix for the reuse bug where Catalyst
+    re-executed the whole scan+GEMM for each of the three consumers."""
+    from stac_geoparquet_spark.operators import similarity
+
+    heavy = plan_of(similarity._covariance_merged(spark, sf))
+    assert n_ops(heavy, "MapInArrow") == 1
+    assert n_ops(heavy, "Scan parquet") == 1
+    assert n_ops(heavy, "Window") == 0
+
+    full = plan_of(similarity.embedding_covariance(spark, sf))
+    assert n_ops(full, "Scan parquet") == 0
+    assert n_ops(full, "MapInArrow") == 0
+    assert n_ops(full, "BroadcastHashJoin") == 2
+    assert n_ops(full, "SortMergeJoin") == 0
