@@ -47,6 +47,7 @@ def _registries():
     )
     from stac_geoparquet_spark.streaming import decontam as streaming_decontam
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
+    from stac_geoparquet_spark.streaming import novelty as streaming_novelty
     from stac_geoparquet_spark.streaming import quota as streaming_quota
     from stac_geoparquet_spark.streaming import rollup as streaming_rollup
     from stac_geoparquet_spark.streaming import semdedup as streaming_semdedup
@@ -86,6 +87,7 @@ def _registries():
         (streaming_decontam.QUERIES, streaming_decontam.ORACLE),
         (streaming_semdedup.QUERIES, streaming_semdedup.ORACLE),
         (streaming_quota.QUERIES, streaming_quota.ORACLE),
+        (streaming_novelty.QUERIES, streaming_novelty.ORACLE),
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
         (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
         (scan_opt.QUERIES_ROTATION, scan_opt.ORACLE_ROTATION),
@@ -184,6 +186,12 @@ def _registries():
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
 NEW_THIS_ROUND: list[str] = [
+    "ngram_novelty_by_source",
+    "novelty_incremental",
+    "dedup_containment",
+    "knn_label_agreement",
+    "embedding_random_projection",
+    "text_nfc_audit",
     "dedup_substring_removal",
     "cap_docs_per_source",
     "source_quota_incremental",

@@ -74,6 +74,7 @@ def main() -> None:
             " y -> struct(x AS a, y AS b))))) AS p",
         )
         .selectExpr("zip_with(array(p.a), array(p.b), (a, b) -> a + b) AS z")
+        .selectExpr("size(array_intersect(z, z)) AS zi")  # containment verify shape
         .count()
     )
 

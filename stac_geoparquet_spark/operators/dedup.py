@@ -968,6 +968,166 @@ WHERE asg.vec_id % {HOLDOUT_MOD} < {HOLDOUT_LO}
 """
 
 
+# --------------------------------------------------------------------------
+# First-occurrence n-gram novelty (corpus-curation data valuation):
+# each distinct shingle is "owned" by the lowest doc_id containing it
+# (ingestion order stands in for crawl time in the test corpus); a
+# document's novelty is the fraction of its distinct shingles it owns.
+# Low novelty = the document's content existed earlier in the corpus —
+# the per-source rollup ranks sources by how much NEW text they add,
+# the signal used to down-weight scrapey mirrors before training.
+#
+# Scale shape: owner = min(doc_id) per shingle hash is a partially
+# aggregatable keyed agg (map-side combine absorbs hot stop-phrase
+# shingles — no posting-list expansion anywhere, unlike the quadratic
+# all-pairs verifier above). The owned-count per doc comes from a
+# second keyed agg OVER THE OWNERS TABLE (one row per distinct gram),
+# not from a join back into the full gram table, so the expensive
+# gram-cardinality join is avoided entirely; everything after the two
+# gram-side aggs is one row per document.
+# --------------------------------------------------------------------------
+NOVELTY_DERIVATIVE_LT = 0.5  # novelty below this marks a derivative doc
+
+
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash")
+    owners = shh.groupBy("shash").agg(F.min("doc_id").alias("doc_id"))
+    owned = owners.groupBy("doc_id").agg(F.count(F.lit(1)).alias("owned"))
+    totals = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    perdoc = (
+        totals.join(owned, "doc_id", "left")
+        .withColumn(
+            "novelty", F.coalesce(F.col("owned"), F.lit(0)) / F.col("n")
+        )
+        .select("doc_id", "novelty")
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        perdoc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.sum(
+                F.when(
+                    F.col("novelty") < NOVELTY_DERIVATIVE_LT, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_derivative"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SHINGLE_HASH_CTE},
+owners AS (SELECT shash, min(doc_id) AS doc_id FROM shh GROUP BY shash),
+owned AS (SELECT doc_id, count(*) AS owned FROM owners GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+perdoc AS (
+  SELECT t.doc_id, coalesce(o.owned, 0) * 1.0 / t.n AS novelty
+  FROM totals t LEFT JOIN owned o USING (doc_id)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(p.novelty), 6) AS avg_novelty,
+       CAST(sum(CASE WHEN p.novelty < {NOVELTY_DERIVATIVE_LT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_derivative
+FROM perdoc p
+JOIN {_DOCS_CANON_SQL} d ON d.doc_id = p.doc_id
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Directional containment near-dup (quote / subsumption detection):
+# C(a in b) = |grams(a) n grams(b)| / |grams(a)|.  Jaccard-banded LSH
+# structurally MISSES high-containment pairs with very different
+# sizes (a 10-gram doc fully inside a 200-gram doc has j = 0.05), so
+# this operator has its own candidate generator: pairs sharing at
+# least one RARE gram (document frequency <= CONTAIN_DF_CAP) — the
+# AllPairs/PPJoin prefix-filter idea, same family as the q-gram
+# prefix filter in curation.edit_distance_join.
+#
+# Scale shape: the df cap bounds posting-list pair expansion at
+# df_cap^2 per rare gram (hot stop-phrase grams are EXCLUDED, the
+# exact shape that kills the exhaustive verifier); verification joins
+# the bounded candidate set against per-doc gram arrays and
+# intersects in the JVM (array_intersect) — cost linear in candidates
+# x doc length.  Contract caveat, on both engines identically: a pair
+# whose every shared gram is common (df > cap) is out of contract —
+# at corpus scale the discriminative grams of a genuine
+# quote/subsumption are precisely the rare ones.
+# --------------------------------------------------------------------------
+CONTAIN_TAU = 0.9  # max-direction containment threshold
+CONTAIN_DF_CAP = 10  # grams rarer than this generate candidates
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash")
+    rare = (
+        shh.groupBy("shash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= CONTAIN_DF_CAP)
+        .select("shash")
+    )
+    posts = shh.join(rare, "shash")
+    cand = (
+        posts.alias("a")
+        .join(posts.alias("b"), "shash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = shh.groupBy("doc_id").agg(F.collect_set("shash").alias("g"))
+    ga = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")
+    )
+    gb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("bigint")
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("cont_ab", F.round(inter / F.size("ga"), 6))
+        .withColumn("cont_ba", F.round(inter / F.size("gb"), 6))
+        .where(F.greatest("cont_ab", "cont_ba") >= CONTAIN_TAU)
+        .select("doc_a", "doc_b", "cont_ab", "cont_ba")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SHINGLE_HASH_CTE},
+dfx AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+rare AS (SELECT shash FROM dfx WHERE df <= {CONTAIN_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shash = a.shash
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.doc_a
+  JOIN shh y ON y.doc_id = c.doc_b AND y.shash = x.shash
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1.0 / sa.n, 6) AS cont_ab,
+       round(i.i * 1.0 / sb.n, 6) AS cont_ba
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE greatest(round(i.i * 1.0 / sa.n, 6),
+               round(i.i * 1.0 / sb.n, 6)) >= {CONTAIN_TAU}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -978,6 +1138,8 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
     "semdedup_cells": semdedup_cells,
     "semantic_decontam_cells": semantic_decontam_cells,
+    "ngram_novelty_by_source": ngram_novelty_by_source,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLE = {
@@ -990,4 +1152,6 @@ ORACLE = {
     "dedup_survivors": _survivors_oracle_sql(),
     "semdedup_cells": _semdedup_oracle_sql(),
     "semantic_decontam_cells": _semantic_decontam_oracle_sql(),
+    "ngram_novelty_by_source": NGRAM_NOVELTY_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }

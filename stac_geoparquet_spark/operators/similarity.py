@@ -1400,6 +1400,281 @@ FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
 """
 
 
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimension reduction ahead
+# of ANN / clustering): project DIM=64 -> K_PROJ=8 with a dense
+# deterministic matrix whose entries are md5-derived like the LSH
+# hyperplanes, scaled 1/sqrt(K_PROJ) so expected pairwise distances
+# are preserved (the JL estimator's unbiasedness constant).
+#
+# Scale shape: the projection is a pure MAP — broadcast the 64x8
+# matrix, one numpy GEMM per Arrow batch, zero shuffles beyond the
+# canonical-by-id build agg that every index path pays.  This is the
+# pre-step that makes downstream pair-heavy stages (SemDeDup GEMMs,
+# brute-force rerank) 8x cheaper per pair at 100 TB; output is 8
+# scalar double columns (no string formatting — cross-engine float
+# rendering is not part of any contract, rounded VALUES are).
+# --------------------------------------------------------------------------
+K_PROJ = 8
+
+
+def _proj_matrix() -> list[list[float]]:
+    """K_PROJ columns of DIM entries: entry (k, d) = md5("rp:k:d")
+    first 8 hex as u32 scaled to [-1, 1], then 1/sqrt(K_PROJ).
+    Reproducible in any engine; embedded as exact repr literals on the
+    SQL side (shortest round-trip repr parses back to the same
+    double)."""
+    scale = 1.0 / (K_PROJ**0.5)
+    cols = []
+    for k in range(K_PROJ):
+        col = []
+        for d in range(DIM):
+            h = int(
+                hashlib.md5(f"rp:{k}:{d}".encode()).hexdigest()[:8], 16
+            )
+            col.append((h / 2**31 - 1.0) * scale)
+        cols.append(col)
+    return cols
+
+
+def embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cols = _proj_matrix()
+    b_r = spark.sparkContext.broadcast(cols)
+    n_proj = K_PROJ
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        R = np.asarray(b_r.value, dtype=np.float64).T  # DIM x K_PROJ
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            p = np.round(v @ R, 6)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for k in range(n_proj):
+                out[f"p{k}"] = p[:, k]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, " + ", ".join(
+        f"p{k} double" for k in range(K_PROJ)
+    )
+    return _emb_blocks(spark, sf_dir, canonical=True).mapInPandas(
+        project, schema
+    )
+
+
+def _rand_proj_oracle_sql() -> str:
+    terms = []
+    for k, col in enumerate(_proj_matrix()):
+        lit = "[" + ", ".join(repr(x) for x in col) + "]"
+        terms.append(f"round({_DOT_SQL.format(a='v', b=lit)}, 6) AS p{k}")
+    cols = ",\n       ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, min(embedding::DOUBLE[]) AS v
+  FROM embeddings WHERE {VALID_VEC_SQL} GROUP BY vec_id
+)
+SELECT vec_id,
+       {cols}
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# kNN label agreement (label-noise audit, Confident-Learning style):
+# for every labeled vector, the fraction of its K nearest same-cell
+# neighbors sharing its label; per-label rollup of count / mean
+# agreement / suspect count.  A label whose members disagree with
+# their neighborhoods flags annotation noise before the label is
+# trusted for training or eval.
+#
+# Scale shape: identical to SemDeDup — the pair space is bounded per
+# IVF cell (|cell|^2, the paper's own scaling argument), cells audit
+# independently in one applyInPandas pass, and the per-cell output is
+# per-label PARTIALS (sum/count), so the final label rollup combines
+# map-side.  Neighborhoods are intra-cell by construction: the same
+# approximation the search path already serves, so the audit sees the
+# index's own geometry.  At serving scale the label would ride the
+# cell-partitioned layout as a covering column; here the one closure
+# assigns cells and carries the label in the same pass.
+#
+# Canonical-by-id: a re-ingested vec_id resolves to the minimum
+# (vector, label) tuple BEFORE the NULL-label exclusion (NULLS LAST,
+# so a labeled payload beats an unlabeled one) — the _canon house
+# contract, mirrored in the oracle's row_number CTE.
+# --------------------------------------------------------------------------
+AGREE_K = 5  # neighbors audited per vector
+AGREE_SUSPECT_LT = 0.4  # mean-agreement floor before a vector is suspect
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._canon import canonical_rows
+
+    part_schema = (
+        "label int, n_part bigint, agr_sum double, susp_part bigint"
+    )
+    c_ids, cm, cnorm = _load_centroids(sf_dir)
+    if len(c_ids) == 0:  # empty corpus -> no cells, no audit rows
+        return spark.createDataFrame(
+            [],
+            "label int, n_vecs bigint, avg_agreement double,"
+            " n_suspect bigint",
+        )
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .where(_valid_vec())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+    )
+    emb = canonical_rows(emb, "vec_id", ("v", "label")).where(
+        F.col("label").isNotNull()
+    )
+    b_c = spark.sparkContext.broadcast((c_ids, cm, cnorm))
+    assign_cells = _cell_assigner()
+    k, susp_lt = AGREE_K, AGREE_SUSPECT_LT
+
+    def tag(batches):
+        import numpy as np
+        import pandas as pd
+
+        c_ids_, cm_, cnorm_ = b_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            vnorm = np.sqrt((vecs * vecs).sum(axis=1))
+            cells, _ = assign_cells(vecs, vnorm, c_ids_, cm_, cnorm_)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "label": pdf["label"].to_numpy(),
+                    "ivf_cell": cells,
+                }
+            )
+
+    def audit_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:  # no neighbors -> no audited vectors
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int32"),
+                    "n_part": pd.Series([], dtype="int64"),
+                    "agr_sum": pd.Series([], dtype="float64"),
+                    "susp_part": pd.Series([], dtype="int64"),
+                }
+            )
+        vecs = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        labels = pdf["label"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            unit = vecs / norms[:, None]
+            sims = np.round(unit @ unit.T, 6)
+        # zero-norm rows yield NaN sims; the oracle's nullif-guarded
+        # round is NULL there and DESC sorts NULLS LAST — map NaN to
+        # -inf so both engines rank them after every real similarity
+        sims = np.where(np.isnan(sims), -np.inf, sims)
+        np.fill_diagonal(sims, np.nan)  # self never a neighbor
+        kk = min(k, n - 1)
+        agr = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            s = sims[i]
+            cand = np.flatnonzero(~np.isnan(s))
+            # top-kk by (sim DESC, vec_id ASC) — the oracle's order
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+            agr[i] = float((labels[order] == labels[i]).sum()) / kk
+        out = pd.DataFrame(
+            {
+                "label": labels,
+                "agr": agr,
+                "susp": (agr < susp_lt).astype("int64"),
+            }
+        )
+        g = out.groupby("label", as_index=False).agg(
+            n_part=("agr", "size"),
+            agr_sum=("agr", "sum"),
+            susp_part=("susp", "sum"),
+        )
+        g["n_part"] = g["n_part"].astype("int64")
+        return g[["label", "n_part", "agr_sum", "susp_part"]]
+
+    parts = (
+        emb.mapInPandas(
+            tag,
+            "vec_id bigint, v array<double>, label int, ivf_cell bigint",
+        )
+        .groupBy("ivf_cell")
+        .applyInPandas(audit_cell, part_schema)
+    )
+    return (
+        parts.groupBy("label")
+        .agg(
+            F.sum("n_part").alias("n_vecs"),
+            F.round(F.sum("agr_sum") / F.sum("n_part"), 6).alias(
+                "avg_agreement"
+            ),
+            F.sum("susp_part").alias("n_suspect"),
+        )
+    )
+
+
+def _label_agree_oracle_sql() -> str:
+    cos = _DOT_SQL.format(a="x.v", b="y.v")
+    return f"""
+WITH {_centroid_cte()},
+lab AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY embedding::DOUBLE[] ASC NULLS LAST, label ASC NULLS LAST
+    ) AS rn
+    FROM embeddings WHERE {VALID_VEC_SQL}
+  ) t WHERE rn = 1 AND label IS NOT NULL
+),
+m AS (
+  SELECT a.vec_id, a.ivf_cell, e.v, e.norm, lab.label
+  FROM assigned a JOIN e USING (vec_id) JOIN lab USING (vec_id)
+),
+pairs AS (
+  SELECT x.vec_id, x.label AS xl, y.label AS yl,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY round({cos} / nullif(x.norm * y.norm, 0), 6)
+                    DESC NULLS LAST,
+                    y.vec_id ASC
+         ) AS rn
+  FROM m x JOIN m y
+    ON x.ivf_cell = y.ivf_cell AND x.vec_id <> y.vec_id
+),
+perv AS (
+  SELECT vec_id, max(xl) AS label,
+         sum(CASE WHEN yl = xl THEN 1 ELSE 0 END) * 1.0 / count(*)
+           AS agreement
+  FROM pairs WHERE rn <= {AGREE_K}
+  GROUP BY vec_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(agreement), 6) AS avg_agreement,
+       CAST(sum(CASE WHEN agreement < {AGREE_SUSPECT_LT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+FROM perv GROUP BY label
+"""
+
+
 # Placement in the driver's 50-entry correctness window is decided by
 # __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
 # by this module's dict split; the rotation dicts only group entries.
@@ -1408,6 +1683,8 @@ QUERIES_ROTATION = {
     "pq_encode_codes": pq_encode_codes,
     "ann_pq_adc": ann_pq_adc,
     "embedding_covariance": embedding_covariance,
+    "knn_label_agreement": knn_label_agreement,
+    "embedding_random_projection": embedding_random_projection,
 }
 
 ORACLE_ROTATION = {
@@ -1415,4 +1692,6 @@ ORACLE_ROTATION = {
     "pq_encode_codes": PQ_ENCODE_SQL,
     "ann_pq_adc": PQ_ADC_SQL,
     "embedding_covariance": COVARIANCE_SQL,
+    "knn_label_agreement": _label_agree_oracle_sql(),
+    "embedding_random_projection": _rand_proj_oracle_sql(),
 }

@@ -846,6 +846,85 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Unicode NFC audit: per language, how many documents are NOT in NFC
+# normal form and the total code-point delta normalization would
+# introduce.  Mixed-normalization corpora silently split token
+# statistics ('café' composed vs decomposed are different tokens to
+# every downstream op), so pipelines audit + normalize at ingest; this
+# is the audit side.
+#
+# Engine contract: Spark has no NFC builtin, so normalization runs in
+# an Arrow-batched Python stage (unicodedata, UAX #15) against
+# DuckDB's utf8proc nfc_normalize.  Unicode's normalization stability
+# policy guarantees NFC agreement for assigned codepoints across UCD
+# versions — the cross-engine differential test pins the contract on
+# generated non-ASCII inputs (the corpus itself is ASCII, where the
+# audit is trivially all-clean).
+#
+# Scale shape: the Python stage emits per-(batch, lang) PARTIALS, not
+# per-row flags — the manual map-side combine — so the one shuffle
+# carries |langs| x n_batches rows; row-level multiset op, raw table
+# on both sides.  NULL text is not auditable and is excluded
+# identically.
+# --------------------------------------------------------------------------
+def text_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("lang", "text")
+        .where(F.col("text").isNotNull())
+    )
+
+    def audit(batches):
+        import pandas as pd
+        import unicodedata
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            norm = pdf["text"].map(
+                lambda s: unicodedata.normalize("NFC", s)
+            )
+            out = pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "one": 1,
+                    "not_nfc": (norm != pdf["text"]).astype("int64"),
+                    "delta": (
+                        norm.str.len() - pdf["text"].str.len()
+                    ).astype("int64"),
+                }
+            )
+            yield out.groupby(
+                "lang", dropna=False, as_index=False
+            ).agg(
+                n_part=("one", "sum"),
+                nn_part=("not_nfc", "sum"),
+                d_part=("delta", "sum"),
+            )
+
+    parts = docs.mapInPandas(
+        audit, "lang string, n_part bigint, nn_part bigint, d_part bigint"
+    )
+    return parts.groupBy("lang").agg(
+        F.sum("n_part").alias("n_docs"),
+        F.sum("nn_part").alias("n_not_nfc"),
+        F.sum("d_part").alias("sum_len_delta"),
+    )
+
+
+NFC_AUDIT_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nfc_normalize(text) <> text
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_not_nfc,
+       CAST(sum(length(nfc_normalize(text)) - length(text)) AS BIGINT)
+         AS sum_len_delta
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang
+"""
+
+
 # Rotation block: registered after the driver window (see
 # __spark_entry__._registries); locally strict-gated like everything
 # else.
@@ -854,6 +933,7 @@ QUERIES_ROTATION = {
     "token_fertility_by_lang": token_fertility_by_lang,
     "gopher_quality_rules": gopher_quality_rules,
     "quality_classifier_score": quality_classifier_score,
+    "text_nfc_audit": text_nfc_audit,
 }
 
 ORACLE_ROTATION = {
@@ -861,6 +941,7 @@ ORACLE_ROTATION = {
     "token_fertility_by_lang": TOKEN_FERTILITY_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
     "quality_classifier_score": CLASSIFIER_SQL,
+    "text_nfc_audit": NFC_AUDIT_SQL,
 }
 
 

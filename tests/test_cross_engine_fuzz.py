@@ -248,3 +248,36 @@ def test_substring_indexing_agrees_cross_engine(spark):
             g_ln, g_s = got[(i, p)]
             assert g_ln == ln, (i, p, repr(t))
             assert (g_s or "") == (s or ""), (i, p, repr(t), g_s, s)
+
+
+def test_nfc_normalization_agrees_cross_engine():
+    """text_nfc_audit's engine pair is Python unicodedata (the Arrow-
+    batched Spark stage) vs DuckDB's utf8proc nfc_normalize — compare
+    them DIRECTLY on adversarial compositions: combining marks in
+    both orders, precomposed/decomposed Latin, Hangul jamo (the
+    algorithmic composition block), singleton replacements (Å
+    U+212B -> U+00C5), and non-starter reordering.  Unicode's
+    normalization stability policy is what makes this contract safe
+    across UCD versions; this test would catch a build where it
+    isn't."""
+    import unicodedata
+
+    rng = random.Random(20260815)
+    atoms = [
+        "é", "é", "å", "å", "Å",  # Å forms
+        "ḍ̇", "ḍ̇",  # non-starter reordering
+        "각", "각", "가",  # Hangul jamo
+        "क़", "क़",  # deprecated composition exclusions
+        "ﬁ", "fi",  # ligature (NFC-invariant, NFKC would fold)
+        "x", " ", "́",  # bare combining mark at string start
+        "\U0001d160",  # composition exclusion outside the BMP
+    ]
+    texts = [
+        "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 8)))
+        for _ in range(500)
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        duck = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        py = unicodedata.normalize("NFC", t)
+        assert duck == py, repr((t, duck, py))

@@ -51,6 +51,13 @@ SAMPLE = [
     "semdedup_cells",
     "semdedup_incremental",
     "dedup_embedding_cosine",
+    "knn_label_agreement",
+    "embedding_random_projection",
+    # documents family, round-4 additions (novelty's min-owner and
+    # containment's candidate sets both key on doc_id)
+    "ngram_novelty_by_source",
+    "novelty_incremental",
+    "dedup_containment",
     # events family (canonical event log)
     "range_join_clicks_before_purchase",
     # raw-multiset representatives (must stay consistent WITHOUT

@@ -64,6 +64,12 @@ SAMPLE = [
     "gopher_quality_rules",
     "quality_classifier_score",
     "embedding_covariance",
+    "ngram_novelty_by_source",
+    "novelty_incremental",
+    "dedup_containment",
+    "knn_label_agreement",
+    "embedding_random_projection",
+    "text_nfc_audit",
 ]
 
 TABLES = (

@@ -895,3 +895,88 @@ def test_covariance_partial_gemm_single_merge_shuffle(spark, sf):
     assert n_ops(full, "MapInArrow") == 0
     assert n_ops(full, "BroadcastHashJoin") == 2
     assert n_ops(full, "SortMergeJoin") == 0
+
+
+def test_novelty_no_gram_join_back(spark, sf):
+    """ngram_novelty_by_source: the owned-count comes from aggregating
+    the OWNERS table, never from joining owners back into the full
+    gram table — the only join keys in the plan are doc_id (one row
+    per doc on each side).  The gram-side aggs are two-phase (map-side
+    combine absorbs hot shingles)."""
+    from stac_geoparquet_spark.operators import dedup as ddp
+
+    plan = plan_of(ddp.ngram_novelty_by_source(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    # no join carries the gram hash — grep every join key list
+    import re
+
+    for m in re.finditer(r"(Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan):
+        assert "shash" not in m.group(2), m.group(0)
+    # gram-keyed min/count aggs combine map-side (partial + final)
+    assert n_ops(plan, "HashAggregate") >= 6
+
+
+def test_containment_df_capped_posting_join(spark, sf):
+    """dedup_containment: candidates come from RARE-gram posting
+    joins (df <= cap bounds the pair expansion); verification is a
+    JVM array_intersect over the bounded candidate set — no nested
+    loop, no cartesian anywhere."""
+    from stac_geoparquet_spark.operators import dedup as ddp
+
+    plan = plan_of(ddp.dedup_containment(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    # the df cap filter sits between the gram agg and the posting join
+    assert "df#" in plan and "<= 10" in plan
+    # exact verify in the JVM, not Python
+    assert "array_intersect" in plan
+    assert n_ops(plan, "MapInPandas") == 0
+
+
+def test_label_agreement_cell_local_partials(spark, sf):
+    """knn_label_agreement: ONE cell-grouped Python stage (the
+    |cell|^2 audit), per-label partials combined by a two-phase JVM
+    agg; the canonical-by-id window gets the WindowGroupLimit
+    rank-pushdown (partial limit before the exchange)."""
+    from stac_geoparquet_spark.operators import similarity as sim
+
+    plan = plan_of(sim.knn_label_agreement(spark, sf))
+    assert n_ops(plan, "FlatMapGroupsInPandas") == 1
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "WindowGroupLimit") == 2  # partial + final
+    assert n_ops(plan, "HashAggregate") == 2  # label rollup two-phase
+    # exactly: canonical vec_id, ivf_cell group, label rollup
+    assert n_ops(plan, "Exchange") == 3
+
+
+def test_random_projection_pure_map(spark, sf):
+    """embedding_random_projection: a broadcast-matrix GEMM map — no
+    joins, no windows; the only exchanges are the conditional toy-
+    scale spread and the canonical-by-id build agg every index path
+    pays."""
+    from stac_geoparquet_spark.operators import similarity as sim
+
+    plan = plan_of(sim.embedding_random_projection(spark, sf))
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "Exchange") <= 2
+    assert n_ops(plan, "Window") == 0
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, op) == 0
+
+
+def test_nfc_audit_python_partials_one_shuffle(spark, sf):
+    """text_nfc_audit: the Python normalization stage emits per-batch
+    per-lang PARTIALS (manual map-side combine), so the lang shuffle
+    carries |langs| x n_batches rows; one two-phase JVM agg on top."""
+    from stac_geoparquet_spark.operators import text as txt
+
+    plan = plan_of(txt.text_nfc_audit(spark, sf))
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "HashAggregate") == 2
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert n_ops(plan, op) == 0
+    # scan prunes to the two audited columns
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read and "lang" in read and "doc_id" not in read

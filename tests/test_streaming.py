@@ -488,3 +488,58 @@ def test_stream_source_quota_matches_batch(spark, tmp_path, sf_dir):
     assert streamed == batch
     # the quota actually binds somewhere
     assert any(not a for (_, _, a) in batch)
+
+
+def test_stream_novelty_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static incremental novelty scorer must yield exactly
+    the per-doc (n_grams, n_new) counts the batch-mode entry
+    (oracle-checked) produces for the same incoming split."""
+    from stac_geoparquet_spark.streaming.dedup import INCOMING_MOD
+    from stac_geoparquet_spark.streaming.novelty import (
+        corpus_gram_index,
+        novelty_incremental,
+        stream_novelty_against_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "incoming_novelty")
+    inc = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
+    # two files => two potential micro-batches
+    inc.filter(F.col("doc_id") % (2 * INCOMING_MOD) == 0).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    inc.filter(F.col("doc_id") % (2 * INCOMING_MOD) != 0).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = stream_novelty_against_index(
+        spark, src, corpus_gram_index(spark, sf_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_novelty")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_novelty"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["doc_id"], r["n_grams"], r["n_new"])
+        for r in spark.table("t_stream_novelty")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("seen"), F.lit(0)).otherwise(F.lit(1))
+            ).alias("n_new"),
+        )
+        .collect()
+    }
+    batch = {
+        (r["doc_id"], r["n_grams"], r["n_new"])
+        for r in novelty_incremental(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0

@@ -231,6 +231,37 @@ SHOWCASE = [
         "merge, broadcast threshold join; selected = key <= M-th-best "
         "pair.",
     ),
+    (
+        "ngram_novelty_by_source",
+        "First-occurrence novelty: gram ownership is a map-side-combining "
+        "min aggregate and the owned-count aggregates the OWNERS table "
+        "(one row per distinct gram) — no join carries the gram hash, so "
+        "hot stop-phrase grams never expand; everything after the two "
+        "gram aggs is one row per document.",
+    ),
+    (
+        "dedup_containment",
+        "Directional containment: candidate pairs only from RARE grams "
+        "(df <= cap bounds posting expansion — the pairs high-containment "
+        "detection needs that Jaccard-banded LSH structurally misses); "
+        "exact verify joins the bounded candidate set to per-doc gram "
+        "arrays and intersects in the JVM.",
+    ),
+    (
+        "knn_label_agreement",
+        "Label-noise audit: cell-grouped Python stage bounds the pair "
+        "space at |cell|^2 (SemDeDup's scaling argument) and emits "
+        "per-label PARTIALS, so the final rollup shuffles |labels| x "
+        "|cells| rows; the canonical-by-id window gets WindowGroupLimit "
+        "partial/final pushdown.",
+    ),
+    (
+        "embedding_random_projection",
+        "JL projection: broadcast 64x8 matrix, one numpy GEMM per Arrow "
+        "batch, zero joins/windows — the only exchanges are the toy-scale "
+        "spread and the canonical-by-id build agg; at 100 TB this is a "
+        "pure map over the scan.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
