@@ -56,6 +56,15 @@ SINGLEROW_SAMPLE = [
     "embedding_covariance",
     "gopher_quality_rules",
     "quality_classifier_score",
+    # round-4 additions: 1 doc owns all its grams (novelty 1.0, no
+    # containment pairs); 1 vector means no centroid slice (the empty-
+    # centroid guard) and an empty JL/canonical path
+    "ngram_novelty_by_source",
+    "novelty_incremental",
+    "dedup_containment",
+    "knn_label_agreement",
+    "embedding_random_projection",
+    "text_nfc_audit",
 ]
 
 CONSTANT_SAMPLE = [
@@ -71,6 +80,8 @@ CONSTANT_SAMPLE = [
     "events_k_anonymity",
     "events_l_diversity",
     "gopher_quality_rules",
+    "ngram_novelty_by_source",
+    "text_nfc_audit",
 ]
 
 

@@ -47,6 +47,13 @@ SAMPLE = [
     "source_mixture_weights",
     "gopher_quality_rules",
     "quality_classifier_score",
+    # round-4: NULL text tokenizes to no shingles (novelty/containment
+    # drop the doc on both engines); NULL lang groups must agree in
+    # the NFC audit rollup
+    "ngram_novelty_by_source",
+    "novelty_incremental",
+    "dedup_containment",
+    "text_nfc_audit",
 ]
 
 
@@ -108,6 +115,8 @@ VEC_SAMPLE = [
     "semdedup_cells",
     "semdedup_incremental",
     "embedding_covariance",
+    "knn_label_agreement",
+    "embedding_random_projection",
 ]
 
 
