@@ -192,6 +192,7 @@ NEW_THIS_ROUND: list[str] = [
     "knn_label_agreement",
     "embedding_random_projection",
     "text_nfc_audit",
+    "mm_cdc_chunk_dedup",
     "dedup_substring_removal",
     "cap_docs_per_source",
     "source_quota_incremental",

@@ -1044,9 +1044,10 @@ GROUP BY d.source
 # structurally MISSES high-containment pairs with very different
 # sizes (a 10-gram doc fully inside a 200-gram doc has j = 0.05), so
 # this operator has its own candidate generator: pairs sharing at
-# least one RARE gram (document frequency <= CONTAIN_DF_CAP) — the
-# AllPairs/PPJoin prefix-filter idea, same family as the q-gram
-# prefix filter in curation.edit_distance_join.
+# least CONTAIN_MIN_RARE RARE grams (document frequency <=
+# CONTAIN_DF_CAP) — the AllPairs/PPJoin prefix-filter idea with a
+# support cut, same family as the q-gram prefix filter in
+# curation.edit_distance_join.
 #
 # Scale shape: the df cap bounds posting-list pair expansion at
 # df_cap^2 per rare gram (hot stop-phrase grams are EXCLUDED, the
@@ -1060,6 +1061,20 @@ GROUP BY d.source
 # --------------------------------------------------------------------------
 CONTAIN_TAU = 0.9  # max-direction containment threshold
 CONTAIN_DF_CAP = 10  # grams rarer than this generate candidates
+# Exact support bound (PPJoin-style positional filter, adapted): if
+# C(a->b) >= tau then a shares >= tau*|A| grams with b, so it can miss
+# at most floor((1-tau)*|A|) of them — in particular at most that many
+# of A's RARE grams.  A candidate pair therefore needs
+#   n_rare_shared >= least over both docs of
+#                    greatest(1, rare_d - floor((1-tau) * n_d))
+# or NEITHER direction can reach tau.  Measured at sf0.1 this kills
+# ~96% of candidate pairs (436k -> ~20k, single random rare-gram
+# collisions) while being provably lossless within the rare-gram
+# contract — unlike a fixed "share >= 2" cut, which dropped a true
+# short-doc duplicate whose text is almost entirely corpus-common
+# grams (doc pair 2256/4337 at sf0.1).  The same double literal is
+# embedded in the oracle so floor() agrees bit-for-bit.
+CONTAIN_EPS = 1.0 - CONTAIN_TAU
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,11 +1090,42 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         posts.alias("a")
         .join(posts.alias("b"), "shash")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_rare_shared"))
+    )
+    # per-doc scalars for the bound: total grams + rare grams
+    bound = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.col("rare_n")
+        - F.floor(F.lit(CONTAIN_EPS) * F.col("n")).cast("bigint"),
+    )
+    stats = (
+        shh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            posts.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("rare_n")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", bound.alias("bound"))
+    )
+    sa_b = stats.select(
+        F.col("doc_id").alias("doc_a"), F.col("bound").alias("bound_a")
+    )
+    sb_b = stats.select(
+        F.col("doc_id").alias("doc_b"), F.col("bound").alias("bound_b")
+    )
+    cand = (
+        cand.join(sa_b, "doc_a")
+        .join(sb_b, "doc_b")
+        .where(
+            F.col("n_rare_shared") >= F.least("bound_a", "bound_b")
+        )
+        .select("doc_a", "doc_b")
     )
     sets = shh.groupBy("doc_id").agg(F.collect_set("shash").alias("g"))
     ga = sets.select(
@@ -1104,12 +1150,31 @@ WITH {_SHINGLE_CTE},
 {_SHINGLE_HASH_CTE},
 dfx AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
 rare AS (SELECT shash FROM dfx WHERE df <= {CONTAIN_DF_CAP}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+cand0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_rare_shared
   FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id < b.doc_id
   JOIN rare r ON r.shash = a.shash
+  GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+stats AS (
+  SELECT s.doc_id,
+         greatest(1, rc.rare_n
+                     - CAST(floor({CONTAIN_EPS!r} * s.n) AS BIGINT))
+           AS bound
+  FROM sizes s
+  JOIN (SELECT shh.doc_id, count(*) AS rare_n
+        FROM shh JOIN rare USING (shash) GROUP BY shh.doc_id) rc
+    ON rc.doc_id = s.doc_id
+),
+cand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand0 c
+  JOIN stats sba ON sba.doc_id = c.doc_a
+  JOIN stats sbb ON sbb.doc_id = c.doc_b
+  WHERE c.n_rare_shared >= least(sba.bound, sbb.bound)
+),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
   FROM cand c

@@ -391,6 +391,124 @@ FROM w
 """
 
 
+# --------------------------------------------------------------------------
+# 6. content-defined chunking (CDC) dedup accounting — the blob-store
+# shape of deduplication: split every payload at ROLLING-WINDOW
+# boundaries (a boundary before byte p whenever the u32 value of the
+# preceding CDC_WINDOW bytes is 0 mod CDC_MOD), hash each chunk, and
+# report per-modality how much of the byte volume is duplicate chunks.
+# Content-defined (not fixed-stride) boundaries make chunk identity
+# survive insertions — the property backup systems and blob-store
+# dedup (LBFS/Venti lineage) rely on; here it quantifies how much a
+# media corpus would shrink under chunk-level dedup before anyone
+# pays for perceptual hashing.
+#
+# Scale shape: boundary detection and chunk hashing are IN-ROW
+# higher-order expressions over the hex string (one scan, no Python,
+# no shuffle until the chunk rollup); the rollup is two chained keyed
+# aggregates — (modality, chunk_hash) counts, then the 3-row modality
+# report — both map-side combinable.  Expected chunks per blob =
+# bytes / CDC_MOD, so the exploded frame is ~1/16th of the corpus
+# byte volume in rows.
+# --------------------------------------------------------------------------
+CDC_WINDOW = 4  # rolling window, bytes
+CDC_MOD = 16  # boundary when window value % CDC_MOD == 0 (~16 B chunks)
+
+
+def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    m = docs.select(
+        media_type.alias("media_type"),
+        F.expr("repeat(md5(text), cast(1 + doc_id % 4 as int))").alias(
+            "hx"
+        ),
+    )
+    # interior boundaries ascend by construction (sequence + filter
+    # preserve order); cuts = [0] ++ bounds ++ [n_bytes]
+    w, md = CDC_WINDOW, CDC_MOD
+    c = m.selectExpr(
+        "media_type",
+        "hx",
+        f"""concat(
+              array(0),
+              filter(sequence({w}, length(hx) div 2 - 1),
+                     p -> conv(substr(hx, 2 * (p - {w}) + 1, {2 * w}),
+                               16, 10) % {md} = 0),
+              array(length(hx) div 2)
+            ) AS cuts""",
+    )
+    ch = c.selectExpr(
+        "media_type",
+        "hx",
+        """explode(zip_with(
+             slice(cuts, 1, size(cuts) - 1),
+             slice(cuts, 2, size(cuts) - 1),
+             (s, e) -> struct(s AS s, e AS e)
+           )) AS sp""",
+    ).selectExpr(
+        "media_type",
+        "md5(substr(hx, 2 * sp.s + 1, 2 * (sp.e - sp.s))) AS chunk_hash",
+        "CAST(sp.e - sp.s AS BIGINT) AS nb",
+    )
+    g = ch.groupBy("media_type", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("nb").alias("sb")
+    )
+    return g.groupBy("media_type").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("cnt"), 6).alias(
+            "dedup_ratio"
+        ),
+        F.round(F.sum("sb") / F.sum("cnt"), 4).alias("avg_chunk_bytes"),
+    )
+
+
+MM_CDC_SQL = f"""
+WITH m AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
+  FROM {_DOCS_CANON_SQL} documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT media_type, hx,
+         list_concat(list_concat(
+           [0],
+           list_filter(range({CDC_WINDOW}, length(hx) // 2),
+             p -> ('0x' || substr(hx, 2 * (p - {CDC_WINDOW}) + 1,
+                                  {2 * CDC_WINDOW}))::BIGINT
+                  % {CDC_MOD} = 0)),
+           [length(hx) // 2]) AS cuts
+  FROM m
+),
+ch AS (
+  SELECT media_type,
+         md5(substr(hx, 2 * cuts[i + 1] + 1,
+                    2 * (cuts[i + 2] - cuts[i + 1]))) AS chunk_hash,
+         cuts[i + 2] - cuts[i + 1] AS nb
+  FROM c, unnest(range(0, len(cuts) - 1)) AS t(i)
+),
+g AS (
+  SELECT media_type, chunk_hash, count(*) AS cnt, sum(nb) AS sb
+  FROM ch GROUP BY 1, 2
+)
+SELECT media_type,
+       CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       round(1 - count(*) * 1.0 / sum(cnt), 6) AS dedup_ratio,
+       round(sum(sb) * 1.0 / sum(cnt), 4) AS avg_chunk_bytes
+FROM g GROUP BY media_type
+"""
+
+
 QUERIES = {
     "mm_media_manifest": mm_media_manifest,
     "mm_frame_sample": mm_frame_sample,
@@ -410,8 +528,10 @@ ORACLE = {
 # by this module's dict split; the rotation dicts only group entries.
 QUERIES_ROTATION = {
     "mm_audio_energy": mm_audio_energy,
+    "mm_cdc_chunk_dedup": mm_cdc_chunk_dedup,
 }
 
 ORACLE_ROTATION = {
     "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
+    "mm_cdc_chunk_dedup": MM_CDC_SQL,
 }

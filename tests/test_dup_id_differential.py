@@ -42,6 +42,7 @@ SAMPLE = [
     "pagerank_neardup_graph",
     "mm_image_features",
     "mm_media_manifest",
+    "mm_cdc_chunk_dedup",
     # vector family (canonical index builds)
     "ivf_cell_assignment",
     "ann_ivf_probe",

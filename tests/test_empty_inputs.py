@@ -70,6 +70,7 @@ SAMPLE = [
     "knn_label_agreement",
     "embedding_random_projection",
     "text_nfc_audit",
+    "mm_cdc_chunk_dedup",
 ]
 
 TABLES = (

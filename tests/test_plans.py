@@ -980,3 +980,18 @@ def test_nfc_audit_python_partials_one_shuffle(spark, sf):
     # scan prunes to the two audited columns
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "text" in read and "lang" in read and "doc_id" not in read
+
+
+def test_cdc_chunking_in_row_two_phase_rollup(spark, sf):
+    """mm_cdc_chunk_dedup: boundary detection + chunk hashing are
+    in-row expressions (no Python stage, no join); the only shuffles
+    are the two chained map-side-combinable aggregates (chunk counts,
+    then the 3-row modality report)."""
+    from stac_geoparquet_spark.operators import multimodal as mm
+
+    plan = plan_of(mm.mm_cdc_chunk_dedup(spark, sf))
+    assert n_ops(plan, "MapInPandas") == 0
+    assert n_ops(plan, "Generate") == 1  # the chunk explode
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, op) == 0
+    assert n_ops(plan, "HashAggregate") == 4  # two aggs x two phases
