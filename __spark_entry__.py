@@ -193,6 +193,7 @@ NEW_THIS_ROUND: list[str] = [
     "embedding_random_projection",
     "text_nfc_audit",
     "mm_cdc_chunk_dedup",
+    "events_hourly_anomaly",
     "dedup_substring_removal",
     "cap_docs_per_source",
     "source_quota_incremental",

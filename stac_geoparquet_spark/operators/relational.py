@@ -474,6 +474,101 @@ GROUP BY date_trunc('hour', ts), event_type
 
 
 # --------------------------------------------------------------------------
+# Events: trailing-baseline hourly anomaly screen.  Each (event_type,
+# hour) count is z-scored against the trailing 24 scored hours'
+# mean/stddev (ROWS frame over the hourly rollup — missing hours make
+# the frame reach further back, identical contract on both engines);
+# an hour is anomalous at |z| >= ANOMALY_Z with at least
+# ANOMALY_MIN_PREV trailing points.  Output is the per-type triage
+# rollup a monitoring pipeline alerts on.
+#
+# Scale note: the window partitions by event_type — a statically
+# bounded key — but its INPUT is the hourly rollup, whose row count
+# per type is bounded by calendar hours, not by corpus size (100x the
+# events in the same time range = the same rollup rows).  That is the
+# documented _BOUNDED_WINDOW_ALLOWLIST justification in
+# tests/test_registry_contract.py; the corpus-sized work is the
+# map-side-combining rollup aggregate underneath.  NULL-ts events are
+# excluded on both engines (NULL-ordering house rule).
+# --------------------------------------------------------------------------
+ANOMALY_Z = 3.0
+ANOMALY_MIN_PREV = 12
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "c",
+        F.count("c").over(w).alias("n_prev"),
+        F.avg("c").over(w).alias("mean_prev"),
+        F.stddev_samp("c").over(w).alias("std_prev"),
+    ).withColumn(
+        "z",
+        F.when(
+            (F.col("n_prev") >= ANOMALY_MIN_PREV)
+            & (F.col("std_prev") > 0),
+            F.round((F.col("c") - F.col("mean_prev")) / F.col("std_prev"), 4),
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.when(F.col("z").isNotNull(), 1).otherwise(0)).alias(
+            "n_scored"
+        ),
+        F.sum(
+            F.when(F.abs("z") >= ANOMALY_Z, 1).otherwise(0)
+        ).alias("n_anomalous"),
+        F.max(F.abs("z")).alias("max_abs_z"),
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, c,
+         count(c) OVER w AS n_prev,
+         avg(c) OVER w AS mean_prev,
+         stddev_samp(c) OVER w AS std_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_type,
+         CASE WHEN n_prev >= {ANOMALY_MIN_PREV} AND std_prev > 0
+              THEN round((c - mean_prev) / std_prev, 4) END AS z
+  FROM scored
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN z IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(sum(CASE WHEN abs(z) >= {ANOMALY_Z} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalous,
+       max(abs(z)) AS max_abs_z
+FROM z GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Events: JSON property extraction (semi-structured column).
 # --------------------------------------------------------------------------
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +759,7 @@ QUERIES = {
     "parts_above_avg_price": parts_above_avg_price,
     "topk_orders_global": topk_orders_global,
     "events_hourly_rollup": events_hourly_rollup,
+    "events_hourly_anomaly": events_hourly_anomaly,
     "events_json_extract": events_json_extract,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
@@ -683,6 +779,7 @@ ORACLE = {
     "parts_above_avg_price": PARTS_ABOVE_AVG_SQL,
     "topk_orders_global": TOPK_GLOBAL_SQL,
     "events_hourly_rollup": EVENTS_HOURLY_SQL,
+    "events_hourly_anomaly": EVENTS_ANOMALY_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,

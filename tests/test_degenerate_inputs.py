@@ -82,6 +82,7 @@ CONSTANT_SAMPLE = [
     "gopher_quality_rules",
     "ngram_novelty_by_source",
     "text_nfc_audit",
+    "events_hourly_anomaly",
 ]
 
 

@@ -71,6 +71,7 @@ SAMPLE = [
     "embedding_random_projection",
     "text_nfc_audit",
     "mm_cdc_chunk_dedup",
+    "events_hourly_anomaly",
 ]
 
 TABLES = (

@@ -753,6 +753,7 @@ def test_unicode_injected_oracle_agreement(spark, unicode_dir, name):
 EVENTS_SAMPLE = [
     "gapfill_hourly_purchases",
     "events_hourly_rollup",
+    "events_hourly_anomaly",
     "events_sessionize",
     "events_session_window",
     "events_json_extract",

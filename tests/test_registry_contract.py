@@ -100,6 +100,12 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     # the documented brute-force BASELINE (the scale path is ann_*);
     # its global scoring pass is the point of the operator
     ("knn_brute_force", ("query_id",)),
+    # trailing-baseline z-score: the window's input is the HOURLY
+    # ROLLUP, whose per-type row count is bounded by calendar hours,
+    # not corpus size (100x the events in the same time range = the
+    # same rollup rows); the corpus-sized work is the map-side-
+    # combining rollup aggregate beneath the window
+    ("events_hourly_anomaly", ("event_type",)),
 }
 
 
