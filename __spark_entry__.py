@@ -194,6 +194,7 @@ NEW_THIS_ROUND: list[str] = [
     "text_nfc_audit",
     "mm_cdc_chunk_dedup",
     "events_hourly_anomaly",
+    "pca_power_projection",
     "dedup_substring_removal",
     "cap_docs_per_source",
     "source_quota_incremental",

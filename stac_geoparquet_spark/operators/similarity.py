@@ -1675,6 +1675,184 @@ FROM perv GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# PCA back half: top principal component via FIXED-ITERATION power
+# method on the oracle-verified covariance matrix, then a distributed
+# projection pass with a per-label score rollup (the class-separation
+# readout on the first PC — the other half of the "PCA/whitening
+# front half" note on embedding_covariance).
+#
+# Scale shape: all corpus-sized work is either the covariance build
+# (one GEMM pass + bounded merge, shared with embedding_covariance)
+# or the projection (one in-row fold against a broadcast 64-vector,
+# zero extra shuffles beyond the per-label rollup).  The eigensolve
+# itself runs on the 64x64 matrix — a driver-side pull of <= 2,080
+# rows, the same K-row precedent as the centroid loads.
+#
+# Determinism contract (both engines identically): v0 = 1/8 each;
+# per iteration y = C v, v' = round(y / ||y||, 6) — rounding every
+# iteration pins the trajectory against summation-order noise (the
+# kmeans round-per-step precedent); after PCA_ITERS iterations the
+# sign is fixed so the largest-|component| (ties: lowest index) is
+# positive.  Scores subtract the projected mean (a scalar), and only
+# round-4 per-label aggregates are emitted.  Fixed iterations ARE the
+# contract (like kmeans' two Lloyd rounds) — no convergence test.
+# --------------------------------------------------------------------------
+PCA_ITERS = 6
+
+
+def _power_component(cov_rows) -> list[float] | None:
+    """(i, j, n, cov) upper-triangle rows -> rounded, sign-fixed top
+    eigenvector, or None when the matrix is unavailable (n < 2 makes
+    every cov NULL) or the iteration degenerates (zero norm)."""
+    import numpy as np
+
+    C = np.zeros((DIM, DIM))
+    seen = 0
+    for i, j, _n, cov in cov_rows:
+        if cov is None:
+            continue
+        C[i][j] = cov
+        C[j][i] = cov
+        seen += 1
+    if seen < DIM * (DIM + 1) // 2:
+        return None
+    v = np.full(DIM, 0.125)
+    for _ in range(PCA_ITERS):
+        y = C @ v
+        nrm = float(np.sqrt((y * y).sum()))
+        if nrm == 0.0:
+            return None
+        v = np.round(y / nrm, 6)
+    k = int(np.lexsort((np.arange(DIM), -np.abs(v)))[0])
+    if v[k] < 0:
+        v = -v
+    return [float(x) for x in v]
+
+
+def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._canon import canonical_rows
+
+    out_schema = (
+        "label int, n_vecs bigint, avg_score double, std_score double"
+    )
+    cov = embedding_covariance(spark, sf_dir).collect()
+    comp = _power_component(
+        [(r["i"], r["j"], r["n"], r["cov"]) for r in cov]
+    )
+    if comp is None:
+        return spark.createDataFrame([], out_schema)
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .where(_valid_vec())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+    )
+    emb = canonical_rows(emb, "vec_id", ("v", "label"))
+    mean = [0.0] * DIM
+    for r in (
+        emb.select(F.posexplode("v").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    ):
+        mean[r["i"]] = r["m"]
+    center = sum(mean[i] * comp[i] for i in range(DIM))
+    lit = F.array(*[F.lit(x) for x in comp])
+    # sequential in-row fold (i ascending) — the same op order as the
+    # oracle's list_sum, so per-row scores agree to fp noise well
+    # under the round-4 aggregates
+    score = F.aggregate(
+        F.zip_with(F.col("v"), lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) - F.lit(float(center))
+    return (
+        emb.select("label", score.alias("score"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.stddev_samp("score"), 4).alias("std_score"),
+        )
+    )
+
+
+def _pca_oracle_sql() -> str:
+    its = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        # MATERIALIZED: each iteration reads its predecessor twice
+        # (the join and the norm subquery) — plain CTEs inline and the
+        # scan chain doubles per iteration, 2^PCA_ITERS parquet opens
+        # ("too many open files" at 6 iterations)
+        its.append(
+            f"""it{t}y AS MATERIALIZED (
+  SELECT m.i, sum(m.cov * p.vc) AS y
+  FROM mat m JOIN {prev} p ON p.i = m.j GROUP BY m.i
+),
+it{t} AS MATERIALIZED (
+  SELECT i, round(y / nullif(sqrt((SELECT sum(y * y) FROM it{t}y)), 0),
+                  6) AS vc
+  FROM it{t}y
+)"""
+        )
+        prev = f"it{t}"
+    chain = ",\n".join(its)
+    return f"""
+WITH cov0 AS MATERIALIZED ({COVARIANCE_SQL}),
+mat AS MATERIALIZED (
+  SELECT i, j, cov FROM cov0 WHERE cov IS NOT NULL
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov0 WHERE i <> j AND cov IS NOT NULL
+),
+v0 AS (SELECT unnest(range({DIM})) AS i, 0.125 AS vc),
+{chain},
+pick AS (
+  SELECT CASE WHEN vc < 0 THEN -1.0 ELSE 1.0 END AS sgn
+  FROM {prev} ORDER BY abs(vc) DESC, i LIMIT 1
+),
+comp AS (SELECT i, sgn * vc AS vc FROM {prev} CROSS JOIN pick),
+compl AS (
+  SELECT list(vc ORDER BY i) AS cl, count(vc) AS k FROM comp
+),
+eL AS (
+  SELECT vec_id, v, label FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v, label,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY embedding::DOUBLE[] ASC NULLS LAST,
+                      label ASC NULLS LAST
+           ) AS rn
+    FROM embeddings WHERE {VALID_VEC_SQL}
+  ) t WHERE rn = 1
+),
+meanv AS (
+  SELECT i, avg(v[i + 1]) AS m
+  FROM eL, unnest(range({DIM})) AS t(i) GROUP BY i
+),
+cc AS (
+  SELECT sum(mv.m * c.vc) AS c
+  FROM meanv mv JOIN comp c ON c.i = mv.i
+),
+scores AS (
+  SELECT eL.label,
+         list_sum(list_transform(list_zip(eL.v, compl.cl),
+                                 p -> p[1] * p[2])) - cc.c AS score
+  FROM eL CROSS JOIN compl CROSS JOIN cc
+  WHERE compl.k = {DIM}
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(score), 4) AS avg_score,
+       round(stddev_samp(score), 4) AS std_score
+FROM scores GROUP BY label
+"""
+
+
 # Placement in the driver's 50-entry correctness window is decided by
 # __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
 # by this module's dict split; the rotation dicts only group entries.
@@ -1685,6 +1863,7 @@ QUERIES_ROTATION = {
     "embedding_covariance": embedding_covariance,
     "knn_label_agreement": knn_label_agreement,
     "embedding_random_projection": embedding_random_projection,
+    "pca_power_projection": pca_power_projection,
 }
 
 ORACLE_ROTATION = {
@@ -1694,4 +1873,5 @@ ORACLE_ROTATION = {
     "embedding_covariance": COVARIANCE_SQL,
     "knn_label_agreement": _label_agree_oracle_sql(),
     "embedding_random_projection": _rand_proj_oracle_sql(),
+    "pca_power_projection": _pca_oracle_sql(),
 }

@@ -65,6 +65,9 @@ SINGLEROW_SAMPLE = [
     "knn_label_agreement",
     "embedding_random_projection",
     "text_nfc_audit",
+    # n = 1 nulls every covariance cell: the eigensolve must bail to
+    # an EMPTY result on both engines, not emit NULL-score rows
+    "pca_power_projection",
 ]
 
 CONSTANT_SAMPLE = [

@@ -54,6 +54,7 @@ SAMPLE = [
     "dedup_embedding_cosine",
     "knn_label_agreement",
     "embedding_random_projection",
+    "pca_power_projection",
     # documents family, round-4 additions (novelty's min-owner and
     # containment's candidate sets both key on doc_id)
     "ngram_novelty_by_source",

@@ -72,6 +72,7 @@ SAMPLE = [
     "text_nfc_audit",
     "mm_cdc_chunk_dedup",
     "events_hourly_anomaly",
+    "pca_power_projection",
 ]
 
 TABLES = (

@@ -117,6 +117,7 @@ VEC_SAMPLE = [
     "embedding_covariance",
     "knn_label_agreement",
     "embedding_random_projection",
+    "pca_power_projection",
 ]
 
 

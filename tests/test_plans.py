@@ -995,3 +995,24 @@ def test_cdc_chunking_in_row_two_phase_rollup(spark, sf):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert n_ops(plan, op) == 0
     assert n_ops(plan, "HashAggregate") == 4  # two aggs x two phases
+
+
+def test_pca_projection_broadcast_fold_no_python(spark, sf):
+    """pca_power_projection: after the (shared, verified) covariance
+    build and the 64x64 driver eigensolve, the corpus pass is an
+    in-row fold against broadcast component literals — no Python
+    stage, no join; only the canonical-by-id window and the per-label
+    two-phase rollup shuffle."""
+    from stac_geoparquet_spark.operators import similarity as sim
+
+    plan = plan_of(sim.pca_power_projection(spark, sf))
+    for op in (
+        "MapInPandas",
+        "MapInArrow",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+    ):
+        assert n_ops(plan, op) == 0
+    assert n_ops(plan, "HashAggregate") == 2  # label rollup two-phase
+    assert n_ops(plan, "WindowGroupLimit") == 2  # canonical partial+final
