@@ -102,55 +102,32 @@ def _registries():
         pool.update(q)
         pool_oracle.update(o)
 
-    # Round-4 window (r03 verdict task #1 — staleness-driven): (a) new
-    # or changed THIS round, so their rows postdate the code; (b) the
-    # families whose r02 rows predate the round-3 tokenizer/lower/
-    # shingle contract commits (6d0e7b6/d877c59/cd1d632); (c) the
-    # r01-only entries, oldest hard signal first, in r01 order — the
-    # ones past the 50-cut (q2/q4/q8/q11/q15/q16/q20/q21 + the trimmed
-    # list tail) rotate in r05.  The ledger in README.md (generated)
-    # shows the resulting in-window split per round.
-    # tools/gen_ledger.py renders the staleness table this list is
-    # built from.  Everything else keeps pool order behind the window.
+    # Round-5 window (r04 verdict task #2 — staleness-driven): (a) new
+    # THIS round (need a first driver row); (b) changed this round
+    # AFTER their latest green row — the covariance negative-zero fix,
+    # the rollup_customers r04 edit its r03 row predates, and every
+    # consumer of the _io.fenced refactor (dedup pair cache /
+    # _cc_fixpoint / pagerank); (c) ALL 28 remaining r01-latest
+    # entries (q-family + cube/pivot/percentile/set-ops); (d) the
+    # oldest r02 entries, highest-value first — the [:50] cut queues
+    # whatever doesn't fit (plus the 17 untouched r02 entries:
+    # knn_brute_force, ivf_cell_assignment, decontaminate_*, pack/
+    # chunk, mm_media/frame, sample_*, stats/profile/outliers,
+    # retention, events_rollup_incremental, agg_pushdown, dpp, self
+    # link) for r06.  tools/gen_ledger.py renders the staleness table
+    # this list is built from; everything else keeps pool order behind
+    # the window.
     window = [
-        # (a) new or changed this round
+        # (a) new this round
         *NEW_THIS_ROUND,
-        "select_token_budget",
-        "kmv_source_overlap",
-        "sketch_kmv_distinct",
-        "events_json_extract",
-        "gapfill_hourly_purchases",
-        "semdedup_incremental",
-        "mm_image_features",
-        "mm_resize",
-        # funnel's physical plan changed this round (global agg + stack
-        # replaces stack + groupBy so the fixed stage rows survive an
-        # empty stream) — its r02 row predates that
-        "funnel_view_click_purchase",
-        # (b) churned in r03 after their r02 rows were recorded
-        "text_token_count",
-        "text_tfidf_top_terms",
-        "text_quality_score",
-        "text_lang_id",
-        "text_fingerprint",
-        "split_train_holdout",
-        "vocab_top_terms",
-        "doc_length_buckets",
-        "text_unigram_logppl",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
+        # (b) code changed after latest green row
+        "embedding_covariance",
+        "rollup_customers",
+        "pagerank_neardup_graph",
         "dedup_minhash_lsh",
         "dedup_cluster_cc",
-        "dedup_simhash",
-        "dedup_embedding_cosine",
         "dedup_survivors",
-        "quality_repetition",
-        "events_sessionize",
-        "dedup_incremental_minhash",
-        # (c) r01-only rows, oldest first
-        "parts_above_avg_price",
-        "topk_orders_global",
-        "q6_forecast_revenue",
+        # (c) r01-only rows, oldest hard signal in the registry
         "q7_volume_shipping",
         "q9_product_profit",
         "q10_returned_items",
@@ -171,6 +148,31 @@ def _registries():
         "q12_ship_delay_priority",
         "grouping_sets_revenue",
         "histogram_totalprice",
+        "q2_best_supplier_per_part",
+        "q4_priority_late_orders",
+        "q8_market_share",
+        "q11_important_supplier_value",
+        "q15_top_supplier",
+        "q16_supplier_diversity",
+        "q20_excess_suppliers",
+        "q21_waiting_suppliers",
+        # (d) oldest r02 rows, highest-value first; tail queues for r06
+        "ann_lsh_bucketed",
+        "ann_ivf_probe",
+        "kmeans_embeddings",
+        "spatial_join_grid",
+        "cql2_flagship_query",
+        "cql2_orders_filter",
+        "cql2_text_lineitem_filter",
+        "stac_pipeline_roundtrip",
+        "stac_self_link_coverage",
+        "knn_brute_force",
+        "ivf_cell_assignment",
+        "decontaminate_against_holdout",
+        "pack_sequences",
+        "chunk_documents",
+        "mm_media_manifest",
+        "mm_frame_sample",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -185,27 +187,7 @@ def _registries():
 
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
-NEW_THIS_ROUND: list[str] = [
-    "ngram_novelty_by_source",
-    "novelty_incremental",
-    "dedup_containment",
-    "knn_label_agreement",
-    "embedding_random_projection",
-    "text_nfc_audit",
-    "mm_cdc_chunk_dedup",
-    "events_hourly_anomaly",
-    "pca_power_projection",
-    "dedup_substring_removal",
-    "cap_docs_per_source",
-    "source_quota_incremental",
-    "semantic_decontam_cells",
-    "stratified_split_report",
-    "token_fertility_by_lang",
-    "events_l_diversity",
-    "gopher_quality_rules",
-    "quality_classifier_score",
-    "embedding_covariance",
-]
+NEW_THIS_ROUND: list[str] = []
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -30,6 +30,32 @@ def read_spread(
     return df
 
 
+def fenced(df: DataFrame) -> DataFrame:
+    """Lineage fence for a SMALL intermediate that multiple downstream
+    consumers (or a fixpoint loop) will re-read.
+
+    Contract — apply this when BOTH hold, and only then:
+
+    1. **Multi-consumer or iterative.**  Without the fence, Catalyst
+       re-executes the whole upstream plan once per consumer (the
+       covariance assembly's two reads of the merged partial matrix
+       TRIPLED the 100-TB scan in the explain), and a loop's plan tree
+       grows by one full copy of the body per iteration until analysis
+       time itself blows up.
+    2. **Bounded output.**  ``localCheckpoint`` materializes the rows
+       on the executors, so the input must be bounded by something
+       OTHER than corpus size — a d×d matrix, a near-dup pair graph,
+       a K-row centroid table.  Never fence a corpus-sized scan; cache
+       or restructure instead.
+
+    Eager by default (same as bare ``df.localCheckpoint()``): the fence
+    runs the upstream job exactly once, NOW, and every consumer reads
+    the materialized blocks.  Kept as one helper so the next
+    multi-consumer op inherits the contract instead of re-deriving it.
+    """
+    return df.localCheckpoint()
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
 

@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 from stac_geoparquet_spark.operators.similarity import (
     VALID_VEC_SQL as _VALID_VEC_SQL,
 )
+from stac_geoparquet_spark.operators._io import fenced
 from stac_geoparquet_spark.operators._canon import (
     DOCS_CANON_SQL as _DOCS_CANON_SQL,
 )
@@ -409,13 +410,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        # Materialized once per (session, sf): the verified pair set is
-        # the fan-out point for clustering and reporting, exactly like
-        # the shingle table above — tiny (pairs that survived verify),
-        # so an eager localCheckpoint is cheap and cuts every
-        # consumer's lineage back to a leaf.
-        .localCheckpoint()
     )
+    # Materialized once per (session, sf): the verified pair set is
+    # the fan-out point for clustering and reporting, exactly like the
+    # shingle table above — tiny (pairs that survived verify), so the
+    # shared lineage fence is cheap and cuts every consumer's lineage
+    # back to a leaf (contract: _io.fenced docstring).
+    out = fenced(out)
     _PAIRS_CACHE[key] = out
     return out
 
@@ -514,17 +515,20 @@ def _min_label_propagate(pairs: DataFrame) -> DataFrame:
     pinned by a chain-graph test far longer than any round budget a
     fixed-count loop would pick (tests/test_new_ops_invariants.py).
     Each round
-    is one join + one aggregate and ends in ``localCheckpoint`` to
-    truncate lineage (without it, plan depth grows linearly and
-    planning cost quadratically)."""
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = (
+    is one join + one aggregate and ends in the shared lineage fence
+    (``_io.fenced``) to truncate lineage (without it, plan depth grows
+    linearly and planning cost quadratically)."""
+    edges = fenced(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    labels = fenced(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
     while True:
         prop = (
@@ -535,16 +539,14 @@ def _min_label_propagate(pairs: DataFrame) -> DataFrame:
         # Carry the previous label through the checkpoint so convergence
         # is a filter on the materialized frame — no extra old-vs-new
         # join per round (one join + one agg + one scan per iteration).
-        stepped = (
-            labels.join(prop, "doc_id", "left")
-            .select(
+        stepped = fenced(
+            labels.join(prop, "doc_id", "left").select(
                 "doc_id",
                 F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = stepped.where("label != old_label").limit(1).count()
         labels = stepped.select("doc_id", "label")
@@ -563,8 +565,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, takes min(neighbor label) per node, and stops at fixpoint —
     O(component diameter) rounds; near-dup components are short chains
     in practice, so this converges in a handful of rounds. Each round
-    ends in ``localCheckpoint`` to truncate lineage (without it, plan
-    depth grows linearly and planning cost quadratically). At 100-TB
+    ends in the shared lineage fence (``_io.fenced``) to truncate
+    lineage (without it, plan depth grows linearly and planning cost
+    quadratically). At 100-TB
     edge counts the same loop holds (edges are pairs that survived
     Jaccard verify — orders of magnitude smaller than the corpus); the
     alternating large-star/small-star variant bounds rounds to

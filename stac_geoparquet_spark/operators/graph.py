@@ -12,8 +12,9 @@ oracle; ranks are rounded to 10 decimals at every synchronization
 point so both engines iterate from bit-identical state (neighbor-sum
 reordering noise ~1e-16 against a 5e-11 rounding quantum). At a
 100-TB corpus the same loop holds — iterations are joins on the pair
-graph, never on the corpus — with localCheckpoint truncating lineage
-per round exactly as in dedup_cluster_cc.
+graph, never on the corpus — with the shared lineage fence
+(``operators/_io.fenced``, see its contract docstring) truncating
+lineage per round exactly as in dedup_cluster_cc.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import fenced
 from stac_geoparquet_spark.operators.dedup import (
     _minhash_oracle_ctes,
     dedup_minhash_lsh,
@@ -35,21 +37,25 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pagerank) after PR_ITERS damped power iterations on the
     symmetric near-dup graph; rank rounded to 8 decimals on output."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    edges = fenced(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).localCheckpoint()
+    )
     deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()
     if n_nodes == 0:
         # empty pair graph (tiny/degenerate corpus): no nodes to rank —
         # the oracle's chained CTEs are empty too
         return spark.createDataFrame([], "doc_id bigint, pagerank double")
-    ranks = deg.select(
-        F.col("doc_a").alias("doc_id"),
-        F.round(F.lit(1.0 / n_nodes), PR_ROUND).alias("pr"),
-    ).localCheckpoint()
+    ranks = fenced(
+        deg.select(
+            F.col("doc_a").alias("doc_id"),
+            F.round(F.lit(1.0 / n_nodes), PR_ROUND).alias("pr"),
+        )
+    )
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(deg, "doc_a")
@@ -57,7 +63,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
         )
-        ranks = (
+        ranks = fenced(
             ranks.select("doc_id")
             .join(contrib, "doc_id", "left")
             .select(
@@ -68,7 +74,6 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PR_ROUND,
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
     return ranks.select("doc_id", F.round("pr", 8).alias("pagerank"))
 

@@ -1348,13 +1348,16 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 1 yields NULL covariance on both engines (nullif guard on the
     n-1 divisor) rather than an ANSI division crash.
 
-    The merged partial matrix is ``localCheckpoint``-fenced before the
-    assembly joins: they consume it twice (sum rows and product rows),
-    and without the fence Catalyst re-executes the whole scan+GEMM per
-    consumer — the explain showed the 100-TB pass TRIPLED.  Same
-    lineage-truncation move as ``pagerank_neardup_graph``; what gets
-    materialized is only the tiny d × d matrix."""
-    merged = _covariance_merged(spark, sf_dir).localCheckpoint()
+    The merged partial matrix is fenced (``_io.fenced`` — the shared
+    lineage-truncation contract) before the assembly joins: they
+    consume it twice (sum rows and product rows), and without the
+    fence Catalyst re-executes the whole scan+GEMM per consumer — the
+    explain showed the 100-TB pass TRIPLED.  Same move as
+    ``pagerank_neardup_graph``; what gets materialized is only the
+    tiny d × d matrix."""
+    from stac_geoparquet_spark.operators._io import fenced
+
+    merged = fenced(_covariance_merged(spark, sf_dir))
     sums = merged.where(F.col("j") == -1).select("i", F.col("s").alias("sv"))
     prods = merged.where(F.col("j") >= 0)
     return (
@@ -1367,10 +1370,18 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             F.col("n"),
-            F.round(
-                (F.col("s") - F.col("sv") * F.col("sw") / F.col("n"))
-                / F.nullif(F.col("n") - 1, F.lit(0)).cast("double"),
-                6,
+            # + 0.0 after the round normalizes IEEE negative zero
+            # (-0.0 + 0.0 == +0.0): the s - sv*sw/n cancellation can
+            # leave a ±1e-13 residue whose SIGN depends on partial-sum
+            # merge order, so without this the rendered zero is flaky
+            # across runs and across engines (r04 red row, (i=5,j=9)).
+            (
+                F.round(
+                    (F.col("s") - F.col("sv") * F.col("sw") / F.col("n"))
+                    / F.nullif(F.col("n") - 1, F.lit(0)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
         .select("i", "j", "n", "cov")
@@ -1395,7 +1406,7 @@ p AS (
 SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
        CAST(sa.n AS BIGINT) AS n,
        round((p.sij - sa.sv * sb.sv / sa.n)
-             / nullif(sa.n - 1, 0), 6) AS cov
+             / nullif(sa.n - 1, 0), 6) + 0 AS cov
 FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
 """
 
@@ -1404,8 +1415,12 @@ FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
 # Johnson-Lindenstrauss random projection (dimension reduction ahead
 # of ANN / clustering): project DIM=64 -> K_PROJ=8 with a dense
 # deterministic matrix whose entries are md5-derived like the LSH
-# hyperplanes, scaled 1/sqrt(K_PROJ) so expected pairwise distances
-# are preserved (the JL estimator's unbiasedness constant).
+# hyperplanes, scaled 1/sqrt(K_PROJ).  Entries are uniform[-1, 1]
+# (variance 1/3), so this preserves relative pairwise distances up to
+# a constant factor (~1/3 in expectation), which is all downstream
+# ranking-style consumers need; the unbiased scale would be
+# sqrt(3/K_PROJ).  Both engines embed the SAME matrix, so the
+# cross-engine contract is unaffected either way.
 #
 # Scale shape: the projection is a pure MAP — broadcast the 64x8
 # matrix, one numpy GEMM per Arrow batch, zero shuffles beyond the

@@ -40,6 +40,14 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # The driver's value-hash distinguishes -0.0 from 0.0 (the
+            # r04 embedding_covariance red row), so the local gate must
+            # too.  Rendered as a distinct token so compare() can also
+            # sweep for it: a query that emits -0.0 at all is flaky,
+            # because the sign of a cancelled-to-zero residue depends
+            # on partial-sum merge order.
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -145,6 +153,23 @@ def compare(spark_df, sql: str, sf_dir: str, strict: bool = False) -> tuple[bool
             return False, err
     _, sn = _normalize_rows(s_cols, s_rows)
     _, dn = _normalize_rows(d_cols, d_rows)
+    # Registry-wide negative-zero sweep: -0.0 in ANY output is a
+    # latent flaky hash (merge-order-dependent sign of a cancelled
+    # residue) even when both engines happen to agree this run.
+    # _norm renders it as the token "-0" ("(^|[\[,])-0($|[,\]])" as a
+    # list element), never produced by any other value.
+    import re as _re
+
+    _negzero = _re.compile(r"(?:^|[\[,])-0(?:$|[,\]])")
+    for side, rows in (("spark", sn), ("duckdb", dn)):
+        for r in rows:
+            for cell in r:
+                if _negzero.search(cell):
+                    return False, (
+                        f"negative zero in {side} output (flaky "
+                        f"rendering — normalize with + 0.0 after "
+                        f"rounding): row {r}"
+                    )
     if sn != dn:
         diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
         return False, f"value mismatch, first diffs: {diff}"

@@ -4,6 +4,8 @@ batch plumbing, decode-stub gating, and DuckDB oracle agreement."""
 import hashlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 SF = "/root/testdata/sf0.001"
 
@@ -182,6 +184,39 @@ def test_png_roundtrip_all_filters(channels):
     pixels = _rand_pixels(w * h * channels, seed=channels)
     png_bytes = encode_png(w, h, channels, pixels, row_filters=[0, 1, 2, 3, 4])
     img = decode_png(png_bytes)
+    assert (img.width, img.height, img.channels) == (w, h, channels)
+    assert img.pixels == pixels
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, channels, data):
+    """decode(encode(x)) == x for random dimensions, channel counts
+    (gray / gray+alpha / RGB / RGBA), pixel content, and a random
+    per-row filter choice — the writer half of the codec gets the same
+    rigor as the reader (r04 verdict task #5).  Degenerate 1×1 and
+    1-wide images (no left neighbor for Sub/Average/Paeth) are in the
+    strategy range on purpose."""
+    from stac_geoparquet_spark.operators.png import decode_png, encode_png
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    img = decode_png(encode_png(w, h, channels, pixels, row_filters=filters))
     assert (img.width, img.height, img.channels) == (w, h, channels)
     assert img.pixels == pixels
 

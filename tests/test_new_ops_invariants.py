@@ -775,3 +775,62 @@ def test_containment_direction_and_bounds(spark):
         assert 0.0 < r["cont_ab"] <= 1.0
         assert 0.0 < r["cont_ba"] <= 1.0
         assert max(r["cont_ab"], r["cont_ba"]) >= CONTAIN_TAU
+
+
+def test_covariance_cancel_to_zero_renders_positive_zero(spark, tmp_path):
+    """r04 red-row class: a dimension pair whose covariance cancels to
+    ~±1e-8 must render +0.0 on BOTH engines.  The residue's sign
+    depends on partial-sum merge order, so without the post-round
+    ``+ 0.0`` normalization (operators/similarity.py, COVARIANCE_SQL)
+    the rendered zero is flaky run-to-run.  Dims (5, 9) carry an
+    exact-cancellation pair (centered x is orthogonal to y in real
+    arithmetic; the float evaluation of s - sv*sw/n leaves a tiny
+    signed residue); every other dim is constant-zero."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.similarity import (
+        COVARIANCE_SQL,
+        DIM,
+        embedding_covariance,
+    )
+    from tests.oracle_compare import compare
+
+    # x exactly representable in float32 (spacing at 2^24 is 2);
+    # y chosen so sum((x - mean(x)) * y) == 0 in exact arithmetic
+    # while sum(y) != 0, forcing the large-term cancellation path.
+    x = [16777216.0, 16777218.0, 16777220.0, 16777222.0]
+    y = [0.3, 0.1, 0.4, 0.2]
+    emb = np.zeros((4, DIM), dtype=np.float32)
+    emb[:, 5] = np.array(x, dtype=np.float32)
+    emb[:, 9] = np.array(y, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            "label": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    dst = tmp_path / "sf_negzero"
+    dst.mkdir()
+    pq.write_table(tbl, str(dst / "embeddings.parquet"))
+
+    vals = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(spark, str(dst)).collect()
+    }
+    v = vals[(5, 9)]
+    assert v == 0.0, f"expected cancellation to round to zero, got {v}"
+    assert math.copysign(1.0, v) > 0, "rendered -0.0 (flaky hash class)"
+    # full strict compare also exercises oracle_compare's registry-wide
+    # negative-zero sweep on this synthetic table
+    ok, msg = compare(
+        embedding_covariance(spark, str(dst)),
+        COVARIANCE_SQL,
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
