@@ -187,7 +187,9 @@ def _registries():
 
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    "quality_classifier_trained",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -829,6 +829,118 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLF_TRAINED_SCALE = 250_000.0  # logistic temperature for ppm sums
+
+
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-fed variant of ``quality_classifier_score`` — proves the
+    advertised upgrade path ("swapping in trained weights = a
+    1024-slot broadcast lookup, same plan") instead of asserting it:
+    the weight table is LEARNED from the corpus (per-slot token
+    frequency in ppm, centered on the uniform share 1e6/CLF_BUCKETS)
+    rather than the synthetic Knuth mix, and reaches every row as a
+    CLF_BUCKETS-element literal array feeding the same in-row fold.
+
+    Two stages:
+
+    1. *train* — explode tokens to their hash slot and count: ONE
+       shuffle with CLF_BUCKETS keys, map-side combined, then collect
+       the histogram — bounded by the MODEL size (1024 rows), never by
+       data (same bounded-collect contract as the kmeans centroids).
+       Weights are INTEGER micro-units so every per-doc sum is exact
+       int64 arithmetic — no float merge-order flake (dsir's lr_micro
+       move).  cnt * 1e6 stays under int64 up to ~9e12 tokens per
+       slot; past that, pre-divide cnt before scaling.
+    2. *score* — plan shape IDENTICAL to quality_classifier_score: a
+       pure in-row fold over the token array, zero shuffle, zero
+       Python (tests/test_plans.py pins that neither variant's scoring
+       plan contains an Exchange).
+
+    Zero-token/NULL-text semantics mirror the untrained variant
+    exactly (NULL words -> NULL raw on both engines)."""
+    docs = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+
+    def slot_of(x: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("bigint")
+            % CLF_BUCKETS
+        )
+
+    hist = (
+        docs.select(F.explode(w).alias("tok"))
+        .select(slot_of(F.col("tok")).alias("slot"))
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n_total = sum(r["cnt"] for r in hist)
+    uniform = 1_000_000 // CLF_BUCKETS
+    wt = [-uniform] * CLF_BUCKETS
+    if n_total > 0:
+        # truncating div on non-negative ints == DuckDB's // here
+        for r in hist:
+            wt[r["slot"]] = r["cnt"] * 1_000_000 // n_total - uniform
+    # one SQL-string array literal parsed JVM-side (py4j Column
+    # construction for 1024 literals costs ~1s of driver time; the
+    # parse is the cheap path — same rationale as the minhash exprs)
+    wt_arr = F.expr("array(" + ",".join(f"{v}L" for v in wt) + ")")
+    raw = F.aggregate(
+        w,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.element_at(wt_arr, (slot_of(x) + F.lit(1)).cast("int")),
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(raw.cast("double") / F.lit(1_000_000.0)) * F.lit(1_000_000.0 / CLF_TRAINED_SCALE))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        raw.alias("raw_micro"),
+        F.round(prob, 6).alias("prob"),
+        F.coalesce(raw > 0, F.lit(False)).alias("keep"),
+    )
+
+
+CLASSIFIER_TRAINED_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_WORDS}) AS tok FROM documents
+),
+hist AS (
+  SELECT ('0x' || substr(md5(tok), 1, 4))::BIGINT % {CLF_BUCKETS} AS slot,
+         count(*) AS cnt
+  FROM toks GROUP BY 1
+),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hist),
+wt AS (
+  SELECT g.slot,
+         CASE WHEN n.n_total IS NULL OR n.n_total = 0
+              THEN -(1000000 // {CLF_BUCKETS})
+              ELSE coalesce(h.cnt, 0) * 1000000 // n.n_total
+                   - (1000000 // {CLF_BUCKETS})
+         END AS w
+  FROM (SELECT unnest(generate_series(0, {CLF_BUCKETS} - 1)) AS slot) g
+  LEFT JOIN hist h USING (slot), n
+),
+warr AS (SELECT list(w ORDER BY slot) AS wl FROM wt),
+s AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         CAST(list_sum(list_transform(words,
+             x -> wl[(('0x' || substr(md5(x), 1, 4))::BIGINT
+                      % {CLF_BUCKETS}) + 1])) AS BIGINT) AS raw_micro
+  FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents), warr
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, raw_micro,
+       round(1.0 / (1.0 + exp(-(raw_micro / 1000000.0)
+                              * (1000000.0 / {CLF_TRAINED_SCALE}))), 6)
+         AS prob,
+       coalesce(raw_micro > 0, false) AS keep
+FROM s
+"""
+
+
 CLASSIFIER_SQL = f"""
 WITH s AS (
   SELECT doc_id,
@@ -933,6 +1045,7 @@ QUERIES_ROTATION = {
     "token_fertility_by_lang": token_fertility_by_lang,
     "gopher_quality_rules": gopher_quality_rules,
     "quality_classifier_score": quality_classifier_score,
+    "quality_classifier_trained": quality_classifier_trained,
     "text_nfc_audit": text_nfc_audit,
 }
 
@@ -941,6 +1054,7 @@ ORACLE_ROTATION = {
     "token_fertility_by_lang": TOKEN_FERTILITY_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
     "quality_classifier_score": CLASSIFIER_SQL,
+    "quality_classifier_trained": CLASSIFIER_TRAINED_SQL,
     "text_nfc_audit": NFC_AUDIT_SQL,
 }
 

@@ -56,6 +56,7 @@ SINGLEROW_SAMPLE = [
     "embedding_covariance",
     "gopher_quality_rules",
     "quality_classifier_score",
+    "quality_classifier_trained",
     # round-4 additions: 1 doc owns all its grams (novelty 1.0, no
     # containment pairs); 1 vector means no centroid slice (the empty-
     # centroid guard) and an empty JL/canonical path

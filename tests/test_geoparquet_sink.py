@@ -302,3 +302,83 @@ def test_error_mode_sees_nested_part_files(spark, tmp_path):
     df = spark.createDataFrame([("a",)], "id string")
     with pytest.raises(FileExistsError):
         to_geoparquet(df, dest, mode="error")
+
+
+# ---------------------------------------------------------------------------
+# Delta sink parity (r04 verdict task #8): mirror the reference's
+# 10-collection Delta round-trip matrix (reference
+# tests/test_delta_lake.py:13-54) — write via to_delta, read the table
+# back, invert to item dicts, compare semantically, and assert the
+# geo / stac-geoparquet metadata survives the table round-trip as
+# TBLPROPERTIES.  delta-spark is not installed in this container, so
+# the matrix is skip-marked with the reason recorded; the always-on
+# coverage for the sink is the null-type validation + availability
+# honesty below/above.
+# ---------------------------------------------------------------------------
+_REF_DATA = "/root/reference/tests/data"
+_DELTA_COLLECTIONS = [
+    "3dep-lidar-copc-pc",
+    "cop-dem-glo-30-pc",
+    "io-lulc-annual-v02-pc",
+    "landsat-c2-l1-pc",
+    "landsat-c2-l2-pc",
+    "naip-pc",
+    "planet-nicfi-analytic-pc",
+    "sentinel-1-rtc-pc",
+    "sentinel-2-l2a-pc",
+    "us-census-pc",
+]
+
+
+def _delta_ready(spark) -> bool:
+    from stac_geoparquet_spark.sinks.delta import delta_available
+
+    return delta_available(spark)
+
+
+@pytest.mark.parametrize("name", _DELTA_COLLECTIONS)
+def test_delta_round_trip_matrix(spark, tmp_path, name):
+    import json
+    import os
+
+    if not os.path.isdir(_REF_DATA):
+        pytest.skip("reference checkout not present")
+    if not _delta_ready(spark):
+        pytest.skip(
+            "delta-spark not installed in this container (io.delta JVM "
+            "classes unavailable); matrix runs where Delta is present"
+        )
+    from tests.json_semantic import items_equal
+
+    from stac_geoparquet_spark.sinks.delta import to_delta
+    from stac_geoparquet_spark.stac import read_items, to_item_dicts
+
+    with open(os.path.join(_REF_DATA, f"{name}.json")) as f:
+        items = json.load(f)
+    src = str(tmp_path / f"{name}.ndjson")
+    with open(src, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+    dest = str(tmp_path / f"{name}_delta")
+    df = read_items(spark, src)
+    to_delta(df, dest, collections=[name])
+
+    # table metadata survives the round-trip (the durable contract is
+    # TBLPROPERTIES, not one commit's userMetadata)
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES delta.`{dest}`").collect()
+    }
+    assert "stac-geoparquet" in props
+    stac_meta = json.loads(props["stac-geoparquet"])
+    assert stac_meta.get("version")
+    if "geo" in props:
+        geo = json.loads(props["geo"])
+        assert geo.get("primary_column")
+
+    back = sorted(
+        to_item_dicts(spark.read.format("delta").load(dest)),
+        key=lambda d: d["id"],
+    )
+    ok, msg = items_equal(sorted(items, key=lambda d: d["id"]), back)
+    assert ok, f"{name}: {msg}"

@@ -834,3 +834,79 @@ def test_covariance_cancel_to_zero_renders_positive_zero(spark, tmp_path):
         strict=True,
     )
     assert ok, msg
+
+
+def test_heavy_duplicate_cluster_caught_by_method_composition(spark, tmp_path):
+    """r04 verdict task #7: containment's rare-gram contract excludes
+    pairs whose every shared gram is corpus-common (df > CONTAIN_DF_CAP)
+    — exactly the shape of a document duplicated more than DF_CAP
+    times.  That blind spot is covered by exact/minhash dedup, but
+    nothing tested the COMPOSITION until now.  Inject a 20-copy
+    duplicate cluster and assert:
+
+    1. containment alone produces ZERO candidate pairs inside the
+       cluster (the documented exclusion really fires), and
+    2. the union of exact + minhash survivors still keeps exactly ONE
+       of the 20 copies (the composed pipeline catches what
+       containment cannot)."""
+    import shutil
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.dedup import (
+        CONTAIN_DF_CAP,
+        dedup_containment,
+        dedup_exact,
+        dedup_survivors,
+    )
+
+    src = SF_DIR
+    dst = tmp_path / "sf_cluster"
+    dst.mkdir()
+    n_copies = 20
+    assert n_copies > CONTAIN_DF_CAP
+    # clone doc 3's text onto 20 fresh doc_ids (9000..9019); the rest
+    # of the corpus is unchanged
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{src}/documents.parquet')
+          UNION ALL BY NAME
+          SELECT d.* REPLACE (9000 + g.i AS doc_id)
+          FROM read_parquet('{src}/documents.parquet') d,
+               (SELECT unnest(range({n_copies})) AS i) g
+          WHERE d.doc_id = 3
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    shutil.copy(f"{src}/embeddings.parquet", str(dst / "embeddings.parquet"))
+    cluster = {3} | {9000 + i for i in range(n_copies)}
+
+    # (1) containment is blind to the cluster: every shared gram now
+    # has df >= 21 > CONTAIN_DF_CAP, so no candidate pair survives
+    cont_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_containment(spark, str(dst)).collect()
+    }
+    assert not any(
+        a in cluster and b in cluster for a, b in cont_pairs
+    ), "rare-gram exclusion did not fire; DF_CAP contract changed?"
+
+    # (2) exact dedup catches all copies: exactly one keeper
+    exact_keep = {
+        r["doc_id"]
+        for r in dedup_exact(spark, str(dst)).collect()
+        if r["keep"] and r["doc_id"] in cluster
+    }
+    assert exact_keep == {3}
+
+    # minhash->CC survivors independently keep exactly one of the 20
+    surv_keep = {
+        r["doc_id"]
+        for r in dedup_survivors(spark, str(dst)).collect()
+        if r["keep"] and r["doc_id"] in cluster
+    }
+    assert surv_keep == {3}
+
+    # the composed pipeline (intersection of per-method keep sets)
+    # retains one representative even though containment alone is blind
+    assert exact_keep & surv_keep == {3}

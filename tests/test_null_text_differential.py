@@ -47,6 +47,7 @@ SAMPLE = [
     "source_mixture_weights",
     "gopher_quality_rules",
     "quality_classifier_score",
+    "quality_classifier_trained",
     # round-4: NULL text tokenizes to no shingles (novelty/containment
     # drop the doc on both engines); NULL lang groups must agree in
     # the NFC audit rollup

@@ -1016,3 +1016,24 @@ def test_pca_projection_broadcast_fold_no_python(spark, sf):
         assert n_ops(plan, op) == 0
     assert n_ops(plan, "HashAggregate") == 2  # label rollup two-phase
     assert n_ops(plan, "WindowGroupLimit") == 2  # canonical partial+final
+
+
+def test_classifier_trained_same_plan_shape_as_untrained(spark, sf):
+    """The trained-weights classifier's SCORING plan must be shape-
+    identical to the synthetic-weights one — the advertised upgrade
+    path ("trained weights = a 1024-slot broadcast lookup, same
+    plan"): a pure in-row fold, no Exchange beyond the test-only input
+    spread, no Python stage, and the weight array reaching rows as a
+    literal (visible as element_at over the embedded array), never as
+    a per-token join."""
+    from stac_geoparquet_spark.operators import text
+
+    p_trained = plan_of(text.quality_classifier_trained(spark, sf))
+    p_base = plan_of(text.quality_classifier_score(spark, sf))
+    for p in (p_trained, p_base):
+        assert n_ops(p, "Project") == 1
+        assert n_ops(p, "HashAggregate") == 0
+        assert n_ops(p, "SortMergeJoin") + n_ops(p, "BroadcastHashJoin") == 0
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert n_ops(p_trained, "Exchange") == n_ops(p_base, "Exchange")
+    assert "element_at" in p_trained
