@@ -127,6 +127,7 @@ def _registries():
         "dedup_minhash_lsh",
         "dedup_cluster_cc",
         "dedup_survivors",
+        "text_lang_id",
         # (c) r01-only rows, oldest hard signal in the registry
         "q7_volume_shipping",
         "q9_product_profit",
@@ -161,10 +162,10 @@ def _registries():
         "ann_ivf_probe",
         "kmeans_embeddings",
         "spatial_join_grid",
+        "stac_pipeline_roundtrip",
         "cql2_flagship_query",
         "cql2_orders_filter",
         "cql2_text_lineitem_filter",
-        "stac_pipeline_roundtrip",
         "stac_self_link_coverage",
         "knn_brute_force",
         "ivf_cell_assignment",
@@ -189,6 +190,14 @@ def _registries():
 # row, so they go straight into the 50-entry window.
 NEW_THIS_ROUND: list[str] = [
     "quality_classifier_trained",
+    "sample_weighted_k",
+    "text_pii_scrub",
+    "embedding_standardize",
+    "source_unigram_divergence",
+    "lang_confusion_matrix",
+    "events_decayed_activity",
+    "dedup_rep_weights",
+    "graph_triangle_count",
 ]
 
 

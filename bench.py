@@ -77,6 +77,34 @@ def main() -> None:
         .selectExpr("size(array_intersect(z, z)) AS zi")  # containment verify shape
         .count()
     )
+    # round-5 expression shapes: regexp_count/replace chains (PII
+    # scrub), element_at over a wide literal array inside an aggregate
+    # lambda (trained classifier), exp-over-window (decayed activity)
+    (
+        spark.range(20_000)
+        .selectExpr(
+            "concat('u', id % 97, '@ex', id % 7, '.com 10.0.0.', id % 255)"
+            " AS t",
+            "id % 13 AS u",
+            "CAST(id AS DOUBLE) AS ts",
+        )
+        .selectExpr(
+            r"regexp_count(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS ne",
+            r"md5(regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>')) AS fp",
+            "aggregate(split(t, ' '), 0L, (a, x) ->"
+            " a + element_at(array(1L, 2L, 3L, 4L),"
+            " CAST(CAST(conv(substring(md5(x), 1, 4), 16, 10) AS BIGINT) % 4 + 1 AS INT))) AS rw",
+            "u",
+            "ts",
+        )
+        .selectExpr(
+            "ne", "fp", "rw", "u",
+            "exp((ts - max(ts) OVER (PARTITION BY u)) / 1e6) AS d",
+        )
+        .groupBy("u")
+        .agg(F.expr("round(sum(d), 6) AS s"), F.expr("count(ne) AS c"))
+        .count()
+    )
 
     def _noop(batches):
         import numpy as np  # noqa: F401  (pre-import heavy deps in workers)

@@ -741,7 +741,74 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrub: detect + redact emails, IPv4 literals, and long digit
+# runs (phone/account-number shaped) before a corpus ships to
+# training.  Counts are measured on the ORIGINAL text; redaction is a
+# fixed-order chain (email -> ipv4 -> digit-run) so later patterns
+# can't rematch inside earlier placeholders, and the cleaned text is
+# reported as an md5 fingerprint (the full redacted body would bloat
+# the result; equality of fingerprints IS equality of outputs).
+#
+# Engine contract: patterns restrict themselves to the regex core
+# that Java (Spark) and RE2 (DuckDB) agree on — ASCII classes,
+# bounded quantifiers, \\b word boundaries, no backrefs/lookaround.
+# DuckDB's regexp_replace is first-match-only by default, so the
+# oracle passes the 'g' flag to match Spark's replace-all.
+#
+# Scale shape: pure in-row expressions over the corpus scan — zero
+# shuffle, zero Python; exactly the map stage a 100-TB scrub wants.
+# --------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITRUN = r"\b\d{10,16}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    t = F.col("text")
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_DIGITRUN, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_DIGITRUN))
+        .cast("bigint")
+        .alias("n_digitruns"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def _pii_sql_escape(pat: str) -> str:
+    # DuckDB single-quoted literals are standard-SQL: backslashes pass
+    # through verbatim (no doubling!), only quotes need escaping
+    return pat.replace("'", "''")
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_pii_sql_escape(PII_EMAIL)}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_pii_sql_escape(PII_IPV4)}'))
+            AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_pii_sql_escape(PII_DIGITRUN)}'))
+            AS BIGINT) AS n_digitruns,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_pii_sql_escape(PII_EMAIL)}',
+                              '<EMAIL>', 'g'),
+               '{_pii_sql_escape(PII_IPV4)}', '<IP>', 'g'),
+             '{_pii_sql_escape(PII_DIGITRUN)}', '<NUM>', 'g'))
+         AS redacted_fp
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
 QUERIES_ROTATION = {
+    "text_pii_scrub": text_pii_scrub,
     "dedup_substring_removal": dedup_substring_removal,
     "edit_distance_join": edit_distance_join,
     "entity_resolution_parts": entity_resolution_parts,
@@ -753,6 +820,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "text_pii_scrub": PII_SCRUB_SQL,
     "dedup_substring_removal": SUBSTR_REMOVAL_SQL,
     "edit_distance_join": ED_JOIN_SQL,
     "entity_resolution_parts": _er_parts_oracle_sql(),

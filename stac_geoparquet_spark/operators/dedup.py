@@ -763,6 +763,57 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_rep_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights: every document gets weight
+    1 / |its near-dup cluster| so a cluster contributes ONE document's
+    worth of gradient in total, however many copies crawled in — the
+    soft alternative to dedup_survivors' hard keep/drop (down-weight
+    instead of discard, as used when duplicates carry distinct
+    provenance worth keeping).  Unclustered docs form singleton
+    clusters (weight 1.0).
+
+    Same composition + scale shape as dedup_survivors: the CC label
+    table is pair-graph-sized, the corpus join is left to AQE
+    (broadcast when it fits); cluster size rides along from
+    dedup_cluster_cc's n_dups, so no extra aggregate."""
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir).select("doc_id")
+    cc = dedup_cluster_cc(spark, sf_dir)
+    size = (F.coalesce(F.col("n_dups"), F.lit(0)) + 1).cast("bigint")
+    return docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("rep_weight"),
+    )
+
+
+def _rep_weights_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.doc_id
+),
+cc AS (
+  SELECT doc_id, min(label) AS cluster_id, count(*) AS csize
+  FROM walk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       CAST(coalesce(cc.csize, 1) AS BIGINT) AS cluster_size,
+       round(1.0 / coalesce(cc.csize, 1), 6) AS rep_weight
+FROM {_DOCS_CANON_SQL} d LEFT JOIN cc USING (doc_id)
+"""
+
+
 def _survivors_oracle_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_oracle_ctes()},
@@ -1204,6 +1255,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_survivors": dedup_survivors,
+    "dedup_rep_weights": dedup_rep_weights,
     "semdedup_cells": semdedup_cells,
     "semantic_decontam_cells": semantic_decontam_cells,
     "ngram_novelty_by_source": ngram_novelty_by_source,
@@ -1218,6 +1270,7 @@ ORACLE = {
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "dedup_survivors": _survivors_oracle_sql(),
+    "dedup_rep_weights": _rep_weights_oracle_sql(),
     "semdedup_cells": _semdedup_oracle_sql(),
     "semantic_decontam_cells": _semantic_decontam_oracle_sql(),
     "ngram_novelty_by_source": NGRAM_NOVELTY_SQL,

@@ -117,10 +117,98 @@ SELECT doc_id, round(pr, 8) AS pagerank FROM {prev}
 """
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary of the near-dup pair graph: node /
+    edge / triangle counts and the global clustering coefficient
+    (3T / wedges).  High clustering means duplicate clusters are
+    cliques (true content copies); low clustering with many edges
+    means chains (template/boilerplate overlap) — a different cleanup
+    action, which is why pipelines look at this before choosing
+    survivor policy.
+
+    Compact-forward enumeration on the ORDERED edge list (a < b as
+    dedup_minhash_lsh emits it): each triangle a<b<c is found exactly
+    once via pairs(a,b) ⋈ pairs(b,c) ⋈ pairs(a,c) — no symmetric
+    blowup, no per-node adjacency materialization.  All joins key on
+    the verified pair set (orders of magnitude smaller than the
+    corpus, and fenced once per session); wedges come from the degree
+    aggregate of the symmetric view.  Output is a single bounded row."""
+    pairs = fenced(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    p1 = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    p2 = pairs.select(
+        F.col("doc_a").alias("b"), F.col("doc_b").alias("c")
+    )
+    p3 = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("c")
+    )
+    tri = p1.join(p2, "b").join(p3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / F.lit(2)).cast("bigint").alias("n_edges"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0)
+            * F.col("n_triangles")
+            / F.nullif(F.col("n_wedges"), F.lit(0)).cast("double"),
+            6,
+        ).alias("global_clustering"),
+    )
+
+
+def _triangle_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_oracle_ctes()},
+deg AS (
+  SELECT doc_a, count(*) AS deg FROM (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+  ) GROUP BY doc_a
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+),
+stats AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles,
+       round(3.0 * n_triangles
+             / CAST(nullif(n_wedges, 0) AS DOUBLE), 6) AS global_clustering
+FROM stats, tri
+"""
+
+
 QUERIES = {
     "pagerank_neardup_graph": pagerank_neardup_graph,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLE = {
     "pagerank_neardup_graph": _pagerank_oracle_sql(),
+    "graph_triangle_count": _triangle_oracle_sql(),
 }

@@ -1207,7 +1207,58 @@ def _cap_oracle_sql() -> str:
 # registered AFTER the 50-entry driver window this round (see
 # __spark_entry__._registries) — they rotate into the window next
 # round.
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis-
+# Spirakis A-ES): every doc draws u in (0, 1) from md5(doc_id) and is
+# ranked by ln(u) / w — the monotone-equivalent form of the classic
+# u^(1/w) key — with weight w = n_chars + 1, so longer documents are
+# proportionally likelier to be kept.  The top-K by key IS an exact
+# weighted sample without replacement (A-ES theorem), and the md5
+# draw makes it reproducible on any engine.
+#
+# Scale shape: the key is a pure in-row expression; the global top-K
+# plans as TakeOrderedAndProject (per-partition top-K then a K*P-row
+# merge), never a global sort or a bare window.  Keys are rounded to
+# 9 decimals at the ranking sync point (margin argument: key range is
+# (-23, 0) so the 5e-10 quantum sits ~6 orders above double noise)
+# with doc_id as the total-order tiebreak on both engines.
+# --------------------------------------------------------------------------
+SAMPLE_W_K = 100
+U_DENOM = 2**32 + 1  # (hash + 1) / U_DENOM keeps u strictly in (0, 1)
+
+
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = (F.col("n_chars") + F.lit(1)).cast("double")
+    skey = F.round(F.log((h + F.lit(1)) / F.lit(float(U_DENOM))) / w, 9)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight_chars"),
+            skey.alias("skey"),
+        )
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(SAMPLE_W_K)
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS weight_chars,
+       round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 1) / {float(U_DENOM)})
+             / CAST(n_chars + 1 AS DOUBLE), 9) AS skey
+FROM documents
+ORDER BY skey DESC, doc_id
+LIMIT {SAMPLE_W_K}
+"""
+
+
 QUERIES_ROTATION = {
+    "sample_weighted_k": sample_weighted_k,
     "cap_docs_per_source": cap_docs_per_source,
     "rebalance_by_lang": rebalance_by_lang,
     "source_mixture_weights": source_mixture_weights,
@@ -1215,6 +1266,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "sample_weighted_k": SAMPLE_WEIGHTED_SQL,
     "cap_docs_per_source": _cap_oracle_sql(),
     "rebalance_by_lang": REBALANCE_SQL,
     "source_mixture_weights": MIXTURE_SQL,

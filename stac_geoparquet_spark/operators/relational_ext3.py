@@ -387,7 +387,64 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Exponentially-decayed user activity: per user, the decayed event
+# count S_u = sum_e exp((t_e - t_last) / tau) with tau = 7 days — the
+# standard recency feature for engagement scoring / churn screens.
+#
+# Numerics by construction: every exponent is <= 0 (decay is measured
+# back from the user's OWN last event), so exp can never overflow no
+# matter how long the corpus's time axis grows — the naive
+# exp(t/tau)-then-rescale form blows up past ~a decade of span.  The
+# anchor max(ts) comes from a window over user_id (unbounded key,
+# sweep-legal) and the groupBy that follows reuses the same hash
+# partitioning, so the whole op costs ONE shuffle of (user_id, ts_us,
+# ...) rows.  Time arithmetic is microseconds from a fixed NTZ origin
+# (timestampdiff / date_diff), never unix_timestamp — bit-identical
+# and timezone-free on both engines.
+# --------------------------------------------------------------------------
+_DECAY_TAU_US = 7 * _DAY_US
+
+
+def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{_EPOCH_ORIGIN}', ts)"
+    )
+    w = Window.partitionBy("user_id")
+    keyed = ev.select("user_id", us.alias("ts_us"), "ts").withColumn(
+        "decay",
+        F.exp(
+            (F.col("ts_us") - F.max("ts_us").over(w)).cast("double")
+            / F.lit(float(_DECAY_TAU_US))
+        ),
+    )
+    return keyed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("decay"), 6).alias("activity_score"),
+    )
+
+
+DECAYED_ACTIVITY_SQL = f"""
+WITH keyed AS (
+  SELECT user_id, ts,
+         exp(CAST(date_diff('microsecond', TIMESTAMP '{_EPOCH_ORIGIN}', ts)
+                  - max(date_diff('microsecond',
+                                  TIMESTAMP '{_EPOCH_ORIGIN}', ts))
+                    OVER (PARTITION BY user_id) AS DOUBLE)
+             / {float(_DECAY_TAU_US)}) AS decay
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+       round(sum(decay), 6) AS activity_score
+FROM keyed
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "events_decayed_activity": events_decayed_activity,
     "q12_ship_delay_priority": q12_ship_delay_priority,
     "grouping_sets_revenue": grouping_sets_revenue,
     "range_join_clicks_before_purchase": range_join_clicks_before_purchase,
@@ -397,6 +454,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_decayed_activity": DECAYED_ACTIVITY_SQL,
     "q12_ship_delay_priority": Q12_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "range_join_clicks_before_purchase": RANGE_JOIN_SQL,

@@ -1871,7 +1871,107 @@ FROM scores GROUP BY label
 # Placement in the driver's 50-entry correctness window is decided by
 # __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
 # by this module's dict split; the rotation dicts only group entries.
+# --------------------------------------------------------------------------
+# Per-dimension z-score standardization (feature scaling ahead of
+# clustering / linear probes): one global aggregate computes each
+# dimension's mean and sample std, the resulting 2*K constants come
+# back to the driver (bounded by the DIMENSION count, never by data —
+# the kmeans-centroid collect contract) and reach every row as
+# literals in a pure map.  Mean/std are rounded to 9 decimals at the
+# sync point so both engines standardize from bit-identical constants
+# (margin argument as in the kmeans rounds); z-scores round to 6 with
+# the post-round +0.0 negative-zero normalization (a value just below
+# its dimension mean rounds to -0.0 otherwise — the r04 covariance
+# lesson, enforced registry-wide by the oracle comparator's sweep).
+# Output: the first STD_DIMS standardized coordinates per vector.
+# --------------------------------------------------------------------------
+STD_DIMS = 8
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_blocks(spark, sf_dir, canonical=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    aggs = []
+    for i in range(STD_DIMS):
+        aggs += [
+            F.sum(F.col("v")[i]).alias(f"s{i}"),
+            F.sum(F.col("v")[i] * F.col("v")[i]).alias(f"q{i}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    # rounding happens IN Spark (HALF_UP, matching DuckDB's round) so
+    # the collected constants equal the oracle's CTE values exactly
+    stat_row = emb.agg(*aggs)
+    n = F.col("n").cast("double")
+    stats = stat_row.select(
+        *[
+            F.round(F.col(f"s{i}") / n, 9).alias(f"mu{i}")
+            for i in range(STD_DIMS)
+        ],
+        *[
+            F.round(
+                F.sqrt(
+                    F.round(
+                        (F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}") / n)
+                        / F.nullif(n - 1.0, F.lit(0.0)),
+                        9,
+                    )
+                ),
+                9,
+            ).alias(f"sd{i}")
+            for i in range(STD_DIMS)
+        ],
+    ).collect()
+    if not stats:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, "
+            + ", ".join(f"z{i} double" for i in range(STD_DIMS)),
+        )
+    r = stats[0]
+    cols = [F.col("vec_id")]
+    for i in range(STD_DIMS):
+        mu, sd = r[f"mu{i}"], r[f"sd{i}"]
+        if sd is None or sd == 0.0:
+            z = F.lit(None).cast("double")
+        else:
+            z = F.round((F.col("v")[i] - F.lit(mu)) / F.lit(sd), 6) + F.lit(
+                0.0
+            )
+        cols.append(z.alias(f"z{i}"))
+    return emb.select(*cols)
+
+
+def _standardize_oracle_sql() -> str:
+    zs = ", ".join(
+        f"CASE WHEN sds[{i + 1}] IS NULL OR sds[{i + 1}] = 0 THEN NULL "
+        f"ELSE round((v[{i + 1}] - mus[{i + 1}]) / sds[{i + 1}], 6) + 0 "
+        f"END AS z{i}"
+        for i in range(STD_DIMS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, min(embedding)::DOUBLE[] AS v
+  FROM embeddings WHERE {VALID_VEC_SQL} GROUP BY vec_id
+),
+x AS (
+  SELECT i, v[i + 1] AS xi
+  FROM e, unnest(range(0, {STD_DIMS})) AS t(i)
+),
+s AS (
+  SELECT i, round(sum(xi) / count(*), 9) AS mu,
+         round(sqrt(round((sum(xi * xi) - sum(xi) * sum(xi) / count(*))
+                          / nullif(count(*) - 1, 0), 9)), 9) AS sd
+  FROM x GROUP BY i
+),
+sl AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds FROM s)
+SELECT vec_id, {zs}
+FROM e, sl
+"""
+
+
 QUERIES_ROTATION = {
+    "embedding_standardize": embedding_standardize,
     "embedding_class_profile": embedding_class_profile,
     "pq_encode_codes": pq_encode_codes,
     "ann_pq_adc": ann_pq_adc,
@@ -1882,6 +1982,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "embedding_standardize": _standardize_oracle_sql(),
     "embedding_class_profile": CLASS_PROFILE_SQL,
     "pq_encode_codes": PQ_ENCODE_SQL,
     "ann_pq_adc": PQ_ADC_SQL,

@@ -247,25 +247,64 @@ FROM m
 # --------------------------------------------------------------------------
 # language ID: stopword-profile scoring with deterministic tiebreak
 # --------------------------------------------------------------------------
+def _marker_score(words: Column, markers: tuple[str, ...]) -> Column:
+    """Per-language marker hit count over a token array column."""
+    return F.size(F.filter(words, lambda x: x.isin(*markers)))
+
+
+def _pick_lang(score_cols: list[Column]) -> Column:
+    """argmax over the marker scores, ties to the FIRST language in
+    LANG_MARKERS order — the same total order the SQL CASE uses."""
+    best = (
+        F.greatest(*score_cols) if len(score_cols) > 1 else score_cols[0]
+    )
+    pred = None
+    for (lang, _), s in zip(LANG_MARKERS, score_cols):
+        cond = s == best
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    return pred
+
+
+def _detect_lang(text: Column) -> Column:
+    """Self-contained detected-language expression (the in-row form of
+    text_lang_id's scoring, for consumers that only need the label)."""
+    w = _words(text)
+    return _pick_lang([_marker_score(w, m) for _, m in LANG_MARKERS])
+
+
+def _detect_lang_sql(text_expr: str) -> str:
+    """DuckDB mirror of _detect_lang over a text column expression."""
+    words = _sql_words(text_expr)
+    scores = [
+        f"len(list_filter({words}, x -> x IN "
+        f"({', '.join(repr(m) for m in markers)})))"
+        for _, markers in LANG_MARKERS
+    ]
+    best = "greatest(" + ", ".join(scores) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {s} = {best} THEN '{lang}'"
+            for (lang, _), s in zip(LANG_MARKERS, scores)
+        )
+        + " END"
+    )
+    return case
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = _words(F.col("text"))
     scored = docs.select("doc_id", "lang", w.alias("w"))
     for lang, markers in LANG_MARKERS:
         scored = scored.withColumn(
-            f"s_{lang}",
-            F.size(F.filter(F.col("w"), lambda x: x.isin(*markers))),
+            f"s_{lang}", _marker_score(F.col("w"), markers)
         )
-    pred = None
-    all_scores = [F.col(f"s_{lang}") for lang, _ in LANG_MARKERS]
-    best = F.greatest(*all_scores) if len(all_scores) > 1 else all_scores[0]
-    for lang, _ in LANG_MARKERS:
-        cond = F.col(f"s_{lang}") == best
-        pred = (
-            F.when(cond, F.lit(lang))
-            if pred is None
-            else pred.when(cond, F.lit(lang))
-        )
+    pred = _pick_lang([F.col(f"s_{lang}") for lang, _ in LANG_MARKERS])
     return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -1040,7 +1079,109 @@ GROUP BY lang
 # Rotation block: registered after the driver window (see
 # __spark_entry__._registries); locally strict-gated like everything
 # else.
+# --------------------------------------------------------------------------
+# Per-source unigram KL divergence vs the whole corpus — the mixture-
+# design diagnostic (a source whose token distribution diverges hard
+# from the pool gets inspected before its mixture weight is raised).
+#
+# Algebra chosen for the plan, not the notation: KL_s = sum_t
+# (c_st/T_s) ln(c_st T_c / (T_s c_t)) is regrouped as
+#   (1/T_s) sum_t c_st (ln c_st - ln c_t)  +  ln T_c - ln T_s
+# so the per-(source, token) summand needs only the TOKEN total c_t —
+# available from a window over the unbounded token key (sweep-legal) —
+# and the bounded-cardinality SOURCE totals fall out of the final
+# per-source aggregate itself (no window over `source`, which the
+# registry sweep rightly rejects).  T_c is an unpartitioned window
+# over the tiny (<= |sources|) aggregate.  Three shuffles, all keyed
+# by scaling keys: (source, token) agg -> token window -> source agg.
+# Float sums round at 6 with the usual ~6-orders margin.
+# --------------------------------------------------------------------------
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    by_st = (
+        docs.select("source", F.explode(_words(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    wt = Window.partitionBy("tok")
+    summed = by_st.withColumn(
+        "a_st",
+        F.col("c_st")
+        * (F.log(F.col("c_st")) - F.log(F.sum("c_st").over(wt))),
+    )
+    per_source = summed.groupBy("source").agg(
+        F.sum("c_st").alias("t_s"),
+        F.sum("a_st").alias("a_s"),
+        F.count(F.lit(1)).alias("n_unique_tokens"),
+    )
+    w_all = Window.partitionBy()  # over the tiny per-source aggregate
+    return per_source.select(
+        "source",
+        F.col("t_s").cast("bigint").alias("n_tokens"),
+        F.col("n_unique_tokens"),
+        F.round(
+            F.col("a_s") / F.col("t_s")
+            + F.log(F.sum("t_s").over(w_all).cast("double"))
+            - F.log(F.col("t_s").cast("double")),
+            6,
+        ).alias("kl_vs_corpus"),
+    )
+
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH by_st AS (
+  SELECT source, tok, count(*) AS c_st
+  FROM (SELECT source, unnest({_SQL_WORDS}) AS tok FROM documents)
+  GROUP BY source, tok
+),
+summed AS (
+  SELECT source, c_st,
+         c_st * (ln(c_st) - ln(sum(c_st) OVER (PARTITION BY tok))) AS a_st
+  FROM by_st
+),
+per_source AS (
+  SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s,
+         sum(a_st) AS a_s, count(*) AS n_unique_tokens
+  FROM summed GROUP BY source
+)
+SELECT source, t_s AS n_tokens, n_unique_tokens,
+       round(a_s / t_s + ln(CAST(sum(t_s) OVER () AS DOUBLE))
+             - ln(CAST(t_s AS DOUBLE)), 6) AS kl_vs_corpus
+FROM per_source
+"""
+
+
+# --------------------------------------------------------------------------
+# Declared-vs-detected language confusion matrix: cross-tabulate the
+# corpus's `lang` column against the n-gram heuristic detector behind
+# text_lang_id.  The ingest-QA companion to the detector — a heavy
+# off-diagonal cell means either mislabeled data or a detector gap.
+# Pure in-row detection + one keyed aggregate (map-side combined);
+# both axes are bounded label sets, so the output is a tiny matrix.
+# --------------------------------------------------------------------------
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return (
+        docs.select("lang", _detect_lang(F.col("text")).alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _confusion_oracle_sql() -> str:
+    return f"""
+SELECT lang, {_detect_lang_sql("text")} AS detected, count(*) AS n_docs
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES_ROTATION = {
+    "source_unigram_divergence": source_unigram_divergence,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "stratified_split_report": stratified_split_report,
     "token_fertility_by_lang": token_fertility_by_lang,
     "gopher_quality_rules": gopher_quality_rules,
@@ -1050,6 +1191,8 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "source_unigram_divergence": SOURCE_DIVERGENCE_SQL,
+    "lang_confusion_matrix": _confusion_oracle_sql(),
     "stratified_split_report": STRATIFIED_SPLIT_SQL,
     "token_fertility_by_lang": TOKEN_FERTILITY_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,

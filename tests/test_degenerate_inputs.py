@@ -69,6 +69,14 @@ SINGLEROW_SAMPLE = [
     # n = 1 nulls every covariance cell: the eigensolve must bail to
     # an EMPTY result on both engines, not emit NULL-score rows
     "pca_power_projection",
+    "embedding_standardize",
+    "sample_weighted_k",
+    "source_unigram_divergence",
+    "lang_confusion_matrix",
+    "dedup_rep_weights",
+    "graph_triangle_count",
+    "events_decayed_activity",
+    "text_pii_scrub",
 ]
 
 CONSTANT_SAMPLE = [

@@ -17,6 +17,15 @@ import pytest
 # (the rest share these code paths)
 SAMPLE = [
     "q1_pricing_summary",
+    "sample_weighted_k",
+    "text_pii_scrub",
+    "embedding_standardize",
+    "source_unigram_divergence",
+    "lang_confusion_matrix",
+    "events_decayed_activity",
+    "dedup_rep_weights",
+    "graph_triangle_count",
+    "quality_classifier_trained",
     "events_sessionize",
     "text_token_count",
     "text_zipf_slope",
@@ -112,6 +121,7 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "text_zipf_slope",
         "corpus_yield_funnel",
         "funnel_view_click_purchase",
+        "graph_triangle_count",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

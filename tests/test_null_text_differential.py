@@ -48,6 +48,11 @@ SAMPLE = [
     "gopher_quality_rules",
     "quality_classifier_score",
     "quality_classifier_trained",
+    "text_pii_scrub",
+    "sample_weighted_k",
+    "source_unigram_divergence",
+    "lang_confusion_matrix",
+    "dedup_rep_weights",
     # round-4: NULL text tokenizes to no shingles (novelty/containment
     # drop the doc on both engines); NULL lang groups must agree in
     # the NFC audit rollup
