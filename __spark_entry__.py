@@ -198,6 +198,10 @@ NEW_THIS_ROUND: list[str] = [
     "events_decayed_activity",
     "dedup_rep_weights",
     "graph_triangle_count",
+    "funnel_latency_quantiles",
+    "mixture_temperature_weights",
+    "sketch_hll_distinct",
+    "quality_winsorize",
 ]
 
 

@@ -1257,8 +1257,58 @@ LIMIT {SAMPLE_W_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (the multilingual-training
+# standard, w_s ∝ p_s^alpha with alpha < 1): flattens the source
+# distribution less aggressively than sqrt when alpha > 0.5 and more
+# when alpha < 0.5; alpha = 0.7 is the common published setting.
+# Same plan skeleton as source_mixture_weights: one keyed count, a
+# broadcast 1-row totals aggregate, a pure-map normalize — the second
+# total (sum of p^alpha) needs p first, so the totals fold into TWO
+# tiny broadcast aggregates instead of one.  pow/round cross-engine
+# agreement rides the same libm + 6-decimal margin as exp/ln ops.
+# --------------------------------------------------------------------------
+MIXTURE_ALPHA = 0.7
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    shared = counts.join(F.broadcast(total)).withColumn(
+        "p_alpha",
+        F.pow(F.col("n_docs") / F.col("n_total"), F.lit(MIXTURE_ALPHA)),
+    )
+    z = shared.agg(F.sum("p_alpha").alias("z"))
+    return shared.join(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("raw_share"),
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("temp_weight"),
+    )
+
+
+MIXTURE_TEMP_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+shared AS (
+  SELECT source, n_docs, n_total,
+         pow(n_docs * 1.0 / n_total, {MIXTURE_ALPHA}) AS p_alpha
+  FROM counts, t
+),
+z AS (SELECT sum(p_alpha) AS z FROM shared)
+SELECT source, n_docs,
+       round(n_docs * 1.0 / n_total, 6) AS raw_share,
+       round(p_alpha / z, 6) AS temp_weight
+FROM shared, z
+"""
+
+
 QUERIES_ROTATION = {
     "sample_weighted_k": sample_weighted_k,
+    "mixture_temperature_weights": mixture_temperature_weights,
     "cap_docs_per_source": cap_docs_per_source,
     "rebalance_by_lang": rebalance_by_lang,
     "source_mixture_weights": source_mixture_weights,
@@ -1267,6 +1317,7 @@ QUERIES_ROTATION = {
 
 ORACLE_ROTATION = {
     "sample_weighted_k": SAMPLE_WEIGHTED_SQL,
+    "mixture_temperature_weights": MIXTURE_TEMP_SQL,
     "cap_docs_per_source": _cap_oracle_sql(),
     "rebalance_by_lang": REBALANCE_SQL,
     "source_mixture_weights": MIXTURE_SQL,

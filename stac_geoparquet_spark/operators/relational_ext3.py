@@ -443,8 +443,72 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel latency quantiles: among users whose first 'view' precedes
+# their first 'purchase', the p25/p50/p75 of the view->purchase
+# latency — the time-to-convert companion of the stage-count funnel
+# (funnel_view_click_purchase tells you HOW MANY convert; this tells
+# you HOW FAST).  One shuffle: a conditional-min aggregate per user
+# (map-side combined), then an exact interpolated percentile over the
+# tiny converted-user set (Spark `percentile` == DuckDB
+# `quantile_cont`, the percentile_prices_by_priority convention).
+# Latencies are exact integer microsecond diffs scaled to seconds.
+# --------------------------------------------------------------------------
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, first_view, first_purchase)"
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.25)"), 4).alias("p25_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.75)"), 4).alias("p75_s"),
+    )
+
+
+FUNNEL_LATENCY_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT CAST(date_diff('microsecond', first_view, first_purchase)
+              AS DOUBLE) / 1000000.0 AS latency_s
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(latency_s, 0.25), 4) AS p25_s,
+       round(quantile_cont(latency_s, 0.50), 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.75), 4) AS p75_s
+FROM lat
+"""
+
+
 QUERIES = {
     "events_decayed_activity": events_decayed_activity,
+    "funnel_latency_quantiles": funnel_latency_quantiles,
     "q12_ship_delay_priority": q12_ship_delay_priority,
     "grouping_sets_revenue": grouping_sets_revenue,
     "range_join_clicks_before_purchase": range_join_clicks_before_purchase,
@@ -455,6 +519,7 @@ QUERIES = {
 
 ORACLE = {
     "events_decayed_activity": DECAYED_ACTIVITY_SQL,
+    "funnel_latency_quantiles": FUNNEL_LATENCY_SQL,
     "q12_ship_delay_priority": Q12_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "range_join_clicks_before_purchase": RANGE_JOIN_SQL,

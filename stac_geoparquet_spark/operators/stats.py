@@ -580,14 +580,120 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch per event type — the third custom
+# mergeable NDV sketch next to KMV and CMS, and unlike Spark's opaque
+# approx_count_distinct it is EXACTLY oracle-checkable because every
+# piece is deterministic: 32-bit md5 hash -> 6-bit bucket + 26-bit
+# suffix, rho = leading-zero rank via length(bin(w)) (identical
+# minimal-width bin() on both engines), per-bucket max, then the
+# standard estimator alpha * m^2 / Z with the small-range linear-
+# counting correction.  Z = sum of 2^-M_j terms + one per empty
+# bucket: each term is an exact binary fraction spanning < 53 bits,
+# so the sum is EXACT in a double regardless of merge order — the
+# only libm call is the linear-counting ln, under the usual round-4
+# margin.
+#
+# Scale shape: one map-side-combined aggregate to m*|types| rows
+# (bounded by the SKETCH size, not data), one tiny per-type fold —
+# mergeability (max per bucket) is what makes it maintainable in the
+# streaming/rollup.py pattern.  The exact NDV rides along broadcast
+# for the error column.
+# --------------------------------------------------------------------------
+HLL_M = 64  # buckets (2^6)
+HLL_ALPHA = 0.709  # alpha_64
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    h = (
+        "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING))),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+    hashed = ev.selectExpr("event_type", f"{h} AS uh")
+    buckets = (
+        hashed.selectExpr(
+            "event_type",
+            f"uh % {HLL_M} AS bucket",
+            f"CASE WHEN uh div {HLL_M} = 0 THEN 27"
+            f" ELSE 27 - length(bin(uh div {HLL_M})) END AS rho",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    folded = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
+    )
+    exact = (
+        hashed.groupBy("event_type", "uh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("ndv_exact"))
+    )
+    m = float(HLL_M)
+    v = F.lit(HLL_M) - F.col("used")
+    z = F.col("z_used") + v.cast("double")
+    e_raw = F.lit(HLL_ALPHA * m * m) / z
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(m) * F.log(F.lit(m) / v.cast("double")),
+    ).otherwise(e_raw)
+    return folded.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "ndv_exact",
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("used").alias("buckets_used"),
+    )
+
+
+SKETCH_HLL_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+           ::BIGINT AS uh
+  FROM events
+),
+buckets AS (
+  SELECT event_type, uh % {HLL_M} AS bucket,
+         max(CASE WHEN uh // {HLL_M} = 0 THEN 27
+                  ELSE 27 - length(bin(uh // {HLL_M})) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+folded AS (
+  SELECT event_type, count(*) AS used,
+         sum(pow(2.0, -m_j)) AS z_used
+  FROM buckets GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT uh) AS BIGINT) AS ndv_exact
+  FROM hashed GROUP BY event_type
+)
+SELECT f.event_type, e.ndv_exact,
+       round(CASE WHEN {HLL_ALPHA} * {HLL_M}.0 * {HLL_M}
+                       / (z_used + ({HLL_M} - used)) <= {2.5 * HLL_M}
+                   AND used < {HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - used))
+                  ELSE {HLL_ALPHA} * {HLL_M}.0 * {HLL_M}
+                       / (z_used + ({HLL_M} - used))
+             END, 4) AS hll_estimate,
+       CAST(used AS BIGINT) AS buckets_used
+FROM folded f JOIN exact e USING (event_type)
+"""
+
+
 QUERIES_ROTATION = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "kmv_source_overlap": kmv_source_overlap,
+    "sketch_hll_distinct": sketch_hll_distinct,
 }
 
 ORACLE_ROTATION = {
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
     "kmv_source_overlap": KMV_OVERLAP_SQL,
+    "sketch_hll_distinct": SKETCH_HLL_SQL,
 }
 
 ORACLE = {

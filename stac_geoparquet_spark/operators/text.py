@@ -1179,7 +1179,73 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Winsorized quality scores: clamp each document's quality score to
+# its language's [p05, p95] band — the robust-scaling step pipelines
+# run before feeding quality into a sampling weight, so a handful of
+# pathological docs can't dominate the weight mass.  Scores come from
+# quality_score_expr() (THE shared definition); per-lang bounds are an
+# exact interpolated percentile aggregate on the bounded lang key
+# (tiny result, broadcast back); the clamp is a pure map.  NULL-text
+# docs are excluded explicitly — quality_score_expr's documented
+# capped-term default (0.7) is a ranking hazard, not a real score.
+# --------------------------------------------------------------------------
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id", "lang", F.round(quality_score_expr(), 6).alias("score")
+    )
+    qs = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(score, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(score, 0.95)"), 6).alias("p95"),
+    )
+    return scored.join(F.broadcast(qs), "lang").select(
+        "doc_id",
+        "lang",
+        "score",
+        F.round(
+            F.least(F.greatest(F.col("score"), F.col("p05")), F.col("p95")),
+            6,
+        ).alias("score_w"),
+        ((F.col("score") < F.col("p05")) | (F.col("score") > F.col("p95")))
+        .alias("clipped"),
+    )
+
+
+# the m-CTE mirrors QUALITY_SQL's score formula (both transcribe
+# quality_score_expr; QUALITY_SQL is left untouched on purpose — its
+# driver row predates this op)
+WINSORIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         len({_sql_words()}) AS n_words,
+         len(list_filter({_sql_words()}, x -> x IN ({_STOP_IN}))) AS n_stop,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text,
+             '[^\\w{SQL_WS_CHARS}]', '', 'g')) AS n_punct
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(least(n_words / 100.0, 1.0) * 0.4
+               + (1.0 - least(n_punct * 10.0 / nullif(n_chars, 0), 1.0)) * 0.3
+               + least(n_stop * 5.0 / n_words, 1.0) * 0.3, 6) AS score
+  FROM m
+),
+qs AS (
+  SELECT lang, round(quantile_cont(score, 0.05), 6) AS p05,
+         round(quantile_cont(score, 0.95), 6) AS p95
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, lang, score,
+       round(least(greatest(score, p05), p95), 6) AS score_w,
+       (score < p05 OR score > p95) AS clipped
+FROM scored JOIN qs USING (lang)
+"""
+
+
 QUERIES_ROTATION = {
+    "quality_winsorize": quality_winsorize,
     "source_unigram_divergence": source_unigram_divergence,
     "lang_confusion_matrix": lang_confusion_matrix,
     "stratified_split_report": stratified_split_report,
@@ -1191,6 +1257,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "quality_winsorize": WINSORIZE_SQL,
     "source_unigram_divergence": SOURCE_DIVERGENCE_SQL,
     "lang_confusion_matrix": _confusion_oracle_sql(),
     "stratified_split_report": STRATIFIED_SPLIT_SQL,

@@ -77,6 +77,10 @@ SINGLEROW_SAMPLE = [
     "graph_triangle_count",
     "events_decayed_activity",
     "text_pii_scrub",
+    "quality_winsorize",
+    "sketch_hll_distinct",
+    "funnel_latency_quantiles",
+    "mixture_temperature_weights",
 ]
 
 CONSTANT_SAMPLE = [

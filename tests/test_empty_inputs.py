@@ -26,6 +26,10 @@ SAMPLE = [
     "dedup_rep_weights",
     "graph_triangle_count",
     "quality_classifier_trained",
+    "quality_winsorize",
+    "sketch_hll_distinct",
+    "funnel_latency_quantiles",
+    "mixture_temperature_weights",
     "events_sessionize",
     "text_token_count",
     "text_zipf_slope",
@@ -122,6 +126,7 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "corpus_yield_funnel",
         "funnel_view_click_purchase",
         "graph_triangle_count",
+        "funnel_latency_quantiles",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

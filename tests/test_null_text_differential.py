@@ -53,6 +53,8 @@ SAMPLE = [
     "source_unigram_divergence",
     "lang_confusion_matrix",
     "dedup_rep_weights",
+    "quality_winsorize",
+    "mixture_temperature_weights",
     # round-4: NULL text tokenizes to no shingles (novelty/containment
     # drop the doc on both engines); NULL lang groups must agree in
     # the NFC audit rollup
