@@ -604,16 +604,19 @@ HLL_M = 64  # buckets (2^6)
 HLL_ALPHA = 0.709  # alpha_64
 
 
-def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stac_geoparquet_spark.operators.relational import read_events
-
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+def _hll_hashed(ev: DataFrame) -> DataFrame:
     h = (
         "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING))),"
         " 1, 8), 16, 10) AS BIGINT)"
     )
-    hashed = ev.selectExpr("event_type", f"{h} AS uh")
-    buckets = (
+    return ev.selectExpr("event_type", f"{h} AS uh")
+
+
+def _hll_state(hashed: DataFrame) -> DataFrame:
+    """The sketch's mergeable state: per-(event_type, bucket) max rho.
+    Register-wise max IS the associative merge, so union-then-regroup
+    of any delta partition of the input yields identical state."""
+    return (
         hashed.selectExpr(
             "event_type",
             f"uh % {HLL_M} AS bucket",
@@ -623,15 +626,13 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
-    folded = buckets.groupBy("event_type").agg(
+
+
+def _hll_present(state: DataFrame) -> DataFrame:
+    """(event_type, hll_estimate, buckets_used) from sketch state."""
+    folded = state.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("used"),
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
-    )
-    exact = (
-        hashed.groupBy("event_type", "uh")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("ndv_exact"))
     )
     m = float(HLL_M)
     v = F.lit(HLL_M) - F.col("used")
@@ -641,12 +642,57 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e_raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(m) * F.log(F.lit(m) / v.cast("double")),
     ).otherwise(e_raw)
-    return folded.join(F.broadcast(exact), "event_type").select(
+    return folded.select(
         "event_type",
-        "ndv_exact",
         F.round(est, 4).alias("hll_estimate"),
         F.col("used").alias("buckets_used"),
     )
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    hashed = _hll_hashed(ev)
+    exact = (
+        hashed.groupBy("event_type", "uh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("ndv_exact"))
+    )
+    return (
+        _hll_present(_hll_state(hashed))
+        .join(F.broadcast(exact), "event_type")
+        .select("event_type", "ndv_exact", "hll_estimate", "buckets_used")
+    )
+
+
+def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance proof for the CUSTOM HLL: fold three out-of-order
+    deltas of the event stream into the resident sketch state (union +
+    register-wise max regroup — history rows are never rescanned, only
+    |state| + |delta-state| rows shuffle per cycle) and present the
+    estimate.  The DuckDB oracle recomputes the sketch from ALL events
+    in one pass, so the driver's value-hash match proves
+    maintain-then-estimate == build-once EXACTLY — something the
+    built-in datasketches rollup (streaming/rollup.py) cannot offer its
+    oracle, which must exclude the opaque estimate column."""
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    state: DataFrame | None = None
+    for part in (2, 0, 1):  # deliberately out of arrival order
+        delta = _hll_state(
+            _hll_hashed(ev.where(F.col("event_id") % 3 == part))
+        )
+        state = (
+            delta
+            if state is None
+            else state.unionByName(delta)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+    return _hll_present(state)
 
 
 SKETCH_HLL_SQL = f"""
@@ -684,16 +730,51 @@ FROM folded f JOIN exact e USING (event_type)
 """
 
 
+# oracle for the incremental variant: ONE-PASS recompute (no deltas) —
+# equality with the three-delta fold is the mergeability claim itself
+SKETCH_HLL_INCR_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+           ::BIGINT AS uh
+  FROM events
+),
+buckets AS (
+  SELECT event_type, uh % {HLL_M} AS bucket,
+         max(CASE WHEN uh // {HLL_M} = 0 THEN 27
+                  ELSE 27 - length(bin(uh // {HLL_M})) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+folded AS (
+  SELECT event_type, count(*) AS used,
+         sum(pow(2.0, -m_j)) AS z_used
+  FROM buckets GROUP BY event_type
+)
+SELECT event_type,
+       round(CASE WHEN {HLL_ALPHA} * {HLL_M}.0 * {HLL_M}
+                       / (z_used + ({HLL_M} - used)) <= {2.5 * HLL_M}
+                   AND used < {HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - used))
+                  ELSE {HLL_ALPHA} * {HLL_M}.0 * {HLL_M}
+                       / (z_used + ({HLL_M} - used))
+             END, 4) AS hll_estimate,
+       CAST(used AS BIGINT) AS buckets_used
+FROM folded
+"""
+
+
 QUERIES_ROTATION = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "kmv_source_overlap": kmv_source_overlap,
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_hll_incremental": sketch_hll_incremental,
 }
 
 ORACLE_ROTATION = {
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
     "kmv_source_overlap": KMV_OVERLAP_SQL,
     "sketch_hll_distinct": SKETCH_HLL_SQL,
+    "sketch_hll_incremental": SKETCH_HLL_INCR_SQL,
 }
 
 ORACLE = {

@@ -79,6 +79,7 @@ SINGLEROW_SAMPLE = [
     "text_pii_scrub",
     "quality_winsorize",
     "sketch_hll_distinct",
+    "sketch_hll_incremental",
     "funnel_latency_quantiles",
     "mixture_temperature_weights",
 ]

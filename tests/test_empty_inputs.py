@@ -28,6 +28,7 @@ SAMPLE = [
     "quality_classifier_trained",
     "quality_winsorize",
     "sketch_hll_distinct",
+    "sketch_hll_incremental",
     "funnel_latency_quantiles",
     "mixture_temperature_weights",
     "events_sessionize",
