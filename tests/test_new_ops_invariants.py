@@ -910,3 +910,234 @@ def test_heavy_duplicate_cluster_caught_by_method_composition(spark, tmp_path):
     # the composed pipeline (intersection of per-method keep sets)
     # retains one representative even though containment alone is blind
     assert exact_keep & surv_keep == {3}
+
+
+def test_pii_scrub_injected_differential(spark, tmp_path):
+    """Injected emails / IPv4s / digit runs: counts match a hand tally,
+    non-PII lookalikes (short digit runs, at-signs without a TLD) stay
+    untouched, and the full strict oracle compare agrees on the
+    synthetic table (regex dialect parity: Java vs RE2)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.curation import (
+        PII_SCRUB_SQL,
+        text_pii_scrub,
+    )
+    from tests.oracle_compare import compare
+
+    texts = [
+        "contact john.doe+spam@example.co.uk or root@10.0.0.1 now",
+        "server at 192.168.001.255 called 12345678901 twice;"
+        " card 1234567890123456",
+        "no pii here, just 123 and 1.2.3 and a@b",
+        None,
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    dst = tmp_path / "sf_pii"
+    dst.mkdir()
+    pq.write_table(tbl, os.path.join(str(dst), "documents.parquet"))
+    rows = {
+        r["doc_id"]: r for r in text_pii_scrub(spark, str(dst)).collect()
+    }
+    assert (rows[0]["n_emails"], rows[0]["n_ipv4"]) == (1, 1)
+    assert (rows[1]["n_ipv4"], rows[1]["n_digitruns"]) == (1, 2)
+    assert (
+        rows[2]["n_emails"],
+        rows[2]["n_ipv4"],
+        rows[2]["n_digitruns"],
+    ) == (0, 0, 0)
+    assert 3 not in rows  # NULL text excluded
+    ok, msg = compare(
+        text_pii_scrub(spark, str(dst)), PII_SCRUB_SQL, str(dst), strict=True
+    )
+    assert ok, msg
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """A-ES sanity: the selected set is exactly the top-K by the
+    ln(u)/w key (already oracle-pinned), and the mean weight of the
+    selected K exceeds the corpus mean — length-proportional sampling
+    must visibly tilt toward longer documents."""
+    from stac_geoparquet_spark.operators.pipeline import (
+        SAMPLE_W_K,
+        sample_weighted_k,
+    )
+
+    sel = sample_weighted_k(spark, SF_DIR).collect()
+    assert len(sel) == SAMPLE_W_K
+    corpus = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    mean_sel = sum(r["weight_chars"] for r in sel) / len(sel)
+    assert mean_sel > corpus, (mean_sel, corpus)
+
+
+def test_hll_estimate_within_error_bound(spark, tmp_path):
+    """HLL with m=64 has relative standard error 1.04/sqrt(64) = 13%;
+    assert the estimate lands within 4 sigma on injected cardinalities
+    spanning the linear-counting and raw-estimator regimes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.stats import sketch_hll_distinct
+
+    for n in (7, 300):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+                "user_id": pa.array(range(n), pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([1.0] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        dst = tmp_path / f"sf_hll_{n}"
+        dst.mkdir()
+        pq.write_table(tbl, os.path.join(str(dst), "events.parquet"))
+        row = sketch_hll_distinct(spark, str(dst)).collect()[0]
+        assert row["ndv_exact"] == n
+        rel = abs(row["hll_estimate"] - n) / n
+        assert rel < 4 * 1.04 / 8, (n, row["hll_estimate"], rel)
+
+
+def test_winsorize_clamps_to_band(spark):
+    """score_w lies in [p05, p95] per lang; unclipped rows keep their
+    score; clipped fraction is bounded by ~10% + ties."""
+    from stac_geoparquet_spark.operators.text import quality_winsorize
+
+    rows = quality_winsorize(spark, SF_DIR).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_clipped = 0
+    for rs in by_lang.values():
+        lo = min(r["score_w"] for r in rs)
+        hi = max(r["score_w"] for r in rs)
+        for r in rs:
+            assert lo <= r["score_w"] <= hi
+            if not r["clipped"]:
+                assert r["score_w"] == r["score"]
+            else:
+                n_clipped += 1
+                assert r["score_w"] in (lo, hi)
+    assert n_clipped <= 0.15 * len(rows)
+
+
+def test_triangle_count_hand_graph(spark, tmp_path):
+    """A corpus engineered into one exact-duplicate triple must yield
+    a 3-clique: 1 triangle, 3 edges, clustering 1.0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.graph import graph_triangle_count
+
+    body = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches the quick brown fox jump over the dog"
+    )
+    # fillers must share (almost) no vocabulary with each other or the
+    # triple, or LSH verifies extra pairs and the clique grows
+    uniq = [
+        " ".join(f"w{i}x{j}" for j in range(20)) for i in range(3)
+    ]
+    texts = [body, body, body] + uniq
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    dst = tmp_path / "sf_tri"
+    dst.mkdir()
+    pq.write_table(tbl, os.path.join(str(dst), "documents.parquet"))
+    row = graph_triangle_count(spark, str(dst)).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 3
+    assert row["n_nodes"] == 3
+    assert row["global_clustering"] == 1.0
+
+
+def test_decayed_activity_single_event_user(spark, tmp_path):
+    """A user with exactly one event scores exp(0) = 1.0; a user with
+    two events tau apart scores 1 + exp(-1)."""
+    import math
+    import os
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.relational_ext3 import (
+        events_decayed_activity,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    tau = timedelta(days=7)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0, 2, "view", 1.0, "{}"),
+        (2, t0 + tau, 2, "click", 1.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows]),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    dst = tmp_path / "sf_decay"
+    dst.mkdir()
+    pq.write_table(tbl, os.path.join(str(dst), "events.parquet"))
+    got = {
+        r["user_id"]: r["activity_score"]
+        for r in events_decayed_activity(spark, str(dst)).collect()
+    }
+    assert got[1] == 1.0
+    assert abs(got[2] - (1.0 + math.exp(-1.0))) < 1e-6
+
+
+def test_hll_incremental_equals_batch_state(spark):
+    """Mergeability end-to-end: the three-delta fold and the one-pass
+    build emit identical estimates (the oracle also pins this, but
+    here the two ENGINE paths are compared directly)."""
+    from stac_geoparquet_spark.operators.stats import (
+        sketch_hll_distinct,
+        sketch_hll_incremental,
+    )
+
+    batch = {
+        r["event_type"]: (r["hll_estimate"], r["buckets_used"])
+        for r in sketch_hll_distinct(spark, SF_DIR).collect()
+    }
+    incr = {
+        r["event_type"]: (r["hll_estimate"], r["buckets_used"])
+        for r in sketch_hll_incremental(spark, SF_DIR).collect()
+    }
+    assert batch == incr

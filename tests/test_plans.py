@@ -1037,3 +1037,83 @@ def test_classifier_trained_same_plan_shape_as_untrained(spark, sf):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert n_ops(p_trained, "Exchange") == n_ops(p_base, "Exchange")
     assert "element_at" in p_trained
+
+
+def test_weighted_sample_is_take_ordered(spark, sf):
+    """Global top-K must plan as TakeOrderedAndProject (per-partition
+    top-K + K*P merge) — never a global Sort or a bare row_number
+    window, which would funnel the corpus through one task."""
+    from stac_geoparquet_spark.operators import pipeline
+
+    plan = plan_of(pipeline.sample_weighted_k(spark, sf))
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert n_ops(plan, "Sort") == 0
+    assert n_ops(plan, "Window") == 0
+
+
+def test_pii_scrub_is_pure_map(spark, sf):
+    """Detection + redaction are in-row regex expressions: no shuffle
+    beyond the test-only input spread, no Python stage, text + doc_id
+    only in the read schema."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.text_pii_scrub(spark, sf))
+    assert n_ops(plan, "HashAggregate") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read and "source" not in read
+
+
+def test_decayed_activity_single_shuffle(spark, sf):
+    """The max-anchor window and the final groupBy share the user_id
+    hash partitioning: exactly ONE hashpartitioning exchange."""
+    from stac_geoparquet_spark.operators import relational_ext3
+
+    plan = plan_of(relational_ext3.events_decayed_activity(spark, sf))
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert n_ops(plan, "Exchange") == 1
+
+
+def test_divergence_windows_only_on_scaling_keys(spark, sf):
+    """The KL regrouping exists to avoid a window over the bounded
+    `source` key: the only partitioned window must key on the token;
+    source totals come from the aggregate itself."""
+    import re
+
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.source_unigram_divergence(spark, sf))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "source" not in spec.split("ORDER")[0] or "tok" in spec, spec
+
+
+def test_hll_state_is_bounded_aggregate(spark, sf):
+    """The sketch aggregates to (event_type, bucket) rows — bounded by
+    the sketch size — with a map-side partial before the exchange, and
+    no Python stage anywhere."""
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.sketch_hll_distinct(spark, sf))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_ops(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_standardize_scoring_is_pure_map(spark, sf):
+    """After the bounded stats collect, the standardization itself is
+    a pure projection: no joins, no aggregates, no Python."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.embedding_standardize(spark, sf))
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winsorize_bounds_join_is_broadcast(spark, sf):
+    """The per-lang [p05, p95] table is tiny and must come back as a
+    broadcast join, never a shuffle join of the corpus on lang."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.quality_winsorize(spark, sf))
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "SortMergeJoin") == 0
