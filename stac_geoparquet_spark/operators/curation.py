@@ -742,69 +742,66 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
-# PII scrub: detect + redact emails, IPv4 literals, and long digit
-# runs (phone/account-number shaped) before a corpus ships to
-# training.  Counts are measured on the ORIGINAL text; redaction is a
-# fixed-order chain (email -> ipv4 -> digit-run) so later patterns
-# can't rematch inside earlier placeholders, and the cleaned text is
-# reported as an md5 fingerprint (the full redacted body would bloat
-# the result; equality of fingerprints IS equality of outputs).
+# PII scrub — the ORACLE-GATED entry point over THE shared PII surface
+# (PII_PATTERNS + the pii_scan / pii_redact cascade above; one pattern
+# table, one precedence order, never two).  Per document: one count
+# per kind under cascade attribution (each kind counted on the text
+# AFTER earlier kinds were redacted, so a span belongs to exactly one
+# kind), the total, and the redacted text as an md5 fingerprint (the
+# full body would bloat the result; fingerprint equality IS output
+# equality).  NULL text is excluded — nothing to scrub.
 #
-# Engine contract: patterns restrict themselves to the regex core
-# that Java (Spark) and RE2 (DuckDB) agree on — ASCII classes,
-# bounded quantifiers, \\b word boundaries, no backrefs/lookaround.
-# DuckDB's regexp_replace is first-match-only by default, so the
-# oracle passes the 'g' flag to match Spark's replace-all.
+# Engine contract: PII_PATTERNS parse identically under Java regex and
+# RE2 (header note above); DuckDB regexp_replace needs the 'g' flag to
+# match Spark's replace-all, and its single-quoted literals pass
+# backslashes through verbatim (no doubling).
 #
-# Scale shape: pure in-row expressions over the corpus scan — zero
-# shuffle, zero Python; exactly the map stage a 100-TB scrub wants.
+# Scale shape: pure in-row regex projections over the corpus scan —
+# zero shuffle, zero Python; exactly the map stage a 100-TB scrub
+# wants (plan-pinned).
 # --------------------------------------------------------------------------
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_DIGITRUN = r"\b\d{10,16}\b"
-
-
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    t = F.col("text")
-    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
-    red = F.regexp_replace(red, PII_IPV4, "<IP>")
-    red = F.regexp_replace(red, PII_DIGITRUN, "<NUM>")
-    return docs.select(
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    scanned = pii_redact(pii_scan(docs))
+    return scanned.select(
         "doc_id",
-        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
-        F.regexp_count(t, F.lit(PII_DIGITRUN))
-        .cast("bigint")
-        .alias("n_digitruns"),
-        F.md5(red).alias("redacted_fp"),
+        *[f"pii_n_{kind}" for kind in PII_PATTERNS],
+        "pii_n_total",
+        F.md5(F.col("text")).alias("redacted_fp"),
     )
 
 
-def _pii_sql_escape(pat: str) -> str:
-    # DuckDB single-quoted literals are standard-SQL: backslashes pass
-    # through verbatim (no doubling!), only quotes need escaping
-    return pat.replace("'", "''")
+def _pii_scrub_oracle_sql() -> str:
+    """Cascade CTE chain mirroring pii_scan/pii_redact: stage i counts
+    kind i on the text with kinds < i already redacted, then redacts
+    kind i for stage i+1."""
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents"
+            " WHERE text IS NOT NULL)"]
+    prev = "t0"
+    for i, (kind, pat) in enumerate(PII_PATTERNS.items(), start=1):
+        lit = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT *,"
+            f" CAST(len(regexp_extract_all({prev}, '{lit}')) AS BIGINT)"
+            f" AS pii_n_{kind},"
+            f" regexp_replace({prev}, '{lit}', '[{kind.upper()}]', 'g')"
+            f" AS t{i} FROM s{i - 1})"
+        )
+        prev = f"t{i}"
+    total = " + ".join(f"pii_n_{kind}" for kind in PII_PATTERNS)
+    cols = ", ".join(f"pii_n_{kind}" for kind in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {cols}, {total} AS pii_n_total,"
+        f" md5({prev}) AS redacted_fp FROM s{len(PII_PATTERNS)}"
+    )
 
 
-PII_SCRUB_SQL = f"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{_pii_sql_escape(PII_EMAIL)}'))
-            AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{_pii_sql_escape(PII_IPV4)}'))
-            AS BIGINT) AS n_ipv4,
-       CAST(len(regexp_extract_all(text, '{_pii_sql_escape(PII_DIGITRUN)}'))
-            AS BIGINT) AS n_digitruns,
-       md5(regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '{_pii_sql_escape(PII_EMAIL)}',
-                              '<EMAIL>', 'g'),
-               '{_pii_sql_escape(PII_IPV4)}', '<IP>', 'g'),
-             '{_pii_sql_escape(PII_DIGITRUN)}', '<NUM>', 'g'))
-         AS redacted_fp
-FROM documents
-WHERE text IS NOT NULL
-"""
+PII_SCRUB_SQL = _pii_scrub_oracle_sql()
 
 
 QUERIES_ROTATION = {

@@ -933,6 +933,7 @@ def test_pii_scrub_injected_differential(spark, tmp_path):
         "server at 192.168.001.255 called 12345678901 twice;"
         " card 1234567890123456",
         "no pii here, just 123 and 1.2.3 and a@b",
+        "ssn 123-45-6789 phone 415-555-0123 done",
         None,
     ]
     tbl = pa.table(
@@ -952,14 +953,15 @@ def test_pii_scrub_injected_differential(spark, tmp_path):
     rows = {
         r["doc_id"]: r for r in text_pii_scrub(spark, str(dst)).collect()
     }
-    assert (rows[0]["n_emails"], rows[0]["n_ipv4"]) == (1, 1)
-    assert (rows[1]["n_ipv4"], rows[1]["n_digitruns"]) == (1, 2)
-    assert (
-        rows[2]["n_emails"],
-        rows[2]["n_ipv4"],
-        rows[2]["n_digitruns"],
-    ) == (0, 0, 0)
-    assert 3 not in rows  # NULL text excluded
+    # cascade attribution: each span belongs to exactly one kind
+    assert (rows[0]["pii_n_email"], rows[0]["pii_n_ipv4"]) == (1, 1)
+    assert rows[0]["pii_n_total"] == 2
+    # 11-digit run is a phone; the 16-digit card exceeds the phone
+    # shape and the honest answer is "not matched by these patterns"
+    assert (rows[1]["pii_n_ipv4"], rows[1]["pii_n_phone"]) == (1, 1)
+    assert rows[2]["pii_n_total"] == 0  # a@b / 1.2.3 / 123 lookalikes
+    assert (rows[3]["pii_n_ssn"], rows[3]["pii_n_phone"]) == (1, 1)
+    assert 4 not in rows  # NULL text excluded
     ok, msg = compare(
         text_pii_scrub(spark, str(dst)), PII_SCRUB_SQL, str(dst), strict=True
     )
