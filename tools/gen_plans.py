@@ -262,6 +262,30 @@ SHOWCASE = [
         "spread and the canonical-by-id build agg; at 100 TB this is a "
         "pure map over the scan.",
     ),
+    (
+        "sample_weighted_k",
+        "Weighted sampling (A-ES) plans as TakeOrderedAndProject: "
+        "per-partition top-K then a K*P merge - never a global Sort or a "
+        "row_number window funnelling the corpus through one task.",
+    ),
+    (
+        "events_decayed_activity",
+        "The max-anchor window and the final per-user aggregate share one "
+        "hashpartitioning(user_id) exchange; every exponent is <= 0 by "
+        "construction so the decay can never overflow on a long time axis.",
+    ),
+    (
+        "sketch_hll_distinct",
+        "Sketch state is a two-phase aggregate to (event_type, bucket) "
+        "rows - bounded by the sketch, not the data; the 2^-M fold is "
+        "exact in a double so the estimator is deterministic cross-engine.",
+    ),
+    (
+        "source_unigram_divergence",
+        "KL regrouped so the only window keys on the unbounded token; the "
+        "bounded source totals fall out of the final aggregate instead of "
+        "a window over the ~20-value source key the registry sweep bans.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
