@@ -110,14 +110,14 @@ def _registries():
     # _cc_fixpoint / pagerank); (c) ALL 28 remaining r01-latest
     # entries (q-family + cube/pivot/percentile/set-ops); (d) the
     # oldest r02 entries, highest-value first — the [:50] cut queues
-    # whatever doesn't fit for r06.  With 14 new ops this round, only
-    # ann_lsh_bucketed makes the (d) cut; the remaining ~24 r02
-    # entries (ann_ivf/kmeans/spatial/stac/cql2 + the untouched
-    # sample/stats/mm families) are first in line next round — none is
-    # older than r02 and all are covered by the local 162-oracle gate
-    # under current code.  tools/gen_ledger.py renders the staleness
-    # table this list is built from; everything else keeps pool order
-    # behind the window.
+    # whatever doesn't fit for r06.  With 15 new ops this round the
+    # window is exactly (a)+(b)+(c); the whole (d) queue (the 25 r02
+    # entries: ann/kmeans/spatial/stac/cql2 + the untouched sample/
+    # stats/mm families) is first in line next round — none is older
+    # than r02 and all are covered by the local 163-oracle gate under
+    # current code.  tools/gen_ledger.py renders the staleness table
+    # this list is built from; everything else keeps pool order behind
+    # the window.
     window = [
         # (a) new this round
         *NEW_THIS_ROUND,
@@ -204,6 +204,7 @@ NEW_THIS_ROUND: list[str] = [
     "sketch_hll_distinct",
     "sketch_hll_incremental",
     "quality_winsorize",
+    "events_rfm_segments",
 ]
 
 

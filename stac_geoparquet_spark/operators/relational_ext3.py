@@ -506,9 +506,91 @@ FROM lat
 """
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation: recency (hours since the user's last event,
+# measured from the corpus max so the result is reproducible),
+# frequency (event count), monetary (value sum), each cut at its
+# MEDIAN into hi/lo — 8 segments.  The classic formulation uses
+# ntile() over the per-user table, i.e. an unpartitioned window over
+# a key set that GROWS with the data — exactly the shape the registry
+# sweep bans.  Here the cut points come from a percentile aggregate
+# (3 scalars, broadcast back) and the segment label is a pure CASE —
+# one user_id shuffle plus two broadcast-size aggregates, any scale.
+# Medians are rounded at the sync point; ties go to 'hi' (>=) on both
+# engines.
+# --------------------------------------------------------------------------
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    anchor = per_user.agg(F.max("last_ts").alias("t_max"))
+    rfm = per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            F.expr("timestampdiff(MICROSECOND, last_ts, t_max)").cast(
+                "double"
+            )
+            / F.lit(3_600_000_000.0)
+        ).alias("recency_h"),
+        "freq",
+        "monetary",
+    )
+    cuts = rfm.agg(
+        F.round(F.expr("percentile(recency_h, 0.5)"), 6).alias("r_med"),
+        F.round(F.expr("percentile(freq, 0.5)"), 6).alias("f_med"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 6).alias("m_med"),
+    )
+    seg = F.concat(
+        # LOW recency (recent) is the good half — standard RFM reads
+        F.when(F.col("recency_h") <= F.col("r_med"), "R+").otherwise("R-"),
+        F.when(F.col("freq") >= F.col("f_med"), "F+").otherwise("F-"),
+        F.when(F.col("monetary") >= F.col("m_med"), "M+").otherwise("M-"),
+    )
+    return (
+        rfm.join(F.broadcast(cuts))
+        .select(seg.alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+         round(sum(value), 2) AS monetary
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT max(last_ts) AS t_max FROM per_user),
+rfm AS (
+  SELECT user_id,
+         CAST(date_diff('microsecond', last_ts, t_max) AS DOUBLE)
+           / 3600000000.0 AS recency_h,
+         freq, monetary
+  FROM per_user, anchor
+),
+cuts AS (
+  SELECT round(quantile_cont(recency_h, 0.5), 6) AS r_med,
+         round(quantile_cont(freq, 0.5), 6) AS f_med,
+         round(quantile_cont(monetary, 0.5), 6) AS m_med
+  FROM rfm
+)
+SELECT concat(CASE WHEN recency_h <= r_med THEN 'R+' ELSE 'R-' END,
+              CASE WHEN freq >= f_med THEN 'F+' ELSE 'F-' END,
+              CASE WHEN monetary >= m_med THEN 'M+' ELSE 'M-' END)
+         AS segment,
+       count(*) AS n_users
+FROM rfm, cuts
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_decayed_activity": events_decayed_activity,
     "funnel_latency_quantiles": funnel_latency_quantiles,
+    "events_rfm_segments": events_rfm_segments,
     "q12_ship_delay_priority": q12_ship_delay_priority,
     "grouping_sets_revenue": grouping_sets_revenue,
     "range_join_clicks_before_purchase": range_join_clicks_before_purchase,
@@ -520,6 +602,7 @@ QUERIES = {
 ORACLE = {
     "events_decayed_activity": DECAYED_ACTIVITY_SQL,
     "funnel_latency_quantiles": FUNNEL_LATENCY_SQL,
+    "events_rfm_segments": RFM_SQL,
     "q12_ship_delay_priority": Q12_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "range_join_clicks_before_purchase": RANGE_JOIN_SQL,

@@ -82,6 +82,7 @@ SINGLEROW_SAMPLE = [
     "sketch_hll_incremental",
     "funnel_latency_quantiles",
     "mixture_temperature_weights",
+    "events_rfm_segments",
 ]
 
 CONSTANT_SAMPLE = [

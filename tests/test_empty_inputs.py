@@ -31,6 +31,7 @@ SAMPLE = [
     "sketch_hll_incremental",
     "funnel_latency_quantiles",
     "mixture_temperature_weights",
+    "events_rfm_segments",
     "events_sessionize",
     "text_token_count",
     "text_zipf_slope",
