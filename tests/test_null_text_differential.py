@@ -432,6 +432,11 @@ def test_null_element_counted_invalid(spark, null_elem_dir):
 
 EV_SAMPLE = [
     "events_k_anonymity",
+    "events_decayed_activity",
+    "funnel_latency_quantiles",
+    "events_rfm_segments",
+    "sketch_hll_distinct",
+    "sketch_hll_incremental",
     "events_sessionize",
     "events_session_window",
     "asof_last_click_before_purchase",
