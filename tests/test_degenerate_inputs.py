@@ -87,6 +87,12 @@ SINGLEROW_SAMPLE = [
 
 CONSTANT_SAMPLE = [
     "cap_docs_per_source",
+    "mixture_temperature_weights",
+    "source_unigram_divergence",
+    "lang_confusion_matrix",
+    "quality_winsorize",
+    "events_rfm_segments",
+    "sketch_hll_distinct",
     "source_quota_incremental",
     "rebalance_by_lang",
     "source_mixture_weights",
