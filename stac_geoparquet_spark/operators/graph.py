@@ -131,11 +131,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     once via pairs(a,b) ⋈ pairs(b,c) ⋈ pairs(a,c) — no symmetric
     blowup, no per-node adjacency materialization.  All joins key on
     the verified pair set (orders of magnitude smaller than the
-    corpus, and fenced once per session); wedges come from the degree
-    aggregate of the symmetric view.  Output is a single bounded row."""
-    pairs = fenced(
-        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    corpus, and already fenced + session-cached inside
+    dedup_minhash_lsh — no re-fence here, its output is a checkpoint
+    leaf); wedges come from the degree aggregate of the symmetric
+    view.  Output is a single bounded row."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -1922,12 +1922,9 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(STD_DIMS)
         ],
     ).collect()
-    if not stats:
-        return spark.createDataFrame(
-            [],
-            "vec_id bigint, "
-            + ", ".join(f"z{i} double" for i in range(STD_DIMS)),
-        )
+    # a global (no-groupBy) aggregate always yields exactly ONE row —
+    # on an empty table it carries NULL sums / n = 0, and the NULL
+    # mu/sd handling below returns the correctly-empty projection
     r = stats[0]
     cols = [F.col("vec_id")]
     for i in range(STD_DIMS):

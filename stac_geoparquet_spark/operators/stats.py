@@ -605,11 +605,17 @@ HLL_ALPHA = 0.709  # alpha_64
 
 
 def _hll_hashed(ev: DataFrame) -> DataFrame:
+    # NULL user_id is excluded explicitly: it hashes to NULL, which
+    # Spark's groupBy would keep as its own group while DuckDB's
+    # count(DISTINCT) drops it — an off-by-one the null-events gate
+    # caught; a NULL key has no register contribution in any case
     h = (
         "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING))),"
         " 1, 8), 16, 10) AS BIGINT)"
     )
-    return ev.selectExpr("event_type", f"{h} AS uh")
+    return ev.where(F.col("user_id").isNotNull()).selectExpr(
+        "event_type", f"{h} AS uh"
+    )
 
 
 def _hll_state(hashed: DataFrame) -> DataFrame:
@@ -701,6 +707,7 @@ WITH hashed AS (
          ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
            ::BIGINT AS uh
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 buckets AS (
   SELECT event_type, uh % {HLL_M} AS bucket,
@@ -738,6 +745,7 @@ WITH hashed AS (
          ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
            ::BIGINT AS uh
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 buckets AS (
   SELECT event_type, uh % {HLL_M} AS bucket,

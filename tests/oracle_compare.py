@@ -151,25 +151,27 @@ def compare(spark_df, sql: str, sf_dir: str, strict: bool = False) -> tuple[bool
         err = _arrow_type_check(s_table, d_table)
         if err:
             return False, err
+    # Registry-wide negative-zero sweep on the RAW values (before
+    # normalization, so a string that happens to contain "-0" can't
+    # false-positive): -0.0 in ANY output is a latent flaky hash
+    # (merge-order-dependent sign of a cancelled residue) even when
+    # both engines happen to agree this run.
+    def _has_negzero(v) -> bool:
+        if isinstance(v, float):
+            return v == 0.0 and math.copysign(1.0, v) < 0
+        if isinstance(v, (list, tuple)):
+            return any(_has_negzero(x) for x in v)
+        return False
+
+    for side, rows in (("spark", s_rows), ("duckdb", d_rows)):
+        for r in rows:
+            if any(_has_negzero(cell) for cell in r):
+                return False, (
+                    f"negative zero in {side} output (flaky rendering "
+                    f"— normalize with + 0.0 after rounding): row {r}"
+                )
     _, sn = _normalize_rows(s_cols, s_rows)
     _, dn = _normalize_rows(d_cols, d_rows)
-    # Registry-wide negative-zero sweep: -0.0 in ANY output is a
-    # latent flaky hash (merge-order-dependent sign of a cancelled
-    # residue) even when both engines happen to agree this run.
-    # _norm renders it as the token "-0" ("(^|[\[,])-0($|[,\]])" as a
-    # list element), never produced by any other value.
-    import re as _re
-
-    _negzero = _re.compile(r"(?:^|[\[,])-0(?:$|[,\]])")
-    for side, rows in (("spark", sn), ("duckdb", dn)):
-        for r in rows:
-            for cell in r:
-                if _negzero.search(cell):
-                    return False, (
-                        f"negative zero in {side} output (flaky "
-                        f"rendering — normalize with + 0.0 after "
-                        f"rounding): row {r}"
-                    )
     if sn != dn:
         diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
         return False, f"value mismatch, first diffs: {diff}"

@@ -78,7 +78,6 @@ SAMPLE = [
     "range_join_clicks_before_purchase",
     "gopher_quality_rules",
     "quality_classifier_score",
-    "quality_classifier_trained",
     "embedding_covariance",
     "ngram_novelty_by_source",
     "novelty_incremental",
