@@ -281,3 +281,69 @@ def test_nfc_normalization_agrees_cross_engine():
         duck = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
         py = unicodedata.normalize("NFC", t)
         assert duck == py, repr((t, duck, py))
+
+
+def test_pii_patterns_agree_cross_engine(spark):
+    """The PII cascade's whole engine contract is that PII_PATTERNS
+    parse identically under Java regex and RE2.  Fuzz the cascade on
+    adversarial shapes — emails inside unicode, digits touching word
+    boundaries, almost-IPs, plus-prefixed and parenthesised phones,
+    SSN lookalikes — comparing per-kind counts AND the raw redacted
+    text (not its md5, so a divergence shows the actual spans)."""
+    import random
+
+    from stac_geoparquet_spark.operators.curation import (
+        PII_PATTERNS,
+        pii_redact,
+        pii_scan,
+    )
+
+    rng = random.Random(20260815)
+    parts = [
+        "a.b+c@ex-1.co", "x@y.z", "x@y.zz", "@nope", "no@tld",
+        "1.2.3.4", "255.255.255.255", "999.999.999.999", "1.2.3",
+        "1.2.3.4.5", "123-45-6789", "123-456-789", "12-345-6789",
+        "415-555-0123", "+14155550123", "(415)555-0123", "123",
+        "12345678901", "1234567890123456", "ß@exämple.de", "日本 1.1.1.1",
+        "a1.2.3.4b", "end.", "x..y@z.com", "-123-45-6789-",
+    ]
+    texts = []
+    for i in range(300):
+        k = rng.randrange(0, 5)
+        texts.append(" ".join(rng.choice(parts) for _ in range(k)))
+    texts += parts  # each shape alone
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    scanned = pii_redact(pii_scan(sdf))
+    got = {
+        r["doc_id"]: (
+            tuple(r[f"pii_n_{k}"] for k in PII_PATTERNS),
+            r["text"],
+        )
+        for r in scanned.collect()
+    }
+
+    con = duckdb.connect()
+    prev = "text"
+    cols = []
+    for kind, pat in PII_PATTERNS.items():
+        lit = pat.replace("'", "''")
+        cols.append(
+            f"CAST(len(regexp_extract_all({prev}, '{lit}')) AS BIGINT)"
+            f" AS n_{kind}"
+        )
+        prev = f"regexp_replace({prev}, '{lit}', '[{kind.upper()}]', 'g')"
+        prev = f"({prev})"
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    want = {
+        r[0]: (tuple(r[1:-1]), r[-1])
+        for r in con.execute(
+            f"SELECT doc_id, {', '.join(cols)}, {prev} AS red FROM t"
+        ).fetchall()
+    }
+    assert got == want
