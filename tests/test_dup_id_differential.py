@@ -29,6 +29,8 @@ import pytest
 SAMPLE = [
     # documents family (canonical corpus)
     "dedup_ngram_jaccard",
+    "dedup_rep_weights",
+    "graph_triangle_count",
     "dedup_minhash_lsh",
     "dedup_cluster_cc",
     "dedup_simhash",
@@ -45,6 +47,7 @@ SAMPLE = [
     "mm_cdc_chunk_dedup",
     # vector family (canonical index builds)
     "ivf_cell_assignment",
+    "embedding_standardize",
     "ann_ivf_probe",
     "kmeans_embeddings",
     "pq_encode_codes",
