@@ -516,8 +516,10 @@ FROM lat
 # sweep bans.  Here the cut points come from a percentile aggregate
 # (3 scalars, broadcast back) and the segment label is a pure CASE —
 # one user_id shuffle plus two broadcast-size aggregates, any scale.
-# Medians are rounded at the sync point; ties go to 'hi' (>=) on both
-# engines.
+# The medians' percentile buffers hold DISTINCT (rounded) values with
+# map-side merge, not rows — monetary is rounded to cents first, which
+# is what bounds that buffer.  Medians are rounded at the sync point;
+# ties go to 'hi' (>=) on both engines.
 # --------------------------------------------------------------------------
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")

@@ -1186,7 +1186,10 @@ GROUP BY 1, 2
 # pathological docs can't dominate the weight mass.  Scores come from
 # quality_score_expr() (THE shared definition); per-lang bounds are an
 # exact interpolated percentile aggregate on the bounded lang key
-# (tiny result, broadcast back); the clamp is a pure map.  NULL-text
+# (tiny result, broadcast back); the clamp is a pure map.  Scores are
+# round(,6) values in [0, 1], so the percentile buffer (a distinct-
+# value count map, merged map-side) holds at most ~1e6 entries per
+# lang at ANY corpus size — exact quantiles stay scale-safe here.  NULL-text
 # docs are excluded explicitly — quality_score_expr's documented
 # capped-term default (0.7) is a ranking hazard, not a real score.
 # --------------------------------------------------------------------------
