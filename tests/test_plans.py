@@ -1117,3 +1117,43 @@ def test_winsorize_bounds_join_is_broadcast(spark, sf):
     plan = plan_of(text.quality_winsorize(spark, sf))
     assert n_ops(plan, "BroadcastHashJoin") == 1
     assert n_ops(plan, "SortMergeJoin") == 0
+
+
+def test_triangle_census_joins_only_the_pair_graph(spark, sf):
+    """Triangle enumeration must join the verified pair set with
+    itself — three joins, every scan a checkpoint leaf of the tiny
+    pair graph — and never re-touch the documents corpus (the fenced
+    pair cache is the only input)."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_triangle_count(spark, sf))
+    assert "documents.parquet" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or (
+        n_ops(plan, "Scan") == 0
+    )
+
+
+def test_rfm_single_user_shuffle_and_broadcast_cuts(spark, sf):
+    """RFM pays one user_id exchange for the per-user aggregate; the
+    anchor and the three median cut points come back as broadcast
+    single-row joins (BroadcastNestedLoopJoin on 1 row), never a
+    shuffle join or a corpus-keyed window."""
+    from stac_geoparquet_spark.operators import relational_ext3
+
+    plan = plan_of(relational_ext3.events_rfm_segments(spark, sf))
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "Window") == 0
+
+
+def test_hll_incremental_is_pure_relational_merge(spark, sf):
+    """The three-delta fold is unions + keyed max aggregates — no
+    Python stage, no join, no window; state rows are bounded by the
+    sketch (event_type x 64 buckets), so every merge shuffle is
+    sketch-sized."""
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.sketch_hll_incremental(spark, sf))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert n_ops(plan, "Window") == 0
