@@ -129,6 +129,8 @@ def _registries():
         "dedup_cluster_cc",
         "dedup_survivors",
         "text_lang_id",
+        # KMV NULL-ordering fix (round-5 self-audit) churned its r04 row
+        "sketch_kmv_distinct",
         # (c) r01-only rows, oldest hard signal in the registry
         "q7_volume_shipping",
         "q9_product_profit",
@@ -145,7 +147,8 @@ def _registries():
         "except_open_not_finished",
         "approx_distinct_parts",
         "approx_percentile_prices",
-        "unpivot_flag_metrics",
+        # unpivot_flag_metrics yields its slot to the churned KMV fix
+        # (the ≤3-older-than-r02 allowance covers it; first for r06)
         "scd2_customer_segments",
         "q12_ship_delay_priority",
         "grouping_sets_revenue",

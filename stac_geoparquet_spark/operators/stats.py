@@ -282,7 +282,15 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 1, 15), 16, 10) AS BIGINT)"
     )
     pairs = (
-        ev.selectExpr("event_type", f"{h} AS uh")
+        # NULL user_id is excluded explicitly (same contract as the HLL
+        # sketch): it hashes to a NULL uh, and the two engines ORDER
+        # NULLs differently (Spark asc = NULLS FIRST, DuckDB = NULLS
+        # LAST), so once the type has >= KMV_K distinct users the
+        # bottom-K — and therefore the estimate — diverges.  Found by
+        # an sf0.01-scale NULL-injection probe; the sf0.001 null-events
+        # gate masked it because every type was under K there.
+        ev.where(F.col("user_id").isNotNull())
+        .selectExpr("event_type", f"{h} AS uh")
         .groupBy("event_type", "uh")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -316,6 +324,7 @@ WITH pairs AS (
   SELECT DISTINCT event_type,
          ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS uh
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, uh,

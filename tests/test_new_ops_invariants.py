@@ -1143,3 +1143,45 @@ def test_hll_incremental_equals_batch_state(spark):
         for r in sketch_hll_incremental(spark, SF_DIR).collect()
     }
     assert batch == incr
+
+
+def test_kmv_and_hll_null_keys_at_estimator_scale(spark, tmp_path):
+    """Regression for the NULL-key sketch class (round-5 self-audit):
+    a NULL user_id hashes to a NULL value, and the engines ORDER and
+    COUNT NULLs differently (Spark asc = NULLS FIRST + groupBy keeps
+    the NULL group; DuckDB ORDER BY = NULLS LAST + count(DISTINCT)
+    drops it).  Both sketches exclude NULL keys by contract.  The
+    probe runs at sf0.01 scale ON PURPOSE: with >= KMV_K distinct
+    users per type the k-th order statistic is live, which is the
+    regime where the KMV divergence actually fired — the sf0.001
+    null-events gate masked it (every type under K)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from tests.oracle_compare import compare
+
+    src = "/root/testdata/sf0.01"
+    dst = tmp_path / "sf_nullkey"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT event_id, ts,
+              CASE WHEN event_id % 19 = 0 THEN NULL ELSE user_id END
+                AS user_id,
+              event_type, value, props
+            FROM read_parquet('{src}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("documents", "embeddings"):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in ("sketch_kmv_distinct", "sketch_hll_distinct",
+                 "sketch_hll_incremental"):
+        ok, msg = compare(q[name](spark, str(dst)), o[name], str(dst),
+                          strict=True)
+        assert ok, f"{name}: {msg}"
