@@ -309,10 +309,20 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("event_type", "uh"), ["event_type"], [F.asc("uh")], KMV_K
     )
     kth = kth_smallest(candidates, ["event_type"], "uh", KMV_K, "kth")
+    # NULL-SAFE join back: a NULL event_type is a legitimate group (the
+    # oracle's GROUP BY keeps it), but an equi-join on NULL never
+    # matches in Spark — the NULL group's kth hash silently dropped and
+    # its estimate fell back to exact while DuckDB computed the real
+    # one (sf0.01 NULL-injection sweep finding, round 5).
     return (
-        exact.join(F.broadcast(kth), "event_type", "left")
+        exact.alias("x")
+        .join(
+            F.broadcast(kth.alias("k")),
+            F.expr("x.event_type <=> k.event_type"),
+            "left",
+        )
         .selectExpr(
-            "event_type",
+            "x.event_type AS event_type",
             "ndv_exact",
             f"round({_kmv_est_expr('kth', 'ndv_exact')}, 4) AS ndv_est",
         )

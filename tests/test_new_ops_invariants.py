@@ -1167,11 +1167,16 @@ def test_kmv_and_hll_null_keys_at_estimator_scale(spark, tmp_path):
     dst = tmp_path / "sf_nullkey"
     dst.mkdir()
     con = duckdb.connect()
+    # NULL event_type too: it is a legitimate GROUP on both engines,
+    # and Spark's join-back needs <=> to keep its kth hash (the second
+    # sf0.01 sweep finding)
     con.execute(
         f"""COPY (SELECT event_id, ts,
               CASE WHEN event_id % 19 = 0 THEN NULL ELSE user_id END
                 AS user_id,
-              event_type, value, props
+              CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_type END
+                AS event_type,
+              value, props
             FROM read_parquet('{src}/events.parquet'))
           TO '{dst}/events.parquet' (FORMAT PARQUET)"""
     )
