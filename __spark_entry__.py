@@ -131,6 +131,10 @@ def _registries():
         "text_lang_id",
         # KMV NULL-ordering fix (round-5 self-audit) churned its r04 row
         "sketch_kmv_distinct",
+        # sf0.01 dup-id sweep fixes: canonical gram index + incremental
+        # incoming-slice canonicalization churned these two
+        "decontam_bloom_semijoin",
+        "semdedup_incremental",
         # (c) r01-only rows, oldest hard signal in the registry
         "q7_volume_shipping",
         "q9_product_profit",
@@ -145,10 +149,10 @@ def _registries():
         "pivot_status_by_priority",
         "percentile_prices_by_priority",
         "except_open_not_finished",
-        "approx_distinct_parts",
-        "approx_percentile_prices",
-        # unpivot_flag_metrics yields its slot to the churned KMV fix
-        # (the ≤3-older-than-r02 allowance covers it; first for r06)
+        # unpivot_flag_metrics, approx_distinct_parts and
+        # approx_percentile_prices yield their slots to the three
+        # sweep-churned entries above — exactly the verdict's
+        # ≤3-older-than-r02 allowance; all three are first for r06
         "scd2_customer_segments",
         "q12_ship_delay_priority",
         "grouping_sets_revenue",

@@ -72,11 +72,12 @@ def source_stamp(src_file: str) -> str:
 
 
 # Bumped whenever the CONTENT a layout build writes changes (e.g. the
-# canonical-by-id contract changed what the IVF layout holds).  Without
-# it a layout materialized by older code is stamp-identical to the new
-# one and would silently keep serving pre-upgrade content — the exact
-# failure a long-lived cluster hits on an engine upgrade.
-LAYOUT_FORMAT_VERSION = 2
+# canonical-by-id contract changed what the IVF layout holds; v3: the
+# gram index switched to the canonical corpus).  Without it a layout
+# materialized by older code is stamp-identical to the new one and
+# would silently keep serving pre-upgrade content — the exact failure
+# a long-lived cluster hits on an engine upgrade.
+LAYOUT_FORMAT_VERSION = 3
 
 
 def layout_scratch_path(src_file: str, prefix: str) -> str:

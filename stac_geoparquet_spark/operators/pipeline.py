@@ -200,14 +200,18 @@ def build_gram_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (doc_id, bucket, ngram): every doc's DISTINCT
     word-5-grams with its train/holdout bucket.  array_distinct before
     the explode keeps the build a pure zero-shuffle map; same
-    tokenizer/split-hash definitions as the batch sweep, so the index
-    can never disagree with ``decontaminate_against_holdout``."""
+    tokenizer/split-hash definitions AND the same canonical-by-id
+    corpus as the batch sweep, so the index can never disagree with
+    ``decontaminate_against_holdout`` — a re-ingested duplicate doc_id
+    must contribute its grams once (the raw read double-counted every
+    shared gram for a duplicated id; found by the sf0.01 dup-id
+    sweep)."""
     from stac_geoparquet_spark.operators._io import materialize_layout
 
     path = gram_index_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    docs = _docs(spark, sf_dir).withColumn("split", split_pct())
+    docs = _docs_canon(spark, sf_dir).withColumn("split", split_pct())
     rows = docs.select(
         "doc_id",
         F.when(F.col("split") >= TRAIN_PCT, F.lit("holdout"))

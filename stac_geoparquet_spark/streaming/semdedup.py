@@ -99,8 +99,20 @@ def _read_incoming(sf_dir: str):
         return np.zeros(0, dtype=np.int64), np.zeros((0, DIM)), np.zeros(0)
     ids = np.concatenate(ids_parts)
     mat = np.concatenate(mat_parts)
-    order = np.argsort(ids)
+    # canonical-by-id: at-least-once delivery can re-send an incoming
+    # vec_id with a different payload; collapse duplicates to the
+    # lexicographically-smallest embedding, exactly the batch builds'
+    # min(embedding) GROUP BY vec_id (without this a duplicated
+    # incoming id emitted TWO result rows while the oracle emitted one
+    # — sf0.01 dup-id sweep finding).  np.lexsort: last key is
+    # primary, so (col_{D-1}..col_0, ids) sorts by id then embedding.
+    order = np.lexsort(
+        tuple(mat[:, i] for i in reversed(range(mat.shape[1]))) + (ids,)
+    )
     ids, mat = ids[order], mat[order]
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    ids, mat = ids[keep], mat[keep]
     return ids, mat, np.sqrt((mat * mat).sum(axis=1))
 
 

@@ -41,6 +41,8 @@ SAMPLE = [
     "corpus_yield_funnel",
     "cap_docs_per_source",
     "source_quota_incremental",
+    "decontam_bloom_semijoin",
+    "decontaminate_against_holdout",
     "pagerank_neardup_graph",
     "mm_image_features",
     "mm_media_manifest",
@@ -104,6 +106,16 @@ def dup_dir(tmp_path_factory):
           SELECT vec_id, embedding, (label + 1) % 10 AS label
           FROM read_parquet('{src}/embeddings.parquet')
           WHERE vec_id % 43 = 9
+          UNION ALL
+          -- different-PAYLOAD duplicate ids, including INCOMING ids
+          -- (vec_id % 50 == 0): at-least-once re-delivery with a
+          -- changed vector must collapse via min(embedding) on every
+          -- path, batch and incremental (the sf0.01 dup-id sweep
+          -- caught the incremental reader keeping both copies)
+          SELECT vec_id, list_transform(embedding, x -> -x) AS embedding,
+                 label
+          FROM read_parquet('{src}/embeddings.parquet')
+          WHERE vec_id % 25 = 0
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
