@@ -102,86 +102,78 @@ def _registries():
         pool.update(q)
         pool_oracle.update(o)
 
-    # Round-5 window (r04 verdict task #2 — staleness-driven): (a) new
+    # Round-6 window (r05 verdict task #4 — staleness-driven): (a) new
     # THIS round (need a first driver row); (b) changed this round
-    # AFTER their latest green row — the covariance negative-zero fix,
-    # the rollup_customers r04 edit its r03 row predates, and every
-    # consumer of the _io.fenced refactor (dedup pair cache /
-    # _cc_fixpoint / pagerank); (c) ALL 28 remaining r01-latest
-    # entries (q-family + cube/pivot/percentile/set-ops); (d) the
-    # oldest r02 entries, highest-value first — the [:50] cut queues
-    # whatever doesn't fit for r06.  With 15 new ops this round the
-    # window is exactly (a)+(b)+(c); the whole (d) queue (the 25 r02
-    # entries: ann/kmeans/spatial/stac/cql2 + the untouched sample/
-    # stats/mm families) is first in line next round — none is older
-    # than r02 and all are covered by the local 163-oracle gate under
-    # current code.  tools/gen_ledger.py renders the staleness table
-    # this list is built from; everything else keeps pool order behind
-    # the window.
+    # after their latest green row — the two percentile-quantization
+    # fixes (funnel latency -> whole ms, RFM recency -> 0.01 h) and
+    # the three ADVICE float-convention fixes (sample_weighted_k
+    # -0.0, source_unigram_divergence +0.0, embedding_standardize
+    # sqrt clamp); (c) the five consumers of r05's
+    # LAYOUT_FORMAT_VERSION 2->3 bump in operators/_io.py, whose rows
+    # predate that read-path churn — the verdict puts them at the
+    # FRONT of the stale queue; (d) ALL remaining r02-latest rows;
+    # (e) the three r01 leftovers; (f) oldest-r03 filler takes
+    # whatever slots the [:50] cut leaves.  tools/gen_ledger.py
+    # renders the staleness table this list is built from; everything
+    # else keeps pool order behind the window.
     window = [
         # (a) new this round
         *NEW_THIS_ROUND,
-        # (b) code changed after latest green row
-        "embedding_covariance",
-        "rollup_customers",
-        "pagerank_neardup_graph",
-        "dedup_minhash_lsh",
-        "dedup_cluster_cc",
-        "dedup_survivors",
-        "text_lang_id",
-        # KMV NULL-ordering fix (round-5 self-audit) churned its r04 row
-        "sketch_kmv_distinct",
-        # sf0.01 dup-id sweep fixes: canonical gram index + incremental
-        # incoming-slice canonicalization churned these two
-        "decontam_bloom_semijoin",
-        "semdedup_incremental",
-        # (c) r01-only rows, oldest hard signal in the registry
-        "q7_volume_shipping",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q13_customer_distribution",
-        "q14_promo_effect",
-        "q17_small_qty_revenue",
-        "q18_large_volume_customers",
-        "q19_disjunctive_revenue",
-        "q22_idle_customers",
-        "cube_lineitem_flags",
-        "pivot_status_by_priority",
-        "percentile_prices_by_priority",
-        "except_open_not_finished",
-        # unpivot_flag_metrics, approx_distinct_parts and
-        # approx_percentile_prices yield their slots to the three
-        # sweep-churned entries above — exactly the verdict's
-        # ≤3-older-than-r02 allowance; all three are first for r06
-        "scd2_customer_segments",
-        "q12_ship_delay_priority",
-        "grouping_sets_revenue",
-        "histogram_totalprice",
-        "q2_best_supplier_per_part",
-        "q4_priority_late_orders",
-        "q8_market_share",
-        "q11_important_supplier_value",
-        "q15_top_supplier",
-        "q16_supplier_diversity",
-        "q20_excess_suppliers",
-        "q21_waiting_suppliers",
-        # (d) oldest r02 rows, highest-value first; tail queues for r06
-        "ann_lsh_bucketed",
+        # (b) code changed after latest green row (r06 fixes)
+        "funnel_latency_quantiles",
+        "events_rfm_segments",
+        "sample_weighted_k",
+        "source_unigram_divergence",
+        "embedding_standardize",
+        # (c) LAYOUT_FORMAT_VERSION churn (read-path dependency)
         "ann_ivf_probe",
-        "kmeans_embeddings",
-        "spatial_join_grid",
-        "stac_pipeline_roundtrip",
+        "ivf_cell_assignment",
+        "semdedup_cells",
+        "pq_encode_codes",
+        "ann_pq_adc",
+        # (d) r02-latest rows (the whole remaining queue)
+        "agg_pushdown_stats",
+        "ann_lsh_bucketed",
+        "chunk_documents",
         "cql2_flagship_query",
         "cql2_orders_filter",
         "cql2_text_lineitem_filter",
-        "stac_self_link_coverage",
-        "knn_brute_force",
-        "ivf_cell_assignment",
         "decontaminate_against_holdout",
-        "pack_sequences",
-        "chunk_documents",
-        "mm_media_manifest",
+        "dpp_orders_by_year",
+        "events_rollup_incremental",
+        "kmeans_embeddings",
+        "knn_brute_force",
         "mm_frame_sample",
+        "mm_media_manifest",
+        "outliers_iqr_price",
+        "pack_sequences",
+        "retention_weekly_cohorts",
+        "sample_fixed_k",
+        "sample_stratified",
+        "spatial_join_grid",
+        "stac_pipeline_roundtrip",
+        "stac_self_link_coverage",
+        "stats_quantity_price",
+        "table_profile",
+        # (e) r01 leftovers (the verdict's ≤3 allowance, spent here)
+        "approx_distinct_parts",
+        "approx_percentile_prices",
+        "unpivot_flag_metrics",
+        # (f) oldest-r03 filler — the [:50] cut takes what fits
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "asof_last_click_before_purchase",
+        "range_join_clicks_before_purchase",
+        "events_session_window",
+        "window_topk_orders_per_customer",
+        "moving_avg_daily_revenue",
+        "bucketed_colocated_join",
+        "bloom_filter_semijoin",
+        "edit_distance_join",
+        "entity_resolution_parts",
+        "corpus_yield_funnel",
+        "decontam_incremental",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -196,23 +188,7 @@ def _registries():
 
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
-NEW_THIS_ROUND: list[str] = [
-    "quality_classifier_trained",
-    "sample_weighted_k",
-    "text_pii_scrub",
-    "embedding_standardize",
-    "source_unigram_divergence",
-    "lang_confusion_matrix",
-    "events_decayed_activity",
-    "dedup_rep_weights",
-    "graph_triangle_count",
-    "funnel_latency_quantiles",
-    "mixture_temperature_weights",
-    "sketch_hll_distinct",
-    "sketch_hll_incremental",
-    "quality_winsorize",
-    "events_rfm_segments",
-]
+NEW_THIS_ROUND: list[str] = []
 
 
 def entry(spark: SparkSession) -> DataFrame:

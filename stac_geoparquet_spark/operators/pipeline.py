@@ -1237,7 +1237,13 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
     w = (F.col("n_chars") + F.lit(1)).cast("double")
-    skey = F.round(F.log((h + F.lit(1)) / F.lit(float(U_DENOM))) / w, 9)
+    # + 0.0 normalizes the -0.0 a near-1 draw can leave after the
+    # round (ln(u)/w is ≤ 0; DuckDB's round keeps the sign bit while
+    # Spark's BigDecimal round does not) — the covariance convention
+    skey = (
+        F.round(F.log((h + F.lit(1)) / F.lit(float(U_DENOM))) / w, 9)
+        + F.lit(0.0)
+    )
     return (
         docs.select(
             "doc_id",
@@ -1254,7 +1260,7 @@ SELECT doc_id,
        CAST(n_chars AS BIGINT) AS weight_chars,
        round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                  + 1) / {float(U_DENOM)})
-             / CAST(n_chars + 1 AS DOUBLE), 9) AS skey
+             / CAST(n_chars + 1 AS DOUBLE), 9) + 0.0 AS skey
 FROM documents
 ORDER BY skey DESC, doc_id
 LIMIT {SAMPLE_W_K}

@@ -449,10 +449,17 @@ GROUP BY user_id
 # latency — the time-to-convert companion of the stage-count funnel
 # (funnel_view_click_purchase tells you HOW MANY convert; this tells
 # you HOW FAST).  One shuffle: a conditional-min aggregate per user
-# (map-side combined), then an exact interpolated percentile over the
-# tiny converted-user set (Spark `percentile` == DuckDB
-# `quantile_cont`, the percentile_prices_by_priority convention).
-# Latencies are exact integer microsecond diffs scaled to seconds.
+# (map-side combined), then an exact interpolated percentile (Spark
+# `percentile` == DuckDB `quantile_cont`, the
+# percentile_prices_by_priority convention) over the latency.
+# Percentile-buffer bound: the latency is quantized to WHOLE
+# MILLISECONDS on both engines before the percentile, so the exact
+# percentile's distinct-value buffer holds at most
+# span_ms = (max event ts - min event ts) in milliseconds entries
+# (~2.6e9 for a 30-day corpus, in practice far fewer because only
+# observed latencies appear) — bounded by the TIME SPAN of the data,
+# not by the user count, the same bounded-distinct-domain argument
+# quality_winsorize states for its round(,6)-in-[0,1] scores.
 # --------------------------------------------------------------------------
 def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -469,11 +476,16 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") >= F.col("first_view"))
     ).select(
+        # integer-ms quantum: exact in a double, HALF_UP on both engines
         (
-            F.expr(
-                "timestampdiff(MICROSECOND, first_view, first_purchase)"
-            ).cast("double")
-            / F.lit(1_000_000.0)
+            F.round(
+                F.expr(
+                    "timestampdiff(MICROSECOND, first_view, first_purchase)"
+                ).cast("double")
+                / F.lit(1_000.0),
+                0,
+            )
+            / F.lit(1_000.0)
         ).alias("latency_s")
     )
     return lat.agg(
@@ -492,8 +504,8 @@ WITH firsts AS (
   FROM events GROUP BY user_id
 ),
 lat AS (
-  SELECT CAST(date_diff('microsecond', first_view, first_purchase)
-              AS DOUBLE) / 1000000.0 AS latency_s
+  SELECT round(CAST(date_diff('microsecond', first_view, first_purchase)
+                    AS DOUBLE) / 1000.0, 0) / 1000.0 AS latency_s
   FROM firsts
   WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
     AND first_purchase >= first_view
@@ -516,10 +528,14 @@ FROM lat
 # sweep bans.  Here the cut points come from a percentile aggregate
 # (3 scalars, broadcast back) and the segment label is a pure CASE —
 # one user_id shuffle plus two broadcast-size aggregates, any scale.
-# The medians' percentile buffers hold DISTINCT (rounded) values with
-# map-side merge, not rows — monetary is rounded to cents first, which
-# is what bounds that buffer.  Medians are rounded at the sync point;
-# ties go to 'hi' (>=) on both engines.
+# The medians' percentile buffers hold DISTINCT (quantized) values
+# with map-side merge, not rows; every input domain is bounded:
+# monetary is cents (≤ price_span × 100 distinct), freq is a
+# small-int event count (≤ max events/user distinct), and recency_h
+# is quantized to 0.01 h — distinct values ≤ corpus time span in
+# hours × 100 (~7.2e4 for a 30-day corpus), independent of user
+# count.  Medians are rounded at the sync point; ties go to 'hi'
+# (>=) on both engines.
 # --------------------------------------------------------------------------
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -531,11 +547,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = per_user.agg(F.max("last_ts").alias("t_max"))
     rfm = per_user.join(F.broadcast(anchor)).select(
         "user_id",
-        (
+        # 0.01 h quantum bounds the median's distinct-value buffer by
+        # the corpus time span, not the user count (see header note)
+        F.round(
             F.expr("timestampdiff(MICROSECOND, last_ts, t_max)").cast(
                 "double"
             )
-            / F.lit(3_600_000_000.0)
+            / F.lit(3_600_000_000.0),
+            2,
         ).alias("recency_h"),
         "freq",
         "monetary",
@@ -568,8 +587,8 @@ WITH per_user AS (
 anchor AS (SELECT max(last_ts) AS t_max FROM per_user),
 rfm AS (
   SELECT user_id,
-         CAST(date_diff('microsecond', last_ts, t_max) AS DOUBLE)
-           / 3600000000.0 AS recency_h,
+         round(CAST(date_diff('microsecond', last_ts, t_max) AS DOUBLE)
+               / 3600000000.0, 2) AS recency_h,
          freq, monetary
   FROM per_user, anchor
 ),

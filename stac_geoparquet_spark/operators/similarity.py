@@ -1909,12 +1909,22 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(STD_DIMS)
         ],
         *[
+            # greatest(…, 0) clamps the residue a constant dimension
+            # can leave below -5e-10 after the 9dp round — DuckDB
+            # throws on sqrt(negative) while Spark emits NaN, so both
+            # engines must agree on the clamp, not just the round
             F.round(
                 F.sqrt(
-                    F.round(
-                        (F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}") / n)
-                        / F.nullif(n - 1.0, F.lit(0.0)),
-                        9,
+                    F.greatest(
+                        F.round(
+                            (
+                                F.col(f"q{i}")
+                                - F.col(f"s{i}") * F.col(f"s{i}") / n
+                            )
+                            / F.nullif(n - 1.0, F.lit(0.0)),
+                            9,
+                        ),
+                        F.lit(0.0),
                     )
                 ),
                 9,
@@ -1957,8 +1967,9 @@ x AS (
 ),
 s AS (
   SELECT i, round(sum(xi) / count(*), 9) AS mu,
-         round(sqrt(round((sum(xi * xi) - sum(xi) * sum(xi) / count(*))
-                          / nullif(count(*) - 1, 0), 9)), 9) AS sd
+         round(sqrt(greatest(
+                 round((sum(xi * xi) - sum(xi) * sum(xi) / count(*))
+                       / nullif(count(*) - 1, 0), 9), 0)), 9) AS sd
   FROM x GROUP BY i
 ),
 sl AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds FROM s)

@@ -1121,11 +1121,16 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("t_s").cast("bigint").alias("n_tokens"),
         F.col("n_unique_tokens"),
-        F.round(
-            F.col("a_s") / F.col("t_s")
-            + F.log(F.sum("t_s").over(w_all).cast("double"))
-            - F.log(F.col("t_s").cast("double")),
-            6,
+        # + 0.0: a source identical to the pool cancels to a merge-
+        # order-signed residue; normalize -0.0 (covariance convention)
+        (
+            F.round(
+                F.col("a_s") / F.col("t_s")
+                + F.log(F.sum("t_s").over(w_all).cast("double"))
+                - F.log(F.col("t_s").cast("double")),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("kl_vs_corpus"),
     )
 
@@ -1148,7 +1153,7 @@ per_source AS (
 )
 SELECT source, t_s AS n_tokens, n_unique_tokens,
        round(a_s / t_s + ln(CAST(sum(t_s) OVER () AS DOUBLE))
-             - ln(CAST(t_s AS DOUBLE)), 6) AS kl_vs_corpus
+             - ln(CAST(t_s AS DOUBLE)), 6) + 0.0 AS kl_vs_corpus
 FROM per_source
 """
 

@@ -53,6 +53,7 @@ def test_query_output_schema_is_scalar_only(spark, name):
         "Arrow-batched pandas path"
     )
     _assert_no_bounded_cardinality_window(name, plan)
+    _assert_percentile_inputs_bounded(name, plan)
 
 
 # Column names whose value domain does NOT grow with the data: a window
@@ -107,6 +108,59 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     # combining rollup aggregate beneath the window
     ("events_hourly_anomaly", ("event_type",)),
 }
+
+
+# Spark's EXACT `percentile` aggregate buffers an OpenHashMap of the
+# input's DISTINCT values, and the final merge holds the union in one
+# task — safe only when the input DOMAIN is bounded independently of
+# the row count (the round-5 verdict class: funnel latency at µs
+# resolution ≈ one distinct value per converted user).  Every exact-
+# percentile input must appear here with the argument that bounds its
+# distinct-value count; anything else must quantize first (a stated
+# quantum: cents, milliseconds, 0.01 h, round(,6)-in-[0,1]) or use the
+# two-phase selection pattern.  Keys are the percentile's input column
+# as it appears in the physical plan.
+_PERCENTILE_DOMAIN_ALLOWLIST = {
+    # TPC-H money: prices are DECIMAL-derived cent values — distinct
+    # count <= price span x 100, independent of order count
+    # (outliers_iqr_price, percentile_prices_by_priority,
+    # approx_percentile_prices)
+    "o_totalprice": "cents: distinct <= price span x 100",
+    # funnel_latency_quantiles: quantized to whole milliseconds before
+    # the percentile — distinct <= corpus time span in ms
+    "latency_s": "ms quantum: distinct <= event time span in ms",
+    # events_rfm_segments: recency quantized to 0.01 h (distinct <=
+    # span_hours x 100); freq is a small-int per-user event count
+    # (distinct <= max events/user); monetary is cents
+    "recency_h": "0.01 h quantum: distinct <= time span in h x 100",
+    "freq": "small-int count: distinct <= max events per user",
+    "monetary": "cents: distinct <= value span x 100",
+    # quality_winsorize: scores are round(,6) values in [0, 1] —
+    # distinct <= ~1e6 per lang at any corpus size
+    "score": "round(,6) in [0,1]: distinct <= ~1e6",
+}
+
+_EXACT_PERCENTILE_RE = None
+
+
+def _assert_percentile_inputs_bounded(name: str, plan: str) -> None:
+    import re
+
+    global _EXACT_PERCENTILE_RE
+    if _EXACT_PERCENTILE_RE is None:
+        # matches the exact Percentile aggregate only — not
+        # approx_percentile / percentile_approx (different function
+        # tokens in the plan string)
+        _EXACT_PERCENTILE_RE = re.compile(r"(?<![_a-zA-Z])percentile\((\w+)#")
+    for m in _EXACT_PERCENTILE_RE.finditer(plan):
+        col = m.group(1)
+        assert col in _PERCENTILE_DOMAIN_ALLOWLIST, (
+            f"{name}: exact percentile over `{col}` — its distinct-value "
+            "buffer merges into ONE task; quantize the input to a stated "
+            "quantum (cents / ms / 0.01h / round(,6)) and add it to "
+            "_PERCENTILE_DOMAIN_ALLOWLIST with the bound, or use the "
+            "two-phase selection pattern"
+        )
 
 
 def _assert_no_bounded_cardinality_window(name: str, plan: str) -> None:
