@@ -188,7 +188,17 @@ def _registries():
 
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    "dedup_lines_across_docs",
+    "events_markov_transitions",
+    "graph_degree_distribution",
+    "text_readability",
+    "embedding_norm_outliers",
+    "minhash_signature_source_sim",
+    "dedup_rate_by_source",
+    "vocab_oov_rate_by_lang",
+    "events_anomaly_mad",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -804,7 +804,80 @@ def _pii_scrub_oracle_sql() -> str:
 PII_SCRUB_SQL = _pii_scrub_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Line-level exact dedup across documents (the CCNet pass, round-5
+# verdict task #7): a LINE whose exact content appears in >=
+# LINE_DUP_T distinct documents is boilerplate (nav menus, cookie
+# banners, license headers) and is dropped from EVERY document — no
+# owner keeps it, unlike the tile grid above, where the lowest-id
+# holder keeps a duplicated span.  That is the CCNet/RefinedWeb
+# boilerplate rule: content shared by "many" documents is template,
+# not information.  Lines are '\n'-split segments (this synthetic
+# corpus is single-line per doc, so the clean-corpus gate exercises
+# the n_docs=1 path; the multi-line logic is pinned by the
+# differential fixtures in tests/test_new_ops_invariants.py and the
+# all-dup sweep axis, where every line crosses the threshold).
+#
+# Scale shape: the line TEXT never shuffles — each instance reduces
+# in-row to (doc_id, md5, length); the distinct-doc count is a keyed
+# aggregate on the md5 (cardinality grows with the corpus —
+# sweep-legal), joined back on the same key (AQE picks the strategy),
+# then one doc_id rollup.  All outputs are exact integers: no float
+# margins anywhere.  A viral boilerplate line lands its hash group on
+# one reducer with slim 3-int rows — the same bounded hot-key shape
+# as the tile grid's h window.
+# --------------------------------------------------------------------------
+LINE_DUP_T = 3
+
+
+def dedup_lines_across_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical-by-id (_canon.py): the distinct-doc count is keyed on
+    # doc_id, so a re-ingested duplicate id must collapse to one text
+    # first or its own lines double-count toward the threshold
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n", -1)).alias("line")
+    ).select("doc_id", F.md5("line").alias("lh"), F.length("line").alias("ln"))
+    stats = lines.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = lines.join(stats, "lh").withColumn(
+        "keep", F.col("n_docs") < F.lit(LINE_DUP_T)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("ln")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+LINE_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM {_DOCS_CANON_SQL} documents
+  WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, md5(line) AS lh, length(line) AS ln
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base)
+),
+stats AS (SELECT lh, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY lh)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN n_docs < {LINE_DUP_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN n_docs < {LINE_DUP_T} THEN ln ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM lines JOIN stats USING (lh)
+GROUP BY doc_id
+"""
+
+
 QUERIES_ROTATION = {
+    "dedup_lines_across_docs": dedup_lines_across_docs,
     "text_pii_scrub": text_pii_scrub,
     "dedup_substring_removal": dedup_substring_removal,
     "edit_distance_join": edit_distance_join,
@@ -817,6 +890,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "dedup_lines_across_docs": LINE_DEDUP_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "dedup_substring_removal": SUBSTR_REMOVAL_SQL,
     "edit_distance_join": ED_JOIN_SQL,

@@ -789,6 +789,76 @@ def dedup_rep_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how much of each source is
+    near-duplicate mass — the triage table a curation run reads FIRST
+    (a source at 40% dup rate gets line/substring treatment or a crawl
+    fix; 2% is normal web noise).  n_dropped counts the docs
+    dedup_survivors would discard (non-canonical cluster members), so
+    dup_rate is exactly the fraction of the source the hard-dedup pass
+    deletes.
+
+    Same composition as dedup_survivors (CC labels left-joined to the
+    corpus, AQE picks the strategy), then ONE keyed aggregate on
+    source — counts only, one exact division at the end."""
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir).select("doc_id", "source")
+    cc = dedup_cluster_cc(spark, sf_dir).select("doc_id", "cluster_id")
+    return (
+        docs.join(cc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("cluster_id").alias("n_clustered"),
+            F.sum(
+                (
+                    F.col("cluster_id").isNotNull()
+                    & (F.col("cluster_id") != F.col("doc_id"))
+                ).cast("bigint")
+            ).alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_clustered",
+            "n_dropped",
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def _dup_rate_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.doc_id
+),
+cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT d.source,
+       count(*) AS n_docs,
+       count(cc.cluster_id) AS n_clustered,
+       CAST(sum(CASE WHEN cc.cluster_id IS NOT NULL
+                      AND cc.cluster_id <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(CAST(sum(CASE WHEN cc.cluster_id IS NOT NULL
+                            AND cc.cluster_id <> d.doc_id
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_rate
+FROM {_DOCS_CANON_SQL} d LEFT JOIN cc USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def _rep_weights_oracle_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_oracle_ctes()},
@@ -1256,6 +1326,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_survivors": dedup_survivors,
     "dedup_rep_weights": dedup_rep_weights,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "semdedup_cells": semdedup_cells,
     "semantic_decontam_cells": semantic_decontam_cells,
     "ngram_novelty_by_source": ngram_novelty_by_source,
@@ -1271,6 +1342,7 @@ ORACLE = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "dedup_survivors": _survivors_oracle_sql(),
     "dedup_rep_weights": _rep_weights_oracle_sql(),
+    "dedup_rate_by_source": _dup_rate_oracle_sql(),
     "semdedup_cells": _semdedup_oracle_sql(),
     "semantic_decontam_cells": _semantic_decontam_oracle_sql(),
     "ngram_novelty_by_source": NGRAM_NOVELTY_SQL,

@@ -203,12 +203,51 @@ FROM stats, tri
 """
 
 
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(degree, n_nodes) histogram of the near-dup pair graph — the
+    first thing to look at before choosing dedup survivor policy: a
+    power-law tail means a few hub documents (boilerplate templates)
+    touch everything and should be handled by line/substring removal,
+    while a flat histogram of small degrees means honest pairwise
+    copies that cluster cleanly.
+
+    Two keyed aggregates, both on scaling keys (node id, then the
+    per-node degree — the second agg's input is the NODE table, one
+    row per vertex, so the shuffle shrinks by the average degree);
+    output is bounded by the max degree.  Rides the session-cached
+    verified pair set like the other graph ops — never the corpus."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def _degree_dist_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_oracle_ctes()},
+deg AS (
+  SELECT doc_a, count(*) AS degree FROM (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+  ) GROUP BY doc_a
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
 QUERIES = {
     "pagerank_neardup_graph": pagerank_neardup_graph,
     "graph_triangle_count": graph_triangle_count,
+    "graph_degree_distribution": graph_degree_distribution,
 }
 
 ORACLE = {
     "pagerank_neardup_graph": _pagerank_oracle_sql(),
     "graph_triangle_count": _triangle_oracle_sql(),
+    "graph_degree_distribution": _degree_dist_oracle_sql(),
 }

@@ -399,16 +399,152 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# MAD-based hourly anomaly screen (Iglewicz-Hoaglin modified z-score):
+# the robust companion to relational.events_hourly_anomaly — a
+# mean/sd trailing window is itself dragged by the outliers it hunts,
+# while median/MAD is immune to up to 50% contamination, which is why
+# ops teams alert on |0.6745 (c - med) / MAD| >= 3.5 rather than
+# plain z when traffic spikes are the NORM (releases, crawls).
+#
+# Scale + percentile-domain argument: the percentile inputs (hourly
+# count c, then its absolute deviation) aggregate the HOURLY ROLLUP,
+# whose row count is bounded by calendar hours x event types — 100x
+# the events in the same time range land in the SAME rollup rows, so
+# both the rows and the distinct-value buffers are calendar-bounded,
+# never corpus-bounded (the events_hourly_anomaly window argument,
+# applied to percentile state; allowlisted with this reason in
+# tests/test_registry_contract.py).  Counts are integers, so med and
+# MAD are exact .0/.5 doubles — the modified z is deterministic
+# per-row arithmetic, round(,4).  When MAD = 0 (discrete counts
+# concentrated at the median — the common case for low-traffic
+# types, where a giant spike would otherwise go UNSCORED) the
+# Iglewicz-Hoaglin fallback applies: z = (c - med) / (1.253314 *
+# meanAD); only a group where every hour equals the median goes
+# unscored.  meanAD is avg(|c - med|) of exact 0.5-multiples — the
+# double sum is exact below 2^52, so the fallback is merge-order-
+# deterministic with no rounding-margin argument needed.
+# --------------------------------------------------------------------------
+MAD_Z_CUT = 3.5
+MAD_SCALE = 0.6745
+MEANAD_SCALE = 1.253314
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+    from stac_geoparquet_spark.operators.relational import _t
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # fenced: the rollup is calendar-bounded (hours x types) and has
+    # FOUR downstream consumers through the med/dev/mad chain — an
+    # unfenced lineage re-scans the events table once per consumer
+    # (the covariance lesson, _io.fenced contract point 1)
+    hourly = fenced(
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    dev = fenced(
+        hourly.join(F.broadcast(med), "event_type").withColumn(
+            "absdev", F.abs(F.col("c") - F.col("med"))
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad"),
+        F.avg("absdev").alias("meanad"),
+    )
+    # + 0.0 on both branches: a sub-quantum negative deviation would
+    # round to -0.0 — the covariance convention
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "rz",
+        F.when(
+            F.col("mad") > 0,
+            F.round(
+                F.lit(MAD_SCALE)
+                * (F.col("c") - F.col("med"))
+                / F.col("mad"),
+                4,
+            )
+            + F.lit(0.0),
+        ).when(
+            F.col("meanad") > 0,
+            F.round(
+                (F.col("c") - F.col("med"))
+                / (F.lit(MEANAD_SCALE) * F.col("meanad")),
+                4,
+            )
+            + F.lit(0.0),
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("rz").isNotNull().cast("bigint")).alias("n_scored"),
+        # when/otherwise, not a bare boolean cast: a NULL rz (MAD=0
+        # group) must count 0, matching the oracle's CASE ELSE 0
+        F.sum(
+            F.when(F.abs(F.col("rz")) >= F.lit(MAD_Z_CUT), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalous"),
+        F.max(F.abs("rz")).alias("max_abs_rz"),
+    )
+
+
+ANOMALY_MAD_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS med
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, c, med, abs(c - med) AS absdev
+  FROM hourly h JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad,
+         avg(absdev) AS meanad
+  FROM dev GROUP BY event_type
+),
+scored AS (
+  SELECT d.event_type,
+         CASE WHEN mad > 0
+              THEN round({MAD_SCALE} * (c - med) / mad, 4) + 0.0
+              WHEN meanad > 0
+              THEN round((c - med) / ({MEANAD_SCALE} * meanad), 4) + 0.0
+              END AS rz
+  FROM dev d JOIN mad USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n_hours,
+       CAST(sum(CASE WHEN rz IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(sum(CASE WHEN abs(rz) >= {MAD_Z_CUT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalous,
+       max(abs(rz)) AS max_abs_rz
+FROM scored GROUP BY event_type
+"""
+
+
 # Placement in the driver's 50-entry correctness window is decided by
 # __spark_entry__._registries (its window list + NEW_THIS_ROUND), not
 # by this module's dict split; the rotation dicts only group entries.
 QUERIES_ROTATION = {
+    "events_anomaly_mad": events_anomaly_mad,
     "events_l_diversity": events_l_diversity,
     "dq_corpus_report": dq_corpus_report,
     "events_k_anonymity": events_k_anonymity,
 }
 
 ORACLE_ROTATION = {
+    "events_anomaly_mad": ANOMALY_MAD_SQL,
     "events_l_diversity": L_DIVERSITY_SQL,
     "dq_corpus_report": _dq_corpus_oracle_sql(),
     "events_k_anonymity": K_ANON_SQL,

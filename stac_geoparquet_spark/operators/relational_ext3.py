@@ -608,7 +608,81 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Event-type Markov transition matrix: P(next_type | prev_type) from
+# each user's time-ordered event sequence — the session-model
+# diagnostic behind funnel design (a heavy error->error self-loop
+# means retry storms; view->purchase mass is organic conversion).
+# One window over user_id (a key that SCALES with the data —
+# sweep-legal) with (ts, event_id) as the deterministic total order
+# on both engines, then one keyed count on the bounded
+# (prev, next) pair and a broadcast join against the tiny per-prev
+# totals (no window over the bounded event_type key).  Rows with
+# NULL user_id / ts / event_type carry no sequence identity or order
+# and are excluded on both engines.  p = n / row_total is a single
+# division of exact counts, round(,6); both operands positive, so no
+# -0.0 path.
+# --------------------------------------------------------------------------
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical-by-id (_canon.py): the (ts, event_id) total order is
+    # the sequence identity — a re-delivered event_id with a different
+    # payload would make the lag order engine-dependent
+    from stac_geoparquet_spark.operators._canon import events_canon
+
+    ev = events_canon(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    lagged = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = lagged.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.col("row_total").cast("double"), 6
+        ).alias("p"),
+    )
+
+
+MARKOV_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM {_EVENTS_CANON_SQL} events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS row_total
+  FROM counts GROUP BY prev_type
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions / CAST(row_total AS DOUBLE), 6) AS p
+FROM counts JOIN totals USING (prev_type)
+"""
+
+
 QUERIES = {
+    "events_markov_transitions": events_markov_transitions,
     "events_decayed_activity": events_decayed_activity,
     "funnel_latency_quantiles": funnel_latency_quantiles,
     "events_rfm_segments": events_rfm_segments,
@@ -621,6 +695,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_markov_transitions": MARKOV_SQL,
     "events_decayed_activity": DECAYED_ACTIVITY_SQL,
     "funnel_latency_quantiles": FUNNEL_LATENCY_SQL,
     "events_rfm_segments": RFM_SQL,

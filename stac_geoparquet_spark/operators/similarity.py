@@ -1978,7 +1978,87 @@ FROM e, sl
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding L2-norm outlier screen: flag vectors whose norm sits
+# >= mu + 3*sd — the cheap first-pass filter for broken embeddings
+# (truncated inputs, fp overflow, un-normalized model output) run
+# before any ANN index build.  Same constant-collection shape as
+# embedding_standardize: ONE global aggregate reduced to TWO
+# dimension-bounded constants (mu, sd of the norm — never data-
+# bounded), rounded at 9 IN the engine so the collected values equal
+# the oracle's CTE values exactly, then a pure-map flag over the
+# scan.  The per-row norm is a fixed-order fold over the vector
+# (F.aggregate == DuckDB list_sum order), round(,6) — the
+# dedup_embedding_cosine margin.  sd NULL (n<=1) or 0 (constant
+# norms) flags nothing on either engine, which also sidesteps the
+# engines' different greatest(NULL, 0) conventions.
+# --------------------------------------------------------------------------
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_blocks(spark, sf_dir, canonical=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    norms = emb.select("vec_id", norm.alias("norm"))
+    n = F.count(F.lit(1)).cast("double")
+    stat = norms.agg(
+        F.round(F.sum("norm") / n, 9).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.round(
+                        (F.sum(F.col("norm") * F.col("norm"))
+                         - F.sum("norm") * F.sum("norm") / n)
+                        / F.nullif(n - 1.0, F.lit(0.0)),
+                        9,
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+            9,
+        ).alias("sd"),
+    ).collect()[0]
+    mu, sd = stat["mu"], stat["sd"]
+    if mu is None or sd is None or sd == 0.0:
+        flag = F.lit(False)
+    else:
+        thr = round(mu + 3.0 * sd, 6)
+        flag = F.round("norm", 6) >= F.lit(thr)
+    return norms.select(
+        "vec_id",
+        F.round("norm", 6).alias("norm"),
+        flag.alias("is_outlier"),
+    )
+
+
+NORM_OUTLIER_SQL = f"""
+WITH e AS (
+  SELECT vec_id, min(embedding)::DOUBLE[] AS v
+  FROM embeddings WHERE {VALID_VEC_SQL} GROUP BY vec_id
+),
+n AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM e
+),
+s AS (
+  SELECT round(sum(norm) / count(*), 9) AS mu,
+         round(sqrt(greatest(coalesce(
+                 round((sum(norm * norm) - sum(norm) * sum(norm) / count(*))
+                       / nullif(count(*) - 1, 0), 9), 0), 0)), 9) AS sd
+  FROM n
+)
+SELECT vec_id, round(norm, 6) AS norm,
+       CASE WHEN sd IS NULL OR sd = 0 THEN false
+            ELSE round(norm, 6) >= round(mu + 3 * sd, 6) END AS is_outlier
+FROM n, s
+"""
+
+
 QUERIES_ROTATION = {
+    "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_standardize": embedding_standardize,
     "embedding_class_profile": embedding_class_profile,
     "pq_encode_codes": pq_encode_codes,
@@ -1990,6 +2070,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "embedding_norm_outliers": NORM_OUTLIER_SQL,
     "embedding_standardize": _standardize_oracle_sql(),
     "embedding_class_profile": CLASS_PROFILE_SQL,
     "pq_encode_codes": PQ_ENCODE_SQL,

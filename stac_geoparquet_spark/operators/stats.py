@@ -790,7 +790,90 @@ FROM folded
 """
 
 
+# --------------------------------------------------------------------------
+# MinHash SIGNATURE source similarity — the fixed-size mergeable
+# companion to kmv_source_overlap.  Where KMV keeps each source's
+# bottom-K hash SET (variable content, two-phase bottom-K merge),
+# this keeps an m-slot signature: sig_i(source) = min over the
+# source's texts of h_i(text), m independent md5-derived hash
+# families.  E[fraction of agreeing slots] = Jaccard(text sets) — the
+# classic Broder estimator, and the state is m fixed ints per source,
+# mergeable by elementwise min (the shape a streaming/partitioned
+# rollup keeps per shard).
+#
+# Scale shape: ONE groupBy(source) with m min-aggregates (map-side
+# combined — each mapper emits one m-slot row per source, regardless
+# of corpus size), then a broadcast self-join of the |sources|-row
+# signature table.  No explode: the m hashes are m in-row expressions,
+# so the corpus scans once and nothing data-sized shuffles.  All
+# outputs are exact ints except the final round(m_match/m, 6)
+# division of two small ints.
+# --------------------------------------------------------------------------
+MHSIG_M = 32
+
+
+def minhash_signature_source_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"mh{i}:"), F.col("text"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"h{i}")
+        for i in range(MHSIG_M)
+    ]
+    sig = base.groupBy("source").agg(*mins)
+    a, b = sig.alias("a"), sig.alias("b")
+    n_match = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("bigint")
+        for i in range(MHSIG_M)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            n_match.alias("n_match"),
+            F.round(
+                n_match.cast("double") / F.lit(float(MHSIG_M)), 6
+            ).alias("jaccard_sig"),
+        )
+    )
+
+
+def _mhsig_oracle_sql() -> str:
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('mh{i}:' || text), 1, 15))::BIGINT) AS h{i}"
+        for i in range(MHSIG_M)
+    )
+    match = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(MHSIG_M)
+    )
+    return f"""
+WITH sig AS (
+  SELECT source, {mins}
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST({match} AS BIGINT) AS n_match,
+       round(CAST({match} AS DOUBLE) / {MHSIG_M}, 6) AS jaccard_sig
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
 QUERIES_ROTATION = {
+    "minhash_signature_source_sim": minhash_signature_source_sim,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "kmv_source_overlap": kmv_source_overlap,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -798,6 +881,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "minhash_signature_source_sim": _mhsig_oracle_sql(),
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
     "kmv_source_overlap": KMV_OVERLAP_SQL,
     "sketch_hll_distinct": SKETCH_HLL_SQL,

@@ -1252,7 +1252,150 @@ FROM scored JOIN qs USING (lang)
 """
 
 
+# --------------------------------------------------------------------------
+# Flesch reading-ease readability: 206.835 - 1.015*(words/sentences)
+# - 84.6*(syllables/words), the standard curation signal for "is this
+# prose or a parts list" (used alongside the Gopher rules to route
+# documents between quality buckets).  Heuristics, stated exactly:
+# words are THE shared tokenizer (_words); sentences are runs of
+# [.!?] with a floor of 1 (a fragment still reads as one sentence);
+# syllables are vowel-group runs [aeiouy]+ on the shared lowercase
+# form — the classic approximation, biased low for silent-e words,
+# identical on both engines (ASCII class, RE2 == Java here).
+#
+# Scale shape: pure in-row regex/array projections over the corpus
+# scan — zero shuffle, zero Python (the text_pii_scrub shape).  The
+# formula is per-row double arithmetic in one fixed expression order,
+# so cross-engine equality is exact; round(,4) + 0.0 per the -0.0
+# convention (a doc can land exactly on 0).
+# --------------------------------------------------------------------------
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    n_words = F.size(_words(F.col("text"))).cast("bigint")
+    n_sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(
+            jlower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0)
+        )
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables")
+            / F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.round(flesch, 4) + F.lit(0.0)).alias("flesch"),
+    )
+
+
+READABILITY_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len({_sql_words("text")}) AS BIGINT) AS n_words,
+         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                          AS BIGINT)) AS n_sentences,
+         CAST(len(regexp_extract_all({_sql_lower("text")}, '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (n_syllables / CAST(nullif(n_words, 0) AS DOUBLE)),
+             4) + 0.0 AS flesch
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# OOV (out-of-vocabulary) rate per language against the corpus's own
+# top-K vocabulary — the tokenizer-fit diagnostic: a language whose
+# tokens mostly fall outside the shared vocab will fragment into
+# subwords at train time (token_fertility_by_lang measures the cost;
+# this measures the cause).  The vocab is THE vocab_top_terms
+# definition (global count DESC, word ASC — a deterministic total
+# order at the K boundary on both engines).
+#
+# Scale shape: the vocab build is a global top-K
+# (TakeOrderedAndProject — per-partition heads, K*P merge, never a
+# global sort); the membership probe is a BROADCAST left join of the
+# token stream against the K-row vocab (model-bounded, not
+# data-bounded); then one map-side-combined agg on lang.  NULL-text
+# docs explode to zero tokens on both engines (split(NULL) is NULL in
+# Spark, unnest(NULL) is empty in DuckDB).
+# --------------------------------------------------------------------------
+def vocab_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("vn"))
+        .orderBy(F.col("vn").desc(), F.col("word"))
+        .limit(VOCAB_TOP_K)
+        .select("word")
+    )
+    toks = docs.select(
+        "lang", F.explode(_words(F.col("text"))).alias("word")
+    )
+    probed = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+    )
+    return probed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_oov"),
+        F.round(
+            F.sum(F.col("in_vocab").isNull().cast("bigint")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+    FROM (SELECT unnest({_sql_words()}) AS word FROM documents) t
+    GROUP BY word
+  ) r WHERE rk <= {VOCAB_TOP_K}
+),
+tok AS (
+  SELECT lang, unnest({_sql_words()}) AS word FROM documents
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (word)
+GROUP BY lang
+"""
+
+
 QUERIES_ROTATION = {
+    "vocab_oov_rate_by_lang": vocab_oov_rate_by_lang,
+    "text_readability": text_readability,
     "quality_winsorize": quality_winsorize,
     "source_unigram_divergence": source_unigram_divergence,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -1265,6 +1408,8 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "vocab_oov_rate_by_lang": OOV_RATE_SQL,
+    "text_readability": READABILITY_SQL,
     "quality_winsorize": WINSORIZE_SQL,
     "source_unigram_divergence": SOURCE_DIVERGENCE_SQL,
     "lang_confusion_matrix": _confusion_oracle_sql(),

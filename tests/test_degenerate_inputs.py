@@ -83,6 +83,18 @@ SINGLEROW_SAMPLE = [
     "funnel_latency_quantiles",
     "mixture_temperature_weights",
     "events_rfm_segments",
+    # round-6: 1 doc = 1 owner for every line (nothing dropped), a
+    # 1-node pair graph is empty (degree dist empty), sd is NULL at
+    # n=1 (norm screen flags nothing), a single event has no lag pair
+    "dedup_lines_across_docs",
+    "events_markov_transitions",
+    "graph_degree_distribution",
+    "text_readability",
+    "embedding_norm_outliers",
+    "minhash_signature_source_sim",
+    "dedup_rate_by_source",
+    "vocab_oov_rate_by_lang",
+    "events_anomaly_mad",
 ]
 
 CONSTANT_SAMPLE = [
@@ -107,6 +119,15 @@ CONSTANT_SAMPLE = [
     "ngram_novelty_by_source",
     "text_nfc_audit",
     "events_hourly_anomaly",
+    # round-6: one source collapses the pair outputs to empty
+    # (signature sim, dup-rate keeps one group); a single event_type
+    # gives a 1x1 markov matrix with p=1; constant keys are the MAD
+    # screen's skew regime
+    "minhash_signature_source_sim",
+    "dedup_rate_by_source",
+    "vocab_oov_rate_by_lang",
+    "events_markov_transitions",
+    "events_anomaly_mad",
 ]
 
 

@@ -65,7 +65,13 @@ SAMPLE = [
     "ngram_novelty_by_source",
     "novelty_incremental",
     "dedup_containment",
+    # round-6: line ownership / dup-rate / norm screen all key on the
+    # canonical id; the markov lag order keys on canonical event_id
+    "dedup_lines_across_docs",
+    "dedup_rate_by_source",
+    "embedding_norm_outliers",
     # events family (canonical event log)
+    "events_markov_transitions",
     "range_join_clicks_before_purchase",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized

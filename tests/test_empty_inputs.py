@@ -88,6 +88,16 @@ SAMPLE = [
     "mm_cdc_chunk_dedup",
     "events_hourly_anomaly",
     "pca_power_projection",
+    # round-6
+    "dedup_lines_across_docs",
+    "events_markov_transitions",
+    "graph_degree_distribution",
+    "text_readability",
+    "embedding_norm_outliers",
+    "minhash_signature_source_sim",
+    "dedup_rate_by_source",
+    "vocab_oov_rate_by_lang",
+    "events_anomaly_mad",
 ]
 
 TABLES = (

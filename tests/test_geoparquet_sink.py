@@ -346,7 +346,14 @@ def test_delta_round_trip_matrix(spark, tmp_path, name):
     if not _delta_ready(spark):
         pytest.skip(
             "delta-spark not installed in this container (io.delta JVM "
-            "classes unavailable); matrix runs where Delta is present"
+            "classes unavailable); matrix runs where Delta is present. "
+            "Round-6 unskip attempt: `pip install delta-spark` fails "
+            "(no network: NewConnectionError to the pypi mirror, 'no "
+            "matching distribution'), no delta-spark/delta-core jar in "
+            "any local ivy/maven cache (`find / -name 'delta-*'` is "
+            "empty). Missing artifacts: pypi delta-spark>=4.0 + maven "
+            "io.delta:delta-spark_2.13:4.x — install both and this "
+            "matrix runs as-is."
         )
     from tests.json_semantic import items_equal
 

@@ -1190,3 +1190,243 @@ def test_kmv_and_hll_null_keys_at_estimator_scale(spark, tmp_path):
         ok, msg = compare(q[name](spark, str(dst)), o[name], str(dst),
                           strict=True)
         assert ok, f"{name}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators
+# ---------------------------------------------------------------------------
+def test_line_dedup_drops_shared_lines_everywhere(spark, tmp_path):
+    """The CCNet rule on a real multi-line corpus: a line in >= T
+    docs vanishes from EVERY doc (no owner keeps it, unlike the tile
+    grid); a line in < T docs survives everywhere it appears.  The
+    synthetic corpus is single-line, so this is the multi-line pin —
+    plus the strict oracle compare on the same fixture."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.curation import (
+        LINE_DUP_T,
+        dedup_lines_across_docs,
+    )
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    assert LINE_DUP_T == 3
+    dst = tmp_path / "sf_lines"
+    dst.mkdir()
+    rows = []
+    # docs 0..4: shared boilerplate line + one unique line each
+    for i in range(5):
+        rows.append((i, f"COOKIE BANNER\nunique line {i}", "en", "s0"))
+    # docs 10, 11: a line shared by exactly TWO docs (< T -> kept)
+    rows.append((10, "rare pair line\nalpha", "en", "s1"))
+    rows.append((11, "rare pair line\nbeta", "en", "s1"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        f"""COPY (SELECT doc_id, text, lang, source,
+                  length(text) AS n_chars FROM d)
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_across_docs(spark, str(dst)).collect()
+    }
+    for i in range(5):
+        assert out[i]["n_lines"] == 2
+        assert out[i]["n_kept"] == 1  # boilerplate dropped everywhere
+        assert out[i]["kept_chars"] == len(f"unique line {i}")
+    for i in (10, 11):
+        assert out[i]["n_kept"] == 2  # 2-doc line is below T
+    ok, msg = compare(
+        dedup_lines_across_docs(spark, str(dst)),
+        entry_mod.oracle_sql()["dedup_lines_across_docs"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
+
+
+def test_norm_outlier_flags_injected_blowup(spark, tmp_path):
+    """A single vector scaled 25x against a unit-norm corpus must be
+    the one flagged row (the op's reason to exist); strict oracle
+    agreement on the same fixture."""
+    import shutil
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.similarity import (
+        embedding_norm_outliers,
+    )
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    dst = tmp_path / "sf_blowup"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT vec_id,
+              CASE WHEN vec_id = 7
+                   THEN list_transform(embedding, x -> x * 25)
+                   ELSE embedding END AS embedding, label
+            FROM read_parquet('{SF_DIR}/embeddings.parquet'))
+          TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    shutil.copy(f"{SF_DIR}/documents.parquet", str(dst / "documents.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in embedding_norm_outliers(spark, str(dst)).collect()
+    }
+    assert out[7]["is_outlier"]
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    ok, msg = compare(
+        embedding_norm_outliers(spark, str(dst)),
+        entry_mod.oracle_sql()["embedding_norm_outliers"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
+
+
+def test_markov_rows_are_probability_distributions(spark):
+    """Each prev_type's outgoing probabilities sum to 1 (within the
+    6-decimal rounding), and transition counts total exactly
+    (events-with-a-predecessor)."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.relational_ext3 import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, SF_DIR).collect()
+    assert rows
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r["prev_type"]] += r["p"]
+    for prev, s in sums.items():
+        assert abs(s - 1.0) < 1e-5, (prev, s)
+
+
+def test_mhsig_mirrored_sources_agree_fully(spark, tmp_path):
+    """Two sources holding the SAME text set must have all 32
+    signature slots equal (jaccard_sig = 1.0) — the Broder estimator
+    at its fixed point; strict oracle agreement on the fixture."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.stats import (
+        minhash_signature_source_sim,
+    )
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    dst = tmp_path / "sf_mirror"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT doc_id, text, lang, 'all1' AS source, n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+          UNION ALL BY NAME
+          SELECT doc_id + 100000 AS doc_id, text, lang,
+                 'all2' AS source, n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    rows = minhash_signature_source_sim(spark, str(dst)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_match"] == 32 and rows[0]["jaccard_sig"] == 1.0
+    ok, msg = compare(
+        minhash_signature_source_sim(spark, str(dst)),
+        entry_mod.oracle_sql()["minhash_signature_source_sim"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
+
+
+def test_degree_distribution_mass_balances_edges(spark):
+    """Handshake lemma against the sibling op: sum(degree x n_nodes)
+    over the histogram equals 2 x n_edges from the triangle census —
+    both ride the same verified pair set."""
+    from stac_geoparquet_spark.operators.graph import (
+        graph_degree_distribution,
+        graph_triangle_count,
+    )
+
+    hist = graph_degree_distribution(spark, SF_DIR).collect()
+    stats = graph_triangle_count(spark, SF_DIR).collect()[0]
+    assert sum(r["degree"] * r["n_nodes"] for r in hist) == 2 * stats["n_edges"]
+    assert sum(r["n_nodes"] for r in hist) == stats["n_nodes"]
+
+
+def test_oov_rate_is_consistent_ratio(spark):
+    """oov_rate is exactly n_oov / n_tokens (rounded), and the top-K
+    vocab actually covers the head: every lang's OOV rate < 1."""
+    from stac_geoparquet_spark.operators.text import vocab_oov_rate_by_lang
+
+    rows = vocab_oov_rate_by_lang(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 6)) < 1e-9
+        assert r["oov_rate"] < 1.0
+
+
+def test_anomaly_mad_flags_injected_spike(spark, tmp_path):
+    """Piling 20% of one event type into a single hour must flag that
+    hour (|modified z| >= 3.5) while the undisturbed types stay
+    below; strict oracle agreement on the fixture."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.quality import events_anomaly_mad
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    dst = tmp_path / "sf_spike"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT event_id,
+              CASE WHEN event_type = 'click' AND event_id % 5 = 0
+                   THEN (SELECT min(ts) FROM
+                         read_parquet('{SF_DIR}/events.parquet'))
+                   ELSE ts END AS ts,
+              user_id, event_type, value, props
+            FROM read_parquet('{SF_DIR}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    out = {
+        r["event_type"]: r for r in events_anomaly_mad(spark, str(dst)).collect()
+    }
+    assert out["click"]["n_anomalous"] >= 1
+    ok, msg = compare(
+        events_anomaly_mad(spark, str(dst)),
+        entry_mod.oracle_sql()["events_anomaly_mad"],
+        str(dst),
+        strict=True,
+    )
+    assert ok, msg
+
+
+def test_dup_rate_report_reconciles_with_survivors(spark):
+    """The per-source report must reconcile exactly with the keep
+    list: sum(n_dropped) == survivors' keep=false count and
+    sum(n_docs) == corpus size."""
+    from stac_geoparquet_spark.operators.dedup import (
+        dedup_rate_by_source,
+        dedup_survivors,
+    )
+
+    report = dedup_rate_by_source(spark, SF_DIR).collect()
+    surv = dedup_survivors(spark, SF_DIR).collect()
+    assert sum(r["n_dropped"] for r in report) == sum(
+        1 for s in surv if not s["keep"]
+    )
+    assert sum(r["n_docs"] for r in report) == len(surv)

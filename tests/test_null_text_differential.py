@@ -62,6 +62,13 @@ SAMPLE = [
     "novelty_incremental",
     "dedup_containment",
     "text_nfc_audit",
+    # round-6 doc-table ops: NULL text excluded (lines/readability),
+    # NULL lang/source must group identically in the rollups
+    "dedup_lines_across_docs",
+    "text_readability",
+    "vocab_oov_rate_by_lang",
+    "minhash_signature_source_sim",
+    "dedup_rate_by_source",
 ]
 
 
@@ -126,6 +133,8 @@ VEC_SAMPLE = [
     "knn_label_agreement",
     "embedding_random_projection",
     "pca_power_projection",
+    # round-6: the norm screen rides the same valid-vector contract
+    "embedding_norm_outliers",
 ]
 
 
@@ -721,6 +730,11 @@ EVENTS_SAMPLE = [
     "retention_weekly_cohorts",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
+    # round-6: NULL user_id/ts/event_type rows carry no sequence
+    # identity (markov) and no hour bucket (MAD screen) — excluded on
+    # both engines
+    "events_markov_transitions",
+    "events_anomaly_mad",
 ]
 
 

@@ -1157,3 +1157,138 @@ def test_hll_incremental_is_pure_relational_merge(spark, sf):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
     assert n_ops(plan, "Window") == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-6 plan pins
+# ---------------------------------------------------------------------------
+def test_line_dedup_never_shuffles_line_text(spark, sf):
+    """The CCNet line pass reduces each line instance to (doc_id,
+    md5, length) IN-ROW before anything shuffles, counts distinct
+    docs per hash as a keyed aggregate (never a window), and joins
+    back on the same scaling hash key — no Python, no window, no
+    cartesian anywhere."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.dedup_lines_across_docs(spark, sf))
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(lh") >= 1
+    # the per-doc rollup keys on doc_id after the hash join
+    assert plan.count("hashpartitioning(doc_id") >= 1
+
+
+def test_markov_single_user_window_then_broadcast_totals(spark, sf):
+    """The lag runs in ONE window over the scaling user_id key; the
+    row-normalization join is a broadcast of the bounded per-prev
+    totals — never a window over the bounded event_type key."""
+    import re
+
+    from stac_geoparquet_spark.operators import relational_ext3
+
+    plan = plan_of(relational_ext3.events_markov_transitions(spark, sf))
+    # two windows: the canonical-id collapse (event_id) + the lag
+    # (user_id) — both keyed on SCALING keys
+    assert n_ops(plan, "Window") == 2
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        keys = m.group(1).split("ASC")[0]
+        assert "user_id" in keys or "event_id" in keys, keys
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+
+
+def test_degree_distribution_two_keyed_aggregates(spark, sf):
+    """Degree histogram = two map-side-combined aggregates (node,
+    then degree); no window, no Python, and the input is the pair
+    set, not the corpus (no documents text column in any read)."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_degree_distribution(spark, sf))
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_ops(plan, "HashAggregate") >= 4  # partial+final x 2 keys
+
+
+def test_readability_is_pure_map(spark, sf):
+    """Flesch scoring is in-row regex/array arithmetic: no aggregate,
+    no join, no Python — the text_pii_scrub shape."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.text_readability(spark, sf))
+    assert n_ops(plan, "HashAggregate") == 0
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_norm_outlier_scoring_is_pure_map(spark, sf):
+    """The mu/sd constants are collected at build time (2 scalars,
+    dimension-bounded); the RETURNED scoring plan is a pure map over
+    the scan — no aggregate, no join, no window, threshold embedded
+    as a literal."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.embedding_norm_outliers(spark, sf))
+    assert n_ops(plan, "HashAggregate") == 0
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mhsig_signature_agg_is_map_side_bounded(spark, sf):
+    """The m-slot signature is ONE groupBy(source) with m min
+    aggregates (partial before the exchange — each mapper emits one
+    row per source); the pair build is a broadcast over the bounded
+    signature table; the corpus is never exploded (no Generate)."""
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.minhash_signature_source_sim(spark, sf))
+    assert n_ops(plan, "Generate") == 0
+    assert n_ops(plan, "HashAggregate") >= 2  # partial + final
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_oov_rate_vocab_is_takeordered_broadcast(spark, sf):
+    """The vocab build plans as TakeOrderedAndProject (per-partition
+    heads, never a global sort); the membership probe is a BROADCAST
+    join of the token stream against the K-row vocab; the lang rollup
+    is a keyed aggregate, not a window."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.vocab_oov_rate_by_lang(spark, sf))
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "Window") == 0
+
+
+def test_anomaly_mad_is_rollup_plus_broadcast_medians(spark, sf):
+    """Both medians aggregate the calendar-bounded HOURLY ROLLUP —
+    which is FENCED, so the returned plan reads the materialized
+    rollup (one events scan total, at build time) — and come back as
+    ONE broadcast join; no window anywhere (the robustness win over
+    events_hourly_anomaly's mean/sd window)."""
+    from stac_geoparquet_spark.operators import quality
+
+    plan = plan_of(quality.events_anomaly_mad(spark, sf))
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert "percentile" in plan
+    # the fence is real: the returned plan never rescans the parquet
+    assert "events.parquet" not in plan
+
+
+def test_dup_rate_by_source_is_one_keyed_rollup(spark, sf):
+    """The per-source report joins the CC label table to the corpus
+    (AQE picks the strategy) and rolls up ONCE on source — counts
+    only; no window, no Python beyond the shared pair-graph build."""
+    from stac_geoparquet_spark.operators import dedup as dedup_mod
+
+    plan = plan_of(dedup_mod.dedup_rate_by_source(spark, sf))
+    assert n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(source") >= 1 or n_ops(
+        plan, "HashAggregate"
+    ) >= 2

@@ -138,6 +138,12 @@ _PERCENTILE_DOMAIN_ALLOWLIST = {
     # quality_winsorize: scores are round(,6) values in [0, 1] —
     # distinct <= ~1e6 per lang at any corpus size
     "score": "round(,6) in [0,1]: distinct <= ~1e6",
+    # events_anomaly_mad: both inputs aggregate the HOURLY ROLLUP —
+    # rows AND distinct values bounded by calendar hours x event
+    # types, never by event count (100x the traffic lands in the same
+    # rollup rows)
+    "c": "hourly rollup count: rows <= calendar hours x types",
+    "absdev": "deviation of the hourly rollup: same calendar bound",
 }
 
 _EXACT_PERCENTILE_RE = None
