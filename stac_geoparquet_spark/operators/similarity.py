@@ -1983,11 +1983,14 @@ FROM e, sl
 # >= mu + 3*sd — the cheap first-pass filter for broken embeddings
 # (truncated inputs, fp overflow, un-normalized model output) run
 # before any ANN index build.  Same constant-collection shape as
-# embedding_standardize: ONE global aggregate reduced to TWO
-# dimension-bounded constants (mu, sd of the norm — never data-
-# bounded), rounded at 9 IN the engine so the collected values equal
-# the oracle's CTE values exactly, then a pure-map flag over the
-# scan.  The per-row norm is a fixed-order fold over the vector
+# embedding_standardize: ONE global aggregate reduced to THREE
+# dimension-bounded constants (mu, sd of the norm, and the flag
+# threshold round(mu + 3*sd, 6) — never data-bounded), all rounded
+# IN the engine so every collected value carries Spark's HALF_UP
+# round — the same convention the oracle's round() uses.  (Computing
+# thr driver-side with Python round() was a THIRD convention,
+# half-to-even, that could flip a near-boundary flag — r06 ADVICE.)
+# Then a pure-map flag over the scan.  The per-row norm is a fixed-order fold over the vector
 # (F.aggregate == DuckDB list_sum order), round(,6) — the
 # dedup_embedding_cosine margin.  sd NULL (n<=1) or 0 (constant
 # norms) flags nothing on either engine, which also sidesteps the
@@ -2004,28 +2007,32 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norms = emb.select("vec_id", norm.alias("norm"))
     n = F.count(F.lit(1)).cast("double")
+    mu_expr = F.round(F.sum("norm") / n, 9)
+    sd_expr = F.round(
+        F.sqrt(
+            F.greatest(
+                F.round(
+                    (F.sum(F.col("norm") * F.col("norm"))
+                     - F.sum("norm") * F.sum("norm") / n)
+                    / F.nullif(n - 1.0, F.lit(0.0)),
+                    9,
+                ),
+                F.lit(0.0),
+            )
+        ),
+        9,
+    )
     stat = norms.agg(
-        F.round(F.sum("norm") / n, 9).alias("mu"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    F.round(
-                        (F.sum(F.col("norm") * F.col("norm"))
-                         - F.sum("norm") * F.sum("norm") / n)
-                        / F.nullif(n - 1.0, F.lit(0.0)),
-                        9,
-                    ),
-                    F.lit(0.0),
-                )
-            ),
-            9,
-        ).alias("sd"),
+        mu_expr.alias("mu"),
+        sd_expr.alias("sd"),
+        # thr rides the SAME agg row so its round(,6) is the engine's
+        # HALF_UP — identical to the oracle's round(mu + 3 * sd, 6)
+        F.round(mu_expr + 3.0 * sd_expr, 6).alias("thr"),
     ).collect()[0]
-    mu, sd = stat["mu"], stat["sd"]
+    mu, sd, thr = stat["mu"], stat["sd"], stat["thr"]
     if mu is None or sd is None or sd == 0.0:
         flag = F.lit(False)
     else:
-        thr = round(mu + 3.0 * sd, 6)
         flag = F.round("norm", 6) >= F.lit(thr)
     return norms.select(
         "vec_id",

@@ -808,6 +808,12 @@ FROM folded
 # so the corpus scans once and nothing data-sized shuffles.  All
 # outputs are exact ints except the final round(m_match/m, 6)
 # division of two small ints.
+#
+# Reads the CANONICAL corpus (docs_canon, min-by-id collapse) like
+# every other doc-table op: min-hash is dup-insensitive only for
+# identical payloads, so a re-ingested duplicate doc_id with a
+# DIFFERENT payload would otherwise contribute both variants to the
+# source signature (r06 ADVICE).
 # --------------------------------------------------------------------------
 MHSIG_M = 32
 
@@ -815,7 +821,9 @@ MHSIG_M = 32
 def minhash_signature_source_sim(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir)
     base = docs.where(
         F.col("text").isNotNull() & F.col("source").isNotNull()
     )
@@ -859,10 +867,13 @@ def _mhsig_oracle_sql() -> str:
         f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
         for i in range(MHSIG_M)
     )
+    from stac_geoparquet_spark.operators._canon import DOCS_CANON_SQL
+
     return f"""
 WITH sig AS (
   SELECT source, {mins}
-  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  FROM {DOCS_CANON_SQL} documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
   GROUP BY source
 )
 SELECT a.source AS src_a, b.source AS src_b,

@@ -70,6 +70,9 @@ SAMPLE = [
     "dedup_lines_across_docs",
     "dedup_rate_by_source",
     "embedding_norm_outliers",
+    # round-7: source signature now reads the canonical corpus (r06
+    # ADVICE — dup ids with different payloads polluted the signature)
+    "minhash_signature_source_sim",
     # events family (canonical event log)
     "events_markov_transitions",
     "range_join_clicks_before_purchase",

@@ -118,54 +118,85 @@ _BOUNDED_WINDOW_ALLOWLIST = {
 # percentile input must appear here with the argument that bounds its
 # distinct-value count; anything else must quantize first (a stated
 # quantum: cents, milliseconds, 0.01 h, round(,6)-in-[0,1]) or use the
-# two-phase selection pattern.  Keys are the percentile's input column
-# as it appears in the physical plan.
+# two-phase selection pattern.  Keys are (query name, input column as
+# it appears in the physical plan) — keyed per QUERY so a future query
+# reusing a column NAME (`score`, `freq`, `c`) does not inherit an
+# unearned pass (r06 ADVICE).
 _PERCENTILE_DOMAIN_ALLOWLIST = {
     # TPC-H money: prices are DECIMAL-derived cent values — distinct
     # count <= price span x 100, independent of order count
-    # (outliers_iqr_price, percentile_prices_by_priority,
-    # approx_percentile_prices)
-    "o_totalprice": "cents: distinct <= price span x 100",
+    ("outliers_iqr_price", "o_totalprice"):
+        "cents: distinct <= price span x 100",
+    ("percentile_prices_by_priority", "o_totalprice"):
+        "cents: distinct <= price span x 100",
+    # approx_percentile_prices carries an exact-percentile reference
+    # column next to the approx estimate — same cents domain
+    ("approx_percentile_prices", "o_totalprice"):
+        "cents: distinct <= price span x 100",
     # funnel_latency_quantiles: quantized to whole milliseconds before
     # the percentile — distinct <= corpus time span in ms
-    "latency_s": "ms quantum: distinct <= event time span in ms",
+    ("funnel_latency_quantiles", "latency_s"):
+        "ms quantum: distinct <= event time span in ms",
     # events_rfm_segments: recency quantized to 0.01 h (distinct <=
     # span_hours x 100); freq is a small-int per-user event count
     # (distinct <= max events/user); monetary is cents
-    "recency_h": "0.01 h quantum: distinct <= time span in h x 100",
-    "freq": "small-int count: distinct <= max events per user",
-    "monetary": "cents: distinct <= value span x 100",
+    ("events_rfm_segments", "recency_h"):
+        "0.01 h quantum: distinct <= time span in h x 100",
+    ("events_rfm_segments", "freq"):
+        "small-int count: distinct <= max events per user",
+    ("events_rfm_segments", "monetary"):
+        "cents: distinct <= value span x 100",
     # quality_winsorize: scores are round(,6) values in [0, 1] —
     # distinct <= ~1e6 per lang at any corpus size
-    "score": "round(,6) in [0,1]: distinct <= ~1e6",
+    ("quality_winsorize", "score"):
+        "round(,6) in [0,1]: distinct <= ~1e6",
     # events_anomaly_mad: both inputs aggregate the HOURLY ROLLUP —
     # rows AND distinct values bounded by calendar hours x event
     # types, never by event count (100x the traffic lands in the same
     # rollup rows)
-    "c": "hourly rollup count: rows <= calendar hours x types",
-    "absdev": "deviation of the hourly rollup: same calendar bound",
+    ("events_anomaly_mad", "c"):
+        "hourly rollup count: rows <= calendar hours x types",
+    ("events_anomaly_mad", "absdev"):
+        "deviation of the hourly rollup: same calendar bound",
 }
 
-_EXACT_PERCENTILE_RE = None
+_EXACT_PERCENTILE_TOKEN_RE = None
+_EXACT_PERCENTILE_ATTR_RE = None
 
 
 def _assert_percentile_inputs_bounded(name: str, plan: str) -> None:
     import re
 
-    global _EXACT_PERCENTILE_RE
-    if _EXACT_PERCENTILE_RE is None:
+    global _EXACT_PERCENTILE_TOKEN_RE, _EXACT_PERCENTILE_ATTR_RE
+    if _EXACT_PERCENTILE_TOKEN_RE is None:
         # matches the exact Percentile aggregate only — not
         # approx_percentile / percentile_approx (different function
         # tokens in the plan string)
-        _EXACT_PERCENTILE_RE = re.compile(r"(?<![_a-zA-Z])percentile\((\w+)#")
-    for m in _EXACT_PERCENTILE_RE.finditer(plan):
-        col = m.group(1)
-        assert col in _PERCENTILE_DOMAIN_ALLOWLIST, (
+        _EXACT_PERCENTILE_TOKEN_RE = re.compile(
+            r"(?<![_a-zA-Z])percentile\("
+        )
+        # a PLAIN attribute input: `col#123` or `col#123L` followed by
+        # the argument separator — anything else (cast(...), a
+        # computed expression) is opaque to the domain argument and
+        # must be aliased to a named quantized column first
+        _EXACT_PERCENTILE_ATTR_RE = re.compile(r"^(\w+)#\d+L?\s*[,)]")
+    for tok in _EXACT_PERCENTILE_TOKEN_RE.finditer(plan):
+        rest = plan[tok.end():tok.end() + 120]
+        attr = _EXACT_PERCENTILE_ATTR_RE.match(rest)
+        assert attr is not None, (
+            f"{name}: exact percentile over a non-attribute input "
+            f"(`percentile({rest[:40]}...`) — the sweep cannot bound an "
+            "expression's distinct-value domain; alias the quantized "
+            "expression to a named column BEFORE the aggregate so the "
+            "input is a plain attribute, then allowlist (query, column)"
+        )
+        col = attr.group(1)
+        assert (name, col) in _PERCENTILE_DOMAIN_ALLOWLIST, (
             f"{name}: exact percentile over `{col}` — its distinct-value "
             "buffer merges into ONE task; quantize the input to a stated "
-            "quantum (cents / ms / 0.01h / round(,6)) and add it to "
-            "_PERCENTILE_DOMAIN_ALLOWLIST with the bound, or use the "
-            "two-phase selection pattern"
+            "quantum (cents / ms / 0.01h / round(,6)) and add "
+            f"(`{name}`, `{col}`) to _PERCENTILE_DOMAIN_ALLOWLIST with "
+            "the bound, or use the two-phase selection pattern"
         )
 
 

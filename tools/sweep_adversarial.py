@@ -5,8 +5,9 @@ rewrites of the sf0.01 tables.  The sf0.001 differential gates in
 tests/ are too small to reach estimator regimes (a sketch's K, an LSH
 band collision, a percentile buffer past one partition), so order-
 statistic and NULL-ordering divergences hide until production scale;
-this sweep runs the SAME compare at 10x under six fixture axes that
-force those regimes.  Round 5 it found four real cross-engine bugs the
+this sweep runs the SAME compare at 10x under the adversarial fixture
+axes defined in ``FIXTURES`` below (no hand-written count — the list
+is the source of truth) to force those regimes.  Round 5 it found four real cross-engine bugs the
 small gates masked (KMV NULL ordering, NULL-key equi-join vs <=>, a
 gram index built from the raw rather than canonical corpus, a driver-
 side incremental reader not collapsing re-delivered duplicate ids).
