@@ -30,6 +30,7 @@ def _registries():
         funnel,
         graph,
         layout,
+        mining,
         multimodal,
         pipeline,
         quality,
@@ -66,6 +67,7 @@ def _registries():
         stats,
         spatial,
         funnel,
+        mining,
         streaming_dedup,
         streaming_rollup,
         scan_opt,
@@ -102,78 +104,63 @@ def _registries():
         pool.update(q)
         pool_oracle.update(o)
 
-    # Round-6 window (r05 verdict task #4 — staleness-driven): (a) new
+    # Round-7 window (staleness-driven, tools/gen_ledger.py): (a) new
     # THIS round (need a first driver row); (b) changed this round
-    # after their latest green row — the two percentile-quantization
-    # fixes (funnel latency -> whole ms, RFM recency -> 0.01 h) and
-    # the three ADVICE float-convention fixes (sample_weighted_k
-    # -0.0, source_unigram_divergence +0.0, embedding_standardize
-    # sqrt clamp); (c) the five consumers of r05's
-    # LAYOUT_FORMAT_VERSION 2->3 bump in operators/_io.py, whose rows
-    # predate that read-path churn — the verdict puts them at the
-    # FRONT of the stale queue; (d) ALL remaining r02-latest rows;
-    # (e) the three r01 leftovers; (f) oldest-r03 filler takes
-    # whatever slots the [:50] cut leaves.  tools/gen_ledger.py
-    # renders the staleness table this list is built from; everything
-    # else keeps pool order behind the window.
+    # after their latest green row — the two r06-ADVICE fixes
+    # (embedding_norm_outliers' in-engine threshold rounding,
+    # minhash_signature_source_sim's canonical-corpus read); (c) ALL
+    # 34 remaining r03-latest rows (the oldest signal left after the
+    # r06 rotation cleared r01/r02); (d) oldest-r04 filler takes the
+    # slots the [:50] cut leaves.  After this round no row should be
+    # older than r04.
     window = [
         # (a) new this round
         *NEW_THIS_ROUND,
-        # (b) code changed after latest green row (r06 fixes)
-        "funnel_latency_quantiles",
-        "events_rfm_segments",
-        "sample_weighted_k",
-        "source_unigram_divergence",
-        "embedding_standardize",
-        # (c) LAYOUT_FORMAT_VERSION churn (read-path dependency)
-        "ann_ivf_probe",
-        "ivf_cell_assignment",
-        "semdedup_cells",
-        "pq_encode_codes",
-        "ann_pq_adc",
-        # (d) r02-latest rows (the whole remaining queue)
-        "agg_pushdown_stats",
-        "ann_lsh_bucketed",
-        "chunk_documents",
-        "cql2_flagship_query",
-        "cql2_orders_filter",
-        "cql2_text_lineitem_filter",
-        "decontaminate_against_holdout",
-        "dpp_orders_by_year",
-        "events_rollup_incremental",
-        "kmeans_embeddings",
-        "knn_brute_force",
-        "mm_frame_sample",
-        "mm_media_manifest",
-        "outliers_iqr_price",
-        "pack_sequences",
-        "retention_weekly_cohorts",
-        "sample_fixed_k",
-        "sample_stratified",
-        "spatial_join_grid",
-        "stac_pipeline_roundtrip",
-        "stac_self_link_coverage",
-        "stats_quantity_price",
-        "table_profile",
-        # (e) r01 leftovers (the verdict's ≤3 allowance, spent here)
-        "approx_distinct_parts",
-        "approx_percentile_prices",
-        "unpivot_flag_metrics",
-        # (f) oldest-r03 filler — the [:50] cut takes what fits
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "asof_last_click_before_purchase",
-        "range_join_clicks_before_purchase",
-        "events_session_window",
-        "window_topk_orders_per_customer",
-        "moving_avg_daily_revenue",
-        "bucketed_colocated_join",
+        # (b) code changed after latest green row (r06 ADVICE fixes)
+        "embedding_norm_outliers",
+        "minhash_signature_source_sim",
+        # (c) r03-latest rows (the whole remaining queue)
+        "agg_orders_by_priority",
+        "anti_join_inactive_customers",
         "bloom_filter_semijoin",
-        "edit_distance_join",
-        "entity_resolution_parts",
+        "bpe_merge_candidates",
+        "bucketed_colocated_join",
         "corpus_yield_funnel",
+        "cross_lang_contamination",
         "decontam_incremental",
+        "dedup_substring_spans",
+        "dq_corpus_report",
+        "dq_report",
+        "dsir_importance_weights",
+        "edit_distance_join",
+        "embedding_class_profile",
+        "embedding_quantize_int8",
+        "entity_resolution_parts",
+        "events_hourly_rollup",
+        "events_k_anonymity",
+        "events_session_window",
+        "fingerprint_winnowing",
+        "intersect_nations",
+        "join_customers_per_region",
+        "layout_zorder_cells",
+        "mm_audio_energy",
+        "moving_avg_daily_revenue",
+        "rebalance_by_lang",
+        "rolling_24h_user_value",
+        "semi_join_active_customers",
+        "sketch_cms_heavy_hitters",
+        "skew_salted_flag_join",
+        "source_mixture_weights",
+        "text_bigram_entropy",
+        "text_zipf_slope",
+        "window_topk_orders_per_customer",
+        # (d) oldest-r04 filler — the [:50] cut takes what fits
+        "cap_docs_per_source",
+        "dedup_containment",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_incremental_minhash",
+        "dedup_ngram_jaccard",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -189,15 +176,16 @@ def _registries():
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
 NEW_THIS_ROUND: list[str] = [
-    "dedup_lines_across_docs",
-    "events_markov_transitions",
-    "graph_degree_distribution",
-    "text_readability",
-    "embedding_norm_outliers",
-    "minhash_signature_source_sim",
-    "dedup_rate_by_source",
-    "vocab_oov_rate_by_lang",
-    "events_anomaly_mad",
+    "basket_part_pairs",
+    "customer_interpurchase",
+    "events_type_cooccurrence_pmi",
+    "events_dau_wau",
+    "orders_pareto_share",
+    "graph_component_sizes",
+    "hll_event_type_overlap",
+    "ann_recall_report",
+    "mixture_epoch_allocation",
+    "text_token_entropy",
 ]
 
 

@@ -240,14 +240,75 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 """
 
 
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs) histogram of near-duplicate
+    cluster sizes — the distribution the survivor/rep-weight policies
+    act on, and the first chart of any dedup report: a long tail of
+    large components is template boilerplate (route to substring/line
+    removal); mostly-2 components are honest mirrors.
+
+    Rides dedup_cluster_cc's converged label table (pair-graph-sized,
+    never the corpus): one keyed aggregate on cluster_id, one on the
+    resulting size — output bounded by the max component size.  Counts
+    only; nothing float."""
+    from stac_geoparquet_spark.operators.dedup import dedup_cluster_cc
+
+    cc = dedup_cluster_cc(spark, sf_dir).select("cluster_id")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
+def _component_sizes_oracle_sql() -> str:
+    # same WITH RECURSIVE reachability walk as dedup_cluster_cc's
+    # oracle (dedup.py _cluster_oracle_sql), reduced to the size
+    # histogram
+    return f"""
+WITH RECURSIVE {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.doc_id
+),
+members AS (
+  SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+),
+csize AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM members GROUP BY cluster_id
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM csize GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "pagerank_neardup_graph": pagerank_neardup_graph,
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_distribution": graph_degree_distribution,
+    "graph_component_sizes": graph_component_sizes,
 }
 
 ORACLE = {
     "pagerank_neardup_graph": _pagerank_oracle_sql(),
     "graph_triangle_count": _triangle_oracle_sql(),
     "graph_degree_distribution": _degree_dist_oracle_sql(),
+    "graph_component_sizes": _component_sizes_oracle_sql(),
 }

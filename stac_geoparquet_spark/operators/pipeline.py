@@ -1316,7 +1316,97 @@ FROM shared, z
 """
 
 
+# --------------------------------------------------------------------------
+# Epoch-allocation mixture plan: turn temperature weights + a token
+# budget into a per-source sampling plan — epochs_s = how many times
+# the sampler passes over source s.  The operational step AFTER
+# mixture_temperature_weights: a weight that implies >MAX_EPOCHS
+# repetition of a tiny source is capped (repeating a small source 40x
+# is how memorization happens), and the plan reports what each source
+# actually contributes.  Budget = half the corpus' tokens (scale-free
+# constant fraction).  Shape: ONE token-count aggregate on source,
+# two broadcast scalar totals (the mixture_temperature_weights
+# pattern) — nothing data-sized moves.  Floats: z is a sum over the
+# SOURCE alphabet (bounded count); epochs is rounded at 1e-6, ~9
+# orders above the z merge-order noise, and granted_tokens derives
+# from the ALREADY-ROUNDED epochs so the integer output cannot see
+# sub-quantum noise.  Zero-token sources are excluded on both engines
+# (epochs of an empty source is undefined).
+# --------------------------------------------------------------------------
+EPOCH_CAP = 4.0  # max passes over any single source
+BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
+
+
+def mixture_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.size(_words(F.col("text"))).cast("bigint"), F.lit(0)
+                )
+            ).alias("n_tokens")
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    total = per.agg(F.sum("n_tokens").alias("total"))
+    shared = per.join(F.broadcast(total)).withColumn(
+        "p_alpha",
+        F.pow(
+            F.col("n_tokens") / F.col("total").cast("double"),
+            F.lit(MIXTURE_ALPHA),
+        ),
+    )
+    z = shared.agg(F.sum("p_alpha").alias("z"))
+    budget = F.round(F.col("total") * F.lit(BUDGET_FRAC))
+    epochs = F.round(
+        F.least(
+            (F.col("p_alpha") / F.col("z")) * budget
+            / F.col("n_tokens").cast("double"),
+            F.lit(EPOCH_CAP),
+        ),
+        6,
+    )
+    return shared.join(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("temp_weight"),
+        epochs.alias("epochs"),
+        F.round(epochs * F.col("n_tokens").cast("double"))
+        .cast("bigint")
+        .alias("granted_tokens"),
+    )
+
+
+EPOCH_ALLOC_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(coalesce(len({_SQL_WORDS}), 0)) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+  HAVING sum(coalesce(len({_SQL_WORDS}), 0)) > 0
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+shared AS (
+  SELECT source, n_tokens, total,
+         pow(n_tokens / CAST(total AS DOUBLE), {MIXTURE_ALPHA}) AS p_alpha
+  FROM per, t
+),
+z AS (SELECT sum(p_alpha) AS z FROM shared)
+SELECT source, n_tokens,
+       round(p_alpha / z, 6) AS temp_weight,
+       round(least((p_alpha / z) * round(total * {BUDGET_FRAC})
+                   / CAST(n_tokens AS DOUBLE), {EPOCH_CAP}), 6) AS epochs,
+       CAST(round(round(least((p_alpha / z) * round(total * {BUDGET_FRAC})
+                              / CAST(n_tokens AS DOUBLE), {EPOCH_CAP}), 6)
+                  * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS granted_tokens
+FROM shared, z
+"""
+
+
 QUERIES_ROTATION = {
+    "mixture_epoch_allocation": mixture_epoch_allocation,
     "sample_weighted_k": sample_weighted_k,
     "mixture_temperature_weights": mixture_temperature_weights,
     "cap_docs_per_source": cap_docs_per_source,
@@ -1326,6 +1416,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "mixture_epoch_allocation": EPOCH_ALLOC_SQL,
     "sample_weighted_k": SAMPLE_WEIGHTED_SQL,
     "mixture_temperature_weights": MIXTURE_TEMP_SQL,
     "cap_docs_per_source": _cap_oracle_sql(),

@@ -2064,7 +2064,83 @@ FROM n, s
 """
 
 
+# --------------------------------------------------------------------------
+# ANN index-quality evaluation — recall@K of the LSH-bucketed index
+# against the brute-force ground truth, per query.  The eval a
+# pipeline MUST run before trusting an approximate index for dedup or
+# retrieval decisions (a silently-low-recall index under-deduplicates
+# with no other symptom).  Composition of the two existing operators:
+# the ground-truth side scores only the BOUNDED query sample
+# (N_QUERIES rows broadcast against the corpus — the documented
+# brute-force baseline), the index side is the bucket equi-join; the
+# recall join keys on (query_id, neighbor_id) with <= K rows per
+# query on each side, so the whole report is |Q| x K sized.  Counts
+# int64; recall is one division, round(,6).
+# --------------------------------------------------------------------------
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    hits = (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor_id),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(n_ann, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _recall_oracle_sql() -> str:
+    # the two existing oracles embedded as named subqueries (DuckDB
+    # allows a WITH inside a CTE body), joined on the neighbor identity
+    return f"""
+WITH knn AS ({KNN_SQL}),
+ann AS ({_ann_oracle_sql()}),
+ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM knn GROUP BY query_id),
+na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ann
+       FROM ann GROUP BY query_id),
+hits AS (
+  SELECT knn.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM knn JOIN ann ON ann.query_id = knn.query_id
+                   AND ann.neighbor_id = knn.neighbor_id
+  GROUP BY knn.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
+         AS recall
+FROM ne
+LEFT JOIN na ON na.query_id = ne.query_id
+LEFT JOIN hits ON hits.query_id = ne.query_id
+"""
+
+
 QUERIES_ROTATION = {
+    "ann_recall_report": ann_recall_report,
     "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_standardize": embedding_standardize,
     "embedding_class_profile": embedding_class_profile,
@@ -2077,6 +2153,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "ann_recall_report": _recall_oracle_sql(),
     "embedding_norm_outliers": NORM_OUTLIER_SQL,
     "embedding_standardize": _standardize_oracle_sql(),
     "embedding_class_profile": CLASS_PROFILE_SQL,

@@ -791,6 +791,201 @@ FROM folded
 
 
 # --------------------------------------------------------------------------
+# HLL set algebra — pairwise event-type audience overlap via sketch
+# UNION (register-wise max) + inclusion–exclusion.  THE reason HLL
+# earns its place over exact count-distinct at 100 TB: the |types|²/2
+# pair estimates all derive from the ONE per-type register table (m
+# ints per type), so adding a pair costs a 64-row merge, never a data
+# scan.  est_intersection = est_a + est_b − est_union on the
+# rounded(,4) singles — a fixed-order 2-op float expression, identical
+# on both engines.  The exact per-pair intersection rides along for
+# reference, computed from the DEDUPED (type, user) pairs — a within-
+# user self-join whose fan-out is bounded by the type ALPHABET, so it
+# stays honest at any event volume (the sf-scale estimator-regime
+# check lives with the other HLL rows in the adversarial sweep).
+# Z-sums are sums of dyadic 2^-m_j terms — exact in a double under
+# any merge order (the sketch_hll_distinct argument).
+# --------------------------------------------------------------------------
+def hll_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    hashed = _hll_hashed(ev)
+    state = _hll_state(hashed)
+    singles = _hll_present(state).select(
+        "event_type", F.col("hll_estimate").alias("est")
+    )
+    types = state.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    ua = state.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_a")
+    ).select("type_a", "type_b", "bucket", "m_j")
+    ub = state.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_b")
+    ).select("type_a", "type_b", "bucket", "m_j")
+    # union-of-sketches: register-wise max over the two types' states
+    pstate = (
+        ua.union(ub)
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    pfold = pstate.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
+    )
+    # same presentation fold as _hll_present, keyed by the pair
+    # (duplicated rather than refactored so the single-type readers'
+    # code path — and their driver rows — stay untouched)
+    m = float(HLL_M)
+    v = F.lit(HLL_M) - F.col("used")
+    z = F.col("z_used") + v.cast("double")
+    e_raw = F.lit(HLL_ALPHA * m * m) / z
+    est_u = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(m) * F.log(F.lit(m) / v.cast("double")),
+    ).otherwise(e_raw)
+    punion = pfold.select(
+        "type_a", "type_b", F.round(est_u, 4).alias("est_union")
+    )
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("est").alias("est_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("est").alias("est_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(punion, ["type_a", "type_b"])
+        .join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            # inclusion–exclusion on already-rounded values; +0.0
+            # normalizes a −0.0 from near-total-overlap cancellation
+            (
+                F.round(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+                )
+                + F.lit(0.0)
+            ).alias("est_intersection"),
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias(
+                "inter_exact"
+            ),
+        )
+    )
+
+
+_HLL_EST_CASE = f"""CASE WHEN {HLL_ALPHA} * {HLL_M}.0 * {HLL_M}
+                       / (z_used + ({HLL_M} - used)) <= {2.5 * HLL_M}
+                   AND used < {HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - used))
+                  ELSE {HLL_ALPHA} * {HLL_M}.0 * {HLL_M}
+                       / (z_used + ({HLL_M} - used))
+             END"""
+
+HLL_OVERLAP_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+           ::BIGINT AS uh
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+state AS (
+  SELECT event_type, uh % {HLL_M} AS bucket,
+         max(CASE WHEN uh // {HLL_M} = 0 THEN 27
+                  ELSE 27 - length(bin(uh // {HLL_M})) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+sfold AS (
+  SELECT event_type, count(*) AS used,
+         sum(pow(2.0, -m_j)) AS z_used
+  FROM state GROUP BY event_type
+),
+singles AS (
+  SELECT event_type, round({_HLL_EST_CASE}, 4) AS est FROM sfold
+),
+types AS (SELECT DISTINCT event_type FROM state),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT p.type_a, p.type_b, s.bucket, s.m_j
+  FROM pairs p JOIN state s ON s.event_type = p.type_a
+  UNION ALL
+  SELECT p.type_a, p.type_b, s.bucket, s.m_j
+  FROM pairs p JOIN state s ON s.event_type = p.type_b
+),
+pstate AS (
+  SELECT type_a, type_b, bucket, max(m_j) AS m_j
+  FROM u GROUP BY 1, 2, 3
+),
+pfold AS (
+  SELECT type_a, type_b, count(*) AS used,
+         sum(pow(2.0, -m_j)) AS z_used
+  FROM pstate GROUP BY 1, 2
+),
+punion AS (
+  SELECT type_a, type_b, round({_HLL_EST_CASE}, 4) AS est_union
+  FROM pfold
+),
+du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
+),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM du x
+  JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, sa.est AS est_a, sb.est AS est_b,
+       pu.est_union,
+       round(sa.est + sb.est - pu.est_union, 4) + 0.0 AS est_intersection,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS inter_exact
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+JOIN punion pu ON pu.type_a = p.type_a AND pu.type_b = p.type_b
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash SIGNATURE source similarity — the fixed-size mergeable
 # companion to kmv_source_overlap.  Where KMV keeps each source's
 # bottom-K hash SET (variable content, two-phase bottom-K merge),
@@ -884,6 +1079,7 @@ FROM sig a JOIN sig b ON a.source < b.source
 
 
 QUERIES_ROTATION = {
+    "hll_event_type_overlap": hll_event_type_overlap,
     "minhash_signature_source_sim": minhash_signature_source_sim,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "kmv_source_overlap": kmv_source_overlap,
@@ -892,6 +1088,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "hll_event_type_overlap": HLL_OVERLAP_SQL,
     "minhash_signature_source_sim": _mhsig_oracle_sql(),
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
     "kmv_source_overlap": KMV_OVERLAP_SQL,

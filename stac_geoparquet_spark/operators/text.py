@@ -1393,7 +1393,62 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Per-document token entropy: Shannon entropy of the doc's own token
+# distribution — the repetition/diversity screen that catches
+# keyword-stuffed and template-generated pages quality_repetition's
+# fixed-window max misses (a page cycling 5 phrases has high window
+# diversity but low entropy).  Written as H = ln(n) − Σ c·ln(c) / n
+# so a fully-distinct doc is EXACTLY ln(n) (the Σ term is 0) and an
+# all-same doc cancels to 0.  One explode + two keyed aggregates on
+# (doc_id, tok) then doc_id — both scaling keys.  Float margin: the
+# Σ c·ln(c) sum is per-doc (≤ tokens/doc terms, bounded by doc
+# length), merge-order noise ~1e-14 relative against the 1e-6
+# rounding quantum; +0.0 normalizes the cancellation case's −0.0.
+# Raw corpus read, the text_token_count family convention (the
+# oracle reads raw too; dup ids agree row-for-row).
+# --------------------------------------------------------------------------
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("tok")
+    )
+    counts = docs.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        (
+            F.round(
+                F.log(n)
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("token_entropy"),
+    )
+
+
+TOKEN_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_words()}) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_unique,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(c * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS token_entropy
+FROM counts GROUP BY doc_id
+"""
+
+
 QUERIES_ROTATION = {
+    "text_token_entropy": text_token_entropy,
     "vocab_oov_rate_by_lang": vocab_oov_rate_by_lang,
     "text_readability": text_readability,
     "quality_winsorize": quality_winsorize,
@@ -1408,6 +1463,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "text_token_entropy": TOKEN_ENTROPY_SQL,
     "vocab_oov_rate_by_lang": OOV_RATE_SQL,
     "text_readability": READABILITY_SQL,
     "quality_winsorize": WINSORIZE_SQL,

@@ -95,6 +95,22 @@ SINGLEROW_SAMPLE = [
     "dedup_rate_by_source",
     "vocab_oov_rate_by_lang",
     "events_anomaly_mad",
+    # round-7: one lineitem has no pair partner; one order has no lag
+    # gap; a single event is one (user, type) and one active day; one
+    # customer is every percentile cut at once; a 1-doc pair graph is
+    # empty (component sizes empty); one type has no overlap pair; a
+    # 1-source plan grants min(budget/tokens, cap) epochs; 1 doc = 1
+    # entropy row; 1 vector leaves the ANN query set empty
+    "basket_part_pairs",
+    "customer_interpurchase",
+    "events_type_cooccurrence_pmi",
+    "events_dau_wau",
+    "orders_pareto_share",
+    "graph_component_sizes",
+    "hll_event_type_overlap",
+    "mixture_epoch_allocation",
+    "text_token_entropy",
+    "ann_recall_report",
 ]
 
 CONSTANT_SAMPLE = [
@@ -128,6 +144,13 @@ CONSTANT_SAMPLE = [
     "vocab_oov_rate_by_lang",
     "events_markov_transitions",
     "events_anomaly_mad",
+    # round-7: a constant part key yields no a<b pair; a single event
+    # type collapses the PMI/overlap pair sets to empty; a single
+    # source takes the whole epoch budget
+    "basket_part_pairs",
+    "events_type_cooccurrence_pmi",
+    "hll_event_type_overlap",
+    "mixture_epoch_allocation",
 ]
 
 

@@ -98,6 +98,17 @@ SAMPLE = [
     "dedup_rate_by_source",
     "vocab_oov_rate_by_lang",
     "events_anomaly_mad",
+    # round-7
+    "basket_part_pairs",
+    "customer_interpurchase",
+    "events_type_cooccurrence_pmi",
+    "events_dau_wau",
+    "orders_pareto_share",
+    "graph_component_sizes",
+    "hll_event_type_overlap",
+    "mixture_epoch_allocation",
+    "text_token_entropy",
+    "ann_recall_report",
 ]
 
 TABLES = (
@@ -138,6 +149,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "funnel_view_click_purchase",
         "graph_triangle_count",
         "funnel_latency_quantiles",
+        # fixed 3-segment report: NULL-valued rows on both engines
+        # (the oracle's UNION ALL of three empty-table aggregates)
+        "orders_pareto_share",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

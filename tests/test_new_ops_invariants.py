@@ -1430,3 +1430,211 @@ def test_dup_rate_report_reconciles_with_survivors(spark):
         1 for s in surv if not s["keep"]
     )
     assert sum(r["n_docs"] for r in report) == len(surv)
+
+
+# ---------------------------------------------------------------------------
+# round-7 operators
+# ---------------------------------------------------------------------------
+def test_basket_pairs_support_and_lift_consistency(spark):
+    """Every emitted pair meets the support floor, is canonically
+    ordered, and its lift reconstructs from independently-counted
+    margins (support * N / (n_a * n_b))."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.mining import (
+        MIN_SUPPORT,
+        basket_part_pairs,
+    )
+
+    rows = basket_part_pairs(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'lineitem.parquet')}'"
+    )
+    n_orders = con.execute(
+        "SELECT count(DISTINCT l_orderkey) FROM li"
+    ).fetchone()[0]
+    margins = dict(
+        con.execute(
+            "SELECT l_partkey, count(*) FROM "
+            "(SELECT DISTINCT l_orderkey, l_partkey FROM li) GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["support"] >= MIN_SUPPORT
+        expect = round(
+            r["support"] * n_orders
+            / (margins[r["part_a"]] * margins[r["part_b"]]),
+            6,
+        )
+        assert abs(r["lift"] - expect) < 1e-9
+
+
+def test_interpurchase_gap_counts_match_order_counts(spark):
+    """n_gaps must be exactly (orders - 1) per customer with >= 2
+    orders, and avg <= max."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.mining import customer_interpurchase
+
+    rows = customer_interpurchase(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT o_custkey, count(*) FROM "
+            f"'{os.path.join(SF_DIR, 'orders.parquet')}' GROUP BY 1"
+        ).fetchall()
+    )
+    multi = {k for k, v in counts.items() if v >= 2}
+    assert {r["o_custkey"] for r in rows} == multi
+    for r in rows:
+        assert r["n_gaps"] == counts[r["o_custkey"]] - 1
+        assert r["avg_gap_days"] <= r["max_gap_days"] + 1e-9
+
+
+def test_dau_wau_bounds(spark):
+    """WAU dominates DAU on every reported day, and stickiness is in
+    (0, 1]."""
+    from stac_geoparquet_spark.operators.mining import events_dau_wau
+
+    rows = events_dau_wau(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["wau"] >= r["dau"] >= 1
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_pareto_shares_are_monotone(spark):
+    """A wider top-slice can only add customers and revenue share; the
+    1% slice is non-empty and every share is in (0, 1]."""
+    from stac_geoparquet_spark.operators.mining import orders_pareto_share
+
+    out = {
+        r["segment"]: r for r in orders_pareto_share(spark, SF_DIR).collect()
+    }
+    assert set(out) == {"top_1pct", "top_5pct", "top_10pct"}
+    assert (
+        out["top_1pct"]["n_top"]
+        <= out["top_5pct"]["n_top"]
+        <= out["top_10pct"]["n_top"]
+    )
+    assert (
+        0.0
+        < out["top_1pct"]["revenue_share"]
+        <= out["top_5pct"]["revenue_share"]
+        <= out["top_10pct"]["revenue_share"]
+        <= 1.0
+    )
+
+
+def test_component_sizes_reconcile_with_cc_labels(spark):
+    """The histogram must account for every clustered doc exactly:
+    sum(n_docs) == |CC label table|, and no component is a singleton
+    (labels only exist for pair-graph members)."""
+    from stac_geoparquet_spark.operators.dedup import dedup_cluster_cc
+    from stac_geoparquet_spark.operators.graph import graph_component_sizes
+
+    hist = graph_component_sizes(spark, SF_DIR).collect()
+    n_labeled = dedup_cluster_cc(spark, SF_DIR).count()
+    assert sum(r["n_docs"] for r in hist) == n_labeled
+    for r in hist:
+        assert r["cluster_size"] >= 2
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_hll_overlap_estimates_bracket_exact(spark):
+    """Sketch set algebra sanity on every pair: the union estimate
+    dominates each single estimate (registers merge by max, modulo the
+    linear-counting switch — allow 2%), inclusion-exclusion
+    reconstructs exactly from the three published estimates, and the
+    intersection estimate lands within the standard HLL error budget
+    (~1.04/sqrt(64) per sketch, 3 sketches -> allow 40% of union) of
+    the exact intersection."""
+    from stac_geoparquet_spark.operators.stats import hll_event_type_overlap
+
+    rows = hll_event_type_overlap(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.98
+        recon = round(r["est_a"] + r["est_b"] - r["est_union"], 4)
+        assert abs(recon - r["est_intersection"]) < 1e-9
+        budget = max(r["est_union"], 1.0) * 0.4
+        assert abs(r["est_intersection"] - r["inter_exact"]) <= budget
+
+
+def test_epoch_allocation_respects_cap_and_budget(spark):
+    """No source exceeds the epoch cap; the granted total never
+    exceeds the budget (uncapped grants sum to exactly w*B <= B, caps
+    only shrink); granted_tokens reconstructs from epochs."""
+    from stac_geoparquet_spark.operators.pipeline import (
+        BUDGET_FRAC,
+        EPOCH_CAP,
+        mixture_epoch_allocation,
+    )
+
+    rows = mixture_epoch_allocation(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    budget = round(total * BUDGET_FRAC)
+    for r in rows:
+        assert 0.0 < r["epochs"] <= EPOCH_CAP + 1e-9
+        assert r["granted_tokens"] == round(r["epochs"] * r["n_tokens"])
+    assert sum(r["granted_tokens"] for r in rows) <= budget + len(rows)
+
+
+def test_token_entropy_bounds(spark):
+    """0 <= H <= ln(n_tokens), with equality at the all-distinct
+    (H == ln n) and single-token (H == 0) extremes."""
+    import math
+
+    from stac_geoparquet_spark.operators.text import text_token_entropy
+
+    rows = text_token_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["token_entropy"] <= math.log(r["n_tokens"]) + 1e-6
+        if r["n_unique"] == r["n_tokens"]:
+            assert abs(r["token_entropy"] - round(math.log(r["n_tokens"]), 6)) < 1e-6
+        if r["n_unique"] == 1:
+            assert r["token_entropy"] == 0.0
+
+
+def test_recall_report_counts_are_consistent(spark):
+    """n_hits <= min(n_exact, n_ann), recall in [0, 1], and every
+    query vector is reported."""
+    from stac_geoparquet_spark.operators.similarity import (
+        N_QUERIES,
+        ann_recall_report,
+    )
+
+    rows = ann_recall_report(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["n_hits"] <= min(r["n_exact"], r["n_ann"])
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_pmi_pairs_cover_type_alphabet(spark):
+    """Every unordered type pair with at least one co-active user is
+    emitted once, canonically ordered."""
+    from stac_geoparquet_spark.operators.mining import (
+        events_type_cooccurrence_pmi,
+    )
+
+    rows = events_type_cooccurrence_pmi(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["n_both"] >= 1
+        key = (r["type_a"], r["type_b"])
+        assert key not in seen
+        seen.add(key)

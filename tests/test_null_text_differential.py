@@ -68,6 +68,12 @@ SAMPLE = [
     "text_readability",
     "vocab_oov_rate_by_lang",
     "minhash_signature_source_sim",
+    # round-7 doc-table ops: NULL text explodes to no tokens
+    # (entropy / epoch counts); the component histogram rides the
+    # minhash pair graph's NULL handling
+    "text_token_entropy",
+    "mixture_epoch_allocation",
+    "graph_component_sizes",
     "dedup_rate_by_source",
 ]
 
@@ -122,6 +128,7 @@ def test_null_injected_oracle_agreement(spark, null_dir, name):
 VEC_SAMPLE = [
     "knn_brute_force",
     "ann_lsh_bucketed",
+    "ann_recall_report",
     "ann_ivf_probe",
     "ann_pq_adc",
     "pq_encode_codes",
@@ -315,6 +322,13 @@ REL_SAMPLE = [
     "window_topk_orders_per_customer",
     "gapfill_hourly_purchases",
     "dq_report",
+    # round-7: NULL keys excluded before the basket distinct (the
+    # count-DISTINCT divergence), NULL dates before the lag window
+    # (the NULL-ordering divergence), NULL prices skipped by sum /
+    # percentile identically
+    "basket_part_pairs",
+    "customer_interpurchase",
+    "orders_pareto_share",
 ]
 
 
@@ -735,6 +749,11 @@ EVENTS_SAMPLE = [
     # both engines
     "events_markov_transitions",
     "events_anomaly_mad",
+    # round-7: NULL user/type carries no co-occurrence identity (PMI,
+    # HLL overlap); NULL ts/user has no activity day (DAU/WAU)
+    "events_type_cooccurrence_pmi",
+    "events_dau_wau",
+    "hll_event_type_overlap",
 ]
 
 

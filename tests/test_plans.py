@@ -1292,3 +1292,132 @@ def test_dup_rate_by_source_is_one_keyed_rollup(spark, sf):
     assert plan.count("hashpartitioning(source") >= 1 or n_ops(
         plan, "HashAggregate"
     ) >= 2
+
+
+# ---------------------------------------------------------------------------
+# round-7 operators
+# ---------------------------------------------------------------------------
+def test_basket_pairs_equi_join_no_cartesian(spark, sf):
+    """Pair generation is a self-EQUI-join on l_orderkey (per-order
+    fan-out bounded by basket size); lift joins are keyed; the only
+    unconditioned join is the broadcast of the 1-row order-count
+    aggregate.  No window, no Python."""
+    from stac_geoparquet_spark.operators import mining
+
+    plan = plan_of(mining.basket_part_pairs(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(l_orderkey" in plan or "l_orderkey" in plan
+
+
+def test_interpurchase_single_custkey_shuffle(spark, sf):
+    """The lag window and the per-customer rollup share ONE custkey
+    exchange (the events_decayed_activity shape): 1 Exchange, 1
+    Window, no join."""
+    from stac_geoparquet_spark.operators import mining
+
+    plan = plan_of(mining.customer_interpurchase(spark, sf))
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "Exchange") == 1
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_pmi_within_user_join_broadcast_singles(spark, sf):
+    """Type pairs come from a within-user equi-join of the DEDUPED
+    (user, type) pairs; the singles/total tables join back broadcast.
+    No cartesian product, no window."""
+    from stac_geoparquet_spark.operators import mining
+
+    plan = plan_of(mining.events_type_cooccurrence_pmi(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "BroadcastHashJoin") >= 2
+
+
+def test_dau_wau_explodes_only_deduped_pairs(spark, sf):
+    """The x7 window-day fan-out (Generate) sits ABOVE the (user, day)
+    dedup aggregate — event volume never rides the explode; no window
+    function anywhere."""
+    from stac_geoparquet_spark.operators import mining
+
+    plan = plan_of(mining.events_dau_wau(spark, sf))
+    assert n_ops(plan, "Generate") == 1
+    assert n_ops(plan, "Window") == 0
+    # the explode input is the deduped day-user aggregate, so a
+    # partial+final pair must appear BELOW the Generate in the tree
+    assert n_ops(plan, "HashAggregate") >= 4
+
+
+def test_pareto_thresholds_are_literals(spark, sf):
+    """The three percentile cuts are collected at build time (3
+    scalars, constant-bounded); the RETURNED plan is conditional
+    aggregates with literal thresholds — no percentile aggregate, no
+    window, no join beyond the union of the three 1-row selects."""
+    from stac_geoparquet_spark.operators import mining
+
+    plan = plan_of(mining.orders_pareto_share(spark, sf))
+    assert "percentile" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "Union") == 1
+
+
+def test_component_sizes_rides_fenced_labels(spark, sf):
+    """The size histogram reads dedup_cluster_cc's fenced label table
+    (pair-graph-sized) — the returned plan never rescans the corpus —
+    and adds two keyed aggregates."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_component_sizes(spark, sf))
+    assert "documents.parquet" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "HashAggregate") >= 4
+
+
+def test_hll_overlap_register_merge_is_bounded(spark, sf):
+    """Pair estimates derive from the per-type register table (m rows
+    per type): the pair fan-out joins STATE, not events, and the
+    exact-intersection reference self-joins the DEDUPED (type, user)
+    pairs.  No cartesian product, no window, no Python."""
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.hll_event_type_overlap(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recall_report_joins_bounded_topk(spark, sf):
+    """Recall joins two <=|Q|xK result sets on (query_id, neighbor_id)
+    — every join in the plan is an equi-join; no cartesian product.
+    The Python stages are the two inputs' Arrow-batched scorers."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.ann_recall_report(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "BroadcastHashJoin") + n_ops(plan, "SortMergeJoin") >= 2
+
+
+def test_epoch_allocation_is_one_rollup_two_scalars(spark, sf):
+    """ONE groupBy(source) token rollup (partial+final), two broadcast
+    scalar totals (the mixture_temperature_weights shape); no window,
+    no sort-merge join, no Python."""
+    from stac_geoparquet_spark.operators import pipeline as pipeline_mod
+
+    plan = plan_of(pipeline_mod.mixture_epoch_allocation(spark, sf))
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_entropy_two_keyed_aggregates(spark, sf):
+    """Explode once, then (doc_id, tok) and doc_id aggregates — both
+    on scaling keys; no window, no join, no Python."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.text_token_entropy(spark, sf))
+    assert n_ops(plan, "Generate") == 1
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert n_ops(plan, "HashAggregate") >= 4

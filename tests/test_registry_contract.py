@@ -101,6 +101,10 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     # the documented brute-force BASELINE (the scale path is ann_*);
     # its global scoring pass is the point of the operator
     ("knn_brute_force", ("query_id",)),
+    # recall eval composes knn_brute_force + ann_lsh_bucketed, so the
+    # two inputs' (already-allowlisted) query_id ranking windows appear
+    # in its plan; each window input is the bounded candidate set
+    ("ann_recall_report", ("query_id",)),
     # trailing-baseline z-score: the window's input is the HOURLY
     # ROLLUP, whose per-type row count is bounded by calendar hours,
     # not corpus size (100x the events in the same time range = the
@@ -150,6 +154,11 @@ _PERCENTILE_DOMAIN_ALLOWLIST = {
     # distinct <= ~1e6 per lang at any corpus size
     ("quality_winsorize", "score"):
         "round(,6) in [0,1]: distinct <= ~1e6",
+    # orders_pareto_share: per-customer revenue as an exact cent sum
+    # (the RFM-monetary precedent): distinct <= revenue span x 100 —
+    # bounded by the value domain, not the customer count
+    ("orders_pareto_share", "rev_cents"):
+        "cents: distinct <= revenue span x 100",
     # events_anomaly_mad: both inputs aggregate the HOURLY ROLLUP —
     # rows AND distinct values bounded by calendar hours x event
     # types, never by event count (100x the traffic lands in the same
