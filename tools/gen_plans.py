@@ -286,6 +286,42 @@ SHOWCASE = [
         "bounded source totals fall out of the final aggregate instead of "
         "a window over the ~20-value source key the registry sweep bans.",
     ),
+    (
+        "basket_part_pairs",
+        "Pair mining as a self-EQUI-join on the order key (per-order "
+        "fan-out bounded by basket size, never a cartesian pair space); "
+        "lift margins join back keyed and the 1-row order count is the "
+        "only broadcast-nested-loop input.",
+    ),
+    (
+        "events_dau_wau",
+        "Distinct-over-window without a window: the x7 day fan-out "
+        "(Generate) sits ABOVE the (user, day) dedup aggregate, so event "
+        "volume never rides the explode and WAU is a keyed count of "
+        "re-deduped pairs.",
+    ),
+    (
+        "hll_event_type_overlap",
+        "Sketch set algebra: every pairwise union merges the per-type "
+        "REGISTER table (m rows/type) — adding a pair costs a 64-row "
+        "max-merge, never an events rescan; the exact reference "
+        "self-joins deduped (type, user) pairs with alphabet-bounded "
+        "fan-out.",
+    ),
+    (
+        "ann_recall_report",
+        "Index eval joins two <=|Q|xK top-K sets on (query, neighbor); "
+        "the ground-truth side scores only the bounded query sample and "
+        "the index side reuses the bucket equi-join — recall is a keyed "
+        "count ratio, no new data-sized stage.",
+    ),
+    (
+        "text_token_entropy",
+        "Per-doc entropy in the ln(n) - sum(c ln c)/n form: one explode, "
+        "two map-side-combined aggregates on scaling keys — no window, "
+        "no join, and the per-doc float sum is bounded by doc length so "
+        "round(,6) sits ~8 orders above merge noise.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
