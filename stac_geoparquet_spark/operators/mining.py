@@ -422,20 +422,23 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c[1].alias(f"n_{i}") for i, c in enumerate(conds)],
         *[c[2].alias(f"r_{i}") for i, c in enumerate(conds)],
     )
-    rows = [
-        agg.select(
-            F.lit(label).alias("segment"),
-            F.col(f"n_{i}").alias("n_top"),
-            F.round(
-                F.col(f"r_{i}").cast("double") / F.col("total_cents"), 6
-            ).alias("revenue_share"),
-        )
-        for i, (q, label) in enumerate(PARETO_CUTS)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    # ONE aggregate, fanned to the 3 segment rows by an in-row explode
+    # — a UNION of per-segment selects would plan the customer rollup
+    # (and the orders scan under it) once PER SEGMENT at scale
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("segment"),
+                F.col(f"n_{i}").alias("n_top"),
+                F.round(
+                    F.col(f"r_{i}").cast("double") / F.col("total_cents"),
+                    6,
+                ).alias("revenue_share"),
+            )
+            for i, (q, label) in enumerate(PARETO_CUTS)
+        ]
+    )
+    return agg.select(F.explode(segs).alias("s")).select("s.*")
 
 
 def _pareto_oracle_sql() -> str:

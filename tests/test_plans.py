@@ -1351,15 +1351,18 @@ def test_dau_wau_explodes_only_deduped_pairs(spark, sf):
 
 def test_pareto_thresholds_are_literals(spark, sf):
     """The three percentile cuts are collected at build time (3
-    scalars, constant-bounded); the RETURNED plan is conditional
-    aggregates with literal thresholds — no percentile aggregate, no
-    window, no join beyond the union of the three 1-row selects."""
+    scalars, constant-bounded); the RETURNED plan is ONE conditional
+    aggregate with literal thresholds fanned to 3 rows by an explode —
+    no percentile aggregate, no window, no union re-planning the
+    rollup per segment (exactly one orders scan)."""
     from stac_geoparquet_spark.operators import mining
 
     plan = plan_of(mining.orders_pareto_share(spark, sf))
     assert "percentile" not in plan
     assert n_ops(plan, "Window") == 0
-    assert n_ops(plan, "Union") == 1
+    assert n_ops(plan, "Union") == 0
+    assert n_ops(plan, "Generate") == 1
+    assert plan.count("orders.parquet") <= 2  # one scan node (+ref)
 
 
 def test_component_sizes_rides_fenced_labels(spark, sf):
