@@ -38,6 +38,7 @@ def _registries():
         relational_ext,
         relational_ext3,
         relational_tpch2,
+        retrieval,
         scan_opt,
         similarity,
         skew,
@@ -80,6 +81,7 @@ def _registries():
         relational_ext,
         relational_ext3,
         relational_tpch2,
+        retrieval,
     ]
     rotation = [
         (pipeline.QUERIES_ROTATION, pipeline.ORACLE_ROTATION),
@@ -105,26 +107,32 @@ def _registries():
         pool_oracle.update(o)
 
     # Round-7 window (staleness-driven, tools/gen_ledger.py): (a) new
-    # THIS round (need a first driver row); (b) changed this round
-    # after their latest green row — the two r06-ADVICE fixes
-    # (embedding_norm_outliers' in-engine threshold rounding,
-    # minhash_signature_source_sim's canonical-corpus read); (c) ALL
-    # 34 remaining r03-latest rows (the oldest signal left after the
-    # r06 rotation cleared r01/r02); (d) oldest-r04 filler takes the
-    # slots the [:50] cut leaves.  After this round no row should be
-    # older than r04.
+    # THIS round (need a first driver row) — the 10 mining/sketch/eval
+    # ops from the round's first batch, the 6 retrieval / graph /
+    # eval / regression / survival ops from the second, and the 4
+    # calibration / balance / path-entropy / incremental-retrieval ops
+    # from the third; (b) changed
+    # this round after their latest green row — the two r06-ADVICE
+    # fixes (embedding_norm_outliers' in-engine threshold rounding,
+    # minhash_signature_source_sim's canonical-corpus read) and
+    # kmeans_embeddings (its fit loop refactored into the shared
+    # _kmeans_fit helper that kmeans_silhouette consumes); (c) the
+    # r03-latest rows.  20 + 3 + 27 = 50 exactly: SEVEN r03 entries
+    # (anti_join_inactive_customers, intersect_nations,
+    # semi_join_active_customers, bloom_filter_semijoin,
+    # bucketed_colocated_join, join_customers_per_region,
+    # agg_orders_by_priority — untouched simple join/set-op/agg
+    # queries, the lowest-risk residue) do not fit and queue FIRST
+    # for r08, followed by the oldest-r04 family.
     window = [
         # (a) new this round
         *NEW_THIS_ROUND,
-        # (b) code changed after latest green row (r06 ADVICE fixes)
+        # (b) code changed after latest green row
         "embedding_norm_outliers",
         "minhash_signature_source_sim",
-        # (c) r03-latest rows (the whole remaining queue)
-        "agg_orders_by_priority",
-        "anti_join_inactive_customers",
-        "bloom_filter_semijoin",
+        "kmeans_embeddings",
+        # (c) r03-latest rows (all but the seven queued for r08)
         "bpe_merge_candidates",
-        "bucketed_colocated_join",
         "corpus_yield_funnel",
         "cross_lang_contamination",
         "decontam_incremental",
@@ -140,27 +148,17 @@ def _registries():
         "events_k_anonymity",
         "events_session_window",
         "fingerprint_winnowing",
-        "intersect_nations",
-        "join_customers_per_region",
         "layout_zorder_cells",
         "mm_audio_energy",
         "moving_avg_daily_revenue",
         "rebalance_by_lang",
         "rolling_24h_user_value",
-        "semi_join_active_customers",
         "sketch_cms_heavy_hitters",
         "skew_salted_flag_join",
         "source_mixture_weights",
         "text_bigram_entropy",
         "text_zipf_slope",
         "window_topk_orders_per_customer",
-        # (d) oldest-r04 filler — the [:50] cut takes what fits
-        "cap_docs_per_source",
-        "dedup_containment",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_incremental_minhash",
-        "dedup_ngram_jaccard",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -186,6 +184,16 @@ NEW_THIS_ROUND: list[str] = [
     "ann_recall_report",
     "mixture_epoch_allocation",
     "text_token_entropy",
+    "bm25_topk_retrieval",
+    "chi2_discriminative_terms",
+    "graph_kcore_parts",
+    "kmeans_silhouette",
+    "ols_discount_response",
+    "user_survival_km",
+    "classifier_calibration_bins",
+    "corpus_gini_balance",
+    "user_path_entropy",
+    "bm25_incremental_scoring",
 ]
 
 

@@ -169,12 +169,174 @@ GROUP BY cohort_week, week - cohort_week
 """
 
 
+KM_CENSOR_HOURS = 12  # last event within this window of the horizon => censored
+_KM_HOUR_US = 3_600_000_000  # microseconds per hour
+
+
+def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes — the churn/retention
+    curve (S(t) = P[user still active after t hours]) with right
+    censoring: a user whose LAST event falls within KM_CENSOR_HOURS of
+    the corpus horizon is censored (still alive at observation end),
+    everyone else "dies" at their last event.  Standard product-limit
+    estimator: S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+
+    Scale shape: ONE groupBy(user_id) over the raw event multiset
+    (min/max are duplicate-delivery-insensitive, the sketch-family raw
+    read convention) compacts the corpus to per-user rows; the
+    lifetime rollup re-keys those onto HOUR-quantized durations, so the
+    KM table is bounded by the CALENDAR span in hours — the two
+    unpartitioned cumulative windows (at-risk countdown, log-survival
+    prefix sum) run over that bounded spine, never the corpus (the
+    gap-fill/anomaly precedent).  The horizon is an in-engine broadcast
+    scalar, not a collect.
+
+    Time arithmetic: exact MICROSECOND diffs (timestampdiff /
+    date_diff('microsecond'), the house NTZ convention — never
+    unix_timestamp), quantized to hours by floor(us / 3.6e9); the
+    division is exact in a double for spans below 2^53 us (~285
+    years), and the censor test compares raw integer microseconds.
+
+    Floats: d_i/n_i are exact int ratios; the cumulative product runs
+    as exp(prefix-sum of ln terms) in the DETERMINISTIC t-order, so
+    both engines add the same doubles in the same order — the only
+    cross-engine exposure is ln/exp itself (libm), nine orders below
+    the round(,6) output quantum (the accepted convention).  The
+    everyone-dies edge (d = n at the tail) is an exact-zero survival
+    on both engines via the flag column, never ln(0)."""
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("fts"),
+        F.max("ts").alias("lts"),
+    )
+    horizon = ev.agg(F.max("ts").alias("hz"))
+    life_us = F.expr("timestampdiff(MICROSECOND, fts, lts)")
+    gap_us = F.expr("timestampdiff(MICROSECOND, lts, hz)")
+    lab = per_user.join(F.broadcast(horizon)).select(
+        F.floor(life_us / F.lit(float(_KM_HOUR_US)))
+        .cast("bigint")
+        .alias("t_hour"),
+        F.when(gap_us <= KM_CENSOR_HOURS * _KM_HOUR_US, 1)
+        .otherwise(0)
+        .alias("censored"),
+    )
+    byday = lab.groupBy("t_hour").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("n"))
+    w_prev = Window.orderBy("t_hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t_hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byday.join(F.broadcast(tot)).select(
+        "t_hour",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    zflag = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ),
+    )
+    km = risk.select(
+        "t_hour",
+        "d",
+        "c",
+        "n_risk",
+        zflag.alias("zflag"),
+        F.sum(lnterm).over(w_cum).alias("lnsum"),
+    )
+    return km.select(
+        "t_hour",
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("zflag") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.coalesce(F.col("lnsum"), F.lit(0.0))), 6)
+        )
+        .alias("survival"),
+    )
+
+
+SURVIVAL_KM_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+per_user AS (
+  SELECT user_id, min(ts) AS fts, max(ts) AS lts
+  FROM ev GROUP BY user_id
+),
+h AS (SELECT max(ts) AS hz FROM ev),
+lab AS (
+  SELECT CAST(floor(CAST(date_diff('microsecond', fts, lts) AS DOUBLE)
+                    / {float(_KM_HOUR_US)}) AS BIGINT) AS t_hour,
+         CASE WHEN date_diff('microsecond', lts, hz)
+                   <= {KM_CENSOR_HOURS * _KM_HOUR_US}
+              THEN 1 ELSE 0 END AS censored
+  FROM per_user CROSS JOIN h
+),
+byday AS (
+  SELECT t_hour,
+         CAST(sum(1 - censored) AS BIGINT) AS d,
+         CAST(sum(censored) AS BIGINT) AS c
+  FROM lab GROUP BY t_hour
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+risk AS (
+  SELECT t_hour, d, c,
+         n - coalesce(sum(d + c) OVER (ORDER BY t_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM byday CROSS JOIN tot
+),
+km AS (
+  SELECT t_hour, d, c, n_risk,
+         max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t_hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zflag,
+         sum(CASE WHEN d < n_risk
+                  THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             END)
+           OVER (ORDER BY t_hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+  FROM risk
+)
+SELECT t_hour,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       d AS n_deaths,
+       c AS n_censored,
+       CASE WHEN zflag = 1 THEN 0.0
+            ELSE round(exp(coalesce(lnsum, 0.0)), 6) END AS survival
+FROM km
+"""
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_weekly_cohorts": retention_weekly_cohorts,
+    "user_survival_km": user_survival_km,
 }
 
 ORACLE = {
     "funnel_view_click_purchase": FUNNEL_SQL,
     "retention_weekly_cohorts": RETENTION_SQL,
+    "user_survival_km": SURVIVAL_KM_SQL,
 }

@@ -299,11 +299,106 @@ FROM csize GROUP BY cluster_size
 """
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=KCORE_K) of the part co-purchase graph
+    (operators/mining.py basket_pair_support): synchronized peeling —
+    each round drops every node whose degree in the surviving subgraph
+    is below k — for a FIXED KCORE_ROUNDS rounds, the module's
+    fixed-iteration contract (pagerank PR_ITERS, kmeans rounds): the
+    peel is monotone and idempotent once converged, so extra rounds
+    are no-ops on both engines and the chained-CTE oracle stays
+    expressible.  The co-purchase graph converges in <= 4 rounds at
+    the test scales (tests/test_new_ops_invariants.py pins round
+    R-1 == round R); a production run at a scale that peels deeper
+    raises KCORE_ROUNDS — each extra round costs one keyed
+    aggregate + one semi-join on the PAIR GRAPH, never the corpus.
+
+    The k-core is the standard coherent-community screen over
+    co-occurrence graphs (hub parts survive, one-off pairings peel
+    away); on the dedup side the same loop applied to the near-dup
+    graph separates clique-like true-copy clusters from chains.
+
+    Scale: the edge list is the support>=MIN_SUPPORT pair set —
+    aggregated and thresholded, orders of magnitude below lineitem —
+    and is fenced once (bounded, multi-round consumer); every round
+    is groupBy(node) + two semi-joins on the scaling part key.
+    Output: surviving nodes with their within-core degree (exact
+    ints, nothing float)."""
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    # the pair set arrives fenced + session-cached from mining.py; the
+    # symmetric doubling is a cheap union over those materialized blocks
+    pairs = basket_pair_support(spark, sf_dir).select("part_a", "part_b")
+    edges = fenced(
+        pairs.union(
+            pairs.select(
+                F.col("part_b").alias("part_a"),
+                F.col("part_a").alias("part_b"),
+            )
+        )
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("part_a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= KCORE_K).select("part_a")
+        # fixpoint early-exit: when no node falls below k the peel is
+        # the identity, and so is every remaining round — on BOTH
+        # engines (the oracle's extra unrolled stages are no-ops), so
+        # breaking here changes nothing but the job count.  Two tiny
+        # counts per round against the fenced edge set.
+        if keep.count() == deg.count():
+            break
+        edges = fenced(
+            edges.join(keep, "part_a").join(
+                keep.select(F.col("part_a").alias("part_b")), "part_b"
+            ).select("part_a", "part_b")
+        )
+    return edges.groupBy(F.col("part_a").alias("part_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
+
+    stages = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT part_a AS n FROM {prev}
+  GROUP BY part_a HAVING count(*) >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.part_a, e.part_b FROM {prev} e
+  JOIN s{i} x ON x.n = e.part_a
+  JOIN s{i} y ON y.n = e.part_b
+)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH {_basket_pairs_ctes()},
+e0 AS MATERIALIZED (
+  SELECT part_a, part_b FROM pairs
+  UNION ALL
+  SELECT part_b, part_a FROM pairs
+),
+{chain}
+SELECT part_a AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY part_a
+"""
+
+
 QUERIES = {
     "pagerank_neardup_graph": pagerank_neardup_graph,
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_component_sizes": graph_component_sizes,
+    "graph_kcore_parts": graph_kcore_parts,
 }
 
 ORACLE = {
@@ -311,4 +406,5 @@ ORACLE = {
     "graph_triangle_count": _triangle_oracle_sql(),
     "graph_degree_distribution": _degree_dist_oracle_sql(),
     "graph_component_sizes": _component_sizes_oracle_sql(),
+    "graph_kcore_parts": _kcore_oracle_sql(),
 }

@@ -59,11 +59,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division of exact ints (products < 2^53 at any real catalog size),
 # round(,6).
 # --------------------------------------------------------------------------
-def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL keys are excluded EXPLICITLY: a NULL orderkey row survives
     # Spark's distinct()+count while DuckDB's count(DISTINCT) drops
     # it (the KMV NULL-key lesson) — and a NULL key can't join anyway
-    items = (
+    return (
         _lineitem(spark, sf_dir)
         .where(
             F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
@@ -71,14 +71,38 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_orders = items.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    part_counts = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_part")
-    )
+
+
+# Support-filtered pair set per (session, sf_dir, lineitem stamp) —
+# shared by the lift scoring and the k-core peel (the dedup
+# _PAIRS_CACHE pattern): built + fenced once, both consumers read the
+# materialized blocks instead of re-running the self-join.
+_SUPPORT_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _pairs_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    from stac_geoparquet_spark.operators._io import source_stamp
+
+    src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
+    return (spark.sparkContext.applicationId, sf_dir, source_stamp(src))
+
+
+def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-filtered co-purchase pair set (part_a < part_b,
+    support >= MIN_SUPPORT) — the edge list basket_part_pairs scores
+    with lift and graph_kcore_parts (operators/graph.py) peels.
+    Fenced (bounded: aggregated + support-thresholded, orders of
+    magnitude below lineitem) and session-cached so the self-join is
+    paid once however many graph/mining consumers run."""
+    key = _pairs_cache_key(spark, sf_dir)
+    hit = _SUPPORT_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from stac_geoparquet_spark.operators._io import fenced
+
+    items = _basket_items(spark, sf_dir)
     a, b = items.alias("a"), items.alias("b")
-    pairs = (
+    out = fenced(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -91,6 +115,19 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= MIN_SUPPORT)
     )
+    _SUPPORT_PAIRS_CACHE[key] = out
+    return out
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _basket_items(spark, sf_dir)
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    pairs = basket_pair_support(spark, sf_dir)
     ca = part_counts.select(
         F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
     )
@@ -114,16 +151,18 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BASKET_PAIRS_SQL = f"""
-WITH items AS (
+def _basket_pairs_ctes() -> str:
+    """items + support-filtered pairs CTEs — the oracle twin of
+    basket_pair_support, shared with graph_kcore_parts' oracle."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference — the
+    # kcore oracle's unrolled peel chain references each stage three
+    # times, which would exponentiate to ~3^R lineitem scans (found as
+    # an fd-exhaustion crash); materialization pins one scan per CTE
+    return f"""items AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ),
-t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-      FROM items),
-pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
-       FROM items GROUP BY l_partkey),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          CAST(count(*) AS BIGINT) AS support
   FROM items a
@@ -131,7 +170,15 @@ pairs AS (
               AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING count(*) >= {MIN_SUPPORT}
-)
+)"""
+
+
+BASKET_PAIRS_SQL = f"""
+WITH {_basket_pairs_ctes()},
+t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM items),
+pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+       FROM items GROUP BY l_partkey)
 SELECT part_a, part_b, support,
        round(CAST(support AS DOUBLE) * n_orders
              / (CAST(ca.n_part AS DOUBLE) * cb.n_part), 6) AS lift

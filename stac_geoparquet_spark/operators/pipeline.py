@@ -1405,7 +1405,96 @@ FROM shared, z
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus balance as a Gini coefficient over per-source doc and token
+# mass — the one-number inequality screen (0 = perfectly balanced,
+# -> 1 = one source owns everything) read before choosing mixture
+# temperatures and per-source caps; the scalar companion to
+# mixture_temperature_weights' per-source table.
+#
+# G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over x sorted
+# ASCENDING with rank i (ties broken by source so both engines rank
+# identically).  The ranking windows are UNPARTITIONED but their input
+# is the per-source aggregate — one row per source, already shrunk
+# from the corpus by the keyed rollup; the source alphabet grows
+# sublinearly (domains, not documents), the select_token_budget
+# precedent.  Counts are exact int64; the rank-weighted sum runs in
+# doubles whose terms are exact integers — partial sums stay exactly
+# representable (order-independent) until 2^53, and beyond that the
+# merge-order noise is ~n_sources x eps RELATIVE (~1e-9 at 1e7
+# sources), two-plus orders under the round(,6) quantum on a
+# [0, 1]-valued statistic.  Output is ONE bounded row.
+# --------------------------------------------------------------------------
+def corpus_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("source").isNotNull())
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(_words(F.col("text"))).cast("bigint")), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    wd = Window.orderBy(F.col("n_docs").asc(), F.col("source").asc())
+    wt = Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc())
+    ranked = per_src.select(
+        "n_docs",
+        "n_tokens",
+        F.row_number().over(wd).cast("bigint").alias("rd"),
+        F.row_number().over(wt).cast("bigint").alias("rt"),
+    )
+
+    def gini(rank_col: str, mass_col: str):
+        # nullif on BOTH divisors: an empty table (n = 0) must yield a
+        # NULL gini row, not an ANSI divide-by-zero (empty-input gate)
+        n = F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0))
+        s = F.nullif(F.sum(mass_col).cast("double"), F.lit(0.0))
+        ws = F.sum(
+            F.col(rank_col).cast("double") * F.col(mass_col).cast("double")
+        )
+        return (
+            F.round((F.lit(2.0) * ws) / (n * s) - (n + F.lit(1.0)) / n, 6)
+            + F.lit(0.0)
+        )
+
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        gini("rd", "n_docs").alias("gini_docs"),
+        gini("rt", "n_tokens").alias("gini_tokens"),
+    )
+
+
+GINI_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len({_SQL_WORDS})), 0) AS BIGINT) AS n_tokens
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+ranked AS (
+  SELECT n_docs, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_docs, source) AS BIGINT) AS rd,
+         CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rt
+  FROM per_src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       round((2.0 * sum(CAST(rd AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+             / (nullif(CAST(count(*) AS DOUBLE), 0.0)
+                * nullif(CAST(sum(n_docs) AS DOUBLE), 0.0))
+             - (CAST(count(*) AS DOUBLE) + 1.0)
+               / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) + 0.0
+         AS gini_docs,
+       round((2.0 * sum(CAST(rt AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+             / (nullif(CAST(count(*) AS DOUBLE), 0.0)
+                * nullif(CAST(sum(n_tokens) AS DOUBLE), 0.0))
+             - (CAST(count(*) AS DOUBLE) + 1.0)
+               / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) + 0.0
+         AS gini_tokens
+FROM ranked
+"""
+
+
 QUERIES_ROTATION = {
+    "corpus_gini_balance": corpus_gini_balance,
     "mixture_epoch_allocation": mixture_epoch_allocation,
     "sample_weighted_k": sample_weighted_k,
     "mixture_temperature_weights": mixture_temperature_weights,
@@ -1416,6 +1505,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "corpus_gini_balance": GINI_SQL,
     "mixture_epoch_allocation": EPOCH_ALLOC_SQL,
     "sample_weighted_k": SAMPLE_WEIGHTED_SQL,
     "mixture_temperature_weights": MIXTURE_TEMP_SQL,

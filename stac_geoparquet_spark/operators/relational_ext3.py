@@ -681,8 +681,81 @@ FROM counts JOIN totals USING (prev_type)
 """
 
 
+# --------------------------------------------------------------------------
+# Per-user path entropy: the Shannon entropy of each user's
+# (prev -> next) transition distribution — the behavioral-diversity
+# feature next to events_markov_transitions' global matrix (bots and
+# scripted traffic have near-zero path entropy; exploratory users are
+# high).  Same sequence contract as the markov op: canonical events,
+# (ts, event_id) total order, NULL user/ts/type rows carry no
+# sequence identity.
+#
+# Shape: the lag window and BOTH keyed aggregates share the user_id
+# shuffle ((user, pair) counts are a narrow regroup of the windowed
+# rows; the per-user rollup re-keys the compacted pairs).  Entropy in
+# the ln(n) - sum(c ln c)/n form (the text_token_entropy move): exact
+# int counts feed one ln per DISTINCT pair, the per-user float sum is
+# bounded by the type-alphabet^2, and round(,6) sits ~10 orders above
+# that merge noise.
+# --------------------------------------------------------------------------
+def user_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._canon import events_canon
+
+    ev = events_canon(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    lagged = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pair_counts = lagged.groupBy(
+        "user_id", "prev_type", "next_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return pair_counts.groupBy("user_id").agg(
+        F.sum("c").alias("n_transitions"),
+        (
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                / F.sum("c").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("path_entropy"),
+    )
+
+
+PATH_ENTROPY_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM {_EVENTS_CANON_SQL} events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+pc AS (
+  SELECT user_id, prev_type, next_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY user_id, prev_type, next_type
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_transitions,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS path_entropy
+FROM pc GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_markov_transitions": events_markov_transitions,
+    "user_path_entropy": user_path_entropy,
     "events_decayed_activity": events_decayed_activity,
     "funnel_latency_quantiles": funnel_latency_quantiles,
     "events_rfm_segments": events_rfm_segments,
@@ -696,6 +769,7 @@ QUERIES = {
 
 ORACLE = {
     "events_markov_transitions": MARKOV_SQL,
+    "user_path_entropy": PATH_ENTROPY_SQL,
     "events_decayed_activity": DECAYED_ACTIVITY_SQL,
     "funnel_latency_quantiles": FUNNEL_LATENCY_SQL,
     "events_rfm_segments": RFM_SQL,

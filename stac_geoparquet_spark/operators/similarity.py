@@ -748,7 +748,68 @@ KMEANS_K = 4
 KMEANS_ROUNDS = 2  # assign -> recompute, twice; final assignment output
 
 
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_dist_structs(cents: list[tuple[int, list[float]]]):
+    """array<struct<d, cid>> of the rounded squared distance to every
+    centroid — array_min picks the assignment (lexicographic: distance
+    first, centroid id as the tie-break, matching the oracle's
+    ORDER BY d, cid)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.lit(c),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+
+
+def _kmeans_assign(
+    emb: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    best = F.array_min(_kmeans_dist_structs(cents))
+    return emb.select(
+        "vec_id",
+        "v",
+        best["cid"].cast("bigint").alias("cluster"),
+        best["d"].alias("dist"),
+    )
+
+
+# Final centroid list per (session, sf_dir, embeddings stamp) — the
+# Lloyd fit's two bounded collects are paid once, shared by the
+# assignment query and the silhouette eval (the mining pair-set /
+# dedup shingle cache pattern; the cached value is K x d floats).
+_KMEANS_CENTS_CACHE: dict[tuple[str, str, str], list] = {}
+
+
+def _kmeans_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    from stac_geoparquet_spark.operators._io import source_stamp
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    return (spark.sparkContext.applicationId, sf_dir, source_stamp(src))
+
+
+def _kmeans_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """The shared Lloyd fit: canonical vectors + the final centroid
+    list after KMEANS_ROUNDS-1 mean updates (empty list on an empty
+    table).  Consumers: kmeans_embeddings (assignments) and
+    kmeans_silhouette (cluster-quality eval).  Centroids are
+    session-cached (bounded: K x d floats); the vector table itself is
+    a cheap canonical-layout read rebuilt per call."""
     emb = (
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec())
@@ -762,49 +823,19 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("embedding").alias("embedding"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-
-    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
-        arr = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("v"),
-                                F.lit(c),
-                                lambda x, y: (x - y) * (x - y),
-                            ),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        ),
-                        6,
-                    ).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in cents
-            ]
-        )
-        best = F.array_min(arr)
-        return emb.select(
-            "vec_id",
-            "v",
-            best["cid"].cast("bigint").alias("cluster"),
-            best["d"].alias("dist"),
-        )
-
+    key = _kmeans_cache_key(spark, sf_dir)
+    hit = _KMEANS_CENTS_CACHE.get(key)
+    if hit is not None:
+        return emb, hit
     # deterministic seeds: the K lowest vec_ids' vectors
     seeds = (
         emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
     )
     cents = [(int(r["vec_id"]), list(r["v"])) for r in seeds]
     if not cents:
-        # empty table/partition: no seeds -> no assignments; an empty
-        # F.array() is untyped and breaks the struct extraction below
-        return spark.createDataFrame(
-            [], "vec_id bigint, cluster bigint, dist double"
-        )
+        return emb, []
     for _ in range(KMEANS_ROUNDS - 1):
-        asg = assign(cents)
+        asg = _kmeans_assign(emb, cents)
         means = asg.groupBy("cluster").agg(
             *[
                 F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
@@ -816,12 +847,23 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in means.collect()
         ]
         cents.sort()
-    return assign(cents).select("vec_id", "cluster", "dist")
+    _KMEANS_CENTS_CACHE[key] = cents
+    return emb, cents
 
 
-def _kmeans_oracle_sql() -> str:
-    def assign_cte(src: str, cent: str, out: str) -> str:
-        return f"""{out} AS (
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cents = _kmeans_fit(spark, sf_dir)
+    if not cents:
+        # empty table/partition: no seeds -> no assignments; an empty
+        # F.array() is untyped and breaks the struct extraction
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster bigint, dist double"
+        )
+    return _kmeans_assign(emb, cents).select("vec_id", "cluster", "dist")
+
+
+def _kmeans_assign_cte(src: str, cent: str, out: str) -> str:
+    return f"""{out} AS (
   SELECT vec_id, v, cid AS cluster, d AS dist
   FROM (
     SELECT e.vec_id, e.v, c.cid,
@@ -836,8 +878,9 @@ def _kmeans_oracle_sql() -> str:
   ) t WHERE rk = 1
 )"""
 
-    def means_cte(src: str, out: str) -> str:
-        return f"""{out} AS (
+
+def _kmeans_means_cte(src: str, out: str) -> str:
+    return f"""{out} AS (
   SELECT cluster AS cid, list(m ORDER BY i) AS c
   FROM (
     SELECT cluster, i, round(avg(v[i + 1]), 6) AS m
@@ -846,16 +889,118 @@ def _kmeans_oracle_sql() -> str:
   ) g GROUP BY cluster
 )"""
 
-    return f"""
-WITH e AS (
+
+def _kmeans_fit_ctes() -> str:
+    """e (canonical vectors) .. c1 (final centroids) — the oracle twin
+    of _kmeans_fit, shared by the kmeans and silhouette oracles."""
+    return f"""e AS (
   SELECT vec_id, min(embedding::DOUBLE[]) AS v FROM embeddings
   WHERE {VALID_VEC_SQL} GROUP BY vec_id
 ),
 c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}),
-{assign_cte("e", "c0", "a1")},
-{means_cte("a1", "c1")},
-{assign_cte("e", "c1", "a2")}
+{_kmeans_assign_cte("e", "c0", "a1")},
+{_kmeans_means_cte("a1", "c1")}"""
+
+
+def _kmeans_oracle_sql() -> str:
+    return f"""
+WITH {_kmeans_fit_ctes()},
+{_kmeans_assign_cte("e", "c1", "a2")}
 SELECT vec_id, cluster, dist FROM a2
+"""
+
+
+# --------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette per k-means cluster — the
+# eval a pipeline runs before trusting the clustering (the companion
+# to ann_recall_report's "eval before trusting the index").  For each
+# point: a = euclidean distance to its own centroid, b = the nearest
+# OTHER centroid; s = (b - a) / max(a, b) in [-1, 1]; report the
+# per-cluster mean and size.  The centroid-based form is the standard
+# large-scale variant: the classic pairwise silhouette is O(N^2) and
+# cannot exist at corpus scale, while this one is a pure map over the
+# assignment pass (K distances per row, K a constant) + one keyed agg.
+#
+# Floats: distances reuse the assignment's rounded squared-distance
+# quantum (round(,6)); sqrt is IEEE-exact on both engines, and
+# (b-a)/max(a,b) is pure IEEE arithmetic — so per-point s is
+# bit-identical cross-engine.  The per-cluster MEAN is where merge
+# order would leak in: s is therefore quantized to integer
+# micro-units (round(s*1e6) -> bigint) and summed EXACTLY; |s| <= 1
+# so the sum is < n x 1e6, within int64 up to ~9e12 points.  The mean
+# is one division of exact ints, round(,6).
+# --------------------------------------------------------------------------
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cents = _kmeans_fit(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "cluster bigint, n_points bigint, mean_silhouette double",
+        )
+    arr = _kmeans_dist_structs(cents)
+    best = F.array_min(arr)
+    others = F.filter(arr, lambda x: x["cid"] != best["cid"])
+    a_d = F.sqrt(best["d"])
+    # single-centroid fit (every other cluster emptied): b falls back
+    # to a -> s = 0 on both engines
+    b_d = F.sqrt(F.coalesce(F.array_min(others)["d"], best["d"]))
+    s = F.when(F.greatest(a_d, b_d) == 0.0, F.lit(0.0)).otherwise(
+        (b_d - a_d) / F.greatest(a_d, b_d)
+    )
+    per_point = emb.select(
+        best["cid"].cast("bigint").alias("cluster"),
+        F.round(s * 1e6).cast("bigint").alias("s_micro"),
+    )
+    return per_point.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        # + 0.0 normalizes a -0.0 (tiny negative mean rounding to zero)
+        (
+            F.round(
+                F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1e6,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_silhouette"),
+    )
+
+
+def _silhouette_oracle_sql() -> str:
+    return f"""
+WITH {_kmeans_fit_ctes()},
+dists AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         round(list_sum(list_transform(list_zip(e.v, c.c),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+  FROM e CROSS JOIN c1 c
+),
+own AS (
+  SELECT vec_id, cid AS cluster, d AS a_sq
+  FROM (
+    SELECT vec_id, cid, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+    FROM dists
+  ) t WHERE rk = 1
+),
+pp AS (
+  SELECT own.cluster,
+         CAST(round(
+           CASE WHEN greatest(sqrt(a_sq), sqrt(coalesce(b_sq, a_sq))) = 0.0
+                THEN 0.0
+                ELSE (sqrt(coalesce(b_sq, a_sq)) - sqrt(a_sq))
+                     / greatest(sqrt(a_sq), sqrt(coalesce(b_sq, a_sq)))
+           END * 1000000.0) AS BIGINT) AS s_micro
+  FROM own
+  LEFT JOIN (
+    SELECT o.vec_id, min(d.d) AS b_sq
+    FROM own o JOIN dists d
+      ON d.vec_id = o.vec_id AND d.cid <> o.cluster
+    GROUP BY o.vec_id
+  ) b USING (vec_id)
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(s_micro) AS DOUBLE) / count(*) / 1000000.0, 6) + 0.0
+         AS mean_silhouette
+FROM pp GROUP BY cluster
 """
 
 
@@ -910,6 +1055,7 @@ QUERIES = {
     "ivf_cell_assignment": ivf_cell_assignment,
     "ann_ivf_probe": ann_ivf_probe,
     "kmeans_embeddings": kmeans_embeddings,
+    "kmeans_silhouette": kmeans_silhouette,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
 
@@ -919,6 +1065,7 @@ ORACLE = {
     "ivf_cell_assignment": IVF_ASSIGN_SQL,
     "ann_ivf_probe": IVF_PROBE_SQL,
     "kmeans_embeddings": _kmeans_oracle_sql(),
+    "kmeans_silhouette": _silhouette_oracle_sql(),
     "embedding_quantize_int8": QUANTIZE_SQL,
 }
 

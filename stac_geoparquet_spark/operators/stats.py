@@ -1078,7 +1078,120 @@ FROM sig a JOIN sig b ON a.source < b.source
 """
 
 
+# --------------------------------------------------------------------------
+# Closed-form per-group OLS: quantity regressed on discount per part
+# brand — "does discounting move volume, and where" — the classic
+# price-response screen, and the template for any per-segment linear
+# fit (one pass, no solver).  slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+# intercept = ybar - slope*xbar, r2 = cov^2 / (varx*vary).
+#
+# Exactness contract: x is quantized to discount CENTS and y to whole
+# units BEFORE aggregation, so n/Sx/Sy/Sxy/Sxx/Syy are EXACT int64
+# sums (Sxy <= n*10*50 stays under 2^53 up to ~1.8e12 rows per brand —
+# far past 100-TB scale; the bound is stated, winsorize-style).  The
+# normal-equation products are then evaluated in doubles with the SAME
+# expression shape on both engines — pure IEEE *, -, / (no libm), so
+# slope/intercept/r2 are bit-identical cross-engine before the final
+# round(,6); a constant-x group makes varx EXACTLY 0.0 on both sides
+# (identical rounding of identical products) and nullif returns NULL
+# rather than inf.  One keyed aggregate after a partkey equi-join;
+# everything partial-aggregates map-side.
+# --------------------------------------------------------------------------
+def ols_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    xy = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(
+            F.col("l_discount").isNotNull()
+            & F.col("l_quantity").isNotNull()
+            & F.col("p_brand").isNotNull()
+        )
+        .select(
+            "p_brand",
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("y"),
+        )
+    )
+    g = xy.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    slope = cov / F.nullif(varx, F.lit(0.0))
+    # + 0.0 normalizes -0.0 from a tiny-negative rounding
+    return g.select(
+        "p_brand",
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx")) / nd, 6
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+        (
+            F.round(
+                cov * cov / F.nullif(varx * vary, F.lit(0.0)), 6
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    )
+
+
+OLS_SQL = """
+WITH xy AS (
+  SELECT p_brand,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    AND p_brand IS NOT NULL
+),
+g AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round(cov / nullif(varx, 0.0), 6) + 0.0 AS slope,
+       round((CAST(sy AS DOUBLE) - (cov / nullif(varx, 0.0))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0
+         AS intercept,
+       round(cov * cov / nullif(varx * vary, 0.0), 6) + 0.0 AS r2
+FROM (
+  SELECT p_brand, n, sy, sx,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+  FROM g
+) t
+"""
+
+
 QUERIES_ROTATION = {
+    "ols_discount_response": ols_discount_response,
     "hll_event_type_overlap": hll_event_type_overlap,
     "minhash_signature_source_sim": minhash_signature_source_sim,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -1088,6 +1201,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "ols_discount_response": OLS_SQL,
     "hll_event_type_overlap": HLL_OVERLAP_SQL,
     "minhash_signature_source_sim": _mhsig_oracle_sql(),
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,

@@ -1447,7 +1447,85 @@ FROM counts GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Classifier calibration (reliability table): decile-bin the hashed
+# linear classifier's probability and compare mean predicted
+# probability against the EMPIRICAL pass rate of the independent
+# Gopher rule labels — the eval a pipeline runs before trusting a
+# quality score as a sampling weight (the ann_recall_report pattern:
+# compose two shipped per-doc operators and measure one against the
+# other, same two-scan + scaling-key-join shape the recall report
+# pinned).  gap = mean predicted - observed rate per bin; |gap| large
+# means the score is mis-calibrated there and downstream temperature/
+# threshold choices would be wrong.
+#
+# Floats: prob is round(,6) in [0, 1], so mean-predicted aggregates
+# EXACT integer micro-units (round(prob*1e6) -> int64; sum < n x 1e6,
+# the silhouette bound); pass_rate is one int/int division; gap is
+# one IEEE subtraction of the two rounded means, + 0.0 for the -0.0
+# sweep.  Bin ids come from the rounded prob (floor(prob*10) capped
+# at 9), so bin assignment cannot straddle engines.
+# --------------------------------------------------------------------------
+def classifier_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scores = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "prob"
+    )
+    labels = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    j = scores.join(labels, "doc_id").where(F.col("prob").isNotNull())
+    binned = j.select(
+        F.least(F.floor(F.col("prob") * 10), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        F.round(F.col("prob") * 1e6).cast("bigint").alias("p_micro"),
+        F.col("keep").cast("bigint").alias("pass_flag"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("p_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_predicted"),
+        F.round(
+            F.sum("pass_flag").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pass_rate"),
+        (
+            F.round(
+                F.sum("p_micro").cast("double") / F.count(F.lit(1)) / 1e6
+                - F.sum("pass_flag").cast("double") / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("calibration_gap"),
+    )
+
+
+# the oracle COMPOSES the two shipped oracles verbatim (no re-derived
+# fragments to drift): g = the Gopher labels, c = the classifier probs
+CALIBRATION_SQL = f"""
+WITH g AS ({GOPHER_RULES_SQL}),
+c AS ({CLASSIFIER_SQL})
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(p_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+         AS mean_predicted,
+       round(CAST(sum(pass_flag) AS DOUBLE) / count(*), 6) AS pass_rate,
+       round(CAST(sum(p_micro) AS DOUBLE) / count(*) / 1000000.0
+             - CAST(sum(pass_flag) AS DOUBLE) / count(*), 6) + 0.0
+         AS calibration_gap
+FROM (
+  SELECT CAST(least(floor(c.prob * 10), 9) AS BIGINT) AS bin,
+         CAST(round(c.prob * 1000000) AS BIGINT) AS p_micro,
+         CASE WHEN g.keep THEN 1 ELSE 0 END AS pass_flag
+  FROM c JOIN g USING (doc_id)
+  WHERE c.prob IS NOT NULL
+) t
+GROUP BY bin
+"""
+
+
 QUERIES_ROTATION = {
+    "classifier_calibration_bins": classifier_calibration_bins,
     "text_token_entropy": text_token_entropy,
     "vocab_oov_rate_by_lang": vocab_oov_rate_by_lang,
     "text_readability": text_readability,
@@ -1463,6 +1541,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "classifier_calibration_bins": CALIBRATION_SQL,
     "text_token_entropy": TOKEN_ENTROPY_SQL,
     "vocab_oov_rate_by_lang": OOV_RATE_SQL,
     "text_readability": READABILITY_SQL,

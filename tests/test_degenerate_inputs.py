@@ -111,6 +111,24 @@ SINGLEROW_SAMPLE = [
     "mixture_epoch_allocation",
     "text_token_entropy",
     "ann_recall_report",
+    # round-7b: one doc is its own whole BM25 candidate set; chi2's
+    # min-count floor empties on 1 doc; a 1-line basket has no pair
+    # graph to peel; one vector seeds k=1 (b falls back to a -> s=0);
+    # n=1 zeroes the OLS variance (NULL fit on both engines); a single
+    # event is a lifetime-0 censored user
+    "bm25_topk_retrieval",
+    "chi2_discriminative_terms",
+    "graph_kcore_parts",
+    "kmeans_silhouette",
+    "ols_discount_response",
+    "user_survival_km",
+    # round-7c: 1 doc = 1 calibration bin; 1 source has gini 0; a
+    # single event has no transition (empty path table); the single
+    # doc is incoming-or-base, never both (empty score set either way)
+    "classifier_calibration_bins",
+    "corpus_gini_balance",
+    "user_path_entropy",
+    "bm25_incremental_scoring",
 ]
 
 CONSTANT_SAMPLE = [
@@ -151,6 +169,16 @@ CONSTANT_SAMPLE = [
     "events_type_cooccurrence_pmi",
     "hll_event_type_overlap",
     "mixture_epoch_allocation",
+    # round-7b: one source makes every term's in-slice share equal the
+    # corpus share — the positive-association guard must empty the
+    # chi2 output BEFORE the zero denominator is ever evaluated; one
+    # constant user is a single (censored) KM lifetime
+    "chi2_discriminative_terms",
+    "user_survival_km",
+    # round-7c: one source is the degenerate inequality case (G = 0);
+    # one constant user is a single giant path
+    "corpus_gini_balance",
+    "user_path_entropy",
 ]
 
 

@@ -44,6 +44,12 @@ SAMPLE = [
     "decontam_bloom_semijoin",
     "decontaminate_against_holdout",
     "pagerank_neardup_graph",
+    # round-7b canon consumers: a re-ingested doc_id must score/df
+    # once (BM25) and count once per slice (chi2)
+    "bm25_topk_retrieval",
+    "chi2_discriminative_terms",
+    "bm25_incremental_scoring",
+    "classifier_calibration_bins",
     "mm_image_features",
     "mm_media_manifest",
     "mm_cdc_chunk_dedup",
@@ -52,6 +58,7 @@ SAMPLE = [
     "embedding_standardize",
     "ann_ivf_probe",
     "kmeans_embeddings",
+    "kmeans_silhouette",
     "pq_encode_codes",
     "ann_pq_adc",
     "semdedup_cells",

@@ -109,6 +109,18 @@ SAMPLE = [
     "mixture_epoch_allocation",
     "text_token_entropy",
     "ann_recall_report",
+    # round-7b
+    "bm25_topk_retrieval",
+    "chi2_discriminative_terms",
+    "graph_kcore_parts",
+    "kmeans_silhouette",
+    "ols_discount_response",
+    "user_survival_km",
+    # round-7c
+    "classifier_calibration_bins",
+    "corpus_gini_balance",
+    "user_path_entropy",
+    "bm25_incremental_scoring",
 ]
 
 TABLES = (
@@ -152,6 +164,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # fixed 3-segment report: NULL-valued rows on both engines
         # (the oracle's UNION ALL of three empty-table aggregates)
         "orders_pareto_share",
+        # one-row corpus-balance summary: (n_sources=0, NULL, NULL)
+        # on both engines
+        "corpus_gini_balance",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

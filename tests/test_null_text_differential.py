@@ -68,6 +68,15 @@ SAMPLE = [
     "text_readability",
     "vocab_oov_rate_by_lang",
     "minhash_signature_source_sim",
+    # round-7b: NULL text carries no tokens (BM25 candidates, chi2
+    # presence); NULL source must be excluded from the chi2 slices
+    "bm25_topk_retrieval",
+    "chi2_discriminative_terms",
+    # round-7c: NULL prob docs leave the calibration bins; NULL source
+    # leaves the gini mass; NULL text scores nothing incrementally
+    "classifier_calibration_bins",
+    "corpus_gini_balance",
+    "bm25_incremental_scoring",
     # round-7 doc-table ops: NULL text explodes to no tokens
     # (entropy / epoch counts); the component histogram rides the
     # minhash pair graph's NULL handling
@@ -142,6 +151,8 @@ VEC_SAMPLE = [
     "pca_power_projection",
     # round-6: the norm screen rides the same valid-vector contract
     "embedding_norm_outliers",
+    # round-7b: the silhouette eval rides the kmeans fit contract
+    "kmeans_silhouette",
 ]
 
 
@@ -754,6 +765,10 @@ EVENTS_SAMPLE = [
     "events_type_cooccurrence_pmi",
     "events_dau_wau",
     "hll_event_type_overlap",
+    # round-7b: NULL user/ts rows carry no lifetime identity
+    "user_survival_km",
+    # round-7c: NULL user/ts/type rows carry no path identity
+    "user_path_entropy",
 ]
 
 

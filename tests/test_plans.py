@@ -1299,16 +1299,21 @@ def test_dup_rate_by_source_is_one_keyed_rollup(spark, sf):
 # ---------------------------------------------------------------------------
 def test_basket_pairs_equi_join_no_cartesian(spark, sf):
     """Pair generation is a self-EQUI-join on l_orderkey (per-order
-    fan-out bounded by basket size); lift joins are keyed; the only
+    fan-out bounded by basket size), paid ONCE at build time behind
+    the shared fence + session cache (the RETURNED plan reads the
+    materialized pair set); lift joins are keyed; the only
     unconditioned join is the broadcast of the 1-row order-count
     aggregate.  No window, no Python."""
     from stac_geoparquet_spark.operators import mining
 
+    # build via the cache-building path so the pin also covers a cold
+    # cache (the fence runs eagerly inside)
+    mining._SUPPORT_PAIRS_CACHE.clear()
     plan = plan_of(mining.basket_part_pairs(spark, sf))
     assert "CartesianProduct" not in plan
     assert n_ops(plan, "Window") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "hashpartitioning(l_orderkey" in plan or "l_orderkey" in plan
+    assert "ExistingRDD" in plan  # the fenced pair set
 
 
 def test_interpurchase_single_custkey_shuffle(spark, sf):
@@ -1424,3 +1429,159 @@ def test_token_entropy_two_keyed_aggregates(spark, sf):
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
     assert n_ops(plan, "HashAggregate") >= 4
+
+
+def test_bm25_topk_is_tournament_not_global_sort(spark, sf):
+    """The postings stream is filtered to the constant query-term set
+    BEFORE the (doc, term) aggregate; df/corpus-stats join back
+    broadcast; the final top-K plans as TakeOrderedAndProject (local
+    top-K per task, driver merge) — never a global sort; the ranking
+    window runs on the K survivors only."""
+    from stac_geoparquet_spark.operators import retrieval
+
+    plan = plan_of(retrieval.bm25_topk_retrieval(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert n_ops(plan, "Sort") <= 1  # only the K-row window sort
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "BroadcastHashJoin") >= 1  # dfreq joins broadcast
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chi2_terms_single_explode_keyed_joins(spark, sf):
+    """Term presence explodes ONCE (array_distinct is in-row; the df
+    total rides a term-partitioned window over the COMPACTED
+    (term, slice) counts — a second groupBy pass re-planned the whole
+    corpus explode into the join's other side); slice/total tables
+    join back broadcast.  No cartesian, no Python."""
+    from stac_geoparquet_spark.operators import retrieval
+
+    plan = plan_of(retrieval.chi2_discriminative_terms(spark, sf))
+    assert n_ops(plan, "Generate") == 1
+    assert n_ops(plan, "Window") == 1
+    assert "windowspecdefinition(term" in plan  # scaling key
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_returns_fenced_peel_result(spark, sf):
+    """The peel loop runs at build time through the shared lineage
+    fence (bounded pair graph, multi-round consumer): the RETURNED
+    plan is one keyed degree aggregate over the final checkpointed
+    edge set — one exchange, no join, no window (the per-round joins
+    already ran inside the fences)."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_kcore_parts(spark, sf))
+    assert "ExistingRDD" in plan  # the fence leaf
+    assert n_ops(plan, "Exchange") == 1
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_silhouette_is_pure_map_plus_one_rollup(spark, sf):
+    """Centroids are literals (collected at fit time, K x d bounded):
+    the returned plan is a map over the canonical vectors + ONE
+    two-phase keyed aggregate on cluster — no join, no window, no
+    Python, one exchange."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.kmeans_silhouette(spark, sf))
+    assert n_ops(plan, "HashAggregate") >= 2
+    assert "hashpartitioning(cluster" in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ols_prunes_and_joins_keyed(spark, sf):
+    """The partkey equi-join carries only the three lineitem columns
+    the fit needs (quantity/discount/partkey — never extendedprice);
+    the per-brand moments partial-aggregate map-side.  No window, no
+    cartesian."""
+    from stac_geoparquet_spark.operators import stats as stats_mod
+
+    plan = plan_of(stats_mod.ols_discount_response(spark, sf))
+    read_li = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "l_partkey" in seg.splitlines()[0]
+    ]
+    assert read_li and all("l_extendedprice" not in r for r in read_li)
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "HashAggregate") >= 2
+
+
+def test_survival_km_windows_ride_bounded_spine(spark, sf):
+    """The corpus compacts through the user_id aggregate, then the
+    lifetime rollup bounds the KM spine by calendar hours — the two
+    unpartitioned cumulative windows (at-risk countdown; zflag+lnsum
+    share one spec) run ABOVE those aggregates, never on raw events;
+    the horizon joins in as a broadcast scalar, not a collect."""
+    from stac_geoparquet_spark.operators import funnel as funnel_mod
+
+    plan = plan_of(funnel_mod.user_survival_km(spark, sf))
+    assert n_ops(plan, "Window") == 2
+    assert n_ops(plan, "HashAggregate") >= 4
+    assert n_ops(plan, "BroadcastNestedLoopJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_calibration_composes_keyed_join_no_python(spark, sf):
+    """The reliability table composes the two shipped per-doc scorers
+    (the ann_recall_report compose pattern): both sides are in-row
+    expression pipelines, the join keys on the scaling doc_id, and the
+    decile rollup is one keyed aggregate.  No window, no cartesian,
+    no Python."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.classifier_calibration_bins(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "Generate") == 0  # both scorers fold in-row
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gini_windows_ride_per_source_aggregate(spark, sf):
+    """The two ranking windows are unpartitioned but their input is
+    the per-source rollup (hashpartitioning(source) beneath them) —
+    one row per source, never the corpus; the output is one bounded
+    row."""
+    from stac_geoparquet_spark.operators import pipeline as pipeline_mod
+
+    plan = plan_of(pipeline_mod.corpus_gini_balance(spark, sf))
+    assert n_ops(plan, "Window") == 2
+    assert "hashpartitioning(source" in plan
+    assert n_ops(plan, "HashAggregate") >= 3  # per-src 2-phase + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_path_entropy_shares_user_shuffle(spark, sf):
+    """Lag window on the scaling user_id key; the (user, pair) and
+    per-user aggregates regroup the windowed rows — no join, no
+    Python."""
+    from stac_geoparquet_spark.operators import relational_ext3
+
+    plan = plan_of(relational_ext3.user_path_entropy(spark, sf))
+    assert n_ops(plan, "Window") == 1
+    assert "windowspecdefinition(user_id" in plan
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_incremental_is_stream_static(spark, sf):
+    """The frozen index tables (df, corpus stats) join the incoming
+    batch BROADCAST — per-batch cost is the batch tokenization plus
+    constant-size joins, no base-corpus shuffle, no top-K, no
+    window."""
+    from stac_geoparquet_spark.operators import retrieval
+
+    plan = plan_of(retrieval.bm25_incremental_scoring(spark, sf))
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "Window") == 0
+    assert "TakeOrderedAndProject" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

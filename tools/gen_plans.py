@@ -322,6 +322,42 @@ SHOWCASE = [
         "no join, and the per-doc float sum is bounded by doc length so "
         "round(,6) sits ~8 orders above merge noise.",
     ),
+    (
+        "bm25_topk_retrieval",
+        "Retrieval without a global sort: postings filter to the constant "
+        "query-term set BEFORE the (doc, term) aggregate, df/corpus stats "
+        "join back broadcast, and the top-K is TakeOrderedAndProject "
+        "(per-task tournament); the ranking window sees K rows.",
+    ),
+    (
+        "chi2_discriminative_terms",
+        "Feature selection with ONE corpus explode: term presence is "
+        "array_distinct in-row, the df total is a window over the "
+        "COMPACTED (term, source) counts partitioned on the scaling term "
+        "key — a second groupBy pass would re-plan the explode into the "
+        "join's other side.",
+    ),
+    (
+        "graph_kcore_parts",
+        "Fixpoint peeling behind the lineage fence: the returned plan is "
+        "one degree aggregate over the final checkpointed edge set — the "
+        "per-round degree filters and semi-joins ran once at build time "
+        "on the bounded pair graph, never on lineitem.",
+    ),
+    (
+        "kmeans_silhouette",
+        "Cluster eval as a pure map: centroids are K x d literals from "
+        "the shared fit, per-point a/b/s fold in-row, and the only "
+        "exchange is the per-cluster rollup of exact integer micro-unit "
+        "silhouettes.",
+    ),
+    (
+        "user_survival_km",
+        "KM spine bounded by calendar hours: the corpus compacts through "
+        "the user_id aggregate, the lifetime rollup shrinks it again, and "
+        "only then do the two unpartitioned cumulative windows run — "
+        "their input can never grow with event volume.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
