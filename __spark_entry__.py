@@ -116,14 +116,21 @@ def _registries():
     # fixes (embedding_norm_outliers' in-engine threshold rounding,
     # minhash_signature_source_sim's canonical-corpus read) and
     # kmeans_embeddings (its fit loop refactored into the shared
-    # _kmeans_fit helper that kmeans_silhouette consumes); (c) the
-    # r03-latest rows.  20 + 3 + 27 = 50 exactly: SEVEN r03 entries
+    # _kmeans_fit helper that kmeans_silhouette consumes),
+    # text_tfidf_top_terms (df re-planned from a second corpus explode
+    # to a word-partitioned window over the compacted tf rows), and
+    # the three integer-unit percentile hardenings the sf0.1 full-gate
+    # sweep motivated (funnel_latency_quantiles — the actual sf0.1
+    # divergence — plus events_rfm_segments and outliers_iqr_price,
+    # the same latent class in cut/fence comparisons); (c) the
+    # r03-latest rows.  20 + 7 + 23 = 50 exactly: ELEVEN r03 entries
     # (anti_join_inactive_customers, intersect_nations,
     # semi_join_active_customers, bloom_filter_semijoin,
     # bucketed_colocated_join, join_customers_per_region,
-    # agg_orders_by_priority — untouched simple join/set-op/agg
-    # queries, the lowest-risk residue) do not fit and queue FIRST
-    # for r08, followed by the oldest-r04 family.
+    # agg_orders_by_priority, events_hourly_rollup, mm_audio_energy,
+    # events_session_window, moving_avg_daily_revenue — untouched
+    # simple queries, the lowest-risk residue) do not fit and queue
+    # FIRST for r08, followed by the oldest-r04 family.
     window = [
         # (a) new this round
         *NEW_THIS_ROUND,
@@ -131,7 +138,11 @@ def _registries():
         "embedding_norm_outliers",
         "minhash_signature_source_sim",
         "kmeans_embeddings",
-        # (c) r03-latest rows (all but the seven queued for r08)
+        "text_tfidf_top_terms",
+        "funnel_latency_quantiles",
+        "events_rfm_segments",
+        "outliers_iqr_price",
+        # (c) r03-latest rows (all but the eleven queued for r08)
         "bpe_merge_candidates",
         "corpus_yield_funnel",
         "cross_lang_contamination",
@@ -144,13 +155,9 @@ def _registries():
         "embedding_class_profile",
         "embedding_quantize_int8",
         "entity_resolution_parts",
-        "events_hourly_rollup",
         "events_k_anonymity",
-        "events_session_window",
         "fingerprint_winnowing",
         "layout_zorder_cells",
-        "mm_audio_energy",
-        "moving_avg_daily_revenue",
         "rebalance_by_lang",
         "rolling_24h_user_value",
         "sketch_cms_heavy_hitters",

@@ -1,8 +1,11 @@
-"""Graph analytics over the near-duplicate pair graph — PageRank as the
-canonical fixed-point companion to the connected-components clustering
-in operators/dedup.py (a dedup pipeline uses centrality to pick the
-canonical document of a cluster: highest-rank member wins, not lowest
-id).
+"""Graph analytics over the engine's two derived pair graphs: the
+near-duplicate pair graph (PageRank as the canonical fixed-point
+companion to the connected-components clustering in operators/dedup.py
+— a dedup pipeline uses centrality to pick the canonical document of a
+cluster; triangle census, degree and component-size histograms as the
+structure screens behind survivor policy) and the part co-purchase
+graph (k-core peeling over operators/mining.py's support-filtered pair
+set).
 
 Execution shape: the edge list is the *verified MinHash pair set* —
 session-cached, orders of magnitude smaller than the corpus — so each

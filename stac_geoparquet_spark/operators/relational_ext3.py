@@ -476,23 +476,34 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") >= F.col("first_view"))
     ).select(
-        # integer-ms quantum: exact in a double, HALF_UP on both engines
-        (
-            F.round(
-                F.expr(
-                    "timestampdiff(MICROSECOND, first_view, first_purchase)"
-                ).cast("double")
-                / F.lit(1_000.0),
-                0,
-            )
-            / F.lit(1_000.0)
-        ).alias("latency_s")
+        # integer-ms quantum, kept as a BIGINT through the percentile:
+        # the interpolation positions 0.25/0.5/0.75 are exact binary
+        # fractions, so interpolating INTEGER operands is bit-exact on
+        # both engines regardless of their (different) lerp expression
+        # shapes — interpolating 0.001-multiples instead landed exact
+        # 4dp midpoints whose last rounded digit flipped with the
+        # engines' 1-ulp lerp difference (found by the sf0.1 full-gate
+        # sweep).  The output stays in MILLISECONDS: the interpolated
+        # values are exact multiples of 0.25 ms (g in {0,.25,.5,.75}
+        # over ints), exactly representable doubles — NO final
+        # rounding, because a /1000 + round(,4) re-lands the exact
+        # decimal midpoints where Spark's BigDecimal HALF_UP and
+        # DuckDB's multiply-based HALF_UP split by one ulp.
+        F.round(
+            F.expr(
+                "timestampdiff(MICROSECOND, first_view, first_purchase)"
+            ).cast("double")
+            / F.lit(1_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("latency_ms")
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.expr("percentile(latency_s, 0.25)"), 4).alias("p25_s"),
-        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_s"),
-        F.round(F.expr("percentile(latency_s, 0.75)"), 4).alias("p75_s"),
+        F.expr("percentile(latency_ms, 0.25)").alias("p25_ms"),
+        F.expr("percentile(latency_ms, 0.5)").alias("p50_ms"),
+        F.expr("percentile(latency_ms, 0.75)").alias("p75_ms"),
     )
 
 
@@ -504,16 +515,16 @@ WITH firsts AS (
   FROM events GROUP BY user_id
 ),
 lat AS (
-  SELECT round(CAST(date_diff('microsecond', first_view, first_purchase)
-                    AS DOUBLE) / 1000.0, 0) / 1000.0 AS latency_s
+  SELECT CAST(round(CAST(date_diff('microsecond', first_view, first_purchase)
+                         AS DOUBLE) / 1000.0, 0) AS BIGINT) AS latency_ms
   FROM firsts
   WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
     AND first_purchase >= first_view
 )
 SELECT count(*) AS n_converted,
-       round(quantile_cont(latency_s, 0.25), 4) AS p25_s,
-       round(quantile_cont(latency_s, 0.50), 4) AS p50_s,
-       round(quantile_cont(latency_s, 0.75), 4) AS p75_s
+       quantile_cont(latency_ms, 0.25) AS p25_ms,
+       quantile_cont(latency_ms, 0.50) AS p50_ms,
+       quantile_cont(latency_ms, 0.75) AS p75_ms
 FROM lat
 """
 
@@ -542,33 +553,49 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("freq"),
-        F.round(F.sum("value"), 2).alias("monetary"),
+        # exact integer cents (the pareto/OLS convention): the median
+        # then interpolates INTEGER operands — bit-exact on both
+        # engines (0.5 * int and int + int are exact doubles below
+        # 2^53), where a median of 0.01-multiples could land an exact
+        # midpoint and flip the >= cut with the engines' 1-ulp lerp
+        # difference (the funnel-latency sf0.1 finding)
+        F.round(F.sum("value") * 100)
+        .cast("bigint")
+        .alias("monetary_cents"),
     )
     anchor = per_user.agg(F.max("last_ts").alias("t_max"))
     rfm = per_user.join(F.broadcast(anchor)).select(
         "user_id",
-        # 0.01 h quantum bounds the median's distinct-value buffer by
-        # the corpus time span, not the user count (see header note)
+        # 0.01 h quantum as integer CENTIHOURS: bounds the median's
+        # distinct-value buffer by the corpus time span (see header
+        # note) AND keeps the median interpolation exact-int
         F.round(
             F.expr("timestampdiff(MICROSECOND, last_ts, t_max)").cast(
                 "double"
             )
-            / F.lit(3_600_000_000.0),
-            2,
-        ).alias("recency_h"),
+            / F.lit(36_000_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("recency_ch"),
         "freq",
-        "monetary",
+        "monetary_cents",
     )
     cuts = rfm.agg(
-        F.round(F.expr("percentile(recency_h, 0.5)"), 6).alias("r_med"),
-        F.round(F.expr("percentile(freq, 0.5)"), 6).alias("f_med"),
-        F.round(F.expr("percentile(monetary, 0.5)"), 6).alias("m_med"),
+        F.expr("percentile(recency_ch, 0.5)").alias("r_med"),
+        F.expr("percentile(freq, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary_cents, 0.5)").alias("m_med"),
     )
     seg = F.concat(
-        # LOW recency (recent) is the good half — standard RFM reads
-        F.when(F.col("recency_h") <= F.col("r_med"), "R+").otherwise("R-"),
+        # LOW recency (recent) is the good half — standard RFM reads;
+        # comparisons are exact-int vs exact-.5-multiple doubles
+        F.when(F.col("recency_ch") <= F.col("r_med"), "R+").otherwise(
+            "R-"
+        ),
         F.when(F.col("freq") >= F.col("f_med"), "F+").otherwise("F-"),
-        F.when(F.col("monetary") >= F.col("m_med"), "M+").otherwise("M-"),
+        F.when(
+            F.col("monetary_cents") >= F.col("m_med"), "M+"
+        ).otherwise("M-"),
     )
     return (
         rfm.join(F.broadcast(cuts))
@@ -581,26 +608,26 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 RFM_SQL = """
 WITH per_user AS (
   SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
-         round(sum(value), 2) AS monetary
+         CAST(round(sum(value) * 100) AS BIGINT) AS monetary_cents
   FROM events GROUP BY user_id
 ),
 anchor AS (SELECT max(last_ts) AS t_max FROM per_user),
 rfm AS (
   SELECT user_id,
-         round(CAST(date_diff('microsecond', last_ts, t_max) AS DOUBLE)
-               / 3600000000.0, 2) AS recency_h,
-         freq, monetary
+         CAST(round(CAST(date_diff('microsecond', last_ts, t_max) AS DOUBLE)
+                    / 36000000.0, 0) AS BIGINT) AS recency_ch,
+         freq, monetary_cents
   FROM per_user, anchor
 ),
 cuts AS (
-  SELECT round(quantile_cont(recency_h, 0.5), 6) AS r_med,
-         round(quantile_cont(freq, 0.5), 6) AS f_med,
-         round(quantile_cont(monetary, 0.5), 6) AS m_med
+  SELECT quantile_cont(recency_ch, 0.5) AS r_med,
+         quantile_cont(freq, 0.5) AS f_med,
+         quantile_cont(monetary_cents, 0.5) AS m_med
   FROM rfm
 )
-SELECT concat(CASE WHEN recency_h <= r_med THEN 'R+' ELSE 'R-' END,
+SELECT concat(CASE WHEN recency_ch <= r_med THEN 'R+' ELSE 'R-' END,
               CASE WHEN freq >= f_med THEN 'F+' ELSE 'F-' END,
-              CASE WHEN monetary >= m_med THEN 'M+' ELSE 'M-' END)
+              CASE WHEN monetary_cents >= m_med THEN 'M+' ELSE 'M-' END)
          AS segment,
        count(*) AS n_users
 FROM rfm, cuts

@@ -198,37 +198,54 @@ def outliers_iqr_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     no tail at all survives Tukey's classic 1.5); with real heavy-
     tailed data the multiplier is the standard 1.5 and nothing else
     changes. Two-phase: a per-group exact-percentile aggregate (tiny — 5
-    groups; Spark's `percentile` matches DuckDB's `quantile_cont`
-    interpolation exactly) broadcast back onto the fact scan. At
-    100 TB swap `percentile` for `approx_percentile` and keep the
-    identical plan shape; the exact version is what the oracle can
-    pin."""
+    groups) broadcast back onto the fact scan. At 100 TB swap
+    `percentile` for `approx_percentile` and keep the identical plan
+    shape; the exact version is what the oracle can pin.
+
+    The quartiles and the fence comparison run in integer CENTS: the
+    percentile interpolation over exact ints is bit-exact on both
+    engines (g = .25/.75 are exact binary fractions), where the
+    engines' different lerp expression shapes over raw double prices
+    differ by one ulp — enough to flip a row sitting exactly on a
+    fence (the funnel-latency sf0.1 finding, applied to the
+    comparison rather than the rounding)."""
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    fences = orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
-        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    priced = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    fences = priced.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
     )
     return (
-        orders.join(F.broadcast(fences), "o_orderpriority")
+        priced.join(F.broadcast(fences), "o_orderpriority")
         .where(
-            f"o_totalprice < q1 - {IQR_K} * (q3 - q1)"
-            f" OR o_totalprice > q3 + {IQR_K} * (q3 - q1)"
+            f"cents < q1 - {IQR_K} * (q3 - q1)"
+            f" OR cents > q3 + {IQR_K} * (q3 - q1)"
         )
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
 
 
 OUTLIERS_IQR_SQL = f"""
-WITH fences AS (
+WITH priced AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+fences AS (
   SELECT o_orderpriority,
-         quantile_cont(o_totalprice, 0.25) AS q1,
-         quantile_cont(o_totalprice, 0.75) AS q3
-  FROM orders GROUP BY o_orderpriority
+         quantile_cont(cents, 0.25) AS q1,
+         quantile_cont(cents, 0.75) AS q3
+  FROM priced GROUP BY o_orderpriority
 )
 SELECT o_orderkey, o_orderpriority, o_totalprice
-FROM orders JOIN fences USING (o_orderpriority)
-WHERE o_totalprice < q1 - {IQR_K} * (q3 - q1)
-   OR o_totalprice > q3 + {IQR_K} * (q3 - q1)
+FROM priced JOIN fences USING (o_orderpriority)
+WHERE cents < q1 - {IQR_K} * (q3 - q1)
+   OR cents > q3 + {IQR_K} * (q3 - q1)
 """
 
 

@@ -439,10 +439,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over the COMPACTED (doc, word) counts: a separate
+    # groupBy(word) + join re-planned the whole corpus explode into the
+    # join's other side (Catalyst does not CSE aggregate subtrees —
+    # 2 Generates + 3 scans in the explain; same defect class fixed in
+    # chi2_discriminative_terms).  The window partitions on the
+    # SCALING word key over rows already shrunk by the tf aggregate.
+    dfw = Window.partitionBy("word")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -467,16 +473,15 @@ WITH words AS (
   SELECT doc_id, unnest({_sql_words()}) AS word FROM documents
 ),
 tf AS (
-  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
-),
-dfreq AS (
-  SELECT word, count(*) AS df FROM tf GROUP BY word
+  SELECT doc_id, word, count(*) AS tf,
+         count(*) OVER (PARTITION BY word) AS df
+  FROM words GROUP BY doc_id, word
 ),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
-  SELECT doc_id, tf.word,
+  SELECT doc_id, word,
          round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
-  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+  FROM tf CROSS JOIN n
 )
 SELECT doc_id, word, tfidf, rk
 FROM (

@@ -1585,3 +1585,18 @@ def test_bm25_incremental_is_stream_static(spark, sf):
     assert n_ops(plan, "Window") == 0
     assert "TakeOrderedAndProject" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_single_explode_window_df(spark, sf):
+    """The corpus explodes ONCE: df rides a word-partitioned window
+    over the compacted tf rows (a separate groupBy(word) + join
+    re-planned the whole explode into the join's other side — 2
+    Generates + 3 scans before the fix); the top-K per doc plans with
+    WindowGroupLimit above the doc_id exchange."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.text_tfidf_top_terms(spark, sf))
+    assert n_ops(plan, "Generate") == 1
+    assert n_ops(plan, "Scan parquet") == 2  # tf subtree + count-only n_docs
+    assert "WindowGroupLimit" in plan
+    assert "windowspecdefinition(word" in plan  # scaling df key

@@ -128,28 +128,32 @@ _BOUNDED_WINDOW_ALLOWLIST = {
 # unearned pass (r06 ADVICE).
 _PERCENTILE_DOMAIN_ALLOWLIST = {
     # TPC-H money: prices are DECIMAL-derived cent values — distinct
-    # count <= price span x 100, independent of order count
-    ("outliers_iqr_price", "o_totalprice"):
-        "cents: distinct <= price span x 100",
+    # count <= price span x 100, independent of order count; the IQR
+    # op quantizes to integer cents so the fence interpolation and
+    # comparison are exact-int (bit-exact cross-engine)
+    ("outliers_iqr_price", "cents"):
+        "int cents: distinct <= price span x 100",
     ("percentile_prices_by_priority", "o_totalprice"):
         "cents: distinct <= price span x 100",
     # approx_percentile_prices carries an exact-percentile reference
     # column next to the approx estimate — same cents domain
     ("approx_percentile_prices", "o_totalprice"):
         "cents: distinct <= price span x 100",
-    # funnel_latency_quantiles: quantized to whole milliseconds before
-    # the percentile — distinct <= corpus time span in ms
-    ("funnel_latency_quantiles", "latency_s"):
-        "ms quantum: distinct <= event time span in ms",
-    # events_rfm_segments: recency quantized to 0.01 h (distinct <=
-    # span_hours x 100); freq is a small-int per-user event count
-    # (distinct <= max events/user); monetary is cents
-    ("events_rfm_segments", "recency_h"):
-        "0.01 h quantum: distinct <= time span in h x 100",
+    # funnel_latency_quantiles: quantized to INTEGER milliseconds
+    # before the percentile — distinct <= corpus time span in ms, and
+    # the interpolation runs over exact ints (bit-exact cross-engine)
+    ("funnel_latency_quantiles", "latency_ms"):
+        "int ms quantum: distinct <= event time span in ms",
+    # events_rfm_segments: recency quantized to integer CENTIHOURS
+    # (distinct <= span_hours x 100); freq is a small-int per-user
+    # event count (distinct <= max events/user); monetary is integer
+    # cents — all three medians interpolate exact ints
+    ("events_rfm_segments", "recency_ch"):
+        "int 0.01 h quantum: distinct <= time span in h x 100",
     ("events_rfm_segments", "freq"):
         "small-int count: distinct <= max events per user",
-    ("events_rfm_segments", "monetary"):
-        "cents: distinct <= value span x 100",
+    ("events_rfm_segments", "monetary_cents"):
+        "int cents: distinct <= value span x 100",
     # quality_winsorize: scores are round(,6) values in [0, 1] —
     # distinct <= ~1e6 per lang at any corpus size
     ("quality_winsorize", "score"):
