@@ -121,16 +121,19 @@ def _registries():
     # to a word-partitioned window over the compacted tf rows), and
     # the three integer-unit percentile hardenings the sf0.1 full-gate
     # sweep motivated (funnel_latency_quantiles — the actual sf0.1
-    # divergence — plus events_rfm_segments and outliers_iqr_price,
-    # the same latent class in cut/fence comparisons); (c) the
-    # r03-latest rows.  20 + 7 + 23 = 50 exactly: ELEVEN r03 entries
+    # divergence — plus events_rfm_segments, outliers_iqr_price,
+    # quality_winsorize, approx_percentile_prices, and the pareto
+    # threshold recovery: the same latent class in rounded outputs and
+    # cut/fence comparisons); (c) the r03-latest rows.
+    # 20 + 9 + 21 = 50 exactly: THIRTEEN r03 entries
     # (anti_join_inactive_customers, intersect_nations,
     # semi_join_active_customers, bloom_filter_semijoin,
     # bucketed_colocated_join, join_customers_per_region,
     # agg_orders_by_priority, events_hourly_rollup, mm_audio_energy,
-    # events_session_window, moving_avg_daily_revenue — untouched
-    # simple queries, the lowest-risk residue) do not fit and queue
-    # FIRST for r08, followed by the oldest-r04 family.
+    # events_session_window, moving_avg_daily_revenue, dq_report,
+    # events_k_anonymity — untouched simple queries, the lowest-risk
+    # residue) do not fit and queue FIRST for r08, followed by the
+    # oldest-r04 family.
     window = [
         # (a) new this round
         *NEW_THIS_ROUND,
@@ -142,6 +145,8 @@ def _registries():
         "funnel_latency_quantiles",
         "events_rfm_segments",
         "outliers_iqr_price",
+        "quality_winsorize",
+        "approx_percentile_prices",
         # (c) r03-latest rows (all but the eleven queued for r08)
         "bpe_merge_candidates",
         "corpus_yield_funnel",
@@ -149,13 +154,11 @@ def _registries():
         "decontam_incremental",
         "dedup_substring_spans",
         "dq_corpus_report",
-        "dq_report",
         "dsir_importance_weights",
         "edit_distance_join",
         "embedding_class_profile",
         "embedding_quantize_int8",
         "entity_resolution_parts",
-        "events_k_anonymity",
         "fingerprint_winnowing",
         "layout_zorder_cells",
         "rebalance_by_lang",

@@ -436,10 +436,21 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("rev_cents"))
     )
     qs = [c[0] for c in PARETO_CUTS]
+    # exact threshold recovery: the percentile interpolates INTEGER
+    # cents at fractions with denominator 100, so the true value is a
+    # multiple of 0.01 — round(t*100)/100 recovers it exactly and
+    # BIT-IDENTICALLY on both engines (the engines' different lerp
+    # expression shapes differ by ~1 ulp, which the half-integer-free
+    # round absorbs); without it a threshold landing exactly on a
+    # customer's integer cent total could flip the >= cut per engine
+    # (the funnel-latency midpoint class, applied to a comparison)
     thr = rev.agg(
-        F.percentile("rev_cents", F.array(*[F.lit(q) for q in qs])).alias(
-            "t"
-        )
+        F.transform(
+            F.percentile(
+                "rev_cents", F.array(*[F.lit(q) for q in qs])
+            ),
+            lambda t: F.round(t * 100) / 100,
+        ).alias("t")
     ).collect()[0]["t"]
     if thr is None:  # empty orders: percentile is NULL on both engines
         thr = [None] * len(qs)
@@ -510,7 +521,8 @@ WITH rev AS (
            AS rev_cents
   FROM orders GROUP BY o_custkey
 ),
-thr AS (SELECT quantile_cont(rev_cents, [{qlist}]) AS t FROM rev),
+thr AS (SELECT list_transform(quantile_cont(rev_cents, [{qlist}]),
+                              t -> round(t * 100) / 100) AS t FROM rev),
 tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM rev)
 {body}
 """

@@ -673,20 +673,29 @@ FROM lineitem
 
 
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    # INTEGER cents through both percentiles, exact threshold recovery
+    # (round(v*d)/d for fraction denominator d) so the hash-compared
+    # exact values are bit-identical cross-engine: interpolating raw
+    # 2-decimal doubles put p50 on exact 2dp midpoints (0.005-dollar
+    # multiples) where Spark's BigDecimal HALF_UP and DuckDB's
+    # multiply-based HALF_UP split by one ulp — the funnel-latency
+    # sf0.1 class.  p50 interpolates at g = 0.5 (exact binary, d = 2);
+    # p95's position rounds in the double domain, so d = 20 recovery
+    # absorbs the ~ulp lerp noise around the true 0.05-cent multiple.
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
     agg = orders.agg(
+        F.expr("percentile(cents, array(0.5, 0.95))").alias("exact"),
         F.expr(
-            "percentile(o_totalprice, array(0.5, 0.95))"
-        ).alias("exact"),
-        F.expr(
-            "percentile_approx(o_totalprice, array(0.5, 0.95), 10000)"
+            "percentile_approx(cents, array(0.5, 0.95), 10000)"
         ).alias("approx"),
     )
     # elementwise relative error < 1% -> the sketch is behaviorally
     # correct; exact percentiles are the hash-compared payload
     return agg.select(
-        F.round(F.element_at("exact", 1), 2).alias("p50"),
-        F.round(F.element_at("exact", 2), 2).alias("p95"),
+        (F.round(F.element_at("exact", 1) * 2) / 2).alias("p50_cents"),
+        (F.round(F.element_at("exact", 2) * 20) / 20).alias("p95_cents"),
         F.expr(
             "forall(zip_with(approx, exact, (a, e) -> abs(a - e) / e < 0.01),"
             " x -> x)"
@@ -695,10 +704,11 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_PCTL_SQL = """
-SELECT round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
-       round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+SELECT round(quantile_cont(cents, 0.5) * 2) / 2   AS p50_cents,
+       round(quantile_cont(cents, 0.95) * 20) / 20 AS p95_cents,
        true AS approx_ok
-FROM orders
+FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders) t
 """
 
 QUERIES["approx_distinct_parts"] = approx_distinct_parts

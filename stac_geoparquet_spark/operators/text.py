@@ -1204,24 +1204,45 @@ GROUP BY 1, 2
 # capped-term default (0.7) is a ranking hazard, not a real score.
 # --------------------------------------------------------------------------
 def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTEGER micro-units through the percentiles with exact cut
+    # recovery (the funnel-latency sf0.1 midpoint class): scores are
+    # round(,6) in [0, 1], so micros = round(score*1e6) is an exact
+    # int; the p05/p95 interpolation over ints is then a multiple of
+    # 0.05 micros in exact decimal, and round(v*20)/20 recovers it
+    # BIT-IDENTICALLY on both engines (their lerp expression shapes
+    # differ by ~1 ulp, which the half-integer-free round absorbs).
+    # Outputs stay in micro-units: the clamped value is either an
+    # exact int or the bit-identical cut — no final rounding, because
+    # cut/1e6 + round(,6) would re-land exact 6dp midpoints where the
+    # two engines' HALF_UP implementations split.
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     scored = docs.select(
-        "doc_id", "lang", F.round(quality_score_expr(), 6).alias("score")
+        "doc_id",
+        "lang",
+        F.round(F.round(quality_score_expr(), 6) * 1e6)
+        .cast("bigint")
+        .alias("score_micro"),
     )
     qs = scored.groupBy("lang").agg(
-        F.round(F.expr("percentile(score, 0.05)"), 6).alias("p05"),
-        F.round(F.expr("percentile(score, 0.95)"), 6).alias("p95"),
+        (F.round(F.expr("percentile(score_micro, 0.05)") * 20) / 20).alias(
+            "p05"
+        ),
+        (F.round(F.expr("percentile(score_micro, 0.95)") * 20) / 20).alias(
+            "p95"
+        ),
     )
     return scored.join(F.broadcast(qs), "lang").select(
         "doc_id",
         "lang",
-        "score",
-        F.round(
-            F.least(F.greatest(F.col("score"), F.col("p05")), F.col("p95")),
-            6,
-        ).alias("score_w"),
-        ((F.col("score") < F.col("p05")) | (F.col("score") > F.col("p95")))
-        .alias("clipped"),
+        "score_micro",
+        F.least(
+            F.greatest(F.col("score_micro").cast("double"), F.col("p05")),
+            F.col("p95"),
+        ).alias("score_w_micro"),
+        (
+            (F.col("score_micro") < F.col("p05"))
+            | (F.col("score_micro") > F.col("p95"))
+        ).alias("clipped"),
     )
 
 
@@ -1240,19 +1261,22 @@ WITH m AS (
 ),
 scored AS (
   SELECT doc_id, lang,
-         round(least(n_words / 100.0, 1.0) * 0.4
+         CAST(round(round(least(n_words / 100.0, 1.0) * 0.4
                + (1.0 - least(n_punct * 10.0 / nullif(n_chars, 0), 1.0)) * 0.3
-               + least(n_stop * 5.0 / n_words, 1.0) * 0.3, 6) AS score
+               + least(n_stop * 5.0 / n_words, 1.0) * 0.3, 6) * 1000000)
+           AS BIGINT) AS score_micro
   FROM m
 ),
 qs AS (
-  SELECT lang, round(quantile_cont(score, 0.05), 6) AS p05,
-         round(quantile_cont(score, 0.95), 6) AS p95
+  SELECT lang,
+         round(quantile_cont(score_micro, 0.05) * 20) / 20 AS p05,
+         round(quantile_cont(score_micro, 0.95) * 20) / 20 AS p95
   FROM scored GROUP BY lang
 )
-SELECT doc_id, lang, score,
-       round(least(greatest(score, p05), p95), 6) AS score_w,
-       (score < p05 OR score > p95) AS clipped
+SELECT doc_id, lang, score_micro,
+       least(greatest(CAST(score_micro AS DOUBLE), p05), p95)
+         AS score_w_micro,
+       (score_micro < p05 OR score_micro > p95) AS clipped
 FROM scored JOIN qs USING (lang)
 """
 

@@ -1021,8 +1021,9 @@ def test_hll_estimate_within_error_bound(spark, tmp_path):
 
 
 def test_winsorize_clamps_to_band(spark):
-    """score_w lies in [p05, p95] per lang; unclipped rows keep their
-    score; clipped fraction is bounded by ~10% + ties."""
+    """score_w_micro lies in [p05, p95] per lang; unclipped rows keep
+    their micro score exactly; clipped fraction is bounded by ~10% +
+    ties."""
     from stac_geoparquet_spark.operators.text import quality_winsorize
 
     rows = quality_winsorize(spark, SF_DIR).collect()
@@ -1032,15 +1033,15 @@ def test_winsorize_clamps_to_band(spark):
         by_lang.setdefault(r["lang"], []).append(r)
     n_clipped = 0
     for rs in by_lang.values():
-        lo = min(r["score_w"] for r in rs)
-        hi = max(r["score_w"] for r in rs)
+        lo = min(r["score_w_micro"] for r in rs)
+        hi = max(r["score_w_micro"] for r in rs)
         for r in rs:
-            assert lo <= r["score_w"] <= hi
+            assert lo <= r["score_w_micro"] <= hi
             if not r["clipped"]:
-                assert r["score_w"] == r["score"]
+                assert r["score_w_micro"] == r["score_micro"]
             else:
                 n_clipped += 1
-                assert r["score_w"] in (lo, hi)
+                assert r["score_w_micro"] in (lo, hi)
     assert n_clipped <= 0.15 * len(rows)
 
 

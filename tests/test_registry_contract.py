@@ -136,9 +136,10 @@ _PERCENTILE_DOMAIN_ALLOWLIST = {
     ("percentile_prices_by_priority", "o_totalprice"):
         "cents: distinct <= price span x 100",
     # approx_percentile_prices carries an exact-percentile reference
-    # column next to the approx estimate — same cents domain
-    ("approx_percentile_prices", "o_totalprice"):
-        "cents: distinct <= price span x 100",
+    # column next to the approx estimate — integer cents, exact-int
+    # interpolation
+    ("approx_percentile_prices", "cents"):
+        "int cents: distinct <= price span x 100",
     # funnel_latency_quantiles: quantized to INTEGER milliseconds
     # before the percentile — distinct <= corpus time span in ms, and
     # the interpolation runs over exact ints (bit-exact cross-engine)
@@ -154,10 +155,11 @@ _PERCENTILE_DOMAIN_ALLOWLIST = {
         "small-int count: distinct <= max events per user",
     ("events_rfm_segments", "monetary_cents"):
         "int cents: distinct <= value span x 100",
-    # quality_winsorize: scores are round(,6) values in [0, 1] —
-    # distinct <= ~1e6 per lang at any corpus size
-    ("quality_winsorize", "score"):
-        "round(,6) in [0,1]: distinct <= ~1e6",
+    # quality_winsorize: scores are integer micro-units of round(,6)
+    # values in [0, 1] — distinct <= ~1e6 per lang at any corpus size,
+    # and the cut interpolation runs over exact ints
+    ("quality_winsorize", "score_micro"):
+        "int micros of round(,6) in [0,1]: distinct <= ~1e6",
     # orders_pareto_share: per-customer revenue as an exact cent sum
     # (the RFM-monetary precedent): distinct <= revenue span x 100 —
     # bounded by the value domain, not the customer count
