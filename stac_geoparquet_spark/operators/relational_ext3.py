@@ -540,13 +540,13 @@ FROM lat
 # (3 scalars, broadcast back) and the segment label is a pure CASE —
 # one user_id shuffle plus two broadcast-size aggregates, any scale.
 # The medians' percentile buffers hold DISTINCT (quantized) values
-# with map-side merge, not rows; every input domain is bounded:
-# monetary is cents (≤ price_span × 100 distinct), freq is a
-# small-int event count (≤ max events/user distinct), and recency_h
-# is quantized to 0.01 h — distinct values ≤ corpus time span in
+# with map-side merge, not rows; every input domain is bounded AND
+# integer: monetary_cents (≤ price_span × 100 distinct), freq (a
+# small-int event count, ≤ max events/user distinct), and recency_ch
+# in integer CENTIHOURS — distinct values ≤ corpus time span in
 # hours × 100 (~7.2e4 for a 30-day corpus), independent of user
-# count.  Medians are rounded at the sync point; ties go to 'hi'
-# (>=) on both engines.
+# count.  Integer inputs make the g=0.5 median interpolation
+# bit-exact cross-engine; ties go to 'hi' (>=) on both engines.
 # --------------------------------------------------------------------------
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
