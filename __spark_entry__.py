@@ -24,6 +24,7 @@ if _REPO not in sys.path:
 
 def _registries():
     from stac_geoparquet_spark.operators import (
+        audit,
         bucketing,
         curation,
         dedup,
@@ -46,6 +47,7 @@ def _registries():
         stac_query,
         stats,
         text,
+        timeseries,
     )
     from stac_geoparquet_spark.streaming import decontam as streaming_decontam
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
@@ -60,6 +62,8 @@ def _registries():
     # modules merge into one pool; _WINDOW pins the round's first-50.
     modules = [
         stac_query,
+        audit,
+        timeseries,
         dedup,
         similarity,
         text,
@@ -106,69 +110,45 @@ def _registries():
         pool.update(q)
         pool_oracle.update(o)
 
-    # Round-7 window (staleness-driven, tools/gen_ledger.py): (a) new
-    # THIS round (need a first driver row) — the 10 mining/sketch/eval
-    # ops from the round's first batch, the 6 retrieval / graph /
-    # eval / regression / survival ops from the second, and the 4
-    # calibration / balance / path-entropy / incremental-retrieval ops
-    # from the third; (b) changed
-    # this round after their latest green row — the two r06-ADVICE
-    # fixes (embedding_norm_outliers' in-engine threshold rounding,
-    # minhash_signature_source_sim's canonical-corpus read) and
-    # kmeans_embeddings (its fit loop refactored into the shared
-    # _kmeans_fit helper that kmeans_silhouette consumes),
-    # text_tfidf_top_terms (df re-planned from a second corpus explode
-    # to a word-partitioned window over the compacted tf rows), and
-    # the three integer-unit percentile hardenings the sf0.1 full-gate
-    # sweep motivated (funnel_latency_quantiles — the actual sf0.1
-    # divergence — plus events_rfm_segments, outliers_iqr_price,
-    # quality_winsorize, approx_percentile_prices, and the pareto
-    # threshold recovery: the same latent class in rounded outputs and
-    # cut/fence comparisons); (c) the r03-latest rows.
-    # 20 + 9 + 21 = 50 exactly: THIRTEEN r03 entries
-    # (anti_join_inactive_customers, intersect_nations,
-    # semi_join_active_customers, bloom_filter_semijoin,
-    # bucketed_colocated_join, join_customers_per_region,
-    # agg_orders_by_priority, events_hourly_rollup, mm_audio_energy,
-    # events_session_window, moving_avg_daily_revenue, dq_report,
-    # events_k_anonymity — untouched simple queries, the lowest-risk
-    # residue) do not fit and queue FIRST for r08, followed by the
-    # oldest-r04 family.
+    # Round-8 window (staleness-driven, tools/gen_ledger.py).  The
+    # round-7 driver eval never landed (no CORRECTNESS_r07.json), so
+    # the 20 round-7 operators still have NO driver row — they stay at
+    # the FRONT under either scenario (if r07's file arrives late,
+    # re-running them costs nothing; if it never does, this is their
+    # first hard signal).  Then: (a) the 10 new round-8 operators
+    # (timeseries + audit families); (b) the 13 r03 entries the r07
+    # window could not fit (queued first per the r07 ledger note);
+    # (c) the 7 alphabetically-first r04 entries — r04 rows are stale
+    # under BOTH scenarios, unlike the 21 r03 entries that sat in the
+    # r07 window (fresh if r07 ran; they queue for r09 otherwise).
+    # 20 + 10 + 13 + 7 = 50 exactly.
     window = [
+        # r07 operators, still without a driver row
+        *ROUND7_PENDING,
         # (a) new this round
         *NEW_THIS_ROUND,
-        # (b) code changed after latest green row
-        "embedding_norm_outliers",
-        "minhash_signature_source_sim",
-        "kmeans_embeddings",
-        "text_tfidf_top_terms",
-        "funnel_latency_quantiles",
-        "events_rfm_segments",
-        "outliers_iqr_price",
-        "quality_winsorize",
-        "approx_percentile_prices",
-        # (c) r03-latest rows (all but the eleven queued for r08)
-        "bpe_merge_candidates",
-        "corpus_yield_funnel",
-        "cross_lang_contamination",
-        "decontam_incremental",
-        "dedup_substring_spans",
-        "dq_corpus_report",
-        "dsir_importance_weights",
-        "edit_distance_join",
-        "embedding_class_profile",
-        "embedding_quantize_int8",
-        "entity_resolution_parts",
-        "fingerprint_winnowing",
-        "layout_zorder_cells",
-        "rebalance_by_lang",
-        "rolling_24h_user_value",
-        "sketch_cms_heavy_hitters",
-        "skew_salted_flag_join",
-        "source_mixture_weights",
-        "text_bigram_entropy",
-        "text_zipf_slope",
-        "window_topk_orders_per_customer",
+        # (b) r03 entries queued first from the r07 rotation
+        "agg_orders_by_priority",
+        "anti_join_inactive_customers",
+        "bloom_filter_semijoin",
+        "bucketed_colocated_join",
+        "dq_report",
+        "events_hourly_rollup",
+        "events_k_anonymity",
+        "events_session_window",
+        "intersect_nations",
+        "join_customers_per_region",
+        "mm_audio_energy",
+        "moving_avg_daily_revenue",
+        "semi_join_active_customers",
+        # (c) oldest-r04 family, alphabetical
+        "cap_docs_per_source",
+        "dedup_containment",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_incremental_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -184,6 +164,22 @@ def _registries():
 # Queries registered for the first time this round — they need a driver
 # row, so they go straight into the 50-entry window.
 NEW_THIS_ROUND: list[str] = [
+    "orders_autocorrelation",
+    "orders_seasonality_dow",
+    "events_psi_drift",
+    "events_ab_ztest",
+    "supplier_leadtime_trend",
+    "orders_benford_digit",
+    "events_attribution_last_touch",
+    "split_leakage_audit",
+    "dedup_cluster_purity",
+    "embedding_centroid_drift",
+]
+
+# Round-7 registrations whose driver rows never arrived (the r07
+# correctness file is absent) — kept at the window front until a row
+# exists.
+ROUND7_PENDING: list[str] = [
     "basket_part_pairs",
     "customer_interpurchase",
     "events_type_cooccurrence_pmi",

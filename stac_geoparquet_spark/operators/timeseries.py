@@ -1,0 +1,568 @@
+"""Temporal / experiment analytics operators — round 8.
+
+The time-axis diagnostics a training-data pipeline runs next to the
+relational surface: autocorrelation of the daily arrival series (is
+there weekly periodicity the sampler must stratify over?), day-of-week
+seasonality shares, PSI population drift between calendar halves (the
+"did the ingest distribution move" screen run before mixing a new
+crawl into an old one), a deterministic A/B two-proportion z-test, and
+per-supplier lead-time trend slopes.  The reference is a STAC
+conversion library with no analytics surface (SURVEY §1); these extend
+SURVEY §2.7's relational family.
+
+Scale notes (100 TB):
+- the corpus-sized work in every operator here is ONE map-side-
+  combining aggregate on a scaling or calendar key (day, event_type x
+  half, user_id, suppkey); everything downstream operates on rollups
+  bounded by the calendar or the type alphabet;
+- the autocorrelation lag join broadcasts the DAILY rollup — rows are
+  bounded by calendar days, never by order count (100x the orders
+  land in the same days);
+- floats: counts / cents / day-diffs stay exact int64 end-to-end;
+  each output statistic is ONE fixed-shape double expression over
+  those exact moments (casts are IEEE round-to-nearest on both
+  engines, the expression tree is written identically in the Spark
+  plan and the oracle SQL), then round(,6) + 0.0 — the house
+  convention, no float merge-order exposure anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ACF_MAX_LAG = 7  # daily-series autocorrelation horizon (one week)
+LEADTIME_X_EPOCH = "2020-01-01"  # OLS x-origin: keeps day indexes small
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    return read_events(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL dates carry no position on the time axis — excluded
+    # explicitly on both engines (the canonical NULL-key rule)
+    return (
+        _orders(spark, sf_dir)
+        .select(F.to_date("o_orderdate").alias("d"))
+        .where(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation of the daily order-count series at lags 1..7 — the
+# periodicity probe run before choosing a time-stratified sampling
+# grain (a strong lag-7 peak means day-of-week stratification is
+# mandatory).  The corpus-sized work is the one daily rollup; the
+# rollup is CALENDAR-BOUNDED (100x the orders land in the same days),
+# so the lag-offset copy is broadcast and the x7 explode fan-out is a
+# constant.  Pearson r per lag from exact int64 moments (n, Σx, Σy,
+# Σxy, Σx², Σy²): per-day counts fit ~1e7 even at 1000x this corpus,
+# so Σxy <= days x 1e14 ~ 4e17 < 2^63 — the sums stay exact; the
+# final r is one identically-shaped double expression over those
+# moments on both engines (zero-variance lags -> NULL, checked on the
+# exact ints before any division).
+# --------------------------------------------------------------------------
+def orders_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # fenced (contract: multi-consumer + calendar-bounded): both lag-
+    # join sides read the materialized daily rollup — withOUT the
+    # fence Catalyst re-plans the full orders scan under x AND y
+    daily = fenced(_daily_orders(spark, sf_dir))
+    x = daily.select(
+        F.col("d").alias("xd"),
+        F.col("c").alias("xc"),
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+    )
+    y = daily.select(F.col("d").alias("yd"), F.col("c").alias("yc"))
+    m = (
+        x.join(F.broadcast(y), F.date_add(F.col("xd"), F.col("lag")) == F.col("yd"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("xc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+            F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+            F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+        )
+    )
+    # the variance-positivity guard compares EXACT ints (n*sxx vs
+    # sx*sx), so the NULL cut cannot drift by a rounding ulp
+    return m.selectExpr(
+        "lag",
+        "n_pairs",
+        """CASE WHEN n_pairs * sxx <= sx * sx OR n_pairs * syy <= sy * sy
+                THEN NULL
+                ELSE round(
+                  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                  6) + 0.0
+           END AS acf""",
+    )
+
+
+AUTOCORRELATION_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+lags AS (SELECT CAST(unnest(generate_series(1, {ACF_MAX_LAG})) AS INT) AS lag),
+m AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x.c) AS BIGINT) AS sx,
+         CAST(sum(y.c) AS BIGINT) AS sy,
+         CAST(sum(x.c * y.c) AS BIGINT) AS sxy,
+         CAST(sum(x.c * x.c) AS BIGINT) AS sxx,
+         CAST(sum(y.c * y.c) AS BIGINT) AS syy
+  FROM daily x CROSS JOIN lags
+  JOIN daily y ON y.d = x.d + lag
+  GROUP BY lag
+)
+SELECT lag, n_pairs,
+       CASE WHEN n_pairs * sxx <= sx * sx OR n_pairs * syy <= sy * sy
+            THEN NULL
+            ELSE round(
+              (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+              6) + 0.0
+       END AS acf
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality: order count and exact cent revenue per
+# weekday, with shares of the totals — the companion read to the ACF
+# (the lag-7 peak localized to WHICH days carry the mass).  Weekday
+# is computed as epoch-day mod 7 anchored on a known Monday
+# (1970-01-05) IDENTICALLY on both engines — never the engines' own
+# dayofweek functions, whose 0/1-origin and week-start conventions
+# differ.  One map-side-combining aggregate on the 7-value key
+# (bounded key is fine for groupBy — partials combine; the sweep bans
+# bounded-key WINDOWS, not aggregates), one broadcast totals row;
+# shares are single divisions of exact ints, round(,6).
+# --------------------------------------------------------------------------
+def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _orders(spark, sf_dir)
+        .select(
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .where(F.col("d").isNotNull())
+    )
+    from stac_geoparquet_spark.operators._io import fenced
+
+    dow = ((F.datediff(F.col("d"), F.to_date(F.lit("1970-01-05"))) % 7) + 7) % 7
+    # fenced (7-row rollup, two consumers): the totals aggregate and
+    # the share join both read the materialized rollup instead of
+    # re-planning the orders scan
+    per = fenced(
+        o.select(dow.alias("dow"), "cents")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_orders").alias("t_n"), F.sum("revenue_cents").alias("t_c")
+    )
+    names = F.array(
+        *[F.lit(s) for s in ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")]
+    )
+    return per.join(F.broadcast(tot)).select(
+        "dow",
+        F.element_at(names, F.col("dow") + 1).alias("dow_name"),
+        "n_orders",
+        "revenue_cents",
+        F.round(F.col("n_orders").cast("double") / F.col("t_n"), 6).alias(
+            "order_share"
+        ),
+        F.round(
+            F.col("revenue_cents").cast("double") / F.col("t_c"), 6
+        ).alias("revenue_share"),
+    )
+
+
+SEASONALITY_DOW_SQL = """
+WITH o AS (
+  SELECT ((CAST(o_orderdate AS DATE) - DATE '1970-01-05') % 7 + 7) % 7
+           AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+per AS (
+  SELECT CAST(dow AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM o GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS t_n,
+         CAST(sum(revenue_cents) AS BIGINT) AS t_c
+  FROM per
+)
+SELECT dow,
+       (['Mon','Tue','Wed','Thu','Fri','Sat','Sun'])[dow + 1] AS dow_name,
+       n_orders, revenue_cents,
+       round(CAST(n_orders AS DOUBLE) / t_n, 6) AS order_share,
+       round(CAST(revenue_cents AS DOUBLE) / t_c, 6) AS revenue_share
+FROM per CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# PSI population drift between the two calendar halves of the event
+# stream — the standard "did the distribution move between ingests"
+# screen, reported PER TYPE (the add-one-smoothed PSI term) rather
+# than as a pre-summed scalar: the per-term rows are what an operator
+# dashboard shows, and emitting them keeps every output a single
+# fixed-shape float expression over exact ints (no float sum at all —
+# a scalar PSI would sum doubles across the type alphabet).  The
+# split point is the µs midpoint of the corpus time range — exact
+# int64 arithmetic, reproducible on both engines.  The corpus-sized
+# work is two aggregates (the min/max row and the per-(type, half)
+# counts), both map-side combining; the smoothing constant k = the
+# type-alphabet size.  Int products inside the ln stay < 2^63 for
+# corpora up to ~1e9 events per type (comment bound; beyond that the
+# counts themselves need a wider type everywhere).  Reads the raw
+# event multiset (distribution op over arriving rows — the house
+# row-level rule); NULL ts/type rows carry no position or class.
+# --------------------------------------------------------------------------
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            # NTZ-safe epoch µs (unix_micros rejects TIMESTAMP_NTZ);
+            # DuckDB's epoch_us on a naive TIMESTAMP is the same number
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+    )
+    mid = ev.agg(
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
+    )
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # fenced (type-alphabet-bounded rollup, two consumers): the totals
+    # aggregate and the term join read the materialized counts — the
+    # two corpus scans that remain (the min/max row + the conditional
+    # counts) are the inherent two-pass of a data-derived split point
+    per = fenced(
+        ev.join(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("us") <= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum(F.when(F.col("us") > F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_second"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_first").alias("ta"),
+        F.sum("n_second").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return per.join(F.broadcast(tot)).selectExpr(
+        "event_type",
+        "n_first",
+        "n_second",
+        """round(
+             (CAST(n_first + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+              - CAST(n_second + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+             * ln(CAST((n_first + 1) * (tb + k) AS DOUBLE)
+                  / CAST((n_second + 1) * (ta + k) AS DOUBLE)),
+             6) + 0.0 AS psi_term""",
+    )
+
+
+PSI_DRIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+m AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first,
+         CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_second
+  FROM ev CROSS JOIN m
+  GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n_first) AS BIGINT) AS ta,
+         CAST(sum(n_second) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM per
+)
+SELECT event_type, n_first, n_second,
+       round(
+         (CAST(n_first + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+          - CAST(n_second + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+         * ln(CAST((n_first + 1) * (tb + k) AS DOUBLE)
+              / CAST((n_second + 1) * (ta + k) AS DOUBLE)),
+         6) + 0.0 AS psi_term
+FROM per CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic A/B two-proportion z-test: users split into arms by
+# md5(user_id) parity (the split_train_holdout hash convention, mod 2
+# instead of mod 100), conversion = the user ever fired a purchase
+# event, z = (pA - pB) / sqrt(p(1-p)(1/nA + 1/nB)) on the pooled
+# rate — the experiment readout every growth pipeline runs, here as
+# an A/A-style hash split so the expected z is ~0 and the harness is
+# fully deterministic.  One user_id-keyed aggregate (scaling key,
+# map-side combining), then a single 1-row reduction; z is one
+# fixed-shape double expression over four exact int64 counts, NULL
+# when an arm is empty or the pooled rate is degenerate (guards
+# compare exact ints).  Reads the raw multiset: re-delivered events
+# cannot flip a per-user EXISTS.
+# --------------------------------------------------------------------------
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "conv",
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    return agg.selectExpr(
+        "coalesce(n_a, 0) AS n_a",
+        "coalesce(n_b, 0) AS n_b",
+        "coalesce(conv_a, 0) AS conv_a",
+        "coalesce(conv_b, 0) AS conv_b",
+        "CASE WHEN coalesce(n_a, 0) = 0 THEN NULL"
+        " ELSE round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)"
+        " END AS rate_a",
+        "CASE WHEN coalesce(n_b, 0) = 0 THEN NULL"
+        " ELSE round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)"
+        " END AS rate_b",
+        """CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
+                 OR conv_a + conv_b = 0
+                 OR conv_a + conv_b = n_a + n_b
+                THEN NULL
+                ELSE round(
+                  (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt(
+                      (CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))),
+                  6) + 0.0
+           END AS z_score""",
+    )
+
+
+AB_ZTEST_SQL = """
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT coalesce(n_a, 0) AS n_a,
+       coalesce(n_b, 0) AS n_b,
+       coalesce(conv_a, 0) AS conv_a,
+       coalesce(conv_b, 0) AS conv_b,
+       CASE WHEN coalesce(n_a, 0) = 0 THEN NULL
+            ELSE round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+       END AS rate_a,
+       CASE WHEN coalesce(n_b, 0) = 0 THEN NULL
+            ELSE round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+       END AS rate_b,
+       CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
+             OR conv_a + conv_b = 0
+             OR conv_a + conv_b = n_a + n_b
+            THEN NULL
+            ELSE round(
+              (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / sqrt(
+                  (CAST(conv_a + conv_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))),
+              6) + 0.0
+       END AS z_score
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-supplier lead-time trend: the OLS slope of (ship date - order
+# date) against the order date — the operational-drift screen ("is
+# this supplier getting slower") that is also the per-group
+# regression shape feature pipelines run per entity.  Same design as
+# ols_discount_response: exact int64 moment sums per supplier (x =
+# days since 2020-01-01, <= ~4e3; y = lead days, <= ~1e2; Σxy <=
+# rows x 4e5, exact past 1e13 rows PER SUPPLIER), normal equations as
+# one fixed-shape double expression, degenerate variance -> NULL
+# decided on exact ints.  One join shuffle on the scaling o_orderkey,
+# one aggregate on the scaling l_suppkey.
+# --------------------------------------------------------------------------
+def supplier_leadtime_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir).where(
+        F.col("l_suppkey").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+    )
+    o = _orders(spark, sf_dir).where(
+        F.col("o_orderkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit(LEADTIME_X_EPOCH))
+        ).alias("x"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "y"
+        ),
+    )
+    m = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.selectExpr(
+        "l_suppkey",
+        "n_lines",
+        "round(CAST(sy AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)"
+        " AS avg_lead_days",
+        """CASE WHEN n_lines * sxx <= sx * sx THEN NULL
+                ELSE round(
+                  (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                  6) + 0.0
+           END AS trend_slope""",
+    )
+
+
+LEADTIME_TREND_SQL = f"""
+WITH j AS (
+  SELECT l_suppkey,
+         CAST(o_orderdate AS DATE) - DATE '{LEADTIME_X_EPOCH}' AS x,
+         CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS y
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL
+    AND l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+),
+m AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM j GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_lines,
+       round(CAST(sy AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS avg_lead_days,
+       CASE WHEN n_lines * sxx <= sx * sx THEN NULL
+            ELSE round(
+              (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+              6) + 0.0
+       END AS trend_slope
+FROM m
+"""
+
+
+QUERIES = {
+    "orders_autocorrelation": orders_autocorrelation,
+    "orders_seasonality_dow": orders_seasonality_dow,
+    "events_psi_drift": events_psi_drift,
+    "events_ab_ztest": events_ab_ztest,
+    "supplier_leadtime_trend": supplier_leadtime_trend,
+}
+
+ORACLE = {
+    "orders_autocorrelation": AUTOCORRELATION_SQL,
+    "orders_seasonality_dow": SEASONALITY_DOW_SQL,
+    "events_psi_drift": PSI_DRIFT_SQL,
+    "events_ab_ztest": AB_ZTEST_SQL,
+    "supplier_leadtime_trend": LEADTIME_TREND_SQL,
+}

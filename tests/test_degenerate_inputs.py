@@ -129,6 +129,22 @@ SINGLEROW_SAMPLE = [
     "corpus_gini_balance",
     "user_path_entropy",
     "bm25_incremental_scoring",
+    # round-8: one order/day has no lag partner (empty ACF join) and
+    # is 100% of every share; one event is one PSI half (the other
+    # smoothed), one arm, and one attribution row; one lineitem is a
+    # zero-variance OLS (NULL slope); a 1-doc pair graph leaves the
+    # leakage/purity tables empty; one vector fills one md5 half only
+    # (drift row excluded on the exact-int guard)
+    "orders_autocorrelation",
+    "orders_seasonality_dow",
+    "events_psi_drift",
+    "events_ab_ztest",
+    "supplier_leadtime_trend",
+    "orders_benford_digit",
+    "events_attribution_last_touch",
+    "split_leakage_audit",
+    "dedup_cluster_purity",
+    "embedding_centroid_drift",
 ]
 
 CONSTANT_SAMPLE = [
@@ -179,6 +195,17 @@ CONSTANT_SAMPLE = [
     # one constant user is a single giant path
     "corpus_gini_balance",
     "user_path_entropy",
+    # round-8: a constant event_type ('click') means zero purchases —
+    # the A/B conversions and the attribution purchase set must empty
+    # identically; one user collapses PSI to the single-type term; one
+    # source makes every near-dup cluster pure; a constant date is the
+    # zero-variance ACF (NULL on exact-int guard) and a single DOW row
+    "events_ab_ztest",
+    "events_attribution_last_touch",
+    "events_psi_drift",
+    "dedup_cluster_purity",
+    "orders_autocorrelation",
+    "orders_seasonality_dow",
 ]
 
 

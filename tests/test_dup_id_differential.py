@@ -83,6 +83,13 @@ SAMPLE = [
     # events family (canonical event log)
     "events_markov_transitions",
     "range_join_clicks_before_purchase",
+    # round-8: the attribution carry-forward keys on the canonical
+    # (ts, event_id) order; leakage/purity ride the canonical pair
+    # graph; the drift halves key on the canonical vec_id
+    "events_attribution_last_touch",
+    "split_leakage_audit",
+    "dedup_cluster_purity",
+    "embedding_centroid_drift",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -121,6 +121,19 @@ SAMPLE = [
     "corpus_gini_balance",
     "user_path_entropy",
     "bm25_incremental_scoring",
+    # round-8: every aggregate-over-empty must agree (the z-test's
+    # all-NULL single row vs DuckDB's, the PSI NULL midpoint, empty
+    # pair/cluster/drift tables)
+    "orders_autocorrelation",
+    "orders_seasonality_dow",
+    "events_psi_drift",
+    "events_ab_ztest",
+    "supplier_leadtime_trend",
+    "orders_benford_digit",
+    "events_attribution_last_touch",
+    "split_leakage_audit",
+    "dedup_cluster_purity",
+    "embedding_centroid_drift",
 ]
 
 TABLES = (
@@ -167,6 +180,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # one-row corpus-balance summary: (n_sources=0, NULL, NULL)
         # on both engines
         "corpus_gini_balance",
+        # one-row experiment summary: zero counts, NULL rates/z on
+        # both engines (the oracle's SELECT over an empty-agg row)
+        "events_ab_ztest",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

@@ -1905,3 +1905,316 @@ def test_bm25_incremental_scores_only_incoming(spark):
     for r in rows:
         assert r["doc_id"] % INCOMING_MOD == 0
         assert r["score"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators
+# ---------------------------------------------------------------------------
+def test_autocorrelation_bounds_and_pair_counts(spark):
+    """Every ACF value lies in [-1, 1]; the lag-L pair count equals
+    the number of day pairs exactly L apart, independently counted."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        orders_autocorrelation,
+    )
+
+    rows = orders_autocorrelation(spark, SF_DIR).collect()
+    assert {r["lag"] for r in rows} <= set(range(1, 8))
+    con = duckdb.connect()
+    days = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT CAST(o_orderdate AS DATE) FROM "
+            f"'{os.path.join(SF_DIR, 'orders.parquet')}' "
+            f"WHERE o_orderdate IS NOT NULL"
+        ).fetchall()
+    ]
+    dayset = set(days)
+    for r in rows:
+        if r["acf"] is not None:
+            assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+        import datetime
+
+        expect = sum(
+            1 for d in days if d + datetime.timedelta(days=r["lag"]) in dayset
+        )
+        assert r["n_pairs"] == expect
+
+
+def test_seasonality_shares_sum_to_one(spark):
+    """DOW shares partition the totals: each share column sums to 1
+    within rounding, counts sum to the NOT-NULL order count."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        orders_seasonality_dow,
+    )
+
+    rows = orders_seasonality_dow(spark, SF_DIR).collect()
+    assert rows
+    names = {0: "Mon", 1: "Tue", 2: "Wed", 3: "Thu", 4: "Fri", 5: "Sat", 6: "Sun"}
+    for r in rows:
+        assert names[r["dow"]] == r["dow_name"]
+    assert abs(sum(r["order_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{os.path.join(SF_DIR, 'orders.parquet')}' "
+        f"WHERE o_orderdate IS NOT NULL"
+    ).fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == n
+
+
+def test_psi_detects_injected_drift(spark, tmp_path):
+    """Each PSI term (p-q)ln(p/q) is non-negative (both factors share
+    a sign); a type present ONLY in the second half must carry a
+    strictly positive term (its first-half share is the smoothed
+    floor), and the balanced types stay near zero."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import events_psi_drift
+
+    dst = tmp_path / "psi_fixture"
+    dst.mkdir()
+    con = duckdb.connect()
+    # 2000 µs-spaced events: types alternate evenly except 'launch',
+    # which exists only after the midpoint
+    con.execute(
+        f"""COPY (SELECT i AS event_id,
+              TIMESTAMP '2024-01-01' + INTERVAL (i) SECOND AS ts,
+              i % 7 AS user_id,
+              CASE WHEN i >= 1500 AND i % 4 = 0 THEN 'launch'
+                   WHEN i % 2 = 0 THEN 'view' ELSE 'click' END
+                AS event_type,
+              1.0 AS value, '' AS props
+            FROM range(2000) t(i))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    out = {
+        r["event_type"]: r
+        for r in events_psi_drift(spark, str(dst)).collect()
+    }
+    assert out["launch"]["n_first"] == 0
+    assert out["launch"]["psi_term"] > 0
+    for t in ("view", "click"):
+        assert out[t]["psi_term"] >= 0
+        assert out[t]["psi_term"] < out["launch"]["psi_term"]
+
+
+def test_ab_ztest_conserves_users(spark):
+    """Arms partition the user set; conversions never exceed arm
+    sizes; the pooled guard produces a finite z on real data."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import events_ab_ztest
+
+    row = events_ab_ztest(spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{os.path.join(SF_DIR, 'events.parquet')}' "
+        f"WHERE user_id IS NOT NULL"
+    ).fetchone()[0]
+    assert row["n_a"] + row["n_b"] == n_users
+    assert 0 <= row["conv_a"] <= row["n_a"]
+    assert 0 <= row["conv_b"] <= row["n_b"]
+    if row["z_score"] is not None:
+        import math
+
+        assert math.isfinite(row["z_score"])
+
+
+def test_leadtime_trend_recovers_exact_slope(spark, tmp_path):
+    """A synthetic supplier whose lead time grows exactly 1 day per
+    10 order-days fits slope 0.1 exactly; a constant-leadtime
+    supplier fits slope 0."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        supplier_leadtime_trend,
+    )
+
+    dst = tmp_path / "trend_fixture"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT i AS o_orderkey, 1 AS o_custkey,
+              'O' AS o_orderstatus, 100.0 AS o_totalprice,
+              TIMESTAMP '2023-01-01' + INTERVAL (i * 10) DAY AS o_orderdate,
+              '1-URGENT' AS o_orderpriority
+            FROM range(20) t(i))
+          TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+            SELECT i AS l_orderkey, 1 AS l_partkey,
+                   CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS l_suppkey,
+                   CAST(1 AS INT) AS l_linenumber, 1.0 AS l_quantity,
+                   1.0 AS l_extendedprice, 0.0 AS l_discount, 0.0 AS l_tax,
+                   'N' AS l_returnflag, 'O' AS l_linestatus,
+                   TIMESTAMP '2023-01-01' + INTERVAL (i * 10) DAY
+                     + CASE WHEN i % 2 = 0
+                            THEN INTERVAL (i) DAY        -- slope 0.1
+                            ELSE INTERVAL 5 DAY END      -- slope 0
+                     AS l_shipdate
+            FROM range(20) t(i))
+          TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    out = {
+        r["l_suppkey"]: r
+        for r in supplier_leadtime_trend(spark, str(dst)).collect()
+    }
+    assert abs(out[1]["trend_slope"] - 0.1) < 1e-9
+    assert abs(out[2]["trend_slope"]) < 1e-12
+
+
+def test_benford_digits_and_expected_curve(spark):
+    """Digits are 1..9, observed shares sum to 1, and the expected
+    shares are the Benford curve summing to 1."""
+    from stac_geoparquet_spark.operators.audit import orders_benford_digit
+
+    rows = orders_benford_digit(spark, SF_DIR).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 1 <= r["digit"] <= 9
+        expect = round(math.log10(1 + 1 / r["digit"]), 6)
+        assert abs(r["exp_share"] - expect) < 2e-6
+        assert r["chi2_term"] >= 0
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_attribution_conserves_purchases(spark):
+    """Every canonical purchase is attributed exactly once; shares sum
+    to 1; 'direct' only appears when a user's first event purchases."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.audit import (
+        events_attribution_last_touch,
+    )
+
+    rows = events_attribution_last_touch(spark, SF_DIR).collect()
+    assert rows
+    from stac_geoparquet_spark.operators._canon import EVENTS_CANON_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'events.parquet')}'"
+    )
+    n_purch = con.execute(
+        f"""SELECT count(*) FROM {EVENTS_CANON_SQL} e
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              AND ts IS NOT NULL"""
+    ).fetchone()[0]
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    shares = [r["revenue_share"] for r in rows if r["revenue_share"] is not None]
+    if shares:
+        assert abs(sum(shares) - 1.0) < 1e-4
+    assert all(r["touch"] != "purchase" for r in rows)
+
+
+def test_split_leakage_pairs_cross_and_verify(spark):
+    """Every reported pair is a verified near-dup pair whose endpoints
+    hash to different splits — re-derived independently per row."""
+    import hashlib
+
+    from stac_geoparquet_spark.operators.dedup import dedup_minhash_lsh
+    from stac_geoparquet_spark.operators.audit import split_leakage_audit
+    from stac_geoparquet_spark.operators.text import TRAIN_PCT
+
+    def split(doc_id: int) -> str:
+        pct = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if pct < TRAIN_PCT else "holdout"
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    rows = split_leakage_audit(spark, SF_DIR).collect()
+    for r in rows:
+        assert (r["doc_a"], r["doc_b"]) in pairs
+        assert split(r["doc_a"]) == r["split_a"]
+        assert split(r["doc_b"]) == r["split_b"]
+        assert r["split_a"] != r["split_b"]
+    # and completeness: every crossing pair is reported
+    expect = {
+        (a, b) for (a, b) in pairs if split(a) != split(b)
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == expect
+
+
+def test_cluster_purity_matches_cluster_table(spark):
+    """n_docs equals the cluster's size in the label table; n_sources
+    equals the distinct sources of its members."""
+    import os
+
+    from collections import defaultdict
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.audit import dedup_cluster_purity
+    from stac_geoparquet_spark.operators.dedup import dedup_cluster_cc
+
+    members = defaultdict(list)
+    for r in dedup_cluster_cc(spark, SF_DIR).collect():
+        members[r["cluster_id"]].append(r["doc_id"])
+    from stac_geoparquet_spark.operators._canon import DOCS_CANON_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'documents.parquet')}'"
+    )
+    src = dict(
+        con.execute(
+            f"SELECT doc_id, source FROM {DOCS_CANON_SQL} d"
+        ).fetchall()
+    )
+    rows = dedup_cluster_purity(spark, SF_DIR).collect()
+    assert {r["cluster_id"] for r in rows} == set(members)
+    for r in rows:
+        docs = members[r["cluster_id"]]
+        assert r["n_docs"] == len(docs)
+        srcs = {src[d] for d in docs if src[d] is not None}
+        assert r["n_sources"] == len(srcs)
+        assert r["cross_source"] == (len(srcs) > 1)
+
+
+def test_centroid_drift_identical_halves_converge(spark, tmp_path):
+    """A class whose vectors are all identical has cos 1 and l2 0
+    between its halves; output excludes labels missing a half."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.audit import embedding_centroid_drift
+
+    dst = tmp_path / "drift_fixture"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT i AS vec_id,
+              list_transform(range(64), d -> CAST(0.25 AS FLOAT))
+                AS embedding,
+              CAST(1 AS INT) AS label
+            FROM range(40) t(i))
+          TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    rows = embedding_centroid_drift(spark, str(dst)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_a"] + r["n_b"] == 40 and r["n_a"] > 0 and r["n_b"] > 0
+    assert abs(r["cos_centroids"] - 1.0) < 1e-9
+    assert r["l2_shift"] == 0.0

@@ -68,6 +68,10 @@ SAMPLE = [
     "text_readability",
     "vocab_oov_rate_by_lang",
     "minhash_signature_source_sim",
+    # round-8: NULL text shingles to nothing, so a NULL-text doc joins
+    # no pair — the leakage and purity tables must drop it identically
+    "split_leakage_audit",
+    "dedup_cluster_purity",
     # round-7b: NULL text carries no tokens (BM25 candidates, chi2
     # presence); NULL source must be excluded from the chi2 slices
     "bm25_topk_retrieval",
@@ -153,6 +157,8 @@ VEC_SAMPLE = [
     "embedding_norm_outliers",
     # round-7b: the silhouette eval rides the kmeans fit contract
     "kmeans_silhouette",
+    # round-8: the drift screen shares the valid-vector contract
+    "embedding_centroid_drift",
 ]
 
 
@@ -340,6 +346,13 @@ REL_SAMPLE = [
     "basket_part_pairs",
     "customer_interpurchase",
     "orders_pareto_share",
+    # round-8: NULL dates carry no time-axis position (ACF / DOW /
+    # lead-time x), NULL keys join nothing, NULL prices have no
+    # leading digit — excluded explicitly on both engines
+    "orders_autocorrelation",
+    "orders_seasonality_dow",
+    "supplier_leadtime_trend",
+    "orders_benford_digit",
 ]
 
 
@@ -769,6 +782,11 @@ EVENTS_SAMPLE = [
     "user_survival_km",
     # round-7c: NULL user/ts/type rows carry no path identity
     "user_path_entropy",
+    # round-8: NULL ts/type rows carry no drift position or class;
+    # NULL user carries no arm or sequence identity
+    "events_psi_drift",
+    "events_ab_ztest",
+    "events_attribution_last_touch",
 ]
 
 

@@ -1600,3 +1600,144 @@ def test_tfidf_single_explode_window_df(spark, sf):
     assert n_ops(plan, "Scan parquet") == 2  # tf subtree + count-only n_docs
     assert "WindowGroupLimit" in plan
     assert "windowspecdefinition(word" in plan  # scaling df key
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators
+# ---------------------------------------------------------------------------
+def test_autocorrelation_broadcasts_fenced_daily(spark, sf):
+    """Both lag-join sides read the FENCED daily rollup (one orders
+    scan at build time, zero in the returned plan); the y side joins
+    broadcast (calendar-bounded rows); one Generate fans the 7 lags."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_autocorrelation(spark, sf))
+    assert "orders.parquet" not in plan  # rollup materialized
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "Generate") == 1
+    assert n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonality_single_orders_scan(spark, sf):
+    """The 7-row DOW rollup is fenced: the totals aggregate and the
+    share join read the materialized rows — the returned plan has NO
+    orders scan and no window."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_seasonality_dow(spark, sf))
+    assert "orders.parquet" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_two_pass_fenced_rollup(spark, sf):
+    """The returned plan reads the FENCED per-type rollup (the totals
+    join must not re-plan the conditional-count scan); a data-derived
+    split point is inherently two-pass, but both passes happen at
+    build time, once."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_psi_drift(spark, sf))
+    assert "events.parquet" not in plan
+    assert n_ops(plan, "Window") == 0
+
+
+def test_ab_ztest_single_chain(spark, sf):
+    """One events scan, one user_id-keyed aggregate (map-side
+    combining), one 1-row reduction — no join, no window."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_ab_ztest(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    assert (
+        n_ops(plan, "SortMergeJoin")
+        + n_ops(plan, "BroadcastHashJoin")
+        + n_ops(plan, "BroadcastNestedLoopJoin")
+        == 0
+    )
+    # per-user partial + final, then global partial + final
+    assert n_ops(plan, "HashAggregate") == 4
+
+
+def test_leadtime_trend_keyed_join_and_agg(spark, sf):
+    """One equi-join on the scaling o_orderkey, one aggregate on the
+    scaling l_suppkey, date filters pushed to both scans — no window,
+    no percentile, no cartesian."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.supplier_leadtime_trend(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert "percentile" not in plan
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_benford_single_orders_scan(spark, sf):
+    """The 9-row digit rollup is fenced; the returned plan reads the
+    materialized counts only (expected shares and chi terms are
+    in-row expressions over them)."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.orders_benford_digit(spark, sf))
+    assert "orders.parquet" not in plan
+    assert n_ops(plan, "Window") == 0
+
+
+def test_attribution_single_user_window(spark, sf):
+    """The carry-forward runs in ONE window over the scaling user_id;
+    the touch rollup is fenced so the totals join reads materialized
+    rows — the returned plan has no events scan and no second
+    window."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.events_attribution_last_touch(spark, sf))
+    assert "events.parquet" not in plan  # canon layout + fence upstream
+    assert n_ops(plan, "Window") == 0  # window ran at build time
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_pure_projection_over_pairs(spark, sf):
+    """The audit is an in-row projection + filter over the fenced
+    verified-pair table: no join, no window, no aggregate, no corpus
+    scan in the returned plan."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.split_leakage_audit(spark, sf))
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "HashAggregate") == 0
+    assert (
+        n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    )
+
+
+def test_cluster_purity_one_keyed_aggregate(spark, sf):
+    """Rides the fenced cluster label table joined to the canonical
+    doc table: one join, one aggregate on the scaling cluster_id, no
+    window (the label table already carries its sizes)."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.dedup_cluster_purity(spark, sf))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") <= 1  # cc's size window, if not pruned
+
+
+def test_centroid_drift_single_scan_ordered_folds(spark, sf):
+    """One embeddings scan feeds the exploded micro-unit aggregate
+    (map-side combining on the bounded label x dim key); the
+    dimension folds run over dim-sorted arrays in-row — no second
+    scan, no join, no percentile."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.embedding_centroid_drift(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert "percentile" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    )
