@@ -118,10 +118,11 @@ def _registries():
     # first hard signal).  Then: (a) the 10 new round-8 operators
     # (timeseries + audit families); (b) the 13 r03 entries the r07
     # window could not fit (queued first per the r07 ledger note);
-    # (c) the 7 alphabetically-first r04 entries — r04 rows are stale
+    # (c) the alphabetically-first r04 entry — r04 rows are stale
     # under BOTH scenarios, unlike the 21 r03 entries that sat in the
     # r07 window (fresh if r07 ran; they queue for r09 otherwise).
-    # 20 + 10 + 13 + 7 = 50 exactly.
+    # 20 + 16 + 13 + 1 = 50 exactly; the remaining r04 family queues
+    # for r09 behind nothing-new.
     window = [
         # r07 operators, still without a driver row
         *ROUND7_PENDING,
@@ -143,12 +144,6 @@ def _registries():
         "semi_join_active_customers",
         # (c) oldest-r04 family, alphabetical
         "cap_docs_per_source",
-        "dedup_containment",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_incremental_minhash",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -174,6 +169,13 @@ NEW_THIS_ROUND: list[str] = [
     "split_leakage_audit",
     "dedup_cluster_purity",
     "embedding_centroid_drift",
+    # second batch
+    "part_affinity_topk",
+    "graph_degree_assortativity",
+    "dedup_minhash_precision",
+    "simhash_hamming_profile",
+    "supplier_scorecard",
+    "events_psi_incremental",
 ]
 
 # Round-7 registrations whose driver rows never arrived (the r07

@@ -520,3 +520,229 @@ ORACLE = {
     "dedup_cluster_purity": _cluster_purity_sql(),
     "embedding_centroid_drift": _centroid_drift_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# MinHash index precision report (round 8): how many LSH candidate
+# pairs survive the exact-Jaccard verify, and the verified pairs'
+# mean similarity — the index-quality eval a pipeline reads before
+# trusting banding parameters (ann_recall_report's dedup twin: recall
+# is unknowable without ground truth, but precision and similarity
+# mass are exactly measurable).  Candidate generation REUSES the
+# shared definitions (per_doc_signatures + band_parts_sql — the same
+# single-source fragments dedup_minhash_lsh builds from, so the two
+# cannot drift) over the session-cached signature table; the verified
+# side reads the fenced pair set.  avg_jaccard goes through exact
+# integer micro-units (jaccard is round(,6), so round(j*1e6) recovers
+# the int exactly) — no float row aggregate.  Output is one bounded
+# row.
+# --------------------------------------------------------------------------
+def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.dedup import (
+        band_parts_sql,
+        dedup_minhash_lsh,
+        per_doc_signatures,
+    )
+
+    sig = per_doc_signatures(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({band_parts_sql()})) AS band"
+    ).selectExpr("doc_id", "band.band_id", "band.band_key")
+    # same bucket-local pair expansion as dedup_minhash_lsh (shared
+    # fragments above pin the banding; this is the one consumer that
+    # needs the PRE-verify pair count)
+    cands = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.expr("sort_array(collect_list(doc_id)) AS ds"))
+        .where("size(ds) >= 2")
+        .selectExpr(
+            "explode(flatten(transform(sequence(0, size(ds)-2),"
+            " i -> transform(slice(ds, i+2, size(ds)),"
+            " x -> struct(ds[i] AS a, x AS b))))) AS p"
+        )
+        .selectExpr("p.a AS doc_a", "p.b AS doc_b")
+        .distinct()
+    )
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    verified = dedup_minhash_lsh(spark, sf_dir).select(
+        F.round(F.col("jaccard") * 1e6).cast("bigint").alias("jm")
+    )
+    nv = verified.agg(
+        F.count(F.lit(1)).alias("n_verified"),
+        F.sum("jm").alias("jm_sum"),
+    )
+    return nc.join(F.broadcast(nv)).selectExpr(
+        "n_candidates",
+        "n_verified",
+        "CASE WHEN n_candidates = 0 THEN NULL"
+        " ELSE round(CAST(n_verified AS DOUBLE)"
+        " / CAST(n_candidates AS DOUBLE), 6) END AS precision",
+        "CASE WHEN n_verified = 0 THEN NULL"
+        " ELSE round(CAST(jm_sum AS DOUBLE)"
+        " / CAST(n_verified AS DOUBLE) / 1000000.0, 6) END AS avg_jaccard",
+    )
+
+
+def _minhash_precision_sql() -> str:
+    from stac_geoparquet_spark.operators.dedup import _minhash_oracle_ctes
+
+    return f"""
+WITH {_minhash_oracle_ctes()},
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cands),
+v AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_verified,
+         CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+           AS jm_sum
+  FROM pairs
+)
+SELECT n_candidates, n_verified,
+       CASE WHEN n_candidates = 0 THEN NULL
+            ELSE round(CAST(n_verified AS DOUBLE)
+                 / CAST(n_candidates AS DOUBLE), 6) END AS precision,
+       CASE WHEN n_verified = 0 THEN NULL
+            ELSE round(CAST(jm_sum AS DOUBLE)
+                 / CAST(n_verified AS DOUBLE) / 1000000.0, 6)
+       END AS avg_jaccard
+FROM c CROSS JOIN v
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash-vs-Jaccard agreement profile (round 8): for every VERIFIED
+# near-dup pair, the Hamming distance between the two docs' SimHash
+# fingerprints, rolled up per distance with the exact mean Jaccard —
+# the cross-validation read that tells you what Hamming cutoff the
+# one-pass SimHash screen would need to match the (expensive) MinHash
+# verify.  Two keyed joins of the fenced pair set against the
+# join-free fingerprint projection (both on the scaling doc id);
+# Hamming is bit_count(xor) in-row; the per-distance mean goes
+# through exact jaccard micro-units.
+# --------------------------------------------------------------------------
+def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+
+    sim = dedup_simhash(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = sim.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    sb = sim.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming",
+            "CAST(round(jaccard * 1000000) AS BIGINT) AS jm",
+        )
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("jm").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
+def _simhash_hamming_sql() -> str:
+    from stac_geoparquet_spark.operators.dedup import (
+        _minhash_oracle_ctes,
+        _simhash_oracle_sql,
+    )
+
+    # the simhash oracle nests as a subquery: its private CTE names
+    # (wd/hashed/agg) shadow the minhash chain's inside the parens
+    return f"""
+WITH {_minhash_oracle_ctes()},
+sim AS (SELECT * FROM ({_simhash_oracle_sql()}) s),
+j AS (
+  SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
+         CAST(round(jaccard * 1000000) AS BIGINT) AS jm
+  FROM pairs
+  JOIN sim sa ON sa.doc_id = pairs.doc_a
+  JOIN sim sb ON sb.doc_id = pairs.doc_b
+)
+SELECT hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(jm) AS DOUBLE) / count(*) / 1000000.0, 6)
+         AS avg_jaccard
+FROM j GROUP BY hamming
+"""
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard (round 8): the per-entity operational profile a
+# pipeline materializes as a feature table — line volume, return
+# rate, mean discount/quantity (exact micro-unit means), exact cent
+# revenue.  ONE lineitem scan, one map-side-combining aggregate on
+# the scaling suppkey; every ratio is a single division of exact
+# int64 sums.  NULL suppkey rows have no entity and are excluded on
+# both engines.
+# --------------------------------------------------------------------------
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet")).where(
+        F.col("l_suppkey").isNotNull()
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+            F.round(F.col("l_discount") * 1e6).cast("bigint").alias("disc_u"),
+            F.round(F.col("l_quantity") * 1e6).cast("bigint").alias("qty_u"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+            F.round(
+                F.sum("ret").cast("double") / F.count(F.lit(1)), 6
+            ).alias("return_rate"),
+            F.round(
+                F.sum("disc_u").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_discount"),
+            F.round(
+                F.sum("qty_u").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_quantity"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+SUPPLIER_SCORECARD_SQL = """
+WITH li AS (
+  SELECT l_suppkey,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         CAST(round(l_discount * 1000000) AS BIGINT) AS disc_u,
+         CAST(round(l_quantity * 1000000) AS BIGINT) AS qty_u,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_suppkey IS NOT NULL
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(ret) AS BIGINT) AS n_returned,
+       round(CAST(sum(ret) AS DOUBLE) / count(*), 6) AS return_rate,
+       round(CAST(sum(disc_u) AS DOUBLE) / count(*) / 1000000.0, 6)
+         AS avg_discount,
+       round(CAST(sum(qty_u) AS DOUBLE) / count(*) / 1000000.0, 6)
+         AS avg_quantity,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM li GROUP BY l_suppkey
+"""
+
+
+QUERIES["dedup_minhash_precision"] = dedup_minhash_precision
+ORACLE["dedup_minhash_precision"] = _minhash_precision_sql()
+QUERIES["simhash_hamming_profile"] = simhash_hamming_profile
+ORACLE["simhash_hamming_profile"] = _simhash_hamming_sql()
+QUERIES["supplier_scorecard"] = supplier_scorecard
+ORACLE["supplier_scorecard"] = SUPPLIER_SCORECARD_SQL

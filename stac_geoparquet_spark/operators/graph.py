@@ -411,3 +411,100 @@ ORACLE = {
     "graph_component_sizes": _component_sizes_oracle_sql(),
     "graph_kcore_parts": _kcore_oracle_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the near-dup pair graph (round 8): the
+# Pearson correlation of endpoint degrees over the symmetrized edge
+# list — positive r means big duplicate clusters link to each other
+# (hub boilerplate networks), negative r means star shapes (one
+# template, many leaves); with the triangle census it pins WHICH
+# survivor policy is safe.  Rides the fenced, session-cached verified
+# pair set; degrees come from one keyed aggregate, the edge join keys
+# on the scaling doc id, and the moments (n, Σx, Σy, Σxy, Σx², Σy²)
+# are exact int64 sums (degree <= pair-graph degree, so Σxy fits past
+# 1e14 edges).  r is one fixed-shape double expression; the
+# zero-variance guard compares exact ints.  Output is one bounded row.
+# --------------------------------------------------------------------------
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("doc_a").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("doc_a").alias("v"), F.col("deg").alias("dy"))
+    m = (
+        sym.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_endpoints"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        )
+    )
+    return m.selectExpr(
+        "CAST(n_endpoints / 2 AS BIGINT) AS n_edges",
+        """CASE WHEN n_endpoints IS NULL OR n_endpoints = 0
+                 OR n_endpoints * sxx <= sx * sx
+                 OR n_endpoints * syy <= sy * sy
+                THEN NULL
+                ELSE round(
+                  (CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_endpoints AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                  6) + 0.0
+           END AS assortativity""",
+    )
+
+
+def _assortativity_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_oracle_ctes()},
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY u),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+         CAST(sum(du.deg) AS BIGINT) AS sx,
+         CAST(sum(dv.deg) AS BIGINT) AS sy,
+         CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy,
+         CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+         CAST(sum(dv.deg * dv.deg) AS BIGINT) AS syy
+  FROM sym
+  JOIN deg du ON du.node = sym.u
+  JOIN deg dv ON dv.node = sym.v
+)
+SELECT CAST(n_endpoints / 2 AS BIGINT) AS n_edges,
+       CASE WHEN n_endpoints IS NULL OR n_endpoints = 0
+             OR n_endpoints * sxx <= sx * sx
+             OR n_endpoints * syy <= sy * sy
+            THEN NULL
+            ELSE round(
+              (CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_endpoints AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+              6) + 0.0
+       END AS assortativity
+FROM m
+"""
+
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+ORACLE["graph_degree_assortativity"] = _assortativity_oracle_sql()

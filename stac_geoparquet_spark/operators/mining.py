@@ -543,3 +543,100 @@ ORACLE = {
     "events_dau_wau": DAU_WAU_SQL,
     "orders_pareto_share": _pareto_oracle_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Item-item affinity retrieval (round 8): for every part, its top-K
+# most-similar parts by co-purchase Jaccard — the classic item-item
+# collaborative-filtering table ("customers who bought X also
+# bought"), and the set-overlap companion to basket_part_pairs' lift.
+# Rides the SAME session-cached, fenced support-pair table (the
+# self-join is paid once across the mining/graph family); the audit
+# itself is two keyed joins against the margin table, a symmetrize
+# union, and ONE ranking window over the SCALING part key whose
+# per-partition input is that part's co-purchase neighbor list
+# (bounded by catalog co-occurrence, not order volume).  jaccard =
+# support / (n_a + n_b - support): one division of exact ints,
+# round(,6); ties rank deterministically by neighbor id on both
+# engines.
+# --------------------------------------------------------------------------
+AFFINITY_TOP_K = 5
+
+
+def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _basket_items(spark, sf_dir)
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    pairs = basket_pair_support(spark, sf_dir)
+    sym = pairs.select(
+        F.col("part_a").alias("part"),
+        F.col("part_b").alias("neighbor"),
+        "support",
+    ).union(
+        pairs.select(
+            F.col("part_b").alias("part"),
+            F.col("part_a").alias("neighbor"),
+            "support",
+        )
+    )
+    cp = part_counts.select(
+        F.col("l_partkey").alias("part"), F.col("n_part").alias("n_p")
+    )
+    cn = part_counts.select(
+        F.col("l_partkey").alias("neighbor"), F.col("n_part").alias("n_n")
+    )
+    scored = (
+        sym.join(cp, "part")
+        .join(cn, "neighbor")
+        .select(
+            "part",
+            "neighbor",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / (F.col("n_p") + F.col("n_n") - F.col("support")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= AFFINITY_TOP_K)
+        .select("part", "neighbor", "support", "jaccard", "rank")
+    )
+
+
+AFFINITY_SQL = f"""
+WITH {_basket_pairs_ctes()},
+pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+       FROM items GROUP BY l_partkey),
+sym AS (
+  SELECT part_a AS part, part_b AS neighbor, support FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, support FROM pairs
+),
+scored AS (
+  SELECT part, neighbor, support,
+         round(CAST(support AS DOUBLE)
+               / (cp.n_part + cn.n_part - support), 6) AS jaccard
+  FROM sym
+  JOIN pc cp ON cp.l_partkey = part
+  JOIN pc cn ON cn.l_partkey = neighbor
+),
+ranked AS (
+  SELECT part, neighbor, support, jaccard,
+         CAST(row_number() OVER (PARTITION BY part
+                                 ORDER BY jaccard DESC, neighbor) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT part, neighbor, support, jaccard, rank
+FROM ranked WHERE rank <= {AFFINITY_TOP_K}
+"""
+
+QUERIES["part_affinity_topk"] = part_affinity_topk
+ORACLE["part_affinity_topk"] = AFFINITY_SQL

@@ -566,3 +566,88 @@ ORACLE = {
     "events_ab_ztest": AB_ZTEST_SQL,
     "supplier_leadtime_trend": LEADTIME_TREND_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Incremental PSI drift (round 8): the stream-static variant of
+# events_psi_drift — the BASELINE distribution is frozen from the
+# resident slice (event_id % INCOMING_MOD != 0, the retrieval-family
+# slice convention) and each arriving batch's per-type counts score
+# against it.  At serving time the baseline shares are a broadcast
+# table maintained by the ingest job; here both sides compute in one
+# map-side-combining pass over ONE scan (the conditional split needs
+# no data-derived midpoint, unlike the calendar variant).  Same
+# smoothed per-term output contract as events_psi_drift.
+# --------------------------------------------------------------------------
+def events_psi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+    from stac_geoparquet_spark.operators.retrieval import INCOMING_MOD
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    )
+    per = fenced(
+        ev.groupBy("event_type").agg(
+            F.sum(
+                F.when(F.col("event_id") % INCOMING_MOD != 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_base"),
+            F.sum(
+                F.when(F.col("event_id") % INCOMING_MOD == 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_incoming"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_base").alias("ta"),
+        F.sum("n_incoming").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return per.join(F.broadcast(tot)).selectExpr(
+        "event_type",
+        "n_base",
+        "n_incoming",
+        """round(
+             (CAST(n_base + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+              - CAST(n_incoming + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+             * ln(CAST((n_base + 1) * (tb + k) AS DOUBLE)
+                  / CAST((n_incoming + 1) * (ta + k) AS DOUBLE)),
+             6) + 0.0 AS psi_term""",
+    )
+
+
+def _psi_incremental_sql() -> str:
+    from stac_geoparquet_spark.operators.retrieval import INCOMING_MOD
+
+    return f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN event_id % {INCOMING_MOD} != 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN event_id % {INCOMING_MOD} = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_incoming
+  FROM events
+  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+  GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS ta,
+         CAST(sum(n_incoming) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM per
+)
+SELECT event_type, n_base, n_incoming,
+       round(
+         (CAST(n_base + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+          - CAST(n_incoming + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+         * ln(CAST((n_base + 1) * (tb + k) AS DOUBLE)
+              / CAST((n_incoming + 1) * (ta + k) AS DOUBLE)),
+         6) + 0.0 AS psi_term
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES["events_psi_incremental"] = events_psi_incremental
+ORACLE["events_psi_incremental"] = _psi_incremental_sql()

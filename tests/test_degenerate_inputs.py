@@ -145,6 +145,16 @@ SINGLEROW_SAMPLE = [
     "split_leakage_audit",
     "dedup_cluster_purity",
     "embedding_centroid_drift",
+    # round-8b: a 1-doc corpus has no candidate pair (zero-count
+    # precision summary, empty hamming/affinity/assortativity
+    # tables); one lineitem is one supplier row; one event is one
+    # PSI-increment type with a one-sided smoothed term
+    "part_affinity_topk",
+    "graph_degree_assortativity",
+    "dedup_minhash_precision",
+    "simhash_hamming_profile",
+    "supplier_scorecard",
+    "events_psi_incremental",
 ]
 
 CONSTANT_SAMPLE = [
@@ -206,6 +216,12 @@ CONSTANT_SAMPLE = [
     "dedup_cluster_purity",
     "orders_autocorrelation",
     "orders_seasonality_dow",
+    # round-8b: the fully-duplicated constant corpus is the candidate-
+    # explosion regime for the precision report and the hamming
+    # profile; a single event type is one smoothed PSI-increment term
+    "dedup_minhash_precision",
+    "simhash_hamming_profile",
+    "events_psi_incremental",
 ]
 
 

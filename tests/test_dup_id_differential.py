@@ -90,6 +90,11 @@ SAMPLE = [
     "split_leakage_audit",
     "dedup_cluster_purity",
     "embedding_centroid_drift",
+    # round-8b: candidates/fingerprints/degrees all derive from the
+    # canonical doc pipeline
+    "dedup_minhash_precision",
+    "simhash_hamming_profile",
+    "graph_degree_assortativity",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -134,6 +134,13 @@ SAMPLE = [
     "split_leakage_audit",
     "dedup_cluster_purity",
     "embedding_centroid_drift",
+    # round-8b
+    "part_affinity_topk",
+    "graph_degree_assortativity",
+    "dedup_minhash_precision",
+    "simhash_hamming_profile",
+    "supplier_scorecard",
+    "events_psi_incremental",
 ]
 
 TABLES = (
@@ -183,6 +190,10 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # one-row experiment summary: zero counts, NULL rates/z on
         # both engines (the oracle's SELECT over an empty-agg row)
         "events_ab_ztest",
+        # one-row index-quality / graph-structure summaries: zero
+        # counts, NULL ratios on both engines
+        "dedup_minhash_precision",
+        "graph_degree_assortativity",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

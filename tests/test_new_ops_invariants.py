@@ -2218,3 +2218,155 @@ def test_centroid_drift_identical_halves_converge(spark, tmp_path):
     assert r["n_a"] + r["n_b"] == 40 and r["n_a"] > 0 and r["n_b"] > 0
     assert abs(r["cos_centroids"] - 1.0) < 1e-9
     assert r["l2_shift"] == 0.0
+
+
+def test_affinity_topk_symmetry_and_rank(spark):
+    """Jaccard reconstructs from independent margins, ranks are dense
+    1..K per part, and the relation is symmetric (if b is a's
+    neighbor, a is b's — possibly outside b's own top-K, so check via
+    the full pair set)."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.mining import (
+        AFFINITY_TOP_K,
+        part_affinity_topk,
+    )
+
+    rows = part_affinity_topk(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'lineitem.parquet')}'"
+    )
+    margins = dict(
+        con.execute(
+            "SELECT l_partkey, count(*) FROM "
+            "(SELECT DISTINCT l_orderkey, l_partkey FROM li "
+            " WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) "
+            "GROUP BY 1"
+        ).fetchall()
+    )
+    by_part = {}
+    for r in rows:
+        assert 1 <= r["rank"] <= AFFINITY_TOP_K
+        expect = round(
+            r["support"]
+            / (margins[r["part"]] + margins[r["neighbor"]] - r["support"]),
+            6,
+        )
+        assert abs(r["jaccard"] - expect) < 1e-9
+        by_part.setdefault(r["part"], []).append(r["rank"])
+    for part, ranks in by_part.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_assortativity_in_range_and_edge_count(spark):
+    """r lies in [-1, 1] and n_edges equals the verified pair count."""
+    from stac_geoparquet_spark.operators.dedup import dedup_minhash_lsh
+    from stac_geoparquet_spark.operators.graph import (
+        graph_degree_assortativity,
+    )
+
+    row = graph_degree_assortativity(spark, SF_DIR).collect()[0]
+    n_pairs = dedup_minhash_lsh(spark, SF_DIR).count()
+    assert row["n_edges"] == n_pairs
+    if row["assortativity"] is not None:
+        assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+
+
+def test_minhash_precision_consistent_with_family(spark):
+    """Verified pairs are a subset of candidates (precision <= 1) and
+    n_verified equals the shipped pair table's count; avg_jaccard >=
+    the verify threshold."""
+    from stac_geoparquet_spark.operators.audit import dedup_minhash_precision
+    from stac_geoparquet_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_minhash_lsh,
+    )
+
+    row = dedup_minhash_precision(spark, SF_DIR).collect()[0]
+    assert row["n_verified"] == dedup_minhash_lsh(spark, SF_DIR).count()
+    assert row["n_verified"] <= row["n_candidates"]
+    if row["precision"] is not None:
+        assert 0.0 <= row["precision"] <= 1.0
+    if row["avg_jaccard"] is not None:
+        assert row["avg_jaccard"] >= JACCARD_THRESHOLD - 1e-9
+
+
+def test_simhash_hamming_covers_all_pairs(spark):
+    """Every verified pair lands in exactly one hamming bucket (counts
+    conserve) and distances fit the fingerprint width."""
+    from stac_geoparquet_spark.operators.audit import simhash_hamming_profile
+    from stac_geoparquet_spark.operators.dedup import (
+        SIMHASH_BITS,
+        dedup_minhash_lsh,
+    )
+
+    rows = simhash_hamming_profile(spark, SF_DIR).collect()
+    n_pairs = dedup_minhash_lsh(spark, SF_DIR).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert 0 <= r["hamming"] <= SIMHASH_BITS
+        assert 0.0 <= r["avg_jaccard"] <= 1.0
+
+
+def test_supplier_scorecard_reconstructs(spark):
+    """Counts, return rates, and cent revenue reconstruct from an
+    independent DuckDB aggregation."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.audit import supplier_scorecard
+
+    rows = {r["l_suppkey"]: r for r in supplier_scorecard(spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""SELECT l_suppkey, count(*),
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END),
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT)
+            FROM '{os.path.join(SF_DIR, 'lineitem.parquet')}'
+            WHERE l_suppkey IS NOT NULL GROUP BY 1"""
+    ).fetchall()
+    assert {t[0] for t in ref} == set(rows)
+    for suppkey, n, ret, cents in ref:
+        r = rows[suppkey]
+        assert r["n_lines"] == n
+        assert r["n_returned"] == ret
+        assert r["revenue_cents"] == cents
+        assert abs(r["return_rate"] - round(ret / n, 6)) < 1e-9
+
+
+def test_psi_incremental_slice_conservation(spark):
+    """Per-type base + incoming counts equal the raw type counts, and
+    the slice split matches event_id % INCOMING_MOD exactly."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.retrieval import INCOMING_MOD
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_psi_incremental,
+    )
+
+    rows = {r["event_type"]: r for r in events_psi_incremental(spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""SELECT event_type,
+               sum(CASE WHEN event_id % {INCOMING_MOD} != 0
+                        THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_id % {INCOMING_MOD} = 0
+                        THEN 1 ELSE 0 END)
+            FROM '{os.path.join(SF_DIR, 'events.parquet')}'
+            WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY 1"""
+    ).fetchall()
+    assert {t[0] for t in ref} == set(rows)
+    for t, nb, ni in ref:
+        assert rows[t]["n_base"] == nb
+        assert rows[t]["n_incoming"] == ni
+        assert rows[t]["psi_term"] >= 0

@@ -72,6 +72,11 @@ SAMPLE = [
     # no pair — the leakage and purity tables must drop it identically
     "split_leakage_audit",
     "dedup_cluster_purity",
+    # round-8b: candidate generation and the simhash fingerprint both
+    # exclude NULL-text docs explicitly
+    "dedup_minhash_precision",
+    "simhash_hamming_profile",
+    "graph_degree_assortativity",
     # round-7b: NULL text carries no tokens (BM25 candidates, chi2
     # presence); NULL source must be excluded from the chi2 slices
     "bm25_topk_retrieval",
@@ -353,6 +358,9 @@ REL_SAMPLE = [
     "orders_seasonality_dow",
     "supplier_leadtime_trend",
     "orders_benford_digit",
+    # round-8b: NULL basket/supplier keys carry no entity
+    "part_affinity_topk",
+    "supplier_scorecard",
 ]
 
 
@@ -787,6 +795,8 @@ EVENTS_SAMPLE = [
     "events_psi_drift",
     "events_ab_ztest",
     "events_attribution_last_touch",
+    # round-8b: NULL id/type rows carry no slice or class
+    "events_psi_incremental",
 ]
 
 

@@ -1741,3 +1741,84 @@ def test_centroid_drift_single_scan_ordered_folds(spark, sf):
     assert (
         n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
     )
+
+
+def test_affinity_topk_rides_cached_pairs(spark, sf):
+    """Scoring reads the fenced support-pair table (no lineitem
+    self-join in the returned plan); the one ranking window partitions
+    by the SCALING part key."""
+    from stac_geoparquet_spark.operators import mining
+
+    plan = plan_of(mining.part_affinity_topk(spark, sf))
+    assert "ExistingRDD" in plan
+    # exactly one ranking window (n_ops("Window") also counts the
+    # WindowGroupLimit pair Spark inserts for rank <= K — itself a
+    # scale win: the K-filter runs inside the sort, pinned below)
+    assert n_ops(plan, "Window") - n_ops(plan, "WindowGroupLimit") == 1
+    assert n_ops(plan, "WindowGroupLimit") >= 1
+    assert "windowspecdefinition(part#" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_single_bounded_row(spark, sf):
+    """Degrees and the edge join run on the fenced pair set (no
+    corpus scan); the output is one aggregate row — no window, no
+    percentile."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_degree_assortativity(spark, sf))
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert "percentile" not in plan
+
+
+def test_minhash_precision_reuses_signature_cache(spark, sf):
+    """Candidate generation reads the CACHED signature table (the
+    shared per_doc_signatures InMemoryRelation) and the verified side
+    reads the fenced pair set — no documents re-scan, no window."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.dedup_minhash_precision(spark, sf))
+    assert "documents.parquet" not in plan
+    assert "InMemoryTableScan" in plan or "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+
+
+def test_simhash_hamming_keyed_joins_only(spark, sf):
+    """Two equi-joins of the fenced pair set against the fingerprint
+    projection on the scaling doc id; hamming + micro-units are
+    in-row; one keyed aggregate.  No window, no cartesian."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.simhash_hamming_profile(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_supplier_scorecard_single_scan(spark, sf):
+    """One lineitem scan, one map-side-combining aggregate on the
+    scaling suppkey, every metric an in-row quantization — no join,
+    no window."""
+    from stac_geoparquet_spark.operators import timeseries  # noqa: F401
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.supplier_scorecard(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    assert (
+        n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    )
+    assert n_ops(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_psi_incremental_one_scan_fenced(spark, sf):
+    """The id-slice split needs NO data-derived midpoint: one events
+    scan builds the fenced per-type rollup at build time; the
+    returned plan reads materialized rows only."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_psi_incremental(spark, sf))
+    assert "events.parquet" not in plan
+    assert n_ops(plan, "Window") == 0

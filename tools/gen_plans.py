@@ -358,6 +358,41 @@ SHOWCASE = [
         "only then do the two unpartitioned cumulative windows run — "
         "their input can never grow with event volume.",
     ),
+    (
+        "orders_autocorrelation",
+        "The lag join runs entirely on the FENCED daily rollup "
+        "(calendar-bounded): one orders scan at build time, a broadcast "
+        "hash join over the 7-lag explode in the returned plan, Pearson "
+        "r as one double expression over exact int64 moments.",
+    ),
+    (
+        "events_psi_drift",
+        "Data-derived split point = inherent two-pass: min/max row plus "
+        "the conditional per-type counts, both map-side combining; the "
+        "type-alphabet-bounded rollup is fenced so the totals join "
+        "never re-plans the events scan.",
+    ),
+    (
+        "events_attribution_last_touch",
+        "One carry-forward window over the scaling user_id (last_value "
+        "IGNORE NULLS), then a keyed rollup on the bounded touch type; "
+        "the fence keeps the totals join off the window chain — the "
+        "returned plan reads materialized rows only.",
+    ),
+    (
+        "split_leakage_audit",
+        "Pure in-row projection + filter over the session-cached, "
+        "fenced verified-pair table: the near-dup work is paid once by "
+        "the dedup family; the audit itself adds zero shuffles.",
+    ),
+    (
+        "embedding_centroid_drift",
+        "One embeddings scan; micro-unit quantization per row, exact "
+        "int64 sums compacting map-side onto the bounded label x dim "
+        "key; the dimension-axis dot/norm/l2 reductions are ordered "
+        "in-row folds over dim-sorted arrays, never a float row "
+        "aggregate.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
