@@ -118,11 +118,11 @@ def _registries():
     # first hard signal).  Then: (a) the 10 new round-8 operators
     # (timeseries + audit families); (b) the 13 r03 entries the r07
     # window could not fit (queued first per the r07 ledger note);
-    # (c) the alphabetically-first r04 entry — r04 rows are stale
-    # under BOTH scenarios, unlike the 21 r03 entries that sat in the
-    # r07 window (fresh if r07 ran; they queue for r09 otherwise).
-    # 20 + 16 + 13 + 1 = 50 exactly; the remaining r04 family queues
-    # for r09 behind nothing-new.
+    # The 18 new round-8 operators fill the rest with 12 of the 13
+    # queued r03 entries (never-rows outrank stale rows):
+    # 20 + 18 + 12 = 50 exactly.  semi_join_active_customers (r03) and
+    # the whole r04 family queue FIRST for r09, followed by the 21 r03
+    # entries from the unevaluated r07 window if its file never lands.
     window = [
         # r07 operators, still without a driver row
         *ROUND7_PENDING,
@@ -141,9 +141,6 @@ def _registries():
         "join_customers_per_region",
         "mm_audio_energy",
         "moving_avg_daily_revenue",
-        "semi_join_active_customers",
-        # (c) oldest-r04 family, alphabetical
-        "cap_docs_per_source",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -176,6 +173,9 @@ NEW_THIS_ROUND: list[str] = [
     "simhash_hamming_profile",
     "supplier_scorecard",
     "events_psi_incremental",
+    # third batch
+    "events_conversion_paths",
+    "orders_cohort_repeat_rate",
 ]
 
 # Round-7 registrations whose driver rows never arrived (the r07

@@ -651,3 +651,149 @@ FROM per CROSS JOIN tot
 
 QUERIES["events_psi_incremental"] = events_psi_incremental
 ORACLE["events_psi_incremental"] = _psi_incremental_sql()
+
+
+# --------------------------------------------------------------------------
+# Conversion-path mining (round 8): for every purchase, the up-to-3
+# immediately preceding event types in the user's canonical sequence,
+# joined into a path string, counted per path — the "which journeys
+# convert" readout next to events_attribution_last_touch's last-step
+# credit.  Same sequence contract as the markov family (canonical
+# events, (ts, event_id) total order, NULL user/ts/type rows carry no
+# sequence identity); the three lags share ONE window over the
+# scaling user_id; one keyed aggregate on the bounded path alphabet;
+# share = one division of exact counts.  Purchases with no
+# predecessor render the missing steps as '(start)' — identically on
+# both engines via coalesce.
+# --------------------------------------------------------------------------
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._canon import events_canon
+    from stac_geoparquet_spark.operators._io import fenced
+
+    ev = events_canon(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    lagged = ev.select(
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("l3"),
+        F.lag("event_type", 2).over(w).alias("l2"),
+        F.lag("event_type", 1).over(w).alias("l1"),
+    ).where(F.col("event_type") == "purchase")
+    paths = lagged.select(
+        F.concat_ws(
+            ">",
+            F.coalesce("l3", F.lit("(start)")),
+            F.coalesce("l2", F.lit("(start)")),
+            F.coalesce("l1", F.lit("(start)")),
+        ).alias("path")
+    )
+    per = fenced(
+        paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+    tot = per.agg(F.sum("n_conversions").alias("t"))
+    return per.join(F.broadcast(tot)).selectExpr(
+        "path",
+        "n_conversions",
+        "round(CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE), 6)"
+        " AS conversion_share",
+    )
+
+
+def _conversion_paths_sql() -> str:
+    from stac_geoparquet_spark.operators._canon import EVENTS_CANON_SQL
+
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type, 3) OVER w AS l3,
+         lag(event_type, 2) OVER w AS l2,
+         lag(event_type, 1) OVER w AS l1
+  FROM {EVENTS_CANON_SQL} events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per AS (
+  SELECT concat_ws('>',
+           coalesce(l3, '(start)'),
+           coalesce(l2, '(start)'),
+           coalesce(l1, '(start)')) AS path,
+         CAST(count(*) AS BIGINT) AS n_conversions
+  FROM seq WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM per)
+SELECT path, n_conversions,
+       round(CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS conversion_share
+FROM per CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort repeat rate (round 8): customers grouped by their FIRST
+# order month; per cohort, how many ever ordered again — the
+# retention summary a growth pipeline reads next to the weekly
+# retention matrix (retention_weekly_cohorts), collapsed to the one
+# number per acquisition cohort.  Two keyed aggregates that SHARE the
+# o_custkey shuffle (per-customer first-month + order count, then the
+# cohort rollup); month rendered as the epoch-month INTEGER
+# (year*12 + month-1) computed identically on both engines.  Ratios
+# are single divisions of exact counts.
+# --------------------------------------------------------------------------
+def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _orders(spark, sf_dir)
+        .select("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .where(F.col("o_custkey").isNotNull() & F.col("d").isNotNull())
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("d").alias("first_d"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.select(
+            (
+                F.year("first_d") * 12 + F.month("first_d") - 1
+            ).cast("bigint").alias("cohort_month"),
+            F.when(F.col("n_orders") >= 2, 1).otherwise(0).alias("rep"),
+        )
+        .groupBy("cohort_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rep").cast("bigint").alias("n_repeat"),
+            F.round(
+                F.sum("rep").cast("double") / F.count(F.lit(1)), 6
+            ).alias("repeat_rate"),
+        )
+    )
+
+
+COHORT_REPEAT_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+per_cust AS (
+  SELECT o_custkey, min(d) AS first_d, count(*) AS n_orders
+  FROM o GROUP BY o_custkey
+)
+SELECT CAST(year(first_d) * 12 + month(first_d) - 1 AS BIGINT)
+         AS cohort_month,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS repeat_rate
+FROM per_cust GROUP BY 1
+"""
+
+
+QUERIES["events_conversion_paths"] = events_conversion_paths
+ORACLE["events_conversion_paths"] = _conversion_paths_sql()
+QUERIES["orders_cohort_repeat_rate"] = orders_cohort_repeat_rate
+ORACLE["orders_cohort_repeat_rate"] = COHORT_REPEAT_SQL

@@ -155,6 +155,11 @@ SINGLEROW_SAMPLE = [
     "simhash_hamming_profile",
     "supplier_scorecard",
     "events_psi_incremental",
+    # round-8c: a single event is either the (start)>(start)>(start)
+    # purchase path or no path at all; one order is a 100%-single
+    # cohort with repeat_rate 0
+    "events_conversion_paths",
+    "orders_cohort_repeat_rate",
 ]
 
 CONSTANT_SAMPLE = [
@@ -222,6 +227,9 @@ CONSTANT_SAMPLE = [
     "dedup_minhash_precision",
     "simhash_hamming_profile",
     "events_psi_incremental",
+    # round-8c: a constant 'click' stream has zero purchases — the
+    # path table must empty identically on both engines
+    "events_conversion_paths",
 ]
 
 

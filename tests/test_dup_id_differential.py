@@ -95,6 +95,9 @@ SAMPLE = [
     "dedup_minhash_precision",
     "simhash_hamming_profile",
     "graph_degree_assortativity",
+    # round-8c: the 3-lag path keys on the canonical (ts, event_id)
+    # order
+    "events_conversion_paths",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

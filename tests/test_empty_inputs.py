@@ -141,6 +141,9 @@ SAMPLE = [
     "simhash_hamming_profile",
     "supplier_scorecard",
     "events_psi_incremental",
+    # round-8c
+    "events_conversion_paths",
+    "orders_cohort_repeat_rate",
 ]
 
 TABLES = (

@@ -2370,3 +2370,69 @@ def test_psi_incremental_slice_conservation(spark):
         assert rows[t]["n_base"] == nb
         assert rows[t]["n_incoming"] == ni
         assert rows[t]["psi_term"] >= 0
+
+
+def test_conversion_paths_conserve_purchases(spark):
+    """Every canonical purchase contributes exactly one path; shares
+    sum to 1; every path has exactly 3 steps and never a 'purchase'
+    mid-step after a (start)."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators._canon import EVENTS_CANON_SQL
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_conversion_paths,
+    )
+
+    rows = events_conversion_paths(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'events.parquet')}'"
+    )
+    n_purch = con.execute(
+        f"""SELECT count(*) FROM {EVENTS_CANON_SQL} e
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              AND ts IS NOT NULL"""
+    ).fetchone()[0]
+    assert sum(r["n_conversions"] for r in rows) == n_purch
+    assert abs(sum(r["conversion_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+
+
+def test_cohort_repeat_reconstructs(spark):
+    """Cohort sizes and repeat counts reconstruct from an independent
+    per-customer aggregation; rates are n_repeat / n_customers."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        orders_cohort_repeat_rate,
+    )
+
+    rows = {
+        r["cohort_month"]: r
+        for r in orders_cohort_repeat_rate(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""WITH pc AS (
+              SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+                     count(*) AS n
+              FROM '{os.path.join(SF_DIR, 'orders.parquet')}'
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+              GROUP BY 1)
+            SELECT year(fd) * 12 + month(fd) - 1, count(*),
+                   sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+            FROM pc GROUP BY 1"""
+    ).fetchall()
+    assert {t[0] for t in ref} == set(rows)
+    for m, n_cust, n_rep in ref:
+        r = rows[m]
+        assert r["n_customers"] == n_cust
+        assert r["n_repeat"] == n_rep
+        assert abs(r["repeat_rate"] - round(n_rep / n_cust, 6)) < 1e-9

@@ -361,6 +361,8 @@ REL_SAMPLE = [
     # round-8b: NULL basket/supplier keys carry no entity
     "part_affinity_topk",
     "supplier_scorecard",
+    # round-8c: NULL custkey/date rows carry no cohort identity
+    "orders_cohort_repeat_rate",
 ]
 
 
@@ -797,6 +799,8 @@ EVENTS_SAMPLE = [
     "events_attribution_last_touch",
     # round-8b: NULL id/type rows carry no slice or class
     "events_psi_incremental",
+    # round-8c: NULL user/ts/type rows carry no path identity
+    "events_conversion_paths",
 ]
 
 

@@ -1822,3 +1822,29 @@ def test_psi_incremental_one_scan_fenced(spark, sf):
     plan = plan_of(timeseries.events_psi_incremental(spark, sf))
     assert "events.parquet" not in plan
     assert n_ops(plan, "Window") == 0
+
+
+def test_conversion_paths_one_window_fenced(spark, sf):
+    """The three lags share ONE user_id window, run at build time
+    inside the fenced path rollup — the returned plan reads
+    materialized rows only."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_conversion_paths(spark, sf))
+    assert "events.parquet" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_repeat_shares_custkey_shuffle(spark, sf):
+    """Per-customer firsts and the cohort rollup plan as one chain:
+    one orders scan, one custkey exchange, the cohort aggregate
+    regroups the compacted per-customer rows — no join, no window."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_cohort_repeat_rate(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    assert (
+        n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    )
