@@ -543,3 +543,86 @@ def test_stream_novelty_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_psi_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static PSI scorer must reproduce the oracle-checked
+    batch entry exactly: per-type incoming counts aggregated over the
+    micro-batched flagged rows + the frozen baseline + the smoothed
+    term formula == events_psi_incremental's rows."""
+    import math
+
+    from stac_geoparquet_spark.operators.retrieval import INCOMING_MOD
+    from stac_geoparquet_spark.streaming.psi import (
+        psi_baseline,
+        stream_psi_flagged,
+    )
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_psi_incremental,
+    )
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    inc = ev.filter(
+        (F.col("event_id") % INCOMING_MOD == 0)
+        & F.col("event_id").isNotNull()
+    )
+    src = str(tmp_path / "incoming_psi")
+    # two files => two potential micro-batches
+    inc.filter(F.col("event_id") % (2 * INCOMING_MOD) == 0).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    inc.filter(F.col("event_id") % (2 * INCOMING_MOD) != 0).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    baseline = psi_baseline(spark, sf_dir)
+    stream = stream_psi_flagged(spark, src, baseline)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_psi")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # consumer-side rollup of the streamed rows (additive across
+    # micro-batches) + the frozen baseline totals
+    per = {
+        r["event_type"]: (r["n_base"], r["n_inc"])
+        for r in spark.table("t_stream_psi")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_base").alias("n_base"),
+            F.count(F.lit(1)).alias("n_inc"),
+        )
+        .collect()
+    }
+    base_only = {
+        r["event_type"]: r["n_base"] for r in baseline.collect()
+    }
+    # types with no incoming rows still carry a term (n_incoming = 0)
+    all_types = set(per) | set(base_only)
+    ta = sum(base_only.values())
+    tb = sum(v[1] for v in per.values())
+    k = len(all_types)
+
+    batch = {
+        r["event_type"]: r
+        for r in events_psi_incremental(spark, sf_dir).collect()
+    }
+    assert set(batch) == all_types
+    for t in all_types:
+        nb = base_only.get(t, 0)
+        ni = per.get(t, (0, 0))[1]
+        r = batch[t]
+        assert r["n_base"] == nb, t
+        assert r["n_incoming"] == ni, t
+        expect = round(
+            ((nb + 1) / (ta + k) - (ni + 1) / (tb + k))
+            * math.log(((nb + 1) * (tb + k)) / ((ni + 1) * (ta + k))),
+            6,
+        )
+        assert abs(r["psi_term"] - expect) < 1e-9, t
