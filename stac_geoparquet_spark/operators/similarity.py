@@ -2311,3 +2311,77 @@ ORACLE_ROTATION = {
     "embedding_random_projection": _rand_proj_oracle_sql(),
     "pca_power_projection": _pca_oracle_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# IVF recall report (round 8): recall@K of the partition-pruned IVF
+# n-probe index against the brute-force ground truth — the same
+# compose-two-shipped-operators eval ann_recall_report runs for the
+# LSH index, so the two approximate indexes are comparable on one
+# dashboard (probe more cells vs widen bands is THE tuning decision
+# at 100 TB).  Both inputs' query_id ranking windows are the
+# allowlisted bounded-candidate ones; the report itself is three
+# keyed aggregates over the K-row-per-query outputs.
+# --------------------------------------------------------------------------
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_probe(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_ivf = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))
+    hits = (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (exact.neighbor_id == ivf.ivf_neighbor_id),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(n_ivf, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_ivf", F.lit(0)).cast("bigint").alias("n_ivf"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_recall_oracle_sql() -> str:
+    return f"""
+WITH knn AS ({KNN_SQL}),
+ivf AS ({IVF_PROBE_SQL}),
+ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM knn GROUP BY query_id),
+ni AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ivf
+       FROM ivf GROUP BY query_id),
+hits AS (
+  SELECT knn.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM knn JOIN ivf ON ivf.query_id = knn.query_id
+                   AND ivf.neighbor_id = knn.neighbor_id
+  GROUP BY knn.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(coalesce(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
+         AS recall
+FROM ne
+LEFT JOIN ni ON ni.query_id = ne.query_id
+LEFT JOIN hits ON hits.query_id = ne.query_id
+"""
+
+
+QUERIES["ivf_recall_report"] = ivf_recall_report
+ORACLE["ivf_recall_report"] = _ivf_recall_oracle_sql()

@@ -797,3 +797,118 @@ QUERIES["events_conversion_paths"] = events_conversion_paths
 ORACLE["events_conversion_paths"] = _conversion_paths_sql()
 QUERIES["orders_cohort_repeat_rate"] = orders_cohort_repeat_rate
 ORACLE["orders_cohort_repeat_rate"] = COHORT_REPEAT_SQL
+
+
+# --------------------------------------------------------------------------
+# Seasonal anomaly screen (round 8): each (type, hour) count scored
+# against the mean/sd of ITS weekly slot (hour-of-week, epoch-anchored
+# — slot = hour_index mod 168, identical integer arithmetic on both
+# engines) — the seasonal companion to events_hourly_anomaly's
+# trailing baseline: a Monday-9am spike is normal there only if the
+# trailing window happened to cover last Monday; here it is scored
+# against every Monday 9am.  The corpus-sized work is the one hourly
+# rollup (map-side combining; its row count is calendar-bounded x the
+# type alphabet — 100x the traffic lands in the same rows); the slot
+# baseline aggregates THAT rollup (bounded 168 x types) and joins
+# back broadcast.  Moments are exact int64; z is one fixed-shape
+# double expression; the sd>0 guard compares exact ints.
+# --------------------------------------------------------------------------
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 3600000000"
+            ).alias("hour_idx"),
+        )
+    )
+    # fenced (calendar-bounded rollup, two consumers: the slot
+    # baseline and the scoring join)
+    hourly = fenced(
+        ev.groupBy("event_type", "hour_idx").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    hourly = hourly.withColumn(
+        "slot", ((F.col("hour_idx") % 168) + 168) % 168
+    )
+    base = hourly.groupBy("event_type", "slot").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    return (
+        hourly.join(F.broadcast(base), ["event_type", "slot"])
+        .selectExpr(
+            "event_type",
+            "hour_idx",
+            "CAST(slot AS BIGINT) AS slot",
+            "n",
+            """CASE WHEN n_hours < 2 OR n_hours * ss <= s * s THEN NULL
+                    ELSE round(
+                      (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)
+                                           / CAST(n_hours AS DOUBLE))
+                      / sqrt((CAST(n_hours AS DOUBLE) * CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n_hours AS DOUBLE)
+                                * CAST(n_hours - 1 AS DOUBLE))),
+                      6) + 0.0
+               END AS z""",
+        )
+        .selectExpr(
+            "event_type",
+            "hour_idx",
+            "slot",
+            "n",
+            "z",
+            "CASE WHEN z IS NULL THEN NULL"
+            " ELSE abs(z) >= 3.0 END AS is_anomaly",
+        )
+    )
+
+
+SEASONAL_ANOMALY_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+hourly AS (
+  SELECT event_type, hour_idx, CAST(count(*) AS BIGINT) AS n,
+         ((hour_idx % 168) + 168) % 168 AS slot
+  FROM ev GROUP BY event_type, hour_idx
+),
+base AS (
+  SELECT event_type, slot,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS ss
+  FROM hourly GROUP BY event_type, slot
+),
+scored AS (
+  SELECT h.event_type, h.hour_idx, CAST(h.slot AS BIGINT) AS slot, h.n,
+         CASE WHEN n_hours < 2 OR n_hours * ss <= s * s THEN NULL
+              ELSE round(
+                (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)
+                                     / CAST(n_hours AS DOUBLE))
+                / sqrt((CAST(n_hours AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n_hours AS DOUBLE)
+                          * CAST(n_hours - 1 AS DOUBLE))),
+                6) + 0.0
+         END AS z
+  FROM hourly h JOIN base USING (event_type, slot)
+)
+SELECT event_type, hour_idx, slot, n, z,
+       CASE WHEN z IS NULL THEN NULL ELSE abs(z) >= 3.0 END AS is_anomaly
+FROM scored
+"""
+
+
+QUERIES["events_seasonal_anomaly"] = events_seasonal_anomaly
+ORACLE["events_seasonal_anomaly"] = SEASONAL_ANOMALY_SQL

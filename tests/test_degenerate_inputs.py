@@ -160,6 +160,10 @@ SINGLEROW_SAMPLE = [
     # cohort with repeat_rate 0
     "events_conversion_paths",
     "orders_cohort_repeat_rate",
+    # round-8d: one vector empties the IVF query set; a single event
+    # is one slot with n_hours=1 (NULL z on the exact-int guard)
+    "ivf_recall_report",
+    "events_seasonal_anomaly",
 ]
 
 CONSTANT_SAMPLE = [
@@ -230,6 +234,8 @@ CONSTANT_SAMPLE = [
     # round-8c: a constant 'click' stream has zero purchases — the
     # path table must empty identically on both engines
     "events_conversion_paths",
+    # round-8d: one type x full calendar is the densest slot regime
+    "events_seasonal_anomaly",
 ]
 
 

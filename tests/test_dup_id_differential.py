@@ -98,6 +98,8 @@ SAMPLE = [
     # round-8c: the 3-lag path keys on the canonical (ts, event_id)
     # order
     "events_conversion_paths",
+    # round-8d: the IVF side reads the canonical index build
+    "ivf_recall_report",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -144,6 +144,9 @@ SAMPLE = [
     # round-8c
     "events_conversion_paths",
     "orders_cohort_repeat_rate",
+    # round-8d
+    "ivf_recall_report",
+    "events_seasonal_anomaly",
 ]
 
 TABLES = (

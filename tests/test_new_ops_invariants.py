@@ -2436,3 +2436,51 @@ def test_cohort_repeat_reconstructs(spark):
         assert r["n_customers"] == n_cust
         assert r["n_repeat"] == n_rep
         assert abs(r["repeat_rate"] - round(n_rep / n_cust, 6)) < 1e-9
+
+
+def test_ivf_recall_bounds_and_hit_subset(spark):
+    """Recall lies in [0, 1], hits never exceed either side's count,
+    and n_exact is the brute-force row count per query."""
+    from stac_geoparquet_spark.operators.similarity import (
+        ivf_recall_report,
+        knn_brute_force,
+    )
+
+    rows = ivf_recall_report(spark, SF_DIR).collect()
+    assert rows
+    exact_counts = {}
+    for r in knn_brute_force(spark, SF_DIR).collect():
+        exact_counts[r["query_id"]] = exact_counts.get(r["query_id"], 0) + 1
+    for r in rows:
+        assert r["n_exact"] == exact_counts[r["query_id"]]
+        assert 0 <= r["n_hits"] <= min(r["n_exact"], r["n_ivf"])
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_seasonal_anomaly_slot_and_z(spark):
+    """Slots are hour_idx mod 168; per-slot counts reconstruct; z is
+    NULL exactly when the slot has <2 hours or zero variance."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_seasonal_anomaly,
+    )
+
+    rows = events_seasonal_anomaly(spark, SF_DIR).collect()
+    assert rows
+    slots = defaultdict(list)
+    for r in rows:
+        assert r["slot"] == ((r["hour_idx"] % 168) + 168) % 168
+        slots[(r["event_type"], r["slot"])].append(r["n"])
+    import statistics
+
+    for r in rows:
+        ns = slots[(r["event_type"], r["slot"])]
+        degenerate = len(ns) < 2 or len(set(ns)) == 1
+        if degenerate:
+            assert r["z"] is None and r["is_anomaly"] is None
+        else:
+            mu = statistics.mean(ns)
+            sd = statistics.stdev(ns)
+            assert abs(r["z"] - round((r["n"] - mu) / sd, 6)) < 1e-6
+            assert r["is_anomaly"] == (abs(r["z"]) >= 3.0)

@@ -164,6 +164,9 @@ VEC_SAMPLE = [
     "kmeans_silhouette",
     # round-8: the drift screen shares the valid-vector contract
     "embedding_centroid_drift",
+    # round-8d: the IVF recall eval rides the same contract through
+    # both of its composed inputs
+    "ivf_recall_report",
 ]
 
 
@@ -801,6 +804,8 @@ EVENTS_SAMPLE = [
     "events_psi_incremental",
     # round-8c: NULL user/ts/type rows carry no path identity
     "events_conversion_paths",
+    # round-8d: NULL ts/type rows carry no hour bucket
+    "events_seasonal_anomaly",
 ]
 
 

@@ -1848,3 +1848,28 @@ def test_cohort_repeat_shares_custkey_shuffle(spark, sf):
     assert (
         n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
     )
+
+
+def test_ivf_recall_composes_pruned_inputs(spark, sf):
+    """Both composed inputs keep their shapes: the IVF side scans the
+    cell-partitioned layout (partition filters), the brute-force side
+    is the documented baseline; the report adds keyed aggregates and
+    left joins only — no cartesian, no extra corpus scan."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.ivf_recall_report(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "ivf_cell" in plan  # partition-pruned layout scan survives
+
+
+def test_seasonal_anomaly_bounded_baseline(spark, sf):
+    """The slot baseline aggregates the FENCED hourly rollup and joins
+    back broadcast — the returned plan has no events scan, no window,
+    and no percentile."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_seasonal_anomaly(spark, sf))
+    assert "events.parquet" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert "percentile" not in plan
+    assert n_ops(plan, "BroadcastHashJoin") == 1

@@ -105,6 +105,8 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     # two inputs' (already-allowlisted) query_id ranking windows appear
     # in its plan; each window input is the bounded candidate set
     ("ann_recall_report", ("query_id",)),
+    # same composition, IVF side
+    ("ivf_recall_report", ("query_id",)),
     # trailing-baseline z-score: the window's input is the HOURLY
     # ROLLUP, whose per-type row count is bounded by calendar hours,
     # not corpus size (100x the events in the same time range = the
