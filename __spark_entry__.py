@@ -118,13 +118,13 @@ def _registries():
     # first hard signal).  Then: (a) the 10 new round-8 operators
     # (timeseries + audit families); (b) the 13 r03 entries the r07
     # window could not fit (queued first per the r07 ledger note);
-    # The 20 new round-8 operators fill the rest with 10 of the 13
+    # The 21 new round-8 operators fill the rest with 9 of the 13
     # queued r03 entries (never-rows outrank stale rows):
-    # 20 + 20 + 10 = 50 exactly.  The three r03 leftovers
-    # (moving_avg_daily_revenue, mm_audio_energy,
-    # semi_join_active_customers) and the whole r04 family queue FIRST
-    # for r09, followed by the 21 r03 entries from the unevaluated r07
-    # window if its file never lands.
+    # 20 + 21 + 9 = 50 exactly.  The four r03 leftovers
+    # (join_customers_per_region, moving_avg_daily_revenue,
+    # mm_audio_energy, semi_join_active_customers) and the whole r04
+    # family queue FIRST for r09, followed by the 21 r03 entries from
+    # the unevaluated r07 window if its file never lands.
     window = [
         # r07 operators, still without a driver row
         *ROUND7_PENDING,
@@ -140,7 +140,6 @@ def _registries():
         "events_k_anonymity",
         "events_session_window",
         "intersect_nations",
-        "join_customers_per_region",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -179,6 +178,7 @@ NEW_THIS_ROUND: list[str] = [
     # fourth batch
     "ivf_recall_report",
     "events_seasonal_anomaly",
+    "events_ab_cuped",
 ]
 
 # Round-7 registrations whose driver rows never arrived (the r07

@@ -912,3 +912,227 @@ FROM scored
 
 QUERIES["events_seasonal_anomaly"] = events_seasonal_anomaly
 ORACLE["events_seasonal_anomaly"] = SEASONAL_ANOMALY_SQL
+
+
+# --------------------------------------------------------------------------
+# CUPED-adjusted A/B test (round 8): the variance-reduced experiment
+# readout — each user's POST-period spend is adjusted by their
+# PRE-period spend (theta = cov(X,Y)/var(X)), which removes the
+# between-user variance a plain difference-of-means drowns in.  Arms
+# are the events_ab_ztest md5 split; the pre/post boundary is the
+# exact µs calendar midpoint (the events_psi_drift two-pass).
+# All statistics derive from TWELVE exact int64 per-arm moments
+# (n, ΣX, ΣY, ΣXY, ΣX², ΣY² per arm) computed in ONE user-keyed
+# aggregate + one 1-row reduction: the adjusted means and variances
+# expand algebraically (Var(Y-θX) = VarY - 2θCov + θ²VarX), so no
+# per-user double is ever summed — z is one fixed-shape double
+# expression, bit-identical cross-engine.  Per-user spend is
+# quantized per ROW to cents (exact int sums), then floored to WHOLE
+# DOLLARS per user before the moment products: ΣXY stays exact int64
+# past 1e10 users at 10^4-dollar per-user totals (cents would
+# overflow at ~1e9 users).  Degenerate guards (an arm under 2 users,
+# zero pre-period variance) compare exact ints.
+# --------------------------------------------------------------------------
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+            F.coalesce(
+                F.round(F.col("value") * 100).cast("bigint"), F.lit(0)
+            ).alias("cents"),
+        )
+    )
+    mid = ev.agg(F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid"))
+    per_user = (
+        ev.join(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("us") <= F.col("mid"), F.col("cents")).otherwise(
+                    0
+                )
+            ).alias("x_cents"),
+            F.sum(
+                F.when(F.col("us") > F.col("mid"), F.col("cents")).otherwise(
+                    0
+                )
+            ).alias("y_cents"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            # explicit floor over an exact double (cents < 2^53), NOT
+            # integer `div`: Spark div truncates toward zero while
+            # DuckDB // floors, which would diverge on a negative
+            # per-user total (refund-heavy users)
+            F.expr(
+                "CAST(floor(CAST(x_cents AS DOUBLE) / 100.0) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(floor(CAST(y_cents AS DOUBLE) / 100.0) AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    sides = []
+    for a in (0, 1):
+        s = str(a)
+        arm = F.col("arm") == a
+        sides += [
+            F.sum(F.when(arm, 1).otherwise(0)).cast("bigint").alias(f"n{s}"),
+            F.sum(F.when(arm, F.col("x")).otherwise(0)).alias(f"sx{s}"),
+            F.sum(F.when(arm, F.col("y")).otherwise(0)).alias(f"sy{s}"),
+            F.sum(
+                F.when(arm, F.col("x") * F.col("y")).otherwise(0)
+            ).alias(f"sxy{s}"),
+            F.sum(
+                F.when(arm, F.col("x") * F.col("x")).otherwise(0)
+            ).alias(f"sxx{s}"),
+            F.sum(
+                F.when(arm, F.col("y") * F.col("y")).otherwise(0)
+            ).alias(f"syy{s}"),
+        ]
+    m = per_user.agg(*sides)
+    return m.selectExpr("*").selectExpr(
+        "coalesce(n0, 0) AS n_a",
+        "coalesce(n1, 0) AS n_b",
+        _CUPED_EXPR,
+    )
+
+
+# The shared CUPED expression — ONE string used verbatim on both
+# engines (Spark selectExpr and the oracle SQL), so the double
+# expression tree cannot drift.  Written over the 12 per-arm moments;
+# n/sx/... spellings are the aggregate aliases above and in the CTE.
+_CUPED_EXPR = """CASE
+  WHEN coalesce(n0, 0) < 2 OR coalesce(n1, 0) < 2
+    OR (n0 + n1) * (sxx0 + sxx1) <= (sx0 + sx1) * (sx0 + sx1)
+  THEN NULL
+  ELSE round(
+    (
+      (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       - ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+           - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+          / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+             - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+         * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            - CAST(sx0 + sx1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+      -
+      (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       - ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+           - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+          / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+             - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+         * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sx0 + sx1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+    )
+    /
+    sqrt(
+      (
+        (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE)
+                                / CAST(n0 AS DOUBLE))
+        - 2.0 * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+                  - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+                 / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+                    - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+              * (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                                        * CAST(sy0 AS DOUBLE)
+                                        / CAST(n0 AS DOUBLE))
+        + ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+            - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+           / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+          * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+             / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+                - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+          * (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                                    * CAST(sx0 AS DOUBLE)
+                                    / CAST(n0 AS DOUBLE))
+      ) / (CAST(n0 - 1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+      +
+      (
+        (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+                                / CAST(n1 AS DOUBLE))
+        - 2.0 * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+                  - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+                 / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+                    - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+              * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                                        * CAST(sy1 AS DOUBLE)
+                                        / CAST(n1 AS DOUBLE))
+        + ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+            - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+           / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+          * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+             / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+                - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
+          * (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                                    * CAST(sx1 AS DOUBLE)
+                                    / CAST(n1 AS DOUBLE))
+      ) / (CAST(n1 - 1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+    ),
+    6) + 0.0
+END AS z_cuped"""
+
+
+def _ab_cuped_sql() -> str:
+    from stac_geoparquet_spark.operators.retrieval import (  # noqa: F401
+        INCOMING_MOD,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+m AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         CAST(floor(CAST(sum(CASE WHEN us <= mid THEN cents ELSE 0 END)
+                         AS DOUBLE) / 100.0) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN us > mid THEN cents ELSE 0 END)
+                         AS DOUBLE) / 100.0) AS BIGINT) AS y
+  FROM ev CROSS JOIN m
+  GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+    CAST(sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy0,
+    CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx0,
+    CAST(sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+    CAST(sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxy1,
+    CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
+    CAST(sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy1
+  FROM per_user
+)
+SELECT coalesce(n0, 0) AS n_a,
+       coalesce(n1, 0) AS n_b,
+       {_CUPED_EXPR}
+FROM agg
+"""
+
+
+QUERIES["events_ab_cuped"] = events_ab_cuped
+ORACLE["events_ab_cuped"] = _ab_cuped_sql()

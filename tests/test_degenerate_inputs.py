@@ -161,9 +161,11 @@ SINGLEROW_SAMPLE = [
     "events_conversion_paths",
     "orders_cohort_repeat_rate",
     # round-8d: one vector empties the IVF query set; a single event
-    # is one slot with n_hours=1 (NULL z on the exact-int guard)
+    # is one slot with n_hours=1 (NULL z on the exact-int guard); one
+    # user is a one-arm experiment (NULL CUPED z)
     "ivf_recall_report",
     "events_seasonal_anomaly",
+    "events_ab_cuped",
 ]
 
 CONSTANT_SAMPLE = [
@@ -234,8 +236,11 @@ CONSTANT_SAMPLE = [
     # round-8c: a constant 'click' stream has zero purchases — the
     # path table must empty identically on both engines
     "events_conversion_paths",
-    # round-8d: one type x full calendar is the densest slot regime
+    # round-8d: one type x full calendar is the densest slot regime;
+    # a single constant user is a one-arm CUPED (NULL z on the
+    # exact-int guards)
     "events_seasonal_anomaly",
+    "events_ab_cuped",
 ]
 
 

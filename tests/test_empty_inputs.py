@@ -147,6 +147,7 @@ SAMPLE = [
     # round-8d
     "ivf_recall_report",
     "events_seasonal_anomaly",
+    "events_ab_cuped",
 ]
 
 TABLES = (
@@ -200,6 +201,8 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # counts, NULL ratios on both engines
         "dedup_minhash_precision",
         "graph_degree_assortativity",
+        # one-row experiment summary, zero counts + NULL z
+        "events_ab_cuped",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

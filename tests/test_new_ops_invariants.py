@@ -2484,3 +2484,54 @@ def test_seasonal_anomaly_slot_and_z(spark):
             sd = statistics.stdev(ns)
             assert abs(r["z"] - round((r["n"] - mu) / sd, 6)) < 1e-6
             assert r["is_anomaly"] == (abs(r["z"]) >= 3.0)
+
+
+def test_cuped_matches_reference_computation(spark):
+    """The one-expression CUPED z reconstructs (to rounding) from a
+    straightforward per-user numpy computation of theta, adjusted
+    means, and variances."""
+    import math
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import events_ab_cuped
+
+    row = events_ab_cuped(spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    users = con.execute(
+        f"""WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c
+              FROM '{os.path.join(SF_DIR, 'events.parquet')}'
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            m AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev)
+            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                     ::BIGINT % 2 AS arm,
+                   CAST(floor(CAST(sum(CASE WHEN us <= mid THEN c ELSE 0
+                        END) AS DOUBLE) / 100.0) AS BIGINT) AS x,
+                   CAST(floor(CAST(sum(CASE WHEN us > mid THEN c ELSE 0
+                        END) AS DOUBLE) / 100.0) AS BIGINT) AS y
+            FROM ev CROSS JOIN m GROUP BY user_id"""
+    ).fetchall()
+    xs = [u[1] for u in users]
+    ys = [u[2] for u in users]
+    n = len(users)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    varx = sum((x - mx) ** 2 for x in xs)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    theta = cov / varx
+    stats = {}
+    for arm in (0, 1):
+        vals = [(u[1], u[2]) for u in users if u[0] == arm]
+        adj = [y - theta * (x - mx) for x, y in vals]
+        na = len(adj)
+        ma = sum(adj) / na
+        va = sum((a - ma) ** 2 for a in adj) / (na - 1)
+        stats[arm] = (na, ma, va)
+    assert row["n_a"] == stats[0][0] and row["n_b"] == stats[1][0]
+    z = (stats[0][1] - stats[1][1]) / math.sqrt(
+        stats[0][2] / stats[0][0] + stats[1][2] / stats[1][0]
+    )
+    assert abs(row["z_cuped"] - z) < 1e-4

@@ -804,8 +804,10 @@ EVENTS_SAMPLE = [
     "events_psi_incremental",
     # round-8c: NULL user/ts/type rows carry no path identity
     "events_conversion_paths",
-    # round-8d: NULL ts/type rows carry no hour bucket
+    # round-8d: NULL ts/type rows carry no hour bucket; NULL user/ts
+    # rows carry no arm or period
     "events_seasonal_anomaly",
+    "events_ab_cuped",
 ]
 
 

@@ -1873,3 +1873,18 @@ def test_seasonal_anomaly_bounded_baseline(spark, sf):
     assert n_ops(plan, "Window") == 0
     assert "percentile" not in plan
     assert n_ops(plan, "BroadcastHashJoin") == 1
+
+
+def test_cuped_two_pass_single_chain(spark, sf):
+    """The CUPED readout plans as the inherent two passes (midpoint
+    row + the user rollup) and nothing else: one BroadcastNestedLoop
+    for the 1-row midpoint, the user aggregate map-side combining,
+    and one 1-row moment reduction — no window, no percentile, no
+    per-user doubles anywhere (moments are int64 sums)."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_ab_cuped(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 2  # midpoint pass + rollup pass
+    assert n_ops(plan, "Window") == 0
+    assert "percentile" not in plan
+    assert "CartesianProduct" not in plan

@@ -393,6 +393,20 @@ SHOWCASE = [
         "in-row folds over dim-sorted arrays, never a float row "
         "aggregate.",
     ),
+    (
+        "part_affinity_topk",
+        "Item-item retrieval off the session-cached co-purchase pair "
+        "table (the self-join paid once across the mining/graph "
+        "family); the one ranking window partitions by the scaling "
+        "part key and plans with WindowGroupLimit, so the K-filter "
+        "runs inside the sort.",
+    ),
+    (
+        "events_seasonal_anomaly",
+        "Three-tier compaction: corpus -> fenced hourly rollup "
+        "(calendar-bounded) -> 168-slot baseline (broadcast) -> "
+        "in-row z; the returned plan never touches the events scan.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
