@@ -133,6 +133,25 @@ FIXTURES: dict[str, dict[str, str]] = {
       lang, source, n_chars
       FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
     },
+    # negative money/measure values (refunds, credits, chargebacks):
+    # the axis that exposed the CUPED truncate-vs-floor integer-
+    # division divergence (Spark `div` truncates toward zero, DuckDB
+    # `//` floors — they disagree exactly on negative operands), and
+    # the regime where HALF_UP rounding and percentile cuts must hold
+    # their conventions below zero
+    "negative_values": {
+        "events": """COPY (SELECT event_id, ts, user_id, event_type,
+      CASE WHEN event_id % 3 = 0 THEN -value * 7 ELSE value END AS value,
+      props FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+        "orders": """COPY (SELECT * REPLACE (
+      CASE WHEN o_orderkey % 5 = 0 THEN -o_totalprice ELSE o_totalprice END
+        AS o_totalprice)
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+        "lineitem": """COPY (SELECT * REPLACE (
+      CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN -l_extendedprice
+        ELSE l_extendedprice END AS l_extendedprice)
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+    },
 }
 
 
