@@ -118,10 +118,11 @@ def _registries():
     # first hard signal).  Then: (a) the 10 new round-8 operators
     # (timeseries + audit families); (b) the 13 r03 entries the r07
     # window could not fit (queued first per the r07 ledger note);
-    # The 21 new round-8 operators fill the rest with 9 of the 13
+    # The 23 new round-8 operators fill the rest with 7 of the 13
     # queued r03 entries (never-rows outrank stale rows):
-    # 20 + 21 + 9 = 50 exactly.  The four r03 leftovers
-    # (join_customers_per_region, moving_avg_daily_revenue,
+    # 20 + 23 + 7 = 50 exactly.  The six r03 leftovers
+    # (events_session_window, intersect_nations,
+    # join_customers_per_region, moving_avg_daily_revenue,
     # mm_audio_energy, semi_join_active_customers) and the whole r04
     # family queue FIRST for r09, followed by the 21 r03 entries from
     # the unevaluated r07 window if its file never lands.
@@ -138,8 +139,6 @@ def _registries():
         "dq_report",
         "events_hourly_rollup",
         "events_k_anonymity",
-        "events_session_window",
-        "intersect_nations",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -179,6 +178,9 @@ NEW_THIS_ROUND: list[str] = [
     "ivf_recall_report",
     "events_seasonal_anomaly",
     "events_ab_cuped",
+    # fifth batch
+    "dedup_token_savings",
+    "knn_kdist_outliers",
 ]
 
 # Round-7 registrations whose driver rows never arrived (the r07

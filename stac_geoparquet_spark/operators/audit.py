@@ -746,3 +746,100 @@ QUERIES["simhash_hamming_profile"] = simhash_hamming_profile
 ORACLE["simhash_hamming_profile"] = _simhash_hamming_sql()
 QUERIES["supplier_scorecard"] = supplier_scorecard
 ORACLE["supplier_scorecard"] = SUPPLIER_SCORECARD_SQL
+
+
+# --------------------------------------------------------------------------
+# Dedup token savings (round 8): per source, how many TOKENS the
+# near-dup survivor policy would remove — the planning number a
+# curation run reads before paying for the dedup pass (savings
+# concentrated in one source usually means a mirror, not organic
+# duplication).  Composes two shipped contracts: the fenced cluster
+# label table (survivor = minimum doc_id, dedup_survivors' rule) and
+# the text_token_count token definition (the shared _words split).
+# One keyed join of the corpus against the pair-graph-sized label
+# table, one aggregate on the bounded source key; token counts are
+# exact int64 (NULL text counts 0 via coalesce on both engines);
+# savings_rate is one division, round(,6).
+# --------------------------------------------------------------------------
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._canon import docs_canon
+    from stac_geoparquet_spark.operators.dedup import dedup_cluster_cc
+    from stac_geoparquet_spark.operators.text import _words
+
+    docs = docs_canon(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.size(_words(F.col("text"))).cast("bigint"), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    cc = dedup_cluster_cc(spark, sf_dir).select("doc_id", "cluster_id")
+    joined = docs.join(cc, "doc_id", "left").withColumn(
+        "dropped",
+        F.col("cluster_id").isNotNull()
+        & (F.col("cluster_id") != F.col("doc_id")),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("dropped"), F.col("n_tokens")).otherwise(0)).alias(
+            "dropped_tokens"
+        ),
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.round(
+                F.sum(
+                    F.when(F.col("dropped"), F.col("n_tokens")).otherwise(0)
+                ).cast("double")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("savings_rate"),
+    )
+
+
+def _token_savings_sql() -> str:
+    from stac_geoparquet_spark.operators._canon import DOCS_CANON_SQL
+    from stac_geoparquet_spark.operators.dedup import _minhash_oracle_ctes
+    from stac_geoparquet_spark.operators.text import _SQL_WORDS
+
+    return f"""
+WITH RECURSIVE {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.doc_id
+),
+cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+docs AS (
+  SELECT d.doc_id, d.source,
+         coalesce(CAST(len({_SQL_WORDS}) AS BIGINT), 0) AS n_tokens,
+         (cc.cluster_id IS NOT NULL AND cc.cluster_id <> d.doc_id)
+           AS dropped
+  FROM {DOCS_CANON_SQL} d LEFT JOIN cc USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN dropped THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS dropped_tokens,
+       CASE WHEN sum(n_tokens) > 0 THEN
+         round(CAST(sum(CASE WHEN dropped THEN n_tokens ELSE 0 END)
+                    AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+       END AS savings_rate
+FROM docs GROUP BY source
+"""
+
+
+QUERIES["dedup_token_savings"] = dedup_token_savings
+ORACLE["dedup_token_savings"] = _token_savings_sql()

@@ -2385,3 +2385,95 @@ LEFT JOIN hits ON hits.query_id = ne.query_id
 
 QUERIES["ivf_recall_report"] = ivf_recall_report
 ORACLE["ivf_recall_report"] = _ivf_recall_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# k-distance isolation screen (round 8): per query vector, the cosine
+# of its K-th nearest neighbor (the weakest of its brute-force top-K)
+# z-scored against the query population — a low k-distance cosine
+# means the vector sits in empty space (mis-embedded, corrupt, or
+# out-of-domain), the density-based companion to the norm screen
+# (embedding_norm_outliers).  Rides knn_brute_force's BOUNDED query
+# sample, so the per-query rollup and the 3-constant stats row are
+# |Q|-sized; the population mean/sd follow the norm screen's exact
+# convention (round(,9) in-engine, threshold rounded on the SAME agg
+# row, sd NULL/0 flags nothing on either engine).  kth_cos is the MIN
+# of already-round(,6) similarities, so the stats' float sums sit on
+# quantized inputs with the established margin.
+# --------------------------------------------------------------------------
+def knn_kdist_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kd = (
+        knn_brute_force(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min("cos_sim").alias("kth_cos"),
+        )
+    )
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # fenced: |Q|-bounded rollup, two consumers (stats row + flags)
+    kd = fenced(kd)
+    n = F.count(F.lit(1)).cast("double")
+    mu_expr = F.round(F.sum("kth_cos") / n, 9)
+    sd_expr = F.round(
+        F.sqrt(
+            F.greatest(
+                F.round(
+                    (
+                        F.sum(F.col("kth_cos") * F.col("kth_cos"))
+                        - F.sum("kth_cos") * F.sum("kth_cos") / n
+                    )
+                    / F.nullif(n - 1.0, F.lit(0.0)),
+                    9,
+                ),
+                F.lit(0.0),
+            )
+        ),
+        9,
+    )
+    stat = kd.agg(
+        mu_expr.alias("mu"),
+        sd_expr.alias("sd"),
+        # thr rides the SAME agg row (the norm screen's r06 lesson):
+        # engine HALF_UP, never Python round()
+        F.round(mu_expr - 3.0 * sd_expr, 6).alias("thr"),
+    ).collect()[0]
+    mu, sd, thr = stat["mu"], stat["sd"], stat["thr"]
+    if mu is None or sd is None or sd == 0.0:
+        flag = F.lit(False)
+    else:
+        flag = F.col("kth_cos") < F.lit(thr)
+    return kd.select(
+        "query_id",
+        "n_neighbors",
+        "kth_cos",
+        flag.alias("is_isolated"),
+    )
+
+
+KDIST_OUTLIER_SQL = f"""
+WITH knn AS ({KNN_SQL}),
+kd AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_neighbors,
+         min(cos_sim) AS kth_cos
+  FROM knn GROUP BY query_id
+),
+s AS (
+  SELECT round(sum(kth_cos) / count(*), 9) AS mu,
+         round(sqrt(greatest(coalesce(
+                 round((sum(kth_cos * kth_cos)
+                        - sum(kth_cos) * sum(kth_cos) / count(*))
+                       / nullif(count(*) - 1, 0), 9), 0), 0)), 9) AS sd
+  FROM kd
+)
+SELECT query_id, n_neighbors, kth_cos,
+       CASE WHEN sd IS NULL OR sd = 0 THEN false
+            ELSE kth_cos < round(mu - 3 * sd, 6) END AS is_isolated
+FROM kd, s
+"""
+
+
+QUERIES["knn_kdist_outliers"] = knn_kdist_outliers
+ORACLE["knn_kdist_outliers"] = KDIST_OUTLIER_SQL

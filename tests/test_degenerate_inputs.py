@@ -166,6 +166,11 @@ SINGLEROW_SAMPLE = [
     "ivf_recall_report",
     "events_seasonal_anomaly",
     "events_ab_cuped",
+    # round-8e: a 1-doc corpus has no pair graph (zero savings
+    # everywhere); one vector is one query with an n=1 stats row
+    # (sd NULL flags nothing)
+    "dedup_token_savings",
+    "knn_kdist_outliers",
 ]
 
 CONSTANT_SAMPLE = [
@@ -241,6 +246,8 @@ CONSTANT_SAMPLE = [
     # exact-int guards)
     "events_seasonal_anomaly",
     "events_ab_cuped",
+    # round-8e: one source takes ALL the savings (single group)
+    "dedup_token_savings",
 ]
 
 

@@ -100,6 +100,8 @@ SAMPLE = [
     "events_conversion_paths",
     # round-8d: the IVF side reads the canonical index build
     "ivf_recall_report",
+    # round-8e: savings key on the canonical corpus + cluster labels
+    "dedup_token_savings",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -148,6 +148,9 @@ SAMPLE = [
     "ivf_recall_report",
     "events_seasonal_anomaly",
     "events_ab_cuped",
+    # round-8e
+    "dedup_token_savings",
+    "knn_kdist_outliers",
 ]
 
 TABLES = (

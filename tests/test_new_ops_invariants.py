@@ -2535,3 +2535,61 @@ def test_cuped_matches_reference_computation(spark):
         stats[0][2] / stats[0][0] + stats[1][2] / stats[1][0]
     )
     assert abs(row["z_cuped"] - z) < 1e-4
+
+
+def test_token_savings_consistent_with_survivors(spark):
+    """Dropped counts equal the survivor table's dropped set per
+    source; savings never exceed totals; total tokens reconstruct."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.audit import dedup_token_savings
+    from stac_geoparquet_spark.operators.dedup import dedup_survivors
+
+    rows = {r["source"]: r for r in dedup_token_savings(spark, SF_DIR).collect()}
+    dropped_by_source = defaultdict(int)
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs_canon(spark, SF_DIR).select("doc_id", "source").collect()
+    }
+    for r in dedup_survivors(spark, SF_DIR).collect():
+        if not r["keep"]:
+            dropped_by_source[src[r["doc_id"]]] += 1
+    for source, r in rows.items():
+        assert 0 <= r["dropped_tokens"] <= r["total_tokens"]
+        assert r["n_dropped"] == dropped_by_source.get(source, 0)
+        if r["savings_rate"] is not None:
+            assert 0.0 <= r["savings_rate"] <= 1.0
+
+
+def test_kdist_outliers_population_stats(spark):
+    """kth_cos is each query's weakest top-K similarity (re-derived),
+    and the isolation flag matches a reference mu-3sd cut."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.similarity import (
+        knn_brute_force,
+        knn_kdist_outliers,
+    )
+
+    per_q = defaultdict(list)
+    for r in knn_brute_force(spark, SF_DIR).collect():
+        per_q[r["query_id"]].append(r["cos_sim"])
+    rows = knn_kdist_outliers(spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == set(per_q)
+    for r in rows:
+        assert r["n_neighbors"] == len(per_q[r["query_id"]])
+        assert abs(r["kth_cos"] - min(per_q[r["query_id"]])) < 1e-12
+    kds = [r["kth_cos"] for r in rows]
+    n = len(kds)
+    if n >= 2:
+        import statistics
+
+        mu = statistics.mean(kds)
+        sd = statistics.stdev(kds)
+        if sd > 0:
+            for r in rows:
+                assert r["is_isolated"] == (
+                    r["kth_cos"] < round(mu - 3 * sd, 6)
+                ) or abs(r["kth_cos"] - round(mu - 3 * sd, 6)) < 1e-6

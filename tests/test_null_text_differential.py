@@ -77,6 +77,9 @@ SAMPLE = [
     "dedup_minhash_precision",
     "simhash_hamming_profile",
     "graph_degree_assortativity",
+    # round-8e: NULL text counts 0 tokens and joins no pair; NULL
+    # source groups must agree in the savings rollup
+    "dedup_token_savings",
     # round-7b: NULL text carries no tokens (BM25 candidates, chi2
     # presence); NULL source must be excluded from the chi2 slices
     "bm25_topk_retrieval",
@@ -167,6 +170,8 @@ VEC_SAMPLE = [
     # round-8d: the IVF recall eval rides the same contract through
     # both of its composed inputs
     "ivf_recall_report",
+    # round-8e: the k-distance screen rides the brute-force contract
+    "knn_kdist_outliers",
 ]
 
 

@@ -1888,3 +1888,31 @@ def test_cuped_two_pass_single_chain(spark, sf):
     assert n_ops(plan, "Window") == 0
     assert "percentile" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_savings_rides_label_table(spark, sf):
+    """One corpus-side scan (the canon layout) left-joined to the
+    fenced pair-graph-sized label table; one keyed aggregate; no
+    window in the returned plan (cc's size window prunes away with
+    the dropped columns)."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.dedup_token_savings(spark, sf))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") <= 1
+
+
+def test_kdist_outliers_pure_map_flags(spark, sf):
+    """The returned plan is a pure projection over the fenced |Q|-row
+    rollup: the stats are literals collected from the SAME agg row
+    (norm-screen convention), so no join, no window, no aggregate."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.knn_kdist_outliers(spark, sf))
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "HashAggregate") == 0
+    assert (
+        n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    )

@@ -107,6 +107,9 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     ("ann_recall_report", ("query_id",)),
     # same composition, IVF side
     ("ivf_recall_report", ("query_id",)),
+    # the k-distance screen rolls up knn_brute_force's (allowlisted)
+    # ranked output — the window input is the bounded query sample
+    ("knn_kdist_outliers", ("query_id",)),
     # trailing-baseline z-score: the window's input is the HOURLY
     # ROLLUP, whose per-type row count is bounded by calendar hours,
     # not corpus size (100x the events in the same time range = the
