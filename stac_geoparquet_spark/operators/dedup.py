@@ -123,6 +123,10 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # stream-static index (streaming/dedup.py).
 _PER_DOC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# connected-component label table (doc_id, label) per (app, sf, stamp)
+# — the fenced fixpoint result every cluster consumer reads
+_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     """Session cache key including the source file's (mtime, size) —
@@ -576,9 +580,21 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Genuinely iterative => no single-pass SQL, but DuckDB's recursive
     CTE expresses the same fixpoint, so this op still has an exact
     value oracle (WITH RECURSIVE reachability + min label).
+
+    The label table is session-cached per (app, sf, source stamp) —
+    the _PAIRS_CACHE pattern one level up: SIX shipped consumers
+    (cluster_cc, survivors, rep_weights, component_sizes, purity,
+    token_savings) read the cluster labels, and without the cache each
+    re-ran the whole fixpoint loop (its rounds are cheap, but 6x the
+    rounds is 6x the jobs at any scale).  The cached frame is the
+    final fenced checkpoint leaf, already bounded by the pair graph.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _min_label_propagate(pairs)
+    key = _cache_key(spark, sf_dir)
+    labels = _LABELS_CACHE.get(key)
+    if labels is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        labels = _min_label_propagate(pairs)
+        _LABELS_CACHE[key] = labels
     w = Window.partitionBy("label")
     return labels.select(
         "doc_id",
