@@ -260,11 +260,29 @@ def _emb_blocks(
 # --------------------------------------------------------------------------
 # exact brute-force top-k
 # --------------------------------------------------------------------------
+# ranked brute-force ground truth per (app, sf, stamp): FOUR shipped
+# consumers (the op itself, ann_recall_report, ivf_recall_report,
+# knn_kdist_outliers) read it, and each would otherwise re-run the
+# full corpus GEMM; the cached frame is |Q| x K — fence-eligible
+# bounded (the dedup label-table pattern)
+_KNN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _kmeans_cache_key(spark, sf_dir)
+    hit = _KNN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from stac_geoparquet_spark.operators._io import fenced
+
     q_ids, qm, qnorm = _load_queries(sf_dir)
     b_q = spark.sparkContext.broadcast((q_ids, qm, qnorm))
     score = _make_score(b_q, TOP_K)
-    return _rank_topk(_emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA))
+    out = fenced(
+        _rank_topk(_emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA))
+    )
+    _KNN_CACHE[key] = out
+    return out
 
 
 _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
