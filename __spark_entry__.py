@@ -118,19 +118,20 @@ def _registries():
     # first hard signal).  Then: (a) the 10 new round-8 operators
     # (timeseries + audit families); (b) the 13 r03 entries the r07
     # window could not fit (queued first per the r07 ledger note);
-    # The 23 new round-8 operators + the 4 consumers churned by the
+    # The 24 new round-8 operators + the 4 consumers churned by the
     # two session caches (dedup_cluster_cc, dedup_survivors,
     # dedup_rep_weights under the label-table cache; knn_brute_force
     # under the ranked-ground-truth cache — the other cache consumers
-    # are new this round and already in) fill the rest with 3 of the
+    # are new this round and already in) fill the rest with 2 of the
     # 13 queued r03 entries (never-rows outrank stale rows):
-    # 20 + 23 + 4 + 3 = 50 exactly.  The ten r03 leftovers
-    # (bucketed_colocated_join, dq_report, events_hourly_rollup,
-    # events_k_anonymity, events_session_window, intersect_nations,
-    # join_customers_per_region, moving_avg_daily_revenue,
-    # mm_audio_energy, semi_join_active_customers) and the whole r04
-    # family queue FIRST for r09, followed by the 21 r03 entries from
-    # the unevaluated r07 window if its file never lands.
+    # 20 + 24 + 4 + 2 = 50 exactly.  The eleven r03 leftovers
+    # (bloom_filter_semijoin, bucketed_colocated_join, dq_report,
+    # events_hourly_rollup, events_k_anonymity, events_session_window,
+    # intersect_nations, join_customers_per_region,
+    # moving_avg_daily_revenue, mm_audio_energy,
+    # semi_join_active_customers) and the whole r04 family queue FIRST
+    # for r09, followed by the 21 r03 entries from the unevaluated r07
+    # window if its file never lands.
     window = [
         # r07 operators, still without a driver row
         *ROUND7_PENDING,
@@ -144,7 +145,6 @@ def _registries():
         # (c) r03 entries queued first from the r07 rotation
         "agg_orders_by_priority",
         "anti_join_inactive_customers",
-        "bloom_filter_semijoin",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -187,6 +187,7 @@ NEW_THIS_ROUND: list[str] = [
     # fifth batch
     "dedup_token_savings",
     "knn_kdist_outliers",
+    "mm_phash_dedup",
 ]
 
 # Round-7 registrations whose driver rows never arrived (the r07

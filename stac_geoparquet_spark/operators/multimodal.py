@@ -535,3 +535,91 @@ ORACLE_ROTATION = {
     "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
     "mm_cdc_chunk_dedup": MM_CDC_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# 7. perceptual-hash dedup (round 8): the aHash shape over the media
+#    payloads — 64 stride-sampled bytes per image, each bit = sample >
+#    payload mean — grouped into exact-duplicate perceptual clusters.
+#    With real images the 64 samples are the 8x8 grayscale thumbnail
+#    (decode_image + png.resample provide the genuine pixel path,
+#    exercised in tests/test_multimodal.py); over the synthetic byte
+#    payloads the SAME pipeline is byte-exact in SQL, so the Spark
+#    mapInPandas stage (numpy strided gather + mean compare — the real
+#    deployment shape) has an exact oracle.  The mean compare is the
+#    exact-int form sample*n_bytes > sum_bytes (no float division);
+#    the hash is a 64-char bitstring (no int64 sign games).  One
+#    Arrow-batched map, one keyed aggregate on the scaling hash.
+# --------------------------------------------------------------------------
+PHASH_BITS = 64
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    m = media_table(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & F.col("payload").isNotNull()
+    )
+
+    def phash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                pos = (np.arange(PHASH_BITS, dtype=np.int64) * n) // PHASH_BITS
+                samples = b[pos].astype(np.int64)
+                total = int(b.sum())
+                bits = samples * n > total
+                ids.append(doc_id)
+                hashes.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = m.select("doc_id", "payload").mapInPandas(
+        phash, schema="doc_id bigint, phash string"
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_images") >= 2)
+    )
+
+
+MM_PHASH_SQL = f"""
+WITH img AS (
+  SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS hx
+  FROM {_DOCS_CANON_SQL} documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, length(hx) // 2 AS n,
+         list_transform(generate_series(1, length(hx) // 2),
+                        i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT)
+           AS bytes
+  FROM img WHERE length(hx) >= 2
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN bytes[CAST((j * n) // {PHASH_BITS} AS INT) + 1] * n
+                   > list_sum(bytes)
+              THEN '1' ELSE '0' END AS bit
+  FROM b, unnest(generate_series(0, {PHASH_BITS - 1})) AS t(j)
+),
+hashed AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY j) AS phash
+  FROM bits GROUP BY doc_id
+)
+SELECT phash,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM hashed GROUP BY phash
+HAVING count(*) >= 2
+"""
+
+QUERIES_ROTATION["mm_phash_dedup"] = mm_phash_dedup
+ORACLE_ROTATION["mm_phash_dedup"] = MM_PHASH_SQL

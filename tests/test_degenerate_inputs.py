@@ -168,9 +168,10 @@ SINGLEROW_SAMPLE = [
     "events_ab_cuped",
     # round-8e: a 1-doc corpus has no pair graph (zero savings
     # everywhere); one vector is one query with an n=1 stats row
-    # (sd NULL flags nothing)
+    # (sd NULL flags nothing); one image has no perceptual twin
     "dedup_token_savings",
     "knn_kdist_outliers",
+    "mm_phash_dedup",
 ]
 
 CONSTANT_SAMPLE = [
@@ -246,8 +247,11 @@ CONSTANT_SAMPLE = [
     # exact-int guards)
     "events_seasonal_anomaly",
     "events_ab_cuped",
-    # round-8e: one source takes ALL the savings (single group)
+    # round-8e: one source takes ALL the savings (single group); the
+    # constant corpus collapses every same-length payload to one
+    # perceptual cluster
     "dedup_token_savings",
+    "mm_phash_dedup",
 ]
 
 

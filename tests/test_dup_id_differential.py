@@ -100,8 +100,10 @@ SAMPLE = [
     "events_conversion_paths",
     # round-8d: the IVF side reads the canonical index build
     "ivf_recall_report",
-    # round-8e: savings key on the canonical corpus + cluster labels
+    # round-8e: savings key on the canonical corpus + cluster labels;
+    # the asset store is keyed (one payload per canonical doc_id)
     "dedup_token_savings",
+    "mm_phash_dedup",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -151,6 +151,7 @@ SAMPLE = [
     # round-8e
     "dedup_token_savings",
     "knn_kdist_outliers",
+    "mm_phash_dedup",
 ]
 
 TABLES = (

@@ -2593,3 +2593,45 @@ def test_kdist_outliers_population_stats(spark):
                 assert r["is_isolated"] == (
                     r["kth_cos"] < round(mu - 3 * sd, 6)
                 ) or abs(r["kth_cos"] - round(mu - 3 * sd, 6)) < 1e-6
+
+
+def test_phash_groups_scale_invariant_payloads(spark):
+    """The aHash is invariant to whole-payload repetition (the
+    synthetic k-fold repeats are 'scaled images'): docs sharing a text
+    hash land in one cluster regardless of their repeat factor, and
+    every reported cluster has >= 2 members with the minimum keeper."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.multimodal import mm_phash_dedup
+
+    rows = mm_phash_dedup(spark, SF_DIR).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'documents.parquet')}'"
+    )
+    from stac_geoparquet_spark.operators._canon import DOCS_CANON_SQL
+
+    md5_groups = con.execute(
+        f"""SELECT md5(text), list(doc_id ORDER BY doc_id)
+            FROM {DOCS_CANON_SQL} d
+            WHERE doc_id % 3 = 0 AND text IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 2"""
+    ).fetchall()
+    for r in rows:
+        assert r["n_images"] >= 2
+        assert len(r["phash"]) == 64
+        assert set(r["phash"]) <= {"0", "1"}
+    # repetition-factor differences cannot split an md5-duplicate
+    # group, so every such doc must sit inside some reported cluster:
+    # the clustered population is at least the md5-duplicate one
+    total_clustered = sum(r["n_images"] for r in rows)
+    n_dupable = sum(len(d) for _, d in md5_groups)
+    assert total_clustered >= n_dupable
+    # and the keeper of each cluster is its minimum member, so the
+    # smallest md5-duplicated doc id must appear among the keepers
+    if md5_groups:
+        keepers = {r["keeper_doc_id"] for r in rows}
+        assert min(min(d) for _, d in md5_groups) in keepers

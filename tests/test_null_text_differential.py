@@ -78,8 +78,10 @@ SAMPLE = [
     "simhash_hamming_profile",
     "graph_degree_assortativity",
     # round-8e: NULL text counts 0 tokens and joins no pair; NULL
-    # source groups must agree in the savings rollup
+    # source groups must agree in the savings rollup; a NULL-text doc
+    # synthesizes no payload
     "dedup_token_savings",
+    "mm_phash_dedup",
     # round-7b: NULL text carries no tokens (BM25 candidates, chi2
     # presence); NULL source must be excluded from the chi2 slices
     "bm25_topk_retrieval",

@@ -1916,3 +1916,18 @@ def test_kdist_outliers_pure_map_flags(spark, sf):
     assert (
         n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
     )
+
+
+def test_phash_dedup_one_arrow_stage(spark, sf):
+    """One Arrow-batched map over the media projection, one keyed
+    aggregate on the scaling hash — no window, no join, no
+    row-at-a-time Python."""
+    from stac_geoparquet_spark.operators import multimodal
+
+    plan = plan_of(multimodal.mm_phash_dedup(spark, sf))
+    assert plan.count("MapInPandas") >= 1
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert (
+        n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    )
