@@ -118,33 +118,36 @@ def _registries():
     # first hard signal).  Then: (a) the 10 new round-8 operators
     # (timeseries + audit families); (b) the 13 r03 entries the r07
     # window could not fit (queued first per the r07 ledger note);
-    # The 24 new round-8 operators + the 4 consumers churned by the
-    # two session caches (dedup_cluster_cc, dedup_survivors,
-    # dedup_rep_weights under the label-table cache; knn_brute_force
-    # under the ranked-ground-truth cache — the other cache consumers
-    # are new this round and already in) fill the rest with 2 of the
-    # 13 queued r03 entries (never-rows outrank stale rows):
-    # 20 + 24 + 4 + 2 = 50 exactly.  The eleven r03 leftovers
+    # The 24 round-8 operators + the 4 round-9 operators (all
+    # never-row) + 2 of the 4 consumers churned by the round-8 session
+    # caches fill the rest: 20 + 24 + 4 + 2 = 50 exactly.  Of the four
+    # cache-churned consumers, one representative per churned cache is
+    # kept: dedup_cluster_cc (builds + consumes the label-table cache;
+    # a green row validates the cache build and its join path) and
+    # knn_brute_force (the ranked-ground-truth cache).  The other two
+    # consumers — dedup_survivors and dedup_rep_weights — ride the
+    # SAME cached label table with their own code untouched, and
+    # never-row entries outrank a churned-read-path row.  They queue
+    # FIRST for the next window, ahead of the two r03 entries
+    # displaced here (agg_orders_by_priority,
+    # anti_join_inactive_customers), the eleven r03 leftovers
     # (bloom_filter_semijoin, bucketed_colocated_join, dq_report,
     # events_hourly_rollup, events_k_anonymity, events_session_window,
     # intersect_nations, join_customers_per_region,
     # moving_avg_daily_revenue, mm_audio_energy,
-    # semi_join_active_customers) and the whole r04 family queue FIRST
-    # for r09, followed by the 21 r03 entries from the unevaluated r07
-    # window if its file never lands.
+    # semi_join_active_customers), the whole r04 family, and the 21
+    # r03 entries from the unevaluated r07 window if its file never
+    # lands.
     window = [
         # r07 operators, still without a driver row
         *ROUND7_PENDING,
-        # (a) new this round
+        # (a) new in round 8
         *NEW_THIS_ROUND,
-        # (b) churned this round: session-cache consumers
+        # (b) new in round 9
+        *ROUND9_NEW,
+        # (c) churned in round 8: one representative per session cache
         "dedup_cluster_cc",
-        "dedup_survivors",
-        "dedup_rep_weights",
         "knn_brute_force",
-        # (c) r03 entries queued first from the r07 rotation
-        "agg_orders_by_priority",
-        "anti_join_inactive_customers",
     ][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -188,6 +191,14 @@ NEW_THIS_ROUND: list[str] = [
     "dedup_token_savings",
     "knn_kdist_outliers",
     "mm_phash_dedup",
+]
+
+# Queries registered in round 9 — never-row, straight into the window.
+ROUND9_NEW: list[str] = [
+    "events_cusum_changepoint",
+    "quantiles_user_value_exact",
+    "graph_local_clustering",
+    "embedding_isotropy_report",
 ]
 
 # Round-7 registrations whose driver rows never arrived (the r07

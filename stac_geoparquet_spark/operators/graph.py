@@ -508,3 +508,107 @@ FROM m
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
 ORACLE["graph_degree_assortativity"] = _assortativity_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Per-node local clustering coefficient (round 9): for each node of
+# the near-dup pair graph, cc = 2*T_v / (deg_v * (deg_v - 1)) — the
+# node-level refinement of graph_triangle_count's global coefficient.
+# Dedup pipelines read it per survivor candidate: a node whose
+# neighborhood is a clique (cc ~ 1) sits inside one true copy cluster
+# and any member can represent it, while a high-degree low-cc node is
+# a template hub stitching unrelated documents together — exactly the
+# node whose cluster should NOT be collapsed to one survivor.
+#
+# Execution shape: node triangle counts come from the same compact-
+# forward a<b<c enumeration as graph_triangle_count (each triangle
+# found once on the ordered pair list, then exploded to its three
+# corners — a constant x3 fan-out on the TRIANGLE set), so nothing
+# here touches the corpus: every join keys on the verified pair set,
+# session-cached inside dedup_minhash_lsh.  Degrees come from the
+# symmetric view's one keyed aggregate.  cc is one integer-ratio
+# division, round(,6); deg < 2 nodes carry NULL (no wedge exists).
+# --------------------------------------------------------------------------
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("degree"))
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    corners = (
+        p1.join(p2, "b")
+        .join(p3, ["a", "c"])
+        .select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.join(tri, deg.doc_a == tri.node, "left")
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        )
+        .selectExpr(
+            "doc_id",
+            "degree",
+            "n_tri",
+            """CASE WHEN degree < 2 THEN NULL
+                    ELSE round(2.0 * CAST(n_tri AS DOUBLE)
+                               / (CAST(degree AS DOUBLE)
+                                  * CAST(degree - 1 AS DOUBLE)), 6)
+               END AS local_cc""",
+        )
+    )
+
+
+def _local_clustering_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_oracle_ctes()},
+deg AS (
+  SELECT doc_a, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+  ) GROUP BY doc_a
+),
+corners AS (
+  SELECT p1.doc_a AS node
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+  UNION ALL
+  SELECT p1.doc_b
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+  UNION ALL
+  SELECT p2.doc_b
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+),
+tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node
+)
+SELECT deg.doc_a AS doc_id, degree,
+       coalesce(n_tri, 0) AS n_tri,
+       CASE WHEN degree < 2 THEN NULL
+            ELSE round(2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)
+                       / (CAST(degree AS DOUBLE)
+                          * CAST(degree - 1 AS DOUBLE)), 6)
+       END AS local_cc
+FROM deg LEFT JOIN tri ON tri.node = deg.doc_a
+"""
+
+
+QUERIES["graph_local_clustering"] = graph_local_clustering
+ORACLE["graph_local_clustering"] = _local_clustering_oracle_sql()

@@ -2495,3 +2495,108 @@ FROM kd, s
 
 QUERIES["knn_kdist_outliers"] = knn_kdist_outliers
 ORACLE["knn_kdist_outliers"] = KDIST_OUTLIER_SQL
+
+
+# --------------------------------------------------------------------------
+# Embedding isotropy report (round 9): the one-row geometry screen a
+# pipeline reads BEFORE trusting cosine-based ANN/semdedup on a new
+# embedding column — anisotropic embeddings (mass concentrated in a
+# few directions) make cosine similarities saturate and LSH/IVF cells
+# degenerate.  Reported: dimension count, pooled row count, variance
+# trace, mean |off-diagonal| covariance (correlation mass), and the
+# participation ratio trace(C)^2 / ||C||_F^2 — the eigen-free
+# effective-dimension estimate (= d for perfectly isotropic C, -> 1
+# when one direction dominates), so no iterative eigensolver is
+# needed (pca_power_projection covers the top direction itself).
+#
+# Scale shape: rides embedding_covariance's FENCED d x d merged
+# matrix — the only corpus-sized work is that one scan+GEMM, already
+# paid and session-shared; this report adds a d^2-row aggregate.
+# Determinism: cov values are round(,6) by contract, so they convert
+# EXACTLY to integer micro-units (x 1e6); trace, |off-diag| mass and
+# the Frobenius sum are exact int64 sums of those micro-units (unit
+# vectors keep cov <= 1, so micro^2 <= 1e12 and the d^2-term Frobenius
+# sum stays far under 2^63), and every reported double is one
+# fixed-shape expression over exact ints.  n <= 1 rows carry NULL cov
+# on both engines and are excluded identically.
+# --------------------------------------------------------------------------
+def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cov = embedding_covariance(spark, sf_dir).where(F.col("cov").isNotNull())
+    m = cov.select(
+        "i",
+        "j",
+        "n",
+        F.round(F.col("cov") * 1_000_000).cast("bigint").alias("micro"),
+    )
+    agg = m.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.min("n").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("micro")).otherwise(0)
+        ).alias("tm"),
+        F.sum(
+            F.when(F.col("i") < F.col("j"), F.abs(F.col("micro"))).otherwise(
+                0
+            )
+        ).alias("om"),
+        F.sum(F.when(F.col("i") < F.col("j"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_off"),
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"), F.col("micro") * F.col("micro")
+            ).otherwise(2 * F.col("micro") * F.col("micro"))
+        ).alias("frob"),
+    )
+    return agg.selectExpr(
+        "d",
+        "n_vecs",
+        "round(CAST(tm AS DOUBLE) / 1e6, 6) + 0.0 AS trace",
+        """CASE WHEN n_off = 0 OR n_off IS NULL THEN NULL
+                ELSE round(CAST(om AS DOUBLE) / CAST(n_off AS DOUBLE)
+                           / 1e6, 6) + 0.0
+           END AS mean_abs_offdiag""",
+        """CASE WHEN frob IS NULL OR frob <= 0 THEN NULL
+                ELSE round(CAST(tm AS DOUBLE) * CAST(tm AS DOUBLE)
+                           / CAST(frob AS DOUBLE), 6) + 0.0
+           END AS effective_dim""",
+    )
+
+
+ISOTROPY_SQL = f"""
+WITH cov_out AS (
+  SELECT * FROM ({COVARIANCE_SQL})
+),
+m AS (
+  SELECT i, j, n, CAST(round(cov * 1000000) AS BIGINT) AS micro
+  FROM cov_out WHERE cov IS NOT NULL
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN i = j THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         min(n) AS n_vecs,
+         CAST(sum(CASE WHEN i = j THEN micro ELSE 0 END) AS BIGINT) AS tm,
+         CAST(sum(CASE WHEN i < j THEN abs(micro) ELSE 0 END)
+              AS BIGINT) AS om,
+         CAST(sum(CASE WHEN i < j THEN 1 ELSE 0 END) AS BIGINT) AS n_off,
+         CAST(sum(CASE WHEN i = j THEN micro * micro
+                       ELSE 2 * micro * micro END) AS BIGINT) AS frob
+  FROM m
+)
+SELECT d, n_vecs,
+       round(CAST(tm AS DOUBLE) / 1e6, 6) + 0.0 AS trace,
+       CASE WHEN n_off = 0 OR n_off IS NULL THEN NULL
+            ELSE round(CAST(om AS DOUBLE) / CAST(n_off AS DOUBLE)
+                       / 1e6, 6) + 0.0
+       END AS mean_abs_offdiag,
+       CASE WHEN frob IS NULL OR frob <= 0 THEN NULL
+            ELSE round(CAST(tm AS DOUBLE) * CAST(tm AS DOUBLE)
+                       / CAST(frob AS DOUBLE), 6) + 0.0
+       END AS effective_dim
+FROM agg
+"""
+
+
+QUERIES["embedding_isotropy_report"] = embedding_isotropy_report
+ORACLE["embedding_isotropy_report"] = ISOTROPY_SQL

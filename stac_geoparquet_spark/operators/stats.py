@@ -1235,3 +1235,136 @@ ORACLE = {
     "outliers_iqr_price": OUTLIERS_IQR_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles by two-phase distributed selection (round 9): p25 /
+# p50 / p75 of per-user total event value — a domain whose DISTINCT
+# count grows with the user population, i.e. exactly the input class
+# the registry's exact-percentile sweep bans (Spark's `percentile`
+# merges an OpenHashMap of distinct values into ONE task).  This
+# operator is the scale path made first-class: selection, not a
+# buffered percentile.
+#
+# Phase 1 range-partitions the per-user totals on the unique sort key
+# (cents, user_id), so spark_partition_id() is a monotone bucket id
+# along the global order and the in-partition row_number window runs
+# on the SCALING partition key.  Phase 2 is a P-row offset table
+# (P = shuffle parallelism — config-bounded, not data-bounded) whose
+# prefix sum + the 1-row total are broadcast back; the type-1 quantile
+# rank floor((n-1)*q) is matched with an equi-join, never collected.
+# Both branches hang off the ONE range exchange; Spark's ReuseExchange
+# dedupes it, which also guarantees both see identical sampled
+# boundaries (select_token_budget precedent, plan-pinned).  If a
+# session disables exchange reuse, fall back to the exact single-task
+# global window (correct, not scale-shaped — the price of the conf).
+#
+# Determinism: per-user totals are EXACT int64 cent sums (each value
+# rounded to cents per row — the repo's cent-quantization convention),
+# the sort key is total-ordered by (cents, user_id), and the rank
+# arithmetic is integer; the only doubles are the final round(,2)
+# display division and the (n-1)*q rank product (n < 2^52 — exact).
+# --------------------------------------------------------------------------
+def quantiles_user_value_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    per_user = (
+        ev.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+    qs = F.explode(
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    ).alias("quantile")
+
+    def finish(ranked: DataFrame, tot: DataFrame) -> DataFrame:
+        quants = tot.select(qs, "n").select(
+            "quantile",
+            F.expr(
+                "CAST(floor((CAST(n AS DOUBLE) - 1.0) * quantile)"
+                " AS BIGINT)"
+            ).alias("target"),
+        )
+        return ranked.join(
+            F.broadcast(quants), ranked.r == F.col("target")
+        ).select(
+            "quantile",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
+                "user_value"
+            ),
+        )
+
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
+        ranked = per_user.select(
+            "cents",
+            (
+                F.row_number()
+                .over(Window.orderBy(F.asc("cents"), F.asc("user_id")))
+                .cast("bigint")
+                - 1
+            ).alias("r"),
+        )
+        tot = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        return finish(ranked, tot)
+
+    ranged = per_user.repartitionByRange(
+        F.asc("cents"), F.asc("user_id")
+    ).withColumn("part", F.spark_partition_id().cast("bigint"))
+    w = Window.partitionBy("part").orderBy(F.asc("cents"), F.asc("user_id"))
+    counts = ranged.groupBy("part").agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    offsets = counts.select(
+        "part",
+        F.coalesce(
+            F.sum("pc").over(
+                Window.orderBy("part").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    tot = counts.agg(F.coalesce(F.sum("pc"), F.lit(0)).alias("n"))
+    ranked = (
+        ranged.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(offsets), "part")
+        .withColumn("r", F.col("offset") + F.col("rn") - 1)
+    )
+    return finish(ranked, tot)
+
+
+QUANTILES_EXACT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) - 1
+           AS r
+  FROM per_user
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
+quants AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS quantile)
+SELECT quantile,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS user_value
+FROM ranked CROSS JOIN n CROSS JOIN quants
+WHERE r = CAST(floor((CAST(n AS DOUBLE) - 1.0) * quantile) AS BIGINT)
+"""
+
+
+QUERIES_ROTATION["quantiles_user_value_exact"] = quantiles_user_value_exact
+ORACLE_ROTATION["quantiles_user_value_exact"] = QUANTILES_EXACT_SQL

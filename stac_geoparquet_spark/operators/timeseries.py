@@ -1136,3 +1136,100 @@ FROM agg
 
 QUERIES["events_ab_cuped"] = events_ab_cuped
 ORACLE["events_ab_cuped"] = _ab_cuped_sql()
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint screen (round 9): cumulative sum of the daily
+# event-count deviations from the global daily mean — the standard
+# level-shift detector run when the ACF/seasonality reads look clean
+# but volume drifted (a pipeline ingest rate change, a source going
+# dark).  The peak |CUSUM| day is the classic changepoint estimate.
+#
+# Scale shape: the corpus-sized work is ONE calendar-bounded daily
+# rollup (map-side combining; 100x the events land in the same days).
+# CUSUM_k is NOT a float running sum — it is derived per row from the
+# EXACT int64 prefix count and the exact (n_days, total) pair:
+#   cusum_k = round(prefix_k - k * total / n_days, 6) + 0.0
+# one fixed-shape double expression, so no accumulation order exists
+# to drift cross-engine (the +0.0 normalizes the -0.0 a rounded exact
+# cancellation can produce).  The unpartitioned prefix window runs
+# over the FENCED daily rollup (calendar-bounded input — the legal
+# unpartitioned-window class per tests/test_registry_contract.py);
+# the peak lookup is one broadcast 1-row join back.  Ties on the
+# rounded |cusum| flag every tied day (deterministic on both engines).
+# --------------------------------------------------------------------------
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators._io import fenced
+
+    daily = fenced(
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("k"),
+        F.sum("c").over(w).alias("prefix"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("c").alias("total"),
+    )
+    # fenced (calendar-bounded scored table, two consumers: the peak
+    # aggregate and the final flag join)
+    scored = fenced(
+        pre.join(F.broadcast(tot)).selectExpr(
+            "d",
+            "c",
+            "round(CAST(prefix AS DOUBLE)"
+            " - CAST(k AS DOUBLE) * CAST(total AS DOUBLE)"
+            "   / CAST(nd AS DOUBLE), 6) + 0.0 AS cusum",
+        )
+    )
+    mx = scored.agg(F.max(F.abs(F.col("cusum"))).alias("max_abs"))
+    return scored.join(F.broadcast(mx)).select(
+        "d",
+        "c",
+        "cusum",
+        (F.abs(F.col("cusum")) == F.col("max_abs")).alias("is_changepoint"),
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+pre AS (
+  SELECT d, c,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+         CAST(sum(c) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS prefix
+  FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS total
+  FROM daily
+),
+scored AS (
+  SELECT d, c,
+         round(CAST(prefix AS DOUBLE)
+               - CAST(k AS DOUBLE) * CAST(total AS DOUBLE)
+                 / CAST(nd AS DOUBLE), 6) + 0.0 AS cusum
+  FROM pre CROSS JOIN tot
+),
+mx AS (SELECT max(abs(cusum)) AS max_abs FROM scored)
+SELECT d, c, cusum, abs(cusum) = max_abs AS is_changepoint
+FROM scored CROSS JOIN mx
+"""
+
+
+QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
+ORACLE["events_cusum_changepoint"] = CUSUM_SQL

@@ -172,6 +172,14 @@ SINGLEROW_SAMPLE = [
     "dedup_token_savings",
     "knn_kdist_outliers",
     "mm_phash_dedup",
+    # round-9: one event is one day with CUSUM exactly 0.0 (flagged);
+    # one user makes all three quantiles the same single total; a
+    # 1-doc corpus has no pair graph (empty local-cc table); one
+    # vector has n=1 everywhere (all-NULL covariance -> NULL report)
+    "events_cusum_changepoint",
+    "quantiles_user_value_exact",
+    "graph_local_clustering",
+    "embedding_isotropy_report",
 ]
 
 CONSTANT_SAMPLE = [
@@ -252,6 +260,11 @@ CONSTANT_SAMPLE = [
     # perceptual cluster
     "dedup_token_savings",
     "mm_phash_dedup",
+    # round-9: a constant-value stream still has per-user totals
+    # (count x value) — the quantiles stay well-defined; the constant
+    # corpus is the max-clique regime where every local_cc is 1.0
+    "quantiles_user_value_exact",
+    "graph_local_clustering",
 ]
 
 

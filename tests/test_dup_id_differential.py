@@ -95,6 +95,10 @@ SAMPLE = [
     "dedup_minhash_precision",
     "simhash_hamming_profile",
     "graph_degree_assortativity",
+    # round-9: corners/degrees derive from the canonical pair graph;
+    # the isotropy report rides the canonical-by-id covariance
+    "graph_local_clustering",
+    "embedding_isotropy_report",
     # round-8c: the 3-lag path keys on the canonical (ts, event_id)
     # order
     "events_conversion_paths",

@@ -152,6 +152,11 @@ SAMPLE = [
     "dedup_token_savings",
     "knn_kdist_outliers",
     "mm_phash_dedup",
+    # round-9
+    "events_cusum_changepoint",
+    "quantiles_user_value_exact",
+    "graph_local_clustering",
+    "embedding_isotropy_report",
 ]
 
 TABLES = (
@@ -207,6 +212,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "graph_degree_assortativity",
         # one-row experiment summary, zero counts + NULL z
         "events_ab_cuped",
+        # one-row geometry report: all-NULL aggregate row on both
+        # engines (no non-NULL covariance cells exist)
+        "embedding_isotropy_report",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

@@ -2635,3 +2635,135 @@ def test_phash_groups_scale_invariant_payloads(spark):
     if md5_groups:
         keepers = {r["keeper_doc_id"] for r in rows}
         assert min(min(d) for _, d in md5_groups) in keepers
+
+
+def test_cusum_reconstructs_and_flags_peak(spark):
+    """CUSUM values reconstruct from exact int prefix sums of the
+    daily counts; the final day's CUSUM is exactly 0.0; flagged rows
+    are exactly the max-|cusum| days."""
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_cusum_changepoint,
+    )
+
+    rows = sorted(
+        events_cusum_changepoint(spark, SF_DIR).collect(),
+        key=lambda r: r["d"],
+    )
+    assert rows
+    daily = duckdb.sql(
+        "SELECT CAST(ts AS DATE) d, count(*) c FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'events.parquet')}') "
+        "WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    total = sum(c for _, c in daily)
+    nd = len(daily)
+    prefix = 0
+    expect = []
+    for k, (d, c) in enumerate(daily, start=1):
+        prefix += c
+        expect.append(round(prefix - k * total / nd, 6) + 0.0)
+    got = [r["cusum"] for r in rows]
+    assert got == expect
+    assert got[-1] == 0.0
+    mx = max(abs(v) for v in got)
+    for r in rows:
+        assert r["is_changepoint"] == (abs(r["cusum"]) == mx)
+    assert any(r["is_changepoint"] for r in rows)
+
+
+def test_quantiles_exact_match_sorted_selection(spark):
+    """The two-phase selection returns exactly the type-1 quantile
+    elements of the sorted per-user cent totals (python reference),
+    and the three values are monotone."""
+    import math
+    import os
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.stats import (
+        quantiles_user_value_exact,
+    )
+
+    rows = {
+        r["quantile"]: r["user_value"]
+        for r in quantiles_user_value_exact(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {0.25, 0.5, 0.75}
+    cents = [
+        c
+        for (c,) in duckdb.sql(
+            "SELECT CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            f"FROM read_parquet('{os.path.join(SF_DIR, 'events.parquet')}') "
+            "WHERE user_id IS NOT NULL AND value IS NOT NULL "
+            "GROUP BY user_id"
+        ).fetchall()
+    ]
+    cents.sort()
+    n = len(cents)
+    for q, got in rows.items():
+        want = round(cents[math.floor((n - 1) * q)] / 100.0, 2)
+        assert got == want
+    assert rows[0.25] <= rows[0.5] <= rows[0.75]
+
+
+def test_local_clustering_consistent_with_global(spark):
+    """Per-node triangle counts sum to 3x the global triangle count,
+    the degree column matches the degree histogram, local_cc is in
+    [0, 1] and NULL exactly on wedge-free (deg < 2) nodes."""
+    from collections import Counter
+
+    from stac_geoparquet_spark.operators.graph import (
+        graph_local_clustering,
+        graph_triangle_count,
+    )
+
+    rows = graph_local_clustering(spark, SF_DIR).collect()
+    assert rows
+    glob = graph_triangle_count(spark, SF_DIR).collect()[0]
+    assert sum(r["n_tri"] for r in rows) == 3 * glob["n_triangles"]
+    assert len(rows) == glob["n_nodes"]
+    hist = Counter(r["degree"] for r in rows)
+    assert sum(d * c for d, c in hist.items()) == 2 * glob["n_edges"]
+    for r in rows:
+        if r["degree"] < 2:
+            assert r["local_cc"] is None
+            assert r["n_tri"] == 0
+        else:
+            assert 0.0 <= r["local_cc"] <= 1.0
+            assert r["local_cc"] == round(
+                2.0 * r["n_tri"] / (r["degree"] * (r["degree"] - 1)), 6
+            )
+
+
+def test_isotropy_reconstructs_from_covariance(spark):
+    """The report's exact-micro-unit aggregates reconstruct from the
+    covariance table itself, and the participation ratio lands in
+    [1, d]."""
+    from stac_geoparquet_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_isotropy_report,
+    )
+
+    row = embedding_isotropy_report(spark, SF_DIR).collect()[0]
+    cov = [
+        r
+        for r in embedding_covariance(spark, SF_DIR).collect()
+        if r["cov"] is not None
+    ]
+    micro = {(r["i"], r["j"]): round(r["cov"] * 1_000_000) for r in cov}
+    d = sum(1 for (i, j) in micro if i == j)
+    tm = sum(v for (i, j), v in micro.items() if i == j)
+    om = sum(abs(v) for (i, j), v in micro.items() if i < j)
+    n_off = sum(1 for (i, j) in micro if i < j)
+    frob = sum(
+        (v * v if i == j else 2 * v * v) for (i, j), v in micro.items()
+    )
+    assert row["d"] == d
+    assert row["trace"] == round(tm / 1e6, 6) + 0.0
+    assert row["mean_abs_offdiag"] == round(om / n_off / 1e6, 6) + 0.0
+    assert row["effective_dim"] == round(tm * tm / frob, 6)
+    assert 1.0 <= row["effective_dim"] <= d

@@ -815,6 +815,10 @@ EVENTS_SAMPLE = [
     # rows carry no arm or period
     "events_seasonal_anomaly",
     "events_ab_cuped",
+    # round-9: NULL ts rows carry no day position (CUSUM); NULL
+    # user/value rows carry no per-user total (exact quantiles)
+    "events_cusum_changepoint",
+    "quantiles_user_value_exact",
 ]
 
 

@@ -1931,3 +1931,76 @@ def test_phash_dedup_one_arrow_stage(spark, sf):
     assert (
         n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
     )
+
+
+def test_cusum_fenced_bounded_table(spark, sf):
+    """The CUSUM screen's returned plan reads the FENCED calendar-
+    bounded scored table twice (flag branch + the 1-row peak
+    aggregate joined back broadcast) — no events scan, no window, no
+    percentile survives in it."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_cusum_changepoint(spark, sf))
+    assert "events.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert "percentile" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # 1-row peak
+
+
+def test_quantiles_exact_two_phase_selection(spark, sf):
+    """The exact-quantile selector is the range-partitioned two-phase
+    form (the select_token_budget pattern): the rank window partitions
+    by spark_partition_id over ONE rangepartitioning exchange that AQE
+    must REUSE for the offset branch, the P-row offsets and the 3-row
+    rank targets join back broadcast, and no exact `percentile(`
+    aggregate appears anywhere."""
+    from stac_geoparquet_spark.operators import stats
+
+    df = stats.quantiles_user_value_exact(spark, sf)
+    plan = plan_of(df)
+    assert "hashpartitioning(part" in plan
+    assert "percentile(" not in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastHashJoin") == 2  # offsets + rank targets
+    df.collect()
+    final = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    final_section = final.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final_section
+    import re
+
+    real = re.findall(r"\+\- Exchange rangepartitioning", final_section)
+    assert len(real) == 1
+    assert "ReusedExchange" in final_section
+
+
+def test_local_clustering_rides_pair_set(spark, sf):
+    """Every join in the local-cc plan keys on the session-cached
+    verified pair set (ExistingRDD leaves) — no corpus scan, no
+    window, no cartesian; the corner explode fans out the TRIANGLE
+    set by a constant 3."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_local_clustering(spark, sf))
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_isotropy_rides_fenced_covariance(spark, sf):
+    """The isotropy report plans as one d^2-row aggregate over the
+    covariance assembly joins, whose input is the FENCED merged
+    matrix — no embeddings scan, no window, no cartesian in the
+    returned plan."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.embedding_isotropy_report(spark, sf))
+    assert "embeddings.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
