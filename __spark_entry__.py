@@ -128,9 +128,12 @@ def _registries():
     # consumers — dedup_survivors and dedup_rep_weights — ride the
     # SAME cached label table with their own code untouched, and
     # never-row entries outrank a churned-read-path row.  They queue
-    # FIRST for the next window, ahead of the two r03 entries
-    # displaced here (agg_orders_by_priority,
-    # anti_join_inactive_customers), the eleven r03 leftovers
+    # FIRST for the next window, together with the two round-9 ops the
+    # 50 slots could not fit (lexical_diversity_by_source,
+    # orders_interarrival_burstiness — never-row, registered behind
+    # the window), ahead of the two r03 entries displaced here
+    # (agg_orders_by_priority, anti_join_inactive_customers), the
+    # eleven r03 leftovers
     # (bloom_filter_semijoin, bucketed_colocated_join, dq_report,
     # events_hourly_rollup, events_k_anonymity, events_session_window,
     # intersect_nations, join_customers_per_region,

@@ -1609,3 +1609,74 @@ ORACLE = {
     "doc_length_buckets": LENGTH_BUCKETS_SQL,
     "text_unigram_logppl": UNIGRAM_LOGPPL_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity by source (round 9): tokens, vocabulary size,
+# type-token ratio, and the hapax-legomena share per source — the
+# lexical-health screen behind mixture decisions (a source whose TTR
+# collapses is template spam however good its quality score; a hapax
+# share near 1 is OCR noise or ID soup).  Complements
+# vocab_oov_rate_by_lang (which scores against a FIXED vocabulary)
+# with vocabulary-growth signals measured on the source itself.
+#
+# Scale shape: one corpus scan -> explode through the SHARED jlower
+# tokenizer contract -> ONE (source, word) keyed aggregate (the key
+# scales with the vocabulary, partials combine map-side) -> a second
+# aggregate that regroups the compacted per-(source, word) rows on
+# source (bounded key is fine for groupBy — partials combine; the
+# sweep bans bounded-key WINDOWS).  Counts are exact int64; the two
+# ratios are single divisions, round(,6).
+# --------------------------------------------------------------------------
+def lexical_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "source", F.explode(_words(F.col("text"))).alias("word")
+    )
+    counts = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            "round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"
+            " AS ttr",
+            "round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)"
+            " AS hapax_ratio",
+        )
+    )
+
+
+LEXDIV_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_sql_words()}) AS word FROM documents
+),
+counts AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY source, word
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+FROM counts GROUP BY source
+"""
+
+
+QUERIES_ROTATION["lexical_diversity_by_source"] = lexical_diversity_by_source
+ORACLE_ROTATION["lexical_diversity_by_source"] = LEXDIV_SQL

@@ -1233,3 +1233,105 @@ FROM scored CROSS JOIN mx
 
 QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
 ORACLE["events_cusum_changepoint"] = CUSUM_SQL
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase burstiness (round 9): per-customer inter-order gap
+# statistics and the Goh–Barabási burstiness index
+# B = (sd - mean) / (sd + mean) — B -> -1 for clockwork-periodic
+# buyers, ~0 for Poisson arrivals, -> +1 for bursty ones.  The
+# temporal companion to customer_interpurchase's population summary:
+# this one is PER ENTITY, the shape a churn/campaign model consumes.
+#
+# Scale shape: one orders scan, one lag window partitioned by the
+# SCALING customer key (ordered by date + orderkey so same-day orders
+# have a total order), one customer-keyed aggregate over the gap rows
+# — the window and the aggregate share the o_custkey shuffle.  Gaps
+# are exact int day-diffs; moments (n, s, ss) are exact int64
+# (gaps < 10^4 days, ss < n x 10^8); sd uses the population form
+# sqrt(n*ss - s^2)/n so B reduces to
+# (sqrt(n*ss - s^2) - s) / (sqrt(n*ss - s^2) + s) — one fixed-shape
+# double expression over exact ints, shared verbatim with the oracle.
+# Degenerate cuts compare exact ints: n < 2 gaps -> NULL cv/B; all
+# gaps zero (s = 0, n*ss = s^2) -> NULL (0/0 guard).  Customers with
+# fewer than two dated orders have no gap and are excluded on both
+# engines.
+# --------------------------------------------------------------------------
+def orders_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = (
+        _orders(spark, sf_dir)
+        .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("bigint").alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    m = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+    )
+    return m.selectExpr(
+        "o_custkey",
+        "n_gaps",
+        "round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_days",
+        f"""{_BURSTINESS_CV_EXPR} AS cv""",
+        f"""{_BURSTINESS_B_EXPR} AS burstiness""",
+    )
+
+
+# shared verbatim by selectExpr and the oracle so the double
+# expression trees cannot drift
+_BURSTINESS_CV_EXPR = """CASE
+  WHEN n_gaps < 2 OR s = 0 THEN NULL
+  ELSE round(sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+             / CAST(s AS DOUBLE), 6) + 0.0
+END"""
+_BURSTINESS_B_EXPR = """CASE
+  WHEN n_gaps < 2 OR (s = 0 AND n_gaps * ss = s * s) THEN NULL
+  ELSE round((sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+              - CAST(s AS DOUBLE))
+             / (sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+                + CAST(s AS DOUBLE)), 6) + 0.0
+END"""
+
+
+BURSTINESS_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+gaps AS (
+  SELECT o_custkey,
+         CAST(d - lag(d) OVER (PARTITION BY o_custkey
+                               ORDER BY d, o_orderkey) AS BIGINT) AS gap
+  FROM o
+),
+m AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(gap * gap) AS BIGINT) AS ss
+  FROM gaps WHERE gap IS NOT NULL GROUP BY o_custkey
+)
+SELECT o_custkey, n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_days,
+       {_BURSTINESS_CV_EXPR} AS cv,
+       {_BURSTINESS_B_EXPR} AS burstiness
+FROM m
+"""
+
+
+QUERIES["orders_interarrival_burstiness"] = orders_interarrival_burstiness
+ORACLE["orders_interarrival_burstiness"] = BURSTINESS_SQL

@@ -180,6 +180,10 @@ SINGLEROW_SAMPLE = [
     "quantiles_user_value_exact",
     "graph_local_clustering",
     "embedding_isotropy_report",
+    # round-9b: one doc is one source's whole vocabulary (every token
+    # hapax unless repeated in-doc); one order has no gap row
+    "lexical_diversity_by_source",
+    "orders_interarrival_burstiness",
 ]
 
 CONSTANT_SAMPLE = [
@@ -265,6 +269,8 @@ CONSTANT_SAMPLE = [
     # corpus is the max-clique regime where every local_cc is 1.0
     "quantiles_user_value_exact",
     "graph_local_clustering",
+    # round-9b: one source carries the whole corpus's lexicon
+    "lexical_diversity_by_source",
 ]
 
 

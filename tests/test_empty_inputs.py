@@ -157,6 +157,8 @@ SAMPLE = [
     "quantiles_user_value_exact",
     "graph_local_clustering",
     "embedding_isotropy_report",
+    "lexical_diversity_by_source",
+    "orders_interarrival_burstiness",
 ]
 
 TABLES = (

@@ -2767,3 +2767,98 @@ def test_isotropy_reconstructs_from_covariance(spark):
     assert row["mean_abs_offdiag"] == round(om / n_off / 1e6, 6) + 0.0
     assert row["effective_dim"] == round(tm * tm / frob, 6)
     assert 1.0 <= row["effective_dim"] <= d
+
+
+def test_lexdiv_reconstructs_from_corpus(spark):
+    """Per-source token/vocab/hapax counts reconstruct from a python
+    tokenization under the shared jlower contract; ratios are the
+    stated divisions."""
+    import os
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.text import (
+        lexical_diversity_by_source,
+    )
+
+    rows = {
+        r["source"]: r
+        for r in lexical_diversity_by_source(spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        "SELECT source, text FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'documents.parquet')}') "
+        "WHERE text IS NOT NULL"
+    ).fetchall()
+    per = defaultdict(Counter)
+    for source, text in docs:
+        toks = re.split(
+            "[ \t\n\x0b\f\r]+", text.strip(" ").replace("Σ", "σ").lower()
+        )
+        per[source].update(toks)
+    assert set(rows) == set(per)
+    for source, c in per.items():
+        r = rows[source]
+        assert r["n_tokens"] == sum(c.values())
+        assert r["vocab"] == len(c)
+        assert r["hapax"] == sum(1 for v in c.values() if v == 1)
+        assert r["ttr"] == round(r["vocab"] / r["n_tokens"], 6)
+        assert r["hapax_ratio"] == round(r["hapax"] / r["vocab"], 6)
+
+
+def test_burstiness_reconstructs_and_bounded(spark):
+    """Gap moments reconstruct from per-customer sorted order dates;
+    B lies in [-1, 1] and cv/B are NULL exactly on the degenerate
+    cuts."""
+    import math
+    import os
+    from collections import defaultdict
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        orders_interarrival_burstiness,
+    )
+
+    rows = {
+        r["o_custkey"]: r
+        for r in orders_interarrival_burstiness(spark, SF_DIR).collect()
+    }
+    orders = duckdb.sql(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE), o_orderkey FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'orders.parquet')}') "
+        "WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL"
+    ).fetchall()
+    per = defaultdict(list)
+    for ck, d, ok_ in orders:
+        per[ck].append((d, ok_))
+    expect = {}
+    for ck, ds in per.items():
+        ds.sort()
+        gaps = [
+            (ds[i][0] - ds[i - 1][0]).days for i in range(1, len(ds))
+        ]
+        if gaps:
+            expect[ck] = gaps
+    assert set(rows) == set(expect)
+    for ck, gaps in expect.items():
+        r = rows[ck]
+        n, s, ss = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        assert r["n_gaps"] == n
+        assert r["mean_gap_days"] == round(s / n, 6)
+        if n < 2:
+            assert r["cv"] is None and r["burstiness"] is None
+            continue
+        sd_n = math.sqrt(n * ss - s * s)
+        if s == 0:
+            assert r["cv"] is None
+        else:
+            assert r["cv"] == round(sd_n / s, 6) + 0.0
+        if s == 0 and n * ss == s * s:
+            assert r["burstiness"] is None
+        else:
+            b = round((sd_n - s) / (sd_n + s), 6) + 0.0
+            assert r["burstiness"] == b
+            assert -1.0 <= r["burstiness"] <= 1.0

@@ -98,6 +98,9 @@ SAMPLE = [
     "mixture_epoch_allocation",
     "graph_component_sizes",
     "dedup_rate_by_source",
+    # round-9: NULL text tokenizes to nothing; NULL source must group
+    # identically in the per-source rollup
+    "lexical_diversity_by_source",
 ]
 
 
@@ -373,6 +376,8 @@ REL_SAMPLE = [
     "supplier_scorecard",
     # round-8c: NULL custkey/date rows carry no cohort identity
     "orders_cohort_repeat_rate",
+    # round-9: NULL custkey/date rows carry no gap position
+    "orders_interarrival_burstiness",
 ]
 
 

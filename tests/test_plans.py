@@ -2004,3 +2004,32 @@ def test_isotropy_rides_fenced_covariance(spark, sf):
     assert "ExistingRDD" in plan
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_lexdiv_two_keyed_aggregates_no_join(spark, sf):
+    """Lexical diversity is one scan -> explode -> (source, word)
+    keyed aggregate -> source regroup of the compacted rows; no join,
+    no window, no Python."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.lexical_diversity_by_source(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
+def test_burstiness_window_and_agg_share_shuffle(spark, sf):
+    """The lag window and the gap aggregate both key on o_custkey —
+    one scan, ONE exchange (the aggregate regroups the window's
+    partitioning without a second shuffle), no join."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_interarrival_burstiness(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 1
+    assert "hashpartitioning(o_custkey" in plan
+    assert n_ops(plan, "Exchange") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0

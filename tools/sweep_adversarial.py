@@ -152,6 +152,22 @@ FIXTURES: dict[str, dict[str, str]] = {
         ELSE l_extendedprice END AS l_extendedprice)
       FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
     },
+    # the whole time axis shifted before the 1970 epoch (archival /
+    # backfilled corpora): negative epoch microseconds and epoch days
+    # exercise every `div`-vs-`//` bucketing, mod-anchored weekday /
+    # hour-of-week slot, and date-diff sign convention the modern
+    # fixtures never reach
+    "pre_epoch_ts": {
+        "events": """COPY (SELECT event_id,
+      ts - INTERVAL 70 YEARS AS ts, user_id, event_type, value, props
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+        "orders": """COPY (SELECT * REPLACE (
+      o_orderdate - INTERVAL 70 YEARS AS o_orderdate)
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+        "lineitem": """COPY (SELECT * REPLACE (
+      l_shipdate - INTERVAL 70 YEARS AS l_shipdate)
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+    },
 }
 
 
