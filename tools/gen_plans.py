@@ -407,6 +407,22 @@ SHOWCASE = [
         "(calendar-bounded) -> 168-slot baseline (broadcast) -> "
         "in-row z; the returned plan never touches the events scan.",
     ),
+    (
+        "quantiles_user_value_exact",
+        "Exact quantiles over an unbounded-distinct domain with NO "
+        "percentile buffer: ONE rangepartitioning exchange feeds both "
+        "the in-partition rank window (partitioned by the scaling "
+        "spark_partition_id) and the P-row offset branch — AQE reuses "
+        "the exchange (ReusedExchange in the final plan), and the "
+        "3-row rank targets join back broadcast.",
+    ),
+    (
+        "orders_interarrival_burstiness",
+        "The lag window and the gap-moment aggregate share ONE "
+        "o_custkey exchange (the aggregate regroups the window's own "
+        "partitioning); moments are exact int64, the burstiness "
+        "expression is a pure projection.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
