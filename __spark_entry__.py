@@ -131,7 +131,11 @@ def _registries():
     # FIRST for the next window, together with the two round-9 ops the
     # 50 slots could not fit (lexical_diversity_by_source,
     # orders_interarrival_burstiness — never-row, registered behind
-    # the window), ahead of the two r03 entries displaced here
+    # the window) and the two consumers churned by the round-9
+    # covariance session cache (embedding_covariance r06,
+    # pca_power_projection r04 — embedding_isotropy_report is
+    # IN-window and exercises the cache build + assembly path this
+    # round), ahead of the two r03 entries displaced here
     # (agg_orders_by_priority, anti_join_inactive_customers), the
     # eleven r03 leftovers
     # (bloom_filter_semijoin, bucketed_colocated_join, dq_report,

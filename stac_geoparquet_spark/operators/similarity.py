@@ -1505,6 +1505,29 @@ def _covariance_merged(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# merged covariance partials per (app, sf, stamp): THREE shipped
+# consumers (embedding_covariance itself, embedding_isotropy_report,
+# and pca_power_projection's driver-side eigensolve pull) each re-ran
+# the corpus scan + GEMM; the cached frame is the FENCED
+# <= d(d+1)/2 + d row partial matrix — fence-eligible bounded (the
+# kNN-ground-truth / dedup-label-table session-cache pattern)
+_COV_MERGED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _covariance_merged_fenced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    key = _kmeans_cache_key(spark, sf_dir)
+    hit = _COV_MERGED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from stac_geoparquet_spark.operators._io import fenced
+
+    out = fenced(_covariance_merged(spark, sf_dir))
+    _COV_MERGED_CACHE[key] = out
+    return out
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle (i <= j) sample covariance of the embedding
     columns, canonical-by-id like every other index/stats build (a
@@ -1519,10 +1542,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     fence Catalyst re-executes the whole scan+GEMM per consumer — the
     explain showed the 100-TB pass TRIPLED.  Same move as
     ``pagerank_neardup_graph``; what gets materialized is only the
-    tiny d × d matrix."""
-    from stac_geoparquet_spark.operators._io import fenced
-
-    merged = fenced(_covariance_merged(spark, sf_dir))
+    tiny d × d matrix — and it is session-cached
+    (``_COV_MERGED_CACHE``) so the isotropy report and the PCA
+    eigensolve share ONE scan + GEMM per (app, sf, stamp)."""
+    merged = _covariance_merged_fenced(spark, sf_dir)
     sums = merged.where(F.col("j") == -1).select("i", F.col("s").alias("sv"))
     prods = merged.where(F.col("j") >= 0)
     return (
