@@ -340,3 +340,144 @@ ORACLE = {
     "retention_weekly_cohorts": RETENTION_SQL,
     "user_survival_km": SURVIVAL_KM_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Time-bounded sequential funnel (round 9): the TRUE ordered-funnel
+# semantics product analytics means by "conversion" — the first click
+# STRICTLY AFTER the user's first view and within CLICK_WINDOW of it,
+# then the first purchase strictly after that click and within
+# PURCHASE_WINDOW — unlike funnel_view_click_purchase's
+# earliest-completion chain (global stage minima), which counts a
+# user whose qualifying click came hours later.  The two definitions
+# bracket real funnels; pipelines report both.
+#
+# Scale shape: three pushed-filter scans of the events table (one per
+# stage alphabet value), each stage joining the previous stage's
+# per-user anchor on the SCALING user key and taking one keyed min —
+# no windows anywhere.  The per-user stage table is FENCED
+# (user-bounded, one consumer row set but three count columns), then
+# ONE aggregate + a stack() projection emits the three fixed stage
+# rows (fixed-stage reports always emit their rows — the empty-input
+# contract of funnel_view_click_purchase).  Timestamps compare as
+# exact microseconds; rates are single divisions, round(,6).
+# --------------------------------------------------------------------------
+CLICK_WINDOW = "1 hour"  # first qualifying click within 1h of first view
+PURCHASE_WINDOW = "24 hours"  # purchase within 24h of that click
+
+
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.expr(f"t_view + INTERVAL {CLICK_WINDOW}"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (
+                F.col("ts")
+                <= F.expr(f"t_click + INTERVAL {PURCHASE_WINDOW}")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = fenced(
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+    )
+    counts = stages.agg(
+        F.count("t_view").alias("nv"),
+        F.count("t_click").alias("nc"),
+        F.count("t_purchase").alias("np"),
+    )
+    return counts.selectExpr(
+        """stack(3,
+             'view', nv, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             'click_1h', nc,
+             CASE WHEN nv = 0 THEN NULL
+                  ELSE round(CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE), 6)
+             END,
+             CASE WHEN nv = 0 THEN NULL
+                  ELSE round(CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE), 6)
+             END,
+             'purchase_24h', np,
+             CASE WHEN nc = 0 THEN NULL
+                  ELSE round(CAST(np AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+             END,
+             CASE WHEN nv = 0 THEN NULL
+                  ELSE round(CAST(np AS DOUBLE) / CAST(nv AS DOUBLE), 6)
+             END
+           ) AS (stage, n_users, rate_vs_prev, rate_vs_first)"""
+    )
+
+
+FUNNEL_TIME_BOUNDED_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+v AS (
+  SELECT user_id, min(ts) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT CAST(count(t_view) AS BIGINT) AS nv,
+         CAST(count(t_click) AS BIGINT) AS nc,
+         CAST(count(t_purchase) AS BIGINT) AS np
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT 'view' AS stage, nv AS n_users,
+       CAST(NULL AS DOUBLE) AS rate_vs_prev,
+       CAST(NULL AS DOUBLE) AS rate_vs_first
+FROM counts
+UNION ALL
+SELECT 'click_1h', nc,
+       CASE WHEN nv = 0 THEN NULL
+            ELSE round(CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE), 6) END,
+       CASE WHEN nv = 0 THEN NULL
+            ELSE round(CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE), 6) END
+FROM counts
+UNION ALL
+SELECT 'purchase_24h', np,
+       CASE WHEN nc = 0 THEN NULL
+            ELSE round(CAST(np AS DOUBLE) / CAST(nc AS DOUBLE), 6) END,
+       CASE WHEN nv = 0 THEN NULL
+            ELSE round(CAST(np AS DOUBLE) / CAST(nv AS DOUBLE), 6) END
+FROM counts
+"""
+
+
+QUERIES["funnel_time_bounded"] = funnel_time_bounded
+ORACLE["funnel_time_bounded"] = FUNNEL_TIME_BOUNDED_SQL

@@ -181,9 +181,11 @@ SINGLEROW_SAMPLE = [
     "graph_local_clustering",
     "embedding_isotropy_report",
     # round-9b: one doc is one source's whole vocabulary (every token
-    # hapax unless repeated in-doc); one order has no gap row
+    # hapax unless repeated in-doc); one order has no gap row; a
+    # single event reaches at most the view stage
     "lexical_diversity_by_source",
     "orders_interarrival_burstiness",
+    "funnel_time_bounded",
 ]
 
 CONSTANT_SAMPLE = [

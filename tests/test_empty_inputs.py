@@ -159,6 +159,7 @@ SAMPLE = [
     "embedding_isotropy_report",
     "lexical_diversity_by_source",
     "orders_interarrival_burstiness",
+    "funnel_time_bounded",
 ]
 
 TABLES = (
@@ -217,6 +218,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # one-row geometry report: all-NULL aggregate row on both
         # engines (no non-NULL covariance cells exist)
         "embedding_isotropy_report",
+        # fixed 3-stage report (zero-valued), the
+        # funnel_view_click_purchase contract
+        "funnel_time_bounded",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

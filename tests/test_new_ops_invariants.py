@@ -2862,3 +2862,61 @@ def test_burstiness_reconstructs_and_bounded(spark):
             b = round((sd_n - s) / (sd_n + s), 6) + 0.0
             assert r["burstiness"] == b
             assert -1.0 <= r["burstiness"] <= 1.0
+
+
+def test_time_bounded_funnel_reconstructs(spark):
+    """Stage counts reconstruct from a python replay of the
+    first-view -> first-qualifying-click -> first-qualifying-purchase
+    chain, and the funnel is monotone non-increasing."""
+    import os
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import duckdb
+
+    from stac_geoparquet_spark.operators.funnel import funnel_time_bounded
+
+    rows = {
+        r["stage"]: r for r in funnel_time_bounded(spark, SF_DIR).collect()
+    }
+    ev = duckdb.sql(
+        "SELECT user_id, ts, event_type FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'events.parquet')}') "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+    ).fetchall()
+    per = defaultdict(list)
+    for u, ts, et in ev:
+        per[u].append((ts, et))
+    nv = nc = npu = 0
+    for u, evs in per.items():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        nv += 1
+        t_view = min(views)
+        clicks = [
+            t
+            for t, e in evs
+            if e == "click"
+            and t > t_view
+            and t <= t_view + timedelta(hours=1)
+        ]
+        if not clicks:
+            continue
+        nc += 1
+        t_click = min(clicks)
+        purchases = [
+            t
+            for t, e in evs
+            if e == "purchase"
+            and t > t_click
+            and t <= t_click + timedelta(hours=24)
+        ]
+        if purchases:
+            npu += 1
+    assert rows["view"]["n_users"] == nv
+    assert rows["click_1h"]["n_users"] == nc
+    assert rows["purchase_24h"]["n_users"] == npu
+    assert nv >= nc >= npu
+    assert rows["click_1h"]["rate_vs_prev"] == round(nc / nv, 6)
+    assert rows["purchase_24h"]["rate_vs_first"] == round(npu / nv, 6)

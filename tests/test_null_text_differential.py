@@ -821,9 +821,11 @@ EVENTS_SAMPLE = [
     "events_seasonal_anomaly",
     "events_ab_cuped",
     # round-9: NULL ts rows carry no day position (CUSUM); NULL
-    # user/value rows carry no per-user total (exact quantiles)
+    # user/value rows carry no per-user total (exact quantiles);
+    # NULL user/ts rows carry no funnel position
     "events_cusum_changepoint",
     "quantiles_user_value_exact",
+    "funnel_time_bounded",
 ]
 
 

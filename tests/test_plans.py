@@ -2033,3 +2033,17 @@ def test_burstiness_window_and_agg_share_shuffle(spark, sf):
     assert n_ops(plan, "Exchange") == 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert n_ops(plan, j) == 0
+
+
+def test_time_bounded_funnel_user_keyed_no_window(spark, sf):
+    """The sequential funnel is stage joins on the scaling user key +
+    one aggregate over the FENCED per-user stage table — the returned
+    plan reads the fence leaf (no events scan), and no window or
+    cartesian appears."""
+    from stac_geoparquet_spark.operators import funnel
+
+    plan = plan_of(funnel.funnel_time_bounded(spark, sf))
+    assert "events.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
