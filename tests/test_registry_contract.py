@@ -246,3 +246,182 @@ def _assert_no_bounded_cardinality_window(name: str, plan: str) -> None:
                 "(spark_partition_id / doc_id-div buckets) or allowlist "
                 "with a bounded-input justification"
             )
+
+
+# ---------------------------------------------------------------------------
+# Driver-collect audit (round 9): a `.collect()` / `.toPandas()` in
+# engine source pulls rows onto the driver — legal ONLY when the row
+# count is bounded by a MODEL/CONFIG constant (centroids, d x d
+# covariance, a histogram with a fixed slot count), never by data
+# volume.  Previous rounds verified this by hand; this sweep makes it
+# mechanical: every call site must appear here keyed by (file,
+# enclosing function) with its boundedness justification.  A new
+# collect in an unlisted function fails the suite until justified.
+# ---------------------------------------------------------------------------
+_DRIVER_COLLECT_ALLOWLIST = {
+    ("sinks/geoparquet.py", "write_parquet_with_footer"):
+        "one written-file path per task partition — partition-count-"
+        "bounded (config), needed to stamp the footer metadata",
+    ("operators/text.py", "quality_classifier_trained"):
+        "1024-slot integer-micro-unit feature histogram — MODEL-size-"
+        "bounded, the trained-weights pull",
+    ("operators/mining.py", "orders_pareto_share"):
+        "one 3-value threshold row (top-1/5/10% revenue cuts over the "
+        "cents domain)",
+    ("operators/similarity.py", "_kmeans_fit"):
+        "KMEANS_K seed/centroid rows — model-size-bounded (two sites: "
+        "seeds + per-round means)",
+    ("operators/similarity.py", "pca_power_projection"):
+        "the d(d+1)/2 + d covariance rows for the driver-side 64x64 "
+        "eigensolve (two sites: matrix + the projection norm row)",
+    ("operators/similarity.py", "embedding_standardize"):
+        "16 per-dimension standardization constants from ONE agg row",
+    ("operators/similarity.py", "embedding_norm_outliers"):
+        "one (mu, sd, thr) stats row — all thresholds ride the same "
+        "aggregate row (r06 ADVICE fix)",
+    ("operators/similarity.py", "knn_kdist_outliers"):
+        "one stats row over the |Q|-row (query-sample-bounded) "
+        "k-distance rollup",
+}
+
+
+def test_driver_collects_are_all_bounded_and_allowlisted():
+    import ast
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "stac_geoparquet_spark",
+    )
+    found = set()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            tree = ast.parse(open(p).read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = []
+                    self.hits = []
+
+                def visit_FunctionDef(self, n):
+                    self.stack.append(n.name)
+                    self.generic_visit(n)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, n):
+                    f = n.func
+                    if isinstance(f, ast.Attribute) and f.attr in (
+                        "collect",
+                        "toPandas",
+                    ):
+                        self.hits.append(
+                            self.stack[-1] if self.stack else "<module>"
+                        )
+                    self.generic_visit(n)
+
+            v = V()
+            v.visit(tree)
+            for fnname in v.hits:
+                found.add((rel, fnname))
+    unlisted = found - set(_DRIVER_COLLECT_ALLOWLIST)
+    assert not unlisted, (
+        f"driver-side collect in unlisted function(s) {sorted(unlisted)} — "
+        "collect() is legal only for model/config-bounded row counts; "
+        "add the site to _DRIVER_COLLECT_ALLOWLIST with its bound, or "
+        "keep the data distributed"
+    )
+    stale = set(_DRIVER_COLLECT_ALLOWLIST) - found
+    assert not stale, (
+        f"allowlist entries with no remaining call site: {sorted(stale)} "
+        "— remove them so the list stays exact"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-collection audit (round 9, same mechanism): a
+# `collect_list` / `collect_set` aggregate holds one group's whole
+# value set in a single task — legal ONLY when the per-group
+# cardinality is bounded by something other than data volume (a doc's
+# own length, the dimension count, the K of a bottom-K sketch), never
+# when a group can accumulate a corpus-sized slice.
+# ---------------------------------------------------------------------------
+_GROUPED_COLLECT_ALLOWLIST = {
+    ("operators/audit.py", "embedding_centroid_drift"):
+        "per-label (dim, mean) structs — DIM-bounded per group",
+    ("operators/curation.py", "cross_lang_contamination"):
+        "per-gram language set — lang-alphabet-bounded",
+    ("operators/curation.py", "dedup_substring_removal"):
+        "per-doc surviving tile list — doc-length-bounded",
+    ("operators/dedup.py", "dedup_containment"):
+        "per-doc distinct shingle set — doc-length-bounded (the "
+        "verification side of the df-capped candidate join)",
+    ("operators/twophase.py", "kth_smallest"):
+        "per group: candidates pre-pruned to <= K per partition, so "
+        "the list is K x P bounded (config, not data)",
+    ("operators/twophase.py", "merge_bottomk"):
+        "same K x P bound — the mergeable bottom-K sketch state",
+}
+
+
+def test_grouped_collects_are_all_bounded_and_allowlisted():
+    import ast
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "stac_geoparquet_spark",
+    )
+    found = set()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            tree = ast.parse(open(p).read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = []
+                    self.hits = []
+
+                def visit_FunctionDef(self, n):
+                    self.stack.append(n.name)
+                    self.generic_visit(n)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, n):
+                    f = n.func
+                    name = (
+                        f.attr
+                        if isinstance(f, ast.Attribute)
+                        else getattr(f, "id", "")
+                    )
+                    if name in ("collect_list", "collect_set"):
+                        self.hits.append(
+                            self.stack[-1] if self.stack else "<module>"
+                        )
+                    self.generic_visit(n)
+
+            v = V()
+            v.visit(tree)
+            for fnname in v.hits:
+                found.add((rel, fnname))
+    unlisted = found - set(_GROUPED_COLLECT_ALLOWLIST)
+    assert not unlisted, (
+        f"grouped collect in unlisted function(s) {sorted(unlisted)} — "
+        "a group's collected state must be bounded by a non-data "
+        "constant; add the site with its bound or restructure"
+    )
+    stale = set(_GROUPED_COLLECT_ALLOWLIST) - found
+    assert not stale, (
+        f"allowlist entries with no remaining call site: {sorted(stale)}"
+    )
