@@ -1015,76 +1015,102 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines (Spark selectExpr and the oracle SQL), so the double
 # expression tree cannot drift.  Written over the 12 per-arm moments;
 # n/sx/... spellings are the aggregate aliases above and in the CTE.
-_CUPED_EXPR = """CASE
+# the z expression is assembled from THREE shared fragments (theta,
+# numerator, SE^2 = the sqrt argument), and EVERY division inside them
+# goes through nullif(denom, 0): Spark's whole-stage codegen hoists
+# repeated subexpressions (theta appears six times) OUT of the CASE
+# and evaluates them eagerly, so a guard alone cannot prevent an ANSI
+# DIVIDE_BY_ZERO on a degenerate arm (found by the constant_ts /
+# constant_keys sweep axes — the hoisted theta division crashed on a
+# one-user corpus even though the n < 2 guard would have returned
+# NULL).  x / NULL is NULL on both engines, so the nullif form is
+# crash-free under hoisting; the CASE guards still pin WHICH rows are
+# NULL so the engines' null sets match exactly, including
+# NOT (se2 > 0) — a zero adjusted variance (all-ties corpus) divides
+# by zero only on Spark (DuckDB double division yields NULL), and a
+# tiny NEGATIVE cancellation residue would make DuckDB's sqrt throw
+# (the embedding_standardize lesson).
+_CUPED_SE2 = """((
+  (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE)
+                          / nullif(CAST(n0 AS DOUBLE), 0.0))
+  - 2.0 * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+        * (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                                  * CAST(sy0 AS DOUBLE)
+                                  / nullif(CAST(n0 AS DOUBLE), 0.0))
+  + ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+    * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+    * (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                              * CAST(sx0 AS DOUBLE)
+                              / nullif(CAST(n0 AS DOUBLE), 0.0))
+) / nullif(CAST(n0 - 1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0)
+ +
+ (
+  (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+                          / nullif(CAST(n1 AS DOUBLE), 0.0))
+  - 2.0 * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+        * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                                  * CAST(sy1 AS DOUBLE)
+                                  / nullif(CAST(n1 AS DOUBLE), 0.0))
+  + ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+    * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+    * (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                              * CAST(sx1 AS DOUBLE)
+                              / nullif(CAST(n1 AS DOUBLE), 0.0))
+) / nullif(CAST(n1 - 1 AS DOUBLE) * CAST(n1 AS DOUBLE), 0.0))"""
+
+_CUPED_EXPR = f"""CASE
   WHEN coalesce(n0, 0) < 2 OR coalesce(n1, 0) < 2
     OR (n0 + n1) * (sxx0 + sxx1) <= (sx0 + sx1) * (sx0 + sx1)
+    OR NOT ({_CUPED_SE2} > 0)
   THEN NULL
   ELSE round(
     (
-      (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-       - ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-           - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-          / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-             - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-         * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-            - CAST(sx0 + sx1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
-      -
-      (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-       - ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-           - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-          / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-             - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-         * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-            - CAST(sx0 + sx1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
-    )
+  (CAST(sy0 AS DOUBLE) / nullif(CAST(n0 AS DOUBLE), 0.0)
+   - ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+     * (CAST(sx0 AS DOUBLE) / nullif(CAST(n0 AS DOUBLE), 0.0)
+        - CAST(sx0 + sx1 AS DOUBLE)
+          / nullif(CAST(n0 + n1 AS DOUBLE), 0.0)))
+  -
+  (CAST(sy1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0)
+   - ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
+       - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
+      / nullif(CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
+               - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE),
+               0.0))
+     * (CAST(sx1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0)
+        - CAST(sx0 + sx1 AS DOUBLE)
+          / nullif(CAST(n0 + n1 AS DOUBLE), 0.0)))
+)
     /
-    sqrt(
-      (
-        (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE)
-                                / CAST(n0 AS DOUBLE))
-        - 2.0 * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-                  - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-                 / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-                    - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-              * (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
-                                        * CAST(sy0 AS DOUBLE)
-                                        / CAST(n0 AS DOUBLE))
-        + ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-            - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-           / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-          * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-             / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-                - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-          * (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
-                                    * CAST(sx0 AS DOUBLE)
-                                    / CAST(n0 AS DOUBLE))
-      ) / (CAST(n0 - 1 AS DOUBLE) * CAST(n0 AS DOUBLE))
-      +
-      (
-        (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
-                                / CAST(n1 AS DOUBLE))
-        - 2.0 * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-                  - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-                 / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-                    - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-              * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
-                                        * CAST(sy1 AS DOUBLE)
-                                        / CAST(n1 AS DOUBLE))
-        + ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-            - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-           / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-          * ((CAST(n0 + n1 AS DOUBLE) * CAST(sxy0 + sxy1 AS DOUBLE)
-              - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE))
-             / (CAST(n0 + n1 AS DOUBLE) * CAST(sxx0 + sxx1 AS DOUBLE)
-                - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE)))
-          * (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
-                                    * CAST(sx1 AS DOUBLE)
-                                    / CAST(n1 AS DOUBLE))
-      ) / (CAST(n1 - 1 AS DOUBLE) * CAST(n1 AS DOUBLE))
-    ),
+    nullif(sqrt({_CUPED_SE2}), 0.0),
     6) + 0.0
 END AS z_cuped"""
 

@@ -238,3 +238,47 @@ def test_write_zordered_rejects_invalid_keys(spark, tmp_path):
     ok = spark.range(10).selectExpr("id AS a", "id AS b")
     write_zordered(ok, str(tmp_path / "zok"), "a", "b")
     assert spark.read.parquet(str(tmp_path / "zok")).count() == 10
+
+
+def test_cuped_null_z_on_zero_adjusted_variance(spark, tmp_path):
+    """constant_ts sweep finding (round 9): with every event at ONE
+    instant, the whole corpus lands in the pre-period, every user's
+    post-spend is 0, theta = 0, and Var(Y - theta*X) is exactly 0 —
+    ANSI Spark crashed with DIVIDE_BY_ZERO on z's sqrt denominator
+    while DuckDB's double division returns NULL.  The shared
+    _CUPED_SE2 fragment is now guarded (NOT (se2 > 0) -> NULL z) on
+    both engines; the experiment still reports its counts."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from tests.oracle_compare import compare
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        _ab_cuped_sql,
+        events_ab_cuped,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "allties"
+    dst.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT event_id, min(ts) OVER () AS ts, user_id,
+              event_type, value, props
+            FROM read_parquet('{src}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("documents", "embeddings", "orders", "lineitem", "customer",
+              "supplier", "part", "nation", "region"):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    df = events_ab_cuped(spark, str(dst))
+    ok, msg = compare(df, _ab_cuped_sql(), str(dst), strict=True)
+    assert ok, msg
+    row = df.collect()[0]
+    assert row["z_cuped"] is None
+    assert row["n_a"] + row["n_b"] > 0

@@ -63,6 +63,12 @@ TABLES = (
 #                  group / skew regime)
 #   all_dup_text   the whole corpus is one duplicated text (dedup
 #                  estimator saturation)
+#   negative_values refunds/credits: negated measures (rounding and
+#                  percentile conventions below zero)
+#   pre_epoch_ts   whole time axis shifted before the 1970 epoch
+#                  (negative epoch us/days: div/mod conventions)
+#   constant_ts    every event/order at ONE instant (all-ties regime:
+#                  total-order tiebreak contracts)
 FIXTURES: dict[str, dict[str, str]] = {
     "null_events": {
         "events": """COPY (SELECT event_id,
@@ -166,6 +172,23 @@ FIXTURES: dict[str, dict[str, str]] = {
       FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
         "lineitem": """COPY (SELECT * REPLACE (
       l_shipdate - INTERVAL 70 YEARS AS l_shipdate)
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+    },
+    # every event at ONE timestamp, every order/lineitem on ONE date —
+    # the all-ties regime: any ordering contract that lacks a total-
+    # order tiebreak (lag/lead, carry-forward, session boundaries,
+    # as-of matches, top-k cuts) degenerates to engine-dependent
+    # nondeterminism here; the axis proves the house rule that every
+    # window key is totally ordered
+    "constant_ts": {
+        "events": """COPY (SELECT event_id,
+      min(ts) OVER () AS ts, user_id, event_type, value, props
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+        "orders": """COPY (SELECT * REPLACE (
+      min(o_orderdate) OVER () AS o_orderdate)
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+        "lineitem": """COPY (SELECT * REPLACE (
+      min(l_shipdate) OVER () AS l_shipdate)
       FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
     },
 }
