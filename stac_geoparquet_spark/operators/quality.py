@@ -42,6 +42,13 @@ def _check_row(name: str, failed: DataFrame, total: DataFrame) -> DataFrame:
     )
 
 
+# promote/abort envelope for measure magnitudes: every exact-int64
+# cent/micro-unit bound in the analytic operators holds for |measure|
+# <= 1e12 at any realistic row count; the dq gate flags rows outside
+# it (including +/-Infinity) so the ops can assume the envelope
+MEASURE_ENVELOPE = 1_000_000_000_000.0
+
+
 def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check, failed, total) across the star schema's core contracts."""
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -98,6 +105,18 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is non-NaN measures and THIS row is the promote/abort gate
         # that enforces it (the NaN differential probe's finding)
         F.sum(nan_any.cast("bigint")).alias("nan_measures"),
+        # magnitude envelope (also catches +/-Infinity, which isnan
+        # misses): every exact-int64 cent/moment bound stated in the
+        # analytic operators' comments assumes measures within ~1e12 —
+        # outside it, Spark int64 sums can wrap where DuckDB's HUGEINT
+        # keeps going, so out-of-envelope rows must be caught HERE at
+        # the promote/abort gate, not discovered as drift downstream
+        F.sum(
+            (
+                (F.abs(F.col("l_extendedprice")) > MEASURE_ENVELOPE)
+                | (F.abs(F.col("l_quantity")) > MEASURE_ENVELOPE)
+            ).cast("bigint")
+        ).alias("oob_measures"),
     )
 
     parts = [
@@ -120,6 +139,11 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _check_row(
             "finite_measures",
             scan.select(F.col("nan_measures").alias("failed")),
+            n_li,
+        ),
+        _check_row(
+            "measure_magnitude",
+            scan.select(F.col("oob_measures").alias("failed")),
             n_li,
         ),
     ]
@@ -163,6 +187,12 @@ SELECT 'finite_measures',
             OR coalesce(isnan(l_extendedprice), false)
             OR coalesce(isnan(l_discount), false)
             OR coalesce(isnan(l_tax), false)),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'measure_magnitude',
+       (SELECT count(*) FROM lineitem
+         WHERE abs(l_extendedprice) > 1000000000000.0
+            OR abs(l_quantity) > 1000000000000.0),
        (SELECT count(*) FROM lineitem)
 """
 
@@ -242,6 +272,11 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.coalesce(F.isnan("value"), F.lit(False)).cast("bigint")
         ).alias("nan_value"),
+        F.sum(
+            F.coalesce(
+                F.abs(F.col("value")) > MEASURE_ENVELOPE, F.lit(False)
+            ).cast("bigint")
+        ).alias("oob_value"),
     )
     drows = d.selectExpr(
         "stack(4, 'doc_null_text', null_text, 'doc_dup_id', dup_doc_id,"
@@ -256,7 +291,8 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
     )
     evrows = ev.selectExpr(
-        "stack(1, 'event_nan_value', nan_value) AS (check, failed)",
+        "stack(2, 'event_nan_value', nan_value,"
+        " 'event_value_magnitude', oob_value) AS (check, failed)",
         "total",
     )
     return drows.unionByName(erows).unionByName(evrows).select(
@@ -306,6 +342,10 @@ UNION ALL SELECT 'vec_dup_id', dup_vec_id, total FROM e
 UNION ALL SELECT 'event_nan_value',
   (SELECT CAST(sum(CASE WHEN coalesce(isnan(value), false) THEN 1 ELSE 0 END)
           AS BIGINT) FROM events),
+  (SELECT count(*) FROM events)
+UNION ALL SELECT 'event_value_magnitude',
+  (SELECT CAST(sum(CASE WHEN coalesce(abs(value) > 1000000000000.0, false)
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM events),
   (SELECT count(*) FROM events)
 """
 

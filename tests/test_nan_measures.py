@@ -105,3 +105,84 @@ def test_driver_tables_are_nan_free(spark):
     c = {x["check"]: x["failed"] for x in dq_corpus_report(spark, sf).collect()}
     assert r["finite_measures"] == 0
     assert c["event_nan_value"] == 0
+
+
+@pytest.fixture(scope="module")
+def oob_dir(tmp_path_factory):
+    """Out-of-envelope measures: huge magnitudes and +/-Infinity —
+    outside |x| <= 1e12 the operators' exact-int64 cent/moment bounds
+    no longer hold (Spark int64 sums can wrap where DuckDB's HUGEINT
+    keeps going), so the dq gate must flag these rows up front."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_oob")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+              CASE WHEN l_orderkey % 31 = 4 THEN 1e15
+                   WHEN l_orderkey % 37 = 6 THEN CAST('Infinity' AS DOUBLE)
+                   ELSE l_extendedprice END AS l_extendedprice)
+            FROM read_parquet('{src}/lineitem.parquet'))
+          TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT event_id, ts, user_id, event_type,
+              CASE WHEN event_id % 41 = 8 THEN -1e14 ELSE value END AS value,
+              props
+            FROM read_parquet('{src}/events.parquet'))
+          TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("documents", "embeddings", "orders", "customer", "supplier",
+              "part", "nation", "region"):
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", ["dq_report", "dq_corpus_report"])
+def test_gates_stay_oracle_green_on_oob_data(spark, oob_dir, name):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry_mod
+
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    ok, msg = compare(q[name](spark, oob_dir), o[name], oob_dir, strict=True)
+    assert ok, f"{name}: {msg}"
+
+
+def test_dq_reports_detect_oob_magnitudes(spark, oob_dir):
+    from stac_geoparquet_spark.operators.quality import (
+        dq_corpus_report,
+        dq_report,
+    )
+
+    r = {x["check"]: x for x in dq_report(spark, oob_dir).collect()}
+    exp = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{oob_dir}/lineitem.parquet')
+            WHERE abs(l_extendedprice) > 1e12"""
+    ).fetchone()[0]
+    assert exp > 0
+    assert r["measure_magnitude"]["failed"] == exp
+    c = {x["check"]: x for x in dq_corpus_report(spark, oob_dir).collect()}
+    cexp = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{oob_dir}/events.parquet')
+            WHERE abs(value) > 1e12"""
+    ).fetchone()[0]
+    assert cexp > 0
+    assert c["event_value_magnitude"]["failed"] == cexp
+
+
+def test_driver_tables_are_in_envelope(spark):
+    from stac_geoparquet_spark.operators.quality import (
+        dq_corpus_report,
+        dq_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = {x["check"]: x["failed"] for x in dq_report(spark, sf).collect()}
+    c = {x["check"]: x["failed"] for x in dq_corpus_report(spark, sf).collect()}
+    assert r["measure_magnitude"] == 0
+    assert c["event_value_magnitude"] == 0
