@@ -366,6 +366,18 @@ _GROUPED_COLLECT_ALLOWLIST = {
         "the list is K x P bounded (config, not data)",
     ("operators/twophase.py", "merge_bottomk"):
         "same K x P bound — the mergeable bottom-K sketch state",
+    # SQL-string-embedded sites (found by the regex half of the sweep)
+    ("operators/dedup.py", "per_doc_signatures"):
+        "per-doc shingle list — doc-length-bounded (feeds the "
+        "signature fold and the exact-Jaccard verify)",
+    ("operators/dedup.py", "dedup_ngram_jaccard"):
+        "LSH-bucket doc-id list — high-entropy band keys keep buckets "
+        "small; a degenerate hot bucket needs the documented cap/salt "
+        "(inherent to LSH candidate generation, see the op comment)",
+    ("operators/dedup.py", "dedup_minhash_lsh"):
+        "same LSH-bucket bound (the shared banding fragments)",
+    ("operators/audit.py", "dedup_minhash_precision"):
+        "same LSH-bucket bound (rides the shared banding fragments)",
 }
 
 
@@ -415,6 +427,31 @@ def test_grouped_collects_are_all_bounded_and_allowlisted():
             v.visit(tree)
             for fnname in v.hits:
                 found.add((rel, fnname))
+            # second half: collect_* spelled inside SQL strings
+            # (F.expr / selectExpr) is invisible to the AST call walk
+            import re as _re
+
+            spans = [
+                (
+                    n.lineno,
+                    max(getattr(n, "end_lineno", n.lineno), n.lineno),
+                    n.name,
+                )
+                for n in ast.walk(tree)
+                if isinstance(
+                    n, (ast.FunctionDef, ast.AsyncFunctionDef)
+                )
+            ]
+            for i, line in enumerate(open(p).read().splitlines(), 1):
+                if _re.search(r"collect_(list|set)\s*\(", line):
+                    if line.lstrip().startswith("#"):
+                        continue
+                    enclosing = [
+                        name for s0, e0, name in spans if s0 <= i <= e0
+                    ]
+                    found.add(
+                        (rel, enclosing[-1] if enclosing else "<module>")
+                    )
     unlisted = found - set(_GROUPED_COLLECT_ALLOWLIST)
     assert not unlisted, (
         f"grouped collect in unlisted function(s) {sorted(unlisted)} — "
