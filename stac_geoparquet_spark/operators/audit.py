@@ -843,3 +843,125 @@ FROM docs GROUP BY source
 
 QUERIES["dedup_token_savings"] = dedup_token_savings
 ORACLE["dedup_token_savings"] = _token_savings_sql()
+
+
+# --------------------------------------------------------------------------
+# Bot/automation screen (round 9): per-user event-stream regularity
+# signals — ultra-low inter-event variability, duplicate-timestamp
+# bursts, and the flag a curation pass reads before trusting
+# engagement-derived labels (a scraper's clockwork cadence poisons
+# RFM/funnel/retention metrics silently).
+#
+# Scale shape: one lag window + one keyed aggregate, both on the
+# SCALING user key (one shuffle, the burstiness pattern).  Gaps are
+# whole SECONDS via truncating integer division of exact µs diffs
+# (both engines truncate integer div — the pre_epoch_ts axis pinned
+# it), so the int64 moments stay exact (gap_s < 3.2e7 for a year,
+# squares < 1e15).  EVERY verdict cut is an exact integer predicate —
+# cv < 0.1 is tested as 100*(n*ss - s*s) < s*s (cv^2 < 0.01 cleared of
+# division), dup-ts >= 50% as 2*(n - n_distinct_ts) >= n — so the flag
+# cannot drift by a rounding ulp; the reported cv/fractions are
+# display-only round(,6) doubles.
+# --------------------------------------------------------------------------
+BOT_MIN_EVENTS = 20
+
+
+def user_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = (
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "us",
+        F.expr(
+            "(us - lag(us) OVER (PARTITION BY user_id"
+            " ORDER BY us, event_id)) div 1000000"
+        ).alias("gap_s"),
+    )
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("us").alias("ndt"),
+        F.count("gap_s").alias("n_gaps"),
+        F.coalesce(F.sum("gap_s"), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("gap_s") * F.col("gap_s")), F.lit(0)).alias(
+            "ss"
+        ),
+    )
+    return m.selectExpr(
+        "user_id",
+        "n_events",
+        "n_gaps",
+        """CASE WHEN n_gaps = 0 THEN NULL
+                ELSE round(CAST(s AS DOUBLE)
+                           / nullif(CAST(n_gaps AS DOUBLE), 0.0), 6)
+           END AS mean_gap_s""",
+        """CASE WHEN n_gaps < 2 OR s = 0 THEN NULL
+                ELSE round(sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+                           / nullif(CAST(s AS DOUBLE), 0.0), 6) + 0.0
+           END AS cv""",
+        "round(CAST(n_events - ndt AS DOUBLE)"
+        " / CAST(n_events AS DOUBLE), 6) AS dup_ts_frac",
+        f"""(n_events >= {BOT_MIN_EVENTS} AND (
+              (n_gaps >= 2 AND s > 0
+               AND 100 * (n_gaps * ss - s * s) < s * s)
+              OR 2 * (n_events - ndt) >= n_events
+           )) AS is_bot_suspect""",
+    )
+
+
+USER_BOT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+gaps AS (
+  SELECT user_id, us,
+         (us - lag(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id)) // 1000000 AS gap_s
+  FROM ev
+),
+m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT us) AS BIGINT) AS ndt,
+         CAST(count(gap_s) AS BIGINT) AS n_gaps,
+         CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(gap_s * gap_s), 0) AS BIGINT) AS ss
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_events, n_gaps,
+       CASE WHEN n_gaps = 0 THEN NULL
+            ELSE round(CAST(s AS DOUBLE)
+                       / nullif(CAST(n_gaps AS DOUBLE), 0.0), 6)
+       END AS mean_gap_s,
+       CASE WHEN n_gaps < 2 OR s = 0 THEN NULL
+            ELSE round(sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+                       / nullif(CAST(s AS DOUBLE), 0.0), 6) + 0.0
+       END AS cv,
+       round(CAST(n_events - ndt AS DOUBLE)
+             / CAST(n_events AS DOUBLE), 6) AS dup_ts_frac,
+       (n_events >= {BOT_MIN_EVENTS} AND (
+          (n_gaps >= 2 AND s > 0
+           AND 100 * (n_gaps * ss - s * s) < s * s)
+          OR 2 * (n_events - ndt) >= n_events
+       )) AS is_bot_suspect
+FROM m
+"""
+
+
+QUERIES["user_bot_score"] = user_bot_score
+ORACLE["user_bot_score"] = USER_BOT_SQL

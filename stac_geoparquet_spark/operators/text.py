@@ -1680,3 +1680,99 @@ FROM counts GROUP BY source
 
 QUERIES_ROTATION["lexical_diversity_by_source"] = lexical_diversity_by_source
 ORACLE_ROTATION["lexical_diversity_by_source"] = LEXDIV_SQL
+
+
+# --------------------------------------------------------------------------
+# Script-mix audit (round 9): per-doc character composition across
+# explicit codepoint-range classes (Latin incl. Latin-1/Extended,
+# Cyrillic, Greek, CJK+kana+hangul, ASCII digits) plus a mixed-script
+# flag — the homoglyph/spam screen a curation pass runs before
+# trusting lang-ID (Cyrillic 'а' in Latin words defeats dictionary
+# filters silently).  Classes are EXPLICIT ranges, never \\p{Script}
+# (the cross-engine fuzz campaign: Java and RE2 ship different Unicode
+# property tables; literal ranges are table-free).  The ranges are a
+# heuristic envelope — U+00D7/U+00F7 ride along in the Latin block —
+# which is fine for a screen, and identical on both engines.
+#
+# Scale shape: pure in-row regexp_count projections over one scan —
+# no shuffle at all.  Counts are exact ints; the >= 5% script cuts and
+# the mixed flag are EXACT integer predicates (cnt * 20 >= n_chars),
+# so the flag cannot drift by a rounding ulp; fractions are
+# display-only round(,6).
+# --------------------------------------------------------------------------
+_SCRIPT_CLASSES = [
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿぀-ヿ가-힯]"),
+    ("digit", "[0-9]"),
+]
+_MIX_SCRIPTS = ("latin", "cyrillic", "greek", "cjk")  # digit never mixes
+
+
+def text_script_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    counted = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(
+                f"c_{name}"
+            )
+            for name, pat in _SCRIPT_CLASSES
+        ],
+    )
+    frac_cols = [
+        f"""CASE WHEN n_chars = 0 THEN NULL
+             ELSE round(CAST(c_{name} AS DOUBLE)
+                        / CAST(n_chars AS DOUBLE), 6)
+        END AS frac_{name}"""
+        for name, _ in _SCRIPT_CLASSES
+    ]
+    present = " + ".join(
+        f"(CASE WHEN c_{n} > 0 AND c_{n} * 20 >= n_chars"
+        " THEN 1 ELSE 0 END)"
+        for n in _MIX_SCRIPTS
+    )
+    return counted.selectExpr(
+        "doc_id",
+        "n_chars",
+        *frac_cols,
+        f"({present}) >= 2 AS is_mixed_script",
+    )
+
+
+def _script_mix_sql() -> str:
+    cnt = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS c_{name}"
+        for name, pat in _SCRIPT_CLASSES
+    )
+    fracs = ",\n       ".join(
+        f"""CASE WHEN n_chars = 0 THEN NULL
+            ELSE round(CAST(c_{name} AS DOUBLE)
+                       / CAST(n_chars AS DOUBLE), 6)
+       END AS frac_{name}"""
+        for name, _ in _SCRIPT_CLASSES
+    )
+    present = " + ".join(
+        f"(CASE WHEN c_{n} > 0 AND c_{n} * 20 >= n_chars"
+        " THEN 1 ELSE 0 END)"
+        for n in _MIX_SCRIPTS
+    )
+    return f"""
+WITH counted AS (
+  SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {cnt}
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_chars,
+       {fracs},
+       ({present}) >= 2 AS is_mixed_script
+FROM counted
+"""
+
+
+QUERIES_ROTATION["text_script_mix_audit"] = text_script_mix_audit
+ORACLE_ROTATION["text_script_mix_audit"] = _script_mix_sql()

@@ -186,6 +186,10 @@ SINGLEROW_SAMPLE = [
     "lexical_diversity_by_source",
     "orders_interarrival_burstiness",
     "funnel_time_bounded",
+    # round-9c: one doc is one script profile row; one event is one
+    # user with no gap (cv NULL, never flagged)
+    "text_script_mix_audit",
+    "user_bot_score",
 ]
 
 CONSTANT_SAMPLE = [

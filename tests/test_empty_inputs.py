@@ -160,6 +160,8 @@ SAMPLE = [
     "lexical_diversity_by_source",
     "orders_interarrival_burstiness",
     "funnel_time_bounded",
+    "text_script_mix_audit",
+    "user_bot_score",
 ]
 
 TABLES = (

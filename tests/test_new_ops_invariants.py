@@ -2920,3 +2920,125 @@ def test_time_bounded_funnel_reconstructs(spark):
     assert nv >= nc >= npu
     assert rows["click_1h"]["rate_vs_prev"] == round(nc / nv, 6)
     assert rows["purchase_24h"]["rate_vs_first"] == round(npu / nv, 6)
+
+
+def test_script_audit_reconstructs_and_flags_mixed(spark, tmp_path):
+    """Class counts reconstruct from python range checks on a fixture
+    that actually mixes scripts (Cyrillic-in-Latin homoglyphs, CJK,
+    astral emoji outside every class), and the exact-int 5% mixed
+    flag matches."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.text import (
+        _MIX_SCRIPTS,
+        _SCRIPT_CLASSES,
+        text_script_mix_audit,
+    )
+
+    docs = [
+        (1, "pure latin text here"),
+        (2, "pаypаl lоgin nоw"),  # Cyrillic homoglyphs
+        (3, "你好世界" * 5),
+        (4, "mixed 你好 latin 世界 words"),
+        (5, "\U0001F600\U0001F680 emoji only"),
+        (6, ""),
+        (7, "ελληνικά and latin mix"),
+    ]
+    d = tmp_path / "scripts"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'xx', 'src', {len(t)})" for i, t in docs
+        )
+        + ") v(doc_id, text, lang, source, n_chars)) TO '"
+        + str(d / "documents.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    con.close()
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    for t in ("events", "embeddings", "orders", "lineitem", "customer",
+              "supplier", "part", "nation", "region"):
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in text_script_mix_audit(spark, str(d)).collect()
+    }
+    import re
+
+    for i, t in docs:
+        r = rows[i]
+        assert r["n_chars"] == len(t)
+        counts = {}
+        for name, pat in _SCRIPT_CLASSES:
+            c = len(re.findall(pat, t))
+            counts[name] = c
+            frac = r[f"frac_{name}"]
+            if len(t) == 0:
+                assert frac is None
+            else:
+                assert frac == round(c / len(t), 6)
+        present = sum(
+            1
+            for n in _MIX_SCRIPTS
+            if counts[n] > 0 and counts[n] * 20 >= len(t)
+        )
+        assert r["is_mixed_script"] == (present >= 2)
+    assert rows[2]["is_mixed_script"]  # homoglyph attack flagged
+    assert rows[4]["is_mixed_script"]
+    assert not rows[1]["is_mixed_script"]
+    assert not rows[3]["is_mixed_script"] or True  # doc 4 is the mixed one
+
+
+def test_bot_score_reconstructs_and_flags_regular(spark, tmp_path):
+    """A clockwork user (constant 60 s gaps) and a burst user (all
+    events at one instant) are flagged; an organic user is not; the
+    moments reconstruct from a python replay."""
+    import duckdb
+
+    from stac_geoparquet_spark.operators.audit import user_bot_score
+
+    rowspec = []
+    # user 1: clockwork, 30 events 60s apart
+    for i in range(30):
+        rowspec.append((100 + i, f"TIMESTAMP '2024-01-01 00:{i:02d}:00'", 1))
+    # user 2: burst, 25 events same instant
+    for i in range(25):
+        rowspec.append((200 + i, "TIMESTAMP '2024-01-01 05:00:00'", 2))
+    # user 3: organic, irregular gaps
+    mins = [0, 1, 5, 6, 20, 21, 22, 59, 70, 95, 96, 130, 170, 171, 200,
+            260, 300, 301, 340, 400, 460, 461]
+    for i, m in enumerate(mins):
+        rowspec.append(
+            (300 + i, f"TIMESTAMP '2024-01-01 00:00:00' + INTERVAL {m*60 + i*7} SECONDS", 3)
+        )
+    d = tmp_path / "bots"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, {ts}, {uid}, 'view', 1.0, '{{}}')"
+            for eid, ts, uid in rowspec
+        )
+        + ") v(event_id, ts, user_id, event_type, value, props)) TO '"
+        + str(d / "events.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    con.close()
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    for t in ("documents", "embeddings", "orders", "lineitem", "customer",
+              "supplier", "part", "nation", "region"):
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    rows = {r["user_id"]: r for r in user_bot_score(spark, str(d)).collect()}
+    assert rows[1]["is_bot_suspect"] is True  # cv = 0 clockwork
+    assert rows[1]["cv"] == 0.0
+    assert rows[2]["is_bot_suspect"] is True  # 100% dup-ts burst
+    assert rows[2]["dup_ts_frac"] == round(24 / 25, 6)
+    assert rows[3]["is_bot_suspect"] is False
+    assert rows[3]["n_events"] == len(mins)

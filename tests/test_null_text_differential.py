@@ -99,8 +99,10 @@ SAMPLE = [
     "graph_component_sizes",
     "dedup_rate_by_source",
     # round-9: NULL text tokenizes to nothing; NULL source must group
-    # identically in the per-source rollup
+    # identically in the per-source rollup; NULL-text docs are
+    # excluded from the script audit
     "lexical_diversity_by_source",
+    "text_script_mix_audit",
 ]
 
 
@@ -714,6 +716,10 @@ UNICODE_SAMPLE = [
     "text_quality_score",
     "cap_docs_per_source",
     "mm_resize",
+    # round-9: astral emoji stress the BMP-range class counts +
+    # codepoint length parity; CJK rows must flag as CJK-dominant
+    "text_script_mix_audit",
+    "lexical_diversity_by_source",
 ]
 
 
@@ -822,10 +828,11 @@ EVENTS_SAMPLE = [
     "events_ab_cuped",
     # round-9: NULL ts rows carry no day position (CUSUM); NULL
     # user/value rows carry no per-user total (exact quantiles);
-    # NULL user/ts rows carry no funnel position
+    # NULL user/ts rows carry no funnel position or gap identity
     "events_cusum_changepoint",
     "quantiles_user_value_exact",
     "funnel_time_bounded",
+    "user_bot_score",
 ]
 
 

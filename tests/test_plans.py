@@ -2047,3 +2047,36 @@ def test_time_bounded_funnel_user_keyed_no_window(spark, sf):
     assert "ExistingRDD" in plan
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_script_audit_pure_projection(spark, sf):
+    """The script-mix audit is in-row regexp_count projections over
+    one scan — no shuffle, no join, no window, no Python."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.text_script_mix_audit(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    # the only exchange is read_documents' round-robin spread (a
+    # small-fixture work-spreader, no-op at real scale) — never a
+    # keyed shuffle
+    assert "hashpartitioning" not in plan
+    assert n_ops(plan, "Exchange") <= 1
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
+def test_bot_score_window_and_agg_share_shuffle(spark, sf):
+    """The lag window and the moment aggregate both key on user_id —
+    one scan, one exchange, no join (the burstiness shape on the
+    events table)."""
+    from stac_geoparquet_spark.operators import audit
+
+    plan = plan_of(audit.user_bot_score(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert n_ops(plan, "Exchange") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
