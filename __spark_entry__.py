@@ -128,11 +128,12 @@ def _registries():
     # consumers — dedup_survivors and dedup_rep_weights — ride the
     # SAME cached label table with their own code untouched, and
     # never-row entries outrank a churned-read-path row.  They queue
-    # FIRST for the next window, together with the five round-9 ops
+    # FIRST for the next window, together with the six round-9 ops
     # the 50 slots could not fit (lexical_diversity_by_source,
     # orders_interarrival_burstiness, funnel_time_bounded,
-    # text_script_mix_audit, user_bot_score — never-row, registered
-    # behind the window) and the two consumers churned by the round-9
+    # text_script_mix_audit, user_bot_score, funnel_by_arm —
+    # never-row, registered behind the window) and the two consumers
+    # churned by the round-9
     # covariance session cache (embedding_covariance r06,
     # pca_power_projection r04 — embedding_isotropy_report is
     # IN-window and exercises the cache build + assembly path this

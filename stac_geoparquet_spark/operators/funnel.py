@@ -481,3 +481,137 @@ FROM counts
 
 QUERIES["funnel_time_bounded"] = funnel_time_bounded
 ORACLE["funnel_time_bounded"] = FUNNEL_TIME_BOUNDED_SQL
+
+
+# --------------------------------------------------------------------------
+# Experiment-segmented funnel (round 9): the time-bounded sequential
+# funnel split by the deterministic md5-parity A/B arm (the
+# events_ab_ztest split) — the per-stage readout an experimenter
+# reads NEXT after the z-test says "different": WHICH stage moved.
+# Same stage semantics as funnel_time_bounded; the arm rides the user
+# key through every stage join, so the whole chain still shuffles
+# only on the scaling user id and the final aggregate groups on the
+# 2-value arm (bounded key is fine for groupBy — partials combine).
+# Rates are single divisions of exact counts, round(,6); both arms'
+# rows always appear when the arm has any viewer (fixed-shape report
+# per populated arm).
+# --------------------------------------------------------------------------
+def funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .withColumn(
+            "arm",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ),
+        )
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v.select("user_id", "t_view"), "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.expr(f"t_view + INTERVAL {CLICK_WINDOW}"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (
+                F.col("ts")
+                <= F.expr(f"t_click + INTERVAL {PURCHASE_WINDOW}")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = fenced(
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+    )
+    counts = stages.groupBy("arm").agg(
+        F.count("t_view").alias("nv"),
+        F.count("t_click").alias("nc"),
+        F.count("t_purchase").alias("np"),
+    )
+    return counts.selectExpr(
+        "arm",
+        "nv AS n_view",
+        "nc AS n_click_1h",
+        "np AS n_purchase_24h",
+        """CASE WHEN nv = 0 THEN NULL
+            ELSE round(CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE), 6)
+       END AS click_rate""",
+        """CASE WHEN nc = 0 THEN NULL
+            ELSE round(CAST(np AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+       END AS purchase_rate""",
+        """CASE WHEN nv = 0 THEN NULL
+            ELSE round(CAST(np AS DOUBLE) / CAST(nv AS DOUBLE), 6)
+       END AS full_rate""",
+    )
+
+
+FUNNEL_BY_ARM_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+v AS (
+  SELECT user_id, min(ts) AS t_view,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT arm,
+         CAST(count(t_view) AS BIGINT) AS nv,
+         CAST(count(t_click) AS BIGINT) AS nc,
+         CAST(count(t_purchase) AS BIGINT) AS np
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+  GROUP BY arm
+)
+SELECT arm, nv AS n_view, nc AS n_click_1h, np AS n_purchase_24h,
+       CASE WHEN nv = 0 THEN NULL
+            ELSE round(CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE), 6)
+       END AS click_rate,
+       CASE WHEN nc = 0 THEN NULL
+            ELSE round(CAST(np AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+       END AS purchase_rate,
+       CASE WHEN nv = 0 THEN NULL
+            ELSE round(CAST(np AS DOUBLE) / CAST(nv AS DOUBLE), 6)
+       END AS full_rate
+FROM counts
+"""
+
+
+QUERIES["funnel_by_arm"] = funnel_by_arm
+ORACLE["funnel_by_arm"] = FUNNEL_BY_ARM_SQL

@@ -187,9 +187,11 @@ SINGLEROW_SAMPLE = [
     "orders_interarrival_burstiness",
     "funnel_time_bounded",
     # round-9c: one doc is one script profile row; one event is one
-    # user with no gap (cv NULL, never flagged)
+    # user with no gap (cv NULL, never flagged); a single event is at
+    # most one arm's one-viewer funnel row
     "text_script_mix_audit",
     "user_bot_score",
+    "funnel_by_arm",
 ]
 
 CONSTANT_SAMPLE = [

@@ -162,6 +162,7 @@ SAMPLE = [
     "funnel_time_bounded",
     "text_script_mix_audit",
     "user_bot_score",
+    "funnel_by_arm",
 ]
 
 TABLES = (

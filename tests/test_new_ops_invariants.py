@@ -3042,3 +3042,31 @@ def test_bot_score_reconstructs_and_flags_regular(spark, tmp_path):
     assert rows[2]["dup_ts_frac"] == round(24 / 25, 6)
     assert rows[3]["is_bot_suspect"] is False
     assert rows[3]["n_events"] == len(mins)
+
+
+def test_funnel_by_arm_partitions_the_funnel(spark):
+    """The two arm rows partition funnel_time_bounded's totals exactly
+    (same stage semantics, md5-parity split), and each arm's funnel is
+    monotone."""
+    from stac_geoparquet_spark.operators.funnel import (
+        funnel_by_arm,
+        funnel_time_bounded,
+    )
+
+    arms = {r["arm"]: r for r in funnel_by_arm(spark, SF_DIR).collect()}
+    total = {
+        r["stage"]: r["n_users"]
+        for r in funnel_time_bounded(spark, SF_DIR).collect()
+    }
+    assert sum(r["n_view"] for r in arms.values()) == total["view"]
+    assert sum(r["n_click_1h"] for r in arms.values()) == total["click_1h"]
+    assert (
+        sum(r["n_purchase_24h"] for r in arms.values())
+        == total["purchase_24h"]
+    )
+    for r in arms.values():
+        assert r["n_view"] >= r["n_click_1h"] >= r["n_purchase_24h"]
+        if r["n_view"]:
+            assert r["click_rate"] == round(
+                r["n_click_1h"] / r["n_view"], 6
+            )

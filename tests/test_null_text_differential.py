@@ -833,6 +833,7 @@ EVENTS_SAMPLE = [
     "quantiles_user_value_exact",
     "funnel_time_bounded",
     "user_bot_score",
+    "funnel_by_arm",
 ]
 
 

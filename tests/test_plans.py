@@ -2080,3 +2080,17 @@ def test_bot_score_window_and_agg_share_shuffle(spark, sf):
     assert n_ops(plan, "Exchange") == 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert n_ops(plan, j) == 0
+
+
+def test_funnel_by_arm_user_keyed_no_window(spark, sf):
+    """Same shape as the unsegmented funnel: the returned plan reads
+    the fenced per-user stage table, groups on the 2-value arm
+    (bounded-key groupBy — partials combine), no window, no
+    cartesian."""
+    from stac_geoparquet_spark.operators import funnel
+
+    plan = plan_of(funnel.funnel_by_arm(spark, sf))
+    assert "events.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
