@@ -59,7 +59,8 @@ def _registries():
     # Order matters: the driver's CORRECTNESS file has evaluated exactly
     # the FIRST 50 registry entries each round (confirmed r1 + r2), so
     # insertion order is the lever for hard correctness signals.  All
-    # modules merge into one pool; _WINDOW pins the round's first-50.
+    # modules merge into one pool; the generated WINDOW list (below)
+    # pins the round's first-50.
     modules = [
         stac_query,
         audit,
@@ -110,54 +111,18 @@ def _registries():
         pool.update(q)
         pool_oracle.update(o)
 
-    # Round-8 window (staleness-driven, tools/gen_ledger.py).  The
-    # round-7 driver eval never landed (no CORRECTNESS_r07.json), so
-    # the 20 round-7 operators still have NO driver row — they stay at
-    # the FRONT under either scenario (if r07's file arrives late,
-    # re-running them costs nothing; if it never does, this is their
-    # first hard signal).  Then: (a) the 10 new round-8 operators
-    # (timeseries + audit families); (b) the 13 r03 entries the r07
-    # window could not fit (queued first per the r07 ledger note);
-    # The 24 round-8 operators + the 4 round-9 operators (all
-    # never-row) + 2 of the 4 consumers churned by the round-8 session
-    # caches fill the rest: 20 + 24 + 4 + 2 = 50 exactly.  Of the four
-    # cache-churned consumers, one representative per churned cache is
-    # kept: dedup_cluster_cc (builds + consumes the label-table cache;
-    # a green row validates the cache build and its join path) and
-    # knn_brute_force (the ranked-ground-truth cache).  The other two
-    # consumers — dedup_survivors and dedup_rep_weights — ride the
-    # SAME cached label table with their own code untouched, and
-    # never-row entries outrank a churned-read-path row.  They queue
-    # FIRST for the next window, together with the six round-9 ops
-    # the 50 slots could not fit (lexical_diversity_by_source,
-    # orders_interarrival_burstiness, funnel_time_bounded,
-    # text_script_mix_audit, user_bot_score, funnel_by_arm —
-    # never-row, registered behind the window) and the two consumers
-    # churned by the round-9
-    # covariance session cache (embedding_covariance r06,
-    # pca_power_projection r04 — embedding_isotropy_report is
-    # IN-window and exercises the cache build + assembly path this
-    # round), ahead of the two r03 entries displaced here
-    # (agg_orders_by_priority, anti_join_inactive_customers), the
-    # eleven r03 leftovers
-    # (bloom_filter_semijoin, bucketed_colocated_join, dq_report,
-    # events_hourly_rollup, events_k_anonymity, events_session_window,
-    # intersect_nations, join_customers_per_region,
-    # moving_avg_daily_revenue, mm_audio_energy,
-    # semi_join_active_customers), the whole r04 family, and the 21
-    # r03 entries from the unevaluated r07 window if its file never
-    # lands.
-    window = [
-        # r07 operators, still without a driver row
-        *ROUND7_PENDING,
-        # (a) new in round 8
-        *NEW_THIS_ROUND,
-        # (b) new in round 9
-        *ROUND9_NEW,
-        # (c) churned in round 8: one representative per session cache
-        "dedup_cluster_cc",
-        "knn_brute_force",
-    ][:50]
+    # The 50-entry driver window is GENERATED — run
+    # ``python tools/gen_ledger.py --emit-window`` at round start
+    # (after the previous round's CORRECTNESS file lands) and after
+    # registering new operators.  Rule, in order: (1) queries with NO
+    # driver row yet (newly registered ops land here automatically),
+    # (2) CHURNED_THIS_ROUND (hand-declared read-path churn on
+    # otherwise-green rows), (3) everything else by ascending
+    # latest-green driver round (oldest signal first), name-tiebreak;
+    # first 50.  The r07 near-miss — a hand-pinned window built on a
+    # wrong assumption about whether the r07 eval landed — is the
+    # exact class this generation eliminates (r07 verdict task #2).
+    window = [n for n in WINDOW if n in pool][:50]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
     for name in window:
@@ -169,72 +134,76 @@ def _registries():
     return queries, oracle
 
 
-# Queries registered for the first time this round — they need a driver
-# row, so they go straight into the 50-entry window.
-NEW_THIS_ROUND: list[str] = [
-    "orders_autocorrelation",
-    "orders_seasonality_dow",
-    "events_psi_drift",
-    "events_ab_ztest",
-    "supplier_leadtime_trend",
-    "orders_benford_digit",
-    "events_attribution_last_touch",
-    "split_leakage_audit",
-    "dedup_cluster_purity",
-    "embedding_centroid_drift",
-    # second batch
-    "part_affinity_topk",
-    "graph_degree_assortativity",
-    "dedup_minhash_precision",
-    "simhash_hamming_profile",
-    "supplier_scorecard",
-    "events_psi_incremental",
-    # third batch
-    "events_conversion_paths",
-    "orders_cohort_repeat_rate",
-    # fourth batch
-    "ivf_recall_report",
-    "events_seasonal_anomaly",
-    "events_ab_cuped",
-    # fifth batch
-    "dedup_token_savings",
-    "knn_kdist_outliers",
-    "mm_phash_dedup",
+# Green-row queries whose READ PATH changed since their latest driver
+# row (code churn the CORRECTNESS files cannot see).  Hand-declared
+# with the reason; gen_ledger slots them right after the never-row
+# group.  Clear entries once they re-earn a green row.
+CHURNED_THIS_ROUND: list[str] = [
+    # r05 rows; their label-table input became session-cached in r07
+    # (representative dedup_cluster_cc re-greened r07, but these two
+    # consumers ride the same cache with rows that predate it)
+    "dedup_survivors",
+    "dedup_rep_weights",
 ]
 
-# Queries registered in round 9 — never-row, straight into the window.
-ROUND9_NEW: list[str] = [
-    "events_cusum_changepoint",
-    "quantiles_user_value_exact",
-    "graph_local_clustering",
-    "embedding_isotropy_report",
+# WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
+# 6 never-row + 2 churned + 42 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
+WINDOW: list[str] = [
+    # no driver row yet
+    "user_bot_score",
+    "orders_interarrival_burstiness",
+    "funnel_time_bounded",
+    "funnel_by_arm",
+    "lexical_diversity_by_source",
+    "text_script_mix_audit",
+    # churned read path (CHURNED_THIS_ROUND)
+    "dedup_survivors",
+    "dedup_rep_weights",
+    # oldest green row first
+    "agg_orders_by_priority",
+    "anti_join_inactive_customers",
+    "bloom_filter_semijoin",
+    "bpe_merge_candidates",
+    "bucketed_colocated_join",
+    "corpus_yield_funnel",
+    "cross_lang_contamination",
+    "decontam_incremental",
+    "dedup_substring_spans",
+    "dq_corpus_report",
+    "dq_report",
+    "dsir_importance_weights",
+    "edit_distance_join",
+    "embedding_class_profile",
+    "embedding_quantize_int8",
+    "entity_resolution_parts",
+    "events_hourly_rollup",
+    "events_k_anonymity",
+    "events_session_window",
+    "fingerprint_winnowing",
+    "intersect_nations",
+    "join_customers_per_region",
+    "layout_zorder_cells",
+    "mm_audio_energy",
+    "moving_avg_daily_revenue",
+    "rebalance_by_lang",
+    "rolling_24h_user_value",
+    "semi_join_active_customers",
+    "sketch_cms_heavy_hitters",
+    "skew_salted_flag_join",
+    "source_mixture_weights",
+    "text_bigram_entropy",
+    "text_zipf_slope",
+    "window_topk_orders_per_customer",
+    "cap_docs_per_source",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_removal",
 ]
-
-# Round-7 registrations whose driver rows never arrived (the r07
-# correctness file is absent) — kept at the window front until a row
-# exists.
-ROUND7_PENDING: list[str] = [
-    "basket_part_pairs",
-    "customer_interpurchase",
-    "events_type_cooccurrence_pmi",
-    "events_dau_wau",
-    "orders_pareto_share",
-    "graph_component_sizes",
-    "hll_event_type_overlap",
-    "ann_recall_report",
-    "mixture_epoch_allocation",
-    "text_token_entropy",
-    "bm25_topk_retrieval",
-    "chi2_discriminative_terms",
-    "graph_kcore_parts",
-    "kmeans_silhouette",
-    "ols_discount_response",
-    "user_survival_km",
-    "classifier_calibration_bins",
-    "corpus_gini_balance",
-    "user_path_entropy",
-    "bm25_incremental_scoring",
-]
+# WINDOW:END
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -856,19 +856,23 @@ ORACLE["dedup_token_savings"] = _token_savings_sql()
 # SCALING user key (one shuffle, the burstiness pattern).  Gaps are
 # whole SECONDS via truncating integer division of exact µs diffs
 # (both engines truncate integer div — the pre_epoch_ts axis pinned
-# it), so the int64 moments stay exact (gap_s < 3.2e7 for a year,
-# squares < 1e15).  EVERY verdict cut is an exact integer predicate —
-# cv < 0.1 is tested as 100*(n*ss - s*s) < s*s (cv^2 < 0.01 cleared of
-# division), dup-ts >= 50% as 2*(n - n_distinct_ts) >= n — so the flag
-# cannot drift by a rounding ulp; the reported cv/fractions are
-# display-only round(,6) doubles.
+# it), so the int64 moments s/ss stay exact (gap_s < 3.2e7 for a year,
+# squares < 1e15).  The cv cut is cv^2 < 0.01 cleared of division —
+# 100*(n*ss - s*s) < s*s — evaluated in DOUBLE with each int64 moment
+# cast BEFORE the multiply: n_gaps*ss can exceed 2^63 exactly on the
+# target data (a bursty bot with ~1e4 events and one year-scale gap
+# gives n_gaps*ss ~1e19), where Spark ANSI throws ARITHMETIC_OVERFLOW
+# while DuckDB silently promotes to HUGEINT (r07 ADVICE).  Both
+# engines run the identical IEEE-754 multiply/subtract/compare on the
+# same exact int64 inputs, so the cross-engine verdict still cannot
+# diverge.  The dup-ts >= 50% cut stays exact-int:
+# 2*(n - n_distinct_ts) >= n is overflow-safe (n bounded by per-user
+# event counts).  Reported cv/fractions are display-only round(,6).
 # --------------------------------------------------------------------------
 BOT_MIN_EVENTS = 20
 
 
 def user_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from stac_geoparquet_spark.operators.relational import read_events
 
     ev = (
@@ -883,7 +887,6 @@ def user_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("us"),
         )
     )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gaps = ev.select(
         "user_id",
         "us",
@@ -910,14 +913,17 @@ def user_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / nullif(CAST(n_gaps AS DOUBLE), 0.0), 6)
            END AS mean_gap_s""",
         """CASE WHEN n_gaps < 2 OR s = 0 THEN NULL
-                ELSE round(sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+                ELSE round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                            / nullif(CAST(s AS DOUBLE), 0.0), 6) + 0.0
            END AS cv""",
         "round(CAST(n_events - ndt AS DOUBLE)"
         " / CAST(n_events AS DOUBLE), 6) AS dup_ts_frac",
         f"""(n_events >= {BOT_MIN_EVENTS} AND (
               (n_gaps >= 2 AND s > 0
-               AND 100 * (n_gaps * ss - s * s) < s * s)
+               AND 100.0 * (CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   < CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
               OR 2 * (n_events - ndt) >= n_events
            )) AS is_bot_suspect""",
     )
@@ -949,14 +955,17 @@ SELECT user_id, n_events, n_gaps,
                        / nullif(CAST(n_gaps AS DOUBLE), 0.0), 6)
        END AS mean_gap_s,
        CASE WHEN n_gaps < 2 OR s = 0 THEN NULL
-            ELSE round(sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+            ELSE round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                        / nullif(CAST(s AS DOUBLE), 0.0), 6) + 0.0
        END AS cv,
        round(CAST(n_events - ndt AS DOUBLE)
              / CAST(n_events AS DOUBLE), 6) AS dup_ts_frac,
        (n_events >= {BOT_MIN_EVENTS} AND (
           (n_gaps >= 2 AND s > 0
-           AND 100 * (n_gaps * ss - s * s) < s * s)
+           AND 100.0 * (CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               < CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
           OR 2 * (n_events - ndt) >= n_events
        )) AS is_bot_suspect
 FROM m

@@ -367,8 +367,6 @@ PURCHASE_WINDOW = "24 hours"  # purchase within 24h of that click
 
 
 def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stac_geoparquet_spark.operators._io import fenced
-
     ev = _events(spark, sf_dir).where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
@@ -400,9 +398,11 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    stages = fenced(
-        v.join(c, "user_id", "left").join(p, "user_id", "left")
-    )
+    # No fence here: this per-user stage table is O(users) — the
+    # SCALING key — and has exactly ONE downstream consumer (the
+    # single aggregate below), so materializing it buys zero reuse
+    # while costing a corpus-scaled localCheckpoint (r07 ADVICE).
+    stages = v.join(c, "user_id", "left").join(p, "user_id", "left")
     counts = stages.agg(
         F.count("t_view").alias("nv"),
         F.count("t_click").alias("nc"),
@@ -497,8 +497,6 @@ ORACLE["funnel_time_bounded"] = FUNNEL_TIME_BOUNDED_SQL
 # per populated arm).
 # --------------------------------------------------------------------------
 def funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stac_geoparquet_spark.operators._io import fenced
-
     ev = _events(spark, sf_dir).where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
@@ -541,9 +539,11 @@ def funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    stages = fenced(
-        v.join(c, "user_id", "left").join(p, "user_id", "left")
-    )
+    # No fence here: this per-user stage table is O(users) — the
+    # SCALING key — and has exactly ONE downstream consumer (the
+    # single aggregate below), so materializing it buys zero reuse
+    # while costing a corpus-scaled localCheckpoint (r07 ADVICE).
+    stages = v.join(c, "user_id", "left").join(p, "user_id", "left")
     counts = stages.groupBy("arm").agg(
         F.count("t_view").alias("nv"),
         F.count("t_click").alias("nc"),

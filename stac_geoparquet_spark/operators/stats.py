@@ -1316,8 +1316,17 @@ def quantiles_user_value_exact(
         tot = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         return finish(ranked, tot)
 
+    # Explicit numPartitions pins the shuffle origin to
+    # REPARTITION_BY_NUM, which AQE's coalescer leaves alone — without
+    # it the two consumers of the reused range exchange could in
+    # principle be re-planned with DIFFERENT post-coalesce partition
+    # numbering, silently misaligning spark_partition_id() between the
+    # counts branch and the ranked branch (r07 ADVICE).  The count is
+    # the session's configured shuffle parallelism, so the scale shape
+    # is unchanged.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = per_user.repartitionByRange(
-        F.asc("cents"), F.asc("user_id")
+        nparts, F.asc("cents"), F.asc("user_id")
     ).withColumn("part", F.spark_partition_id().cast("bigint"))
     w = Window.partitionBy("part").orderBy(F.asc("cents"), F.asc("user_id"))
     counts = ranged.groupBy("part").agg(

@@ -2037,14 +2037,15 @@ def test_burstiness_window_and_agg_share_shuffle(spark, sf):
 
 def test_time_bounded_funnel_user_keyed_no_window(spark, sf):
     """The sequential funnel is stage joins on the scaling user key +
-    one aggregate over the FENCED per-user stage table — the returned
-    plan reads the fence leaf (no events scan), and no window or
-    cartesian appears."""
+    ONE aggregate consuming the per-user stage table directly — no
+    fence (the stage table is O(users) with a single consumer, so a
+    localCheckpoint would materialize corpus-scaled state for zero
+    reuse, r07 ADVICE), no window, no cartesian."""
     from stac_geoparquet_spark.operators import funnel
 
     plan = plan_of(funnel.funnel_time_bounded(spark, sf))
-    assert "events.parquet" not in plan
-    assert "ExistingRDD" in plan
+    assert "events.parquet" in plan
+    assert "ExistingRDD" not in plan
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "CartesianProduct") == 0
 
@@ -2083,14 +2084,13 @@ def test_bot_score_window_and_agg_share_shuffle(spark, sf):
 
 
 def test_funnel_by_arm_user_keyed_no_window(spark, sf):
-    """Same shape as the unsegmented funnel: the returned plan reads
-    the fenced per-user stage table, groups on the 2-value arm
-    (bounded-key groupBy — partials combine), no window, no
-    cartesian."""
+    """Same shape as the unsegmented funnel: unfenced per-user stage
+    joins feeding one groupBy on the 2-value arm (bounded-key groupBy
+    — partials combine), no window, no cartesian."""
     from stac_geoparquet_spark.operators import funnel
 
     plan = plan_of(funnel.funnel_by_arm(spark, sf))
-    assert "events.parquet" not in plan
-    assert "ExistingRDD" in plan
+    assert "events.parquet" in plan
+    assert "ExistingRDD" not in plan
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "CartesianProduct") == 0
