@@ -48,6 +48,7 @@ def _registries():
         stats,
         text,
         timeseries,
+        url,
     )
     from stac_geoparquet_spark.streaming import decontam as streaming_decontam
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
@@ -65,6 +66,7 @@ def _registries():
         stac_query,
         audit,
         timeseries,
+        url,
         dedup,
         similarity,
         text,
@@ -144,10 +146,13 @@ CHURNED_THIS_ROUND: list[str] = [
     # consumers ride the same cache with rows that predate it)
     "dedup_survivors",
     "dedup_rep_weights",
+    # r05 row; gained the total_bpe_tokens column (and the broadcast
+    # merge-vocab crossjoin) in r08 — schema + plan changed
+    "pack_sequences",
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 6 never-row + 2 churned + 42 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
+# 13 never-row + 3 churned + 34 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
 WINDOW: list[str] = [
     # no driver row yet
     "user_bot_score",
@@ -156,9 +161,17 @@ WINDOW: list[str] = [
     "funnel_by_arm",
     "lexical_diversity_by_source",
     "text_script_mix_audit",
+    "events_srm_check",
+    "orders_mann_whitney_u",
+    "url_normalize_audit",
+    "cap_docs_per_domain",
+    "robots_disallow_filter",
+    "graph_lpa_communities",
+    "tokenize_bpe_encode",
     # churned read path (CHURNED_THIS_ROUND)
     "dedup_survivors",
     "dedup_rep_weights",
+    "pack_sequences",
     # oldest green row first
     "agg_orders_by_priority",
     "anti_join_inactive_customers",
@@ -194,14 +207,6 @@ WINDOW: list[str] = [
     "text_bigram_entropy",
     "text_zipf_slope",
     "window_topk_orders_per_customer",
-    "cap_docs_per_source",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_removal",
 ]
 # WINDOW:END
 

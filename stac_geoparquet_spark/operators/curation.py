@@ -36,11 +36,13 @@ from stac_geoparquet_spark.operators._canon import (
 from pyspark.sql.window import Window
 
 from stac_geoparquet_spark.operators.text import (
+    BPE_TOP_K,
     SQL_WS,
     _sql_jtrim,
     _sql_lower,
     _sql_words,
     _words,
+    bpe_token_ctes,
 )
 
 
@@ -395,22 +397,22 @@ FROM w
 # distributed step worth pinning is this count, which at 100 TB runs
 # over the (Heaps-law small) distinct-word table, not the corpus.
 # --------------------------------------------------------------------------
-BPE_TOP_K = 20
 
 
-def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 adjacent char pairs by corpus-weighted frequency: word
-    frequencies aggregate first (the corpus-size shuffle), then pairs
-    explode from the DISTINCT word table only — the explode factor
-    applies to the vocabulary, not the corpus. Final top-K is a
-    distributed TakeOrderedAndProject; the rank window touches K
-    rows."""
-    docs = _docs(spark, sf_dir)
-    wf = (
+def _word_freq(docs: DataFrame) -> DataFrame:
+    """Corpus-weighted word-frequency table (the one corpus-size
+    shuffle every BPE step rides)."""
+    return (
         docs.select(F.explode(_words(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def _bpe_topk(wf: DataFrame) -> DataFrame:
+    """Top-``BPE_TOP_K`` adjacent char pairs from a word-frequency
+    table — the merge vocabulary shared by ``bpe_merge_candidates``
+    (training view) and ``tokenize_bpe_encode`` (the encoder)."""
     # guard length >= 2: Spark's sequence(1, 0) counts DOWN ([1, 0])
     # while DuckDB's generate_series(1, 0) is empty — the CASE keeps
     # both engines on the same (empty) branch for 1-char words
@@ -421,12 +423,33 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "                i -> substring(word, i, 2))"
         " ELSE CAST(array() AS array<string>) END) AS pair",
     )
-    counts = (
+    return (
         pairs.groupBy("pair")
         .agg(F.sum("freq").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(BPE_TOP_K)
     )
+
+
+def bpe_merges_vocab(docs: DataFrame) -> DataFrame:
+    """The learned merge vocabulary as ONE row holding a sorted
+    ``array<string>`` — cross-join-broadcast it onto any table and the
+    greedy encoder below runs as a pure in-row fold (zero extra
+    shuffles; the array is BPE_TOP_K elements at any corpus size)."""
+    return _bpe_topk(_word_freq(docs)).agg(
+        F.sort_array(F.collect_list("pair")).alias("merges")
+    )
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent char pairs by corpus-weighted frequency: word
+    frequencies aggregate first (the corpus-size shuffle), then pairs
+    explode from the DISTINCT word table only — the explode factor
+    applies to the vocabulary, not the corpus. Final top-K is a
+    distributed TakeOrderedAndProject; the rank window touches K
+    rows."""
+    docs = _docs(spark, sf_dir)
+    counts = _bpe_topk(_word_freq(docs))
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
@@ -876,7 +899,113 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Greedy BPE/WordPiece-style subword ENCODE over the corpus-learned
+# merge vocabulary (round 8): the packing/budget/fertility family
+# counted whitespace tokens; this op closes the loop by actually
+# tokenizing with the merges bpe_merge_candidates learns — longest-
+# match-first over vocab = {all single chars} ∪ {top-K merged pairs},
+# reporting per-source subword fertility (subword tokens per word)
+# and chars-per-token compression.
+#
+# Scale shape (Heaps' law is the whole trick): the encoder fold runs
+# over the DISTINCT word table only — vocabulary-scaled, not corpus-
+# scaled — as one in-row `aggregate()` higher-order fold (JVM
+# expression, no Python, no shuffle) with the K-element merge array
+# cross-join-broadcast as one row.  Per-(source, word) frequencies
+# then weight the word-level token counts back to corpus totals via a
+# vocab-keyed equi-join + bounded groupBy(source).  At 100 TB the
+# corpus touches two keyed shuffles (the (source, word) count and the
+# word join); the sequential-scan part of tokenization never sees a
+# document twice.
+#
+# Cross-engine exactness: the fold state is (pos, toks) integers; the
+# DuckDB oracle replays the identical greedy scan as a recursive CTE
+# over the same distinct-word table, and the merge list is the same
+# deterministically tie-broken (n DESC, pair) top-K on both engines.
+# Empty words are excluded on BOTH sides: `_words('')` yields [''],
+# and the engines disagree on folding an empty scan (Spark's
+# sequence(1,0) counts DOWN while the CTE recursion never starts) —
+# the same sequence(1,0) divergence class bpe_merge_candidates pins.
+# --------------------------------------------------------------------------
+def bpe_fold_expr(col: str) -> str:
+    """The greedy longest-match encoder as one Spark SQL fold over the
+    characters of ``col``, counting emitted tokens; expects the
+    broadcast ``merges`` array column in scope.  Caller must guard
+    length 0 (Spark's sequence(1, 0) counts DOWN)."""
+    return f"""aggregate(
+  sequence(1, length({col})),
+  named_struct('p', 1, 't', CAST(0 AS BIGINT)),
+  (acc, i) -> IF(i <> acc.p, acc, named_struct(
+      'p', acc.p + IF(array_contains(merges, substring({col}, acc.p, 2)),
+                      2, 1),
+      't', acc.t + CAST(1 AS BIGINT))),
+  acc -> acc.t)"""
+
+
+_BPE_FOLD = bpe_fold_expr("word")
+
+
+def tokenize_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wf_src = (
+        docs.where(F.col("source").isNotNull())
+        .select("source", F.explode(_words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = wf_src.select("word").distinct()
+    toks = words.crossJoin(F.broadcast(bpe_merges_vocab(docs))).select(
+        "word", F.expr(_BPE_FOLD).alias("toks")
+    )
+    agg = (
+        wf_src.join(toks, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.length("word")).alias("n_chars"),
+            F.sum(F.col("freq") * F.col("toks")).alias("n_bpe_tokens"),
+        )
+    )
+    return agg.selectExpr(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        "round(CAST(n_bpe_tokens AS DOUBLE)"
+        " / nullif(CAST(n_words AS DOUBLE), 0.0), 6) AS fertility",
+        "round(CAST(n_chars AS DOUBLE)"
+        " / nullif(CAST(n_bpe_tokens AS DOUBLE), 0.0), 6)"
+        " AS chars_per_token",
+    )
+
+
+TOKENIZE_BPE_SQL = f"""
+WITH RECURSIVE wf_src AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest({_sql_words()}) AS word FROM documents
+        WHERE source IS NOT NULL) t
+  WHERE word <> ''
+  GROUP BY source, word
+),
+{bpe_token_ctes("wf_src")}
+SELECT source,
+       CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+       CAST(sum(freq * toks) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(freq * toks) AS DOUBLE)
+             / nullif(CAST(sum(freq) AS DOUBLE), 0.0), 6) AS fertility,
+       round(CAST(sum(freq * length(word)) AS DOUBLE)
+             / nullif(CAST(sum(freq * toks) AS DOUBLE), 0.0), 6)
+         AS chars_per_token
+FROM wf_src JOIN tok USING (word)
+GROUP BY source
+"""
+
+
 QUERIES_ROTATION = {
+    "tokenize_bpe_encode": tokenize_bpe_encode,
     "dedup_lines_across_docs": dedup_lines_across_docs,
     "text_pii_scrub": text_pii_scrub,
     "dedup_substring_removal": dedup_substring_removal,
@@ -890,6 +1019,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "tokenize_bpe_encode": TOKENIZE_BPE_SQL,
     "dedup_lines_across_docs": LINE_DEDUP_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "dedup_substring_removal": SUBSTR_REMOVAL_SQL,

@@ -612,3 +612,104 @@ FROM deg LEFT JOIN tri ON tri.node = deg.doc_a
 
 QUERIES["graph_local_clustering"] = graph_local_clustering
 ORACLE["graph_local_clustering"] = _local_clustering_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation communities (round 8): the classic
+# near-linear community detector over the part co-purchase graph —
+# every node starts as its own label and each round adopts the label
+# most frequent among its neighbors (ties to the SMALLEST label, so
+# the update is a pure deterministic function of the previous
+# round's state).  Complements the structural screens already
+# shipped: components give connectivity, k-core gives coherence,
+# LPA gives the actual community partition.
+#
+# Fixed LPA_ROUNDS rounds with NO early exit — synchronous LPA can
+# 2-cycle on bipartite-ish structures, so both engines must run the
+# IDENTICAL update count for state parity; the oracle unrolls the
+# same rounds as chained CTEs (the KCORE_ROUNDS convention).
+#
+# Scale: every round is one equi-join of the fenced pair-graph edge
+# list against the node-label table (both bounded by the part
+# dimension, orders below lineitem) + one (node, label) count + one
+# per-node argmax window — partitioned by the SCALING node key with
+# per-partition width <= the node's degree.  Nothing touches the
+# corpus after the pair graph is built.
+# --------------------------------------------------------------------------
+LPA_ROUNDS = 4
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    pairs = basket_pair_support(spark, sf_dir).select("part_a", "part_b")
+    edges = fenced(
+        pairs.select(
+            F.col("part_a").alias("a"), F.col("part_b").alias("b")
+        ).union(
+            pairs.select(
+                F.col("part_b").alias("a"), F.col("part_a").alias("b")
+            )
+        )
+    )
+    labels = (
+        edges.select(F.col("a").alias("n")).distinct().withColumn(
+            "lab", F.col("n")
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LPA_ROUNDS):
+        nb = (
+            edges.join(labels.withColumnRenamed("n", "b"), "b")
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = fenced(
+            nb.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("a").alias("n"), "lab")
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+def _lpa_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
+
+    stages = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.a, l.lab, count(*) AS c
+  FROM e0 e JOIN {prev} l ON l.n = e.b GROUP BY e.a, l.lab
+),
+l{i} AS MATERIALIZED (
+  SELECT a AS n, lab FROM (
+    SELECT a, lab,
+           row_number() OVER (PARTITION BY a ORDER BY c DESC, lab) AS rk
+    FROM c{i}
+  ) WHERE rk = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH {_basket_pairs_ctes()},
+e0 AS MATERIALIZED (
+  SELECT part_a AS a, part_b AS b FROM pairs
+  UNION ALL
+  SELECT part_b AS a, part_a AS b FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM e0),
+{chain}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev} GROUP BY lab
+"""
+
+
+QUERIES["graph_lpa_communities"] = graph_lpa_communities
+ORACLE["graph_lpa_communities"] = _lpa_oracle_sql()

@@ -416,17 +416,47 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     table cumulated on the driver-side-small bucket list and joined
     back (AQE broadcasts it).  Equivalent to the global window the
     oracle uses, but with no single-task stage at 100 TB.
+
+    Tokens mode (round 8): alongside the whitespace-token budget that
+    assigns bins (unchanged), each bin reports its SUBWORD mass under
+    the corpus-learned BPE merges — ``total_bpe_tokens`` — so budget
+    accounting can be read in real tokenizer units.  The per-doc
+    subword count is the curation greedy encoder run as one in-row
+    fold over the whitespace-collapsed doc stream (merge vocabulary
+    cross-join-broadcast; zero extra shuffles).  Because merges are
+    learned from words they never contain a space, so the stream fold
+    factorizes exactly as sum(word tokens) + (n_words - 1) separator
+    tokens — which is what the oracle computes via the shared
+    recursive-CTE encoder over the distinct-word table.
     """
-    docs = _docs_canon(spark, sf_dir)
+    from stac_geoparquet_spark.operators.curation import (
+        bpe_fold_expr,
+        bpe_merges_vocab,
+    )
+    from stac_geoparquet_spark.operators.text import jlower
+
+    docs = _docs_canon(spark, sf_dir).crossJoin(
+        F.broadcast(bpe_merges_vocab(_docs(spark, sf_dir)))
+    )
+    norm = F.regexp_replace(jlower(F.trim(F.col("text"))), r"\s+", " ")
+    stream_fold = F.expr(bpe_fold_expr("norm"))
     # coalesce: a NULL-text doc contributes 0 tokens (without it the
     # NULL token count makes the doc's cumulative position — and so its
     # bin — NULL in Spark but 0-advanced in the oracle's coalesced
-    # running sum: a latent divergence found by NULL injection)
-    per_doc = docs.select(
+    # running sum: a latent divergence found by NULL injection).  The
+    # empty-stream guard keeps Spark off the sequence(1, 0) DOWN-count
+    # branch (bpe_merge_candidates' documented divergence class).
+    per_doc = docs.withColumn("norm", norm).select(
         "doc_id",
         F.coalesce(F.size(_words(F.col("text"))).cast("bigint"), F.lit(0)).alias(
             "n_tokens"
         ),
+        F.coalesce(
+            F.when(F.length("norm") == 0, F.lit(0).cast("bigint")).otherwise(
+                stream_fold
+            ),
+            F.lit(0),
+        ).alias("n_bpe"),
         F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
     )
     from pyspark.sql import Window
@@ -462,32 +492,58 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
 
 
-PACK_SQL = f"""
-WITH t AS (
+def _pack_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.text import bpe_token_ctes
+
+    # per-doc subword mass via the word-route identity: the stream
+    # fold's merges contain no spaces, so stream tokens = sum(word
+    # tokens) + (n_words - 1) single-space separators; wordless docs
+    # are 0 by the left-join coalesce
+    return f"""
+WITH RECURSIVE t AS (
   SELECT doc_id, CAST(coalesce(len({_SQL_WORDS}), 0) AS BIGINT) AS n_tokens
   FROM {_DOCS_CANON_SQL} documents
 ),
+dw AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS word
+        FROM {_DOCS_CANON_SQL} documents)
+  WHERE word <> ''
+),
+{bpe_token_ctes("dw")},
+dtok AS (
+  SELECT doc_id,
+         CAST(sum(toks) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS nw
+  FROM dw JOIN tok USING (word) GROUP BY doc_id
+),
 c AS (
-  SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
-           ORDER BY doc_id
+  SELECT t.doc_id, t.n_tokens,
+         coalesce(dtok.s + dtok.nw - 1, 0) AS n_bpe,
+         coalesce(sum(t.n_tokens) OVER (
+           ORDER BY t.doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS cum_excl
-  FROM t
+  FROM t LEFT JOIN dtok USING (doc_id)
 )
 SELECT CAST(floor(cum_excl / {PACK_BUDGET}) AS BIGINT) AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM c
 GROUP BY 1
 """
+
+
+PACK_SQL = _pack_oracle_sql()
 
 
 # --------------------------------------------------------------------------

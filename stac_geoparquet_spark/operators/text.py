@@ -123,6 +123,55 @@ def _sql_words(expr: str = "text") -> str:
 
 
 # --------------------------------------------------------------------------
+# BPE merge vocabulary + greedy-encoder oracle CTEs.  These live here
+# (not curation.py, the Spark-side home of the tokenizer family)
+# because pipeline.py needs the CTE chain at MODULE level for
+# PACK_SQL while curation.py imports pipeline helpers at module level
+# — text.py is the shared leaf both already depend on.
+# --------------------------------------------------------------------------
+BPE_TOP_K = 20
+
+
+def bpe_token_ctes(word_source: str) -> str:
+    """The reusable oracle CTE chain for the greedy BPE encoder:
+    merge learning (gwf→pp→pc→ml, the exact BPE_SQL derivation) plus
+    the recursive greedy scan over the DISTINCT words of
+    ``word_source`` (any prior CTE/table exposing a ``word`` column).
+    The enclosing query must open with WITH RECURSIVE.  Produces
+    ``tok(word, toks)``."""
+    return f"""gwf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({_sql_words()}) AS word FROM documents) t
+  GROUP BY word
+),
+pp AS (
+  SELECT freq,
+         unnest(CASE WHEN length(word) >= 2
+           THEN list_transform(generate_series(1, length(word) - 1),
+                               i -> substr(word, CAST(i AS INT), 2))
+           ELSE CAST([] AS VARCHAR[]) END) AS pair
+  FROM gwf
+),
+pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pp GROUP BY pair),
+ml AS (
+  SELECT list(pair) AS m FROM (
+    SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM pc
+  ) WHERE rk <= {BPE_TOP_K}
+),
+bw AS (SELECT DISTINCT word FROM {word_source}),
+st AS (
+  SELECT word, 1 AS p, CAST(0 AS BIGINT) AS t FROM bw
+  UNION ALL
+  SELECT st.word,
+         st.p + CASE WHEN list_contains(ml.m, substr(st.word, st.p, 2))
+                     THEN 2 ELSE 1 END,
+         st.t + 1
+  FROM st, ml WHERE st.p <= length(st.word)
+),
+tok AS (SELECT word, t AS toks FROM st WHERE p > length(word))"""
+
+
+# --------------------------------------------------------------------------
 # token counting: whitespace tokens + a BPE-ish subword estimate
 # (ceil(chars/4) per word, the common ~4-chars-per-token rule)
 # --------------------------------------------------------------------------

@@ -1361,3 +1361,314 @@ FROM m
 
 QUERIES["orders_interarrival_burstiness"] = orders_interarrival_burstiness
 ORACLE["orders_interarrival_burstiness"] = BURSTINESS_SQL
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check (round 8): the experiment health
+# gate that runs BEFORE any readout (z-test, CUPED) is trusted — a
+# 50/50 hash split whose realized arm sizes drift beyond chi-square
+# noise means the assignment or logging pipeline is broken, and every
+# downstream effect estimate is suspect.  Arms come from the same
+# md5(user_id)-parity convention as events_ab_ztest / funnel_by_arm,
+# so this IS the audit of that split.
+#
+# Scale shape: one distinct-user aggregate on the scaling user key
+# (map-side combine), then a 1-row reduction.  The chi-square
+# statistic for a 2-cell uniform expectation collapses to
+# (n_a - n_b)^2 / (n_a + n_b) — one fixed-shape double expression
+# over two exact int64 counts; the verdict threshold is the 95%
+# chi-square(1) quantile applied to the UNROUNDED statistic with the
+# identical expression text on both engines (IEEE-deterministic).
+# --------------------------------------------------------------------------
+SRM_CHI2_95 = 3.841459  # chi-square(1 dof) 95% quantile
+
+
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm")
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return agg.selectExpr(
+        "coalesce(n_a, 0) + coalesce(n_b, 0) AS n_users",
+        "coalesce(n_a, 0) AS n_arm0",
+        "coalesce(n_b, 0) AS n_arm1",
+        "round(CAST((coalesce(n_a, 0) - coalesce(n_b, 0))"
+        " * (coalesce(n_a, 0) - coalesce(n_b, 0)) AS DOUBLE)"
+        " / nullif(CAST(coalesce(n_a, 0) + coalesce(n_b, 0) AS DOUBLE),"
+        " 0.0), 6) AS srm_stat",
+        f"CAST((coalesce(n_a, 0) - coalesce(n_b, 0))"
+        f" * (coalesce(n_a, 0) - coalesce(n_b, 0)) AS DOUBLE)"
+        f" / nullif(CAST(coalesce(n_a, 0) + coalesce(n_b, 0) AS DOUBLE),"
+        f" 0.0) > {SRM_CHI2_95} AS srm_mismatch",
+    )
+
+
+SRM_SQL = f"""
+WITH per_user AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm
+  FROM events WHERE user_id IS NOT NULL
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM per_user
+)
+SELECT coalesce(n_a, 0) + coalesce(n_b, 0) AS n_users,
+       coalesce(n_a, 0) AS n_arm0,
+       coalesce(n_b, 0) AS n_arm1,
+       round(CAST((coalesce(n_a, 0) - coalesce(n_b, 0))
+             * (coalesce(n_a, 0) - coalesce(n_b, 0)) AS DOUBLE)
+             / nullif(CAST(coalesce(n_a, 0) + coalesce(n_b, 0) AS DOUBLE),
+             0.0), 6) AS srm_stat,
+       CAST((coalesce(n_a, 0) - coalesce(n_b, 0))
+            * (coalesce(n_a, 0) - coalesce(n_b, 0)) AS DOUBLE)
+       / nullif(CAST(coalesce(n_a, 0) + coalesce(n_b, 0) AS DOUBLE),
+       0.0) > {SRM_CHI2_95} AS srm_mismatch
+FROM agg
+"""
+
+
+QUERIES["events_srm_check"] = events_srm_check
+ORACLE["events_srm_check"] = SRM_SQL
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (round 8): the nonparametric two-sample test the
+# parametric z-test/CUPED readouts need next to them when order
+# values are heavy-tailed (rank-based, so one whale order cannot move
+# the verdict).  Arms by the md5(o_custkey)-parity convention; values
+# are exact order-total cents.
+#
+# Scale shape — the global rank problem done the scale-right way:
+# ranks need a GLOBAL exclusive prefix over the distinct-value table
+# (corpus-scaled: prices are nearly unique).  The prefix is two-phase
+# over DETERMINISTIC value-domain buckets (cents div 2^20, the
+# pack_sequences doc_id-div pattern): per-bucket exclusive window
+# cumsum — each bucket partition holds AT MOST 2^20 rows at ANY
+# corpus size, because rows are DISTINCT cent values inside a 2^20-
+# cent band — plus a value-domain-bounded bucket-offset table that
+# broadcast-joins back.  No spark_partition_id, no sampled range
+# boundaries, no exchange-reuse dependence: an earlier pid-based
+# draft broke exactly there (column pruning specialized the two
+# consumers' aggregates below the range exchange, ReuseExchange no
+# longer fired, and the two independently SAMPLED partitionings
+# misaligned the offsets — caught by the oracle gate as a run-to-run
+# unstable U).  Ties use average ranks held in half-units (2*rank is
+# integer), so every rank quantity is EXACT int64; the test
+# statistics are fixed-shape double expressions over those ints,
+# written with identical text on both engines.  The double
+# accumulations (rank-sum, tie-cubes) are sums of integer-valued
+# terms — exact under any summation order while below 2^53, i.e. to
+# ~1e8 orders per run; beyond that the drift is ~1 ulp against a
+# round(,6) output quantum.
+# --------------------------------------------------------------------------
+MW_SIG_Z = 1.959964  # two-sided 5% normal quantile
+MW_CENTS_BUCKET = 1 << 20  # prefix-sum bucket width in cents (~$10.5k)
+
+
+def orders_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _orders(spark, sf_dir)
+        .where(
+            F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_custkey").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    g = o.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na_v"),
+    ).withColumn("bucket", F.expr(f"cents div {MW_CENTS_BUCKET}"))
+    wb = Window.partitionBy("bucket").orderBy(F.asc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    btot = g.groupBy("bucket").agg(F.sum("n_v").alias("bt"))
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    pre = (
+        g.withColumn(
+            "in_bucket", F.coalesce(F.sum("n_v").over(wb), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "cents",
+            "n_v",
+            "na_v",
+            (F.col("offset") + F.col("in_bucket")).alias("prefix"),
+        )
+    )
+    terms = pre.select(
+        "n_v",
+        "na_v",
+        (2 * F.col("prefix") + F.col("n_v") + 1).alias("avgrank2"),
+    )
+    agg = terms.agg(
+        F.sum("n_v").alias("n"),
+        F.sum("na_v").alias("na"),
+        F.sum(
+            F.col("na_v").cast("double") * F.col("avgrank2").cast("double")
+        ).alias("r2"),
+        F.sum(
+            F.col("n_v").cast("double")
+            * F.col("n_v").cast("double")
+            * F.col("n_v").cast("double")
+            - F.col("n_v").cast("double")
+        ).alias("t3"),
+    )
+    return agg.selectExpr(
+        "coalesce(na, 0) AS n_a",
+        "coalesce(n, 0) - coalesce(na, 0) AS n_b",
+        """CASE WHEN coalesce(na, 0) = 0 OR coalesce(n, 0) = coalesce(na, 0)
+                THEN NULL
+                ELSE round((r2 - CAST(na AS DOUBLE) * (na + 1)) / 2.0, 2)
+           END AS u_stat""",
+        f"""CASE WHEN coalesce(na, 0) = 0 OR coalesce(n, 0) = coalesce(na, 0)
+                 OR n < 2
+                 OR (CAST(na AS DOUBLE) * (n - na) / 12.0)
+                    * (CAST(n + 1 AS DOUBLE)
+                       - t3 / (CAST(n AS DOUBLE) * (n - 1))) <= 0.0
+                THEN NULL
+                ELSE round(
+                  ((r2 - CAST(na AS DOUBLE) * (na + 1)) / 2.0
+                   - CAST(na AS DOUBLE) * (n - na) / 2.0)
+                  / sqrt((CAST(na AS DOUBLE) * (n - na) / 12.0)
+                         * (CAST(n + 1 AS DOUBLE)
+                            - t3 / (CAST(n AS DOUBLE) * (n - 1)))),
+                  6) + 0.0
+           END AS z_score""",
+        f"""CASE WHEN coalesce(na, 0) = 0 OR coalesce(n, 0) = coalesce(na, 0)
+                 OR n < 2
+                 OR (CAST(na AS DOUBLE) * (n - na) / 12.0)
+                    * (CAST(n + 1 AS DOUBLE)
+                       - t3 / (CAST(n AS DOUBLE) * (n - 1))) <= 0.0
+                THEN NULL
+                ELSE abs(
+                  ((r2 - CAST(na AS DOUBLE) * (na + 1)) / 2.0
+                   - CAST(na AS DOUBLE) * (n - na) / 2.0)
+                  / sqrt((CAST(na AS DOUBLE) * (n - na) / 12.0)
+                         * (CAST(n + 1 AS DOUBLE)
+                            - t3 / (CAST(n AS DOUBLE) * (n - 1)))))
+                  > {MW_SIG_Z}
+           END AS significant""",
+    )
+
+
+MANN_WHITNEY_SQL = f"""
+WITH o AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+),
+g AS (
+  SELECT cents,
+         CAST(count(*) AS BIGINT) AS n_v,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v
+  FROM o GROUP BY cents
+),
+pre AS (
+  SELECT cents, n_v, na_v,
+         coalesce(sum(n_v) OVER (
+           ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM g
+),
+terms AS (
+  SELECT n_v, na_v, 2 * prefix + n_v + 1 AS avgrank2 FROM pre
+),
+agg AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(na_v) AS BIGINT) AS na,
+         sum(CAST(na_v AS DOUBLE) * CAST(avgrank2 AS DOUBLE)) AS r2,
+         sum(CAST(n_v AS DOUBLE) * CAST(n_v AS DOUBLE)
+             * CAST(n_v AS DOUBLE) - CAST(n_v AS DOUBLE)) AS t3
+  FROM terms
+)
+SELECT coalesce(na, 0) AS n_a,
+       coalesce(n, 0) - coalesce(na, 0) AS n_b,
+       CASE WHEN coalesce(na, 0) = 0 OR coalesce(n, 0) = coalesce(na, 0)
+            THEN NULL
+            ELSE round((r2 - CAST(na AS DOUBLE) * (na + 1)) / 2.0, 2)
+       END AS u_stat,
+       CASE WHEN coalesce(na, 0) = 0 OR coalesce(n, 0) = coalesce(na, 0)
+             OR n < 2
+             OR (CAST(na AS DOUBLE) * (n - na) / 12.0)
+                * (CAST(n + 1 AS DOUBLE)
+                   - t3 / (CAST(n AS DOUBLE) * (n - 1))) <= 0.0
+            THEN NULL
+            ELSE round(
+              ((r2 - CAST(na AS DOUBLE) * (na + 1)) / 2.0
+               - CAST(na AS DOUBLE) * (n - na) / 2.0)
+              / sqrt((CAST(na AS DOUBLE) * (n - na) / 12.0)
+                     * (CAST(n + 1 AS DOUBLE)
+                        - t3 / (CAST(n AS DOUBLE) * (n - 1)))),
+              6) + 0.0
+       END AS z_score,
+       CASE WHEN coalesce(na, 0) = 0 OR coalesce(n, 0) = coalesce(na, 0)
+             OR n < 2
+             OR (CAST(na AS DOUBLE) * (n - na) / 12.0)
+                * (CAST(n + 1 AS DOUBLE)
+                   - t3 / (CAST(n AS DOUBLE) * (n - 1))) <= 0.0
+            THEN NULL
+            ELSE abs(
+              ((r2 - CAST(na AS DOUBLE) * (na + 1)) / 2.0
+               - CAST(na AS DOUBLE) * (n - na) / 2.0)
+              / sqrt((CAST(na AS DOUBLE) * (n - na) / 12.0)
+                     * (CAST(n + 1 AS DOUBLE)
+                        - t3 / (CAST(n AS DOUBLE) * (n - 1)))))
+              > {MW_SIG_Z}
+       END AS significant
+FROM agg
+"""
+
+
+QUERIES["orders_mann_whitney_u"] = orders_mann_whitney_u
+ORACLE["orders_mann_whitney_u"] = MANN_WHITNEY_SQL

@@ -11,6 +11,14 @@ SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_MID = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "pgstac: live pgstac integration tests — need PGSTAC_DSN pointing "
+        "at a running ghcr.io/stac-utils/pgstac (skip cleanly otherwise)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from stac_geoparquet_spark.session import get_spark

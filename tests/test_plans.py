@@ -2094,3 +2094,121 @@ def test_funnel_by_arm_user_keyed_no_window(spark, sf):
     assert "ExistingRDD" not in plan
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+# ---------------------------------------------------------------------------
+# round 8: tokenizer encode, URL curation, experimentation stats, LPA
+# ---------------------------------------------------------------------------
+def test_tokenize_bpe_fold_is_in_row(spark, sf):
+    """The greedy encoder is an in-row fold over the DISTINCT word
+    table: the K-element merge vocab arrives as a 1-row broadcast
+    (BroadcastNestedLoopJoin, NOT a CartesianProduct), the fold is a
+    JVM expression (no Python), and corpus weighting is a word-keyed
+    equi-join."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.tokenize_bpe_encode(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert "aggregate(sequence(1, length(word#" in plan
+
+
+def test_pack_sequences_bpe_column_in_row(spark, sf):
+    """The tokens-mode column rides the same plan: the only addition
+    is the 1-row merge-vocab broadcast + the in-row stream fold — no
+    new keyed shuffle, no Python, bins still assigned by the
+    two-phase whitespace prefix sum."""
+    from stac_geoparquet_spark.operators import pipeline
+
+    plan = plan_of(pipeline.pack_sequences(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    # 1-row vocab broadcast; the two prefix-sum branches each carry
+    # their own copy of the trivial broadcast subtree
+    assert 1 <= n_ops(plan, "BroadcastNestedLoopJoin") <= 2
+    # the whitespace prefix sum still runs per doc_id-div bucket
+    assert "windowspecdefinition(bucket" in plan
+
+
+def test_url_normalize_single_scan_no_join(spark, sf):
+    """URL parsing/canonicalization is pure in-row regexp work over
+    ONE scan; the only shuffles serve the (source, value) distinct
+    aggregation."""
+    from stac_geoparquet_spark.operators import url
+
+    plan = plan_of(url.url_normalize_audit(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
+def test_cap_docs_per_domain_twophase_broadcast(spark, sf):
+    """The domain cap is the twophase scaffold: per-(domain, pid)
+    local top-K, a bounded candidate merge, and a BROADCAST threshold
+    join back — never a bare window partitioned only by the bounded
+    domain key."""
+    from stac_geoparquet_spark.operators import url
+
+    plan = plan_of(url.cap_docs_per_domain(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SPARK_PARTITION_ID" in plan  # the local-topk pid scaffold
+    import re as _re
+
+    # every domain-partitioned window also keys on pid (phase 1 of
+    # the scaffold) — none partitions by the bounded key alone
+    specs = _re.findall(r"windowspecdefinition\(domain#\d+[,)]", plan)
+    assert specs and all(s.endswith(",") for s in specs)
+
+
+def test_robots_rules_broadcast(spark, sf):
+    """The disallow table is dimension-bounded and broadcast; the
+    prefix test is a join predicate on the broadcast side, and the
+    per-doc verdict aggregates on the scaling doc key."""
+    from stac_geoparquet_spark.operators import url
+
+    plan = plan_of(url.robots_disallow_filter(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_srm_check_single_pass(spark, sf):
+    """SRM is one distinct-user aggregate + a 1-row reduction: one
+    scan, no join, no window."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_srm_check(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
+def test_mann_whitney_deterministic_prefix(spark, sf):
+    """The global-rank prefix runs over DETERMINISTIC value-domain
+    buckets: NO spark_partition_id (the pid-based draft lost exchange
+    reuse to column pruning and misaligned its sampled partitionings
+    — pinned here), bucket-partitioned windows only, offsets
+    broadcast back."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_mann_whitney_u(spark, sf))
+    assert "SPARK_PARTITION_ID" not in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "windowspecdefinition(bucket" in plan
+
+
+def test_lpa_runs_on_fenced_pair_graph(spark, sf):
+    """Label propagation never touches the corpus after the pair
+    graph is built: the returned plan reads fenced label/edge leaves
+    (ExistingRDD), not lineitem."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_lpa_communities(spark, sf))
+    assert "lineitem.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "CartesianProduct") == 0

@@ -354,6 +354,9 @@ def test_driver_collects_are_all_bounded_and_allowlisted():
 _GROUPED_COLLECT_ALLOWLIST = {
     ("operators/audit.py", "embedding_centroid_drift"):
         "per-label (dim, mean) structs — DIM-bounded per group",
+    ("operators/curation.py", "bpe_merges_vocab"):
+        "ONE row collecting the learned merge pairs — BPE_TOP_K(=20)-"
+        "bounded by the upstream limit, broadcast to the encoder fold",
     ("operators/curation.py", "cross_lang_contamination"):
         "per-gram language set — lang-alphabet-bounded",
     ("operators/curation.py", "dedup_substring_removal"):
