@@ -152,7 +152,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 13 never-row + 3 churned + 34 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
+# 16 never-row + 3 churned + 31 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
 WINDOW: list[str] = [
     # no driver row yet
     "user_bot_score",
@@ -168,6 +168,9 @@ WINDOW: list[str] = [
     "robots_disallow_filter",
     "graph_lpa_communities",
     "tokenize_bpe_encode",
+    "events_welch_ttest",
+    "dedup_url_canonical",
+    "graph_modularity_score",
     # churned read path (CHURNED_THIS_ROUND)
     "dedup_survivors",
     "dedup_rep_weights",
@@ -204,9 +207,6 @@ WINDOW: list[str] = [
     "sketch_cms_heavy_hitters",
     "skew_salted_flag_join",
     "source_mixture_weights",
-    "text_bigram_entropy",
-    "text_zipf_slope",
-    "window_topk_orders_per_customer",
 ]
 # WINDOW:END
 

@@ -639,7 +639,11 @@ ORACLE["graph_local_clustering"] = _local_clustering_oracle_sql()
 LPA_ROUNDS = 4
 
 
-def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lpa_state(spark: SparkSession, sf_dir: str):
+    """Run the fixed-round synchronous LPA and return (symmetrized
+    fenced edge list, final node->label table) — shared by the
+    community-size report and the modularity audit so both consume
+    the IDENTICAL partition."""
     from pyspark.sql import Window
 
     from stac_geoparquet_spark.operators.mining import basket_pair_support
@@ -671,6 +675,11 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") == 1)
             .select(F.col("a").alias("n"), "lab")
         )
+    return edges, labels
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, labels = _lpa_state(spark, sf_dir)
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
@@ -713,3 +722,121 @@ FROM {prev} GROUP BY lab
 
 QUERIES["graph_lpa_communities"] = graph_lpa_communities
 ORACLE["graph_lpa_communities"] = _lpa_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA partition (round 8): the standard
+# partition-quality score Q = sum_c [ in_c/(2m) - (deg_c/(2m))^2 ] —
+# the index-quality-audit pattern (silhouette for k-means, recall for
+# ANN) applied to the new community detector: Q near 0 means LPA
+# found nothing beyond chance; Q > ~0.3 means real block structure in
+# the co-purchase graph.
+#
+# Exactness: with the symmetrized edge list (|rows| = 2m), Q
+# rearranges to A/m2 - B/m2^2 where A = #same-community rows and
+# B = sum over communities of deg_c^2 — BOTH exact int64 aggregates —
+# so the only float work is ONE fixed-shape double expression at the
+# end (no per-community double summation order to drift
+# cross-engine).  Scale: two label equi-joins + two keyed aggregates
+# on the part-bounded graph; nothing touches the corpus.
+# --------------------------------------------------------------------------
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = _lpa_state(spark, sf_dir)
+    j = (
+        edges.join(
+            labels.select(F.col("n").alias("a"), F.col("lab").alias("ca")),
+            "a",
+        )
+        .join(
+            labels.select(F.col("n").alias("b"), F.col("lab").alias("cb")),
+            "b",
+        )
+    )
+    degs = j.groupBy("ca").agg(F.count(F.lit(1)).alias("deg"))
+    parts = j.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_in"),
+    )
+    b = degs.agg(
+        F.coalesce(F.sum(F.col("deg") * F.col("deg")), F.lit(0)).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+    )
+    nodes = labels.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        parts.crossJoin(b)
+        .crossJoin(nodes)
+        .selectExpr(
+            "n_nodes",
+            "n_communities",
+            "m2 div 2 AS n_edges",
+            """CASE WHEN m2 = 0 THEN NULL
+                    ELSE round(CAST(a_in AS DOUBLE) / CAST(m2 AS DOUBLE)
+                               - CAST(b AS DOUBLE)
+                                 / (CAST(m2 AS DOUBLE)
+                                    * CAST(m2 AS DOUBLE)), 6) + 0.0
+               END AS modularity""",
+        )
+    )
+
+
+def _modularity_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
+
+    stages = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.a, l.lab, count(*) AS c
+  FROM e0 e JOIN {prev} l ON l.n = e.b GROUP BY e.a, l.lab
+),
+l{i} AS MATERIALIZED (
+  SELECT a AS n, lab FROM (
+    SELECT a, lab,
+           row_number() OVER (PARTITION BY a ORDER BY c DESC, lab) AS rk
+    FROM c{i}
+  ) WHERE rk = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH {_basket_pairs_ctes()},
+e0 AS MATERIALIZED (
+  SELECT part_a AS a, part_b AS b FROM pairs
+  UNION ALL
+  SELECT part_b AS a, part_a AS b FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM e0),
+{chain},
+j AS (
+  SELECT la.lab AS ca, lb.lab AS cb
+  FROM e0 e JOIN {prev} la ON la.n = e.a JOIN {prev} lb ON lb.n = e.b
+),
+parts AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS a_in
+  FROM j
+),
+degs AS (SELECT ca, CAST(count(*) AS BIGINT) AS deg FROM j GROUP BY ca),
+bb AS (
+  SELECT CAST(coalesce(sum(deg * deg), 0) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n_communities
+  FROM degs
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM {prev})
+SELECT n_nodes, n_communities, m2 // 2 AS n_edges,
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE round(CAST(a_in AS DOUBLE) / CAST(m2 AS DOUBLE)
+                       - CAST(b AS DOUBLE)
+                         / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)
+                 + 0.0
+       END AS modularity
+FROM parts CROSS JOIN bb CROSS JOIN nn
+"""
+
+
+QUERIES["graph_modularity_score"] = graph_modularity_score
+ORACLE["graph_modularity_score"] = _modularity_oracle_sql()

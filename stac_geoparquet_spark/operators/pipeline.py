@@ -438,7 +438,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_canon(spark, sf_dir).crossJoin(
         F.broadcast(bpe_merges_vocab(_docs(spark, sf_dir)))
     )
-    norm = F.regexp_replace(jlower(F.trim(F.col("text"))), r"\s+", " ")
+    # full Java-\s edge trim, NOT F.trim: Spark's trim strips only
+    # ASCII space, so a doc opening with '\t' would keep a leading
+    # collapsed space in the stream — one extra space token the
+    # word-route oracle (which filters the empty word) never counts.
+    # Found by the weird-whitespace differential gate.
+    norm = F.regexp_replace(
+        F.regexp_replace(jlower(F.col("text")), r"(^\s+)|(\s+$)", ""),
+        r"\s+",
+        " ",
+    )
     stream_fold = F.expr(bpe_fold_expr("norm"))
     # coalesce: a NULL-text doc contributes 0 tokens (without it the
     # NULL token count makes the doc's cumulative position — and so its

@@ -1672,3 +1672,173 @@ FROM agg
 
 QUERIES["orders_mann_whitney_u"] = orders_mann_whitney_u
 ORACLE["orders_mann_whitney_u"] = MANN_WHITNEY_SQL
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test (round 8, third experiment readout): two-sample t on
+# per-user TOTAL event value with UNEQUAL variances — the readout to
+# reach for when arm value distributions differ in spread (the pooled
+# z/t understates the error there), completing the parametric
+# (z-test, CUPED) + nonparametric (Mann-Whitney) + health-check (SRM)
+# experimentation set on the same md5-parity arm convention.
+#
+# Scale shape: one user-keyed aggregate (exact int64 cent sums), then
+# per-arm scalar moments (n, s, ss) — everything after the first
+# shuffle is a 2-row reduction.  The moment products (s*s ~1e18 at
+# corpus scale) follow the user_bot_score house rule: every int64
+# moment casts to DOUBLE BEFORE multiplication, with the identical
+# expression text on both engines (same exact inputs -> same IEEE
+# ops -> no cross-engine drift; s and ss themselves stay below 2^53
+# at any realistic per-run scale, so the casts are exact).  The
+# significance cut applies the normal-approximation threshold to the
+# UNROUNDED statistic (Welch df is in the thousands here; the df is
+# reported so a consumer can apply an exact t quantile).
+# --------------------------------------------------------------------------
+_WELCH_VA = (
+    "((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+    " / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE))"
+)
+_WELCH_VB = (
+    "((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"
+    " / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))"
+)
+_WELCH_SE2 = f"({_WELCH_VA} / CAST(na AS DOUBLE) + {_WELCH_VB} / CAST(nb AS DOUBLE))"
+_WELCH_T = (
+    f"((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+    f" - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0"
+    f" / sqrt({_WELCH_SE2} / 10000.0))"
+)
+_WELCH_GUARD = f"na < 2 OR nb < 2 OR {_WELCH_SE2} <= 0.0"
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "cents",
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("cents"))), F.lit(0)
+        ).alias("sa"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("cents"))), F.lit(0)
+        ).alias("sb"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("cents") * F.col("cents"))
+            ),
+            F.lit(0),
+        ).alias("ssa"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("cents") * F.col("cents"))
+            ),
+            F.lit(0),
+        ).alias("ssb"),
+    )
+    return agg.selectExpr(
+        "coalesce(na, 0) AS n_a",
+        "coalesce(nb, 0) AS n_b",
+        """CASE WHEN coalesce(na, 0) = 0 THEN NULL
+                ELSE round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                           / 100.0, 6)
+           END AS mean_a""",
+        """CASE WHEN coalesce(nb, 0) = 0 THEN NULL
+                ELSE round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                           / 100.0, 6)
+           END AS mean_b""",
+        f"""CASE WHEN {_WELCH_GUARD} THEN NULL
+                ELSE round({_WELCH_T}, 6) + 0.0
+           END AS t_stat""",
+        f"""CASE WHEN {_WELCH_GUARD} THEN NULL
+                ELSE round(
+                  {_WELCH_SE2} * {_WELCH_SE2}
+                  / ({_WELCH_VA} / CAST(na AS DOUBLE)
+                     * ({_WELCH_VA} / CAST(na AS DOUBLE))
+                     / CAST(na - 1 AS DOUBLE)
+                     + {_WELCH_VB} / CAST(nb AS DOUBLE)
+                       * ({_WELCH_VB} / CAST(nb AS DOUBLE))
+                       / CAST(nb - 1 AS DOUBLE)), 2)
+           END AS welch_df""",
+        f"""CASE WHEN {_WELCH_GUARD} THEN NULL
+                ELSE abs({_WELCH_T}) > 1.959964
+           END AS significant""",
+    )
+
+
+WELCH_SQL = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cents END), 0) AS BIGINT)
+      AS sa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cents END), 0) AS BIGINT)
+      AS sb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cents * cents END), 0)
+         AS BIGINT) AS ssa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cents * cents END), 0)
+         AS BIGINT) AS ssb
+  FROM per_user
+)
+SELECT coalesce(na, 0) AS n_a,
+       coalesce(nb, 0) AS n_b,
+       CASE WHEN coalesce(na, 0) = 0 THEN NULL
+            ELSE round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)
+       END AS mean_a,
+       CASE WHEN coalesce(nb, 0) = 0 THEN NULL
+            ELSE round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6)
+       END AS mean_b,
+       CASE WHEN {_WELCH_GUARD} THEN NULL
+            ELSE round({_WELCH_T}, 6) + 0.0
+       END AS t_stat,
+       CASE WHEN {_WELCH_GUARD} THEN NULL
+            ELSE round(
+              {_WELCH_SE2} * {_WELCH_SE2}
+              / ({_WELCH_VA} / CAST(na AS DOUBLE)
+                 * ({_WELCH_VA} / CAST(na AS DOUBLE))
+                 / CAST(na - 1 AS DOUBLE)
+                 + {_WELCH_VB} / CAST(nb AS DOUBLE)
+                   * ({_WELCH_VB} / CAST(nb AS DOUBLE))
+                   / CAST(nb - 1 AS DOUBLE)), 2)
+       END AS welch_df,
+       CASE WHEN {_WELCH_GUARD} THEN NULL
+            ELSE abs({_WELCH_T}) > 1.959964
+       END AS significant
+FROM agg
+"""
+
+
+QUERIES["events_welch_ttest"] = events_welch_ttest
+ORACLE["events_welch_ttest"] = WELCH_SQL

@@ -10,7 +10,8 @@ both sides (the repo's fixture-derivation convention — cf.
 funnel.funnel_by_arm's md5 arm): the derivation is the fixture; the
 parsing, canonicalization, domain extraction, and cap/filter logic
 being exercised is real and engine-agnostic.  A production deployment
-swaps `_with_url` for the corpus's real column.
+swaps the URL_EXPR projection inside `_parsed` for the corpus's real
+column.
 
 Scale notes:
 - url_normalize_audit: pure in-row regexp parsing + one groupBy over
@@ -23,6 +24,8 @@ Scale notes:
 - robots_disallow_filter: the disallow table is O(domains × rules) —
   dimension-bounded — so it broadcast-joins; the per-doc verdict is
   one groupBy on the scaling doc key.
+- dedup_url_canonical: dedup_exact's window-over-hash shape keyed on
+  the canonical URL; only (doc_id, canon_url) rows move.
 
 Registrable-domain extraction uses an EXPLICIT two-level-TLD table
 (documented below), not the full Public Suffix List — the PSL is an
@@ -379,3 +382,34 @@ ORACLE = {
     "cap_docs_per_domain": CAP_DOMAIN_SQL,
     "robots_disallow_filter": ROBOTS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical: exact dedup keyed on the CANONICAL URL — the
+# payoff of url_normalize_audit's canonicalizer, and the first dedup
+# pass a crawl pipeline runs (two fetches of http://x and
+# HTTPS://x:443/#frag are the same page before any text comparison
+# happens).  Shape mirrors dedup_exact: the window's hash partition
+# moves only (doc_id, canon_url) rows — the canonical key is computed
+# in the scan stage, and min-doc_id-wins is the survivor rule.
+# ---------------------------------------------------------------------------
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _parsed(spark, sf_dir).select("doc_id", "canon_url")
+    w = Window.partitionBy("canon_url")
+    return p.withColumn(
+        "keep", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+
+
+DEDUP_URL_SQL = f"""
+WITH {_parsed_sql()}
+SELECT doc_id, canon_url,
+       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+FROM parsed
+"""
+
+
+QUERIES["dedup_url_canonical"] = dedup_url_canonical
+ORACLE["dedup_url_canonical"] = DEDUP_URL_SQL

@@ -108,6 +108,17 @@ SAMPLE = [
     # the asset store is keyed (one payload per canonical doc_id)
     "dedup_token_savings",
     "mm_phash_dedup",
+    # round-10: every URL op keys on the canonical doc_id (the
+    # synthetic URL itself derives from it); LPA rides the canonical
+    # pair graph; the encoder's per-source weights aggregate the raw
+    # multiset on BOTH sides while its merge vocab is raw-corpus too
+    "url_normalize_audit",
+    "cap_docs_per_domain",
+    "robots_disallow_filter",
+    "graph_lpa_communities",
+    "tokenize_bpe_encode",
+    "graph_modularity_score",
+    "dedup_url_canonical",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -163,6 +163,17 @@ SAMPLE = [
     "text_script_mix_audit",
     "user_bot_score",
     "funnel_by_arm",
+    # round-10
+    "tokenize_bpe_encode",
+    "url_normalize_audit",
+    "cap_docs_per_domain",
+    "robots_disallow_filter",
+    "events_srm_check",
+    "orders_mann_whitney_u",
+    "graph_lpa_communities",
+    "events_welch_ttest",
+    "graph_modularity_score",
+    "dedup_url_canonical",
 ]
 
 TABLES = (
@@ -224,6 +235,12 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # fixed 3-stage report (zero-valued), the
         # funnel_view_click_purchase contract
         "funnel_time_bounded",
+        # one-row experiment summaries: zero counts + NULL stats on
+        # both engines (agg without groupBy always emits its row)
+        "events_srm_check",
+        "orders_mann_whitney_u",
+        "events_welch_ttest",
+        "graph_modularity_score",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

@@ -3070,3 +3070,327 @@ def test_funnel_by_arm_partitions_the_funnel(spark):
             assert r["click_rate"] == round(
                 r["n_click_1h"] / r["n_view"], 6
             )
+
+
+# ---------------------------------------------------------------------------
+# round 10: tokenizer encode, URL curation, SRM / Mann-Whitney, LPA
+# ---------------------------------------------------------------------------
+def test_bpe_encode_reconstructs_greedy_scan(spark):
+    """The engine's per-source subword totals equal a pure-Python
+    greedy longest-match replay over the same words and the same
+    learned merge list; fertility sits in [1/2, 1] of word-relative
+    bounds inverted (each word yields between ceil(len/2) and len
+    tokens, so fertility >= 1 and chars_per_token in [1, 2])."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.curation import (
+        _bpe_topk,
+        _word_freq,
+        tokenize_bpe_encode,
+    )
+    from stac_geoparquet_spark.operators._io import read_documents
+
+    docs = read_documents(spark, SF_DIR)
+    merges = set(
+        r["pair"] for r in _bpe_topk(_word_freq(docs)).collect()
+    )
+
+    def greedy(word: str) -> int:
+        p, t = 0, 0
+        while p < len(word):
+            p += 2 if word[p : p + 2] in merges else 1
+            t += 1
+        return t
+
+    import re
+
+    exp: dict[str, list[int]] = {}
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).to_pylist():
+        if r["source"] is None or r["text"] is None:
+            continue
+        words = [
+            w
+            for w in re.split(r"[ \t\n\x0b\f\r]+", r["text"].strip().lower())
+            if w
+        ]
+        agg = exp.setdefault(r["source"], [0, 0, 0])
+        agg[0] += len(words)
+        agg[1] += sum(len(w) for w in words)
+        agg[2] += sum(greedy(w) for w in words)
+    rows = tokenize_bpe_encode(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(exp)
+    for r in rows:
+        nw, nc, nt = exp[r["source"]]
+        assert (r["n_words"], r["n_chars"], r["n_bpe_tokens"]) == (nw, nc, nt)
+        assert r["fertility"] >= 1.0
+        assert 1.0 <= r["chars_per_token"] <= 2.0
+
+
+def test_pack_bpe_tokens_bounded_by_chars_and_words(spark):
+    """Each bin's subword mass is at least its whitespace-token count
+    (a word is >= 1 subword token) and the totals match the
+    tokenizer's corpus totals plus the (n_words - 1) per-doc
+    separators."""
+    from stac_geoparquet_spark.operators.pipeline import pack_sequences
+
+    rows = pack_sequences(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["total_bpe_tokens"] >= r["total_tokens"] >= 0
+
+
+def test_url_canonicalization_properties(spark):
+    """Canonical URLs never keep a fragment, a utm_ param, a default
+    port for their scheme, or scheme/host uppercase; canonicalizing
+    is idempotent on the distinct-count level (distinct canon <=
+    distinct raw)."""
+    from stac_geoparquet_spark.operators.url import _parsed
+
+    rows = _parsed(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        c = r["canon_url"]
+        assert "#" not in c
+        assert "utm_" not in c
+        assert c.split("://")[0] == c.split("://")[0].lower()
+        host = c.split("://")[1].split("/")[0].split("?")[0]
+        assert host == host.lower()
+        if c.startswith("https://"):
+            assert ":443" not in host
+        if c.startswith("http://"):
+            assert ":80" not in host or ":8080" in host
+
+
+def test_cap_docs_per_domain_keeps_first_k(spark):
+    """Per domain, exactly min(n, K) docs are selected and they are
+    the K smallest doc_ids (first-crawled wins)."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.url import (
+        DOMAIN_CAP,
+        cap_docs_per_domain,
+    )
+
+    rows = cap_docs_per_domain(spark, SF_DIR).collect()
+    assert rows
+    by_dom = defaultdict(list)
+    for r in rows:
+        by_dom[r["domain"]].append((r["doc_id"], r["selected"]))
+    for dom, pairs in by_dom.items():
+        pairs.sort()
+        kept = [d for d, s in pairs if s]
+        assert len(kept) == min(len(pairs), DOMAIN_CAP)
+        assert kept == [d for d, _ in pairs[: len(kept)]]
+
+
+def test_robots_filter_matches_rule_table(spark):
+    """The per-source blocked counts equal a Python replay of the
+    deterministic rule fixture over the parsed paths (true prefix
+    semantics: '/p/1' covers '/p/10')."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.url import (
+        _parsed,
+        robots_disallow_filter,
+    )
+
+    parsed = _parsed(spark, SF_DIR).select(
+        "doc_id", "source", "domain", "path"
+    ).collect()
+
+    def rules(domain: str) -> list[str]:
+        m = len(domain) % 3
+        return ["/p/1", "/p/2", "/p/3"] if m == 0 else (
+            ["/p/4"] if m == 1 else []
+        )
+
+    exp = defaultdict(lambda: [0, 0])
+    for r in parsed:
+        exp[r["source"]][0] += 1
+        if any(r["path"].startswith(p) for p in rules(r["domain"])):
+            exp[r["source"]][1] += 1
+    rows = robots_disallow_filter(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(exp)
+    for r in rows:
+        n, b = exp[r["source"]]
+        assert (r["n_docs"], r["n_blocked"], r["n_kept"]) == (n, b, n - b)
+
+
+def test_srm_counts_partition_users(spark):
+    """Arm counts partition the distinct user set, and the statistic
+    reconstructs from the two counts."""
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_srm_check,
+    )
+
+    r = events_srm_check(spark, SF_DIR).collect()[0]
+    assert r["n_arm0"] + r["n_arm1"] == r["n_users"]
+    na, nb = r["n_arm0"], r["n_arm1"]
+    exp = round((na - nb) ** 2 / (na + nb), 6)
+    assert abs(r["srm_stat"] - exp) < 1e-9
+    assert r["srm_mismatch"] == ((na - nb) ** 2 / (na + nb) > 3.841459)
+
+
+def test_mann_whitney_matches_scipy_free_replay(spark):
+    """U and z reconstruct from a direct rank computation over the
+    collected order values (average ranks, tie-corrected sigma)."""
+    import os
+    from collections import Counter
+    from hashlib import md5
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        orders_mann_whitney_u,
+    )
+
+    vals = []
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).to_pylist():
+        if r["o_custkey"] is None or r["o_totalprice"] is None:
+            continue
+        arm = int(md5(str(r["o_custkey"]).encode()).hexdigest()[:4], 16) % 2
+        # Python round() is banker's; Spark/DuckDB round() is HALF_UP
+        import decimal
+
+        cents = int(
+            decimal.Decimal(r["o_totalprice"] * 100).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        vals.append((cents, arm))
+    n = len(vals)
+    na = sum(1 for _, a in vals if a == 0)
+    nb = n - na
+    cnt = Counter(c for c, _ in vals)
+    na_cnt = Counter(c for c, a in vals if a == 0)
+    prefix, r2, t3 = 0, 0.0, 0.0
+    for c in sorted(cnt):
+        nv = cnt[c]
+        r2 += na_cnt.get(c, 0) * (2 * prefix + nv + 1)
+        t3 += nv**3 - nv
+        prefix += nv
+    u = (r2 - na * (na + 1)) / 2.0
+    mu = na * nb / 2.0
+    sig2 = (na * nb / 12.0) * ((n + 1) - t3 / (n * (n - 1)))
+    z = (u - mu) / sig2**0.5
+    row = orders_mann_whitney_u(spark, SF_DIR).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert abs(row["u_stat"] - round(u, 2)) < 1e-9
+    assert abs(row["z_score"] - round(z, 6)) < 1e-9
+    assert row["significant"] == (abs(z) > 1.959964)
+
+
+def test_lpa_labels_form_partition_of_nodes(spark):
+    """Community sizes sum to the node count of the pair graph, and
+    every community label is itself a node id."""
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.operators.graph import (
+        graph_lpa_communities,
+    )
+    from stac_geoparquet_spark.operators.mining import (
+        basket_pair_support,
+    )
+
+    pairs = basket_pair_support(spark, SF_DIR).select("part_a", "part_b")
+    nodes = set(
+        r[0]
+        for r in pairs.select(F.col("part_a").alias("n"))
+        .union(pairs.select("part_b"))
+        .distinct()
+        .collect()
+    )
+    rows = graph_lpa_communities(spark, SF_DIR).collect()
+    assert sum(r["n_members"] for r in rows) == len(nodes)
+    assert all(r["community"] in nodes for r in rows)
+
+
+def test_welch_reconstructs_from_moments(spark):
+    """t and df reconstruct from a direct per-arm moment replay of the
+    per-user cent sums."""
+    import os
+    from collections import defaultdict
+    from hashlib import md5
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_welch_ttest,
+    )
+
+    per_user = defaultdict(int)
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "value"],
+    ).to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        cents = int(
+            decimal.Decimal(r["value"] * 100).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        per_user[r["user_id"]] += cents
+    arms = defaultdict(list)
+    for u, c in per_user.items():
+        arm = int(md5(str(u).encode()).hexdigest()[:4], 16) % 2
+        arms[arm].append(c)
+    a, b = arms[0], arms[1]
+    na, nb = len(a), len(b)
+    sa, sb = sum(a), sum(b)
+    va = (sum(x * x for x in a) - sa * sa / na) / (na - 1)
+    vb = (sum(x * x for x in b) - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / 100.0 / ((se2 / 10000.0) ** 0.5)
+    df = se2 * se2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    row = events_welch_ttest(spark, SF_DIR).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert abs(row["t_stat"] - round(t, 6)) < 1e-9
+    assert abs(row["welch_df"] - round(df, 2)) < 1e-9
+    assert row["significant"] == (abs(t) > 1.959964)
+
+
+def test_modularity_bounds_and_consistency(spark):
+    """Q is in [-1, 1], and n_nodes / n_communities / n_edges agree
+    with the LPA community report and the pair graph."""
+    from stac_geoparquet_spark.operators.graph import (
+        graph_lpa_communities,
+        graph_modularity_score,
+    )
+    from stac_geoparquet_spark.operators.mining import (
+        basket_pair_support,
+    )
+
+    row = graph_modularity_score(spark, SF_DIR).collect()[0]
+    comms = graph_lpa_communities(spark, SF_DIR).collect()
+    assert row["n_communities"] == len(comms)
+    assert row["n_nodes"] == sum(r["n_members"] for r in comms)
+    assert row["n_edges"] == basket_pair_support(spark, SF_DIR).count()
+    assert -1.0 <= row["modularity"] <= 1.0
+
+
+def test_dedup_url_canonical_keeps_min_per_group(spark):
+    """Exactly one keeper per canonical URL, and it is the smallest
+    doc_id of its group."""
+    from collections import defaultdict
+
+    from stac_geoparquet_spark.operators.url import dedup_url_canonical
+
+    rows = dedup_url_canonical(spark, SF_DIR).collect()
+    assert rows
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["canon_url"]].append((r["doc_id"], r["keep"]))
+    for url, pairs in groups.items():
+        keepers = [d for d, k in pairs if k]
+        assert keepers == [min(d for d, _ in pairs)]

@@ -606,6 +606,12 @@ def weird_ws_dir(tmp_path_factory):
 
 
 WS_SAMPLE = SAMPLE + [
+    # round-10: the encoder's word stream and the pack identity
+    # (stream fold == word tokens + separators) are exactly the
+    # contracts edge-whitespace attacks — the fixture caught the
+    # ASCII-only F.trim leading-space token divergence in
+    # pack_sequences' first draft
+    "tokenize_bpe_encode",
     "text_quality_score",
     "text_lang_id",
     "quality_repetition",

@@ -2212,3 +2212,40 @@ def test_lpa_runs_on_fenced_pair_graph(spark, sf):
     assert "lineitem.parquet" not in plan
     assert "ExistingRDD" in plan
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_welch_single_pass(spark, sf):
+    """Welch's t is one user-keyed aggregate + a 2-row moment
+    reduction: one scan, no join, no window."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_welch_ttest(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
+def test_modularity_on_fenced_partition(spark, sf):
+    """Modularity consumes the SAME fenced LPA state as the community
+    report: no corpus scan in the returned plan, exact-int aggregates
+    joined as 1-row broadcasts (BroadcastNestedLoopJoin on the three
+    scalar legs, never a CartesianProduct)."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_modularity_score(spark, sf))
+    assert "lineitem.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_dedup_url_canonical_slim_shuffle(spark, sf):
+    """The canonical-URL dedup shuffles only (doc_id, canon_url): the
+    window partitions on the canonical key and no text column
+    survives past the scan projection."""
+    from stac_geoparquet_spark.operators import url
+
+    plan = plan_of(url.dedup_url_canonical(spark, sf))
+    assert n_ops(plan, "Window") == 1
+    assert "windowspecdefinition(canon_url" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
