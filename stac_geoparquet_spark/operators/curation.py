@@ -431,12 +431,41 @@ def _bpe_topk(wf: DataFrame) -> DataFrame:
     )
 
 
+# The learned top-K pair table is session-cached (the mining
+# _SUPPORT_PAIRS_CACHE pattern): the corpus-wide word-frequency
+# aggregate behind it is paid once for its three consumers
+# (bpe_merge_candidates, tokenize_bpe_encode, pack_sequences).
+_BPE_TOPK_CACHE: dict = {}
+
+
+def _bpe_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from stac_geoparquet_spark.operators._io import fenced, source_stamp
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, source_stamp(src))
+    hit = _BPE_TOPK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = fenced(_bpe_topk(_word_freq(_docs(spark, sf_dir))))
+    _BPE_TOPK_CACHE[key] = out
+    return out
+
+
 def bpe_merges_vocab(docs: DataFrame) -> DataFrame:
     """The learned merge vocabulary as ONE row holding a sorted
     ``array<string>`` — cross-join-broadcast it onto any table and the
     greedy encoder below runs as a pure in-row fold (zero extra
     shuffles; the array is BPE_TOP_K elements at any corpus size)."""
     return _bpe_topk(_word_freq(docs)).agg(
+        F.sort_array(F.collect_list("pair")).alias("merges")
+    )
+
+
+def bpe_merges_vocab_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_merges_vocab`` over the session-cached top-K table."""
+    return _bpe_topk_cached(spark, sf_dir).agg(
         F.sort_array(F.collect_list("pair")).alias("merges")
     )
 
@@ -448,8 +477,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies to the vocabulary, not the corpus. Final top-K is a
     distributed TakeOrderedAndProject; the rank window touches K
     rows."""
-    docs = _docs(spark, sf_dir)
-    counts = _bpe_topk(_word_freq(docs))
+    counts = _bpe_topk_cached(spark, sf_dir)
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
@@ -956,7 +984,9 @@ def tokenize_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     words = wf_src.select("word").distinct()
-    toks = words.crossJoin(F.broadcast(bpe_merges_vocab(docs))).select(
+    toks = words.crossJoin(
+        F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
+    ).select(
         "word", F.expr(_BPE_FOLD).alias("toks")
     )
     agg = (

@@ -639,6 +639,12 @@ ORACLE["graph_local_clustering"] = _local_clustering_oracle_sql()
 LPA_ROUNDS = 4
 
 
+# LPA state is session-cached (the mining._SUPPORT_PAIRS_CACHE /
+# dedup label-table pattern): 4 fenced rounds are paid once however
+# many consumers (community sizes, modularity) run in a session.
+_LPA_STATE_CACHE: dict = {}
+
+
 def _lpa_state(spark: SparkSession, sf_dir: str):
     """Run the fixed-round synchronous LPA and return (symmetrized
     fenced edge list, final node->label table) — shared by the
@@ -646,7 +652,15 @@ def _lpa_state(spark: SparkSession, sf_dir: str):
     the IDENTICAL partition."""
     from pyspark.sql import Window
 
-    from stac_geoparquet_spark.operators.mining import basket_pair_support
+    from stac_geoparquet_spark.operators.mining import (
+        _pairs_cache_key,
+        basket_pair_support,
+    )
+
+    key = _pairs_cache_key(spark, sf_dir)
+    hit = _LPA_STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     pairs = basket_pair_support(spark, sf_dir).select("part_a", "part_b")
     edges = fenced(
@@ -675,6 +689,7 @@ def _lpa_state(spark: SparkSession, sf_dir: str):
             .where(F.col("rk") == 1)
             .select(F.col("a").alias("n"), "lab")
         )
+    _LPA_STATE_CACHE[key] = (edges, labels)
     return edges, labels
 
 

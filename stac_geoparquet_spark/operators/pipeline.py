@@ -431,12 +431,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from stac_geoparquet_spark.operators.curation import (
         bpe_fold_expr,
-        bpe_merges_vocab,
+        bpe_merges_vocab_cached,
     )
     from stac_geoparquet_spark.operators.text import jlower
 
     docs = _docs_canon(spark, sf_dir).crossJoin(
-        F.broadcast(bpe_merges_vocab(_docs(spark, sf_dir)))
+        F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
     )
     # full Java-\s edge trim, NOT F.trim: Spark's trim strips only
     # ASCII space, so a doc opening with '\t' would keep a leading
