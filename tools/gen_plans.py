@@ -423,6 +423,38 @@ SHOWCASE = [
         "partitioning); moments are exact int64, the burstiness "
         "expression is a pure projection.",
     ),
+    (
+        "tokenize_bpe_encode",
+        "Greedy subword encode with the sequential scan confined to "
+        "the DISTINCT word table: the session-cached merge table "
+        "arrives as a 1-row broadcast (BroadcastNestedLoopJoin), the "
+        "fold is an in-row aggregate() expression (no Python), and "
+        "corpus weighting re-joins on the vocab-scaled word key.",
+    ),
+    (
+        "orders_mann_whitney_u",
+        "Global average ranks WITHOUT a global window or sampled "
+        "range boundaries: the exclusive prefix runs per "
+        "DETERMINISTIC value-domain bucket (cents div 2^20 — each "
+        "window partition is hard-bounded by the bucket width at any "
+        "corpus size) with the tiny bucket-offset table broadcast "
+        "back; no spark_partition_id anywhere in the plan.",
+    ),
+    (
+        "cap_docs_per_domain",
+        "Per-domain cap through the twophase scaffold: the only "
+        "window keys on (domain, spark_partition_id) — never the "
+        "bounded domain alone — and the K-th-best thresholds join "
+        "back broadcast, so a hot domain cannot create a hot "
+        "partition.",
+    ),
+    (
+        "graph_modularity_score",
+        "Partition-quality audit over the session-cached LPA state: "
+        "the returned plan reads fenced leaves (ExistingRDD), "
+        "aggregates exact int64 A/B/m2 scalars, and combines them as "
+        "1-row broadcast joins — zero corpus scans.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
