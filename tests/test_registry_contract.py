@@ -465,3 +465,39 @@ def test_grouped_collects_are_all_bounded_and_allowlisted():
     assert not stale, (
         f"allowlist entries with no remaining call site: {sorted(stale)}"
     )
+
+
+def test_generated_window_is_fresh():
+    """The WINDOW list in __spark_entry__ must equal what
+    tools/gen_ledger.py --emit-window would generate from the current
+    registry + CORRECTNESS files + CHURNED_THIS_ROUND — i.e. nobody
+    registered an operator (or a new driver round landed) without
+    regenerating the window.  This mechanizes the r07 near-miss
+    (a hand-pinned window built on a wrong assumption about the
+    previous round's eval)."""
+    import os
+    import sys
+
+    import __spark_entry__ as entry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import gen_ledger
+
+    _, latest_green, _, _ = gen_ledger._scan_rounds()
+    registered = list(entry.queries())
+    never = [n for n in registered if n not in latest_green]
+    churned = [
+        n
+        for n in entry.CHURNED_THIS_ROUND
+        if n in registered and n not in never
+    ]
+    rest = sorted(
+        (n for n in registered if n not in never and n not in churned),
+        key=lambda n: (latest_green[n], n),
+    )
+    expected = (never + churned + rest)[:50]
+    assert entry.WINDOW == expected, (
+        "stale driver window — run: python tools/gen_ledger.py "
+        "--emit-window"
+    )
