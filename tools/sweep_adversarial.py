@@ -69,6 +69,16 @@ TABLES = (
 #                  (negative epoch us/days: div/mod conventions)
 #   constant_ts    every event/order at ONE instant (all-ties regime:
 #                  total-order tiebreak contracts)
+#   unicode_text   the JVM-vs-utf8proc divergence corpus injected
+#                  corpus-wide: Final_Sigma endings, Turkish İ (the
+#                  full-casing expansion), NBSP (non-\s in BOTH
+#                  engines), vertical tab (Java \s, not RE2 \s),
+#                  combining vs precomposed accents (NFC contract),
+#                  ligatures/full-width forms, capital sharp s —
+#                  verifies every text operator actually routes
+#                  through the patched shared helpers (jlower /
+#                  _sql_lower / SQL_WS / jtrim), not ad-hoc lower()/
+#                  trim()/\s
 FIXTURES: dict[str, dict[str, str]] = {
     "null_events": {
         "events": """COPY (SELECT event_id,
@@ -180,6 +190,23 @@ FIXTURES: dict[str, dict[str, str]] = {
     # as-of matches, top-k cuts) degenerates to engine-dependent
     # nondeterminism here; the axis proves the house rule that every
     # window key is totally ordered
+    "unicode_text": {
+        "documents": """COPY (SELECT doc_id,
+      CASE WHEN text IS NULL THEN text ELSE
+        (CASE WHEN doc_id % 7 = 0 THEN 'ΟΔΟΣ ΣΟΦΟΣ Σ ' || text
+              ELSE text END)
+        || (CASE WHEN doc_id % 11 = 0 THEN ' İstanbul DİŞ İ' ELSE '' END)
+        || (CASE WHEN doc_id % 13 = 0 THEN ' x' || chr(160) || 'y'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 17 = 0 THEN ' a' || chr(11) || 'b'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 19 = 0 THEN ' cafe' || chr(769) || ' café'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 23 = 0 THEN ' ﬁnal ＡＢＣ ẞ' ELSE '' END)
+      END AS text,
+      lang, source, n_chars
+      FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)""",
+    },
     "constant_ts": {
         "events": """COPY (SELECT event_id,
       min(ts) OVER () AS ts, user_id, event_type, value, props
