@@ -350,9 +350,11 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixpoint early-exit: when no node falls below k the peel is
         # the identity, and so is every remaining round — on BOTH
         # engines (the oracle's extra unrolled stages are no-ops), so
-        # breaking here changes nothing but the job count.  Two tiny
-        # counts per round against the fenced edge set.
-        if keep.count() == deg.count():
+        # breaking here changes nothing but the job count.  ONE
+        # take(1)-style probe per round against the fenced edge set
+        # (r07 verdict nit: the previous keep.count()==deg.count()
+        # pair ran two full-aggregate jobs per round).
+        if deg.where(F.col("deg") < KCORE_K).isEmpty():
             break
         edges = fenced(
             edges.join(keep, "part_a").join(

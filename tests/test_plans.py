@@ -441,9 +441,10 @@ def test_pack_sequences_no_global_window(spark, sf):
     ) or "[bucket" in plan
     # the doc-side window exchange hashes on bucket, not a single range
     assert "hashpartitioning(bucket" in plan
-    # the unpartitioned (SinglePartition) exchange feeds only the
-    # bucket-offset aggregate, which is |docs|/65536 rows
-    assert plan.count("SinglePartition") <= 2
+    # the unpartitioned (SinglePartition) exchanges feed only the
+    # bucket-offset aggregate (|docs|/65536 rows) and the 1-row
+    # merge-vocab collect over the 20-row cached BPE table
+    assert plan.count("SinglePartition") <= 3
 
 
 def test_edit_distance_join_prefix_filtered(spark, sf):

@@ -357,6 +357,8 @@ _GROUPED_COLLECT_ALLOWLIST = {
     ("operators/curation.py", "bpe_merges_vocab"):
         "ONE row collecting the learned merge pairs — BPE_TOP_K(=20)-"
         "bounded by the upstream limit, broadcast to the encoder fold",
+    ("operators/curation.py", "bpe_merges_vocab_cached"):
+        "same collect over the session-cached 20-row top-K table",
     ("operators/curation.py", "cross_lang_contamination"):
         "per-gram language set — lang-alphabet-bounded",
     ("operators/curation.py", "dedup_substring_removal"):
