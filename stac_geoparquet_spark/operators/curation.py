@@ -453,18 +453,12 @@ def _bpe_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def bpe_merges_vocab(docs: DataFrame) -> DataFrame:
-    """The learned merge vocabulary as ONE row holding a sorted
-    ``array<string>`` — cross-join-broadcast it onto any table and the
-    greedy encoder below runs as a pure in-row fold (zero extra
-    shuffles; the array is BPE_TOP_K elements at any corpus size)."""
-    return _bpe_topk(_word_freq(docs)).agg(
-        F.sort_array(F.collect_list("pair")).alias("merges")
-    )
-
-
 def bpe_merges_vocab_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``bpe_merges_vocab`` over the session-cached top-K table."""
+    """The learned merge vocabulary as ONE row holding a sorted
+    ``array<string>`` over the session-cached top-K table —
+    cross-join-broadcast it onto any table and the greedy encoder
+    runs as a pure in-row fold (zero extra shuffles; the array is
+    BPE_TOP_K elements at any corpus size)."""
     return _bpe_topk_cached(spark, sf_dir).agg(
         F.sort_array(F.collect_list("pair")).alias("merges")
     )

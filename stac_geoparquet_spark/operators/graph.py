@@ -702,7 +702,12 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle_sql() -> str:
+def _lpa_chain_sql() -> tuple[str, str]:
+    """The shared oracle preamble for BOTH LPA consumers: pair-graph
+    CTEs + symmetrized e0 + l0 + the unrolled fixed-round update
+    chain.  One definition, so the community report and the
+    modularity audit can never desynchronize on rounds or tie-break.
+    Returns (cte_text, final_label_cte_name)."""
     from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
 
     stages = []
@@ -723,15 +728,21 @@ l{i} AS MATERIALIZED (
         )
         prev = f"l{i}"
     chain = ",\n".join(stages)
-    return f"""
-WITH {_basket_pairs_ctes()},
+    ctes = f"""{_basket_pairs_ctes()},
 e0 AS MATERIALIZED (
   SELECT part_a AS a, part_b AS b FROM pairs
   UNION ALL
   SELECT part_b AS a, part_a AS b FROM pairs
 ),
 l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM e0),
-{chain}
+{chain}"""
+    return ctes, prev
+
+
+def _lpa_oracle_sql() -> str:
+    ctes, prev = _lpa_chain_sql()
+    return f"""
+WITH {ctes}
 SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
 FROM {prev} GROUP BY lab
 """
@@ -799,35 +810,9 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modularity_oracle_sql() -> str:
-    from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
-
-    stages = []
-    prev = "l0"
-    for i in range(1, LPA_ROUNDS + 1):
-        stages.append(
-            f"""c{i} AS MATERIALIZED (
-  SELECT e.a, l.lab, count(*) AS c
-  FROM e0 e JOIN {prev} l ON l.n = e.b GROUP BY e.a, l.lab
-),
-l{i} AS MATERIALIZED (
-  SELECT a AS n, lab FROM (
-    SELECT a, lab,
-           row_number() OVER (PARTITION BY a ORDER BY c DESC, lab) AS rk
-    FROM c{i}
-  ) WHERE rk = 1
-)"""
-        )
-        prev = f"l{i}"
-    chain = ",\n".join(stages)
+    ctes, prev = _lpa_chain_sql()
     return f"""
-WITH {_basket_pairs_ctes()},
-e0 AS MATERIALIZED (
-  SELECT part_a AS a, part_b AS b FROM pairs
-  UNION ALL
-  SELECT part_b AS a, part_a AS b FROM pairs
-),
-l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM e0),
-{chain},
+WITH {ctes},
 j AS (
   SELECT la.lab AS ca, lb.lab AS cb
   FROM e0 e JOIN {prev} la ON la.n = e.a JOIN {prev} lb ON lb.n = e.b

@@ -116,25 +116,40 @@ def test_live_scan_partitioned_range(spark, pg):
 
 
 def test_live_decode_and_hydrate(spark, pg):
-    """S6/S7: rows pulled live decode through parse_item_strings and
-    hydrate against the collection base item (the reference's arrow
-    path: id/collection string fields, polygon geometry)."""
+    """S6/S7: rows pulled live run the REAL decode path — base items
+    fetched via collection_base_item (the reference's lru-cached
+    lookup, here a broadcast table), hydrate_rows' Arrow-batched
+    decode, then parse_item_strings — and come back as hydrated items
+    with polygon geometry (the reference's arrow-path assertions)."""
     if not JDBC_URL:
         pytest.skip("PGSTAC_JDBC_URL not set (postgres JDBC jar needed)")
     from stac_geoparquet_spark.sources.pgstac import (
+        hydrate_rows,
         parse_item_strings,
         read_pgstac,
     )
 
-    raw = read_pgstac(spark, JDBC_URL, collection="naip").selectExpr(
-        "content AS item"
+    with pg.cursor() as cur:
+        cur.execute("SELECT id FROM collections")
+        cids = [r[0] for r in cur.fetchall()]
+        bases = []
+        for cid in cids:
+            cur.execute("SELECT collection_base_item(%s)::text", (cid,))
+            bases.append((cid, cur.fetchone()[0]))
+    base_df = spark.createDataFrame(
+        bases, "collection string, base_item string"
     )
-    items = parse_item_strings(spark, raw)
-    rows = items.collect()
-    assert len(rows) == _item_count(pg)
-    for r in rows:
-        item = json.loads(r["item"]) if isinstance(r["item"], str) else r
+    raw = read_pgstac(spark, JDBC_URL, collection="naip")
+    decoded = hydrate_rows(raw, base_df)
+    items = [json.loads(r["item_json"]) for r in decoded.collect()]
+    assert len(items) == _item_count(pg)
+    for item in items:
+        assert item["collection"] == "naip"
         assert item["geometry"]["type"] == "Polygon"
+        assert item["bbox"] is not None
+    parsed = parse_item_strings(spark, decoded)
+    assert parsed.count() == _item_count(pg)
+    assert {"id", "geometry", "assets"} <= set(parsed.columns)
 
 
 def test_live_sync_partitions(spark, pg, tmp_path):

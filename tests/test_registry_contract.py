@@ -354,11 +354,10 @@ def test_driver_collects_are_all_bounded_and_allowlisted():
 _GROUPED_COLLECT_ALLOWLIST = {
     ("operators/audit.py", "embedding_centroid_drift"):
         "per-label (dim, mean) structs — DIM-bounded per group",
-    ("operators/curation.py", "bpe_merges_vocab"):
-        "ONE row collecting the learned merge pairs — BPE_TOP_K(=20)-"
-        "bounded by the upstream limit, broadcast to the encoder fold",
     ("operators/curation.py", "bpe_merges_vocab_cached"):
-        "same collect over the session-cached 20-row top-K table",
+        "ONE row collecting the learned merge pairs — BPE_TOP_K(=20)-"
+        "bounded by the upstream limit (session-cached table), "
+        "broadcast to the encoder fold",
     ("operators/curation.py", "cross_lang_contamination"):
         "per-gram language set — lang-alphabet-bounded",
     ("operators/curation.py", "dedup_substring_removal"):
@@ -488,17 +487,9 @@ def test_generated_window_is_fresh():
 
     _, latest_green, _, _ = gen_ledger._scan_rounds()
     registered = list(entry.queries())
-    never = [n for n in registered if n not in latest_green]
-    churned = [
-        n
-        for n in entry.CHURNED_THIS_ROUND
-        if n in registered and n not in never
-    ]
-    rest = sorted(
-        (n for n in registered if n not in never and n not in churned),
-        key=lambda n: (latest_green[n], n),
+    expected, _, _ = gen_ledger.compute_window(
+        registered, latest_green, entry.CHURNED_THIS_ROUND
     )
-    expected = (never + churned + rest)[:50]
     assert entry.WINDOW == expected, (
         "stale driver window — run: python tools/gen_ledger.py "
         "--emit-window"
