@@ -152,7 +152,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 16 never-row + 3 churned + 31 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
+# 17 never-row + 3 churned + 30 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
 WINDOW: list[str] = [
     # no driver row yet
     "user_bot_score",
@@ -171,6 +171,7 @@ WINDOW: list[str] = [
     "events_welch_ttest",
     "dedup_url_canonical",
     "graph_modularity_score",
+    "events_power_analysis",
     # churned read path (CHURNED_THIS_ROUND)
     "dedup_survivors",
     "dedup_rep_weights",
@@ -206,7 +207,6 @@ WINDOW: list[str] = [
     "semi_join_active_customers",
     "sketch_cms_heavy_hitters",
     "skew_salted_flag_join",
-    "source_mixture_weights",
 ]
 # WINDOW:END
 

@@ -1842,3 +1842,111 @@ FROM agg
 
 QUERIES["events_welch_ttest"] = events_welch_ttest
 ORACLE["events_welch_ttest"] = WELCH_SQL
+
+
+# --------------------------------------------------------------------------
+# Experiment power analysis (round 8, closing the A/B toolkit): given
+# the observed per-user value distribution, the sample size each arm
+# needs to detect a POWER_REL_MDE relative lift at 80% power / 5%
+# two-sided alpha — the question a team asks BEFORE launching the
+# experiment the z/t/Mann-Whitney readouts will judge, and the reason
+# the same per-user moments are worth computing standalone.
+#
+# n_per_arm = ceil( (z_{1-a/2} + z_{power})^2 * 2*sigma^2 / delta^2 )
+# with delta = POWER_REL_MDE * mean.  Scale shape: one user-keyed
+# aggregate then a 1-row moment reduction; all moments are exact
+# int64 cent sums, every product is cast to DOUBLE before multiplying
+# (the user_bot_score house rule), and the ceil/compare run on the
+# identical expression text on both engines.
+# --------------------------------------------------------------------------
+POWER_REL_MDE = 0.05  # minimum detectable effect, relative to the mean
+_POWER_Z2 = "(1.959964 + 0.841621) * (1.959964 + 0.841621)"
+_POWER_VAR = (
+    "((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+)
+_POWER_MEAN = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+_POWER_DELTA = f"({POWER_REL_MDE} * {_POWER_MEAN})"
+_POWER_GUARD = (
+    f"n < 2 OR s = 0 OR {_POWER_VAR} <= 0.0"
+)
+_POWER_N = (
+    f"CAST(ceil({_POWER_Z2} * 2.0 * {_POWER_VAR}"
+    f" / ({_POWER_DELTA} * {_POWER_DELTA})) AS BIGINT)"
+)
+
+
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")), F.lit(0)).alias(
+            "ss"
+        ),
+    )
+    return agg.selectExpr(
+        "n AS n_users",
+        f"""CASE WHEN n = 0 THEN NULL
+                ELSE round({_POWER_MEAN} / 100.0, 6)
+           END AS mean_user_value""",
+        f"""CASE WHEN n < 2 THEN NULL
+                ELSE round(sqrt({_POWER_VAR}) / 100.0, 6)
+           END AS std_user_value""",
+        f"""CASE WHEN n = 0 THEN NULL
+                ELSE round({_POWER_DELTA} / 100.0, 6)
+           END AS mde_abs""",
+        f"""CASE WHEN {_POWER_GUARD} THEN NULL
+                ELSE {_POWER_N}
+           END AS required_n_per_arm""",
+        f"""CASE WHEN {_POWER_GUARD} THEN NULL
+                ELSE n >= 2 * {_POWER_N}
+           END AS powered_at_current_n""",
+    )
+
+
+POWER_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(cents * cents), 0) AS BIGINT) AS ss
+  FROM per_user
+)
+SELECT n AS n_users,
+       CASE WHEN n = 0 THEN NULL
+            ELSE round({_POWER_MEAN} / 100.0, 6)
+       END AS mean_user_value,
+       CASE WHEN n < 2 THEN NULL
+            ELSE round(sqrt({_POWER_VAR}) / 100.0, 6)
+       END AS std_user_value,
+       CASE WHEN n = 0 THEN NULL
+            ELSE round({_POWER_DELTA} / 100.0, 6)
+       END AS mde_abs,
+       CASE WHEN {_POWER_GUARD} THEN NULL
+            ELSE {_POWER_N}
+       END AS required_n_per_arm,
+       CASE WHEN {_POWER_GUARD} THEN NULL
+            ELSE n >= 2 * {_POWER_N}
+       END AS powered_at_current_n
+FROM agg
+"""
+
+
+QUERIES["events_power_analysis"] = events_power_analysis
+ORACLE["events_power_analysis"] = POWER_SQL

@@ -174,6 +174,7 @@ SAMPLE = [
     "events_welch_ttest",
     "graph_modularity_score",
     "dedup_url_canonical",
+    "events_power_analysis",
 ]
 
 TABLES = (
@@ -241,6 +242,7 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "orders_mann_whitney_u",
         "events_welch_ttest",
         "graph_modularity_score",
+        "events_power_analysis",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

@@ -3394,3 +3394,43 @@ def test_dedup_url_canonical_keeps_min_per_group(spark):
     for url, pairs in groups.items():
         keepers = [d for d, k in pairs if k]
         assert keepers == [min(d for d, _ in pairs)]
+
+
+def test_power_analysis_reconstructs(spark):
+    """required_n reconstructs from a direct moment replay, and the
+    powered verdict is consistent with it."""
+    import os
+    import decimal
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        POWER_REL_MDE,
+        events_power_analysis,
+    )
+
+    per_user = defaultdict(int)
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "value"],
+    ).to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        per_user[r["user_id"]] += int(
+            decimal.Decimal(r["value"] * 100).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+    vals = list(per_user.values())
+    n, s = len(vals), sum(vals)
+    var = (sum(v * v for v in vals) - s * s / n) / (n - 1)
+    mean = s / n
+    delta = POWER_REL_MDE * mean
+    z2 = (1.959964 + 0.841621) ** 2
+    req = math.ceil(z2 * 2.0 * var / (delta * delta))
+    row = events_power_analysis(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n
+    assert row["required_n_per_arm"] == req
+    assert row["powered_at_current_n"] == (n >= 2 * req)

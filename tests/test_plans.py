@@ -2227,6 +2227,18 @@ def test_welch_single_pass(spark, sf):
         assert n_ops(plan, j) == 0
 
 
+def test_power_analysis_single_pass(spark, sf):
+    """Power analysis is one user-keyed aggregate + a 1-row moment
+    reduction: one scan, no join, no window."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_power_analysis(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
 def test_modularity_on_fenced_partition(spark, sf):
     """Modularity consumes the SAME fenced LPA state as the community
     report: no corpus scan in the returned plan, exact-int aggregates
