@@ -141,72 +141,64 @@ def _registries():
 # with the reason; gen_ledger slots them right after the never-row
 # group.  Clear entries once they re-earn a green row.
 CHURNED_THIS_ROUND: list[str] = [
-    # r05 rows; their label-table input became session-cached in r07
-    # (representative dedup_cluster_cc re-greened r07, but these two
-    # consumers ride the same cache with rows that predate it)
-    "dedup_survivors",
-    "dedup_rep_weights",
-    # r05 row; gained the total_bpe_tokens column (and the broadcast
-    # merge-vocab crossjoin) in r08 — schema + plan changed
-    "pack_sequences",
+    # (r09: empty — all three r08 entries re-earned green r08 rows:
+    # dedup_survivors, dedup_rep_weights, pack_sequences)
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 17 never-row + 3 churned + 30 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07)
+# 0 never-row + 0 churned + 50 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
-    # no driver row yet
-    "user_bot_score",
-    "orders_interarrival_burstiness",
-    "funnel_time_bounded",
-    "funnel_by_arm",
-    "lexical_diversity_by_source",
-    "text_script_mix_audit",
-    "events_srm_check",
-    "orders_mann_whitney_u",
-    "url_normalize_audit",
-    "cap_docs_per_domain",
-    "robots_disallow_filter",
-    "graph_lpa_communities",
-    "tokenize_bpe_encode",
-    "events_welch_ttest",
-    "dedup_url_canonical",
-    "graph_modularity_score",
-    "events_power_analysis",
-    # churned read path (CHURNED_THIS_ROUND)
-    "dedup_survivors",
-    "dedup_rep_weights",
-    "pack_sequences",
     # oldest green row first
-    "agg_orders_by_priority",
-    "anti_join_inactive_customers",
-    "bloom_filter_semijoin",
-    "bpe_merge_candidates",
-    "bucketed_colocated_join",
-    "corpus_yield_funnel",
-    "cross_lang_contamination",
-    "decontam_incremental",
-    "dedup_substring_spans",
-    "dq_corpus_report",
-    "dq_report",
-    "dsir_importance_weights",
-    "edit_distance_join",
-    "embedding_class_profile",
-    "embedding_quantize_int8",
-    "entity_resolution_parts",
-    "events_hourly_rollup",
-    "events_k_anonymity",
-    "events_session_window",
-    "fingerprint_winnowing",
-    "intersect_nations",
-    "join_customers_per_region",
-    "layout_zorder_cells",
-    "mm_audio_energy",
-    "moving_avg_daily_revenue",
-    "rebalance_by_lang",
-    "rolling_24h_user_value",
-    "semi_join_active_customers",
-    "sketch_cms_heavy_hitters",
-    "skew_salted_flag_join",
+    "source_mixture_weights",
+    "text_bigram_entropy",
+    "text_zipf_slope",
+    "window_topk_orders_per_customer",
+    "cap_docs_per_source",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_removal",
+    "doc_length_buckets",
+    "embedding_random_projection",
+    "events_hourly_anomaly",
+    "events_json_extract",
+    "events_l_diversity",
+    "events_sessionize",
+    "funnel_view_click_purchase",
+    "gapfill_hourly_purchases",
+    "gopher_quality_rules",
+    "kmv_source_overlap",
+    "knn_label_agreement",
+    "mm_cdc_chunk_dedup",
+    "mm_image_features",
+    "mm_resize",
+    "ngram_novelty_by_source",
+    "novelty_incremental",
+    "parts_above_avg_price",
+    "pca_power_projection",
+    "q6_forecast_revenue",
+    "quality_classifier_score",
+    "quality_repetition",
+    "select_token_budget",
+    "semantic_decontam_cells",
+    "source_quota_incremental",
+    "split_train_holdout",
+    "stratified_split_report",
+    "text_fingerprint",
+    "text_nfc_audit",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "text_unigram_logppl",
+    "token_fertility_by_lang",
+    "topk_orders_global",
+    "vocab_top_terms",
+    "cube_lineitem_flags",
+    "decontam_bloom_semijoin",
+    "dedup_minhash_lsh",
 ]
 # WINDOW:END
 
