@@ -141,13 +141,30 @@ def _registries():
 # with the reason; gen_ledger slots them right after the never-row
 # group.  Clear entries once they re-earn a green row.
 CHURNED_THIS_ROUND: list[str] = [
-    # (r09: empty — all three r08 entries re-earned green r08 rows:
-    # dedup_survivors, dedup_rep_weights, pack_sequences)
+    # r08 rows; QUERY_EXPR became RFC-3986 fragment-safe this round
+    # (r08 ADVICE) — the expression text sits in every URL op's plan
+    # and oracle via _parsed/_parsed_sql (fixture values unchanged,
+    # but the read path is new)
+    "url_normalize_audit",
+    "cap_docs_per_domain",
+    "robots_disallow_filter",
+    "dedup_url_canonical",
+    # r08 rows; sum-of-squares moments now DOUBLE-cast before the
+    # multiply on both engines (r08 ADVICE overflow class)
+    "events_welch_ttest",
+    "events_power_analysis",
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 0 never-row + 0 churned + 50 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 0 never-row + 6 churned + 44 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
+    # churned read path (CHURNED_THIS_ROUND)
+    "url_normalize_audit",
+    "cap_docs_per_domain",
+    "robots_disallow_filter",
+    "dedup_url_canonical",
+    "events_welch_ttest",
+    "events_power_analysis",
     # oldest green row first
     "source_mixture_weights",
     "text_bigram_entropy",
@@ -193,12 +210,6 @@ WINDOW: list[str] = [
     "text_tfidf_top_terms",
     "text_token_count",
     "text_unigram_logppl",
-    "token_fertility_by_lang",
-    "topk_orders_global",
-    "vocab_top_terms",
-    "cube_lineitem_flags",
-    "decontam_bloom_semijoin",
-    "dedup_minhash_lsh",
 ]
 # WINDOW:END
 

@@ -1746,17 +1746,28 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(F.when(F.col("arm") == 1, F.col("cents"))), F.lit(0)
         ).alias("sb"),
+        # house rule (r08 ADVICE, same class as user_bot_score): cast
+        # cents to DOUBLE BEFORE multiplying — a raw int64 square wraps
+        # in Spark / promotes in DuckDB once |cents| >= ~3.04e9
         F.coalesce(
             F.sum(
-                F.when(F.col("arm") == 0, F.col("cents") * F.col("cents"))
+                F.when(
+                    F.col("arm") == 0,
+                    F.col("cents").cast("double")
+                    * F.col("cents").cast("double"),
+                )
             ),
-            F.lit(0),
+            F.lit(0.0),
         ).alias("ssa"),
         F.coalesce(
             F.sum(
-                F.when(F.col("arm") == 1, F.col("cents") * F.col("cents"))
+                F.when(
+                    F.col("arm") == 1,
+                    F.col("cents").cast("double")
+                    * F.col("cents").cast("double"),
+                )
             ),
-            F.lit(0),
+            F.lit(0.0),
         ).alias("ssb"),
     )
     return agg.selectExpr(
@@ -1806,10 +1817,12 @@ agg AS (
       AS sa,
     CAST(coalesce(sum(CASE WHEN arm = 1 THEN cents END), 0) AS BIGINT)
       AS sb,
-    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cents * cents END), 0)
-         AS BIGINT) AS ssa,
-    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cents * cents END), 0)
-         AS BIGINT) AS ssb
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssb
   FROM per_user
 )
 SELECT coalesce(na, 0) AS n_a,
@@ -1854,10 +1867,11 @@ ORACLE["events_welch_ttest"] = WELCH_SQL
 #
 # n_per_arm = ceil( (z_{1-a/2} + z_{power})^2 * 2*sigma^2 / delta^2 )
 # with delta = POWER_REL_MDE * mean.  Scale shape: one user-keyed
-# aggregate then a 1-row moment reduction; all moments are exact
-# int64 cent sums, every product is cast to DOUBLE before multiplying
-# (the user_bot_score house rule), and the ceil/compare run on the
-# identical expression text on both engines.
+# aggregate then a 1-row moment reduction; count and linear sum are
+# exact int64 cent sums, the sum-of-squares casts each cents factor to
+# DOUBLE BEFORE multiplying (the user_bot_score house rule — a raw
+# int64 square wraps at |cents| >= ~3.04e9), and the ceil/compare run
+# on the identical expression text on both engines.
 # --------------------------------------------------------------------------
 POWER_REL_MDE = 0.05  # minimum detectable effect, relative to the mean
 _POWER_Z2 = "(1.959964 + 0.841621) * (1.959964 + 0.841621)"
@@ -1890,9 +1904,13 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
-        F.coalesce(F.sum(F.col("cents") * F.col("cents")), F.lit(0)).alias(
-            "ss"
-        ),
+        # house rule: DOUBLE-cast before the square (r08 ADVICE)
+        F.coalesce(
+            F.sum(
+                F.col("cents").cast("double") * F.col("cents").cast("double")
+            ),
+            F.lit(0.0),
+        ).alias("ss"),
     )
     return agg.selectExpr(
         "n AS n_users",
@@ -1925,7 +1943,8 @@ WITH per_user AS (
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(coalesce(sum(cents), 0) AS BIGINT) AS s,
-         CAST(coalesce(sum(cents * cents), 0) AS BIGINT) AS ss
+         CAST(coalesce(sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)),
+                       0) AS DOUBLE) AS ss
   FROM per_user
 )
 SELECT n AS n_users,

@@ -73,10 +73,11 @@ def _py_canon(url: str) -> tuple[str, str]:
     host, _, port = hostport.partition(":")
     host = host.lower()
     after_host = rest[len(hostport):]
-    path = after_host.split("?", 1)[0].split("#", 1)[0]
-    query = ""
-    if "?" in after_host:
-        query = after_host.split("?", 1)[1].split("#", 1)[0]
+    # RFC 3986: strip the fragment FIRST — a '?' inside a fragment is
+    # fragment content, not a query (r08 ADVICE)
+    pre_frag = after_host.split("#", 1)[0]
+    path = pre_frag.split("?", 1)[0]
+    query = pre_frag.split("?", 1)[1] if "?" in pre_frag else ""
     cport = (
         ""
         if (
