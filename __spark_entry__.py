@@ -156,8 +156,10 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 0 never-row + 6 churned + 44 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 1 never-row + 6 churned + 43 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
+    # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
+    "tokenize_bpe_roundtrip",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -209,7 +211,6 @@ WINDOW: list[str] = [
     "text_quality_score",
     "text_tfidf_top_terms",
     "text_token_count",
-    "text_unigram_logppl",
 ]
 # WINDOW:END
 

@@ -130,16 +130,46 @@ def main() -> None:
     # 1.06 s on untouched scan_opt.py; solo 5x spans 0.85-1.91 s, min
     # 0.85 — same noise class), so the re-time set widens 10 -> 15 to
     # cover queries flapping at the 1-second boundary.
+    # GC/heap attribution (r08 verdict task #2): the one-JVM bench
+    # accumulates 7+ session-cache families across 237 queries, so
+    # per-query cumulative GC time + heap-used go to bench_detail.json
+    # (never the stdout line).  SPARK_GRAFT_BENCH_CLEAR=<K> drops every
+    # registered session cache (and System.gc()s) every K queries —
+    # memoized families then pay rebuilds, so a TOTAL that improves
+    # under CLEAR pins the inflation on cache-driven heap pressure,
+    # while an unchanged total pins it on the VM.
+    jmx = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+
+    def _gc_ms() -> int:
+        beans = jmx.getGarbageCollectorMXBeans()
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+
+    def _heap_mb() -> float:
+        used = jmx.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+        return round(used / 1e6, 1)
+
+    clear_every = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAR", "0"))
+
     timings: dict[str, float] = {}
-    for name in sorted(queries):
+    gc_log: dict[str, list] = {}
+    for qi, name in enumerate(sorted(queries)):
+        if clear_every and qi and qi % clear_every == 0:
+            from stac_geoparquet_spark.caches import clear_session_caches
+
+            clear_session_caches(spark)
+            spark.sparkContext._jvm.System.gc()
         fn = queries[name]
         best = float("inf")
+        g0 = _gc_ms()
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        gc_log[name] = [_gc_ms() - g0, _heap_mb()]
     for name in sorted(timings, key=timings.get, reverse=True)[:15]:
         fn = queries[name]
         t0 = time.perf_counter()
@@ -156,7 +186,17 @@ def main() -> None:
     # complete per-query map goes to bench_detail.json next to this
     # file (git-ignored).
     with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
-        json.dump({"total": total, "queries": timings}, f, sort_keys=True)
+        json.dump(
+            {
+                "total": total,
+                "queries": timings,
+                "gc_ms_and_heap_mb": gc_log,
+                "gc_ms_total": _gc_ms(),
+                "clear_every": clear_every,
+            },
+            f,
+            sort_keys=True,
+        )
 
     # Report the GLOBAL top-40 by wall time (round-2 verdict: a fixed
     # headline subset can hide the slowest queries; the slowest must

@@ -30,18 +30,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.caches import register_cache
+
 from stac_geoparquet_spark.operators._canon import (
     DOCS_CANON_SQL as _DOCS_CANON_SQL,
 )
 from pyspark.sql.window import Window
 
 from stac_geoparquet_spark.operators.text import (
+
     BPE_TOP_K,
     SQL_WS,
     _sql_jtrim,
     _sql_lower,
     _sql_words,
     _words,
+    bpe_roundtrip_ctes,
     bpe_token_ctes,
 )
 
@@ -435,7 +439,7 @@ def _bpe_topk(wf: DataFrame) -> DataFrame:
 # _SUPPORT_PAIRS_CACHE pattern): the corpus-wide word-frequency
 # aggregate behind it is paid once for its three consumers
 # (bpe_merge_candidates, tokenize_bpe_encode, pack_sequences).
-_BPE_TOPK_CACHE: dict = {}
+_BPE_TOPK_CACHE: dict = register_cache("curation.bpe_topk", {})
 
 
 def _bpe_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,8 +1032,109 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# tokenize_bpe_roundtrip: the tokenizer-integrity audit the r08
+# verdict asked for (task #3) — encode every distinct word with the
+# learned merges, DECODE by concatenating the emitted tokens back, and
+# assert encode∘decode is the identity, reporting the per-source
+# round-trip rate plus the char-fallback share (fraction of emitted
+# tokens that are single-char fallbacks rather than learned merges —
+# the analogue of a byte-fallback rate for this char-level vocab,
+# where every single char is in-vocab by construction so true OOV is
+# structurally zero and the interesting integrity number is how much
+# of the stream the merges actually cover).
+#
+# Scale shape: identical to tokenize_bpe_encode — the fold (now
+# carrying (pos, toks, merged, decoded) state) runs over the DISTINCT
+# word table only (Heaps-scaled) with the ONE-row broadcast merge
+# vocab; per-(source, word) frequencies weight word-level results back
+# to corpus totals via the vocab-keyed equi-join.  The oracle replays
+# the identical greedy scan as a recursive CTE that rebuilds the
+# decoded string (text.bpe_roundtrip_ctes).
+# --------------------------------------------------------------------------
+_BPE_RT_HIT = "array_contains(merges, substring(word, acc.p, 2))"
+_BPE_RT_FOLD = f"""aggregate(
+  sequence(1, length(word)),
+  named_struct('p', 1, 't', CAST(0 AS BIGINT), 'mg', CAST(0 AS BIGINT),
+               'dec', ''),
+  (acc, i) -> IF(i <> acc.p, acc, named_struct(
+      'p', acc.p + IF({_BPE_RT_HIT}, 2, 1),
+      't', acc.t + CAST(1 AS BIGINT),
+      'mg', acc.mg + IF({_BPE_RT_HIT}, CAST(1 AS BIGINT),
+                        CAST(0 AS BIGINT)),
+      'dec', concat(acc.dec,
+                    substring(word, acc.p, IF({_BPE_RT_HIT}, 2, 1))))),
+  acc -> named_struct('toks', acc.t, 'merged', acc.mg,
+                      'ok', acc.dec = word))"""
+
+
+def tokenize_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wf_src = (
+        docs.where(F.col("source").isNotNull())
+        .select("source", F.explode(_words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = wf_src.select("word").distinct()
+    rt = words.crossJoin(
+        F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
+    ).select("word", F.expr(_BPE_RT_FOLD).alias("r"))
+    agg = (
+        wf_src.join(rt, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.count_distinct("word").alias("n_distinct_words"),
+            F.sum(F.when(F.col("r.ok"), F.col("freq")).otherwise(0))
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.sum(F.col("freq") * F.col("r.toks")).alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("r.merged")).alias("n_merged"),
+        )
+    )
+    return agg.selectExpr(
+        "source",
+        "n_words",
+        "n_distinct_words",
+        "n_roundtrip_ok",
+        "round(CAST(n_roundtrip_ok AS DOUBLE)"
+        " / nullif(CAST(n_words AS DOUBLE), 0.0), 6) AS roundtrip_rate",
+        "round(CAST(n_tokens - n_merged AS DOUBLE)"
+        " / nullif(CAST(n_tokens AS DOUBLE), 0.0), 6)"
+        " AS char_fallback_share",
+    )
+
+
+BPE_ROUNDTRIP_SQL = f"""
+WITH RECURSIVE wf_src AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest({_sql_words()}) AS word FROM documents
+        WHERE source IS NOT NULL) t
+  WHERE word <> ''
+  GROUP BY source, word
+),
+{bpe_roundtrip_ctes("wf_src")}
+SELECT source,
+       CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+       CAST(coalesce(sum(CASE WHEN ok THEN freq END), 0) AS BIGINT)
+         AS n_roundtrip_ok,
+       round(CAST(coalesce(sum(CASE WHEN ok THEN freq END), 0) AS DOUBLE)
+             / nullif(CAST(sum(freq) AS DOUBLE), 0.0), 6)
+         AS roundtrip_rate,
+       round(CAST(sum(freq * toks) - sum(freq * merged) AS DOUBLE)
+             / nullif(CAST(sum(freq * toks) AS DOUBLE), 0.0), 6)
+         AS char_fallback_share
+FROM wf_src JOIN tok USING (word)
+GROUP BY source
+"""
+
+
 QUERIES_ROTATION = {
     "tokenize_bpe_encode": tokenize_bpe_encode,
+    "tokenize_bpe_roundtrip": tokenize_bpe_roundtrip,
     "dedup_lines_across_docs": dedup_lines_across_docs,
     "text_pii_scrub": text_pii_scrub,
     "dedup_substring_removal": dedup_substring_removal,
@@ -1044,6 +1149,7 @@ QUERIES_ROTATION = {
 
 ORACLE_ROTATION = {
     "tokenize_bpe_encode": TOKENIZE_BPE_SQL,
+    "tokenize_bpe_roundtrip": BPE_ROUNDTRIP_SQL,
     "dedup_lines_across_docs": LINE_DEDUP_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "dedup_substring_removal": SUBSTR_REMOVAL_SQL,

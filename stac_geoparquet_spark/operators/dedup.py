@@ -34,6 +34,8 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.caches import register_cache
 from pyspark.sql.window import Window
 
 from stac_geoparquet_spark.operators.similarity import (
@@ -41,6 +43,7 @@ from stac_geoparquet_spark.operators.similarity import (
 )
 from stac_geoparquet_spark.operators._io import fenced
 from stac_geoparquet_spark.operators._canon import (
+
     DOCS_CANON_SQL as _DOCS_CANON_SQL,
 )
 
@@ -110,22 +113,30 @@ _MINHASH_PRIME = 4294967291  # largest prime < 2^32
 # self-join + sizes) — the same materialized-common-intermediate a real
 # dedup pipeline would persist once and fan out from. Ints only, ~8 MB
 # at sf0.1.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache(
+    "dedup.shingles", {}
+)
 
 # Verified minhash pair set per (session, sf_dir) — shared by the pair
 # query and the connected-components clustering.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_cache(
+    "dedup.pairs", {}
+)
 
 # Per-doc signature table (doc_id, ss, n, h0..h{NUM_HASHES-1}) per
 # (session, sf_dir) — the "resident MinHash index" a long-running dedup
 # service keeps materialized: built once from the shingle table, then
 # fanned out to LSH banding, verify join sides, and the incremental
 # stream-static index (streaming/dedup.py).
-_PER_DOC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PER_DOC_CACHE: dict[tuple[str, str], DataFrame] = register_cache(
+    "dedup.per_doc", {}
+)
 
 # connected-component label table (doc_id, label) per (app, sf, stamp)
 # — the fenced fixpoint result every cluster consumer reads
-_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LABELS_CACHE: dict[tuple[str, str], DataFrame] = register_cache(
+    "dedup.cc_labels", {}
+)
 
 
 def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:

@@ -25,8 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.caches import register_cache
+
 from stac_geoparquet_spark.operators._io import fenced
 from stac_geoparquet_spark.operators.dedup import (
+
     _minhash_oracle_ctes,
     dedup_minhash_lsh,
 )
@@ -644,7 +647,7 @@ LPA_ROUNDS = 4
 # LPA state is session-cached (the mining._SUPPORT_PAIRS_CACHE /
 # dedup label-table pattern): 4 fenced rounds are paid once however
 # many consumers (community sizes, modularity) run in a session.
-_LPA_STATE_CACHE: dict = {}
+_LPA_STATE_CACHE: dict = register_cache("graph.lpa_state", {})
 
 
 def _lpa_state(spark: SparkSession, sf_dir: str):

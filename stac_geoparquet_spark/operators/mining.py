@@ -29,6 +29,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.caches import register_cache
+
+
 MIN_SUPPORT = 2  # basket pairs: min co-occurrence count
 PARETO_CUTS = ((0.99, "top_1pct"), (0.95, "top_5pct"), (0.90, "top_10pct"))
 
@@ -77,7 +80,9 @@ def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by the lift scoring and the k-core peel (the dedup
 # _PAIRS_CACHE pattern): built + fenced once, both consumers read the
 # materialized blocks instead of re-running the self-join.
-_SUPPORT_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_SUPPORT_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = register_cache(
+    "mining.support_pairs", {}
+)
 
 
 def _pairs_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:

@@ -43,7 +43,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.caches import register_cache
 from pyspark.sql.window import Window
+
 
 DIM = 64
 N_PLANES = 8
@@ -265,7 +268,9 @@ def _emb_blocks(
 # knn_kdist_outliers) read it, and each would otherwise re-run the
 # full corpus GEMM; the cached frame is |Q| x K — fence-eligible
 # bounded (the dedup label-table pattern)
-_KNN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_KNN_CACHE: dict[tuple[str, str, str], DataFrame] = register_cache(
+    "similarity.knn", {}
+)
 
 
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,7 +814,9 @@ def _kmeans_assign(
 # Lloyd fit's two bounded collects are paid once, shared by the
 # assignment query and the silhouette eval (the mining pair-set /
 # dedup shingle cache pattern; the cached value is K x d floats).
-_KMEANS_CENTS_CACHE: dict[tuple[str, str, str], list] = {}
+_KMEANS_CENTS_CACHE: dict[tuple[str, str, str], list] = register_cache(
+    "similarity.kmeans_cents", {}
+)
 
 
 def _kmeans_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
@@ -1511,7 +1518,9 @@ def _covariance_merged(spark, sf_dir: str) -> DataFrame:
 # the corpus scan + GEMM; the cached frame is the FENCED
 # <= d(d+1)/2 + d row partial matrix — fence-eligible bounded (the
 # kNN-ground-truth / dedup-label-table session-cache pattern)
-_COV_MERGED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_COV_MERGED_CACHE: dict[tuple[str, str, str], DataFrame] = register_cache(
+    "similarity.cov_merged", {}
+)
 
 
 def _covariance_merged_fenced(

@@ -132,13 +132,11 @@ def _sql_words(expr: str = "text") -> str:
 BPE_TOP_K = 20
 
 
-def bpe_token_ctes(word_source: str) -> str:
-    """The reusable oracle CTE chain for the greedy BPE encoder:
-    merge learning (gwf→pp→pc→ml, the exact BPE_SQL derivation) plus
-    the recursive greedy scan over the DISTINCT words of
-    ``word_source`` (any prior CTE/table exposing a ``word`` column).
-    The enclosing query must open with WITH RECURSIVE.  Produces
-    ``tok(word, toks)``."""
+def _bpe_merge_ctes() -> str:
+    """Merge learning only (gwf→pp→pc→ml, the exact BPE_SQL
+    derivation) — the shared prefix of the encode and round-trip
+    oracle chains.  Produces ``ml(m)``: one row, the top-K merge
+    list."""
     return f"""gwf AS (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest({_sql_words()}) AS word FROM documents) t
@@ -157,7 +155,16 @@ ml AS (
   SELECT list(pair) AS m FROM (
     SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM pc
   ) WHERE rk <= {BPE_TOP_K}
-),
+)"""
+
+
+def bpe_token_ctes(word_source: str) -> str:
+    """The reusable oracle CTE chain for the greedy BPE encoder:
+    merge learning (``_bpe_merge_ctes``) plus the recursive greedy
+    scan over the DISTINCT words of ``word_source`` (any prior
+    CTE/table exposing a ``word`` column).  The enclosing query must
+    open with WITH RECURSIVE.  Produces ``tok(word, toks)``."""
+    return f"""{_bpe_merge_ctes()},
 bw AS (SELECT DISTINCT word FROM {word_source}),
 st AS (
   SELECT word, 1 AS p, CAST(0 AS BIGINT) AS t FROM bw
@@ -169,6 +176,34 @@ st AS (
   FROM st, ml WHERE st.p <= length(st.word)
 ),
 tok AS (SELECT word, t AS toks FROM st WHERE p > length(word))"""
+
+
+def bpe_roundtrip_ctes(word_source: str) -> str:
+    """Round-trip variant of ``bpe_token_ctes``: the recursive state
+    additionally carries the merged-token count and the DECODED string
+    rebuilt by concatenating each emitted token, so the enclosing
+    query can assert encode∘decode == identity per word.  Produces
+    ``tok(word, toks, merged, ok)``; must open with WITH RECURSIVE."""
+    return f"""{_bpe_merge_ctes()},
+bw AS (SELECT DISTINCT word FROM {word_source}),
+st AS (
+  SELECT word, 1 AS p, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS mg,
+         '' AS dec
+  FROM bw
+  UNION ALL
+  SELECT st.word,
+         st.p + CASE WHEN list_contains(ml.m, substr(st.word, st.p, 2))
+                     THEN 2 ELSE 1 END,
+         st.t + 1,
+         st.mg + CASE WHEN list_contains(ml.m, substr(st.word, st.p, 2))
+                      THEN 1 ELSE 0 END,
+         st.dec || substr(st.word, st.p,
+           CASE WHEN list_contains(ml.m, substr(st.word, st.p, 2))
+                THEN 2 ELSE 1 END)
+  FROM st, ml WHERE st.p <= length(st.word)
+),
+tok AS (SELECT word, t AS toks, mg AS merged, dec = word AS ok
+        FROM st WHERE p > length(word))"""
 
 
 # --------------------------------------------------------------------------

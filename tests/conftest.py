@@ -25,6 +25,12 @@ def spark():
 
     s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
     yield s
+    # drop every session-memoized DataFrame/state before stopping so
+    # the suite's JVM memory profile stays flat regardless of how many
+    # cache families the selected tests touched (r08 verdict task #8)
+    from stac_geoparquet_spark.caches import clear_session_caches
+
+    clear_session_caches(s)
     s.stop()
 
 

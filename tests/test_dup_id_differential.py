@@ -117,6 +117,7 @@ SAMPLE = [
     "robots_disallow_filter",
     "graph_lpa_communities",
     "tokenize_bpe_encode",
+    "tokenize_bpe_roundtrip",
     "graph_modularity_score",
     "dedup_url_canonical",
     # raw-multiset representatives (must stay consistent WITHOUT

@@ -175,6 +175,8 @@ SAMPLE = [
     "graph_modularity_score",
     "dedup_url_canonical",
     "events_power_analysis",
+    # round-11
+    "tokenize_bpe_roundtrip",
 ]
 
 TABLES = (

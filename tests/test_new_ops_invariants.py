@@ -3434,3 +3434,66 @@ def test_power_analysis_reconstructs(spark):
     assert row["n_users"] == n
     assert row["required_n_per_arm"] == req
     assert row["powered_at_current_n"] == (n >= 2 * req)
+
+
+def test_tokenize_bpe_roundtrip_identity_and_fallback(spark):
+    """Decode is the identity by construction (tokens are substrings
+    emitted in scan order) — so the audit's value is that it verifies
+    the IMPLEMENTATION: an off-by-one in the fold's position/slice
+    arithmetic breaks `decoded = word` immediately.  Check against an
+    independent Python greedy replay: roundtrip_rate must be exactly
+    1.0 everywhere, and the char-fallback share must equal
+    1 - merged_tokens/total_tokens from the replay."""
+    from stac_geoparquet_spark.operators._io import read_documents
+    from stac_geoparquet_spark.operators.curation import (
+        _bpe_topk,
+        _word_freq,
+        tokenize_bpe_roundtrip,
+    )
+
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    docs = read_documents(spark, SF_DIR)
+    merges = set(
+        r["pair"] for r in _bpe_topk(_word_freq(docs)).collect()
+    )
+
+    def greedy(word: str) -> tuple[int, int, bool]:
+        p, t, mg, dec = 0, 0, 0, []
+        while p < len(word):
+            step = 2 if word[p : p + 2] in merges else 1
+            mg += 1 if step == 2 else 0
+            dec.append(word[p : p + step])
+            p += step
+            t += 1
+        return t, mg, "".join(dec) == word
+
+    exp: dict[str, list[int]] = {}
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).to_pylist():
+        if r["source"] is None or r["text"] is None:
+            continue
+        words = [
+            w
+            for w in re.split(r"[ \t\n\x0b\f\r]+", r["text"].strip().lower())
+            if w
+        ]
+        agg = exp.setdefault(r["source"], [0, 0, 0, 0])
+        for w in words:
+            t, mg, ok = greedy(w)
+            agg[0] += 1
+            agg[1] += 1 if ok else 0
+            agg[2] += t
+            agg[3] += mg
+    rows = tokenize_bpe_roundtrip(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(exp)
+    for r in rows:
+        nw, nok, nt, nmg = exp[r["source"]]
+        assert r["n_words"] == nw
+        assert r["n_roundtrip_ok"] == nok == nw
+        assert r["roundtrip_rate"] == 1.0
+        assert r["char_fallback_share"] == round((nt - nmg) / nt, 6)

@@ -612,6 +612,7 @@ WS_SAMPLE = SAMPLE + [
     # ASCII-only F.trim leading-space token divergence in
     # pack_sequences' first draft
     "tokenize_bpe_encode",
+    "tokenize_bpe_roundtrip",
     "text_quality_score",
     "text_lang_id",
     "quality_repetition",

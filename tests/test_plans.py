@@ -2115,6 +2115,21 @@ def test_tokenize_bpe_fold_is_in_row(spark, sf):
     assert "aggregate(sequence(1, length(word#" in plan
 
 
+def test_tokenize_bpe_roundtrip_same_shape(spark, sf):
+    """The decode/round-trip audit rides the encode plan exactly: the
+    extended fold (pos, toks, merged, decoded) is still one in-row JVM
+    expression over the DISTINCT word table with the 1-row broadcast
+    vocab — no extra shuffle, no Python, no window."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.tokenize_bpe_roundtrip(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert n_ops(plan, "Window") == 0
+    assert "aggregate(sequence(1, length(word#" in plan
+
+
 def test_pack_sequences_bpe_column_in_row(spark, sf):
     """The tokens-mode column rides the same plan: the only addition
     is the 1-row merge-vocab broadcast + the in-row stream fold — no

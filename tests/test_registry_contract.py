@@ -494,3 +494,61 @@ def test_generated_window_is_fresh():
         "stale driver window — run: python tools/gen_ledger.py "
         "--emit-window"
     )
+
+
+def test_session_caches_all_registered():
+    """Every module-level ``*_CACHE`` dict in the package must be
+    created through ``caches.register_cache`` — otherwise
+    ``clear_session_caches`` (bench hygiene, conftest teardown) would
+    silently miss it and the one-JVM bench re-accumulates blocks
+    (r08 verdict task #8)."""
+    import os
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "stac_geoparquet_spark")
+    unregistered = []
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            text = open(path).read()
+            for m in _re.finditer(
+                r"^(_[A-Z0-9_]*_CACHE)\s*(?::[^=\n]+)?=\s*(.*)$",
+                text,
+                _re.M,
+            ):
+                if fn == "caches.py":
+                    continue
+                if "register_cache(" not in m.group(2):
+                    unregistered.append(
+                        (os.path.relpath(path, repo), m.group(1))
+                    )
+    assert not unregistered, (
+        f"session-cache dict(s) not registered: {unregistered} — wrap "
+        "the definition in caches.register_cache(name, {})"
+    )
+
+
+def test_clear_session_caches_empties_registry():
+    from stac_geoparquet_spark import caches
+
+    # import every module that defines a cache so the registry is full
+    from stac_geoparquet_spark.operators import (  # noqa: F401
+        curation,
+        dedup,
+        graph,
+        mining,
+        similarity,
+    )
+
+    stores = caches.registered_caches()
+    assert len(stores) >= 10, sorted(stores)
+    # seed a fake entry shaped like the real ones (tuple + scalar)
+    probe = caches.register_cache("test.probe", {})
+    probe[("app", "sf")] = (None, None)
+    dropped = caches.clear_session_caches()
+    assert dropped["test.probe"] == 1
+    assert all(len(s) == 0 for s in caches.registered_caches().values())
+    del caches._REGISTRY["test.probe"]
