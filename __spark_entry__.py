@@ -156,10 +156,16 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 1 never-row + 6 churned + 43 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 7 never-row + 6 churned + 37 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "tokenize_bpe_roundtrip",
+    "events_jackknife_ci",
+    "domain_effective_diversity",
+    "split_by_neardup_cluster",
+    "split_unigram_jsd",
+    "hard_negative_mining",
+    "matryoshka_recall_report",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -205,12 +211,6 @@ WINDOW: list[str] = [
     "semantic_decontam_cells",
     "source_quota_incremental",
     "split_train_holdout",
-    "stratified_split_report",
-    "text_fingerprint",
-    "text_nfc_audit",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_token_count",
 ]
 # WINDOW:END
 

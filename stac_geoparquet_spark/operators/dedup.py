@@ -570,6 +570,19 @@ def _min_label_propagate(pairs: DataFrame) -> DataFrame:
     return labels
 
 
+def _cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-cached near-dup cluster label table (doc_id, label)
+    — built once per (app, sf, source stamp) and shared by every
+    cluster consumer (see the dedup_cluster_cc docstring)."""
+    key = _cache_key(spark, sf_dir)
+    labels = _LABELS_CACHE.get(key)
+    if labels is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        labels = _min_label_propagate(pairs)
+        _LABELS_CACHE[key] = labels
+    return labels
+
+
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every near-duplicate document its cluster id = the
     minimum doc_id reachable through the verified MinHash pair graph,
@@ -600,12 +613,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds is 6x the jobs at any scale).  The cached frame is the
     final fenced checkpoint leaf, already bounded by the pair graph.
     """
-    key = _cache_key(spark, sf_dir)
-    labels = _LABELS_CACHE.get(key)
-    if labels is None:
-        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        labels = _min_label_propagate(pairs)
-        _LABELS_CACHE[key] = labels
+    labels = _cc_labels_cached(spark, sf_dir)
     w = Window.partitionBy("label")
     return labels.select(
         "doc_id",
@@ -929,6 +937,115 @@ SELECT d.doc_id, cc.cluster_id,
        (cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id) AS keep
 FROM {_DOCS_CANON_SQL} d LEFT JOIN cc USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Cluster-aware train/holdout split: hashing the near-dup CLUSTER id
+# instead of the doc id makes it impossible for two near-duplicate
+# documents to straddle the split — the standard leakage-free split
+# rule for training corpora (a near-dup of a holdout doc in train is
+# contamination the doc-hash split can't prevent).  Reports, per
+# split, the doc/cluster counts and ``n_moved``: how many docs the
+# naive doc-hash rule (split_train_holdout's exact hash) would have
+# placed in the OTHER split — the leakage mass this rule removes.
+#
+# Scale shape: the label table is pair-graph-bounded and session-
+# cached (_cc_labels_cached); one doc_id-keyed left join against the
+# corpus, then a 2-group aggregate.  Both hash splits are the shared
+# md5-prefix rule, identical expression text on both engines.
+# --------------------------------------------------------------------------
+def _pct_expr(col: str) -> Column:
+    """The split-hash rule of text.split_pct over an arbitrary BIGINT
+    column (first 16 bits of md5 mod 100)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+
+
+def _sql_pct(col: str) -> str:
+    return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::BIGINT % 100"
+
+
+def split_by_neardup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.text import TRAIN_PCT
+
+    labels = _cc_labels_cached(spark, sf_dir).withColumnRenamed(
+        "label", "cl"
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cl", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    cl_split = F.when(
+        _pct_expr("cluster_id") < TRAIN_PCT, "train"
+    ).otherwise("holdout")
+    doc_split = F.when(_pct_expr("doc_id") < TRAIN_PCT, "train").otherwise(
+        "holdout"
+    )
+    return (
+        base.select(
+            cl_split.alias("split"),
+            doc_split.alias("naive_split"),
+            "cluster_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("naive_split") != F.col("split"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_moved"),
+        )
+    )
+
+
+def _split_by_cluster_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.text import TRAIN_PCT
+
+    return f"""
+WITH RECURSIVE {_minhash_oracle_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM walk w JOIN edges e ON e.d = w.doc_id
+),
+cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM {_DOCS_CANON_SQL} d LEFT JOIN cc USING (doc_id)
+),
+sp AS (
+  SELECT cluster_id,
+         CASE WHEN {_sql_pct("cluster_id")} < {{train_pct}}
+              THEN 'train' ELSE 'holdout' END AS split,
+         CASE WHEN {_sql_pct("doc_id")} < {{train_pct}}
+              THEN 'train' ELSE 'holdout' END AS naive_split
+  FROM base
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM sp
+GROUP BY split
+""".replace("{train_pct}", str(TRAIN_PCT))
 
 
 # --------------------------------------------------------------------------
@@ -1358,6 +1475,7 @@ QUERIES = {
     "semantic_decontam_cells": semantic_decontam_cells,
     "ngram_novelty_by_source": ngram_novelty_by_source,
     "dedup_containment": dedup_containment,
+    "split_by_neardup_cluster": split_by_neardup_cluster,
 }
 
 ORACLE = {
@@ -1374,4 +1492,5 @@ ORACLE = {
     "semantic_decontam_cells": _semantic_decontam_oracle_sql(),
     "ngram_novelty_by_source": NGRAM_NOVELTY_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "split_by_neardup_cluster": _split_by_cluster_oracle_sql(),
 }

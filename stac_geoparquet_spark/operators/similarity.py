@@ -2336,8 +2336,350 @@ LEFT JOIN hits ON hits.query_id = ne.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# Hard-negative mining (round 9): for each query vector, the best
+# SAME-label neighbor (the positive a contrastive batch would use)
+# versus the best DIFFERENT-label neighbor (the hard negative), plus
+# the margin between them — the standard mining pass that selects
+# in-batch negatives for embedding/classifier training, and the audit
+# that finds label regions where the nearest negative is already
+# closer than the nearest positive (is_hard).
+#
+# Scale shape: the knn_brute_force pattern — per-block GEMM partials
+# via mapInPandas (each block emits ONE row per query: the block-local
+# max same/diff-label sims), then a |Q|-row max-merge; candidates
+# stream once, nothing quadratic materializes.  Sims are rounded at 6
+# BEFORE the max on both engines so the max-merge order can't matter.
+# The query set mirrors the knn family contract (valid vectors,
+# vec_id < N_QUERIES, min-embedding canonical; label = min(label) of
+# the valid rows, NULL-skipping like SQL min).
+# --------------------------------------------------------------------------
+def _load_query_labels(sf_dir: str) -> dict:
+    """{vec_id: min non-NULL label or None} over the VALID rows with
+    vec_id < N_QUERIES — the same validity verdict as
+    ``_read_vec_range`` (pyarrow row-group-pruned driver read)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
+    tbl = tbl.filter(pc.equal(pc.list_value_length(tbl["embedding"]), DIM))
+    ids = tbl["vec_id"].to_numpy()
+    if len(ids) == 0:
+        return {}
+    mat = (
+        tbl["embedding"]
+        .combine_chunks()
+        .values.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), -1)
+    )
+    finite = np.isfinite(mat.sum(axis=1))
+    labels = tbl["label"].to_pylist()
+    out: dict = {}
+    for i in range(len(ids)):
+        if not finite[i]:
+            continue
+        vid = int(ids[i])
+        lab = labels[i]
+        prev = out.get(vid, None)
+        if lab is not None and (prev is None or lab < prev):
+            out[vid] = lab
+        else:
+            out.setdefault(vid, prev)
+    return out
+
+
+_HARDNEG_PARTIAL_SCHEMA = (
+    "query_id bigint, label int, pos_p double, neg_p double"
+)
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q_ids, qm, qnorm = _load_queries(sf_dir)
+    q_labels = _load_query_labels(sf_dir)
+    b_q = spark.sparkContext.broadcast((q_ids, qm, qnorm, q_labels))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qm, qnorm, q_labels = b_q.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            c = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cnorm = np.sqrt((c * c).sum(axis=1))
+            sims = np.round(
+                qm @ c.T / (qnorm[:, None] * cnorm[None, :]), 6
+            )
+            lab_ok = pdf["label"].notna().to_numpy()
+            labs = pdf["label"].to_numpy()
+            out_q, out_l, out_p, out_n = [], [], [], []
+            for i in range(len(q_ids)):
+                qid = int(q_ids[i])
+                nonself = c_ids != qid
+                if not nonself.any():
+                    continue
+                qlab = q_labels.get(qid)
+                pos = neg = None
+                if qlab is not None:
+                    same = nonself & lab_ok & (labs == qlab)
+                    diff = nonself & lab_ok & (labs != qlab)
+                    if same.any():
+                        pos = float(sims[i][same].max())
+                    if diff.any():
+                        neg = float(sims[i][diff].max())
+                out_q.append(qid)
+                out_l.append(qlab)
+                out_p.append(pos)
+                out_n.append(neg)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "label": pd.Series(out_l, dtype="Int32"),
+                    "pos_p": pd.Series(out_p, dtype="float64"),
+                    "neg_p": pd.Series(out_n, dtype="float64"),
+                }
+            )
+
+    # the _emb_blocks scan with the label column kept (the multiset
+    # candidate contract stays raw, like knn — no join, no shuffle)
+    from stac_geoparquet_spark.operators._io import read_spread
+
+    blocks = (
+        read_spread(
+            spark, os.path.join(sf_dir, "embeddings.parquet"), target=8
+        )
+        .where(_valid_vec())
+        .select("vec_id", "embedding", "label")
+    )
+    partials = blocks.mapInPandas(score, _HARDNEG_PARTIAL_SCHEMA)
+    agg = partials.groupBy("query_id", "label").agg(
+        F.max("pos_p").alias("pos_sim"),
+        F.max("neg_p").alias("hard_neg_sim"),
+    )
+    return agg.selectExpr(
+        "query_id",
+        "label",
+        "pos_sim",
+        "hard_neg_sim",
+        """CASE WHEN pos_sim IS NOT NULL AND hard_neg_sim IS NOT NULL
+                THEN round(pos_sim - hard_neg_sim, 6) + 0.0
+           END AS margin""",
+        """CASE WHEN pos_sim IS NOT NULL AND hard_neg_sim IS NOT NULL
+                THEN hard_neg_sim >= pos_sim
+           END AS is_hard""",
+    )
+
+
+HARDNEG_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt({_DOT_SQL.format(a='embedding::DOUBLE[]',
+                               b='embedding::DOUBLE[]')}) AS norm
+  FROM embeddings WHERE {VALID_VEC_SQL}
+),
+eq0 AS (
+  SELECT vec_id, min(embedding::DOUBLE[]) AS v, min(label) AS label
+  FROM embeddings WHERE {VALID_VEC_SQL} AND vec_id < {N_QUERIES}
+  GROUP BY vec_id
+),
+eq AS (
+  SELECT vec_id, label, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm
+  FROM eq0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS label,
+         CASE WHEN q.label IS NOT NULL AND c.label IS NOT NULL
+                   AND c.label = q.label
+              THEN round({_DOT_SQL.format(a='q.v', b='c.v')}
+                         / (q.norm * c.norm), 6) END AS pos_c,
+         CASE WHEN q.label IS NOT NULL AND c.label IS NOT NULL
+                   AND c.label <> q.label
+              THEN round({_DOT_SQL.format(a='q.v', b='c.v')}
+                         / (q.norm * c.norm), 6) END AS neg_c
+  FROM eq q JOIN e c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, label,
+       max(pos_c) AS pos_sim,
+       max(neg_c) AS hard_neg_sim,
+       CASE WHEN max(pos_c) IS NOT NULL AND max(neg_c) IS NOT NULL
+            THEN round(max(pos_c) - max(neg_c), 6) + 0.0
+       END AS margin,
+       CASE WHEN max(pos_c) IS NOT NULL AND max(neg_c) IS NOT NULL
+            THEN max(neg_c) >= max(pos_c)
+       END AS is_hard
+FROM scored
+GROUP BY query_id, label
+"""
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation recall (round 9): recall@K of brute-force
+# search over the FIRST half of the embedding dimensions against the
+# full-dimension ground truth — the dimension-ablation eval behind
+# Matryoshka-representation serving decisions (store/search half the
+# vector at half the cost if the recall holds).  Composes two
+# brute-force passes: the session-cached full-dim ground truth
+# (knn_brute_force) and one truncated-dim pass of the same block-GEMM
+# scorer; the report join is |Q| x K rows on both sides.
+# --------------------------------------------------------------------------
+MAT_DIM = DIM // 2
+
+_TRUNC_V = f"(embedding::DOUBLE[])[1:{MAT_DIM}]"
+
+KNN_TRUNC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_TRUNC_V} AS v,
+         sqrt({_DOT_SQL.format(a=_TRUNC_V, b=_TRUNC_V)}) AS norm
+  FROM embeddings WHERE {VALID_VEC_SQL}
+),
+eq AS (
+  SELECT vec_id, vq AS v, sqrt({_DOT_SQL.format(a='vq', b='vq')}) AS norm
+  FROM (SELECT vec_id, (min(embedding::DOUBLE[]))[1:{MAT_DIM}] AS vq
+        FROM embeddings
+        WHERE {VALID_VEC_SQL} AND vec_id < {N_QUERIES}
+        GROUP BY vec_id) qt
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='q.v', b='c.v')} / (q.norm * c.norm), 6)
+           AS cos_sim
+  FROM eq q JOIN e c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
+def _matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    q_ids, qm, _ = _load_queries(sf_dir)
+    qm_t = qm[:, :MAT_DIM]
+    qnorm_t = np.sqrt((qm_t * qm_t).sum(axis=1))
+    b_q = spark.sparkContext.broadcast((q_ids, qm_t, qnorm_t))
+    mat_dim, top_k = MAT_DIM, TOP_K
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qm, qnorm = b_q.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            c = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )[:, :mat_dim]
+            cnorm = np.sqrt((c * c).sum(axis=1))
+            sims = np.round(qm @ c.T / (qnorm[:, None] * cnorm[None, :]), 6)
+            mask = q_ids[:, None] == c_ids[None, :]
+            sims[mask] = -np.inf
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(q_ids)):
+                row = sims[i]
+                valid = np.nonzero(row != -np.inf)[0]
+                if len(valid) == 0:
+                    continue
+                order = valid[np.lexsort((c_ids[valid], -row[valid]))][
+                    :top_k
+                ]
+                out_q.extend([q_ids[i]] * len(order))
+                out_n.extend(c_ids[order])
+                out_s.extend(row[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # |Q| x K rows, TWO consumers in the report (n_trunc + hits):
+    # without the fence Catalyst re-runs the whole truncated GEMM scan
+    # once per consumer (no aggregate-subtree CSE — caught by this
+    # op's own plan pin, which saw 2 MapInPandas)
+    return fenced(
+        _rank_topk(
+            _emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA)
+        )
+    )
+
+
+def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    tr = _matryoshka_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("tr_neighbor_id")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_trunc = tr.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_trunc"))
+    hits = (
+        exact.join(
+            tr,
+            (exact.query_id == tr.query_id)
+            & (exact.neighbor_id == tr.tr_neighbor_id),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(n_trunc, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_trunc", F.lit(0)).cast("bigint").alias("n_trunc"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH knn AS ({KNN_SQL}),
+tr AS ({KNN_TRUNC_SQL}),
+ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM knn GROUP BY query_id),
+nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_trunc
+       FROM tr GROUP BY query_id),
+hits AS (
+  SELECT knn.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM knn JOIN tr ON tr.query_id = knn.query_id
+                  AND tr.neighbor_id = knn.neighbor_id
+  GROUP BY knn.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(coalesce(nt.n_trunc, 0) AS BIGINT) AS n_trunc,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
+         AS recall
+FROM ne
+LEFT JOIN nt ON nt.query_id = ne.query_id
+LEFT JOIN hits ON hits.query_id = ne.query_id
+"""
+
+
 QUERIES_ROTATION = {
     "ann_recall_report": ann_recall_report,
+    "hard_negative_mining": hard_negative_mining,
+    "matryoshka_recall_report": matryoshka_recall_report,
     "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_standardize": embedding_standardize,
     "embedding_class_profile": embedding_class_profile,
@@ -2351,6 +2693,8 @@ QUERIES_ROTATION = {
 
 ORACLE_ROTATION = {
     "ann_recall_report": _recall_oracle_sql(),
+    "hard_negative_mining": HARDNEG_SQL,
+    "matryoshka_recall_report": MATRYOSHKA_RECALL_SQL,
     "embedding_norm_outliers": NORM_OUTLIER_SQL,
     "embedding_standardize": _standardize_oracle_sql(),
     "embedding_class_profile": CLASS_PROFILE_SQL,

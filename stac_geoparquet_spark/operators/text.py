@@ -502,6 +502,112 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Split-health audit: Jensen-Shannon divergence between the train and
+# holdout unigram distributions plus the holdout OOV rate (holdout
+# token mass on words train never saw).  A healthy random split has
+# JSD near 0 and a small OOV tail; a drifted/contaminated split (or a
+# split done after a sort) shows up immediately in both numbers.
+#
+# Scale shape: one corpus explode -> word-keyed aggregate carrying
+# per-split conditional counts, a 1-row totals broadcast, then a 1-row
+# reduce — two shuffles, both keyed on the scaling word key.  The JSD
+# term sum is order-insensitive math whose cross-engine float drift
+# (~1e-15 per term) sits six orders under the 6-decimal rounding.
+# --------------------------------------------------------------------------
+_JSD_P = "(CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE))"
+_JSD_Q = "(CAST(ch AS DOUBLE) / CAST(th AS DOUBLE))"
+# per-word contribution in nats; the CASE guards make the 0*ln(0)
+# limits exact zeros on both engines
+_JSD_TERM = (
+    f"(CASE WHEN ct > 0 THEN 0.5 * {_JSD_P}"
+    f" * ln(2.0 * {_JSD_P} / ({_JSD_P} + {_JSD_Q})) ELSE 0.0 END"
+    f" + CASE WHEN ch > 0 THEN 0.5 * {_JSD_Q}"
+    f" * ln(2.0 * {_JSD_Q} / ({_JSD_P} + {_JSD_Q})) ELSE 0.0 END)"
+)
+
+
+def split_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.when(split_pct() < TRAIN_PCT, 1).otherwise(0).alias("is_train"),
+        F.explode(_words(F.col("text"))).alias("word"),
+    ).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(
+        F.sum("is_train").cast("bigint").alias("ct"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("ch"),
+    )
+    tot = wc.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("ch").cast("bigint").alias("th"),
+        F.count(F.lit(1)).alias("n_vocab_union"),
+        F.sum(F.when((F.col("ct") > 0) & (F.col("ch") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vocab_shared"),
+        F.sum(F.when(F.col("ct") == 0, F.col("ch")).otherwise(0))
+        .cast("bigint")
+        .alias("oov_holdout_tokens"),
+    )
+    terms = wc.crossJoin(F.broadcast(tot)).selectExpr(
+        "tt",
+        "th",
+        "n_vocab_union",
+        "n_vocab_shared",
+        "oov_holdout_tokens",
+        f"{_JSD_TERM} AS term",
+    )
+    return terms.groupBy(
+        "tt", "th", "n_vocab_union", "n_vocab_shared", "oov_holdout_tokens"
+    ).agg(F.sum("term").alias("jsd_sum")).selectExpr(
+        "tt AS n_train_tokens",
+        "th AS n_holdout_tokens",
+        "n_vocab_union",
+        "n_vocab_shared",
+        """CASE WHEN tt > 0 AND th > 0
+                THEN round(jsd_sum, 6) + 0.0
+           END AS jsd_nats""",
+        "round(CAST(oov_holdout_tokens AS DOUBLE)"
+        " / nullif(CAST(th AS DOUBLE), 0.0), 6) AS oov_holdout_rate",
+    )
+
+
+SPLIT_JSD_SQL = f"""
+WITH w AS (
+  SELECT CASE WHEN {SPLIT_PCT_SQL} < {TRAIN_PCT} THEN 1 ELSE 0 END
+           AS is_train,
+         unnest({_sql_words()}) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word,
+         CAST(sum(is_train) AS BIGINT) AS ct,
+         CAST(sum(1 - is_train) AS BIGINT) AS ch
+  FROM w WHERE word <> '' GROUP BY word
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         CAST(sum(ch) AS BIGINT) AS th,
+         CAST(count(*) AS BIGINT) AS n_vocab_union,
+         CAST(sum(CASE WHEN ct > 0 AND ch > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_vocab_shared,
+         CAST(sum(CASE WHEN ct = 0 THEN ch ELSE 0 END) AS BIGINT)
+           AS oov_holdout_tokens
+  FROM wc
+)
+SELECT tt AS n_train_tokens,
+       th AS n_holdout_tokens,
+       n_vocab_union,
+       n_vocab_shared,
+       CASE WHEN tt > 0 AND th > 0
+            THEN round(sum({_JSD_TERM}), 6) + 0.0
+       END AS jsd_nats,
+       round(CAST(oov_holdout_tokens AS DOUBLE)
+             / nullif(CAST(th AS DOUBLE), 0.0), 6) AS oov_holdout_rate
+FROM wc, tot
+GROUP BY tt, th, n_vocab_union, n_vocab_shared, oov_holdout_tokens
+"""
+
+
+# --------------------------------------------------------------------------
 # TF-IDF top terms — the classic corpus-statistics join: term frequency
 # per (doc, word), document frequency per word, idf = ln(N/df), top-3
 # terms per doc by tf-idf. Shuffles: one groupBy on (doc_id, word), one
@@ -1677,6 +1783,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "split_train_holdout": split_train_holdout,
+    "split_unigram_jsd": split_unigram_jsd,
     "vocab_top_terms": vocab_top_terms,
     "doc_length_buckets": doc_length_buckets,
     "text_unigram_logppl": text_unigram_logppl,
@@ -1689,6 +1796,7 @@ ORACLE = {
     "text_lang_id": _lang_oracle_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
     "split_train_holdout": SPLIT_SQL,
+    "split_unigram_jsd": SPLIT_JSD_SQL,
     "vocab_top_terms": VOCAB_SQL,
     "doc_length_buckets": LENGTH_BUCKETS_SQL,
     "text_unigram_logppl": UNIGRAM_LOGPPL_SQL,

@@ -1521,6 +1521,12 @@ def orders_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     btot = g.groupBy("bucket").agg(F.sum("n_v").alias("bt"))
+    # the unpartitioned window below runs over the BUCKET list, whose
+    # row count is bounded by the price VALUE DOMAIN, not the corpus:
+    # ceil(max_cents / MW_CENTS_BUCKET) buckets (~50 at TPC-H price
+    # domains, and fixed at any scale factor), so the single-task
+    # stage is a few-dozen-row cumsum (allowlisted in the grouped-
+    # window audit; r08 verdict task #7 asked for both bounds stated)
     offsets = btot.select(
         "bucket",
         F.coalesce(
@@ -1969,3 +1975,163 @@ FROM agg
 
 QUERIES["events_power_analysis"] = events_power_analysis
 ORACLE["events_power_analysis"] = POWER_SQL
+
+
+# --------------------------------------------------------------------------
+# Delete-a-group jackknife CI (round 9): the nonparametric uncertainty
+# estimate for the per-user mean value — the standard production
+# alternative when the metric's variance formula is untrusted (ratio
+# metrics, heavy tails).  Users hash into JK_B deterministic buckets;
+# theta_i = the mean recomputed leaving bucket i out; the jackknife
+# SE is sqrt((B-1)/B * sum_i (theta_i - theta_bar)^2).
+#
+# Scale shape: ONE user-keyed aggregate (the corpus shuffle), then a
+# JK_B-row bucket aggregate and pure 1-row math — the leave-one-out
+# means come from the totals minus each bucket's sums, never a second
+# pass.  All moments are exact int64 cent sums; every division and
+# square runs in DOUBLE with identical expression text on both
+# engines (the r08 overflow house rule — no int64 products anywhere).
+# --------------------------------------------------------------------------
+JK_B = 20  # jackknife bucket count (delete-a-group size = N/JK_B)
+
+_JK_THETA = (
+    "(CAST(s - s_b AS DOUBLE) / CAST(n - n_b AS DOUBLE))"
+)
+
+
+def events_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % JK_B
+            ).alias("bucket"),
+            "cents",
+        )
+    )
+    bk = per_user.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("cents").alias("s_b"),
+    )
+    # totals via an unpartitioned window over the <= JK_B-row bucket
+    # aggregate (the sanctioned tiny-aggregate pattern) — a separate
+    # totals aggregate + crossJoin re-planned the whole corpus scan
+    # into the broadcast side (Catalyst does not CSE aggregate
+    # subtrees; the tfidf/chi2 defect class, caught by this op's own
+    # single-scan plan pin)
+    w_all = Window.partitionBy()
+    j = bk.select(
+        F.sum("n_b").over(w_all).cast("bigint").alias("n"),
+        F.sum("s_b").over(w_all).cast("bigint").alias("s"),
+        "n_b",
+        "s_b",
+    ).selectExpr(
+        "n",
+        "s",
+        f"CASE WHEN n - n_b > 0 THEN {_JK_THETA} END AS theta_i",
+    )
+    agg = j.groupBy("n", "s").agg(
+        F.count("theta_i").cast("bigint").alias("nb"),
+        F.sum("theta_i").alias("st"),
+        F.sum(F.col("theta_i") * F.col("theta_i")).alias("sst"),
+    )
+    return agg.selectExpr(
+        "n AS n_users",
+        "nb AS n_buckets",
+        """CASE WHEN n > 0
+                THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+           END AS mean_user_value""",
+        """CASE WHEN nb >= 2
+                THEN round(sqrt(CAST(nb - 1 AS DOUBLE) / CAST(nb AS DOUBLE)
+                     * greatest(sst - st * st / CAST(nb AS DOUBLE), 0.0))
+                     / 100.0, 6) + 0.0
+           END AS se_jackknife""",
+        """CASE WHEN nb >= 2 AND n > 0
+                THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                     - 1.959964 * sqrt(CAST(nb - 1 AS DOUBLE)
+                       / CAST(nb AS DOUBLE)
+                       * greatest(sst - st * st / CAST(nb AS DOUBLE), 0.0))
+                       / 100.0, 6) + 0.0
+           END AS ci_lo""",
+        """CASE WHEN nb >= 2 AND n > 0
+                THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                     + 1.959964 * sqrt(CAST(nb - 1 AS DOUBLE)
+                       / CAST(nb AS DOUBLE)
+                       * greatest(sst - st * st / CAST(nb AS DOUBLE), 0.0))
+                       / 100.0, 6) + 0.0
+           END AS ci_hi""",
+    )
+
+
+JACKKNIFE_SQL = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+           % {JK_B} AS bucket,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+bk AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(cents) AS BIGINT) AS s_b
+  FROM per_user GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(s_b) AS BIGINT) AS s
+  FROM bk
+),
+j AS (
+  SELECT n, s,
+         CASE WHEN n - n_b > 0 THEN {_JK_THETA} END AS theta_i
+  FROM bk, tot
+),
+agg AS (
+  SELECT n, s,
+         CAST(count(theta_i) AS BIGINT) AS nb,
+         sum(theta_i) AS st,
+         sum(theta_i * theta_i) AS sst
+  FROM j GROUP BY n, s
+)
+SELECT n AS n_users,
+       nb AS n_buckets,
+       CASE WHEN n > 0
+            THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+       END AS mean_user_value,
+       CASE WHEN nb >= 2
+            THEN round(sqrt(CAST(nb - 1 AS DOUBLE) / CAST(nb AS DOUBLE)
+                 * greatest(sst - st * st / CAST(nb AS DOUBLE), 0.0))
+                 / 100.0, 6) + 0.0
+       END AS se_jackknife,
+       CASE WHEN nb >= 2 AND n > 0
+            THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 - 1.959964 * sqrt(CAST(nb - 1 AS DOUBLE)
+                   / CAST(nb AS DOUBLE)
+                   * greatest(sst - st * st / CAST(nb AS DOUBLE), 0.0))
+                   / 100.0, 6) + 0.0
+       END AS ci_lo,
+       CASE WHEN nb >= 2 AND n > 0
+            THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 + 1.959964 * sqrt(CAST(nb - 1 AS DOUBLE)
+                   / CAST(nb AS DOUBLE)
+                   * greatest(sst - st * st / CAST(nb AS DOUBLE), 0.0))
+                   / 100.0, 6) + 0.0
+       END AS ci_hi
+FROM agg
+"""
+
+
+QUERIES["events_jackknife_ci"] = events_jackknife_ci
+ORACLE["events_jackknife_ci"] = JACKKNIFE_SQL

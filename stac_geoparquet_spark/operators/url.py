@@ -418,3 +418,82 @@ FROM parsed
 
 QUERIES["dedup_url_canonical"] = dedup_url_canonical
 ORACLE["dedup_url_canonical"] = DEDUP_URL_SQL
+
+
+# ---------------------------------------------------------------------------
+# domain_effective_diversity: per source, how concentrated the corpus
+# is on registrable domains — Shannon entropy of the domain
+# distribution, its exponential (the "effective number of domains"),
+# and the single largest domain's share.  The curation dashboard
+# number behind per-domain caps: a source whose effective-domain count
+# collapses is one crawler loop away from being a single-site dump.
+#
+# Scale shape: (source, domain) keyed aggregate, then a bounded
+# per-source reduce — the entropy is computed from c*ln(c) partial
+# sums so no second pass or window over the source key is needed
+# (H = ln(n) - sum(c*ln(c))/n, exact algebra, same text both engines).
+# ---------------------------------------------------------------------------
+def domain_effective_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _parsed(spark, sf_dir)
+        .select("source", "domain")
+        .groupBy("source", "domain")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_domains"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("clnc"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_docs",
+        "n_domains",
+        """CASE WHEN n_docs > 0
+                THEN round(ln(CAST(n_docs AS DOUBLE))
+                     - clnc / CAST(n_docs AS DOUBLE), 6) + 0.0
+           END AS domain_entropy_nats""",
+        """CASE WHEN n_docs > 0
+                THEN round(exp(ln(CAST(n_docs AS DOUBLE))
+                     - clnc / CAST(n_docs AS DOUBLE)), 6) + 0.0
+           END AS effective_domains""",
+        "round(CAST(max_c AS DOUBLE)"
+        " / nullif(CAST(n_docs AS DOUBLE), 0.0), 6) AS top_domain_share",
+    )
+
+
+DOMAIN_DIVERSITY_SQL = f"""
+WITH {_parsed_sql()},
+per AS (
+  SELECT source, domain, CAST(count(*) AS BIGINT) AS c
+  FROM parsed GROUP BY source, domain
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_domains,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM per GROUP BY source
+)
+SELECT source,
+       n_docs,
+       n_domains,
+       CASE WHEN n_docs > 0
+            THEN round(ln(CAST(n_docs AS DOUBLE))
+                 - clnc / CAST(n_docs AS DOUBLE), 6) + 0.0
+       END AS domain_entropy_nats,
+       CASE WHEN n_docs > 0
+            THEN round(exp(ln(CAST(n_docs AS DOUBLE))
+                 - clnc / CAST(n_docs AS DOUBLE)), 6) + 0.0
+       END AS effective_domains,
+       round(CAST(max_c AS DOUBLE)
+             / nullif(CAST(n_docs AS DOUBLE), 0.0), 6) AS top_domain_share
+FROM agg
+"""
+
+
+QUERIES["domain_effective_diversity"] = domain_effective_diversity
+ORACLE["domain_effective_diversity"] = DOMAIN_DIVERSITY_SQL

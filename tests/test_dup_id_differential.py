@@ -120,6 +120,11 @@ SAMPLE = [
     "tokenize_bpe_roundtrip",
     "graph_modularity_score",
     "dedup_url_canonical",
+    # round-11: the cluster split keys on the canonical doc set (the
+    # oracle walks DOCS_CANON docs); domain diversity derives the URL
+    # from the canonical doc_id
+    "split_by_neardup_cluster",
+    "domain_effective_diversity",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

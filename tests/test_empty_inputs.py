@@ -177,6 +177,12 @@ SAMPLE = [
     "events_power_analysis",
     # round-11
     "tokenize_bpe_roundtrip",
+    "split_by_neardup_cluster",
+    "split_unigram_jsd",
+    "events_jackknife_ci",
+    "domain_effective_diversity",
+    "hard_negative_mining",
+    "matryoshka_recall_report",
 ]
 
 TABLES = (

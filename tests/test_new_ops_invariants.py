@@ -3497,3 +3497,293 @@ def test_tokenize_bpe_roundtrip_identity_and_fallback(spark):
         assert r["n_roundtrip_ok"] == nok == nw
         assert r["roundtrip_rate"] == 1.0
         assert r["char_fallback_share"] == round((nt - nmg) / nt, 6)
+
+
+def test_split_by_neardup_cluster_no_straddling(spark):
+    """No near-dup cluster may straddle the split (the operator's
+    whole point): recompute cluster -> set-of-splits from the label
+    table and assert every cluster lands in exactly one split; totals
+    must cover the full canonical corpus."""
+    from pyspark.sql import functions as F
+
+    from stac_geoparquet_spark.operators._canon import docs_canon
+    from stac_geoparquet_spark.operators.dedup import (
+        _cc_labels_cached,
+        _pct_expr,
+        split_by_neardup_cluster,
+    )
+    from stac_geoparquet_spark.operators.text import TRAIN_PCT
+
+    rows = split_by_neardup_cluster(spark, SF_DIR).collect()
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    assert n_docs_total == docs_canon(spark, SF_DIR).count()
+    # independent recomputation: every doc of a cluster gets the
+    # cluster split, so per-cluster split count must be 1
+    labels = _cc_labels_cached(spark, SF_DIR).withColumnRenamed(
+        "label", "cl"
+    )
+    base = (
+        docs_canon(spark, SF_DIR)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cl", F.col("doc_id")).alias("cluster_id")
+        )
+        .withColumn(
+            "split",
+            F.when(_pct_expr("cluster_id") < TRAIN_PCT, "train").otherwise(
+                "holdout"
+            ),
+        )
+    )
+    bad = (
+        base.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert bad == 0
+    # n_moved is consistent: moved docs are exactly those whose doc-
+    # hash split differs; recompute
+    moved = base.withColumn(
+        "naive",
+        F.when(_pct_expr("doc_id") < TRAIN_PCT, "train").otherwise(
+            "holdout"
+        ),
+    ).where(F.col("naive") != F.col("split"))
+    assert sum(r["n_moved"] for r in rows) == moved.count()
+
+
+def test_split_unigram_jsd_bounds(spark):
+    """JSD in nats is bounded by ln(2); token totals must equal the
+    whitespace token totals of the split assignment recomputed
+    independently; OOV rate in [0, 1]."""
+    import math
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.text import (
+        TRAIN_PCT,
+        split_unigram_jsd,
+    )
+    import hashlib
+
+    def pct(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+
+    ct: dict[str, int] = {}
+    ch: dict[str, int] = {}
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).to_pylist():
+        if r["text"] is None:
+            continue
+        words = [
+            w
+            for w in re.split(r"[ \t\n\x0b\f\r]+", r["text"].strip().lower())
+            if w
+        ]
+        tgt = ct if pct(r["doc_id"]) < TRAIN_PCT else ch
+        for w in words:
+            tgt[w] = tgt.get(w, 0) + 1
+    row = split_unigram_jsd(spark, SF_DIR).collect()[0]
+    assert row["n_train_tokens"] == sum(ct.values())
+    assert row["n_holdout_tokens"] == sum(ch.values())
+    assert row["n_vocab_union"] == len(set(ct) | set(ch))
+    assert row["n_vocab_shared"] == len(set(ct) & set(ch))
+    assert 0.0 <= row["jsd_nats"] <= math.log(2.0) + 1e-9
+    assert 0.0 <= row["oov_holdout_rate"] <= 1.0
+    # independent JSD replay
+    tt, th = sum(ct.values()), sum(ch.values())
+    jsd = 0.0
+    for w in set(ct) | set(ch):
+        p = ct.get(w, 0) / tt
+        q = ch.get(w, 0) / th
+        if p > 0:
+            jsd += 0.5 * p * math.log(2.0 * p / (p + q))
+        if q > 0:
+            jsd += 0.5 * q * math.log(2.0 * q / (p + q))
+    assert abs(row["jsd_nats"] - jsd) < 1e-5
+
+
+def test_events_jackknife_ci_matches_numpy(spark):
+    """The delete-a-group jackknife SE must match a numpy replay of
+    the same bucketed leave-one-out means, and the CI must bracket the
+    mean symmetrically."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        JK_B,
+        events_jackknife_ci,
+    )
+
+    tbl = pq.read_table(SF_DIR + "/events.parquet").to_pylist()
+    per_user: dict = {}
+    for r in tbl:
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        cents = round(r["value"] * 100)
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + int(cents)
+    buckets: dict[int, list[int]] = {}
+    for uid, cents in per_user.items():
+        b = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % JK_B
+        buckets.setdefault(b, []).append(cents)
+    n = len(per_user)
+    s = sum(per_user.values())
+    thetas = [
+        (s - sum(v)) / (n - len(v))
+        for v in buckets.values()
+        if n - len(v) > 0
+    ]
+    nb = len(thetas)
+    se = float(
+        np.sqrt(
+            (nb - 1)
+            / nb
+            * max(
+                (np.array(thetas) ** 2).sum()
+                - np.array(thetas).sum() ** 2 / nb,
+                0.0,
+            )
+        )
+        / 100.0
+    )
+    row = events_jackknife_ci(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n
+    assert row["n_buckets"] == nb
+    assert abs(row["se_jackknife"] - se) < 1e-5
+    assert abs((row["ci_hi"] + row["ci_lo"]) / 2 - row["mean_user_value"]) < 1e-5
+    assert row["ci_hi"] >= row["mean_user_value"] >= row["ci_lo"]
+
+
+def test_domain_effective_diversity_bounds(spark):
+    """Entropy in [0, ln(n_domains)], effective domains in
+    [1, n_domains], top share in [1/n_domains, 1], and exp(H) must
+    equal the reported effective count."""
+    import math
+
+    from stac_geoparquet_spark.operators.url import (
+        domain_effective_diversity,
+    )
+
+    rows = domain_effective_diversity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # the 6-decimal output rounding can sit up to 5e-7 past the
+        # exact mathematical bound
+        assert 0.0 <= r["domain_entropy_nats"] <= math.log(r["n_domains"]) + 1e-6
+        assert 1.0 - 1e-6 <= r["effective_domains"] <= r["n_domains"] + 1e-4
+        assert 1.0 / r["n_domains"] - 1e-6 <= r["top_domain_share"] <= 1.0
+        assert (
+            abs(math.exp(r["domain_entropy_nats"]) - r["effective_domains"])
+            < 1e-3
+        )
+
+
+def test_hard_negative_mining_matches_numpy(spark):
+    """Per-query pos/neg sims must equal a numpy brute-force replay
+    (round-at-6-then-max, same as both engines), and margin/is_hard
+    must be consistent with them."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.similarity import (
+        DIM,
+        N_QUERIES,
+        hard_negative_mining,
+    )
+
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet").to_pylist()
+    rows = [
+        r
+        for r in tbl
+        if r["embedding"] is not None
+        and len(r["embedding"]) == DIM
+        and all(v is not None for v in r["embedding"])
+        and np.isfinite(np.sum(np.asarray(r["embedding"], dtype=np.float64)))
+    ]
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    labs = [r["label"] for r in rows]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    got = {
+        r["query_id"]: r
+        for r in hard_negative_mining(spark, SF_DIR).collect()
+    }
+    for qid in sorted(set(int(i) for i in ids if i < N_QUERIES)):
+        qi = int(np.nonzero(ids == qid)[0][0])  # fixture has unique ids
+        qlab = labs[qi]
+        sims = np.round(
+            mat @ mat[qi] / (norms * norms[qi]), 6
+        )
+        nonself = ids != qid
+        same = nonself & np.array([l == qlab for l in labs])
+        diff = nonself & np.array(
+            [l is not None and l != qlab for l in labs]
+        )
+        r = got[qid]
+        assert r["label"] == qlab
+        if same.any():
+            assert abs(r["pos_sim"] - sims[same].max()) < 1e-9
+        if diff.any():
+            assert abs(r["hard_neg_sim"] - sims[diff].max()) < 1e-9
+        if r["pos_sim"] is not None and r["hard_neg_sim"] is not None:
+            assert r["is_hard"] == (r["hard_neg_sim"] >= r["pos_sim"])
+            assert (
+                abs(r["margin"] - round(r["pos_sim"] - r["hard_neg_sim"], 6))
+                < 1e-9
+            )
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    """Truncated-dim top-K recall must equal a numpy replay of both
+    brute-force passes (round-6-then-rank, ties by neighbor id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.similarity import (
+        DIM,
+        MAT_DIM,
+        N_QUERIES,
+        TOP_K,
+        matryoshka_recall_report,
+    )
+
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet").to_pylist()
+    rows = [
+        r
+        for r in tbl
+        if r["embedding"] is not None
+        and len(r["embedding"]) == DIM
+        and all(v is not None for v in r["embedding"])
+        and np.isfinite(np.sum(np.asarray(r["embedding"], dtype=np.float64)))
+    ]
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def topk(dim: int, qi: int) -> list[int]:
+        m = mat[:, :dim]
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = np.round(m @ m[qi] / (norms * norms[qi]), 6)
+        cand = np.nonzero(ids != ids[qi])[0]
+        order = cand[np.lexsort((ids[cand], -sims[cand]))][:TOP_K]
+        return [int(ids[j]) for j in order]
+
+    got = {
+        r["query_id"]: r
+        for r in matryoshka_recall_report(spark, SF_DIR).collect()
+    }
+    for qid in sorted(set(int(i) for i in ids if i < N_QUERIES)):
+        qi = int(np.nonzero(ids == qid)[0][0])
+        full = set(topk(DIM, qi))
+        half = set(topk(MAT_DIM, qi))
+        r = got[qid]
+        assert r["n_exact"] == len(full)
+        assert r["n_trunc"] == len(half)
+        assert r["n_hits"] == len(full & half)
+        assert r["recall"] == round(len(full & half) / len(full), 6)

@@ -155,6 +155,8 @@ def test_null_injected_oracle_agreement(spark, null_dir, name):
 
 VEC_SAMPLE = [
     "knn_brute_force",
+    "hard_negative_mining",
+    "matryoshka_recall_report",
     "ann_lsh_bucketed",
     "ann_recall_report",
     "ann_ivf_probe",
@@ -613,6 +615,7 @@ WS_SAMPLE = SAMPLE + [
     # pack_sequences' first draft
     "tokenize_bpe_encode",
     "tokenize_bpe_roundtrip",
+    "split_unigram_jsd",
     "text_quality_score",
     "text_lang_id",
     "quality_repetition",

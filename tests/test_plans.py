@@ -2277,3 +2277,94 @@ def test_dedup_url_canonical_slim_shuffle(spark, sf):
     assert n_ops(plan, "Window") == 1
     assert "windowspecdefinition(canon_url" in plan
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+# ---------------------------------------------------------------------------
+# round 9: cluster-aware split, split JSD, jackknife, domain diversity,
+# hard-negative mining, BPE round-trip
+# ---------------------------------------------------------------------------
+def test_split_by_neardup_cluster_label_join_only(spark, sf):
+    """The cluster-aware split is one doc_id-keyed left join of the
+    corpus against the (pair-graph-bounded, fenced) label table plus a
+    2-group aggregate — no window, no Python, nothing quadratic."""
+    from stac_geoparquet_spark.operators import dedup
+
+    plan = plan_of(dedup.split_by_neardup_cluster(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "Window") == 0
+
+
+def test_split_unigram_jsd_two_keyed_shuffles(spark, sf):
+    """JSD = one corpus explode -> word-keyed aggregate -> 1-row
+    totals broadcast -> 1-row reduce; the only join is the trivial
+    1-row broadcast."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.split_unigram_jsd(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert n_ops(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert n_ops(plan, j) == 0
+
+
+def test_events_jackknife_ci_bucket_reduce(spark, sf):
+    """One user-keyed aggregate, a JK_B-row bucket aggregate, then
+    pure tiny-aggregate math — totals come from an unpartitioned
+    window over the <= JK_B bucket rows, NOT a totals-aggregate
+    crossJoin (which re-planned the whole corpus scan into the
+    broadcast side: Catalyst does not CSE aggregate subtrees)."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_jackknife_ci(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "Scan parquet") == 1
+
+
+def test_domain_effective_diversity_single_scan(spark, sf):
+    """Domain entropy is computed from c*ln(c) partial sums inside the
+    per-source aggregate — one scan, two keyed aggregates, no join and
+    no window over the bounded source key."""
+    from stac_geoparquet_spark.operators import url
+
+    plan = plan_of(url.domain_effective_diversity(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
+def test_hard_negative_mining_block_partials(spark, sf):
+    """Mining streams the candidate blocks once through the GEMM
+    partial scorer (one MapInPandas) and max-merges |Q| rows — no
+    pairwise join through Catalyst, no window."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.hard_negative_mining(spark, sf))
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert n_ops(plan, j) == 0
+
+
+def test_matryoshka_recall_two_gemm_passes(spark, sf):
+    """The truncated pass is one more block-GEMM scan (MapInPandas);
+    the ground truth comes from the session-cached knn fence — the
+    report joins two |Q| x K tables, nothing quadratic through
+    Catalyst."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.matryoshka_recall_report(spark, sf))
+    # both GEMM passes are eager fences by plan time (the full-dim
+    # side is the session-cached knn fence; the truncated side fences
+    # its |Q| x K result because the report consumes it twice) — the
+    # report plan itself must contain NO scoring pass and nothing
+    # quadratic
+    assert n_ops(plan, "MapInPandas") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
