@@ -156,7 +156,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 7 never-row + 6 churned + 37 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 9 never-row + 6 churned + 35 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "tokenize_bpe_roundtrip",
@@ -166,6 +166,8 @@ WINDOW: list[str] = [
     "split_unigram_jsd",
     "hard_negative_mining",
     "matryoshka_recall_report",
+    "blocking_quality_report",
+    "approx_quantiles_histogram",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -209,8 +211,6 @@ WINDOW: list[str] = [
     "quality_repetition",
     "select_token_budget",
     "semantic_decontam_cells",
-    "source_quota_incremental",
-    "split_train_holdout",
 ]
 # WINDOW:END
 

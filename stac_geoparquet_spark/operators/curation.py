@@ -528,20 +528,20 @@ ED_TAU = 1  # Levenshtein radius
 ED_MIN_LEN = 6  # >= q + q*tau: the prefix bound needs this many chars
 
 
-def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ed_name_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT resolvable name domain (k = min part key as the
+    canonical representative, s = name): ER operates on the string
+    domain, and a catalog with heavily repeated names would otherwise
+    make the pair space quadratic in TABLE size instead of vocabulary
+    size (measured: 57 s at sf0.1 on raw rows vs sub-second on the
+    64-name distinct domain).  ASCII-only by contract: Spark's
+    levenshtein counts CODEPOINTS while DuckDB's counts BYTES
+    (levenshtein('日本','日本語') = 1 vs 3 — cross-engine fuzz
+    finding), so cross-engine edit distance is only well-defined
+    where byte == codepoint."""
     import os
 
-    # resolve DISTINCT name strings (min part key as the canonical
-    # representative), not raw rows: ER operates on the string domain,
-    # and a catalog with heavily repeated names would otherwise make
-    # the pair space quadratic in TABLE size instead of vocabulary
-    # size (measured: 57 s at sf0.1 on raw rows vs sub-second on the
-    # 64-name distinct domain).  ASCII-only by contract: Spark's
-    # levenshtein counts CODEPOINTS while DuckDB's counts BYTES
-    # (levenshtein('日本','日本語') = 1 vs 3 — cross-engine fuzz
-    # finding), so cross-engine edit distance is only well-defined
-    # where byte == codepoint.
-    p = (
+    return (
         spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
         .where(
             (F.length("p_name") >= ED_MIN_LEN)
@@ -551,6 +551,14 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_partkey").alias("k"))
         .select("k", F.col("p_name").alias("s"))
     )
+
+
+def _ed_candidate_pairs(p: DataFrame) -> DataFrame:
+    """AllPairs-style q-gram prefix-filter candidates (ka < kb) over
+    the name domain ``p`` — lossless for edit distance <= ED_TAU (a
+    pair escaping all ED_Q*ED_TAU+1 rarest grams would need more than
+    ED_TAU edits), re-proven against the exhaustive oracle at every
+    gate run."""
     g = p.select(
         "k",
         F.expr(
@@ -571,13 +579,18 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "gr")
         .distinct()
     )
-    cand = (
+    return (
         prefix.alias("a")
         .join(prefix.alias("b"), "gr")
         .where(F.col("a.k") < F.col("b.k"))
         .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
         .distinct()
     )
+
+
+def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _ed_name_domain(spark, sf_dir)
+    cand = _ed_candidate_pairs(p)
     named = (
         cand.join(p.select(F.col("k").alias("ka"), F.col("s").alias("sa")), "ka")
         .join(p.select(F.col("k").alias("kb"), F.col("s").alias("sb")), "kb")
@@ -605,6 +618,125 @@ SELECT a.k AS a_key, b.k AS b_key,
        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
 FROM p a JOIN p b ON a.k < b.k
 WHERE levenshtein(a.s, b.s) <= {ED_TAU}
+"""
+
+
+# --------------------------------------------------------------------------
+# Blocking-quality report (round 9): the standard ER blocking eval —
+# reduction ratio (how much of the quadratic pair space the q-gram
+# prefix filter prunes) and pairs completeness (what fraction of TRUE
+# matches the candidate set retains; 1.0 here because the prefix bound
+# is lossless for dist <= ED_TAU, and this op PROVES it on the data
+# each run rather than assuming the theorem).  The truth side needs an
+# exhaustive comparison, which is only sane on the DISTINCT-name
+# domain (vocabulary/Heaps-bounded, the eval-op convention shared with
+# dedup_minhash_precision); the pair space is further cut by a
+# LOSSLESS length-bucket equi-join — |len(a)-len(b)| <= ED_TAU is
+# necessary for dist <= ED_TAU, so each name joins only the 2*TAU+1
+# neighboring length classes, never a CartesianProduct.
+# --------------------------------------------------------------------------
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _ed_name_domain(spark, sf_dir)
+    cand = _ed_candidate_pairs(p)
+    ents = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+    ncand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    # lossless length-keyed truth join: a explodes to its admissible
+    # partner lengths, b joins on its exact length
+    al = p.select(
+        F.col("k").alias("ka"),
+        F.col("s").alias("sa"),
+        F.explode(
+            F.expr(
+                f"sequence(length(s) - {ED_TAU}, length(s) + {ED_TAU})"
+            )
+        ).alias("lb"),
+    )
+    bl = p.select(
+        F.col("k").alias("kb"),
+        F.col("s").alias("sb"),
+        F.length("s").alias("lb"),
+    )
+    truth = (
+        al.join(bl, "lb")
+        .where(F.col("ka") < F.col("kb"))
+        .where(F.levenshtein("sa", "sb") <= ED_TAU)
+        .select("ka", "kb")
+    )
+    nm = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+    nmb = truth.join(cand, ["ka", "kb"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches_blocked")
+    )
+    return (
+        ents.crossJoin(F.broadcast(ncand))
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nmb))
+        .selectExpr(
+            "n_entities",
+            "(n_entities * (n_entities - 1)) div 2 AS n_total_pairs",
+            "n_candidates",
+            "n_matches",
+            "n_matches_blocked",
+            """round(1.0 - CAST(n_candidates AS DOUBLE)
+               / nullif(CAST((n_entities * (n_entities - 1)) div 2
+                             AS DOUBLE), 0.0), 6) AS reduction_ratio""",
+            """round(CAST(n_matches_blocked AS DOUBLE)
+               / nullif(CAST(n_matches AS DOUBLE), 0.0), 6)
+               AS pairs_completeness""",
+        )
+    )
+
+
+def _blocking_quality_oracle_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT p_name AS s, min(p_partkey) AS k FROM part
+  WHERE length(p_name) >= {ED_MIN_LEN}
+    AND regexp_matches(p_name, '^[\\x00-\\x7f]*$')
+  GROUP BY p_name
+),
+g AS (
+  SELECT k, unnest(list_transform(generate_series(1, length(s) - {ED_Q - 1}),
+                   i -> {{'pos': i, 'gr': substr(s, CAST(i AS INT), {ED_Q})}}))
+           AS t
+  FROM p
+),
+g2 AS (SELECT k, t.pos AS pos, t.gr AS gr FROM g),
+freq AS (SELECT gr, count(*) AS f FROM g2 GROUP BY gr),
+ranked AS (
+  SELECT k, gr,
+         row_number() OVER (PARTITION BY k ORDER BY f, gr, pos) AS rn
+  FROM g2 JOIN freq USING (gr)
+),
+prefix AS (SELECT DISTINCT k, gr FROM ranked WHERE rn <= {ED_Q * ED_TAU + 1}),
+cand AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb
+  FROM prefix a JOIN prefix b ON a.gr = b.gr AND a.k < b.k
+),
+truth AS (
+  SELECT a.k AS ka, b.k AS kb
+  FROM p a JOIN p b
+    ON a.k < b.k AND abs(length(a.s) - length(b.s)) <= {ED_TAU}
+  WHERE levenshtein(a.s, b.s) <= {ED_TAU}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_entities FROM p),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matches FROM truth),
+nmb AS (SELECT CAST(count(*) AS BIGINT) AS n_matches_blocked
+        FROM truth JOIN cand USING (ka, kb))
+SELECT n_entities,
+       (n_entities * (n_entities - 1)) // 2 AS n_total_pairs,
+       n_candidates,
+       n_matches,
+       n_matches_blocked,
+       round(1.0 - CAST(n_candidates AS DOUBLE)
+             / nullif(CAST((n_entities * (n_entities - 1)) // 2
+                           AS DOUBLE), 0.0), 6) AS reduction_ratio,
+       round(CAST(n_matches_blocked AS DOUBLE)
+             / nullif(CAST(n_matches AS DOUBLE), 0.0), 6)
+         AS pairs_completeness
+FROM tot, nc, nm, nmb
 """
 
 
@@ -1140,6 +1272,7 @@ QUERIES_ROTATION = {
     "dedup_substring_removal": dedup_substring_removal,
     "edit_distance_join": edit_distance_join,
     "entity_resolution_parts": entity_resolution_parts,
+    "blocking_quality_report": blocking_quality_report,
     "text_zipf_slope": text_zipf_slope,
     "cross_lang_contamination": cross_lang_contamination,
     "dedup_substring_spans": dedup_substring_spans,
@@ -1155,6 +1288,7 @@ ORACLE_ROTATION = {
     "dedup_substring_removal": SUBSTR_REMOVAL_SQL,
     "edit_distance_join": ED_JOIN_SQL,
     "entity_resolution_parts": _er_parts_oracle_sql(),
+    "blocking_quality_report": _blocking_quality_oracle_sql(),
     "text_zipf_slope": ZIPF_SQL,
     "cross_lang_contamination": XLANG_SQL,
     "dedup_substring_spans": SPAN_SQL,

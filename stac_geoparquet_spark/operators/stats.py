@@ -1377,3 +1377,136 @@ WHERE r = CAST(floor((CAST(n AS DOUBLE) - 1.0) * quantile) AS BIGINT)
 
 QUERIES_ROTATION["quantiles_user_value_exact"] = quantiles_user_value_exact
 ORACLE_ROTATION["quantiles_user_value_exact"] = QUANTILES_EXACT_SQL
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantiles (round 9): the APPROXIMATE companion
+# to quantiles_user_value_exact — a fixed value-domain histogram
+# (bucket = floor(cents / 2^16), ~$655 buckets) whose counts are a
+# MERGEABLE sketch (map-side partial agg, rollup-friendly, the
+# KMV/CMS/HLL convention), then each requested quantile interpolates
+# linearly inside its bucket.  At 100 TB the exact path pays a full
+# range exchange; the histogram path is ONE keyed aggregate over a
+# value-domain-bounded table plus tiny-window math, and the answer is
+# off by at most one bucket width (lo/hi bounds reported per row).
+#
+# Determinism: the bucket id is floor(cents / W) computed in DOUBLE
+# (exact for |cents| < 2^53; floor — NOT integer division, whose
+# truncation direction differs between engines on negatives), the
+# cumulative window runs over the bounded bucket list (same
+# value-domain bound as orders_mann_whitney_u's offsets: at most
+# ceil(domain/W) rows at ANY corpus size), and the interpolation is
+# identical expression text on both engines.
+# --------------------------------------------------------------------------
+HIST_BUCKET_CENTS = 1 << 16
+HIST_QUANTILES = (0.5, 0.9, 0.99)
+
+_HIST_EST = (
+    "round((CAST(bucket AS DOUBLE) * {w}"
+    " + {w} * (q * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))"
+    " / CAST(n_b AS DOUBLE)) / 100.0, 6)"
+).format(w=float(HIST_BUCKET_CENTS))
+
+
+def approx_quantiles_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    per_user = (
+        ev.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+    hist = per_user.groupBy(
+        F.expr(
+            f"CAST(floor(CAST(cents AS DOUBLE) / {HIST_BUCKET_CENTS}.0)"
+            " AS BIGINT)"
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    # both windows run over the value-domain-bounded bucket list —
+    # at most ceil(cents_domain / 2^16) rows at any corpus size
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bucket",
+        "n_b",
+        F.coalesce(F.sum("n_b").over(w_cum), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+        F.sum("n_b").over(w_all).cast("bigint").alias("n"),
+    )
+    qlist = ", ".join(f"CAST({q} AS DOUBLE)" for q in HIST_QUANTILES)
+    quants = spark.range(1).selectExpr(
+        f"explode(array({qlist})) AS q"
+    )
+    sel = cum.join(
+        F.broadcast(quants),
+        (F.expr("q * CAST(n AS DOUBLE)") > F.col("cum_before").cast("double"))
+        & (
+            F.expr("q * CAST(n AS DOUBLE)")
+            <= (F.col("cum_before") + F.col("n_b")).cast("double")
+        ),
+    )
+    return sel.selectExpr(
+        "q AS quantile",
+        "n AS n_users",
+        f"{_HIST_EST} AS est_value_usd",
+        f"round(CAST(bucket AS DOUBLE) * {float(HIST_BUCKET_CENTS)}"
+        " / 100.0, 6) AS bucket_lo_usd",
+        f"round((CAST(bucket AS DOUBLE) + 1.0) * {float(HIST_BUCKET_CENTS)}"
+        " / 100.0, 6) AS bucket_hi_usd",
+    )
+
+
+APPROX_QUANTILES_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+hist AS (
+  SELECT CAST(floor(CAST(cents AS DOUBLE) / {HIST_BUCKET_CENTS}.0)
+              AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_b
+  FROM per_user GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n_b,
+         CAST(coalesce(sum(n_b) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before,
+         CAST(sum(n_b) OVER () AS BIGINT) AS n
+  FROM hist
+),
+qs AS (
+  SELECT CAST(0.5 AS DOUBLE) AS q
+  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+  UNION ALL SELECT CAST(0.99 AS DOUBLE)
+)
+SELECT q AS quantile,
+       n AS n_users,
+       {_HIST_EST} AS est_value_usd,
+       round(CAST(bucket AS DOUBLE) * {float(HIST_BUCKET_CENTS)}
+             / 100.0, 6) AS bucket_lo_usd,
+       round((CAST(bucket AS DOUBLE) + 1.0) * {float(HIST_BUCKET_CENTS)}
+             / 100.0, 6) AS bucket_hi_usd
+FROM cum JOIN qs
+  ON q * CAST(n AS DOUBLE) > CAST(cum_before AS DOUBLE)
+ AND q * CAST(n AS DOUBLE) <= CAST(cum_before + n_b AS DOUBLE)
+"""
+
+
+QUERIES_ROTATION["approx_quantiles_histogram"] = approx_quantiles_histogram
+ORACLE_ROTATION["approx_quantiles_histogram"] = APPROX_QUANTILES_SQL

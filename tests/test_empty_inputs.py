@@ -183,6 +183,8 @@ SAMPLE = [
     "domain_effective_diversity",
     "hard_negative_mining",
     "matryoshka_recall_report",
+    "blocking_quality_report",
+    "approx_quantiles_histogram",
 ]
 
 TABLES = (
@@ -251,6 +253,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "events_welch_ttest",
         "graph_modularity_score",
         "events_power_analysis",
+        # one-row blocking-eval summary: zero counts + NULL ratios on
+        # both engines (the 1-row stat frames crossjoin to one row)
+        "blocking_quality_report",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

@@ -3787,3 +3787,96 @@ def test_matryoshka_recall_matches_numpy(spark):
         assert r["n_trunc"] == len(half)
         assert r["n_hits"] == len(full & half)
         assert r["recall"] == round(len(full & half) / len(full), 6)
+
+
+def test_blocking_quality_completeness_and_python_replay(spark):
+    """The prefix filter is lossless for dist <= ED_TAU, so
+    pairs_completeness must be exactly 1.0, and every count must match
+    an exhaustive Python replay over the distinct ASCII name domain."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.curation import (
+        ED_MIN_LEN,
+        ED_TAU,
+        blocking_quality_report,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    names: dict[str, int] = {}
+    for r in pq.read_table(SF_DIR + "/part.parquet").to_pylist():
+        s = r["p_name"]
+        if s is None or len(s) < ED_MIN_LEN or not s.isascii():
+            continue
+        k = names.get(s)
+        names[s] = r["p_partkey"] if k is None else min(k, r["p_partkey"])
+    n = len(names)
+    matches = sum(
+        1
+        for a, b in itertools.combinations(names, 2)
+        if abs(len(a) - len(b)) <= ED_TAU and lev(a, b) <= ED_TAU
+    )
+    row = blocking_quality_report(spark, SF_DIR).collect()[0]
+    assert row["n_entities"] == n
+    assert row["n_total_pairs"] == n * (n - 1) // 2
+    assert row["n_matches"] == matches
+    assert row["n_matches_blocked"] == matches
+    assert row["pairs_completeness"] == 1.0
+    assert 0.0 <= row["reduction_ratio"] <= 1.0
+    assert row["n_candidates"] <= row["n_total_pairs"]
+
+
+def test_approx_quantiles_histogram_brackets_exact(spark):
+    """Each histogram estimate must sit inside its reported bucket,
+    the bucket must contain the EXACT quantile value (computed by a
+    Python replay over per-user cent totals), and the estimate error
+    is bounded by one bucket width."""
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.stats import (
+        HIST_BUCKET_CENTS,
+        approx_quantiles_histogram,
+    )
+
+    per_user: dict = {}
+    for r in pq.read_table(SF_DIR + "/events.parquet").to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + int(
+            round(r["value"] * 100)
+        )
+    vals = sorted(per_user.values())
+    n = len(vals)
+    rows = approx_quantiles_histogram(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_users"] == n
+        assert (
+            r["bucket_lo_usd"] <= r["est_value_usd"] <= r["bucket_hi_usd"]
+        )
+        assert (
+            abs(r["bucket_hi_usd"] - r["bucket_lo_usd"])
+            <= HIST_BUCKET_CENTS / 100.0 + 1e-6
+        )
+        # the q-th ranked value (ceil(q*n) in 1-based rank) must fall
+        # inside the selected bucket
+        import math
+
+        rank = math.ceil(r["quantile"] * n)
+        exact = vals[rank - 1] / 100.0
+        assert r["bucket_lo_usd"] - 1e-6 <= exact < r["bucket_hi_usd"] + 1e-6

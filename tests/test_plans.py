@@ -2368,3 +2368,31 @@ def test_matryoshka_recall_two_gemm_passes(spark, sf):
     # quadratic
     assert n_ops(plan, "MapInPandas") == 0
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_blocking_quality_no_cartesian(spark, sf):
+    """The truth side joins on the LOSSLESS length bucket (equi-join
+    with 2*TAU+1 fan-out), never all-pairs; the candidate side is the
+    shared q-gram prefix filter; the 1-row stat frames combine via
+    broadcast NLJs."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.blocking_quality_report(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_approx_quantiles_histogram_bounded_windows(spark, sf):
+    """One corpus scan -> user agg -> value-domain-bounded bucket agg;
+    both windows (cumsum + total) run over the bounded bucket list and
+    the quantile probe is a 3-row broadcast — no range exchange, no
+    second scan."""
+    from stac_geoparquet_spark.operators import stats
+
+    plan = plan_of(stats.approx_quantiles_histogram(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    # the exact-quantiles op pays a range exchange; the sketch must not
+    assert "rangepartitioning" not in plan.lower()
