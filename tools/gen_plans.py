@@ -455,6 +455,38 @@ SHOWCASE = [
         "aggregates exact int64 A/B/m2 scalars, and combines them as "
         "1-row broadcast joins — zero corpus scans.",
     ),
+    (
+        "events_jackknife_ci",
+        "Delete-a-group jackknife with ONE corpus scan: user-keyed agg "
+        "-> 20-row bucket agg -> totals via an unpartitioned window "
+        "over the bucket rows.  The naive totals-aggregate crossJoin "
+        "re-planned the WHOLE corpus scan into the broadcast side "
+        "(Catalyst does not CSE aggregate subtrees) — the plan pin "
+        "asserts Scan parquet == 1.",
+    ),
+    (
+        "approx_quantiles_histogram",
+        "Mergeable histogram quantiles with NO range exchange (the "
+        "exact-quantiles op pays one): value-domain buckets aggregate "
+        "map-side, the cumsum windows run over the bounded bucket "
+        "list, and the 3 requested quantiles probe via a tiny "
+        "broadcast non-equi join.",
+    ),
+    (
+        "blocking_quality_report",
+        "ER blocking eval whose exhaustive truth side is an EQUI-join "
+        "on a lossless length bucket (|len diff| <= tau is necessary "
+        "for dist <= tau) — no CartesianProduct anywhere despite the "
+        "all-pairs semantics; candidates reuse the shared q-gram "
+        "prefix-filter stages.",
+    ),
+    (
+        "hard_negative_mining",
+        "Per-query pos/neg maxima as block-GEMM partials: one "
+        "MapInPandas emits ONE row per (query, block) and a |Q|-row "
+        "max-merge finishes — the pairwise similarity matrix never "
+        "materializes through Catalyst.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
