@@ -51,6 +51,9 @@ def _registries():
         url,
     )
     from stac_geoparquet_spark.streaming import decontam as streaming_decontam
+    from stac_geoparquet_spark.streaming import (
+        histogram as streaming_histogram,
+    )
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
     from stac_geoparquet_spark.streaming import novelty as streaming_novelty
     from stac_geoparquet_spark.streaming import quota as streaming_quota
@@ -99,6 +102,7 @@ def _registries():
         (streaming_semdedup.QUERIES, streaming_semdedup.ORACLE),
         (streaming_quota.QUERIES, streaming_quota.ORACLE),
         (streaming_novelty.QUERIES, streaming_novelty.ORACLE),
+        (streaming_histogram.QUERIES, streaming_histogram.ORACLE),
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
         (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
         (scan_opt.QUERIES_ROTATION, scan_opt.ORACLE_ROTATION),
@@ -156,7 +160,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 9 never-row + 6 churned + 35 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 11 never-row + 6 churned + 33 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "tokenize_bpe_roundtrip",
@@ -168,6 +172,8 @@ WINDOW: list[str] = [
     "matryoshka_recall_report",
     "blocking_quality_report",
     "approx_quantiles_histogram",
+    "events_diff_in_diff",
+    "approx_quantiles_incremental",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -209,8 +215,6 @@ WINDOW: list[str] = [
     "q6_forecast_revenue",
     "quality_classifier_score",
     "quality_repetition",
-    "select_token_budget",
-    "semantic_decontam_cells",
 ]
 # WINDOW:END
 

@@ -1408,23 +1408,15 @@ _HIST_EST = (
 ).format(w=float(HIST_BUCKET_CENTS))
 
 
-def approx_quantiles_histogram(
-    spark: SparkSession, sf_dir: str
+def hist_quantiles_from_user_totals(
+    spark: SparkSession, per_user: DataFrame
 ) -> DataFrame:
+    """The presentation side of the histogram-quantile sketch: given a
+    (user_id, cents) table (batch-built here, incrementally maintained
+    in streaming/histogram.py), bucket, cumsum over the bounded bucket
+    list, and interpolate each requested quantile."""
     from pyspark.sql import Window
 
-    from stac_geoparquet_spark.operators.relational import read_events
-
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
-    per_user = (
-        ev.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
-        .select(
-            "user_id",
-            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
-        )
-        .groupBy("user_id")
-        .agg(F.sum("row_cents").alias("cents"))
-    )
     hist = per_user.groupBy(
         F.expr(
             f"CAST(floor(CAST(cents AS DOUBLE) / {HIST_BUCKET_CENTS}.0)"
@@ -1466,6 +1458,30 @@ def approx_quantiles_histogram(
         f"round((CAST(bucket AS DOUBLE) + 1.0) * {float(HIST_BUCKET_CENTS)}"
         " / 100.0, 6) AS bucket_hi_usd",
     )
+
+
+def user_cents_totals(ev: DataFrame) -> DataFrame:
+    """The (user_id, cents) table both the batch op and the streaming
+    maintenance build — exact int64 cent sums, NULL user/value rows
+    excluded on both engines."""
+    return (
+        ev.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+
+
+def approx_quantiles_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return hist_quantiles_from_user_totals(spark, user_cents_totals(ev))
 
 
 APPROX_QUANTILES_SQL = f"""

@@ -2135,3 +2135,209 @@ FROM agg
 
 QUERIES["events_jackknife_ci"] = events_jackknife_ci
 ORACLE["events_jackknife_ci"] = JACKKNIFE_SQL
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (round 9): the quasi-experimental readout —
+# per-user value totals in a 2x2 of (arm x pre/post), with
+# DiD = (T_post - T_pre) - (C_post - C_pre) and its large-sample SE
+# from the four cell variances.  Completes the A/B toolkit with the
+# design used when assignment happened BEFORE the metric window
+# (rollouts, geo launches).  Period split: the observed-range midpoint
+# in epoch µs — the events_psi_drift convention, whose data-derived
+# split point carries an inherent two-pass (the 1-row min/max
+# broadcast; documented there).  Arm: the welch md5(user_id) % 2 hash.
+#
+# Scale shape: one (arm, user, period)-keyed corpus aggregate, a
+# <= 4-row cell aggregate, then 1-row math.  Moments follow the house
+# rules: exact int64 cent sums; the sum-of-squares DOUBLE-casts each
+# factor BEFORE multiplying.
+# --------------------------------------------------------------------------
+def _did_cell(g: int, p: str) -> str:
+    """Column-suffix for an (arm, period) cell: t/c + pre/post."""
+    return f"{'t' if g == 1 else 'c'}_{p}"
+
+
+_DID_MEAN = {}
+_DID_VAR = {}
+for _g in (0, 1):
+    for _p in ("pre", "post"):
+        _c = _did_cell(_g, _p)
+        _DID_MEAN[_c] = (
+            f"(CAST(s_{_c} AS DOUBLE) / CAST(n_{_c} AS DOUBLE))"
+        )
+        _DID_VAR[_c] = (
+            f"((ss_{_c} - CAST(s_{_c} AS DOUBLE) * CAST(s_{_c} AS DOUBLE)"
+            f" / CAST(n_{_c} AS DOUBLE)) / CAST(n_{_c} - 1 AS DOUBLE))"
+        )
+
+_DID_EST = (
+    f"(({_DID_MEAN['t_post']} - {_DID_MEAN['t_pre']})"
+    f" - ({_DID_MEAN['c_post']} - {_DID_MEAN['c_pre']}))"
+)
+_DID_SE = (
+    "sqrt("
+    + " + ".join(
+        f"{_DID_VAR[c]} / CAST(n_{c} AS DOUBLE)"
+        for c in ("t_pre", "t_post", "c_pre", "c_post")
+    )
+    + ")"
+)
+_DID_ALL_N1 = " AND ".join(
+    f"n_{c} >= 1" for c in ("t_pre", "t_post", "c_pre", "c_post")
+)
+_DID_ALL_N2 = " AND ".join(
+    f"n_{c} >= 2" for c in ("t_pre", "t_post", "c_pre", "c_post")
+)
+
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+    )
+    mid = ev.agg(
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
+    )
+    per_cell = (
+        ev.join(F.broadcast(mid))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "user_id",
+            F.when(F.col("us") <= F.col("mid"), "pre")
+            .otherwise("post")
+            .alias("period"),
+            "row_cents",
+        )
+        .groupBy("arm", "user_id", "period")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+    cells = per_cell.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(
+            F.col("cents").cast("double") * F.col("cents").cast("double")
+        ).alias("ss"),
+    )
+    aggs = []
+    for g in (0, 1):
+        for p in ("pre", "post"):
+            c = _did_cell(g, p)
+            cond = (F.col("arm") == g) & (F.col("period") == p)
+            aggs.append(
+                F.coalesce(F.sum(F.when(cond, F.col("n"))), F.lit(0))
+                .cast("bigint")
+                .alias(f"n_{c}")
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(cond, F.col("s"))), F.lit(0))
+                .cast("bigint")
+                .alias(f"s_{c}")
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(cond, F.col("ss"))), F.lit(0.0))
+                .alias(f"ss_{c}")
+            )
+    one = cells.agg(*aggs)
+    return one.selectExpr(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        *[
+            f"""CASE WHEN n_{c} >= 1
+                    THEN round({_DID_MEAN[c]} / 100.0, 6)
+               END AS mean_{c}"""
+            for c in ("t_pre", "t_post", "c_pre", "c_post")
+        ],
+        f"""CASE WHEN {_DID_ALL_N1}
+                THEN round({_DID_EST} / 100.0, 6) + 0.0
+           END AS did_usd""",
+        f"""CASE WHEN {_DID_ALL_N2}
+                THEN round({_DID_SE} / 100.0, 6) + 0.0
+           END AS se_did""",
+        f"""CASE WHEN {_DID_ALL_N2} AND {_DID_SE} > 0.0
+                THEN abs({_DID_EST}) > 1.959964 * {_DID_SE}
+           END AS significant""",
+    )
+
+
+DID_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS row_cents,
+         epoch_us(ts) AS us
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+per_cell AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         user_id,
+         CASE WHEN us <= mid THEN 'pre' ELSE 'post' END AS period,
+         CAST(sum(row_cents) AS BIGINT) AS cents
+  FROM ev, mid
+  GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT arm, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS ss
+  FROM per_cell GROUP BY arm, period
+),
+one AS (
+  SELECT
+    {", ".join(
+        f'''CAST(coalesce(sum(CASE WHEN arm = {g} AND period = '{p}'
+                  THEN n END), 0) AS BIGINT) AS n_{_did_cell(g, p)},
+        CAST(coalesce(sum(CASE WHEN arm = {g} AND period = '{p}'
+                  THEN s END), 0) AS BIGINT) AS s_{_did_cell(g, p)},
+        CAST(coalesce(sum(CASE WHEN arm = {g} AND period = '{p}'
+                  THEN ss END), 0) AS DOUBLE) AS ss_{_did_cell(g, p)}'''
+        for g in (0, 1) for p in ("pre", "post")
+    )}
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       {", ".join(
+           f'''CASE WHEN n_{c} >= 1
+                    THEN round({_DID_MEAN[c]} / 100.0, 6)
+               END AS mean_{c}'''
+           for c in ("t_pre", "t_post", "c_pre", "c_post")
+       )},
+       CASE WHEN {_DID_ALL_N1}
+            THEN round({_DID_EST} / 100.0, 6) + 0.0
+       END AS did_usd,
+       CASE WHEN {_DID_ALL_N2}
+            THEN round({_DID_SE} / 100.0, 6) + 0.0
+       END AS se_did,
+       CASE WHEN {_DID_ALL_N2} AND {_DID_SE} > 0.0
+            THEN abs({_DID_EST}) > 1.959964 * {_DID_SE}
+       END AS significant
+FROM one
+"""
+
+
+QUERIES["events_diff_in_diff"] = events_diff_in_diff
+ORACLE["events_diff_in_diff"] = DID_SQL

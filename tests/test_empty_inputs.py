@@ -185,6 +185,8 @@ SAMPLE = [
     "matryoshka_recall_report",
     "blocking_quality_report",
     "approx_quantiles_histogram",
+    "approx_quantiles_incremental",
+    "events_diff_in_diff",
 ]
 
 TABLES = (
@@ -256,6 +258,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # one-row blocking-eval summary: zero counts + NULL ratios on
         # both engines (the 1-row stat frames crossjoin to one row)
         "blocking_quality_report",
+        # one-row 2x2 experiment summary: zero counts + NULL means on
+        # both engines (agg without groupBy always emits its row)
+        "events_diff_in_diff",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

@@ -3880,3 +3880,90 @@ def test_approx_quantiles_histogram_brackets_exact(spark):
         rank = math.ceil(r["quantile"] * n)
         exact = vals[rank - 1] / 100.0
         assert r["bucket_lo_usd"] - 1e-6 <= exact < r["bucket_hi_usd"] + 1e-6
+
+
+def test_events_diff_in_diff_matches_python_replay(spark):
+    """The 2x2 cell means, DiD estimate, and SE must match an
+    independent Python replay (same midpoint split, same arm hash)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_diff_in_diff,
+    )
+
+    rows = [
+        r
+        for r in pq.read_table(SF_DIR + "/events.parquet").to_pylist()
+        if r["user_id"] is not None
+        and r["value"] is not None
+        and r["ts"] is not None
+    ]
+    us = [int(r["ts"].timestamp() * 1e6) if hasattr(r["ts"], "timestamp")
+          else int(r["ts"]) for r in rows]
+    # parquet nanos arrive as datetime already truncated by pyarrow;
+    # recompute epoch micros the way both engines do
+    import datetime as dt
+
+    def epoch_us(ts):
+        if isinstance(ts, dt.datetime):
+            return (
+                ts - dt.datetime(1970, 1, 1)
+            ) // dt.timedelta(microseconds=1)
+        return int(ts) // 1000
+
+    us = [epoch_us(r["ts"]) for r in rows]
+    mid = min(us) + (max(us) - min(us)) // 2
+    cells: dict = {}
+    for r, u in zip(rows, us):
+        arm = int(
+            hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:4], 16
+        ) % 2
+        period = "pre" if u <= mid else "post"
+        key = (arm, r["user_id"], period)
+        cells[key] = cells.get(key, 0) + int(round(r["value"] * 100))
+    stats: dict = {}
+    for (arm, _, period), cents in cells.items():
+        c = f"{'t' if arm == 1 else 'c'}_{period}"
+        n, s, ss = stats.get(c, (0, 0, 0.0))
+        stats[c] = (n + 1, s + cents, ss + float(cents) * float(cents))
+    got = events_diff_in_diff(spark, SF_DIR).collect()[0]
+    means = {}
+    varr = {}
+    for c in ("t_pre", "t_post", "c_pre", "c_post"):
+        n, s, ss = stats[c]
+        assert got[f"n_{c}"] == n
+        means[c] = s / n
+        varr[c] = (ss - s * s / n) / (n - 1)
+        assert abs(got[f"mean_{c}"] - round(means[c] / 100.0, 6)) < 1e-9
+    did = (means["t_post"] - means["t_pre"]) - (
+        means["c_post"] - means["c_pre"]
+    )
+    se = math.sqrt(
+        sum(varr[c] / stats[c][0] for c in varr)
+    )
+    assert abs(got["did_usd"] - round(did / 100.0, 6)) < 1e-9
+    assert abs(got["se_did"] - round(se / 100.0, 6)) < 1e-9
+    assert got["significant"] == (abs(did) > 1.959964 * se)
+
+
+def test_approx_quantiles_incremental_equals_batch(spark):
+    """Maintenance must be lossless: the 3-delta merged state presents
+    EXACTLY the batch op's rows — including users whose events split
+    across deltas (their totals only become correct after the merge)."""
+    from stac_geoparquet_spark.operators.stats import (
+        approx_quantiles_histogram,
+    )
+    from stac_geoparquet_spark.streaming.histogram import (
+        approx_quantiles_incremental,
+    )
+
+    batch = sorted(
+        map(tuple, approx_quantiles_histogram(spark, SF_DIR).collect())
+    )
+    inc = sorted(
+        map(tuple, approx_quantiles_incremental(spark, SF_DIR).collect())
+    )
+    assert batch == inc

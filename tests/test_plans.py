@@ -2396,3 +2396,31 @@ def test_approx_quantiles_histogram_bounded_windows(spark, sf):
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
     # the exact-quantiles op pays a range exchange; the sketch must not
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_events_diff_in_diff_one_cell_shuffle(spark, sf):
+    """DiD = one (arm, user, period)-keyed corpus aggregate, a <=4-row
+    cell aggregate, then 1-row math; the midpoint broadcast is the
+    inherent second pass of a data-derived split point (the psi_drift
+    convention) — nothing else rescans, no window, no Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_diff_in_diff(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    # the data scan + the min/max bounds scan — and nothing more
+    assert n_ops(plan, "Scan parquet") == 2
+
+
+def test_approx_quantiles_incremental_merge_shape(spark, sf):
+    """The maintenance proof unions three delta aggregates and merges
+    by user key — no window until the bounded bucket list, no Python,
+    nothing quadratic."""
+    from stac_geoparquet_spark.streaming import histogram
+
+    plan = plan_of(histogram.approx_quantiles_incremental(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # 3-quantile probe
