@@ -160,7 +160,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 11 never-row + 6 churned + 33 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 13 never-row + 6 churned + 31 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "tokenize_bpe_roundtrip",
@@ -174,6 +174,8 @@ WINDOW: list[str] = [
     "approx_quantiles_histogram",
     "events_diff_in_diff",
     "approx_quantiles_incremental",
+    "events_msprt_always_valid",
+    "graph_eigenvector_centrality",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -213,8 +215,6 @@ WINDOW: list[str] = [
     "parts_above_avg_price",
     "pca_power_projection",
     "q6_forecast_revenue",
-    "quality_classifier_score",
-    "quality_repetition",
 ]
 # WINDOW:END
 

@@ -845,3 +845,113 @@ FROM parts CROSS JOIN bb CROSS JOIN nn
 
 QUERIES["graph_modularity_score"] = graph_modularity_score
 ORACLE["graph_modularity_score"] = _modularity_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Eigenvector centrality (round 9): fixed-round power iteration on the
+# symmetric part-pair graph — the "importance flows from important
+# neighbors" score that degree alone misses (a node bridging two hubs
+# outranks a node with the same degree on the periphery).  On an
+# undirected graph this is also what HITS degenerates to (hub ==
+# authority), so one operator covers both.
+#
+# Determinism contract (the PageRank/LPA convention): EXACTLY
+# EIG_ROUNDS rounds, no early exit, every iterate L1-normalized and
+# rounded at EIG_ROUND decimals so both engines walk identical float
+# sequences.  Scale shape: the pair graph is the session-cached
+# part-dimension table; each round is one node-keyed aggregate; the
+# L1 normalizer is a 1-row aggregate broadcast onto the FENCED iterate
+# (the fence makes the recompute-per-consumer a leaf read, and bounds
+# lineage like PageRank's per-round fences).
+# --------------------------------------------------------------------------
+EIG_ROUNDS = 4
+EIG_ROUND = 10
+
+
+def graph_eigenvector_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    pairs = basket_pair_support(spark, sf_dir).select("part_a", "part_b")
+    edges = fenced(
+        pairs.select(
+            F.col("part_a").alias("a"), F.col("part_b").alias("b")
+        ).union(
+            pairs.select(
+                F.col("part_b").alias("a"), F.col("part_a").alias("b")
+            )
+        )
+    )
+    nodes = edges.select(F.col("a").alias("n")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "part_key bigint, centrality double")
+    x = fenced(
+        nodes.select(
+            "n", F.round(F.lit(1.0 / n_nodes), EIG_ROUND).alias("x")
+        )
+    )
+    for _ in range(EIG_ROUNDS):
+        contrib = (
+            edges.join(x.selectExpr("n AS b", "x AS xb"), "b")
+            .groupBy("a")
+            .agg(F.sum("xb").alias("y"))
+        )
+        y = fenced(
+            nodes.join(contrib.withColumnRenamed("a", "n"), "n", "left")
+            .select("n", F.coalesce("y", F.lit(0.0)).alias("y"))
+        )
+        s = y.agg(F.sum("y").alias("s"))
+        x = fenced(
+            y.crossJoin(F.broadcast(s)).select(
+                "n",
+                F.round(F.col("y") / F.col("s"), EIG_ROUND).alias("x"),
+            )
+        )
+    return x.select(
+        F.col("n").alias("part_key"), F.round("x", 6).alias("centrality")
+    )
+
+
+def _eig_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
+
+    stages = []
+    prev = "x0"
+    for i in range(1, EIG_ROUNDS + 1):
+        stages.append(
+            f"""y{i} AS MATERIALIZED (
+  SELECT n.n, coalesce(c.y, 0.0) AS y
+  FROM nodes n LEFT JOIN (
+    SELECT e.a AS n, sum(p.x) AS y
+    FROM e0 e JOIN {prev} p ON p.n = e.b
+    GROUP BY e.a
+  ) c USING (n)
+),
+x{i} AS MATERIALIZED (
+  SELECT n, round(y / (SELECT sum(y) FROM y{i}), {EIG_ROUND}) AS x
+  FROM y{i}
+)"""
+        )
+        prev = f"x{i}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH {_basket_pairs_ctes()},
+e0 AS MATERIALIZED (
+  SELECT part_a AS a, part_b AS b FROM pairs
+  UNION ALL
+  SELECT part_b AS a, part_a AS b FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM e0),
+x0 AS MATERIALIZED (
+  SELECT n, round(1.0 / (SELECT count(*) FROM nodes), {EIG_ROUND}) AS x
+  FROM nodes
+),
+{chain}
+SELECT n AS part_key, round(x, 6) AS centrality FROM {prev}
+"""
+
+
+QUERIES["graph_eigenvector_centrality"] = graph_eigenvector_centrality
+ORACLE["graph_eigenvector_centrality"] = _eig_oracle_sql()

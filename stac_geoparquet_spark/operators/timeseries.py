@@ -2341,3 +2341,156 @@ FROM one
 
 QUERIES["events_diff_in_diff"] = events_diff_in_diff
 ORACLE["events_diff_in_diff"] = DID_SQL
+
+
+# --------------------------------------------------------------------------
+# Always-valid A/B readout via mSPRT (round 9): the mixture sequential
+# probability ratio test — the p-value a team can PEEK at continuously
+# without alpha inflation (fixed-horizon z/t tests are only valid at a
+# pre-committed n; production dashboards are looked at every day).
+# Two-sample normal mixture with prior effect variance TAU²:
+#   log Λ = 0.5·ln(V/(V+τ²)) + Δ²·τ² / (2·V·(V+τ²)),
+#   p_always_valid = min(1, exp(−log Λ)),
+# where Δ = mean_t − mean_c and V = var_t/n_t + var_c/n_c.  Computed
+# in LOG form so a decisive experiment underflows p to 0.0 instead of
+# overflowing exp() to inf (identical IEEE behavior on both engines).
+#
+# Scale shape: the welch moments — one user-keyed aggregate, per-arm
+# scalar moments (sum-of-squares DOUBLE-cast before multiplying, the
+# house rule), 1-row math.
+# --------------------------------------------------------------------------
+MSPRT_TAU_CENTS = 1000.0  # prior effect scale: $10 per-user
+
+_MSPRT_V = f"({_WELCH_VA} / CAST(na AS DOUBLE) + {_WELCH_VB} / CAST(nb AS DOUBLE))"
+_MSPRT_D = (
+    "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+)
+_MSPRT_T2 = f"({MSPRT_TAU_CENTS} * {MSPRT_TAU_CENTS})"
+_MSPRT_LOGL = (
+    f"(0.5 * ln({_MSPRT_V} / ({_MSPRT_V} + {_MSPRT_T2}))"
+    f" + {_MSPRT_D} * {_MSPRT_D} * {_MSPRT_T2}"
+    f" / (2.0 * {_MSPRT_V} * ({_MSPRT_V} + {_MSPRT_T2})))"
+)
+_MSPRT_GUARD = f"na < 2 OR nb < 2 OR {_MSPRT_V} <= 0.0"
+
+
+def events_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "cents",
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("cents"))), F.lit(0)
+        ).alias("sa"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("cents"))), F.lit(0)
+        ).alias("sb"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("arm") == 0,
+                    F.col("cents").cast("double")
+                    * F.col("cents").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("ssa"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("arm") == 1,
+                    F.col("cents").cast("double")
+                    * F.col("cents").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("ssb"),
+    )
+    return agg.selectExpr(
+        "coalesce(na, 0) AS n_a",
+        "coalesce(nb, 0) AS n_b",
+        f"""CASE WHEN {_MSPRT_GUARD} THEN NULL
+                ELSE round({_MSPRT_D} / 100.0, 6) + 0.0
+           END AS delta_usd""",
+        f"""CASE WHEN {_MSPRT_GUARD} THEN NULL
+                ELSE round({_MSPRT_LOGL}, 6) + 0.0
+           END AS log_lambda""",
+        f"""CASE WHEN {_MSPRT_GUARD} THEN NULL
+                ELSE round(least(1.0, exp(-{_MSPRT_LOGL})), 6) + 0.0
+           END AS p_always_valid""",
+        f"""CASE WHEN {_MSPRT_GUARD} THEN NULL
+                ELSE least(1.0, exp(-{_MSPRT_LOGL})) < 0.05
+           END AS significant""",
+    )
+
+
+MSPRT_SQL = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cents END), 0) AS BIGINT)
+      AS sa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cents END), 0) AS BIGINT)
+      AS sb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssb
+  FROM per_user
+)
+SELECT coalesce(na, 0) AS n_a,
+       coalesce(nb, 0) AS n_b,
+       CASE WHEN {_MSPRT_GUARD} THEN NULL
+            ELSE round({_MSPRT_D} / 100.0, 6) + 0.0
+       END AS delta_usd,
+       CASE WHEN {_MSPRT_GUARD} THEN NULL
+            ELSE round({_MSPRT_LOGL}, 6) + 0.0
+       END AS log_lambda,
+       CASE WHEN {_MSPRT_GUARD} THEN NULL
+            ELSE round(least(1.0, exp(-{_MSPRT_LOGL})), 6) + 0.0
+       END AS p_always_valid,
+       CASE WHEN {_MSPRT_GUARD} THEN NULL
+            ELSE least(1.0, exp(-{_MSPRT_LOGL})) < 0.05
+       END AS significant
+FROM agg
+"""
+
+
+QUERIES["events_msprt_always_valid"] = events_msprt_always_valid
+ORACLE["events_msprt_always_valid"] = MSPRT_SQL

@@ -187,6 +187,8 @@ SAMPLE = [
     "approx_quantiles_histogram",
     "approx_quantiles_incremental",
     "events_diff_in_diff",
+    "graph_eigenvector_centrality",
+    "events_msprt_always_valid",
 ]
 
 TABLES = (
@@ -261,6 +263,8 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # one-row 2x2 experiment summary: zero counts + NULL means on
         # both engines (agg without groupBy always emits its row)
         "events_diff_in_diff",
+        # one-row always-valid readout: zero counts + NULL stats
+        "events_msprt_always_valid",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

