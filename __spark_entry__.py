@@ -160,7 +160,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 13 never-row + 6 churned + 31 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 14 never-row + 6 churned + 30 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "tokenize_bpe_roundtrip",
@@ -176,6 +176,7 @@ WINDOW: list[str] = [
     "approx_quantiles_incremental",
     "events_msprt_always_valid",
     "graph_eigenvector_centrality",
+    "users_spearman_value_activity",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -214,7 +215,6 @@ WINDOW: list[str] = [
     "novelty_incremental",
     "parts_above_avg_price",
     "pca_power_projection",
-    "q6_forecast_revenue",
 ]
 # WINDOW:END
 

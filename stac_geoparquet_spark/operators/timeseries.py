@@ -2494,3 +2494,197 @@ FROM agg
 
 QUERIES["events_msprt_always_valid"] = events_msprt_always_valid
 ORACLE["events_msprt_always_valid"] = MSPRT_SQL
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (round 9): does per-user VALUE track
+# per-user ACTIVITY?  The robust (rank-based) companion to Pearson —
+# monotone association free of the heavy-tail distortion per-user
+# revenue always has.  Average ranks with exact tie handling, held in
+# half-units (2*rank is integer) exactly like orders_mann_whitney_u;
+# Pearson over the half-unit ranks equals Pearson over the ranks
+# (scale/shift invariance), so no division happens before the final
+# 1-row correlation.
+#
+# Scale shape: per variable, the MW deterministic value-domain bucket
+# trick — the per-value rank prefix runs per floor(v/W) bucket (each
+# partition bounded by the bucket width at ANY corpus size; floor in
+# DOUBLE, not integer div, so negative cents bucket identically on
+# both engines) with the value-domain-bounded bucket-offset table
+# broadcast back; ranks join back to users on the scaling value key.
+# No global window, no sampled range boundaries.
+# --------------------------------------------------------------------------
+SPEAR_ACT_BUCKET = 1 << 10  # activity (events/user) bucket width
+SPEAR_VAL_BUCKET = 1 << 20  # cents bucket width (the MW constant)
+
+
+def _rank2_table(g: DataFrame, width: int) -> DataFrame:
+    """(v, n_v) -> (v, r2) with r2 = 2*avg_rank = 2*prefix + n_v + 1
+    (exact int64), prefix computed per deterministic value-domain
+    bucket + broadcast offsets (the Mann-Whitney scaffold)."""
+    g = g.withColumn(
+        "bucket",
+        F.expr(f"CAST(floor(CAST(v AS DOUBLE) / {width}.0) AS BIGINT)"),
+    )
+    wb = Window.partitionBy("bucket").orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    btot = g.groupBy("bucket").agg(F.sum("n_v").alias("bt"))
+    # unpartitioned window over the bucket list — bounded by the value
+    # domain (ceil(domain/width) rows at any corpus size), the same
+    # two-bound argument as orders_mann_whitney_u's offsets
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    return (
+        g.withColumn(
+            "in_bucket", F.coalesce(F.sum("n_v").over(wb), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "v",
+            (
+                2 * (F.col("offset") + F.col("in_bucket"))
+                + F.col("n_v")
+                + 1
+            ).alias("r2"),
+        )
+    )
+
+
+_SPEAR_RHO = (
+    "((CAST(n AS DOUBLE) * sab - sa * sb)"
+    " / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)"
+    "        * (CAST(n AS DOUBLE) * sbb - sb * sb)))"
+)
+_SPEAR_GUARD = (
+    "n < 3 OR (CAST(n AS DOUBLE) * saa - sa * sa) <= 0.0"
+    " OR (CAST(n AS DOUBLE) * sbb - sb * sb) <= 0.0"
+)
+_SPEAR_T = (
+    f"({_SPEAR_RHO} * sqrt(CAST(n - 2 AS DOUBLE)"
+    f" / (1.0 - {_SPEAR_RHO} * {_SPEAR_RHO})))"
+)
+
+
+def users_spearman_value_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("acts"),
+            F.sum("row_cents").alias("cents"),
+        )
+    )
+    ra = _rank2_table(
+        per_user.groupBy(F.col("acts").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v")
+        ),
+        SPEAR_ACT_BUCKET,
+    ).selectExpr("v AS acts", "r2 AS r2a")
+    rb = _rank2_table(
+        per_user.groupBy(F.col("cents").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v")
+        ),
+        SPEAR_VAL_BUCKET,
+    ).selectExpr("v AS cents", "r2 AS r2b")
+    ranked = per_user.join(ra, "acts").join(rb, "cents")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r2a").cast("double")).alias("sa"),
+        F.sum(F.col("r2b").cast("double")).alias("sb"),
+        F.sum(
+            F.col("r2a").cast("double") * F.col("r2a").cast("double")
+        ).alias("saa"),
+        F.sum(
+            F.col("r2b").cast("double") * F.col("r2b").cast("double")
+        ).alias("sbb"),
+        F.sum(
+            F.col("r2a").cast("double") * F.col("r2b").cast("double")
+        ).alias("sab"),
+    )
+    return agg.selectExpr(
+        "n AS n_users",
+        f"""CASE WHEN {_SPEAR_GUARD} THEN NULL
+                ELSE round({_SPEAR_RHO}, 6) + 0.0
+           END AS spearman_rho""",
+        f"""CASE WHEN {_SPEAR_GUARD} OR abs({_SPEAR_RHO}) >= 1.0 THEN NULL
+                ELSE round({_SPEAR_T}, 6) + 0.0
+           END AS t_stat""",
+        f"""CASE WHEN {_SPEAR_GUARD} OR abs({_SPEAR_RHO}) >= 1.0 THEN NULL
+                ELSE abs({_SPEAR_T}) > 1.959964
+           END AS significant""",
+    )
+
+
+SPEARMAN_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS acts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+ga AS (SELECT acts AS v, CAST(count(*) AS BIGINT) AS n_v
+       FROM per_user GROUP BY acts),
+ra AS (
+  SELECT v AS acts,
+         2 * CAST(coalesce(sum(n_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + n_v + 1 AS r2a
+  FROM ga
+),
+gb AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS n_v
+       FROM per_user GROUP BY cents),
+rb AS (
+  SELECT v AS cents,
+         2 * CAST(coalesce(sum(n_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + n_v + 1 AS r2b
+  FROM gb
+),
+ranked AS (
+  SELECT p.user_id, ra.r2a, rb.r2b
+  FROM per_user p JOIN ra USING (acts) JOIN rb USING (cents)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(r2a AS DOUBLE)) AS sa,
+         sum(CAST(r2b AS DOUBLE)) AS sb,
+         sum(CAST(r2a AS DOUBLE) * CAST(r2a AS DOUBLE)) AS saa,
+         sum(CAST(r2b AS DOUBLE) * CAST(r2b AS DOUBLE)) AS sbb,
+         sum(CAST(r2a AS DOUBLE) * CAST(r2b AS DOUBLE)) AS sab
+  FROM ranked
+)
+SELECT n AS n_users,
+       CASE WHEN {_SPEAR_GUARD} THEN NULL
+            ELSE round({_SPEAR_RHO}, 6) + 0.0
+       END AS spearman_rho,
+       CASE WHEN {_SPEAR_GUARD} OR abs({_SPEAR_RHO}) >= 1.0 THEN NULL
+            ELSE round({_SPEAR_T}, 6) + 0.0
+       END AS t_stat,
+       CASE WHEN {_SPEAR_GUARD} OR abs({_SPEAR_RHO}) >= 1.0 THEN NULL
+            ELSE abs({_SPEAR_T}) > 1.959964
+       END AS significant
+FROM agg
+"""
+
+
+QUERIES["users_spearman_value_activity"] = users_spearman_value_activity
+ORACLE["users_spearman_value_activity"] = SPEARMAN_SQL

@@ -189,6 +189,7 @@ SAMPLE = [
     "events_diff_in_diff",
     "graph_eigenvector_centrality",
     "events_msprt_always_valid",
+    "users_spearman_value_activity",
 ]
 
 TABLES = (
@@ -265,6 +266,8 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "events_diff_in_diff",
         # one-row always-valid readout: zero counts + NULL stats
         "events_msprt_always_valid",
+        # one-row correlation summary: (n=0, NULL, NULL, NULL)
+        "users_spearman_value_activity",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

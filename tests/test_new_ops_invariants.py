@@ -4059,3 +4059,52 @@ def test_msprt_always_valid_matches_python(spark):
         2 * V * (V + t2)
     )
     assert min(1.0, math.exp(-logl2)) <= min(1.0, math.exp(-logl)) + 1e-12
+
+
+def test_spearman_matches_scipy_style_replay(spark):
+    """rho must match an independent Python replay (average ranks with
+    exact tie handling, Pearson over ranks) and sit in [-1, 1]."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        users_spearman_value_activity,
+    )
+
+    per_user: dict = {}
+    for r in pq.read_table(SF_DIR + "/events.parquet").to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        a, c = per_user.get(r["user_id"], (0, 0))
+        per_user[r["user_id"]] = (a + 1, c + int(round(r["value"] * 100)))
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        first = {}
+        for i, v in enumerate(order, 1):
+            first.setdefault(v, i)
+        count = {}
+        for v in order:
+            count[v] = count.get(v, 0) + 1
+        return {v: first[v] + (count[v] - 1) / 2 for v in count}
+
+    acts = [a for a, _ in per_user.values()]
+    cents = [c for _, c in per_user.values()]
+    rka, rkc = avg_ranks(acts), avg_ranks(cents)
+    xs = [rka[a] for a, _ in per_user.values()]
+    ys = [rkc[c] for _, c in per_user.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    row = users_spearman_value_activity(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n
+    assert abs(row["spearman_rho"] - round(rho, 6)) < 1e-6
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+    t = rho * math.sqrt((n - 2) / (1 - rho * rho))
+    assert abs(row["t_stat"] - round(t, 6)) < 1e-4

@@ -2451,3 +2451,16 @@ def test_msprt_single_pass_moments(spark, sf):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
               "BroadcastNestedLoopJoin"):
         assert n_ops(plan, j) == 0
+
+
+def test_spearman_no_global_window(spark, sf):
+    """Both rank prefixes run per deterministic value-domain bucket
+    (the Mann-Whitney scaffold) with broadcast offset tables — no
+    unpartitioned window over a scaling key, no sampled range
+    boundaries, no Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.users_spearman_value_activity(spark, sf))
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "rangepartitioning" not in plan.lower()
