@@ -883,30 +883,38 @@ def graph_eigenvector_centrality(
             )
         )
     )
-    nodes = edges.select(F.col("a").alias("n")).distinct()
-    n_nodes = nodes.count()
-    if n_nodes == 0:
+    # empty-graph probe: one LIMIT-1 job, not a full count (the k-core
+    # early-exit convention)
+    if edges.isEmpty():
         return spark.createDataFrame([], "part_key bigint, centrality double")
-    x = fenced(
-        nodes.select(
-            "n", F.round(F.lit(1.0 / n_nodes), EIG_ROUND).alias("x")
-        )
+    # x0 = 1.0 exactly: the first L1 normalization cancels ANY uniform
+    # positive start, so the conventional 1/n initial (which costs a
+    # count job + a rounding step) buys nothing — both engines start
+    # from the identical exact constant
+    nodes = fenced(
+        edges.select(F.col("a").alias("n")).distinct()
     )
+    x = nodes.select("n", F.lit(1.0).alias("x"))
     for _ in range(EIG_ROUNDS):
         contrib = (
             edges.join(x.selectExpr("n AS b", "x AS xb"), "b")
             .groupBy("a")
             .agg(F.sum("xb").alias("y"))
         )
-        y = fenced(
-            nodes.join(contrib.withColumnRenamed("a", "n"), "n", "left")
-            .select("n", F.coalesce("y", F.lit(0.0)).alias("y"))
-        )
-        s = y.agg(F.sum("y").alias("s"))
+        # the L1 normalizer is the plain sum over contrib (nodes with
+        # no in-edges contribute the same 0 the coalesce would add),
+        # so y never needs its own fence: the two contrib consumers
+        # each recompute one keyed aggregate over FENCED leaves, which
+        # is cheaper than materializing an extra checkpoint per round
+        s = contrib.agg(F.sum("y").alias("s"))
         x = fenced(
-            y.crossJoin(F.broadcast(s)).select(
+            nodes.join(contrib.withColumnRenamed("a", "n"), "n", "left")
+            .crossJoin(F.broadcast(s))
+            .select(
                 "n",
-                F.round(F.col("y") / F.col("s"), EIG_ROUND).alias("x"),
+                F.round(
+                    F.coalesce("y", F.lit(0.0)) / F.col("s"), EIG_ROUND
+                ).alias("x"),
             )
         )
     return x.select(
@@ -944,10 +952,7 @@ e0 AS MATERIALIZED (
   SELECT part_b AS a, part_a AS b FROM pairs
 ),
 nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM e0),
-x0 AS MATERIALIZED (
-  SELECT n, round(1.0 / (SELECT count(*) FROM nodes), {EIG_ROUND}) AS x
-  FROM nodes
-),
+x0 AS MATERIALIZED (SELECT n, CAST(1.0 AS DOUBLE) AS x FROM nodes),
 {chain}
 SELECT n AS part_key, round(x, 6) AS centrality FROM {prev}
 """

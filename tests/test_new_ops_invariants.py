@@ -3994,7 +3994,9 @@ def test_eigenvector_centrality_matches_numpy(spark):
     for a, b in pairs:
         adj[idx[a]].append(idx[b])
         adj[idx[b]].append(idx[a])
-    x = np.full(len(nodes), round(1.0 / len(nodes), EIG_ROUND))
+    # x0 = 1.0 exactly (the first L1 normalization cancels any uniform
+    # positive start — the operator skips the 1/n initial + count job)
+    x = np.full(len(nodes), 1.0)
     for _ in range(EIG_ROUNDS):
         y = np.zeros(len(nodes))
         for i, nbrs in adj.items():
