@@ -160,7 +160,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 14 never-row + 6 churned + 30 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 16 never-row + 6 churned + 28 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "tokenize_bpe_roundtrip",
@@ -177,6 +177,8 @@ WINDOW: list[str] = [
     "events_msprt_always_valid",
     "graph_eigenvector_centrality",
     "users_spearman_value_activity",
+    "events_kruskal_wallis",
+    "users_value_gini",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -213,8 +215,6 @@ WINDOW: list[str] = [
     "mm_resize",
     "ngram_novelty_by_source",
     "novelty_incremental",
-    "parts_above_avg_price",
-    "pca_power_projection",
 ]
 # WINDOW:END
 

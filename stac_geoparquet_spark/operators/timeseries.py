@@ -2688,3 +2688,257 @@ FROM agg
 
 QUERIES["users_spearman_value_activity"] = users_spearman_value_activity
 ORACLE["users_spearman_value_activity"] = SPEARMAN_SQL
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H (round 9): the k-arm extension of Mann-Whitney —
+# "do ANY of the 3 experiment arms differ?" on ranks, with the exact
+# tie correction.  One rank table (the shared deterministic
+# value-domain bucket scaffold, half-unit ranks), per-arm rank sums,
+# 1-row math:
+#   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),  H_c = H / C,
+#   C = 1 − Σ_v (t_v³−t_v)/(N³−N).
+# Significance at 5% against chi²(k−1 = 2) = 5.991465.
+# --------------------------------------------------------------------------
+KW_ARMS = 3
+
+_KW_H = (
+    "(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))"
+    " * (r0 * r0 / CAST(n0 AS DOUBLE)"
+    "    + r1 * r1 / CAST(n1 AS DOUBLE)"
+    "    + r2s * r2s / CAST(n2 AS DOUBLE))"
+    " - 3.0 * CAST(n + 1 AS DOUBLE))"
+)
+_KW_C = (
+    "(1.0 - tie3 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+)
+_KW_GUARD = f"n0 = 0 OR n1 = 0 OR n2 = 0 OR n < 3 OR {_KW_C} <= 0.0"
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % KW_ARMS
+            ).alias("arm"),
+            "cents",
+        )
+    )
+    g = per_user.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1_v"),
+    )
+    ranks = _rank2_table(
+        g.select("v", "n_v"), SPEAR_VAL_BUCKET
+    )
+    j = g.join(ranks, "v").select(
+        "n_v",
+        "n0_v",
+        "n1_v",
+        (F.col("n_v") - F.col("n0_v") - F.col("n1_v")).alias("n2_v"),
+        "r2",
+    )
+    agg = j.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum("n0_v").cast("bigint").alias("n0"),
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+        # half-unit rank sums: R_g = sum(n_g_v * r2_v) / 2, products in
+        # DOUBLE per the house rule
+        (
+            F.sum(F.col("n0_v").cast("double") * F.col("r2").cast("double"))
+            / 2.0
+        ).alias("r0"),
+        (
+            F.sum(F.col("n1_v").cast("double") * F.col("r2").cast("double"))
+            / 2.0
+        ).alias("r1"),
+        (
+            F.sum(F.col("n2_v").cast("double") * F.col("r2").cast("double"))
+            / 2.0
+        ).alias("r2s"),
+        F.sum(
+            F.col("n_v").cast("double")
+            * F.col("n_v").cast("double")
+            * F.col("n_v").cast("double")
+            - F.col("n_v").cast("double")
+        ).alias("tie3"),
+    )
+    return agg.selectExpr(
+        "n AS n_users",
+        "n0 AS n_arm0",
+        "n1 AS n_arm1",
+        "n2 AS n_arm2",
+        f"""CASE WHEN {_KW_GUARD} THEN NULL
+                ELSE round({_KW_H}, 6) + 0.0
+           END AS h_stat""",
+        f"""CASE WHEN {_KW_GUARD} THEN NULL
+                ELSE round({_KW_H} / {_KW_C}, 6) + 0.0
+           END AS h_corrected""",
+        f"""CASE WHEN {_KW_GUARD} THEN NULL
+                ELSE {_KW_H} / {_KW_C} > 5.991465
+           END AS significant""",
+    )
+
+
+KRUSKAL_SQL = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+           % {KW_ARMS} AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+g AS (
+  SELECT cents AS v,
+         CAST(count(*) AS BIGINT) AS n_v,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_v,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_v
+  FROM per_user GROUP BY cents
+),
+ranks AS (
+  SELECT v,
+         2 * CAST(coalesce(sum(n_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + n_v + 1 AS r2
+  FROM g
+),
+j AS (
+  SELECT g.n_v, g.n0_v, g.n1_v, g.n_v - g.n0_v - g.n1_v AS n2_v, r.r2
+  FROM g JOIN ranks r USING (v)
+),
+agg AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(n0_v) AS BIGINT) AS n0,
+         CAST(sum(n1_v) AS BIGINT) AS n1,
+         CAST(sum(n2_v) AS BIGINT) AS n2,
+         sum(CAST(n0_v AS DOUBLE) * CAST(r2 AS DOUBLE)) / 2.0 AS r0,
+         sum(CAST(n1_v AS DOUBLE) * CAST(r2 AS DOUBLE)) / 2.0 AS r1,
+         sum(CAST(n2_v AS DOUBLE) * CAST(r2 AS DOUBLE)) / 2.0 AS r2s,
+         sum(CAST(n_v AS DOUBLE) * CAST(n_v AS DOUBLE)
+             * CAST(n_v AS DOUBLE) - CAST(n_v AS DOUBLE)) AS tie3
+  FROM j
+)
+SELECT n AS n_users,
+       n0 AS n_arm0,
+       n1 AS n_arm1,
+       n2 AS n_arm2,
+       CASE WHEN {_KW_GUARD} THEN NULL
+            ELSE round({_KW_H}, 6) + 0.0
+       END AS h_stat,
+       CASE WHEN {_KW_GUARD} THEN NULL
+            ELSE round({_KW_H} / {_KW_C}, 6) + 0.0
+       END AS h_corrected,
+       CASE WHEN {_KW_GUARD} THEN NULL
+            ELSE {_KW_H} / {_KW_C} > 5.991465
+       END AS significant
+FROM agg
+"""
+
+
+QUERIES["events_kruskal_wallis"] = events_kruskal_wallis
+ORACLE["events_kruskal_wallis"] = KRUSKAL_SQL
+
+
+# --------------------------------------------------------------------------
+# User-value Gini (round 9): revenue concentration across users — the
+# whale-dependence number every marketplace tracks.  Tie-exact rank
+# formulation over the shared deterministic-bucket rank table:
+#   G = Σ_i r_i·x_i / (n·Σx) · 2 − (n+1)/n   with average ranks r,
+# computed from half-unit ranks as Σ_v n_v·r2_v·v / (n·Σx) − (n+1)/n.
+# Guard: Gini is only defined here for a positive total.
+# --------------------------------------------------------------------------
+def users_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+    g = per_user.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    ranks = _rank2_table(g, SPEAR_VAL_BUCKET)
+    j = g.join(ranks, "v")
+    agg = j.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(F.col("n_v").cast("double") * F.col("v").cast("double"))
+        .alias("sx"),
+        F.sum(
+            F.col("n_v").cast("double")
+            * F.col("r2").cast("double")
+            * F.col("v").cast("double")
+        ).alias("srx2"),
+    )
+    return agg.selectExpr(
+        "n AS n_users",
+        "round(sx / 100.0, 2) AS total_value_usd",
+        """CASE WHEN n >= 2 AND sx > 0.0
+                THEN round(srx2 / (CAST(n AS DOUBLE) * sx)
+                     - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+           END AS gini""",
+    )
+
+
+GINI_USERS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+g AS (
+  SELECT cents AS v, CAST(count(*) AS BIGINT) AS n_v
+  FROM per_user GROUP BY cents
+),
+ranks AS (
+  SELECT v,
+         2 * CAST(coalesce(sum(n_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + n_v + 1 AS r2
+  FROM g
+),
+agg AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         sum(CAST(n_v AS DOUBLE) * CAST(v AS DOUBLE)) AS sx,
+         sum(CAST(n_v AS DOUBLE) * CAST(r2 AS DOUBLE)
+             * CAST(v AS DOUBLE)) AS srx2
+  FROM g JOIN ranks USING (v)
+)
+SELECT n AS n_users,
+       round(sx / 100.0, 2) AS total_value_usd,
+       CASE WHEN n >= 2 AND sx > 0.0
+            THEN round(srx2 / (CAST(n AS DOUBLE) * sx)
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+       END AS gini
+FROM agg
+"""
+
+
+QUERIES["users_value_gini"] = users_value_gini
+ORACLE["users_value_gini"] = GINI_USERS_SQL

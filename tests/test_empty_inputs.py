@@ -190,6 +190,8 @@ SAMPLE = [
     "graph_eigenvector_centrality",
     "events_msprt_always_valid",
     "users_spearman_value_activity",
+    "events_kruskal_wallis",
+    "users_value_gini",
 ]
 
 TABLES = (
@@ -268,6 +270,9 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         "events_msprt_always_valid",
         # one-row correlation summary: (n=0, NULL, NULL, NULL)
         "users_spearman_value_activity",
+        # one-row k-arm / concentration summaries: zero counts + NULLs
+        "events_kruskal_wallis",
+        "users_value_gini",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

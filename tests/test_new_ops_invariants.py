@@ -4110,3 +4110,73 @@ def test_spearman_matches_scipy_style_replay(spark):
     assert -1.0 <= row["spearman_rho"] <= 1.0
     t = rho * math.sqrt((n - 2) / (1 - rho * rho))
     assert abs(row["t_stat"] - round(t, 6)) < 1e-4
+
+
+def test_kruskal_wallis_matches_scipy_style_replay(spark):
+    """H (with tie correction) must match an independent Python replay
+    of the rank formulation."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        KW_ARMS,
+        events_kruskal_wallis,
+    )
+
+    per_user: dict = {}
+    for r in pq.read_table(SF_DIR + "/events.parquet").to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + int(
+            round(r["value"] * 100)
+        )
+    arms: dict[int, list[int]] = {g: [] for g in range(KW_ARMS)}
+    for uid, cents in per_user.items():
+        g = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % KW_ARMS
+        arms[g].append(cents)
+    allv = sorted(v for vs in arms.values() for v in vs)
+    n = len(allv)
+    first, count = {}, {}
+    for i, v in enumerate(allv, 1):
+        first.setdefault(v, i)
+        count[v] = count.get(v, 0) + 1
+    rank = {v: first[v] + (count[v] - 1) / 2 for v in count}
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rank[v] for v in vs) ** 2 / len(vs) for vs in arms.values()
+    ) - 3 * (n + 1)
+    c = 1 - sum(t**3 - t for t in count.values()) / (n**3 - n)
+    row = events_kruskal_wallis(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n
+    assert abs(row["h_stat"] - round(h, 6)) < 1e-6
+    assert abs(row["h_corrected"] - round(h / c, 6)) < 1e-6
+    assert row["significant"] == (h / c > 5.991465)
+
+
+def test_users_value_gini_matches_python(spark):
+    """The tie-exact rank Gini must match the classic sorted-values
+    formula (with average ranks) and sit in [0, 1)."""
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import users_value_gini
+
+    per_user: dict = {}
+    for r in pq.read_table(SF_DIR + "/events.parquet").to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + int(
+            round(r["value"] * 100)
+        )
+    vals = sorted(per_user.values())
+    n = len(vals)
+    first, count = {}, {}
+    for i, v in enumerate(vals, 1):
+        first.setdefault(v, i)
+        count[v] = count.get(v, 0) + 1
+    rank = {v: first[v] + (count[v] - 1) / 2 for v in count}
+    sx = sum(vals)
+    gini = 2 * sum(rank[v] * v for v in vals) / (n * sx) - (n + 1) / n
+    row = users_value_gini(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n
+    assert abs(row["gini"] - round(gini, 6)) < 1e-6
+    assert 0.0 <= row["gini"] < 1.0

@@ -2464,3 +2464,19 @@ def test_spearman_no_global_window(spark, sf):
     assert "BatchEvalPython" not in plan
     assert n_ops(plan, "CartesianProduct") == 0
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_kruskal_and_gini_ride_rank_scaffold(spark, sf):
+    """Both readouts compute ranks through the deterministic
+    value-domain bucket scaffold — no global window over a scaling
+    key, no range exchange, no Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    for fn in (
+        timeseries.events_kruskal_wallis,
+        timeseries.users_value_gini,
+    ):
+        plan = plan_of(fn(spark, sf))
+        assert "BatchEvalPython" not in plan
+        assert n_ops(plan, "CartesianProduct") == 0
+        assert "rangepartitioning" not in plan.lower()
