@@ -145,76 +145,77 @@ def _registries():
 # with the reason; gen_ledger slots them right after the never-row
 # group.  Clear entries once they re-earn a green row.
 CHURNED_THIS_ROUND: list[str] = [
-    # r08 rows; QUERY_EXPR became RFC-3986 fragment-safe this round
-    # (r08 ADVICE) — the expression text sits in every URL op's plan
-    # and oracle via _parsed/_parsed_sql (fixture values unchanged,
-    # but the read path is new)
+    # r09 rows; QUERY_EXPR changed again this round (r09 ADVICE:
+    # '^[^#?]*' prefix so the query anchors at the FIRST '?' before
+    # the fragment — the r08 fragment fix had silently re-anchored at
+    # the last '?') — the expression text sits in every URL op's plan
+    # and oracle via _parsed/_parsed_sql
     "url_normalize_audit",
     "cap_docs_per_domain",
     "robots_disallow_filter",
     "dedup_url_canonical",
-    # r08 rows; sum-of-squares moments now DOUBLE-cast before the
-    # multiply on both engines (r08 ADVICE overflow class)
-    "events_welch_ttest",
-    "events_power_analysis",
+    # r09 row; the DiD estimator/SE were redefined this round (r09
+    # ADVICE: panel per-user zero-filled post-pre deltas + two-sample
+    # SE over deltas, replacing the four-independent-cells SE that
+    # ignored within-user covariance); output schema gained nu_t/nu_c
+    "events_diff_in_diff",
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 16 never-row + 6 churned + 28 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08)
+# 0 never-row + 5 churned + 45 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
 WINDOW: list[str] = [
-    # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
-    "tokenize_bpe_roundtrip",
-    "events_jackknife_ci",
-    "domain_effective_diversity",
-    "split_by_neardup_cluster",
-    "split_unigram_jsd",
-    "hard_negative_mining",
-    "matryoshka_recall_report",
-    "blocking_quality_report",
-    "approx_quantiles_histogram",
-    "events_diff_in_diff",
-    "approx_quantiles_incremental",
-    "events_msprt_always_valid",
-    "graph_eigenvector_centrality",
-    "users_spearman_value_activity",
-    "events_kruskal_wallis",
-    "users_value_gini",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
     "robots_disallow_filter",
     "dedup_url_canonical",
-    "events_welch_ttest",
-    "events_power_analysis",
+    "events_diff_in_diff",
     # oldest green row first
-    "source_mixture_weights",
-    "text_bigram_entropy",
-    "text_zipf_slope",
-    "window_topk_orders_per_customer",
-    "cap_docs_per_source",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_removal",
-    "doc_length_buckets",
-    "embedding_random_projection",
-    "events_hourly_anomaly",
-    "events_json_extract",
-    "events_l_diversity",
-    "events_sessionize",
-    "funnel_view_click_purchase",
-    "gapfill_hourly_purchases",
-    "gopher_quality_rules",
-    "kmv_source_overlap",
-    "knn_label_agreement",
-    "mm_cdc_chunk_dedup",
-    "mm_image_features",
-    "mm_resize",
-    "ngram_novelty_by_source",
-    "novelty_incremental",
+    "parts_above_avg_price",
+    "pca_power_projection",
+    "q6_forecast_revenue",
+    "quality_classifier_score",
+    "quality_repetition",
+    "select_token_budget",
+    "semantic_decontam_cells",
+    "source_quota_incremental",
+    "split_train_holdout",
+    "stratified_split_report",
+    "text_fingerprint",
+    "text_nfc_audit",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "text_unigram_logppl",
+    "token_fertility_by_lang",
+    "topk_orders_global",
+    "vocab_top_terms",
+    "cube_lineitem_flags",
+    "decontam_bloom_semijoin",
+    "dedup_minhash_lsh",
+    "embedding_covariance",
+    "events_decayed_activity",
+    "except_open_not_finished",
+    "graph_triangle_count",
+    "grouping_sets_revenue",
+    "histogram_totalprice",
+    "lang_confusion_matrix",
+    "mixture_temperature_weights",
+    "pagerank_neardup_graph",
+    "percentile_prices_by_priority",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q11_important_supplier_value",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
 # WINDOW:END
 

@@ -2138,20 +2138,26 @@ ORACLE["events_jackknife_ci"] = JACKKNIFE_SQL
 
 
 # --------------------------------------------------------------------------
-# Difference-in-differences (round 9): the quasi-experimental readout —
-# per-user value totals in a 2x2 of (arm x pre/post), with
-# DiD = (T_post - T_pre) - (C_post - C_pre) and its large-sample SE
-# from the four cell variances.  Completes the A/B toolkit with the
-# design used when assignment happened BEFORE the metric window
-# (rollouts, geo launches).  Period split: the observed-range midpoint
-# in epoch µs — the events_psi_drift convention, whose data-derived
-# split point carries an inherent two-pass (the 1-row min/max
-# broadcast; documented there).  Arm: the welch md5(user_id) % 2 hash.
+# Difference-in-differences (round 9; SE redefined round 10): the
+# quasi-experimental readout.  The period split is WITHIN-user (the
+# same user contributes pre and post), so the four-cell-independent SE
+# the first version reported ignored within-user covariance (r09
+# ADVICE).  The panel estimator fixes that: per user, the zero-filled
+# delta = post_cents - pre_cents (0 is the true period total for a
+# user with no events in it); DiD = mean_delta(T) - mean_delta(C) and
+# a standard two-sample SE over the deltas — user-level covariance is
+# inside each delta, so the SE needs no covariance term.  The 2x2
+# cell counts/means remain as descriptive columns.  Period split: the
+# observed-range midpoint in epoch µs (events_psi_drift convention —
+# the 1-row min/max broadcast two-pass, documented there).  Arm: the
+# welch md5(user_id) % 2 hash.
 #
-# Scale shape: one (arm, user, period)-keyed corpus aggregate, a
-# <= 4-row cell aggregate, then 1-row math.  Moments follow the house
-# rules: exact int64 cent sums; the sum-of-squares DOUBLE-casts each
-# factor BEFORE multiplying.
+# Scale shape: one (arm, user, period)-keyed corpus aggregate, ONE
+# per-user pivot that feeds every output column (cells AND delta
+# moments — a single consumer, so the no-CSE double-scan trap cannot
+# trigger), a 2-row arm aggregate, then 1-row math.  Moments follow
+# the house rules: exact int64 cent sums; sums-of-squares DOUBLE-cast
+# each factor BEFORE multiplying; variances floored at 0.
 # --------------------------------------------------------------------------
 def _did_cell(g: int, p: str) -> str:
     """Column-suffix for an (arm, period) cell: t/c + pre/post."""
@@ -2159,36 +2165,32 @@ def _did_cell(g: int, p: str) -> str:
 
 
 _DID_MEAN = {}
-_DID_VAR = {}
 for _g in (0, 1):
     for _p in ("pre", "post"):
         _c = _did_cell(_g, _p)
         _DID_MEAN[_c] = (
             f"(CAST(s_{_c} AS DOUBLE) / CAST(n_{_c} AS DOUBLE))"
         )
-        _DID_VAR[_c] = (
-            f"((ss_{_c} - CAST(s_{_c} AS DOUBLE) * CAST(s_{_c} AS DOUBLE)"
-            f" / CAST(n_{_c} AS DOUBLE)) / CAST(n_{_c} - 1 AS DOUBLE))"
-        )
 
-_DID_EST = (
-    f"(({_DID_MEAN['t_post']} - {_DID_MEAN['t_pre']})"
-    f" - ({_DID_MEAN['c_post']} - {_DID_MEAN['c_pre']}))"
-)
-_DID_SE = (
-    "sqrt("
-    + " + ".join(
-        f"{_DID_VAR[c]} / CAST(n_{c} AS DOUBLE)"
-        for c in ("t_pre", "t_post", "c_pre", "c_post")
+_DID_DMEAN = {
+    a: f"(CAST(sd_{a} AS DOUBLE) / CAST(nu_{a} AS DOUBLE))"
+    for a in ("t", "c")
+}
+_DID_DVAR = {
+    a: (
+        f"(greatest(ssd_{a} - CAST(sd_{a} AS DOUBLE)"
+        f" * CAST(sd_{a} AS DOUBLE) / CAST(nu_{a} AS DOUBLE), 0.0)"
+        f" / CAST(nu_{a} - 1 AS DOUBLE))"
     )
-    + ")"
+    for a in ("t", "c")
+}
+_DID_EST = f"({_DID_DMEAN['t']} - {_DID_DMEAN['c']})"
+_DID_SE = (
+    f"sqrt({_DID_DVAR['t']} / CAST(nu_t AS DOUBLE)"
+    f" + {_DID_DVAR['c']} / CAST(nu_c AS DOUBLE))"
 )
-_DID_ALL_N1 = " AND ".join(
-    f"n_{c} >= 1" for c in ("t_pre", "t_post", "c_pre", "c_post")
-)
-_DID_ALL_N2 = " AND ".join(
-    f"n_{c} >= 2" for c in ("t_pre", "t_post", "c_pre", "c_post")
-)
+_DID_ALL_N1 = "nu_t >= 1 AND nu_c >= 1"
+_DID_ALL_N2 = "nu_t >= 2 AND nu_c >= 2"
 
 
 def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2231,34 +2233,86 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("arm", "user_id", "period")
         .agg(F.sum("row_cents").alias("cents"))
     )
-    cells = per_cell.groupBy("arm", "period").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").alias("s"),
+    per_user = (
+        per_cell.groupBy("arm", "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == "pre", F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("pre_cents"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == "post", F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("post_cents"),
+            F.max(
+                F.when(F.col("period") == "pre", 1).otherwise(0)
+            ).alias("has_pre"),
+            F.max(
+                F.when(F.col("period") == "post", 1).otherwise(0)
+            ).alias("has_post"),
+        )
+        .select(
+            "arm",
+            "has_pre",
+            "has_post",
+            "pre_cents",
+            "post_cents",
+            (F.col("post_cents") - F.col("pre_cents")).alias("delta"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("has_pre").cast("bigint").alias("n_pre"),
+        F.sum("has_post").cast("bigint").alias("n_post"),
         F.sum(
-            F.col("cents").cast("double") * F.col("cents").cast("double")
-        ).alias("ss"),
+            F.when(F.col("has_pre") == 1, F.col("pre_cents"))
+        ).cast("bigint").alias("s_pre"),
+        F.sum(
+            F.when(F.col("has_post") == 1, F.col("post_cents"))
+        ).cast("bigint").alias("s_post"),
+        F.sum("delta").cast("bigint").alias("sd"),
+        F.sum(
+            F.col("delta").cast("double") * F.col("delta").cast("double")
+        ).alias("ssd"),
     )
     aggs = []
     for g in (0, 1):
+        a = "t" if g == 1 else "c"
+        cond = F.col("arm") == g
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("nu"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"nu_{a}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("sd"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"sd_{a}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("ssd"))), F.lit(0.0))
+            .alias(f"ssd_{a}")
+        )
         for p in ("pre", "post"):
             c = _did_cell(g, p)
-            cond = (F.col("arm") == g) & (F.col("period") == p)
             aggs.append(
-                F.coalesce(F.sum(F.when(cond, F.col("n"))), F.lit(0))
+                F.coalesce(F.sum(F.when(cond, F.col(f"n_{p}"))), F.lit(0))
                 .cast("bigint")
                 .alias(f"n_{c}")
             )
             aggs.append(
-                F.coalesce(F.sum(F.when(cond, F.col("s"))), F.lit(0))
+                F.coalesce(F.sum(F.when(cond, F.col(f"s_{p}"))), F.lit(0))
                 .cast("bigint")
                 .alias(f"s_{c}")
             )
-            aggs.append(
-                F.coalesce(F.sum(F.when(cond, F.col("ss"))), F.lit(0.0))
-                .alias(f"ss_{c}")
-            )
-    one = cells.agg(*aggs)
+    one = arms.agg(*aggs)
     return one.selectExpr(
+        "nu_t",
+        "nu_c",
         "n_t_pre",
         "n_t_post",
         "n_c_pre",
@@ -2299,27 +2353,56 @@ per_cell AS (
   FROM ev, mid
   GROUP BY 1, 2, 3
 ),
-cells AS (
-  SELECT arm, period,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(cents) AS BIGINT) AS s,
-         sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS ss
-  FROM per_cell GROUP BY arm, period
+per_user AS (
+  SELECT arm, user_id,
+         CAST(coalesce(sum(CASE WHEN period = 'pre' THEN cents END), 0)
+              AS BIGINT) AS pre_cents,
+         CAST(coalesce(sum(CASE WHEN period = 'post' THEN cents END), 0)
+              AS BIGINT) AS post_cents,
+         max(CASE WHEN period = 'pre' THEN 1 ELSE 0 END) AS has_pre,
+         max(CASE WHEN period = 'post' THEN 1 ELSE 0 END) AS has_post
+  FROM per_cell GROUP BY arm, user_id
+),
+pu AS (
+  SELECT arm, has_pre, has_post, pre_cents, post_cents,
+         post_cents - pre_cents AS delta
+  FROM per_user
+),
+arms AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(has_pre) AS BIGINT) AS n_pre,
+         CAST(sum(has_post) AS BIGINT) AS n_post,
+         CAST(sum(CASE WHEN has_pre = 1 THEN pre_cents END) AS BIGINT)
+           AS s_pre,
+         CAST(sum(CASE WHEN has_post = 1 THEN post_cents END) AS BIGINT)
+           AS s_post,
+         CAST(sum(delta) AS BIGINT) AS sd,
+         sum(CAST(delta AS DOUBLE) * CAST(delta AS DOUBLE)) AS ssd
+  FROM pu GROUP BY arm
 ),
 one AS (
   SELECT
     {", ".join(
-        f'''CAST(coalesce(sum(CASE WHEN arm = {g} AND period = '{p}'
-                  THEN n END), 0) AS BIGINT) AS n_{_did_cell(g, p)},
-        CAST(coalesce(sum(CASE WHEN arm = {g} AND period = '{p}'
-                  THEN s END), 0) AS BIGINT) AS s_{_did_cell(g, p)},
-        CAST(coalesce(sum(CASE WHEN arm = {g} AND period = '{p}'
-                  THEN ss END), 0) AS DOUBLE) AS ss_{_did_cell(g, p)}'''
-        for g in (0, 1) for p in ("pre", "post")
+        f'''CAST(coalesce(sum(CASE WHEN arm = {g} THEN nu END), 0)
+              AS BIGINT) AS nu_{a},
+        CAST(coalesce(sum(CASE WHEN arm = {g} THEN sd END), 0)
+              AS BIGINT) AS sd_{a},
+        CAST(coalesce(sum(CASE WHEN arm = {g} THEN ssd END), 0.0)
+              AS DOUBLE) AS ssd_{a},
+        '''
+        + ", ".join(
+            f'''CAST(coalesce(sum(CASE WHEN arm = {g}
+                      THEN n_{p} END), 0) AS BIGINT) AS n_{_did_cell(g, p)},
+            CAST(coalesce(sum(CASE WHEN arm = {g}
+                      THEN s_{p} END), 0) AS BIGINT) AS s_{_did_cell(g, p)}'''
+            for p in ("pre", "post")
+        )
+        for g, a in ((0, "c"), (1, "t"))
     )}
-  FROM cells
+  FROM arms
 )
-SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+SELECT nu_t, nu_c, n_t_pre, n_t_post, n_c_pre, n_c_post,
        {", ".join(
            f'''CASE WHEN n_{c} >= 1
                     THEN round({_DID_MEAN[c]} / 100.0, 6)

@@ -79,12 +79,14 @@ _HOSTPORT = "regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)"
 HOST_EXPR = f"lower(regexp_extract({_HOSTPORT}, '^([^:]*)', 1))"
 PORT_EXPR = f"regexp_extract({_HOSTPORT}, ':([0-9]+)', 1)"
 PATH_EXPR = "regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1)"
-# RFC 3986: the query starts at the first '?' BEFORE any '#' — the
-# '^[^#]*' prefix confines the match to the pre-fragment part, so a
-# '?' inside a fragment ('http://h/p#a/b?c=1') is NOT a query (r08
-# ADVICE: the old first-'?'-anywhere form leaked fragment content
-# into canon_url and collided genuinely different URLs).
-QUERY_EXPR = "regexp_extract(url, '^[^#]*[?]([^#]*)', 1)"
+# RFC 3986: the query starts at the FIRST '?' BEFORE any '#'.  The
+# prefix excludes both '#' (so a '?' inside a fragment,
+# 'http://h/p#a/b?c=1', is NOT a query — r08 ADVICE) and '?' itself
+# (so a second '?' inside the query value, 'http://h/p?a=1?b=2',
+# stays part of the query instead of re-anchoring the match at the
+# LAST '?' — r09 ADVICE: the greedy '^[^#]*' prefix silently dropped
+# everything between the first and last '?').
+QUERY_EXPR = "regexp_extract(url, '^[^#?]*[?]([^#]*)', 1)"
 
 # canonical port/path: dialect-neutral CASE over the parsed pieces
 # (columns scheme/host/port/path/query are expected in scope)

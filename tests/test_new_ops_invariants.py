@@ -3883,8 +3883,10 @@ def test_approx_quantiles_histogram_brackets_exact(spark):
 
 
 def test_events_diff_in_diff_matches_python_replay(spark):
-    """The 2x2 cell means, DiD estimate, and SE must match an
-    independent Python replay (same midpoint split, same arm hash)."""
+    """The 2x2 cell means AND the panel estimator (per-user zero-filled
+    post-pre deltas per arm, two-sample SE over the deltas — the r10
+    redefinition that accounts for within-user covariance) must match
+    an independent Python replay (same midpoint split, same arm hash)."""
     import hashlib
     import math
 
@@ -3901,8 +3903,6 @@ def test_events_diff_in_diff_matches_python_replay(spark):
         and r["value"] is not None
         and r["ts"] is not None
     ]
-    us = [int(r["ts"].timestamp() * 1e6) if hasattr(r["ts"], "timestamp")
-          else int(r["ts"]) for r in rows]
     # parquet nanos arrive as datetime already truncated by pyarrow;
     # recompute epoch micros the way both engines do
     import datetime as dt
@@ -3916,36 +3916,54 @@ def test_events_diff_in_diff_matches_python_replay(spark):
 
     us = [epoch_us(r["ts"]) for r in rows]
     mid = min(us) + (max(us) - min(us)) // 2
-    cells: dict = {}
+    # per (arm, user): zero-filled pre/post cent totals
+    pivot: dict = {}
     for r, u in zip(rows, us):
         arm = int(
             hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:4], 16
         ) % 2
         period = "pre" if u <= mid else "post"
-        key = (arm, r["user_id"], period)
-        cells[key] = cells.get(key, 0) + int(round(r["value"] * 100))
-    stats: dict = {}
-    for (arm, _, period), cents in cells.items():
-        c = f"{'t' if arm == 1 else 'c'}_{period}"
-        n, s, ss = stats.get(c, (0, 0, 0.0))
-        stats[c] = (n + 1, s + cents, ss + float(cents) * float(cents))
+        key = (arm, r["user_id"])
+        pre, post, seen = pivot.get(key, (0, 0, set()))
+        cents = int(round(r["value"] * 100))
+        if period == "pre":
+            pre += cents
+        else:
+            post += cents
+        seen = seen | {period}
+        pivot[key] = (pre, post, seen)
+    # descriptive 2x2 cells: users PRESENT in the period
+    stats: dict = {c: (0, 0) for c in ("t_pre", "t_post", "c_pre", "c_post")}
+    deltas: dict = {"t": [], "c": []}
+    for (arm, _), (pre, post, seen) in pivot.items():
+        a = "t" if arm == 1 else "c"
+        if "pre" in seen:
+            n, s = stats[f"{a}_pre"]
+            stats[f"{a}_pre"] = (n + 1, s + pre)
+        if "post" in seen:
+            n, s = stats[f"{a}_post"]
+            stats[f"{a}_post"] = (n + 1, s + post)
+        deltas[a].append(post - pre)
     got = events_diff_in_diff(spark, SF_DIR).collect()[0]
-    means = {}
-    varr = {}
     for c in ("t_pre", "t_post", "c_pre", "c_post"):
-        n, s, ss = stats[c]
+        n, s = stats[c]
         assert got[f"n_{c}"] == n
-        means[c] = s / n
-        varr[c] = (ss - s * s / n) / (n - 1)
-        assert abs(got[f"mean_{c}"] - round(means[c] / 100.0, 6)) < 1e-9
-    did = (means["t_post"] - means["t_pre"]) - (
-        means["c_post"] - means["c_pre"]
-    )
+        assert abs(got[f"mean_{c}"] - round(s / n / 100.0, 6)) < 1e-9
+    arm_stats = {}
+    for a in ("t", "c"):
+        d = deltas[a]
+        nu = len(d)
+        mean = sum(d) / nu
+        var = sum((x - mean) ** 2 for x in d) / (nu - 1)
+        assert got[f"nu_{a}"] == nu
+        arm_stats[a] = (nu, mean, var)
+    did = arm_stats["t"][1] - arm_stats["c"][1]
     se = math.sqrt(
-        sum(varr[c] / stats[c][0] for c in varr)
+        arm_stats["t"][2] / arm_stats["t"][0]
+        + arm_stats["c"][2] / arm_stats["c"][0]
     )
     assert abs(got["did_usd"] - round(did / 100.0, 6)) < 1e-9
-    assert abs(got["se_did"] - round(se / 100.0, 6)) < 1e-9
+    assert abs(got["se_did"] - round(se / 100.0, 6)) < 2e-6
     assert got["significant"] == (abs(did) > 1.959964 * se)
 
 

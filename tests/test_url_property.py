@@ -51,6 +51,12 @@ QUERIES = [
     "?id=1&utm_campaign=y&z=2",
     "?a=&utm_x=&b=1",
     "?utm_a=1&utm_b=2",
+    # multi-'?' queries (r09 ADVICE): a literal '?' inside a query
+    # value is legal — the query must anchor at the FIRST '?', so
+    # these detect any last-'?'-anchored extraction divergence
+    # between the engines and the Python reference
+    "?a=1?b=2",
+    "?r=http://x/y?z=1",
 ]
 FRAGS = ["", "#f", "#a/b?c=1"]
 
