@@ -162,8 +162,16 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 0 never-row + 5 churned + 45 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
+# 7 never-row + 5 churned + 38 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
 WINDOW: list[str] = [
+    # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
+    "bm25_ndcg_report",
+    "embedding_whitening_report",
+    "graph_hyperball_reach",
+    "tokenize_unigram_eval",
+    "graph_harmonic_centrality",
+    "events_fdr_bh",
+    "hybrid_rrf_retrieval",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -209,13 +217,6 @@ WINDOW: list[str] = [
     "q12_ship_delay_priority",
     "q13_customer_distribution",
     "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
 ]
 # WINDOW:END
 

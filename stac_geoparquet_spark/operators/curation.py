@@ -1264,7 +1264,302 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer eval (round 10): Viterbi
+# segmentation over a corpus-learned unigram piece vocabulary, scored
+# per source NEXT TO the greedy BPE encoder — the compare-two-
+# tokenizer-algorithms readout a pipeline reads before committing to
+# one (fertility difference per source is the decision number).
+#
+# Vocabulary: all corpus characters plus the UNI_TOP_K most frequent
+# 2..UNI_MAX_PIECE-char grams (corpus-weighted over the distinct-word
+# table, ties by gram text — the _bpe_topk convention).  Each entry
+# carries a HALF-BIT integer cost, round(-2·log2(cnt/total_chars)) —
+# all libm is confined to ONE rounding per bounded vocab entry, after
+# which the whole corpus-scale DP is INTEGER arithmetic (the
+# Mann-Whitney half-unit trick): cross-engine equality is structural,
+# not a noise-margin argument.
+#
+# Viterbi: dp over char positions with pieces up to UNI_MAX_PIECE
+# long; state per prefix is one ENCODED int key = cost_half * 1024 +
+# n_tokens, so the integer min() is the lexicographic (cost, tokens)
+# tie-break — adding a piece is key += cost*1024 + 1, linear in the
+# encoding.  Tokens per word <= UNI_MAX_WORD < 1024 keeps the
+# encoding injective; longer words (junk at this vocab size) are
+# excluded IDENTICALLY on both engines.  Missing-piece lookups use a
+# coalesce(…, 2^50) sentinel rather than engine NULL-in-least rules.
+#
+# Scale shape (the tokenize_bpe_encode argument): the DP folds over
+# the DISTINCT word table (Heaps-bounded) as one in-row JVM
+# `aggregate` with the vocab MAP cross-join-broadcast as one row;
+# per-(source, word) frequencies weight word-level results back to
+# corpus totals via a vocab-keyed join.  The BPE comparison rides the
+# session-cached merge vocabulary — no extra corpus pass.  Oracle:
+# the same DP as a recursive CTE carrying the dp list per word.
+# --------------------------------------------------------------------------
+UNI_TOP_K = 24
+UNI_MAX_PIECE = 4
+UNI_MAX_WORD = 256
+UNI_BIG = 1 << 50
+
+_UNI_COST = (
+    "CAST(round(-2.0 * ln(CAST(cnt AS DOUBLE) / CAST(tc AS DOUBLE))"
+    " / ln(2.0)) AS BIGINT)"
+)
+
+
+def _uni_vocab(wf: DataFrame) -> DataFrame:
+    """(gram, cost_half) over a word-frequency table: every char plus
+    the top-K 2..4-grams, half-bit integer costs."""
+    grams = None
+    for n in range(1, UNI_MAX_PIECE + 1):
+        g = wf.selectExpr(
+            f"""explode(CASE WHEN length(word) >= {n}
+                 THEN transform(sequence(1, length(word) - {n - 1}),
+                                i -> substring(word, i, {n}))
+                 ELSE CAST(array() AS array<string>) END) AS gram""",
+            "freq",
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy("gram").agg(F.sum("freq").alias("cnt"))
+    chars = counts.where(F.length("gram") == 1)
+    pieces = (
+        counts.where(F.length("gram") >= 2)
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(UNI_TOP_K)
+    )
+    tc = chars.agg(F.sum("cnt").alias("tc"))
+    return (
+        chars.unionByName(pieces)
+        .crossJoin(F.broadcast(tc))
+        .selectExpr("gram", f"{_UNI_COST} AS cost_half")
+    )
+
+
+_UNI_VOCAB_CACHE: dict = register_cache("curation.uni_vocab", {})
+
+
+def _uni_vocab_map_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE row holding the vocab as a map<string,bigint> — fenced +
+    session-cached (the bpe_merges_vocab_cached pattern)."""
+    import os
+
+    from stac_geoparquet_spark.operators._io import fenced, source_stamp
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, source_stamp(src))
+    hit = _UNI_VOCAB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    wf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_words(F.col("text"))).alias("word"))
+        .where(
+            (F.col("word") != "")
+            & (F.length("word") <= UNI_MAX_WORD)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out = fenced(
+        _uni_vocab(wf).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("gram", "cost_half"))
+            ).alias("vmap")
+        )
+    )
+    _UNI_VOCAB_CACHE[key] = out
+    return out
+
+
+def _uni_cands() -> str:
+    cands = []
+    for j in range(1, UNI_MAX_PIECE + 1):
+        base = (
+            f"element_at(dp, i - {j - 1})"
+            f" + try_element_at(vmap, substring(word, i - {j - 1}, {j}))"
+            f" * 1024 + 1"
+        )
+        if j == 1:
+            cands.append(f"coalesce({base}, {UNI_BIG})")
+        else:
+            cands.append(
+                f"coalesce(IF(i >= {j}, {base}, NULL), {UNI_BIG})"
+            )
+    return ",\n    ".join(cands)
+
+
+_UNI_FOLD = f"""aggregate(
+  sequence(1, length(word)),
+  array(CAST(0 AS BIGINT)),
+  (dp, i) -> array_append(dp, least(
+    {_uni_cands()}
+  )),
+  dp -> element_at(dp, -1))"""
+
+
+def tokenize_unigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wf_src = (
+        docs.where(F.col("source").isNotNull())
+        .select("source", F.explode(_words(F.col("text"))).alias("word"))
+        .where(
+            (F.col("word") != "")
+            & (F.length("word") <= UNI_MAX_WORD)
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = wf_src.select("word").distinct()
+    scored = (
+        words.crossJoin(
+            F.broadcast(_uni_vocab_map_cached(spark, sf_dir))
+        )
+        .crossJoin(F.broadcast(bpe_merges_vocab_cached(spark, sf_dir)))
+        .selectExpr(
+            "word",
+            f"({_UNI_FOLD}) AS ukey",
+            f"{_BPE_FOLD} AS bpe_toks",
+        )
+        .selectExpr(
+            "word",
+            "ukey % 1024 AS uni_toks",
+            "ukey div 1024 AS uni_cost_half",
+            "bpe_toks",
+        )
+    )
+    agg = (
+        wf_src.join(scored, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.length("word")).alias("n_chars"),
+            F.sum(F.col("freq") * F.col("uni_toks")).alias("n_uni_tokens"),
+            F.sum(F.col("freq") * F.col("bpe_toks")).alias("n_bpe_tokens"),
+            F.sum(F.col("freq") * F.col("uni_cost_half")).alias(
+                "cost_half_sum"
+            ),
+        )
+    )
+    return agg.selectExpr(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_uni_tokens",
+        "n_bpe_tokens",
+        "round(CAST(n_uni_tokens AS DOUBLE)"
+        " / nullif(CAST(n_words AS DOUBLE), 0.0), 6) AS uni_fertility",
+        "round(CAST(n_bpe_tokens AS DOUBLE)"
+        " / nullif(CAST(n_words AS DOUBLE), 0.0), 6) AS bpe_fertility",
+        # mean half-bits per unigram token: the LM's own compression
+        # readout (lower = the vocab models the corpus better)
+        "round(CAST(cost_half_sum AS DOUBLE) / 2.0"
+        " / nullif(CAST(n_uni_tokens AS DOUBLE), 0.0), 6)"
+        " AS bits_per_token",
+    )
+
+
+def _uni_vocab_ctes() -> str:
+    """Oracle CTEs: uwf(word, freq) -> uvm(m) one-row vocab map."""
+    gram_selects = "\n  UNION ALL\n  ".join(
+        f"""SELECT unnest(CASE WHEN length(word) >= {n}
+           THEN list_transform(generate_series(1, length(word) - {n - 1}),
+                               i -> substr(word, CAST(i AS INT), {n}))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram, freq
+  FROM uwf"""
+        for n in range(1, UNI_MAX_PIECE + 1)
+    )
+    return f"""ug AS (
+  {gram_selects}
+),
+uc AS (SELECT gram, CAST(sum(freq) AS BIGINT) AS cnt FROM ug GROUP BY gram),
+uchars AS (SELECT gram, cnt FROM uc WHERE length(gram) = 1),
+upieces AS (
+  SELECT gram, cnt FROM (
+    SELECT gram, cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rk
+    FROM uc WHERE length(gram) >= 2
+  ) t WHERE rk <= {UNI_TOP_K}
+),
+utc AS (SELECT CAST(sum(cnt) AS BIGINT) AS tc FROM uchars),
+uv AS (
+  SELECT gram, {_UNI_COST} AS cost_half
+  FROM (SELECT * FROM uchars UNION ALL SELECT * FROM upieces) v
+  CROSS JOIN utc
+),
+uvm AS (SELECT map(list(gram), list(cost_half)) AS m FROM uv)"""
+
+
+def _uni_dp_ctes() -> str:
+    """Recursive Viterbi DP over the distinct words of ``uwf_src`` —
+    produces ``utok(word, uni_toks, uni_cost_half)``."""
+    cands = []
+    for j in range(1, UNI_MAX_PIECE + 1):
+        base = (
+            f"st.dp[st.i + {2 - j}]"
+            f" + map_extract(uvm.m, substr(st.word, st.i + {2 - j}, {j}))[1]"
+            f" * 1024 + 1"
+        )
+        if j == 1:
+            cands.append(f"coalesce({base}, {UNI_BIG})")
+        else:
+            cands.append(
+                f"coalesce(CASE WHEN st.i + 1 >= {j} THEN {base} END,"
+                f" {UNI_BIG})"
+            )
+    least = ",\n           ".join(cands)
+    return f"""ubw AS (SELECT DISTINCT word FROM uwf_src),
+ust AS (
+  SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS dp FROM ubw
+  UNION ALL
+  SELECT st.word, st.i + 1,
+         list_append(st.dp, least(
+           {least}))
+  FROM ust st, uvm WHERE st.i < length(st.word)
+),
+utok AS (
+  SELECT word,
+         dp[length(word) + 1] % 1024 AS uni_toks,
+         dp[length(word) + 1] // 1024 AS uni_cost_half
+  FROM ust WHERE i = length(word)
+)"""
+
+
+TOKENIZE_UNIGRAM_SQL = f"""
+WITH RECURSIVE uwf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_sql_words()}) AS word FROM documents) t
+  WHERE word <> '' AND length(word) <= {UNI_MAX_WORD}
+  GROUP BY word
+),
+{_uni_vocab_ctes()},
+uwf_src AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest({_sql_words()}) AS word FROM documents
+        WHERE source IS NOT NULL) t
+  WHERE word <> '' AND length(word) <= {UNI_MAX_WORD}
+  GROUP BY source, word
+),
+{_uni_dp_ctes()},
+{bpe_token_ctes("uwf_src")}
+SELECT source,
+       CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+       CAST(sum(freq * uni_toks) AS BIGINT) AS n_uni_tokens,
+       CAST(sum(freq * toks) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(freq * uni_toks) AS DOUBLE)
+             / nullif(CAST(sum(freq) AS DOUBLE), 0.0), 6) AS uni_fertility,
+       round(CAST(sum(freq * toks) AS DOUBLE)
+             / nullif(CAST(sum(freq) AS DOUBLE), 0.0), 6) AS bpe_fertility,
+       round(CAST(sum(freq * uni_cost_half) AS DOUBLE) / 2.0
+             / nullif(CAST(sum(freq * uni_toks) AS DOUBLE), 0.0), 6)
+         AS bits_per_token
+FROM uwf_src JOIN utok USING (word) JOIN tok USING (word)
+GROUP BY source
+"""
+
+
 QUERIES_ROTATION = {
+    "tokenize_unigram_eval": tokenize_unigram_eval,
     "tokenize_bpe_encode": tokenize_bpe_encode,
     "tokenize_bpe_roundtrip": tokenize_bpe_roundtrip,
     "dedup_lines_across_docs": dedup_lines_across_docs,
@@ -1281,6 +1576,7 @@ QUERIES_ROTATION = {
 }
 
 ORACLE_ROTATION = {
+    "tokenize_unigram_eval": TOKENIZE_UNIGRAM_SQL,
     "tokenize_bpe_encode": TOKENIZE_BPE_SQL,
     "tokenize_bpe_roundtrip": BPE_ROUNDTRIP_SQL,
     "dedup_lines_across_docs": LINE_DEDUP_SQL,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from stac_geoparquet_spark.caches import register_cache
 
 from stac_geoparquet_spark.operators._io import fenced
+from stac_geoparquet_spark.operators.stats import HLL_ALPHA
 from stac_geoparquet_spark.operators.dedup import (
 
     _minhash_oracle_ctes,
@@ -960,3 +961,343 @@ SELECT n AS part_key, round(x, 6) AS centrality FROM {prev}
 
 QUERIES["graph_eigenvector_centrality"] = graph_eigenvector_centrality
 ORACLE["graph_eigenvector_centrality"] = _eig_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# HyperBall neighborhood function (round 10): per-radius reachable-set
+# sizes on the symmetric part-pair graph via HLL-register propagation
+# (Boldi–Rosa–Vigna's HyperBall) — the effective-diameter /
+# average-ball-size screen that tells a pipeline how "small-world" a
+# derived graph is without any all-pairs BFS.  Each node seeds one HLL
+# register from its own hashed id (the sketch_hll_distinct 64-bucket
+# md5 scheme, 'hb:' salt); each round register-wise MAXes every
+# neighbor's state into the node's own, so after r rounds a node's
+# sketch estimates |ball(node, r)|.  Output: one row per radius
+# 0..HB_ROUNDS with the neighborhood function (sum of per-node ball
+# estimates), the average ball size, and whether the radius already
+# reaches 90% of the final-radius neighborhood function (the smallest
+# flagged radius IS the effective-diameter readout).
+#
+# Determinism (the register-exactness contract,
+# tests/test_rollup_maintenance.py): registers are small ints and the
+# merge is MAX — bit-exact on both engines in any order; Z = sum of
+# 2^-M_j terms is exact binary fractions (the sketch_hll_distinct
+# argument); the per-node estimate (the only libm: the linear-counting
+# ln) is rounded to 4 BEFORE the cross-node sum so engine-side ulp
+# noise cannot accumulate over nodes.
+#
+# Scale shape: the pair graph is the session-cached bounded part
+# dimension (the eigenvector/k-core argument); state is <= nodes x
+# HLL_M rows, fenced per round (bounded, multi-consumer across
+# rounds); each round is one join + one keyed MAX aggregate — never
+# anything corpus-sized, never all-pairs.  At web-graph scale the same
+# loop shards registers by node range; the round structure is
+# unchanged.
+# --------------------------------------------------------------------------
+HB_ROUNDS = 4
+HB_M = 64  # registers per node (2^6), the sketch_hll_distinct size
+
+
+def _hb_seed_exprs() -> tuple[str, str, str]:
+    """(spark_hash, bucket, rho) SQL fragments over a node column n.
+    Spark `div` and DuckDB `//` agree here: uh is non-negative."""
+    h_spark = (
+        "CAST(conv(substring(md5(concat('hb:', CAST(n AS STRING))),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+    bucket = f"uh % {HB_M}"
+    rho = (
+        f"CASE WHEN uh div {HB_M} = 0 THEN 27"
+        f" ELSE 27 - length(bin(uh div {HB_M})) END"
+    )
+    return h_spark, bucket, rho
+
+
+# the standard estimator: alpha_64 * m^2 / Z with the small-range
+# linear-counting branch — the sketch_hll_distinct expressions over
+# sparse registers (Z = z_used + one per empty bucket)
+_HB_RAW = (
+    f"({HLL_ALPHA} * {HB_M}.0 * {HB_M} / (z_used + ({HB_M} - used)))"
+)
+_HB_EST = (
+    f"CASE WHEN {_HB_RAW} <= {2.5 * HB_M} AND used < {HB_M}"
+    f" THEN {HB_M}.0 * ln({HB_M}.0 / ({HB_M} - used))"
+    f" ELSE {_HB_RAW} END"
+)
+
+
+def _hb_fold_est(state: DataFrame) -> DataFrame:
+    """Sparse (n, bucket, m_j) registers -> per-node round-4 ball
+    estimate (the standard HLL estimator + linear counting)."""
+    folded = state.groupBy("n").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
+    )
+    return folded.selectExpr("n", f"round({_HB_EST}, 4) AS est")
+
+
+# per-round register states shared by graph_hyperball_reach and
+# graph_harmonic_centrality (one propagation per (app, sf, stamp) —
+# the basket_pair_support cache-key pattern); value is the list
+# [s0..sR] of fenced state frames, or None for an empty pair graph
+_HB_STATE_CACHE: dict = register_cache("graph.hyperball_states", {})
+
+
+def _hyperball_states(
+    spark: SparkSession, sf_dir: str
+) -> list[DataFrame] | None:
+    from stac_geoparquet_spark.operators.mining import (
+        _pairs_cache_key,
+        basket_pair_support,
+    )
+
+    key = _pairs_cache_key(spark, sf_dir)
+    if key in _HB_STATE_CACHE:
+        return _HB_STATE_CACHE[key]
+    pairs = basket_pair_support(spark, sf_dir).select("part_a", "part_b")
+    edges = fenced(
+        pairs.selectExpr("part_a AS a", "part_b AS b").union(
+            pairs.selectExpr("part_b AS a", "part_a AS b")
+        )
+    )
+    if edges.isEmpty():
+        _HB_STATE_CACHE[key] = None
+        return None
+    h, bucket, rho = _hb_seed_exprs()
+    state = fenced(
+        edges.select(F.col("a").alias("n"))
+        .distinct()
+        .selectExpr("n", f"{h} AS uh")
+        .selectExpr("n", f"{bucket} AS bucket", f"{rho} AS m_j")
+    )
+    states = [state]
+    for _ in range(1, HB_ROUNDS + 1):
+        contrib = (
+            edges.join(
+                state.selectExpr("n AS b", "bucket", "m_j"), "b"
+            ).select(F.col("a").alias("n"), "bucket", "m_j")
+        )
+        state = fenced(
+            state.unionByName(contrib)
+            .groupBy("n", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        states.append(state)
+    _HB_STATE_CACHE[key] = states
+    return states
+
+
+def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_schema = (
+        "radius bigint, n_nodes bigint, nf double, avg_ball double, "
+        "reaches_90pct boolean"
+    )
+    states = _hyperball_states(spark, sf_dir)
+    if states is None:
+        return spark.createDataFrame([], out_schema)
+    per_radius = [
+        _hb_fold_est(s).agg(
+            F.lit(r).cast("bigint").alias("radius"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.round(F.sum("est"), 4).alias("nf"),
+        )
+        for r, s in enumerate(states)
+    ]
+    rows = per_radius[0]
+    for nxt in per_radius[1:]:
+        rows = rows.unionByName(nxt)
+    final_nf = per_radius[-1].select(F.col("nf").alias("nf_final"))
+    return (
+        rows.crossJoin(F.broadcast(final_nf))
+        .selectExpr(
+            "radius",
+            "n_nodes",
+            "nf",
+            "round(nf / n_nodes, 4) AS avg_ball",
+            "nf >= 0.9 * nf_final AS reaches_90pct",
+        )
+    )
+
+
+def _hb_oracle_ctes() -> str:
+    """The shared oracle chain: pair graph -> seeded registers ->
+    HB_ROUNDS register-max propagations -> per-node round-4 estimates
+    est0..est{R} — both HyperBall consumers append their own final."""
+    from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
+
+    h_duck = (
+        f"('0x' || substr(md5('hb:' || CAST(n AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    bucket = f"uh % {HB_M}"
+    rho = (
+        f"CASE WHEN uh // {HB_M} = 0 THEN 27"
+        f" ELSE 27 - length(bin(uh // {HB_M})) END"
+    )
+    stages = []
+    prev = "s0"
+    est_selects = [
+        f"""est0 AS (
+  SELECT n, round({_HB_EST}, 4) AS est
+  FROM (SELECT n, count(*) AS used, sum(pow(2.0, -m_j)) AS z_used
+        FROM s0 GROUP BY n) f
+),
+nf0 AS (
+  SELECT CAST(0 AS BIGINT) AS radius,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         round(sum(est), 4) AS nf
+  FROM est0
+)"""
+    ]
+    for r in range(1, HB_ROUNDS + 1):
+        stages.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT n, bucket, max(m_j) AS m_j FROM (
+    SELECT n, bucket, m_j FROM {prev}
+    UNION ALL
+    SELECT e.a AS n, p.bucket, p.m_j
+    FROM e0 e JOIN {prev} p ON p.n = e.b
+  ) u GROUP BY n, bucket
+)"""
+        )
+        est_selects.append(
+            f"""est{r} AS (
+  SELECT n, round({_HB_EST}, 4) AS est
+  FROM (SELECT n, count(*) AS used, sum(pow(2.0, -m_j)) AS z_used
+        FROM s{r} GROUP BY n) f
+),
+nf{r} AS (
+  SELECT CAST({r} AS BIGINT) AS radius,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         round(sum(est), 4) AS nf
+  FROM est{r}
+)"""
+        )
+        prev = f"s{r}"
+    chain = ",\n".join(stages)
+    ests = ",\n".join(est_selects)
+    return f"""WITH {_basket_pairs_ctes()},
+e0 AS MATERIALIZED (
+  SELECT part_a AS a, part_b AS b FROM pairs
+  UNION ALL
+  SELECT part_b AS a, part_a AS b FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM e0),
+s0 AS MATERIALIZED (
+  SELECT n, {bucket} AS bucket, {rho} AS m_j
+  FROM (SELECT n, {h_duck} AS uh FROM nodes) h
+),
+{chain},
+{ests}"""
+
+
+def _hyperball_oracle_sql() -> str:
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM nf{r}" for r in range(HB_ROUNDS + 1)
+    )
+    return f"""
+{_hb_oracle_ctes()},
+allr AS (
+  {unions}
+),
+fin AS (SELECT nf AS nf_final FROM nf{HB_ROUNDS})
+SELECT radius, n_nodes, nf,
+       round(nf / n_nodes, 4) AS avg_ball,
+       nf >= 0.9 * nf_final AS reaches_90pct
+FROM allr CROSS JOIN fin
+WHERE n_nodes > 0
+"""
+
+
+QUERIES["graph_hyperball_reach"] = graph_hyperball_reach
+ORACLE["graph_hyperball_reach"] = _hyperball_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality via HyperBall (round 10): H(n) = sum over
+# distances d of |{v : dist(n, v) = d}| / d, estimated from the SAME
+# per-round register states as graph_hyperball_reach — the per-node
+# "how close is everyone" companion to the graph-level neighborhood
+# function, and the centrality that (unlike closeness) is
+# well-defined on disconnected graphs.  The shell at distance d is
+# the ball difference est_d - est_{d-1}; truncation at HB_ROUNDS is
+# the documented contract (contributions beyond radius R are
+# discounted by > 1/R anyway).  Output: top-HB_TOP_K nodes by the
+# truncated harmonic estimate.
+#
+# Determinism: the states are EXACT ints (shared), each per-node
+# est_r is round-4, and the harmonic sum is a FIXED-ORDER generated
+# expression over those rounded values — identical arithmetic on both
+# engines; ranking orders by the rounded score with the node-id
+# tie-break.  Scale shape: zero additional propagation (session-cached
+# states), R+1 node-keyed folds + an (R+1)-way bounded equi-join on
+# the part dimension, global top-K as TakeOrderedAndProject; the rank
+# window touches HB_TOP_K rows.
+# --------------------------------------------------------------------------
+HB_TOP_K = 20
+
+
+def graph_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    states = _hyperball_states(spark, sf_dir)
+    if states is None:
+        return spark.createDataFrame(
+            [], "part_key bigint, harmonic double, rk bigint"
+        )
+    ests = [
+        _hb_fold_est(s).withColumnRenamed("est", f"est{r}")
+        for r, s in enumerate(states)
+    ]
+    joined = ests[0]
+    for r in range(1, len(ests)):
+        joined = joined.join(ests[r], "n")
+    hexpr = (
+        "round("
+        + " + ".join(
+            f"(est{r} - est{r - 1}) / {float(r)!r}"
+            for r in range(1, len(ests))
+        )
+        + ", 6)"
+    )
+    top = (
+        joined.selectExpr("n", f"{hexpr} AS harmonic")
+        .orderBy(F.col("harmonic").desc(), F.col("n"))
+        .limit(HB_TOP_K)
+    )
+    w = W.orderBy(F.col("harmonic").desc(), F.col("n"))
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).selectExpr("n AS part_key", "harmonic", "rk")
+
+
+def _harmonic_oracle_sql() -> str:
+    joins = " ".join(
+        f"JOIN est{r} e{r} USING (n)" for r in range(1, HB_ROUNDS + 1)
+    )
+    hexpr = (
+        "round("
+        + " + ".join(
+            f"(e{r}.est - e{r - 1}.est) / {float(r)!r}"
+            for r in range(1, HB_ROUNDS + 1)
+        )
+        + ", 6)"
+    )
+    return f"""
+{_hb_oracle_ctes()},
+hc AS (
+  SELECT n, {hexpr} AS harmonic
+  FROM est0 e0 {joins}
+)
+SELECT n AS part_key, harmonic, rk FROM (
+  SELECT n, harmonic,
+         CAST(row_number() OVER (ORDER BY harmonic DESC, n) AS BIGINT)
+           AS rk
+  FROM hc
+) t WHERE rk <= {HB_TOP_K}
+"""
+
+
+QUERIES["graph_harmonic_centrality"] = graph_harmonic_centrality
+ORACLE["graph_harmonic_centrality"] = _harmonic_oracle_sql()

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stac_geoparquet_spark.operators._canon import DOCS_CANON_SQL, docs_canon
+from stac_geoparquet_spark.operators._io import fenced
 from stac_geoparquet_spark.operators.text import _sql_words, _words
 
 # fixed probe query: mid/low-df terms of the corpus vocabulary, so the
@@ -373,14 +374,517 @@ FROM tf_in JOIN dfreq USING (term) CROSS JOIN stats
 GROUP BY doc_id
 """
 
+# --------------------------------------------------------------------------
+# Ranking-quality report: NDCG@K + MRR@K per probe term — round 10.
+# The standard eval a training-data pipeline runs on its retrieval
+# stage (the lexical twin of ann_recall_report's "eval before trusting
+# the index"): each QUERY_TERMS term is scored as its own single-term
+# BM25 query against the canonical corpus, and the resulting top-K
+# ranking is graded against a deterministic relevance label,
+#   grade = least(7, tf)   (gain 2^grade - 1),
+# i.e. raw within-doc term frequency capped at 7.  The label is
+# deliberately BM25-minus-its-priors: BM25 re-orders raw tf by idf and
+# by the dl/avgdl length norm, so NDCG measures exactly how much the
+# length normalization re-orders frequency-graded relevance (1.0 =
+# none), and MRR@K uses grade >= NDCG_REL_GRADE as the binary
+# "relevant" cut.  Both metrics are K-truncated, the standard form.
+#
+# Determinism: the ranking orders by the ROUNDED score then doc_id
+# (the bm25_topk_retrieval contract), and every log2 discount is a
+# PRECOMPUTED Python double constant embedded in both engines' plans —
+# zero libm calls at query time, so position discounts are
+# bit-identical cross-engine; the DCG sum's merge-order noise is
+# ~1e-16 against the 5e-7 rounding quantum (the accepted margin).
+# IDCG comes closed-form from the per-term grade histogram (grade is
+# bounded by 7, so "the K best grades in order" is pure arithmetic
+# over cumulative counts — no second ranking pass).
+#
+# Scale shape: the tf postings (filtered to |QUERY_TERMS| terms BEFORE
+# the aggregate) feed (a) the 4x7-row grade histogram and (b) the
+# scored ranking — two consumers of a corpus-scale stream, hence two
+# scans (the no-CSE contract; the stream is too big to fence).  The
+# per-term top-K is the twophase local-topk scaffold (never a window
+# partitioned by the bounded term key); the histogram/stats joins are
+# broadcast.  One BroadcastNestedLoopJoin carries the 1-row corpus
+# stats; everything else is hash joins + keyed aggregates.
+# --------------------------------------------------------------------------
+import itertools as _itertools
+import math as _math
+
+NDCG_K = BM25_TOP_K  # 25
+NDCG_MAX_GRADE = 7
+NDCG_REL_GRADE = 4
+
+_NDCG_DISC = [1.0 / _math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+_NDCG_HCUM = list(_itertools.accumulate(_NDCG_DISC))
+
+
+def _arr_at(vals: list[float], idx_expr: str, dialect: str) -> str:
+    """1-based constant-array lookup, per dialect.  Spark needs the D
+    suffix (bare decimal literals bind as DECIMAL); DuckDB casts the
+    extracted element (its list literal also binds DECIMAL, which
+    preserves the exact decimal text, so the cast lands on the same
+    nearest double a direct parse would)."""
+    if dialect == "spark":
+        lits = ", ".join(f"{v!r}D" for v in vals)
+        return f"element_at(array({lits}), CAST({idx_expr} AS INT))"
+    lits = ", ".join(repr(v) for v in vals)
+    return f"CAST(list_extract([{lits}], CAST({idx_expr} AS INT)) AS DOUBLE)"
+
+
+def _ndcg_h(m_expr: str, dialect: str) -> str:
+    """H(m) = sum_{i=1..m} 1/log2(i+1) for 0 <= m <= K, from the
+    precomputed cumulative table (H(0) = 0)."""
+    return (
+        f"(CASE WHEN {m_expr} < 1 THEN 0.0"
+        f" ELSE {_arr_at(_NDCG_HCUM, m_expr, dialect)} END)"
+    )
+
+
+_NDCG_GAIN = (
+    "(CASE grade "
+    + " ".join(
+        f"WHEN {g} THEN {float(2 ** g - 1)!r}"
+        for g in range(1, NDCG_MAX_GRADE + 1)
+    )
+    + " ELSE 0.0 END)"
+)
+
+
+def _ndcg_idcg(dialect: str) -> str:
+    """Closed-form IDCG@K from cumulative grade counts cum7..cum1
+    (cum_g = docs with grade >= g): grade-g docs occupy ideal
+    positions cum_{g+1}+1 .. cum_g, K-truncated."""
+    parts = []
+    for g in range(NDCG_MAX_GRADE, 0, -1):
+        hi = _ndcg_h(f"least({NDCG_K}, cum{g})", dialect)
+        lo = (
+            _ndcg_h(f"least({NDCG_K}, cum{g + 1})", dialect)
+            if g < NDCG_MAX_GRADE
+            else "0.0"
+        )
+        parts.append(f"{float(2 ** g - 1)!r} * ({hi} - {lo})")
+    return "(" + " + ".join(parts) + ")"
+
+
+_NDCG_DCG_AGG = {
+    d: f"sum({_NDCG_GAIN} * {_arr_at(_NDCG_DISC, 'rk', d)})"
+    for d in ("spark", "duck")
+}
+_NDCG_MRR_AGG = (
+    f"round(coalesce(max(CASE WHEN grade >= {NDCG_REL_GRADE}"
+    f" THEN 1.0 / CAST(rk AS DOUBLE) END), 0.0), 6)"
+)
+
+
+def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.twophase import local_topk
+
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    tfg = _term_freqs(docs).withColumn(
+        "grade",
+        F.least(F.lit(NDCG_MAX_GRADE), F.col("tf")).cast("bigint"),
+    )
+    # fenced: consumed twice (df into the scoring join, cums into the
+    # final report join) — without the fence each consumer re-executes
+    # the corpus-scale postings aggregate (the no-CSE trap); output is
+    # bounded by |QUERY_TERMS| rows, exactly the fence contract
+    gstats = fenced(
+        tfg.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("grade") >= g, F.lit(1))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"cum{g}")
+                for g in range(1, NDCG_MAX_GRADE + 1)
+            ],
+        )
+    )
+    stats = _corpus_stats(docs)
+    idf, tf_part = _bm25_idf(), _bm25_tf_part()
+    scored = (
+        tfg.join(F.broadcast(gstats.select("term", "df")), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "grade",
+            F.round(idf * tf_part, 6).alias("score"),
+        )
+    )
+    cand = local_topk(
+        scored,
+        ["term"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        NDCG_K,
+    )
+    ranked = (
+        cand.groupBy("term")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("doc_id").alias("doc_id"),
+                            F.col("grade").alias("grade"),
+                        )
+                    )
+                ),
+                1,
+                NDCG_K,
+            ).alias("arr")
+        )
+        .select("term", F.posexplode("arr").alias("pos", "r"))
+        .select(
+            "term",
+            (F.col("pos") + 1).cast("bigint").alias("rk"),
+            F.col("r.grade").alias("grade"),
+        )
+    )
+    rep = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.expr(_NDCG_DCG_AGG["spark"]).alias("dcg"),
+        F.expr(_NDCG_MRR_AGG).alias("mrr"),
+    )
+    return (
+        rep.join(F.broadcast(gstats), "term")
+        .selectExpr(
+            "term",
+            "df",
+            f"cum{NDCG_REL_GRADE} AS n_rel",
+            "n_ranked",
+            f"""CASE WHEN {_ndcg_idcg('spark')} > 0.0
+                    THEN round(dcg / {_ndcg_idcg('spark')}, 6) + 0.0
+               END AS ndcg_at_{NDCG_K}""",
+            "mrr",
+        )
+    )
+
+
+_NDCG_CUMS_SQL = ", ".join(
+    f"""CAST(coalesce(sum(CASE WHEN grade >= {g} THEN 1 END), 0)
+          AS BIGINT) AS cum{g}"""
+    for g in range(1, NDCG_MAX_GRADE + 1)
+)
+
+NDCG_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM {DOCS_CANON_SQL} d WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, len({_sql_words()}) AS dl,
+         unnest({_sql_words()}) AS term
+  FROM docs
+),
+tfg AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf,
+         least({NDCG_MAX_GRADE}, CAST(count(*) AS BIGINT)) AS grade
+  FROM toks WHERE term IN ({_TERMS_IN})
+  GROUP BY doc_id, dl, term
+),
+gstats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, {_NDCG_CUMS_SQL}
+  FROM tfg GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_sql_words()})) AS DOUBLE) / count(*) AS avgdl
+  FROM docs
+),
+scored AS (
+  SELECT term, doc_id, grade,
+         round(
+           ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(tf AS DOUBLE)
+              + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * CAST(dl AS DOUBLE) / avgdl)),
+         6) AS score
+  FROM tfg JOIN gstats USING (term) CROSS JOIN stats
+),
+ranked AS (
+  SELECT term, grade, rk FROM (
+    SELECT term, grade,
+           CAST(row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+    FROM scored
+  ) r WHERE rk <= {NDCG_K}
+),
+rep AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_ranked,
+         {_NDCG_DCG_AGG['duck']} AS dcg,
+         {_NDCG_MRR_AGG} AS mrr
+  FROM ranked GROUP BY term
+)
+SELECT term, df, cum{NDCG_REL_GRADE} AS n_rel, n_ranked,
+       CASE WHEN {_ndcg_idcg('duck')} > 0.0
+            THEN round(dcg / {_ndcg_idcg('duck')}, 6) + 0.0
+       END AS ndcg_at_{NDCG_K},
+       mrr
+FROM rep JOIN gstats USING (term)
+"""
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (round 10): fuse the
+# embedding kNN ranking (semantic) with a query-by-example BM25
+# ranking (lexical) for the same N_QUERIES probe documents — the
+# standard two-tower + keyword hybrid every retrieval stack ships,
+# scored with RRF (Cormack et al.): rrf(d) = sum over systems of
+# 1 / (RRF_K0 + rank_sys(d)), which needs NO score calibration
+# between systems (ranks only).  The embedding side is the shipped
+# session-cached knn_brute_force (vec_id == doc_id by fixture
+# contract); the lexical side scores every corpus doc against the
+# DISTINCT words of each query document (BM25 over shared terms,
+# self-match excluded like the kNN side).
+#
+# Determinism: both input rankings order by round-6 scores with id
+# tie-breaks (shipped contracts); RRF terms 1/(60+rank) are exact
+# rationals of small ints summed in fixed order, rounded to 6; the
+# fused ranking breaks ties by doc_id.
+#
+# Scale shape: the query-term dictionary is bounded (N_QUERIES docs'
+# distinct words) and broadcast — the corpus token stream is filtered
+# to it BEFORE the (doc, term) aggregate (the bm25_topk postings
+# argument); per-query lexical top-K rides the twophase local-topk
+# scaffold; the fusion is join-free — union the tagged rank lists
+# and groupBy (query_id, doc_id) with max() per side, identical to
+# a full-outer join (each pair appears at most once per system) but
+# one bounded hash aggregate over <= 2K rows per query (Spark
+# cannot broadcast full-outer joins, so the join form would
+# sort-merge); the final ranking window's input is that bounded
+# union (allowlisted).
+# --------------------------------------------------------------------------
+RRF_K0 = 60
+RRF_TOP_K = 10
+LEX_TOP_K = 10
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.similarity import (
+        N_QUERIES,
+        knn_brute_force,
+    )
+    from stac_geoparquet_spark.operators.twophase import local_topk
+
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    qterms = (
+        docs.where(F.col("doc_id") < N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(_words(F.col("text")))).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term") != "")
+    )
+    toks = docs.select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("dl"),
+        F.explode("w").alias("term"),
+    )
+    tf = (
+        toks.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = _corpus_stats(docs)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf, tf_part = _bm25_idf(), _bm25_tf_part()
+    lex_scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    cand = local_topk(
+        lex_scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        LEX_TOP_K,
+    )
+    lex = (
+        cand.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("doc_id").alias("doc_id"),
+                        )
+                    )
+                ),
+                1,
+                LEX_TOP_K,
+            ).alias("arr")
+        )
+        .select("query_id", F.posexplode("arr").alias("pos", "r"))
+        .select(
+            "query_id",
+            F.col("r.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).cast("bigint").alias("lex_rank"),
+        )
+    )
+    cos = knn_brute_force(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("cos_rank"),
+    )
+    tagged = lex.select(
+        "query_id",
+        "doc_id",
+        F.col("lex_rank"),
+        F.lit(None).cast("bigint").alias("cos_rank"),
+    ).unionByName(
+        cos.select(
+            "query_id",
+            "doc_id",
+            F.lit(None).cast("bigint").alias("lex_rank"),
+            F.col("cos_rank"),
+        )
+    )
+    # min() per side = best rank wins; a ranking is a SET of docs, so a
+    # duplicate id surviving multiset scoring (dup-id re-ingest keeps
+    # both payload copies in the kNN top-K) collapses to its best
+    # position before fusion — the oracle collapses identically.
+    fused = (
+        tagged.groupBy("query_id", "doc_id")
+        .agg(
+            F.min("lex_rank").alias("lex_rank"),
+            F.min("cos_rank").alias("cos_rank"),
+        )
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "lex_rank IS NOT NULL AS in_lex",
+            "cos_rank IS NOT NULL AS in_cos",
+            f"""round(coalesce(1.0 / ({RRF_K0} + CAST(lex_rank AS DOUBLE)),
+                               0.0)
+                      + coalesce(1.0 / ({RRF_K0} + CAST(cos_rank AS DOUBLE)),
+                                 0.0), 6) AS rrf""",
+        )
+    )
+    # the ranking window's input is the bounded union of two top-K
+    # lists per query (<= LEX_TOP_K + TOP_K rows) — allowlisted
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= RRF_TOP_K)
+        .select("query_id", "doc_id", "in_lex", "in_cos", "rrf", "rk")
+    )
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.similarity import (
+        KNN_SQL,
+        N_QUERIES,
+    )
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM {DOCS_CANON_SQL} d WHERE text IS NOT NULL
+),
+qterms AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT doc_id, unnest(list_distinct({_sql_words()})) AS term
+    FROM docs WHERE doc_id < {N_QUERIES}
+  ) t WHERE term <> ''
+),
+toks AS (
+  SELECT doc_id, len({_sql_words()}) AS dl,
+         unnest({_sql_words()}) AS term
+  FROM docs
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_sql_words()})) AS DOUBLE) / count(*) AS avgdl
+  FROM docs
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+lex_scored AS (
+  SELECT q.query_id, t.doc_id,
+         round(sum(
+           ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(tf AS DOUBLE)
+              + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))
+         ), 6) AS score
+  FROM tf t
+  JOIN qterms q USING (term)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  WHERE t.doc_id <> q.query_id
+  GROUP BY q.query_id, t.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lex_scored
+  QUALIFY lex_rank <= {LEX_TOP_K}
+),
+knn AS ({KNN_SQL}),
+cos AS (
+  -- best rank per doc: multiset scoring can keep two payload copies
+  -- of a re-ingested vec_id in the top-K; a ranking is a set of docs
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(min(rank) AS BIGINT) AS cos_rank
+  FROM knn GROUP BY query_id, neighbor_id
+),
+fused AS (
+  SELECT coalesce(l.query_id, c.query_id) AS query_id,
+         coalesce(l.doc_id, c.doc_id) AS doc_id,
+         l.lex_rank IS NOT NULL AS in_lex,
+         c.cos_rank IS NOT NULL AS in_cos,
+         round(coalesce(1.0 / ({RRF_K0} + CAST(l.lex_rank AS DOUBLE)),
+                        0.0)
+               + coalesce(1.0 / ({RRF_K0} + CAST(c.cos_rank AS DOUBLE)),
+                          0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN cos c
+    ON l.query_id = c.query_id AND l.doc_id = c.doc_id
+)
+SELECT query_id, doc_id, in_lex, in_cos, rrf, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+  FROM fused
+) t WHERE rk <= {RRF_TOP_K}
+"""
+
+
 QUERIES = {
     "bm25_topk_retrieval": bm25_topk_retrieval,
     "bm25_incremental_scoring": bm25_incremental_scoring,
     "chi2_discriminative_terms": chi2_discriminative_terms,
+    "bm25_ndcg_report": bm25_ndcg_report,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
 }
 
 ORACLE = {
     "bm25_topk_retrieval": BM25_SQL,
     "bm25_incremental_scoring": BM25_INCR_SQL,
     "chi2_discriminative_terms": CHI2_SQL,
+    "bm25_ndcg_report": NDCG_SQL,
+    "hybrid_rrf_retrieval": _hybrid_rrf_oracle_sql(),
 }

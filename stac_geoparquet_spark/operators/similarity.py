@@ -1537,24 +1537,10 @@ def _covariance_merged_fenced(
     return out
 
 
-def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle (i <= j) sample covariance of the embedding
-    columns, canonical-by-id like every other index/stats build (a
-    re-ingested duplicate vec_id contributes once).  Output: one row
-    per dimension pair with the pooled row count and cov rounded to 6.
-    n = 1 yields NULL covariance on both engines (nullif guard on the
-    n-1 divisor) rather than an ANSI division crash.
-
-    The merged partial matrix is fenced (``_io.fenced`` — the shared
-    lineage-truncation contract) before the assembly joins: they
-    consume it twice (sum rows and product rows), and without the
-    fence Catalyst re-executes the whole scan+GEMM per consumer — the
-    explain showed the 100-TB pass TRIPLED.  Same move as
-    ``pagerank_neardup_graph``; what gets materialized is only the
-    tiny d × d matrix — and it is session-cached
-    (``_COV_MERGED_CACHE``) so the isotropy report and the PCA
-    eigensolve share ONE scan + GEMM per (app, sf, stamp)."""
-    merged = _covariance_merged_fenced(spark, sf_dir)
+def _cov_assembly(merged: DataFrame) -> DataFrame:
+    """(i, j, s, n) merged partials -> upper-triangle (i, j, n, cov)
+    with cov rounded to 6 (+0.0 negative-zero normalization).  The
+    input MUST be fenced: sums and products are two consumers."""
     sums = merged.where(F.col("j") == -1).select("i", F.col("s").alias("sv"))
     prods = merged.where(F.col("j") >= 0)
     return (
@@ -1583,6 +1569,27 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", "j", "n", "cov")
     )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle (i <= j) sample covariance of the embedding
+    columns, canonical-by-id like every other index/stats build (a
+    re-ingested duplicate vec_id contributes once).  Output: one row
+    per dimension pair with the pooled row count and cov rounded to 6.
+    n = 1 yields NULL covariance on both engines (nullif guard on the
+    n-1 divisor) rather than an ANSI division crash.
+
+    The merged partial matrix is fenced (``_io.fenced`` — the shared
+    lineage-truncation contract) before the assembly joins
+    (``_cov_assembly``): they consume it twice (sum rows and product
+    rows), and without the fence Catalyst re-executes the whole
+    scan+GEMM per consumer — the explain showed the 100-TB pass
+    TRIPLED.  Same move as ``pagerank_neardup_graph``; what gets
+    materialized is only the tiny d × d matrix — and it is
+    session-cached (``_COV_MERGED_CACHE``) so the isotropy report,
+    the PCA eigensolve, and the whitening report share ONE scan +
+    GEMM per (app, sf, stamp)."""
+    return _cov_assembly(_covariance_merged_fenced(spark, sf_dir))
 
 
 COVARIANCE_SQL = f"""
@@ -2976,3 +2983,363 @@ FROM agg
 
 QUERIES["embedding_isotropy_report"] = embedding_isotropy_report
 ORACLE["embedding_isotropy_report"] = ISOTROPY_SQL
+
+
+# --------------------------------------------------------------------------
+# ZCA whitening apply + isotropy re-check (round 10): the standard fix
+# the isotropy report motivates — anisotropic embeddings saturate
+# cosine similarity, and whitening (y = W x with W ~ (C + εI)^{-1/2})
+# is the classical post-processing that restores isotropy before
+# ANN / SemDeDup trust cosine again.  This op computes W, APPLIES it
+# per Arrow batch (the broadcast-small / block-big GEMM layout every
+# vector op here uses), and reports the isotropy metrics BEFORE and
+# AFTER (2 rows, phase = 'raw' | 'whitened') so the improvement is
+# the deliverable.
+#
+# Determinism contract (both engines identically):
+# * W derives from the ROUNDED covariance (round-6 cov -> exact
+#   micro-ints), ridge ε = WHITEN_EPS on the diagonal, trace
+#   normalization A = C_reg / tr(C_reg), then NS_ITERS Newton–Schulz
+#   iterations  T = 3I - Z·Y; Y' = 0.5·(Y·T); Z' = 0.5·(T·Z)  run in
+#   EXACT int64 FIXED-POINT (NS_SCALE = 1e7 units): integer sums are
+#   order-independent, so the matmuls are bit-identical across
+#   engines — per-step float rounding (the first attempt, the
+#   pca_power_projection convention) is NOT enough here because a
+#   single round-boundary straddle cascades through subsequent
+#   matmuls (measured: 1525 divergent W entries at round-7 steps).
+#   Each step downscales via floor(int / 1e7 + 0.5) on DOUBLES —
+#   deterministic given identical int inputs (int->double conversion
+#   and IEEE division are correctly rounded on both engines), and it
+#   sidesteps DuckDB's truncating integer '//' vs Python's flooring
+#   one.  The fixed iteration count IS the contract (no convergence
+#   test); W = round(Z_int / 1e7 / sqrt(t), 6).  Small ridge-floored
+#   eigenvalues are only PARTIALLY inverted at NS_ITERS = 12 —
+#   documented, deterministic, and irrelevant to the before/after
+#   comparison the op exists for.  Fixed-point bounds: |entries| stay
+#   under (ε/t)^{-1/2} ≈ 33 (the ridge floor), so 64-term products
+#   peak near 6.5e17 — inside int64 with a 14x margin.
+# * The whitened covariance is computed EMPIRICALLY on the Spark side
+#   (per-batch y = x·Wᵀ then the same partial-GEMM merge as
+#   embedding_covariance); the oracle uses the algebraic identity
+#   cov(Wx) = W·cov(x)·Wᵀ over the UNROUNDED covariance — equal in
+#   exact arithmetic, and both sides round to 6 before comparing
+#   (noise ~1e-13 against the 5e-7 quantum).
+#
+# Scale shape: W's input is the session-cached FENCED d×d covariance
+# (zero extra corpus passes); the driver-side Newton–Schulz is d³ on
+# 64×64 — microseconds; the apply+re-GEMM is ONE corpus scan with a
+# broadcast 64×64 matrix, merged into d² partials and fenced before
+# the two-consumer assembly.  Nothing quadratic in rows, one scan
+# total, and the final plan reads only materialized fences.
+# --------------------------------------------------------------------------
+WHITEN_EPS = 0.001
+NS_ITERS = 12
+NS_SCALE = 10_000_000  # fixed-point unit: 1e-7
+WHITEN_SCHEMA = (
+    "phase string, d bigint, n_vecs bigint, trace double, "
+    "mean_abs_offdiag double, effective_dim double"
+)
+
+
+def _whitening_matrix(cov_rows) -> list[list[float]] | None:
+    """Rounded (i, j, n, cov) upper-triangle rows -> round-6 ZCA
+    whitening matrix W ~ (C + εI)^{-1/2} via trace-normalized
+    Newton–Schulz, or None when the matrix is incomplete (empty /
+    n < 2 inputs make cov NULL)."""
+    import math
+
+    import numpy as np
+
+    micro = np.zeros((DIM, DIM), dtype=np.int64)
+    seen = 0
+    for i, j, _n, cov in cov_rows:
+        if cov is None:
+            continue
+        m = int(round(cov * 1e6))
+        micro[i][j] = m
+        micro[j][i] = m
+        seen += 1
+    if seen < DIM * (DIM + 1) // 2:
+        return None
+    tm = int(micro.trace())
+    t = tm / 1e6 + DIM * WHITEN_EPS
+    eye = np.eye(DIM)
+    sc = float(NS_SCALE)
+    # A in 1e-7 units, one float rounding from ints both engines share
+    y = np.floor(
+        (micro / 1e6 + WHITEN_EPS * eye) / t * sc + 0.5
+    ).astype(np.int64)
+    z = (NS_SCALE * np.eye(DIM, dtype=np.int64)).astype(np.int64)
+    diag3 = 3 * NS_SCALE * NS_SCALE * np.eye(DIM, dtype=np.int64)
+    for _ in range(NS_ITERS):
+        tmat = np.floor((diag3 - z @ y) / sc + 0.5).astype(np.int64)
+        y = np.floor((y @ tmat) / (2.0 * sc) + 0.5).astype(np.int64)
+        z = np.floor((tmat @ z) / (2.0 * sc) + 0.5).astype(np.int64)
+    w = np.round(z / sc / math.sqrt(t), 6)
+    return [[float(v) for v in row] for row in w]
+
+
+def _whitened_cov_merged(
+    spark: SparkSession, sf_dir: str, w: list[list[float]]
+) -> DataFrame:
+    """One corpus scan: per-batch y = x·Wᵀ (the apply) fused with the
+    covariance partial-GEMM — the merged d² partials come back, never
+    the whitened rows themselves."""
+    dim = DIM
+
+    def partial(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        wm = np.asarray(w, dtype=np.float64)
+        out_schema = pa.schema(
+            [
+                pa.field("i", pa.int32()),
+                pa.field("j", pa.int32()),
+                pa.field("s", pa.float64()),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        iu, ju = np.triu_indices(dim)
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            if len(col) == 0:
+                continue
+            x = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+            y = x @ wm.T
+            gram = y.T @ y
+            sums = y.sum(axis=0)
+            n = np.int64(x.shape[0])
+            i = np.concatenate([iu, np.arange(dim)])
+            j = np.concatenate([ju, np.full(dim, -1)])
+            s = np.concatenate([gram[iu, ju], sums])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i.astype(np.int32)),
+                    pa.array(j.astype(np.int32)),
+                    pa.array(s),
+                    pa.array(np.full(len(i), n)),
+                ],
+                schema=out_schema,
+            )
+
+    return (
+        _emb_blocks(spark, sf_dir, canonical=True)
+        .select("embedding")
+        .mapInArrow(partial, "i int, j int, s double, n bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
+def _isotropy_metrics(cov_df: DataFrame, phase: str) -> DataFrame:
+    """The embedding_isotropy_report metric block over any rounded
+    upper-triangle covariance frame, tagged with a phase label."""
+    m = cov_df.where(F.col("cov").isNotNull()).select(
+        "i",
+        "j",
+        "n",
+        F.round(F.col("cov") * 1_000_000).cast("bigint").alias("micro"),
+    )
+    agg = m.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.min("n").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("micro")).otherwise(0)
+        ).alias("tm"),
+        F.sum(
+            F.when(F.col("i") < F.col("j"), F.abs(F.col("micro"))).otherwise(
+                0
+            )
+        ).alias("om"),
+        F.sum(F.when(F.col("i") < F.col("j"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_off"),
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"), F.col("micro") * F.col("micro")
+            ).otherwise(2 * F.col("micro") * F.col("micro"))
+        ).alias("frob"),
+    )
+    return agg.selectExpr(
+        f"'{phase}' AS phase",
+        "d",
+        "n_vecs",
+        "round(CAST(tm AS DOUBLE) / 1e6, 6) + 0.0 AS trace",
+        """CASE WHEN n_off = 0 OR n_off IS NULL THEN NULL
+                ELSE round(CAST(om AS DOUBLE) / CAST(n_off AS DOUBLE)
+                           / 1e6, 6) + 0.0
+           END AS mean_abs_offdiag""",
+        """CASE WHEN frob IS NULL OR frob <= 0 THEN NULL
+                ELSE round(CAST(tm AS DOUBLE) * CAST(tm AS DOUBLE)
+                           / CAST(frob AS DOUBLE), 6) + 0.0
+           END AS effective_dim""",
+    )
+
+
+def embedding_whitening_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    cov_df = embedding_covariance(spark, sf_dir)
+    w = _whitening_matrix(
+        [(r["i"], r["j"], r["n"], r["cov"]) for r in cov_df.collect()]
+    )
+    if w is None:
+        return spark.createDataFrame([], WHITEN_SCHEMA)
+    covw = _cov_assembly(fenced(_whitened_cov_merged(spark, sf_dir, w)))
+    return _isotropy_metrics(cov_df, "raw").unionByName(
+        _isotropy_metrics(covw, "whitened")
+    )
+
+
+def _whitening_oracle_sql() -> str:
+    exp_rows = DIM * (DIM + 1) // 2
+    t_sql = f"(tv.tm / 1000000.0 + {DIM} * {WHITEN_EPS})"
+    sc = NS_SCALE
+    its = []
+    prev_y, prev_z = "y0", "z0"
+    for k in range(1, NS_ITERS + 1):
+        its.append(
+            f"""zy{k} AS MATERIALIZED (
+  SELECT z.i, y.j, CAST(sum(z.v * y.v) AS BIGINT) AS v
+  FROM {prev_z} z JOIN {prev_y} y ON y.i = z.j GROUP BY z.i, y.j
+),
+tm{k} AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CAST(floor(((CASE WHEN g.i = g.j THEN {3 * sc * sc} ELSE 0 END)
+                     - coalesce(zy.v, 0)) / {float(sc)!r} + 0.5)
+              AS BIGINT) AS v
+  FROM grid g LEFT JOIN zy{k} zy ON zy.i = g.i AND zy.j = g.j
+),
+y{k} AS MATERIALIZED (
+  SELECT a.i, b.j,
+         CAST(floor(CAST(sum(a.v * b.v) AS BIGINT)
+                    / {2.0 * sc!r} + 0.5) AS BIGINT) AS v
+  FROM {prev_y} a JOIN tm{k} b ON b.i = a.j GROUP BY a.i, b.j
+),
+z{k} AS MATERIALIZED (
+  SELECT a.i, b.j,
+         CAST(floor(CAST(sum(a.v * b.v) AS BIGINT)
+                    / {2.0 * sc!r} + 0.5) AS BIGINT) AS v
+  FROM tm{k} a JOIN {prev_z} b ON b.i = a.j GROUP BY a.i, b.j
+)"""
+        )
+        prev_y, prev_z = f"y{k}", f"z{k}"
+    chain = ",\n".join(its)
+    metrics = """
+  CAST(sum(CASE WHEN i = j THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN i = j THEN micro ELSE 0 END) AS BIGINT) AS tm,
+         CAST(sum(CASE WHEN i < j THEN abs(micro) ELSE 0 END)
+              AS BIGINT) AS om,
+         CAST(sum(CASE WHEN i < j THEN 1 ELSE 0 END) AS BIGINT) AS n_off,
+         CAST(sum(CASE WHEN i = j THEN micro * micro
+                       ELSE 2 * micro * micro END) AS BIGINT) AS frob
+"""
+    render = """
+       round(CAST(tm AS DOUBLE) / 1e6, 6) + 0.0 AS trace,
+       CASE WHEN n_off = 0 OR n_off IS NULL THEN NULL
+            ELSE round(CAST(om AS DOUBLE) / CAST(n_off AS DOUBLE)
+                       / 1e6, 6) + 0.0
+       END AS mean_abs_offdiag,
+       CASE WHEN frob IS NULL OR frob <= 0 THEN NULL
+            ELSE round(CAST(tm AS DOUBLE) * CAST(tm AS DOUBLE)
+                       / CAST(frob AS DOUBLE), 6) + 0.0
+       END AS effective_dim
+"""
+    return f"""
+WITH e AS (
+  SELECT vec_id, min(embedding)::DOUBLE[] AS v
+  FROM embeddings WHERE {VALID_VEC_SQL} GROUP BY vec_id
+),
+x AS (
+  SELECT vec_id, i, v[i + 1] AS xi
+  FROM e, unnest(range(0, len(v))) AS t(i)
+),
+s AS (SELECT i, sum(xi) AS sv, count(*) AS n FROM x GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+covu AS MATERIALIZED (
+  SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+         CAST(sa.n AS BIGINT) AS n,
+         (p.sij - sa.sv * sb.sv / sa.n) / nullif(sa.n - 1, 0) AS cov
+  FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+),
+cov0 AS MATERIALIZED (
+  SELECT i, j, n, round(cov, 6) + 0 AS cov FROM covu
+),
+gate AS (SELECT count(*) AS k FROM cov0 WHERE cov IS NOT NULL),
+micro AS MATERIALIZED (
+  SELECT i, j, n, CAST(round(cov * 1000000) AS BIGINT) AS micro
+  FROM cov0 WHERE cov IS NOT NULL
+),
+tval AS (
+  SELECT CAST(sum(CASE WHEN i = j THEN micro ELSE 0 END) AS BIGINT) AS tm
+  FROM micro
+),
+grid AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT unnest(range({DIM})) AS i) a,
+       (SELECT unnest(range({DIM})) AS j) b
+),
+msym AS (
+  SELECT i, j, micro FROM micro
+  UNION ALL
+  SELECT j AS i, i AS j, micro FROM micro WHERE i <> j
+),
+y0 AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CAST(floor((coalesce(m.micro, 0) / 1000000.0
+                     + CASE WHEN g.i = g.j THEN {WHITEN_EPS} ELSE 0.0 END)
+                    / {t_sql} * {float(NS_SCALE)!r} + 0.5)
+              AS BIGINT) AS v
+  FROM grid g LEFT JOIN msym m ON m.i = g.i AND m.j = g.j
+  CROSS JOIN tval tv
+),
+z0 AS (
+  SELECT i, j, CASE WHEN i = j THEN {NS_SCALE} ELSE 0 END AS v FROM grid
+),
+{chain},
+wmat AS MATERIALIZED (
+  SELECT z.i, z.j,
+         round(z.v / {float(NS_SCALE)!r} / sqrt{t_sql}, 6) AS v
+  FROM {prev_z} z CROSS JOIN tval tv
+),
+matu AS (
+  SELECT i, j, cov AS v FROM covu WHERE cov IS NOT NULL
+  UNION ALL
+  SELECT j AS i, i AS j, cov AS v FROM covu
+  WHERE i <> j AND cov IS NOT NULL
+),
+wc AS MATERIALIZED (
+  SELECT w.i, c.j, sum(w.v * c.v) AS v
+  FROM wmat w JOIN matu c ON c.i = w.j GROUP BY w.i, c.j
+),
+covw AS MATERIALIZED (
+  SELECT wc.i AS i, w2.i AS j, round(sum(wc.v * w2.v), 6) + 0.0 AS cov
+  FROM wc JOIN wmat w2 ON w2.j = wc.j
+  WHERE wc.i <= w2.i
+  GROUP BY wc.i, w2.i
+),
+microw AS (
+  SELECT i, j, CAST(round(cov * 1000000) AS BIGINT) AS micro FROM covw
+),
+nv AS (SELECT min(n) AS n_vecs FROM micro),
+raw_m AS (SELECT {metrics}, min(n) AS n_vecs FROM micro),
+whit_m AS (SELECT {metrics} FROM microw)
+SELECT 'raw' AS phase, d, n_vecs, {render}
+FROM raw_m CROSS JOIN gate WHERE gate.k = {exp_rows}
+UNION ALL
+SELECT 'whitened' AS phase, d, nv.n_vecs, {render}
+FROM whit_m CROSS JOIN nv CROSS JOIN gate WHERE gate.k = {exp_rows}
+"""
+
+
+QUERIES["embedding_whitening_report"] = embedding_whitening_report
+ORACLE["embedding_whitening_report"] = _whitening_oracle_sql()

@@ -3025,3 +3025,263 @@ FROM agg
 
 QUERIES["users_value_gini"] = users_value_gini
 ORACLE["users_value_gini"] = GINI_USERS_SQL
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR across per-event-type A/B tests (round 10):
+# the multiple-testing correction a metrics platform applies when one
+# experiment is read out on MANY metrics at once — per event_type, the
+# Welch z on per-user value (the events_welch_ttest moments, grouped),
+# a two-sided normal p-value, then the BH step-up so the SIGNIFICANT
+# set controls the false-discovery rate at FDR_Q instead of inflating
+# with the metric count.  (The same user contributes to several
+# event_types, so the tests are positively dependent — exactly the
+# regime BH is robust to, documented here rather than assumed.)
+#
+# p-values: Phi via the Abramowitz-Stegun 26.2.17 polynomial
+# (|error| < 7.5e-8, far under the round-6 quantum) — pure arithmetic
+# + one exp(), identical expression text on both engines, computed
+# from the UNROUNDED Welch statistic.  BH: rank the m testable
+# p-values ascending, raw_i = p_i * m / i, adjusted = suffix-min
+# (step-up) clipped at 1 — all exact arithmetic over round-6 p's.
+# The rank/suffix-min windows are unpartitioned but run AFTER the
+# event_type aggregate: their input is bounded by the event-type
+# alphabet, never by data (the jackknife bounded-frame class).
+#
+# Scale shape: one (event_type, user)-keyed corpus aggregate, a
+# per-type moment rollup (bounded rows), then alphabet-sized window
+# math; the m count joins back broadcast.  Untestable types (an arm
+# under 2 users / zero variance) carry NULLs and sit outside m.
+# --------------------------------------------------------------------------
+FDR_Q = 0.05
+
+_BH_AZ = f"abs({_WELCH_T})"
+_BH_TT = f"(1.0 / (1.0 + 0.2316419 * {_BH_AZ}))"
+_BH_POLY = (
+    f"({_BH_TT} * (0.319381530 + {_BH_TT} * (-0.356563782"
+    f" + {_BH_TT} * (1.781477937 + {_BH_TT} * (-1.821255978"
+    f" + {_BH_TT} * 1.330274429)))))"
+)
+_BH_P = (
+    f"round(least(1.0, 2.0 * 0.3989422804014327"
+    f" * exp(-{_BH_AZ} * {_BH_AZ} / 2.0) * {_BH_POLY}), 6) + 0.0"
+)
+_BH_DIFF = (
+    "round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0, 6) + 0.0"
+)
+
+
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    per_cell = (
+        _events(spark, sf_dir)
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+        .select(
+            "event_type",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "cents",
+        )
+    )
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # fenced: three consumers (the m count, the testable branch, the
+    # untestable branch) would each re-run the corpus aggregate under
+    # no-CSE; the fence output is bounded by the event-type alphabet
+    mom = fenced(per_cell.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sa"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sb"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("arm") == 0,
+                    F.col("cents").cast("double")
+                    * F.col("cents").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("ssa"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("arm") == 1,
+                    F.col("cents").cast("double")
+                    * F.col("cents").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("ssb"),
+    ))
+    scored = mom.selectExpr(
+        "event_type",
+        "coalesce(na, 0) AS n_a",
+        "coalesce(nb, 0) AS n_b",
+        f"""CASE WHEN {_WELCH_GUARD} THEN NULL
+                ELSE {_BH_DIFF}
+           END AS diff_usd""",
+        f"""CASE WHEN {_WELCH_GUARD} THEN NULL
+                ELSE round({_WELCH_T}, 6) + 0.0
+           END AS z""",
+        f"""CASE WHEN {_WELCH_GUARD} THEN NULL
+                ELSE {_BH_P}
+           END AS p_value""",
+    )
+    mtab = scored.agg(
+        F.sum(F.when(F.col("p_value").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m_tests")
+    )
+    tst = (
+        scored.where(F.col("p_value").isNotNull())
+        .crossJoin(F.broadcast(mtab))
+        .withColumn(
+            "i",
+            F.row_number()
+            .over(W.orderBy("p_value", "event_type"))
+            .cast("bigint"),
+        )
+        .selectExpr(
+            "*",
+            "CAST(m_tests AS DOUBLE) * p_value / CAST(i AS DOUBLE)"
+            " AS raw_bh",
+        )
+        .withColumn(
+            "sufmin",
+            F.min("raw_bh").over(
+                W.orderBy(
+                    F.col("p_value").desc(), F.col("event_type").desc()
+                ).rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .selectExpr(
+            "event_type",
+            "n_a",
+            "n_b",
+            "diff_usd",
+            "z",
+            "p_value",
+            "m_tests",
+            "round(least(1.0, sufmin), 6) + 0.0 AS p_adj_bh",
+            f"round(least(1.0, sufmin), 6) <= {FDR_Q} AS significant_fdr",
+        )
+    )
+    rest = (
+        scored.where(F.col("p_value").isNull())
+        .crossJoin(F.broadcast(mtab))
+        .selectExpr(
+            "event_type",
+            "n_a",
+            "n_b",
+            "diff_usd",
+            "z",
+            "p_value",
+            "m_tests",
+            "CAST(NULL AS DOUBLE) AS p_adj_bh",
+            "CAST(NULL AS BOOLEAN) AS significant_fdr",
+        )
+    )
+    return tst.unionByName(rest)
+
+
+FDR_BH_SQL = f"""
+WITH per_cell AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY event_type, user_id
+),
+mom AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cents END), 0) AS BIGINT)
+      AS sa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cents END), 0) AS BIGINT)
+      AS sb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssb
+  FROM per_cell GROUP BY event_type
+),
+scored AS (
+  SELECT event_type,
+         coalesce(na, 0) AS n_a,
+         coalesce(nb, 0) AS n_b,
+         CASE WHEN {_WELCH_GUARD} THEN NULL ELSE {_BH_DIFF} END AS diff_usd,
+         CASE WHEN {_WELCH_GUARD} THEN NULL
+              ELSE round({_WELCH_T}, 6) + 0.0 END AS z,
+         CASE WHEN {_WELCH_GUARD} THEN NULL ELSE {_BH_P} END AS p_value
+  FROM mom
+),
+mtab AS (
+  SELECT CAST(sum(CASE WHEN p_value IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS m_tests
+  FROM scored
+),
+tst AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_value, event_type)
+              AS BIGINT) AS i
+  FROM scored CROSS JOIN mtab WHERE p_value IS NOT NULL
+),
+bh AS (
+  SELECT *,
+         min(CAST(m_tests AS DOUBLE) * p_value / CAST(i AS DOUBLE))
+           OVER (ORDER BY p_value DESC, event_type DESC
+                 ROWS UNBOUNDED PRECEDING) AS sufmin
+  FROM tst
+)
+SELECT event_type, n_a, n_b, diff_usd, z, p_value, m_tests,
+       round(least(1.0, sufmin), 6) + 0.0 AS p_adj_bh,
+       round(least(1.0, sufmin), 6) <= {FDR_Q} AS significant_fdr
+FROM bh
+UNION ALL
+SELECT event_type, n_a, n_b, diff_usd, z, p_value, m_tests,
+       CAST(NULL AS DOUBLE) AS p_adj_bh,
+       CAST(NULL AS BOOLEAN) AS significant_fdr
+FROM scored CROSS JOIN mtab WHERE p_value IS NULL
+"""
+
+
+QUERIES["events_fdr_bh"] = events_fdr_bh
+ORACLE["events_fdr_bh"] = FDR_BH_SQL

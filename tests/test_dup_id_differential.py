@@ -125,6 +125,18 @@ SAMPLE = [
     # from the canonical doc_id
     "split_by_neardup_cluster",
     "domain_effective_diversity",
+    # round-12: ranking + grades key on the canonical corpus (a
+    # re-ingested duplicate must contribute one df/grade row and one
+    # ranked position); whitening keys on the canonical covariance
+    "bm25_ndcg_report",
+    "embedding_whitening_report",
+    "graph_hyperball_reach",
+    "graph_harmonic_centrality",
+    "events_fdr_bh",
+    "hybrid_rrf_retrieval",
+    # raw-multiset convention (the tokenize_bpe_encode precedent: the
+    # per-source weights aggregate the raw stream on BOTH sides)
+    "tokenize_unigram_eval",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -192,6 +192,14 @@ SAMPLE = [
     "users_spearman_value_activity",
     "events_kruskal_wallis",
     "users_value_gini",
+    # round-12
+    "bm25_ndcg_report",
+    "embedding_whitening_report",
+    "graph_hyperball_reach",
+    "tokenize_unigram_eval",
+    "graph_harmonic_centrality",
+    "events_fdr_bh",
+    "hybrid_rrf_retrieval",
 ]
 
 TABLES = (

@@ -1677,6 +1677,569 @@ def test_bm25_ranks_follow_scores_and_terms_match(spark):
     assert all(r["doc_id"] in hits for r in rows)
 
 
+def test_bm25_ndcg_matches_python_replay(spark):
+    """NDCG@K and MRR@K must match a pure-Python replay that ranks by
+    freshly computed BM25, grades by least(7, tf), and evaluates DCG
+    with math.log2 directly — independently validating the op's
+    closed-form IDCG-from-histogram and its precomputed discount
+    constants."""
+    import math
+    import os
+
+    import pyspark.sql.functions as F
+
+    from stac_geoparquet_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        NDCG_K,
+        NDCG_MAX_GRADE,
+        NDCG_REL_GRADE,
+        QUERY_TERMS,
+        bm25_ndcg_report,
+    )
+    from stac_geoparquet_spark.operators.text import _words
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.col("text").isNotNull())
+        .dropDuplicates(["doc_id"])
+    )
+    toks = docs.select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).select("doc_id", F.size("w").alias("dl"), "w")
+    n_docs = toks.count()
+    avgdl = (
+        toks.agg((F.sum("dl") / F.count(F.lit(1))).alias("a")).collect()[0][
+            "a"
+        ]
+    )
+    per_doc = {
+        r["doc_id"]: (r["dl"], r["w"]) for r in toks.collect()
+    }
+    got = {
+        r["term"]: r for r in bm25_ndcg_report(spark, SF_DIR).collect()
+    }
+    for term in QUERY_TERMS:
+        tf = {
+            d: w.count(term)
+            for d, (dl, w) in per_doc.items()
+            if term in w
+        }
+        if not tf:
+            assert term not in got
+            continue
+        df_ = len(tf)
+        idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+        scored = sorted(
+            (
+                (
+                    -round(
+                        idf
+                        * tf[d]
+                        * (BM25_K1 + 1.0)
+                        / (
+                            tf[d]
+                            + BM25_K1
+                            * (
+                                1.0
+                                - BM25_B
+                                + BM25_B * per_doc[d][0] / avgdl
+                            )
+                        ),
+                        6,
+                    ),
+                    d,
+                )
+                for d in tf
+            )
+        )[:NDCG_K]
+        grades = [min(NDCG_MAX_GRADE, tf[d]) for _, d in scored]
+        dcg = sum(
+            (2**g - 1) / math.log2(i + 2) for i, g in enumerate(grades)
+        )
+        ideal = sorted(
+            (min(NDCG_MAX_GRADE, t) for t in tf.values()), reverse=True
+        )[:NDCG_K]
+        idcg = sum(
+            (2**g - 1) / math.log2(i + 2) for i, g in enumerate(ideal)
+        )
+        mrr = 0.0
+        for i, g in enumerate(grades):
+            if g >= NDCG_REL_GRADE:
+                mrr = 1.0 / (i + 1)
+                break
+        row = got[term]
+        assert row["df"] == df_
+        assert row["n_rel"] == sum(
+            1 for t in tf.values() if min(NDCG_MAX_GRADE, t) >= NDCG_REL_GRADE
+        )
+        assert row["n_ranked"] == len(grades)
+        assert abs(row[f"ndcg_at_{NDCG_K}"] - dcg / idcg) < 2e-6
+        assert abs(row["mrr"] - mrr) < 2e-6
+
+
+def test_whitening_report_matches_numpy_and_improves_isotropy(spark):
+    """Independent replay: whiten the raw embeddings in numpy with the
+    op's own W (full-precision apply, np.cov), recompute the isotropy
+    metrics, and require agreement to the rounding quantum — then the
+    REASON the op exists: whitening must push effective_dim toward d
+    and it must exceed the raw value."""
+    import os
+
+    import numpy as np
+
+    from stac_geoparquet_spark.operators.similarity import (
+        DIM,
+        WHITEN_EPS,
+        _whitening_matrix,
+        embedding_covariance,
+        embedding_whitening_report,
+    )
+
+    rows = {
+        r["phase"]: r
+        for r in embedding_whitening_report(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"raw", "whitened"}
+    cov_rows = [
+        (r["i"], r["j"], r["n"], r["cov"])
+        for r in embedding_covariance(spark, SF_DIR).collect()
+    ]
+    w = np.asarray(_whitening_matrix(cov_rows))
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    seen, vecs = set(), {}
+    for r in tab.to_pylist():
+        v = r["embedding"]
+        if v is None or len(v) != DIM or any(
+            x is None or not np.isfinite(x) for x in v
+        ):
+            continue
+        # canonical-by-id: min vector per vec_id
+        key = r["vec_id"]
+        if key not in vecs or v < vecs[key]:
+            vecs[key] = v
+    x = np.asarray(sorted(vecs.values()), dtype=np.float64)
+    y = x @ w.T
+    cw = np.cov(y, rowvar=False, ddof=1)
+    micro = np.round(np.round(cw, 6) * 1e6).astype(np.int64)
+    d = DIM
+    tm = int(np.trace(micro))
+    off = micro[np.triu_indices(d, k=1)]
+    frob = int((micro.diagonal() ** 2).sum() + 2 * (off.astype(object) ** 2).sum())
+    got = rows["whitened"]
+    assert got["d"] == d and got["n_vecs"] == len(x)
+    assert abs(got["trace"] - tm / 1e6) < 5e-5  # 64 micro-straddle margin
+    assert abs(got["mean_abs_offdiag"] - abs(off).mean() / 1e6) < 5e-6
+    assert abs(got["effective_dim"] - (tm * tm) / frob) < 1e-3
+    # the deliverable: whitening must IMPROVE isotropy
+    assert got["effective_dim"] > rows["raw"]["effective_dim"]
+    assert rows["raw"]["effective_dim"] < d  # raw corpus is anisotropic
+    # W is symmetric-ish (ZCA): check gross symmetry of the rounded form
+    assert np.abs(w - w.T).max() < 1e-4
+
+
+def test_hyperball_matches_exact_register_replay_and_bfs(spark):
+    """Two independent replays: (1) propagate the HLL registers in
+    pure Python (dict-of-dicts BFS-max) and recompute every per-radius
+    nf EXACTLY — registers are ints, the estimator is the documented
+    formula, so equality is exact to the printed quantum; (2) compute
+    TRUE ball sizes by BFS and require the sketch's average ball to
+    track them within standard HLL error (m=64 -> ~13% rse; we allow
+    3 sigma)."""
+    import hashlib
+    import math
+
+    from stac_geoparquet_spark.operators.graph import (
+        HB_M,
+        HB_ROUNDS,
+        graph_hyperball_reach,
+    )
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    pairs = [
+        (r["part_a"], r["part_b"])
+        for r in basket_pair_support(spark, SF_DIR)
+        .select("part_a", "part_b")
+        .collect()
+    ]
+    got = {
+        r["radius"]: r
+        for r in graph_hyperball_reach(spark, SF_DIR).collect()
+    }
+    if not pairs:
+        assert got == {}
+        return
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+
+    def seed(n):
+        uh = int(hashlib.md5(f"hb:{n}".encode()).hexdigest()[:8], 16)
+        w = uh // HB_M
+        rho = 27 if w == 0 else 27 - len(bin(w)) + 2  # len('0b..')-2
+        return uh % HB_M, rho
+
+    state = {n: {seed(n)[0]: seed(n)[1]} for n in nodes}
+
+    def est(regs):
+        used = len(regs)
+        z = sum(2.0 ** -m for m in regs.values()) + (HB_M - used)
+        raw = 0.709 * HB_M * HB_M / z
+        if raw <= 2.5 * HB_M and used < HB_M:
+            return round(HB_M * math.log(HB_M / (HB_M - used)), 4)
+        return round(raw, 4)
+
+    balls = {n: {n} for n in nodes}  # true BFS balls
+    for r in range(0, HB_ROUNDS + 1):
+        nf = round(sum(est(state[n]) for n in nodes), 4)
+        row = got[r]
+        assert row["n_nodes"] == len(nodes)
+        assert abs(row["nf"] - nf) < 1e-6, (r, row["nf"], nf)
+        true_avg = sum(len(balls[n]) for n in nodes) / len(nodes)
+        # 3-sigma HLL tolerance (1.04/sqrt(64) ~ 13% rse on each ball;
+        # averaging over nodes tightens it, keep the loose per-ball
+        # bound to stay assumption-free)
+        assert abs(row["avg_ball"] - true_avg) <= 0.39 * true_avg + 1.0
+        if r < HB_ROUNDS:
+            new_state = {}
+            new_balls = {}
+            for n in nodes:
+                regs = dict(state[n])
+                ball = set(balls[n])
+                for nb in adj[n]:
+                    for bkt, m in state[nb].items():
+                        if regs.get(bkt, -1) < m:
+                            regs[bkt] = m
+                    ball |= balls[nb]
+                new_state[n] = regs
+                new_balls[n] = ball
+            state, balls = new_state, new_balls
+    # monotone neighborhood function; the final radius always flags
+    nfs = [got[r]["nf"] for r in range(HB_ROUNDS + 1)]
+    assert all(a <= b + 1e-9 for a, b in zip(nfs, nfs[1:]))
+    assert got[HB_ROUNDS]["reaches_90pct"] is True
+
+
+def test_harmonic_centrality_matches_register_replay(spark):
+    """graph_harmonic_centrality must equal the harmonic sum computed
+    from the same pure-Python register replay (exact ints + round-4
+    per-radius estimates, fixed-order sum), including the top-K
+    ordering and rank column."""
+    import hashlib
+    import math
+
+    from stac_geoparquet_spark.operators.graph import (
+        HB_M,
+        HB_ROUNDS,
+        HB_TOP_K,
+        graph_harmonic_centrality,
+    )
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    pairs = [
+        (r["part_a"], r["part_b"])
+        for r in basket_pair_support(spark, SF_DIR)
+        .select("part_a", "part_b")
+        .collect()
+    ]
+    got = graph_harmonic_centrality(spark, SF_DIR).collect()
+    if not pairs:
+        assert got == []
+        return
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+
+    def seed(n):
+        uh = int(hashlib.md5(f"hb:{n}".encode()).hexdigest()[:8], 16)
+        w = uh // HB_M
+        rho = 27 if w == 0 else 27 - (len(bin(w)) - 2)
+        return uh % HB_M, rho
+
+    def est(regs):
+        used = len(regs)
+        z = sum(2.0 ** -m for m in regs.values()) + (HB_M - used)
+        raw = 0.709 * HB_M * HB_M / z
+        if raw <= 2.5 * HB_M and used < HB_M:
+            return round(HB_M * math.log(HB_M / (HB_M - used)), 4)
+        return round(raw, 4)
+
+    state = {n: dict([seed(n)]) for n in nodes}
+    ests = {n: [est(state[n])] for n in nodes}
+    for _ in range(HB_ROUNDS):
+        new_state = {}
+        for n in nodes:
+            regs = dict(state[n])
+            for nb in adj[n]:
+                for bkt, m in state[nb].items():
+                    if regs.get(bkt, -1) < m:
+                        regs[bkt] = m
+            new_state[n] = regs
+        state = new_state
+        for n in nodes:
+            ests[n].append(est(state[n]))
+    harm = {
+        n: round(
+            sum(
+                (ests[n][r] - ests[n][r - 1]) / float(r)
+                for r in range(1, HB_ROUNDS + 1)
+            ),
+            6,
+        )
+        for n in nodes
+    }
+    expect = sorted(nodes, key=lambda n: (-harm[n], n))[:HB_TOP_K]
+    assert [r["part_key"] for r in sorted(got, key=lambda r: r["rk"])] == expect
+    for r in got:
+        assert abs(r["harmonic"] - harm[r["part_key"]]) < 1e-9
+
+
+def test_unigram_eval_matches_python_viterbi_replay(spark):
+    """Full pure-Python replay: learn the vocab (chars + top-K grams,
+    half-bit integer costs), run Viterbi per distinct word with the
+    (cost, tokens)-lexicographic tie-break, weight back to per-source
+    totals — integer DP means EXACT equality, not a tolerance.  Also
+    asserts the optimality story: Viterbi fertility <= greedy BPE
+    fertility is not required in general, but the optimal COST must
+    never exceed the cost of the all-single-chars segmentation."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from stac_geoparquet_spark.operators.curation import (
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+        UNI_TOP_K,
+        tokenize_unigram_eval,
+    )
+    from stac_geoparquet_spark.operators.text import _words
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    rows = (
+        docs.select("source", F.explode(_words(F.col("text"))).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") <= UNI_MAX_WORD))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .collect()
+    )
+    # vocab from the source-blind word table (NULL sources included)
+    wf: dict = {}
+    for r in rows:
+        wf[r["w"]] = wf.get(r["w"], 0) + r["f"]
+    cnt: dict = {}
+    for w, f in wf.items():
+        for n in range(1, UNI_MAX_PIECE + 1):
+            for i in range(len(w) - n + 1):
+                g = w[i : i + n]
+                cnt[g] = cnt.get(g, 0) + f
+    chars = {g: c for g, c in cnt.items() if len(g) == 1}
+    pieces = sorted(
+        ((g, c) for g, c in cnt.items() if len(g) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_TOP_K]
+    tc = sum(chars.values())
+    vocab = {
+        g: int(round(-2.0 * math.log(c / tc) / math.log(2.0)))
+        for g, c in list(chars.items()) + pieces
+    }
+    big = 1 << 50
+
+    def viterbi(w):
+        dp = [0]
+        for i in range(1, len(w) + 1):
+            best = big
+            for j in range(1, min(UNI_MAX_PIECE, i) + 1):
+                c = vocab.get(w[i - j : i])
+                if c is not None:
+                    best = min(best, dp[i - j] + c * 1024 + 1)
+            dp.append(best)
+        return dp[-1]
+
+    per_src: dict = {}
+    for r in rows:
+        if r["source"] is None:
+            continue
+        key = viterbi(r["w"])
+        toks, cost = key % 1024, key // 1024
+        # optimality vs the all-chars segmentation
+        assert cost <= sum(vocab[ch] for ch in r["w"])
+        nw, nc, nt, ch = per_src.get(r["source"], (0, 0, 0, 0))
+        per_src[r["source"]] = (
+            nw + r["f"],
+            nc + r["f"] * len(r["w"]),
+            nt + r["f"] * toks,
+            ch + r["f"] * cost,
+        )
+    got = {r["source"]: r for r in tokenize_unigram_eval(spark, SF_DIR).collect()}
+    assert set(got) == set(per_src)
+    for s, (nw, nc, nt, ch) in per_src.items():
+        assert got[s]["n_words"] == nw
+        assert got[s]["n_chars"] == nc
+        assert got[s]["n_uni_tokens"] == nt
+        assert (
+            abs(got[s]["bits_per_token"] - round(ch / 2.0 / nt, 6)) < 1e-9
+        )
+        assert (
+            abs(got[s]["uni_fertility"] - round(nt / nw, 6)) < 1e-9
+        )
+
+
+def test_fdr_bh_matches_erfc_replay(spark):
+    """Independent replay with a DIFFERENT p-value formula: math.erfc
+    gives the exact normal tail, so the op's Abramowitz-Stegun
+    polynomial must agree within its documented 7.5e-8 error (plus
+    the round-6 quantum); the BH step-up is replayed exactly from the
+    op's own p-values and must match adjusted values, the m count,
+    and the significance set."""
+    import math
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        FDR_Q,
+        events_fdr_bh,
+    )
+
+    rows = events_fdr_bh(spark, SF_DIR).collect()
+    assert rows
+    testable = sorted(
+        (r for r in rows if r["p_value"] is not None),
+        key=lambda r: (r["p_value"], r["event_type"]),
+    )
+    m = len(testable)
+    for r in rows:
+        assert r["m_tests"] == m
+        if r["z"] is not None:
+            exact_p = min(1.0, math.erfc(abs(r["z"]) / math.sqrt(2.0)))
+            assert abs(r["p_value"] - exact_p) < 1e-6 + 7.5e-8 * 2
+    # exact BH step-up replay over the op's rounded p-values
+    raws = [
+        r["p_value"] * m / (i + 1) for i, r in enumerate(testable)
+    ]
+    adj = raws[:]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    for i, r in enumerate(testable):
+        want = round(min(1.0, adj[i]), 6)
+        assert abs(r["p_adj_bh"] - want) < 1e-9
+        assert r["significant_fdr"] == (want <= FDR_Q)
+        # adjusted never below raw p
+        assert r["p_adj_bh"] >= r["p_value"] - 1e-9
+
+
+def test_hybrid_rrf_matches_python_fusion_replay(spark):
+    """Independent replay: recompute the lexical BM25 query-by-example
+    top-K in pure Python (per-query distinct terms, corpus df/avgdl,
+    rounded scores, id tie-breaks), take the kNN ranking from its own
+    (separately replay-tested) operator, fuse with exact-rational RRF,
+    and require identical top-K rows per query."""
+    import math
+    import os
+
+    import pyspark.sql.functions as F
+
+    from stac_geoparquet_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        LEX_TOP_K,
+        RRF_K0,
+        RRF_TOP_K,
+        hybrid_rrf_retrieval,
+    )
+    from stac_geoparquet_spark.operators.similarity import (
+        N_QUERIES,
+        knn_brute_force,
+    )
+    from stac_geoparquet_spark.operators.text import _words
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.col("text").isNotNull())
+        .dropDuplicates(["doc_id"])
+    )
+    toks = {
+        r["doc_id"]: r["w"]
+        for r in docs.select(
+            "doc_id", _words(F.col("text")).alias("w")
+        ).collect()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n_docs
+    # per-query lexical top-K
+    lex: dict = {}
+    for q in range(N_QUERIES):
+        if q not in toks:
+            continue
+        qt = {t for t in toks[q] if t != ""}
+        scores = {}
+        df_cache = {}
+        for t in qt:
+            df_cache[t] = sum(1 for w in toks.values() if t in w)
+        for d, w in toks.items():
+            if d == q:
+                continue
+            s = 0.0
+            for t in qt:
+                tf = w.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(
+                    1.0 + (n_docs - df_cache[t] + 0.5) / (df_cache[t] + 0.5)
+                )
+                s += (
+                    idf
+                    * tf
+                    * (BM25_K1 + 1.0)
+                    / (
+                        tf
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * len(w) / avgdl)
+                    )
+                )
+            if s > 0.0:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+        lex[q] = {
+            d: i + 1 for i, (d, _) in enumerate(ranked[:LEX_TOP_K])
+        }
+    cos = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in knn_brute_force(spark, SF_DIR).collect()
+    }
+    # fuse
+    expect: dict = {}
+    for q in range(N_QUERIES):
+        cand = set(lex.get(q, {})) | {
+            d for (qq, d) in cos if qq == q
+        }
+        rows = []
+        for d in cand:
+            rrf = 0.0
+            if d in lex.get(q, {}):
+                rrf += 1.0 / (RRF_K0 + lex[q][d])
+            if (q, d) in cos:
+                rrf += 1.0 / (RRF_K0 + cos[(q, d)])
+            rows.append((d, round(rrf, 6)))
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        expect[q] = rows[:RRF_TOP_K]
+    got: dict = {}
+    for r in hybrid_rrf_retrieval(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) == {q for q in expect if expect[q]}
+    for q, rows in got.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [
+            (r["doc_id"], r["rrf"]) for r in rows
+        ] == expect[q], q
+        for r in rows:
+            assert r["in_lex"] == (r["doc_id"] in lex.get(q, {}))
+            assert r["in_cos"] == ((q, r["doc_id"]) in cos)
+
+
 def test_chi2_rows_clear_threshold_and_expectation(spark):
     """Every emitted (source, term) clears the critical value, the
     min-count floor, and the positive-association guard (in-slice df

@@ -86,6 +86,11 @@ SAMPLE = [
     # presence); NULL source must be excluded from the chi2 slices
     "bm25_topk_retrieval",
     "chi2_discriminative_terms",
+    # round-12: NULL text leaves the graded corpus and the df counts;
+    # the hybrid's lexical side shares the contract (its cos side is
+    # text-blind by construction)
+    "bm25_ndcg_report",
+    "hybrid_rrf_retrieval",
     # round-7c: NULL prob docs leave the calibration bins; NULL source
     # leaves the gini mass; NULL text scores nothing incrementally
     "classifier_calibration_bins",
@@ -181,6 +186,8 @@ VEC_SAMPLE = [
     "ivf_recall_report",
     # round-8e: the k-distance screen rides the brute-force contract
     "knn_kdist_outliers",
+    # round-12: whitening rides the covariance contract end-to-end
+    "embedding_whitening_report",
 ]
 
 
@@ -615,6 +622,8 @@ WS_SAMPLE = SAMPLE + [
     # pack_sequences' first draft
     "tokenize_bpe_encode",
     "tokenize_bpe_roundtrip",
+    # round-12: the Viterbi DP shares the same word-stream contract
+    "tokenize_unigram_eval",
     "split_unigram_jsd",
     "text_quality_score",
     "text_lang_id",
@@ -844,6 +853,9 @@ EVENTS_SAMPLE = [
     "funnel_time_bounded",
     "user_bot_score",
     "funnel_by_arm",
+    # round-12: NULL user/value/type rows carry no per-(type, user)
+    # cell; the BH rank set shrinks identically on both engines
+    "events_fdr_bh",
 ]
 
 

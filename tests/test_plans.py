@@ -1449,6 +1449,136 @@ def test_bm25_topk_is_tournament_not_global_sort(spark, sf):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bm25_ndcg_twophase_fenced_histogram(spark, sf):
+    """The per-term top-K rides the twophase local-topk scaffold
+    (windows always include spark_partition_id — never a bare window
+    over the bounded term key); the grade histogram is FENCED so its
+    two consumers (scoring join, report join) read materialized rows
+    instead of re-running the corpus postings aggregate; histogram and
+    corpus stats join back broadcast; no cartesian, no Python, no
+    sort-merge."""
+    from stac_geoparquet_spark.operators import retrieval
+
+    plan = plan_of(retrieval.bm25_ndcg_report(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_ops(plan, "BroadcastHashJoin") >= 2  # gstats df + report join
+    # the fence shows up as ExistingRDD scans replacing re-aggregation
+    assert n_ops(plan, "Scan ExistingRDD") >= 1
+    # corpus passes: postings explode + corpus stats — the fence keeps
+    # the histogram's consumers from adding more
+    assert n_ops(plan, "Scan parquet") <= 2
+    # every window is (group, pid)-keyed local top-K scaffolding; the
+    # registry contract test rejects bounded-key windows mechanically
+
+
+def test_whitening_report_reads_only_fences(spark, sf):
+    """The whitening report's FINAL plan must read only materialized
+    fences: the raw covariance comes from the session-cached fenced
+    partials, the whitened covariance from the one-scan apply+GEMM
+    pass fenced at build time — so the returned plan has ZERO parquet
+    scans, zero windows, nothing quadratic, and no Python in the
+    plan (the GEMM ran inside the fence job, exactly once)."""
+    from stac_geoparquet_spark.operators import similarity
+
+    plan = plan_of(similarity.embedding_whitening_report(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Scan ExistingRDD") >= 2
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hybrid_rrf_bounded_fusion(spark, sf):
+    """Hybrid RRF: the corpus token stream is filtered to the
+    broadcast query-term dictionary BEFORE the postings aggregate;
+    the lexical top-K rides the twophase scaffold; the kNN side is
+    the session-cached fence; fusion joins two bounded lists.  No
+    cartesian, no sort-merge join, no row-Python in the final plan
+    (the kNN GEMM ran once inside its fence)."""
+    from stac_geoparquet_spark.operators import retrieval
+
+    plan = plan_of(retrieval.hybrid_rrf_retrieval(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_ops(plan, "Scan ExistingRDD") >= 1  # the kNN fence
+    assert n_ops(plan, "BroadcastHashJoin") >= 3  # qterms/dfreq/fuse
+
+
+def test_fdr_bh_alphabet_windows_after_aggregate(spark, sf):
+    """FDR-BH: one (event_type, user)-keyed corpus aggregate, an
+    alphabet-sized moment rollup, then unpartitioned rank/suffix-min
+    windows whose input is the bounded per-type row set (the
+    jackknife bounded-frame class); the m count joins back broadcast.
+    No cartesian, no sort-merge, no Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_fdr_bh(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan
+    # the alphabet-bounded moment table is FENCED: its three consumers
+    # (m count, testable branch, untestable branch) read materialized
+    # rows — the final plan holds ZERO corpus scans
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Scan ExistingRDD") >= 3
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 2  # m onto each
+
+
+def test_harmonic_centrality_topk_over_fences(spark, sf):
+    """Harmonic centrality reuses the cached HyperBall states: the
+    final plan is (R+1) keyed folds over ExistingRDD fences joined on
+    the bounded node key, a TakeOrderedAndProject top-K, and a rank
+    window over HB_TOP_K rows — zero parquet scans, zero propagation
+    re-runs, no Python."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_harmonic_centrality(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Scan ExistingRDD") >= 2
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert n_ops(plan, "Window") == 1  # the K-row rank window
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_eval_folds_vocab_not_corpus(spark, sf):
+    """The Viterbi DP is an in-row JVM fold over the DISTINCT word
+    table with the vocab map broadcast as one row — no Python, no
+    window over an unbounded key, no sort-merge join; the corpus-side
+    joins are keyed; the vocab/merge one-row tables arrive via
+    broadcast nested-loop (2)."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.tokenize_unigram_eval(spark, sf))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 2
+    # the fenced vocab map reads back as ExistingRDD, not a rescan
+    assert n_ops(plan, "Scan ExistingRDD") >= 1
+
+
+def test_hyperball_rounds_read_fences_only(spark, sf):
+    """HyperBall's final plan reads only the fenced per-round register
+    states and the fenced pair graph: zero parquet scans, zero
+    windows, no Python, nothing quadratic; the single
+    BroadcastNestedLoopJoin carries the 1-row final-radius nf."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_hyperball_reach(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Scan ExistingRDD") >= 2
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_chi2_terms_single_explode_keyed_joins(spark, sf):
     """Term presence explodes ONCE (array_distinct is in-row; the df
     total rides a term-partitioned window over the COMPACTED

@@ -110,6 +110,10 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     # the k-distance screen rolls up knn_brute_force's (allowlisted)
     # ranked output — the window input is the bounded query sample
     ("knn_kdist_outliers", ("query_id",)),
+    # RRF fusion: the window input is the union of two top-K lists
+    # per query (<= LEX_TOP_K + TOP_K rows by construction); the
+    # knn side re-exposes its allowlisted ranking window
+    ("hybrid_rrf_retrieval", ("query_id",)),
     # trailing-baseline z-score: the window's input is the HOURLY
     # ROLLUP, whose per-type row count is bounded by calendar hours,
     # not corpus size (100x the events in the same time range = the
@@ -274,6 +278,9 @@ _DRIVER_COLLECT_ALLOWLIST = {
     ("operators/similarity.py", "pca_power_projection"):
         "the d(d+1)/2 + d covariance rows for the driver-side 64x64 "
         "eigensolve (two sites: matrix + the projection norm row)",
+    ("operators/similarity.py", "embedding_whitening_report"):
+        "the d(d+1)/2 covariance rows for the driver-side 64x64 "
+        "fixed-point Newton-Schulz inverse-sqrt (the pca precedent)",
     ("operators/similarity.py", "embedding_standardize"):
         "16 per-dimension standardization constants from ONE agg row",
     ("operators/similarity.py", "embedding_norm_outliers"):
@@ -365,6 +372,13 @@ _GROUPED_COLLECT_ALLOWLIST = {
     ("operators/dedup.py", "dedup_containment"):
         "per-doc distinct shingle set — doc-length-bounded (the "
         "verification side of the df-capped candidate join)",
+    ("operators/retrieval.py", "bm25_ndcg_report"):
+        "per-term ranked candidates pre-pruned by the twophase local "
+        "top-K, so the list is K x P bounded (config, not data)",
+    ("operators/curation.py", "_uni_vocab_map_cached"):
+        "ONE row collecting the unigram vocab map — bounded by the "
+        "char alphabet + UNI_TOP_K(=24) pieces (session-cached, "
+        "broadcast to the Viterbi fold)",
     ("operators/twophase.py", "kth_smallest"):
         "per group: candidates pre-pruned to <= K per partition, so "
         "the list is K x P bounded (config, not data)",
