@@ -162,7 +162,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 7 never-row + 5 churned + 38 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
+# 15 never-row + 5 churned + 30 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "bm25_ndcg_report",
@@ -172,6 +172,14 @@ WINDOW: list[str] = [
     "graph_harmonic_centrality",
     "events_fdr_bh",
     "hybrid_rrf_retrieval",
+    "events_ratio_metric_delta",
+    "orders_ewma_control",
+    "orders_theil_sen_trend",
+    "events_bootstrap_ci",
+    "graph_adamic_adar",
+    "ql_dirichlet_topk",
+    "er_fellegi_sunter",
+    "text_heaps_law_fit",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -209,14 +217,6 @@ WINDOW: list[str] = [
     "histogram_totalprice",
     "lang_confusion_matrix",
     "mixture_temperature_weights",
-    "pagerank_neardup_graph",
-    "percentile_prices_by_priority",
-    "pivot_status_by_priority",
-    "q10_returned_items",
-    "q11_important_supplier_value",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
 ]
 # WINDOW:END
 

@@ -1591,3 +1591,352 @@ ORACLE_ROTATION = {
     "bpe_merge_candidates": BPE_SQL,
     "fingerprint_winnowing": WINNOW_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter match/non-match weights (round 10): the probabilistic
+# record-linkage parameters (Fellegi & Sunter 1969) estimated over the
+# blocked candidate pairs — for each comparison field f, m_f =
+# P(agree on f | match) and u_f = P(agree on f | non-match), and the
+# log-likelihood-ratio weights ln(m/u) (agreement) and
+# ln((1-m)/(1-u)) (disagreement) a linkage scorer sums per pair.
+# Labels come from the same exact edit-distance verify the blocking
+# eval trusts (dist <= ED_TAU on candidate pairs = match); comparison
+# fields are the part's catalog attributes (brand, type, size, and a
+# 100-dollar retail-price band) read through each side's
+# representative key.  Probabilities
+# are Laplace-smoothed ((a + 0.5)/(n + 1)) so every weight is finite
+# even when a field always or never agrees.
+#
+# Scale shape: candidates are the vocabulary-bounded q-gram prefix
+# join (edit_distance_join's argument — never quadratic in table
+# size); attribute reads are two keyed joins on the part key; the
+# whole estimate is ONE conditional-moment aggregate over the
+# candidate set, unpivoted to a 4-row field table in-plan (stack /
+# UNION ALL — no LATERAL, the DuckDB-VALUES trap).  Counts are exact
+# int64; each m/u/weight is one fixed-shape double expression written
+# identically on both engines, round(,6).
+# --------------------------------------------------------------------------
+FS_FIELDS = ("brand", "type", "size", "price_band")
+_FS_M = "((CAST(am AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0))"
+_FS_U = "((CAST(au AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    p = _ed_name_domain(spark, sf_dir)
+    cand = _ed_candidate_pairs(p)
+    named = cand.join(
+        p.select(F.col("k").alias("ka"), F.col("s").alias("sa")), "ka"
+    ).join(p.select(F.col("k").alias("kb"), F.col("s").alias("sb")), "kb")
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # fence the labeled candidate set: vocabulary-bounded (the
+    # edit_distance_join domain argument), and without it the whole
+    # gram-prefix pipeline (windows included) re-executes under each
+    # downstream join (the no-CSE trap)
+    lab = fenced(
+        named.select(
+            "ka",
+            "kb",
+            (F.levenshtein("sa", "sb") <= ED_TAU).alias("is_match"),
+        )
+    )
+    attrs = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        # positive prices: Spark div (truncate) == DuckDB // (floor)
+        (
+            F.round(F.col("p_retailprice") * 100).cast("bigint") / F.lit(10000)
+        ).cast("bigint").alias("p_band"),
+    )
+    j = (
+        lab.join(
+            attrs.select(
+                F.col("p_partkey").alias("ka"),
+                F.col("p_brand").alias("brand_a"),
+                F.col("p_type").alias("type_a"),
+                F.col("p_size").alias("size_a"),
+                F.col("p_band").alias("price_band_a"),
+            ),
+            "ka",
+        ).join(
+            attrs.select(
+                F.col("p_partkey").alias("kb"),
+                F.col("p_brand").alias("brand_b"),
+                F.col("p_type").alias("type_b"),
+                F.col("p_size").alias("size_b"),
+                F.col("p_band").alias("price_band_b"),
+            ),
+            "kb",
+        )
+    )
+    aggs = [
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nm"),
+        F.sum(F.when(~F.col("is_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nu"),
+    ]
+    for f in FS_FIELDS:
+        ag = F.col(f"{f}_a") == F.col(f"{f}_b")
+        aggs.append(
+            F.sum(F.when(F.col("is_match") & ag, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"am_{f}")
+        )
+        aggs.append(
+            F.sum(F.when(~F.col("is_match") & ag, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"au_{f}")
+        )
+    one = j.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{f}', am_{f}, au_{f}" for f in FS_FIELDS
+    )
+    return one.selectExpr(
+        "nm",
+        "nu",
+        f"stack({len(FS_FIELDS)}, {stack_args}) AS (field, am, au)",
+    ).selectExpr(
+        "field",
+        "nm AS n_match_pairs",
+        "nu AS n_nonmatch_pairs",
+        f"round({_FS_M}, 6) AS m_prob",
+        f"round({_FS_U}, 6) AS u_prob",
+        f"round(ln({_FS_M} / {_FS_U}), 6) + 0.0 AS w_agree",
+        f"round(ln((1.0 - {_FS_M}) / (1.0 - {_FS_U})), 6) + 0.0 AS w_disagree",
+    )
+
+
+def _fs_oracle_sql() -> str:
+    field_selects = []
+    for f in FS_FIELDS:
+        field_selects.append(
+            f"""SELECT '{f}' AS field, nm AS n_match_pairs,
+       nu AS n_nonmatch_pairs,
+       round({_FS_M}, 6) AS m_prob,
+       round({_FS_U}, 6) AS u_prob,
+       round(ln({_FS_M} / {_FS_U}), 6) + 0.0 AS w_agree,
+       round(ln((1.0 - {_FS_M}) / (1.0 - {_FS_U})), 6) + 0.0 AS w_disagree
+FROM (SELECT nm, nu, am_{f} AS am, au_{f} AS au FROM agg) t"""
+        )
+    unioned = "\nUNION ALL\n".join(field_selects)
+    am_au = ",\n    ".join(
+        f"""CAST(sum(CASE WHEN is_match AND ag_{f} THEN 1 ELSE 0 END)
+         AS BIGINT) AS am_{f},
+    CAST(sum(CASE WHEN NOT is_match AND ag_{f} THEN 1 ELSE 0 END)
+         AS BIGINT) AS au_{f}"""
+        for f in FS_FIELDS
+    )
+    return f"""
+WITH p AS (
+  SELECT p_name AS s, min(p_partkey) AS k FROM part
+  WHERE length(p_name) >= {ED_MIN_LEN}
+    AND regexp_matches(p_name, '^[\\x00-\\x7f]*$')
+  GROUP BY p_name
+),
+g AS (
+  SELECT k, unnest(list_transform(generate_series(1, length(s) - {ED_Q - 1}),
+                   i -> {{'pos': i, 'gr': substr(s, CAST(i AS INT), {ED_Q})}}))
+           AS t
+  FROM p
+),
+g2 AS (SELECT k, t.pos AS pos, t.gr AS gr FROM g),
+freq AS (SELECT gr, count(*) AS f FROM g2 GROUP BY gr),
+ranked AS (
+  SELECT k, gr,
+         row_number() OVER (PARTITION BY k ORDER BY f, gr, pos) AS rn
+  FROM g2 JOIN freq USING (gr)
+),
+prefix AS (SELECT DISTINCT k, gr FROM ranked WHERE rn <= {ED_Q * ED_TAU + 1}),
+cand AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb
+  FROM prefix a JOIN prefix b ON a.gr = b.gr AND a.k < b.k
+),
+lab AS (
+  SELECT c.ka, c.kb, levenshtein(pa.s, pb.s) <= {ED_TAU} AS is_match
+  FROM cand c
+  JOIN p pa ON pa.k = c.ka
+  JOIN p pb ON pb.k = c.kb
+),
+j AS (
+  SELECT l.is_match,
+         a.p_brand = b.p_brand AS ag_brand,
+         a.p_type = b.p_type AS ag_type,
+         a.p_size = b.p_size AS ag_size,
+         CAST(round(a.p_retailprice * 100) AS BIGINT) // 10000
+           = CAST(round(b.p_retailprice * 100) AS BIGINT) // 10000
+           AS ag_price_band
+  FROM lab l
+  JOIN part a ON a.p_partkey = l.ka
+  JOIN part b ON b.p_partkey = l.kb
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+    CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+    {am_au}
+  FROM j
+)
+{unioned}
+"""
+
+
+QUERIES_ROTATION["er_fellegi_sunter"] = er_fellegi_sunter
+ORACLE_ROTATION["er_fellegi_sunter"] = _fs_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Heaps-law vocabulary-growth fit (round 10): V(N) ~ K * N^beta over
+# ten ingest-order prefixes of the corpus — the companion corpus-
+# health statistic to text_zipf_slope (natural text: beta ~ 0.4-0.6;
+# a beta collapsing toward 0 means the crawl is re-ingesting the same
+# vocabulary — boilerplate/duplication — while beta ~ 1 means
+# near-random token soup).  Prefixes are doc_id cutoffs at k/10 of
+# the max id (ingest-order proxy; no global sort): V_k = terms whose
+# FIRST occurrence (min doc_id) falls at or below the cutoff, N_k =
+# tokens in docs at or below it.  The log-log fit uses the same
+# regr_slope/regr_intercept sum-based normal equations as the Zipf
+# op (rank-order-insensitive; float drift ~1e-12 under the 6-decimal
+# rounding).
+#
+# Scale shape: one (term -> min doc_id) aggregate and one per-doc
+# length pass — both linear, map-side combining; the 10-row cutoff
+# table broadcasts against them (a x10 constant fan-out via
+# BroadcastNestedLoop on the <= predicate, never a shuffle); the fit
+# aggregates 10 rows.  All prefix counts are exact int64 before the
+# ln(); cutoffs use floor(CAST AS DOUBLE) so both engines bucket
+# identically whatever the id sign.
+# --------------------------------------------------------------------------
+HEAPS_CHECKPOINTS = 10
+
+
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("term")
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fid"))
+    dl = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("dl")
+    )
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # the 10-row cutoff table is consumed by BOTH prefix aggregates —
+    # fence it so the max-id scan runs once (no-CSE trap)
+    cks = fenced(
+        spark.range(1, HEAPS_CHECKPOINTS + 1)
+        .select(F.col("id").cast("bigint").alias("ck"))
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "ck",
+            f"""CAST(floor(CAST(mx AS DOUBLE) * CAST(ck AS DOUBLE)
+                     / {float(HEAPS_CHECKPOINTS)}) AS BIGINT)
+                AS doc_id_cutoff""",
+        )
+    )
+    vk = (
+        first.join(
+            F.broadcast(cks), F.col("fid") <= F.col("doc_id_cutoff")
+        )
+        .groupBy("ck", "doc_id_cutoff")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_prefix"))
+    )
+    nk = (
+        dl.join(F.broadcast(cks), F.col("doc_id") <= F.col("doc_id_cutoff"))
+        .groupBy("ck")
+        .agg(F.sum("dl").cast("bigint").alias("n_tokens_prefix"))
+    )
+    # 10-row curve, consumed by the fit AND the output join — fenced
+    # so the two corpus passes (first-occurrence, lengths) run once
+    curve = fenced(vk.join(nk, "ck"))
+    fit = curve.where(
+        (F.col("vocab_prefix") > 0) & (F.col("n_tokens_prefix") > 0)
+    ).agg(
+        (
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("vocab_prefix").cast("double")),
+                    F.log(F.col("n_tokens_prefix").cast("double")),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("heaps_beta"),
+        (
+            F.round(
+                F.regr_intercept(
+                    F.log(F.col("vocab_prefix").cast("double")),
+                    F.log(F.col("n_tokens_prefix").cast("double")),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("heaps_log_k"),
+    )
+    return curve.join(F.broadcast(fit)).select(
+        "ck",
+        "doc_id_cutoff",
+        "n_tokens_prefix",
+        "vocab_prefix",
+        "heaps_beta",
+        "heaps_log_k",
+    )
+
+
+HEAPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_words()}) AS term FROM documents
+),
+first AS (
+  SELECT term, min(doc_id) AS fid FROM toks GROUP BY term
+),
+dl AS (
+  SELECT doc_id, CAST(len({_sql_words()}) AS BIGINT) AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+mx AS (SELECT max(doc_id) AS mx FROM documents),
+cks AS (
+  SELECT CAST(k AS BIGINT) AS ck,
+         CAST(floor(CAST(mx AS DOUBLE) * CAST(k AS DOUBLE)
+              / {float(HEAPS_CHECKPOINTS)}) AS BIGINT) AS doc_id_cutoff
+  FROM generate_series(1, {HEAPS_CHECKPOINTS}) t(k) CROSS JOIN mx
+),
+vk AS (
+  SELECT ck, doc_id_cutoff,
+         CAST(count(*) AS BIGINT) AS vocab_prefix
+  FROM first JOIN cks ON fid <= doc_id_cutoff
+  GROUP BY ck, doc_id_cutoff
+),
+nk AS (
+  SELECT ck, CAST(sum(dl) AS BIGINT) AS n_tokens_prefix
+  FROM dl JOIN cks ON doc_id <= doc_id_cutoff
+  GROUP BY ck
+),
+curve AS (
+  SELECT vk.ck, vk.doc_id_cutoff, nk.n_tokens_prefix, vk.vocab_prefix
+  FROM vk JOIN nk ON nk.ck = vk.ck
+),
+fit AS (
+  SELECT round(regr_slope(ln(CAST(vocab_prefix AS DOUBLE)),
+                          ln(CAST(n_tokens_prefix AS DOUBLE))), 6) + 0.0
+           AS heaps_beta,
+         round(regr_intercept(ln(CAST(vocab_prefix AS DOUBLE)),
+                              ln(CAST(n_tokens_prefix AS DOUBLE))), 6) + 0.0
+           AS heaps_log_k
+  FROM curve WHERE vocab_prefix > 0 AND n_tokens_prefix > 0
+)
+SELECT ck, doc_id_cutoff, n_tokens_prefix, vocab_prefix,
+       heaps_beta, heaps_log_k
+FROM curve CROSS JOIN fit
+"""
+
+
+QUERIES_ROTATION["text_heaps_law_fit"] = text_heaps_law_fit
+ORACLE_ROTATION["text_heaps_law_fit"] = HEAPS_SQL

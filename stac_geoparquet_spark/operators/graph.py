@@ -1301,3 +1301,143 @@ SELECT n AS part_key, harmonic, rk FROM (
 
 QUERIES["graph_harmonic_centrality"] = graph_harmonic_centrality
 ORACLE["graph_harmonic_centrality"] = _harmonic_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (round 10): the top-K NON-edges of the
+# part co-purchase graph most likely to be missing edges, scored by
+# AA(u,v) = sum over common neighbors w of 1/ln(deg_w) (Adamic &
+# Adar 2003) with the common-neighbor count and Jaccard overlap
+# alongside.  On a co-occurrence graph this is the standard
+# complete-the-basket recommender signal: a high-AA non-edge is a
+# part pair never bought together whose shared-neighbor structure
+# says they belong to the same basket community.  (The near-dup pair
+# graph is the WRONG base here: MinHash clusters are cliques, every
+# 2-hop pair is already an edge and the candidate set is empty —
+# verified at sf0.01 and sf0.1.)
+#
+# Execution shape: candidate pairs come from the wedge join (two hops
+# through a shared neighbor) on the support-filtered pair set — the
+# same bounded enumeration graph_kcore_parts peels, never lineitem;
+# existing edges drop via LEFT ANTI against the ordered pair list, and
+# the global top-K is orderBy+limit (TakeOrderedAndProject: per-
+# partition heads then one driver merge, no global sort).  A common
+# neighbor has deg_w >= 2 by construction, so 1/ln(deg_w) is finite.
+# Scores round(,6) BEFORE ranking with (part_a, part_b) tiebreaks so
+# both engines cut the identical boundary (ln last-ulp noise lands
+# well under the rounding quantum); Jaccard = cn/(deg_u+deg_v-cn) on
+# exact int64 counts.
+# --------------------------------------------------------------------------
+AA_TOP_K = 50
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    pairs = basket_pair_support(spark, sf_dir).select("part_a", "part_b")
+    sym = pairs.union(
+        pairs.select(
+            F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b")
+        )
+    )
+    deg = sym.groupBy("part_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1 = sym.select(F.col("part_a").alias("w"), F.col("part_b").alias("u"))
+    e2 = sym.select(F.col("part_a").alias("w"), F.col("part_b").alias("v"))
+    wedges = (
+        e1.join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(deg.select(F.col("part_a").alias("w"), "deg"), "w")
+    )
+    scored = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))), 6
+            ).alias("aa_score"),
+        )
+        .join(
+            pairs,
+            (F.col("u") == F.col("part_a"))
+            & (F.col("v") == F.col("part_b")),
+            "left_anti",
+        )
+    )
+    du = deg.select(F.col("part_a").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("part_a").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        scored.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "common_neighbors",
+            "aa_score",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_u").cast("double")
+                    + F.col("deg_v").cast("double")
+                    - F.col("common_neighbors").cast("double")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("aa_score").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(AA_TOP_K)
+    )
+
+
+def _adamic_adar_oracle_sql() -> str:
+    from stac_geoparquet_spark.operators.mining import _basket_pairs_ctes
+
+    return f"""
+WITH {_basket_pairs_ctes()},
+sym AS (
+  SELECT part_a, part_b FROM pairs
+  UNION ALL
+  SELECT part_b, part_a FROM pairs
+),
+deg AS (
+  SELECT part_a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY part_a
+),
+wedges AS (
+  SELECT e1.part_b AS u, e2.part_b AS v, d.deg
+  FROM sym e1
+  JOIN sym e2 ON e2.part_a = e1.part_a
+  JOIN deg d ON d.part_a = e1.part_a
+  WHERE e1.part_b < e2.part_b
+),
+scored AS (
+  SELECT u, v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         round(sum(1.0 / ln(CAST(deg AS DOUBLE))), 6) AS aa_score
+  FROM wedges
+  GROUP BY u, v
+),
+nonadj AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p WHERE p.part_a = s.u AND p.part_b = s.v
+  )
+)
+SELECT n.u AS part_a, n.v AS part_b, n.common_neighbors, n.aa_score,
+       round(CAST(n.common_neighbors AS DOUBLE)
+             / (CAST(du.deg AS DOUBLE) + CAST(dv.deg AS DOUBLE)
+                - CAST(n.common_neighbors AS DOUBLE)), 6) AS jaccard
+FROM nonadj n
+JOIN deg du ON du.part_a = n.u
+JOIN deg dv ON dv.part_a = n.v
+ORDER BY n.aa_score DESC, part_a, part_b
+LIMIT {AA_TOP_K}
+"""
+
+
+QUERIES["graph_adamic_adar"] = graph_adamic_adar
+ORACLE["graph_adamic_adar"] = _adamic_adar_oracle_sql()

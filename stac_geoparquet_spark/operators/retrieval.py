@@ -888,3 +888,135 @@ ORACLE = {
     "bm25_ndcg_report": NDCG_SQL,
     "hybrid_rrf_retrieval": _hybrid_rrf_oracle_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (round 10): the
+# language-modeling ranker (Zhai & Lafferty 2001) next to BM25 — the
+# second classical baseline every retrieval eval reports, and the one
+# whose smoothing ties scores to COLLECTION statistics rather than
+# per-term idf.  Scored in the rank-equivalent decomposition
+#
+#   score(d) = sum_{t in q, tf>0} ln(1 + tf * |C| / (MU * ctf_t))
+#            + q_eff * ln(MU / (dl + MU))
+#
+# (ctf_t = collection frequency, |C| = total corpus tokens, q_eff =
+# query terms present in the collection; absent terms drop on both
+# engines, the standard convention) — so the matching part touches
+# only NONZERO postings and the background part needs only per-doc
+# length: no doc x term cross ever materializes.  Every doc gets a
+# score (background-only when it matches nothing), top-K cut like
+# BM25.
+#
+# Scale shape: the postings filter lands before the (doc, term)
+# aggregate exactly as bm25_topk (constant query-term set pushed into
+# the scan); ctf / |C| / q_eff are broadcast 1-row/4-row aggregates;
+# the per-doc assembly is one doc-keyed left join of two linear
+# streams; the global top-K is orderBy+limit (TakeOrderedAndProject).
+# tf/ctf/dl/|C| stay exact int64 until the one ln() expression,
+# written identically on both engines; scores round(,6) before the
+# rank cut with doc_id tiebreaks.
+# --------------------------------------------------------------------------
+QL_MU = 2000.0
+QL_TOP_K = 25
+
+
+def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    dldocs = docs.select(
+        "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("dl")
+    )
+    tf = _term_freqs(docs)
+    # the three smoothing statistics are tiny aggregates (<= |q| rows)
+    # consumed by downstream joins — fenced so the corpus token/length
+    # passes behind them run once each (the no-CSE trap)
+    ctf = fenced(
+        tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("ctf"))
+    )
+    coll = fenced(dldocs.agg(F.sum("dl").cast("bigint").alias("c_total")))
+    qeff = fenced(
+        ctf.agg(F.count(F.lit(1)).cast("bigint").alias("q_eff"))
+    )
+    match = (
+        tf.join(F.broadcast(ctf), "term")
+        .join(F.broadcast(coll))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + F.col("tf").cast("double")
+                    * F.col("c_total").cast("double")
+                    / (F.lit(QL_MU) * F.col("ctf").cast("double"))
+                )
+            ).alias("m")
+        )
+    )
+    scored = (
+        dldocs.join(match, "doc_id", "left")
+        .join(F.broadcast(qeff))
+        .selectExpr(
+            "doc_id",
+            f"""round(coalesce(m, 0.0)
+                      + CAST(q_eff AS DOUBLE)
+                        * ln({QL_MU} / (CAST(dl AS DOUBLE) + {QL_MU})),
+                      6) + 0.0 AS score""",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(QL_TOP_K)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+QL_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM {DOCS_CANON_SQL} d WHERE text IS NOT NULL
+),
+dldocs AS (
+  SELECT doc_id, CAST(len({_sql_words()}) AS BIGINT) AS dl FROM docs
+),
+toks AS (
+  SELECT doc_id, unnest({_sql_words()}) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_TERMS_IN})
+  GROUP BY doc_id, term
+),
+ctf AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term
+),
+coll AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dldocs
+),
+qeff AS (
+  SELECT CAST(count(*) AS BIGINT) AS q_eff FROM ctf
+),
+match AS (
+  SELECT doc_id,
+         sum(ln(1.0 + CAST(tf AS DOUBLE) * CAST(c_total AS DOUBLE)
+                      / ({QL_MU} * CAST(ctf AS DOUBLE)))) AS m
+  FROM tf JOIN ctf USING (term) CROSS JOIN coll
+  GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rk
+FROM (
+  SELECT d.doc_id,
+         round(coalesce(m, 0.0)
+               + CAST(q_eff AS DOUBLE)
+                 * ln({QL_MU} / (CAST(dl AS DOUBLE) + {QL_MU})),
+               6) + 0.0 AS score
+  FROM dldocs d
+  LEFT JOIN match USING (doc_id)
+  CROSS JOIN qeff
+  ORDER BY score DESC, d.doc_id
+  LIMIT {QL_TOP_K}
+) t
+"""
+
+
+QUERIES["ql_dirichlet_topk"] = ql_dirichlet_topk
+ORACLE["ql_dirichlet_topk"] = QL_SQL

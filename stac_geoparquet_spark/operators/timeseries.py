@@ -3285,3 +3285,701 @@ FROM scored CROSS JOIN mtab WHERE p_value IS NULL
 
 QUERIES["events_fdr_bh"] = events_fdr_bh
 ORACLE["events_fdr_bh"] = FDR_BH_SQL
+
+
+# --------------------------------------------------------------------------
+# Ratio-metric delta-method readout (round 10): the difference in
+# value-per-EVENT between experiment arms with a correct standard
+# error.  Per-event ratios are the norm in practice (revenue per
+# session, clicks per impression), but the naive z-test is wrong for
+# them: the denominator is not the randomization unit, so per-user
+# value and event count are CORRELATED and the ratio's sampling
+# variance needs the delta method (Deng et al., KDD'18 folklore):
+#
+#   R_arm = sum(s_u) / sum(n_u)           (ratio of user-level sums)
+#   Var(R) ~ (var_s - 2 R cov_sn + R^2 var_n) / (k * nbar^2)
+#
+# with k users in the arm, nbar the mean event count, and var/cov the
+# user-level sample moments.  Arms follow the md5-parity convention of
+# the sibling readouts (events_ab_ztest/welch/CUPED).
+#
+# Scale shape: one user-keyed aggregate (exact int64 cent + count
+# sums), then a 1-row conditional-moment reduction — everything after
+# the first shuffle touches <= 2 logical rows.  Cross-moment products
+# (s*s, s*n, n*n) cast each int64 factor to DOUBLE BEFORE multiplying
+# (the user_bot_score house rule); every downstream statistic is one
+# fixed-shape double expression written with the IDENTICAL text on
+# both engines, then round(,6) + 0.0.  The z cut applies to the
+# unrounded statistic.
+# --------------------------------------------------------------------------
+def _ratio_frags(sfx: str) -> tuple[str, str]:
+    """(ratio_cents_per_event, delta_method_variance) for arm suffix.
+
+    Every denominator is nullif-guarded: the outer CASE guards the
+    OUTPUT, but codegen subexpression elimination hoists these shared
+    fragments out of the CASE and evaluates them unconditionally, so
+    an unguarded /0 raises under ANSI even on the guarded branch (the
+    constant_keys sweep axis caught exactly this)."""
+    r = f"(CAST(s{sfx} AS DOUBLE) / nullif(CAST(n{sfx} AS DOUBLE), 0.0))"
+    km1 = f"nullif(CAST(k{sfx} - 1 AS DOUBLE), 0.0)"
+    kd = f"nullif(CAST(k{sfx} AS DOUBLE), 0.0)"
+    var_s = (
+        f"((ss{sfx} - CAST(s{sfx} AS DOUBLE) * CAST(s{sfx} AS DOUBLE)"
+        f" / {kd}) / {km1})"
+    )
+    var_n = (
+        f"((nn{sfx} - CAST(n{sfx} AS DOUBLE) * CAST(n{sfx} AS DOUBLE)"
+        f" / {kd}) / {km1})"
+    )
+    cov = (
+        f"((sn{sfx} - CAST(s{sfx} AS DOUBLE) * CAST(n{sfx} AS DOUBLE)"
+        f" / {kd}) / {km1})"
+    )
+    nbar = f"(CAST(n{sfx} AS DOUBLE) / {kd})"
+    var_r = (
+        f"(({var_s} - 2.0 * {r} * {cov} + {r} * {r} * {var_n})"
+        f" / nullif({kd} * {nbar} * {nbar}, 0.0))"
+    )
+    return r, var_r
+
+
+_RATIO_RA, _RATIO_VA = _ratio_frags("a")
+_RATIO_RB, _RATIO_VB = _ratio_frags("b")
+_RATIO_SE2 = f"({_RATIO_VA} + {_RATIO_VB})"
+_RATIO_Z = (
+    f"(({_RATIO_RB} - {_RATIO_RA}) / nullif(sqrt({_RATIO_SE2}), 0.0))"
+)
+_RATIO_GUARD = (
+    f"ka < 2 OR kb < 2 OR na = 0 OR nb = 0 OR {_RATIO_SE2} <= 0.0"
+)
+
+
+def events_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("row_cents").alias("cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "cents",
+            "cnt",
+        )
+    )
+
+    def _mom(arm: int, expr, zero):
+        return F.coalesce(
+            F.sum(F.when(F.col("arm") == arm, expr)), F.lit(zero)
+        )
+
+    cd = F.col("cents").cast("double")
+    nd = F.col("cnt").cast("double")
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ka"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kb"),
+        _mom(0, F.col("cents"), 0).alias("sa"),
+        _mom(1, F.col("cents"), 0).alias("sb"),
+        _mom(0, F.col("cnt"), 0).alias("na"),
+        _mom(1, F.col("cnt"), 0).alias("nb"),
+        _mom(0, cd * cd, 0.0).alias("ssa"),
+        _mom(1, cd * cd, 0.0).alias("ssb"),
+        _mom(0, nd * nd, 0.0).alias("nna"),
+        _mom(1, nd * nd, 0.0).alias("nnb"),
+        _mom(0, cd * nd, 0.0).alias("sna"),
+        _mom(1, cd * nd, 0.0).alias("snb"),
+    )
+    return agg.selectExpr(
+        "coalesce(ka, 0) AS n_users_a",
+        "coalesce(kb, 0) AS n_users_b",
+        "coalesce(na, 0) AS n_events_a",
+        "coalesce(nb, 0) AS n_events_b",
+        f"""CASE WHEN coalesce(na, 0) = 0 THEN NULL
+                ELSE round({_RATIO_RA} / 100.0, 6) + 0.0
+           END AS ratio_usd_a""",
+        f"""CASE WHEN coalesce(nb, 0) = 0 THEN NULL
+                ELSE round({_RATIO_RB} / 100.0, 6) + 0.0
+           END AS ratio_usd_b""",
+        f"""CASE WHEN {_RATIO_GUARD} THEN NULL
+                ELSE round(({_RATIO_RB} - {_RATIO_RA}) / 100.0, 6) + 0.0
+           END AS diff_usd""",
+        f"""CASE WHEN {_RATIO_GUARD} THEN NULL
+                ELSE round({_RATIO_Z}, 6) + 0.0
+           END AS z_stat""",
+        f"""CASE WHEN {_RATIO_GUARD} THEN NULL
+                ELSE abs({_RATIO_Z}) > 1.959964
+           END AS significant""",
+    )
+
+
+RATIO_DELTA_SQL = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cents END), 0) AS BIGINT)
+      AS sa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cents END), 0) AS BIGINT)
+      AS sb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN cnt END), 0) AS BIGINT)
+      AS na,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN cnt END), 0) AS BIGINT)
+      AS nb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssa,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN
+           CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) END), 0)
+         AS DOUBLE) AS ssb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN
+           CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) END), 0)
+         AS DOUBLE) AS nna,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN
+           CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) END), 0)
+         AS DOUBLE) AS nnb,
+    CAST(coalesce(sum(CASE WHEN arm = 0 THEN
+           CAST(cents AS DOUBLE) * CAST(cnt AS DOUBLE) END), 0)
+         AS DOUBLE) AS sna,
+    CAST(coalesce(sum(CASE WHEN arm = 1 THEN
+           CAST(cents AS DOUBLE) * CAST(cnt AS DOUBLE) END), 0)
+         AS DOUBLE) AS snb
+  FROM per_user
+)
+SELECT coalesce(ka, 0) AS n_users_a,
+       coalesce(kb, 0) AS n_users_b,
+       coalesce(na, 0) AS n_events_a,
+       coalesce(nb, 0) AS n_events_b,
+       CASE WHEN coalesce(na, 0) = 0 THEN NULL
+            ELSE round({_RATIO_RA} / 100.0, 6) + 0.0
+       END AS ratio_usd_a,
+       CASE WHEN coalesce(nb, 0) = 0 THEN NULL
+            ELSE round({_RATIO_RB} / 100.0, 6) + 0.0
+       END AS ratio_usd_b,
+       CASE WHEN {_RATIO_GUARD} THEN NULL
+            ELSE round(({_RATIO_RB} - {_RATIO_RA}) / 100.0, 6) + 0.0
+       END AS diff_usd,
+       CASE WHEN {_RATIO_GUARD} THEN NULL
+            ELSE round({_RATIO_Z}, 6) + 0.0
+       END AS z_stat,
+       CASE WHEN {_RATIO_GUARD} THEN NULL
+            ELSE abs({_RATIO_Z}) > 1.959964
+       END AS significant
+FROM agg
+"""
+
+
+QUERIES["events_ratio_metric_delta"] = events_ratio_metric_delta
+ORACLE["events_ratio_metric_delta"] = RATIO_DELTA_SQL
+
+
+# --------------------------------------------------------------------------
+# EWMA control chart over the daily order-count series (round 10):
+# the classic small-shift process monitor (Roberts 1959; the chart a
+# data-ingest SRE reads next to the CUSUM changepoint op — CUSUM
+# localizes ONE level shift, the EWMA chart flags every day the
+# smoothed level drifts outside +-L sigma control limits).  The
+# statistic is the finite-memory normalized EWMA
+#
+#   s_t = sum_{l=0..W-1} (1-a)^l x_{t-l} / sum_{l=0..W-1} (1-a)^l
+#
+# (pandas ewm(adjust=True) over a truncated window — the truncation
+# at W=40 days is part of the contract and identical on both
+# engines; (1-a)^40 ~ 1.3e-4, so the chart statistic matches the
+# infinite-memory EWMA to ~4 decimals while staying expressible as
+# one bounded lag join).  Control limits use the asymptotic EWMA
+# variance factor: mu +- L * sigma * sqrt(a / (2 - a)) with L = 3
+# and (mu, sigma) the series' own moments.
+#
+# Scale shape: the corpus-sized work is the ONE daily rollup
+# (calendar-bounded); the lag join explodes each day to its W
+# forward targets and equi-joins on the target index — days x W
+# rows, a constant fan-out on the CALENDAR, never the order count
+# (the autocorrelation lag-join argument).  The day index comes from
+# one unpartitioned row_number over the calendar-bounded rollup
+# (allowlisted).  Counts and their squares stay exact int64 moments
+# cast to DOUBLE before multiplying; weights are power(1-a, l) with
+# the identical expression text on both engines, everything
+# round(,6) on output with the control cut applied to the unrounded
+# statistic.
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.2
+EWMA_W = 40  # truncation window, days
+EWMA_L = 3.0  # control-limit width in sigmas
+
+_EWMA_SIG = (
+    "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+)
+_EWMA_MU = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+# literal trap: Spark parses bare 0.2 / 1.8 as DECIMAL and divides at
+# decimal scale (losing ~1e-6) while DuckDB promotes to DOUBLE —
+# force DOUBLE on both factors so both engines run the IEEE division
+_EWMA_HALF = (
+    f"({EWMA_L} * {_EWMA_SIG}"
+    f" * sqrt(CAST({EWMA_ALPHA} AS DOUBLE)"
+    f"        / CAST({2.0 - EWMA_ALPHA} AS DOUBLE)))"
+)
+_EWMA_GUARD = "n < 2"
+
+
+def orders_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    daily = _daily_orders(spark, sf_dir)
+    # calendar-bounded input: the unpartitioned index window and the
+    # x W lag explode both run on the daily rollup (allowlisted).
+    # The indexed rollup is FENCED (calendar-bounded rows): three
+    # consumers (lag source, join probe, moment reduce) would each
+    # re-run the corpus rollup otherwise (the no-CSE trap).
+    idx = fenced(
+        daily.withColumn(
+            "t",
+            F.row_number().over(Window.orderBy("d")).cast("bigint"),
+        )
+    )
+    src = idx.select(
+        F.col("t").alias("ti"),
+        F.col("c").alias("x"),
+        F.explode(F.expr(f"sequence(0, {EWMA_W - 1})")).alias("l"),
+    ).select((F.col("ti") + F.col("l")).alias("t"), "x", "l")
+    sm = (
+        idx.join(src, "t")
+        .groupBy("t", "d", "c")
+        .agg(
+            F.sum(
+                F.col("x").cast("double")
+                * F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("l").cast("double"))
+            ).alias("num"),
+            F.sum(
+                F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("l").cast("double"))
+            ).alias("den"),
+        )
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("double") * F.col("c").cast("double")).alias(
+            "ss"
+        ),
+    )
+    return (
+        sm.join(F.broadcast(mom))
+        .selectExpr(
+            "d",
+            "c AS daily_orders",
+            "round(num / den, 6) AS ewma",
+            f"""CASE WHEN {_EWMA_GUARD} THEN NULL
+                    ELSE round({_EWMA_MU}, 6) END AS center""",
+            f"""CASE WHEN {_EWMA_GUARD} THEN NULL
+                    ELSE round({_EWMA_MU} + {_EWMA_HALF}, 6)
+               END AS ucl""",
+            f"""CASE WHEN {_EWMA_GUARD} THEN NULL
+                    ELSE round({_EWMA_MU} - {_EWMA_HALF}, 6) + 0.0
+               END AS lcl""",
+            f"""CASE WHEN {_EWMA_GUARD} THEN NULL
+                    ELSE num / den > {_EWMA_MU} + {_EWMA_HALF}
+                         OR num / den < {_EWMA_MU} - {_EWMA_HALF}
+               END AS out_of_control""",
+        )
+    )
+
+
+EWMA_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+idx AS (
+  SELECT d, c, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+  FROM daily
+),
+src AS (
+  SELECT t + l AS t, x, l FROM (
+    SELECT t AS ti, c AS x, unnest(generate_series(0, {EWMA_W - 1})) AS l,
+           t
+    FROM idx
+  ) u
+),
+sm AS (
+  SELECT i.t, i.d, i.c,
+         sum(CAST(s.x AS DOUBLE)
+             * power({1.0 - EWMA_ALPHA}, CAST(s.l AS DOUBLE))) AS num,
+         sum(power({1.0 - EWMA_ALPHA}, CAST(s.l AS DOUBLE))) AS den
+  FROM idx i JOIN src s ON s.t = i.t
+  GROUP BY i.t, i.d, i.c
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS DOUBLE) AS ss
+  FROM daily
+)
+SELECT d,
+       c AS daily_orders,
+       round(num / den, 6) AS ewma,
+       CASE WHEN {_EWMA_GUARD} THEN NULL
+            ELSE round({_EWMA_MU}, 6) END AS center,
+       CASE WHEN {_EWMA_GUARD} THEN NULL
+            ELSE round({_EWMA_MU} + {_EWMA_HALF}, 6)
+       END AS ucl,
+       CASE WHEN {_EWMA_GUARD} THEN NULL
+            ELSE round({_EWMA_MU} - {_EWMA_HALF}, 6) + 0.0
+       END AS lcl,
+       CASE WHEN {_EWMA_GUARD} THEN NULL
+            ELSE num / den > {_EWMA_MU} + {_EWMA_HALF}
+                 OR num / den < {_EWMA_MU} - {_EWMA_HALF}
+       END AS out_of_control
+FROM sm CROSS JOIN mom
+"""
+
+
+QUERIES["orders_ewma_control"] = orders_ewma_control
+ORACLE["orders_ewma_control"] = EWMA_SQL
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (round 10): the median of pairwise slopes
+# (x_j - x_i) / (t_j - t_i) over the daily order-count series — the
+# robust companion to supplier_leadtime_trend's OLS: a handful of
+# outlier days (ingest hiccups, backfills) move the OLS slope
+# arbitrarily but shift the pairwise-slope MEDIAN by at most their
+# rank mass (29% breakdown point, Sen 1968).  Pairs are limited to
+# lags 1..TS_MAX_LAG days (the windowed Theil-Sen variant for long
+# series: slopes stay local to the trend, and the pair set is days x
+# TS_MAX_LAG instead of days^2).  The OLS slope over the same series
+# rides along for the robust-vs-LS contrast.
+#
+# Scale shape: the corpus-sized work is the ONE daily rollup
+# (calendar-bounded; 100x the orders land in the same days); the
+# pair set is a constant-fan-out lag explode + equi-join on the day
+# index (the EWMA/autocorrelation scaffold), days x TS_MAX_LAG rows
+# — a CALENDAR constant, independent of corpus size.  The median is
+# row_number over that constant-bounded pair set (unpartitioned by
+# necessity — selection needs a total order; the input is bounded by
+# construction, pinned in tests/test_plans.py), taking the mean of
+# the two middle order statistics.  Slopes are exact-int differences
+# divided in doubles with identical expression text; OLS moments are
+# exact int64 cast to DOUBLE before multiplying (house rule).
+# --------------------------------------------------------------------------
+TS_MAX_LAG = 90
+
+_TS_OLS = (
+    "((CAST(n AS DOUBLE) * stx - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * stt"
+    "    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"
+)
+
+
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    daily = _daily_orders(spark, sf_dir)
+    # fence the calendar-bounded indexed rollup: four consumers (lag
+    # source, join probe, pair count, OLS moments) re-run the corpus
+    # rollup otherwise (the no-CSE trap)
+    idx = fenced(
+        daily.withColumn(
+            "t", F.row_number().over(Window.orderBy("d")).cast("bigint")
+        ).select("t", "c")
+    )
+    src = idx.select(
+        F.col("t").alias("ti"),
+        F.col("c").alias("xi"),
+        F.explode(F.expr(f"sequence(1, {TS_MAX_LAG})")).alias("l"),
+    ).select((F.col("ti") + F.col("l")).alias("t"), "xi", "l")
+    pairs = idx.join(src, "t").select(
+        (
+            (F.col("c") - F.col("xi")).cast("double")
+            / F.col("l").cast("double")
+        ).alias("slope")
+    )
+    npairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    ranked = pairs.join(F.broadcast(npairs)).withColumn(
+        "r", F.row_number().over(Window.orderBy("slope")).cast("bigint")
+    )
+    med = (
+        # integer selection indexes: `div` (truncating int division,
+        # == DuckDB // on the positive counts here) — Spark's `/` is
+        # DOUBLE division and a .5 index would match nothing
+        ranked.where(
+            (F.col("r") == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("r") == F.expr("(n_pairs + 2) div 2"))
+        )
+        .agg(F.avg("slope").alias("ts_raw"))
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("t").cast("double") * F.col("c").cast("double")).alias(
+            "stx"
+        ),
+        F.sum(F.col("t").cast("double") * F.col("t").cast("double")).alias(
+            "stt"
+        ),
+    )
+    return (
+        med.join(F.broadcast(npairs))
+        .join(F.broadcast(mom))
+        .selectExpr(
+            "n AS n_days",
+            "n_pairs",
+            "round(ts_raw, 6) + 0.0 AS ts_slope",
+            f"""CASE WHEN n < 2 THEN NULL
+                    ELSE round({_TS_OLS}, 6) + 0.0 END AS ols_slope""",
+        )
+    )
+
+
+THEIL_SEN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, c FROM daily
+),
+src AS (
+  SELECT ti + l AS t, xi, l FROM (
+    SELECT t AS ti, c AS xi,
+           unnest(generate_series(1, {TS_MAX_LAG})) AS l
+    FROM idx
+  ) u
+),
+pairs AS (
+  SELECT CAST(i.c - s.xi AS DOUBLE) / CAST(s.l AS DOUBLE) AS slope
+  FROM idx i JOIN src s ON s.t = i.t
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+ranked AS (
+  SELECT slope, n_pairs,
+         CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS r
+  FROM pairs CROSS JOIN np
+),
+med AS (
+  SELECT avg(slope) AS ts_raw FROM ranked
+  WHERE r = (n_pairs + 1) // 2 OR r = (n_pairs + 2) // 2
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(c) AS BIGINT) AS sx,
+         CAST(sum(CAST(t AS DOUBLE) * CAST(c AS DOUBLE)) AS DOUBLE) AS stx,
+         CAST(sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS DOUBLE) AS stt
+  FROM idx
+)
+SELECT n AS n_days,
+       n_pairs,
+       round(ts_raw, 6) + 0.0 AS ts_slope,
+       CASE WHEN n < 2 THEN NULL
+            ELSE round({_TS_OLS}, 6) + 0.0 END AS ols_slope
+FROM med CROSS JOIN np CROSS JOIN mom
+"""
+
+
+QUERIES["orders_theil_sen_trend"] = orders_theil_sen_trend
+ORACLE["orders_theil_sen_trend"] = THEIL_SEN_SQL
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap CI (round 10): a percentile-
+# bootstrap confidence interval for mean per-user total value — the
+# nonparametric uncertainty readout that needs NO variance formula
+# (the check a metrics platform runs next to the delta-method and
+# jackknife numbers; for skewed per-user value the percentile CI is
+# the defensible one).  Poisson bootstrap (Chamandy et al., Google
+# 2012): each user enters replicate b with weight w ~ Poisson(1),
+# approximating multinomial resampling without coordinating a global
+# N — THE bootstrap that distributes, since weights are generated
+# row-locally.
+#
+# Determinism contract: the Poisson draw is the inverse CDF applied
+# to a HASH uniform u = md5(user_id || ':' || b) first-12-hex /
+# 2^48 — the md5-parity convention of the arm splits, so both
+# engines draw the IDENTICAL weight for every (user, replicate) and
+# the oracle reproduces the CI bit-for-bit (weights capped at 6;
+# P(w > 6) < 1e-4 is folded into w = 6, stated in the CDF chain).
+#
+# Scale shape: ONE user-keyed aggregate (exact int64 cents), then a
+# B-way generate-explode whose per-replicate sums map-side combine —
+# the shuffle carries <= B rows per task, and the replicate table is
+# B = 200 rows end-to-end; the CI is two order statistics of those
+# 200 exact-ratio doubles (row_number over a 200-row constant input).
+# Σw·cents stays exact int64 (w <= 6); each replicate mean is one
+# int64/int64 double division, identical on both engines.
+# --------------------------------------------------------------------------
+BOOT_B = 200
+_BOOT_CDF = (
+    ("0.36787944117144233", 0),
+    ("0.7357588823428847", 1),
+    ("0.9196986029286058", 2),
+    ("0.9810118431238463", 3),
+    ("0.9963401531726563", 4),
+    ("0.9994058151824183", 5),
+)
+_BOOT_K_LO = int(0.025 * BOOT_B)  # 5  -> 2.5th percentile rank
+_BOOT_K_HI = BOOT_B + 1 - _BOOT_K_LO  # 196 -> 97.5th
+
+
+def _boot_w_expr(u: str) -> str:
+    """Shared CASE chain: inverse Poisson(1) CDF on uniform ``u``."""
+    chain = " ".join(
+        f"WHEN {u} < {t} THEN {w}" for t, w in _BOOT_CDF
+    )
+    return f"(CASE {chain} ELSE 6 END)"
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("row_cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+    reps = per_user.select(
+        "user_id",
+        "cents",
+        F.explode(F.expr(f"sequence(1, {BOOT_B})")).alias("b"),
+    ).selectExpr(
+        "b",
+        "cents",
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        " / 281474976710656.0 AS u",
+    )
+    means = (
+        reps.selectExpr("b", "cents", f"{_boot_w_expr('u')} AS w")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("ws"),
+            F.sum("w").cast("bigint").alias("wn"),
+        )
+        .where(F.col("wn") > 0)
+        .selectExpr(
+            "b",
+            "CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0 AS m",
+        )
+    )
+    from stac_geoparquet_spark.operators._io import fenced
+
+    # fence the B-row replicate means: the rep count and the ranking
+    # both consume them, and each would re-run the x B explode over
+    # the corpus otherwise (the no-CSE trap); B = 200 rows, bounded
+    means = fenced(means)
+    nreps = means.agg(F.count(F.lit(1)).cast("bigint").alias("n_reps"))
+    ranked = means.join(F.broadcast(nreps)).withColumn(
+        "r", F.row_number().over(Window.orderBy("m", "b")).cast("bigint")
+    )
+    ci = (
+        ranked.selectExpr(
+            "n_reps",
+            f"CASE WHEN r = least({_BOOT_K_LO}, n_reps) THEN m END AS lo",
+            f"CASE WHEN r = least({_BOOT_K_HI}, n_reps) THEN m END AS hi",
+        )
+        .groupBy("n_reps")
+        .agg(F.max("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    point = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    return (
+        point.join(F.broadcast(ci), how="left")
+        .selectExpr(
+            "n_users",
+            """CASE WHEN n_users = 0 THEN NULL
+                    ELSE round(CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)
+                               / 100.0, 6) + 0.0 END AS mean_usd""",
+            "coalesce(n_reps, 0) AS n_reps",
+            "round(lo, 6) + 0.0 AS ci_lo_usd",
+            "round(hi, 6) + 0.0 AS ci_hi_usd",
+        )
+    )
+
+
+BOOT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+reps AS (
+  SELECT b, cents,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                             || CAST(b AS VARCHAR)), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM per_user CROSS JOIN (
+    SELECT unnest(generate_series(1, {BOOT_B})) AS b
+  ) bs
+),
+means AS (
+  SELECT b,
+         CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 100.0 AS m
+  FROM (SELECT b, cents, {_boot_w_expr('u')} AS w FROM reps) t
+  GROUP BY b
+  HAVING CAST(sum(w) AS BIGINT) > 0
+),
+nreps AS (SELECT CAST(count(*) AS BIGINT) AS n_reps FROM means),
+ranked AS (
+  SELECT m, n_reps,
+         CAST(row_number() OVER (ORDER BY m, b) AS BIGINT) AS r
+  FROM means CROSS JOIN nreps
+),
+ci AS (
+  SELECT n_reps,
+         max(CASE WHEN r = least({_BOOT_K_LO}, n_reps) THEN m END) AS lo,
+         max(CASE WHEN r = least({_BOOT_K_HI}, n_reps) THEN m END) AS hi
+  FROM ranked
+  GROUP BY n_reps
+),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS s
+  FROM per_user
+)
+SELECT n_users,
+       CASE WHEN n_users = 0 THEN NULL
+            ELSE round(CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)
+                       / 100.0, 6) + 0.0 END AS mean_usd,
+       coalesce(n_reps, 0) AS n_reps,
+       round(lo, 6) + 0.0 AS ci_lo_usd,
+       round(hi, 6) + 0.0 AS ci_hi_usd
+FROM point LEFT JOIN ci ON TRUE
+"""
+
+
+QUERIES["events_bootstrap_ci"] = events_bootstrap_ci
+ORACLE["events_bootstrap_ci"] = BOOT_SQL

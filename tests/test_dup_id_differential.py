@@ -137,6 +137,15 @@ SAMPLE = [
     # raw-multiset convention (the tokenize_bpe_encode precedent: the
     # per-source weights aggregate the raw stream on BOTH sides)
     "tokenize_unigram_eval",
+    # round-12b: QL scores the canonical corpus (a re-ingested doc_id
+    # scores once, its ctf counts once); Heaps first-occurrence and
+    # prefix token counts run the raw multiset identically on both
+    # engines; the user-keyed experiment readouts collapse duplicate
+    # event rows into the same per-user totals on both sides
+    "ql_dirichlet_topk",
+    "text_heaps_law_fit",
+    "events_ratio_metric_delta",
+    "events_bootstrap_ci",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

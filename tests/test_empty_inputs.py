@@ -200,6 +200,15 @@ SAMPLE = [
     "graph_harmonic_centrality",
     "events_fdr_bh",
     "hybrid_rrf_retrieval",
+    # round-12b
+    "events_ratio_metric_delta",
+    "graph_adamic_adar",
+    "ql_dirichlet_topk",
+    "er_fellegi_sunter",
+    "orders_ewma_control",
+    "orders_theil_sen_trend",
+    "text_heaps_law_fit",
+    "events_bootstrap_ci",
 ]
 
 TABLES = (
@@ -281,6 +290,15 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
         # one-row k-arm / concentration summaries: zero counts + NULLs
         "events_kruskal_wallis",
         "users_value_gini",
+        # one-row ratio/trend/bootstrap summaries: zero counts + NULL
+        # stats on both engines (agg without groupBy emits its row;
+        # the 1-row stat frames crossjoin to one row)
+        "events_ratio_metric_delta",
+        "orders_theil_sen_trend",
+        "events_bootstrap_ci",
+        # 4-row field table from the one-row moment aggregate (the
+        # oracle's UNION ALL of four selects over the empty-agg row)
+        "er_fellegi_sunter",
     ):
         # whole-corpus summaries and fixed-stage reports legitimately
         # emit their summary/stage rows (NULL/zero-valued) for an

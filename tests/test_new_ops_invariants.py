@@ -4761,3 +4761,407 @@ def test_users_value_gini_matches_python(spark):
     assert row["n_users"] == n
     assert abs(row["gini"] - round(gini, 6)) < 1e-6
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_ratio_metric_delta_matches_python(spark):
+    """Full delta-method replay in Python over per-user (cents, count)
+    totals — ratios, the z statistic, and the significance cut."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        events_ratio_metric_delta,
+    )
+
+    import hashlib
+
+    per_user: dict = {}
+    for r in pq.read_table(os.path.join(SF_DIR, "events.parquet")).to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        s, n = per_user.get(r["user_id"], (0, 0))
+        per_user[r["user_id"]] = (s + int(round(r["value"] * 100)), n + 1)
+    arms: dict = {0: [], 1: []}
+    for uid, (s, n) in per_user.items():
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+        arms[arm].append((s, n))
+
+    def stats(rows):
+        k = len(rows)
+        ss = sum(s for s, _ in rows)
+        nn = sum(n for _, n in rows)
+        r = ss / nn
+        var_s = (sum(float(s) * s for s, _ in rows) - ss * ss / k) / (k - 1)
+        var_n = (sum(float(n) * n for _, n in rows) - nn * nn / k) / (k - 1)
+        cov = (sum(float(s) * n for s, n in rows) - ss * nn / k) / (k - 1)
+        nbar = nn / k
+        var_r = (var_s - 2 * r * cov + r * r * var_n) / (k * nbar * nbar)
+        return k, nn, r, var_r
+
+    ka, na, ra, va = stats(arms[0])
+    kb, nb, rb, vb = stats(arms[1])
+    z = (rb - ra) / math.sqrt(va + vb)
+    row = events_ratio_metric_delta(spark, SF_DIR).collect()[0]
+    assert (row["n_users_a"], row["n_users_b"]) == (ka, kb)
+    assert (row["n_events_a"], row["n_events_b"]) == (na, nb)
+    assert abs(row["ratio_usd_a"] - round(ra / 100.0, 6)) < 1e-9
+    assert abs(row["ratio_usd_b"] - round(rb / 100.0, 6)) < 1e-9
+    assert abs(row["z_stat"] - round(z, 6)) < 1e-6
+    assert row["significant"] == (abs(z) > 1.959964)
+
+
+def test_adamic_adar_matches_python(spark):
+    """Full AA replay in Python over the op's own pair graph: common
+    neighbors, the 1/ln(deg) sum, Jaccard, non-edge filtering, and
+    the top-K cut."""
+    import math
+
+    from stac_geoparquet_spark.operators.graph import (
+        AA_TOP_K,
+        graph_adamic_adar,
+    )
+    from stac_geoparquet_spark.operators.mining import basket_pair_support
+
+    pairs = {
+        (r["part_a"], r["part_b"])
+        for r in basket_pair_support(spark, SF_DIR)
+        .select("part_a", "part_b")
+        .collect()
+    }
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scored = []
+    nodes = sorted(adj)
+    for u in nodes:
+        cand = {w for v in adj[u] for w in adj[v] if w > u}
+        for v in sorted(cand):
+            if (u, v) in pairs:
+                continue
+            cn = adj[u] & adj[v]
+            if not cn:
+                continue
+            aa = round(sum(1.0 / math.log(len(adj[w])) for w in cn), 6)
+            jac = round(
+                len(cn) / (len(adj[u]) + len(adj[v]) - len(cn)), 6
+            )
+            scored.append((-aa, u, v, len(cn), jac))
+    scored.sort()
+    exp = scored[:AA_TOP_K]
+    rows = graph_adamic_adar(spark, SF_DIR).collect()
+    assert len(rows) == len(exp)
+    got = [
+        (-r["aa_score"], r["part_a"], r["part_b"], r["common_neighbors"],
+         r["jaccard"])
+        for r in rows
+    ]
+    assert sorted(got) == exp
+
+
+def test_ql_dirichlet_matches_python(spark):
+    """Full query-likelihood replay in Python (canonical-collapse,
+    tokenizer contract, Dirichlet decomposition) over the sf0.001
+    corpus — scores and the top-K ranking."""
+    import math
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.retrieval import (
+        QL_MU,
+        QL_TOP_K,
+        QUERY_TERMS,
+        ql_dirichlet_topk,
+    )
+
+    # canonical collapse: min payload tuple per doc_id (NULLS LAST)
+    byid: dict = {}
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).to_pylist():
+        key = (r["text"] is None, r["text"])
+        cur = byid.get(r["doc_id"])
+        if cur is None or key < cur:
+            byid[r["doc_id"]] = key
+    docs = {
+        i: t for i, (is_null, t) in byid.items() if not is_null
+    }
+    toks = {
+        i: [
+            w
+            for w in re.split(
+                r"[ \t\n\x0b\f\r]+", t.strip().replace("Σ", "σ").lower()
+            )
+            if w
+        ]
+        for i, t in docs.items()
+    }
+    ctf: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            if w in QUERY_TERMS:
+                ctf[w] = ctf.get(w, 0) + 1
+    c_total = sum(len(ws) for ws in toks.values())
+    q_eff = len(ctf)
+    exp = []
+    for i, ws in toks.items():
+        tf: dict = {}
+        for w in ws:
+            if w in ctf:
+                tf[w] = tf.get(w, 0) + 1
+        m = sum(
+            math.log(1.0 + t * c_total / (QL_MU * ctf[w]))
+            for w, t in tf.items()
+        )
+        score = round(m + q_eff * math.log(QL_MU / (len(ws) + QL_MU)), 6)
+        exp.append((-score, i))
+    exp.sort()
+    exp = exp[:QL_TOP_K]
+    rows = ql_dirichlet_topk(spark, SF_DIR).collect()
+    got = sorted((-r["score"], r["doc_id"]) for r in rows)
+    assert got == [(s, i) for s, i in exp]
+    # rank order matches the (score desc, doc_id) contract
+    by_rank = sorted(rows, key=lambda r: r["rk"])
+    assert [(-r["score"], r["doc_id"]) for r in by_rank] == exp
+
+
+def test_fellegi_sunter_self_consistency(spark):
+    """The weights are the log-likelihood ratios OF the reported
+    probabilities; probabilities are Laplace-bounded in (0, 1); the
+    labeled pair counts are shared by every field row."""
+    import math
+
+    from stac_geoparquet_spark.operators.curation import (
+        FS_FIELDS,
+        er_fellegi_sunter,
+    )
+
+    rows = er_fellegi_sunter(spark, SF_DIR).collect()
+    assert {r["field"] for r in rows} == set(FS_FIELDS)
+    assert len({(r["n_match_pairs"], r["n_nonmatch_pairs"]) for r in rows}) == 1
+    for r in rows:
+        assert 0.0 < r["m_prob"] < 1.0
+        assert 0.0 < r["u_prob"] < 1.0
+        # recompute from the UNROUNDED Laplace probabilities is not
+        # possible from the output alone; the rounded ones agree to
+        # the 5e-7 rounding quantum amplified by the log derivative
+        # (1/p per factor — large when a probability sits near 0 or 1)
+        m, u = r["m_prob"], r["u_prob"]
+        tol_a = 5e-7 * (1.0 / m + 1.0 / u) + 1e-6
+        assert abs(r["w_agree"] - math.log(m / u)) < tol_a
+        tol_d = 5e-7 * (1.0 / (1 - m) + 1.0 / (1 - u)) + 1e-6
+        assert abs(
+            r["w_disagree"] - math.log((1 - m) / (1 - u))
+        ) < tol_d
+        assert (r["w_agree"] > 0) == (m > u)
+
+
+def test_ewma_control_matches_python(spark):
+    """Full chart replay in Python: the truncated normalized EWMA
+    recursion-free form, the asymptotic control limits, and the
+    out-of-control cut."""
+    import math
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        EWMA_L,
+        EWMA_W,
+        orders_ewma_control,
+    )
+
+    daily = Counter()
+    for r in pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist():
+        if r["o_orderdate"] is not None:
+            daily[str(r["o_orderdate"])[:10]] += 1
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    mu = sum(xs) / len(xs)
+    var = (
+        sum(float(x) * x for x in xs) - sum(xs) ** 2 / len(xs)
+    ) / (len(xs) - 1)
+    half = EWMA_L * math.sqrt(var) * math.sqrt(
+        EWMA_ALPHA / (2.0 - EWMA_ALPHA)
+    )
+    rows = {str(r["d"]): r for r in orders_ewma_control(spark, SF_DIR).collect()}
+    assert set(rows) == set(days)
+    for t, d in enumerate(days):
+        num = den = 0.0
+        for lag in range(min(EWMA_W, t + 1)):
+            w = (1.0 - EWMA_ALPHA) ** lag
+            num += xs[t - lag] * w
+            den += w
+        r = rows[d]
+        assert r["daily_orders"] == xs[t]
+        assert abs(r["ewma"] - round(num / den, 6)) < 1e-6
+        assert abs(r["ucl"] - round(mu + half, 6)) < 1e-6
+        assert abs(r["lcl"] - round(mu - half, 6)) < 1e-6
+        assert r["out_of_control"] == (
+            num / den > mu + half or num / den < mu - half
+        )
+
+
+def test_theil_sen_matches_python(spark):
+    """Full pairwise-slope replay in Python: lag-bounded pairs, the
+    middle-order-statistic median, and the OLS contrast slope."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        TS_MAX_LAG,
+        orders_theil_sen_trend,
+    )
+
+    daily = Counter()
+    for r in pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist():
+        if r["o_orderdate"] is not None:
+            daily[str(r["o_orderdate"])[:10]] += 1
+    xs = [daily[d] for d in sorted(daily)]
+    slopes = []
+    for j in range(len(xs)):
+        for lag in range(1, min(TS_MAX_LAG, j) + 1):
+            slopes.append((xs[j] - xs[j - lag]) / lag)
+    slopes.sort()
+    m = len(slopes)
+    med = (slopes[(m + 1) // 2 - 1] + slopes[(m + 2) // 2 - 1]) / 2.0
+    n = len(xs)
+    st = n * (n + 1) // 2
+    sx = sum(xs)
+    stx = sum((i + 1.0) * x for i, x in enumerate(xs))
+    stt = sum((i + 1.0) ** 2 for i in range(n))
+    ols = (n * stx - st * sx) / (n * stt - float(st) * st)
+    row = orders_theil_sen_trend(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert row["n_pairs"] == m
+    assert abs(row["ts_slope"] - round(med, 6)) < 1e-9
+    assert abs(row["ols_slope"] - round(ols, 6)) < 1e-6
+
+
+def test_heaps_fit_matches_direct_prefix_count(spark):
+    """Replay each prefix DIRECTLY (count distinct terms / sum tokens
+    over docs at or below the cutoff) — a different formulation than
+    the op's min-first-occurrence aggregate — plus curve monotonicity
+    and the log-log fit."""
+    import math
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.curation import (
+        HEAPS_CHECKPOINTS,
+        text_heaps_law_fit,
+    )
+
+    docs = []
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).to_pylist():
+        ws = (
+            [
+                w
+                for w in re.split(
+                    r"[ \t\n\x0b\f\r]+",
+                    r["text"].strip().replace("Σ", "σ").lower(),
+                )
+                if w
+            ]
+            if r["text"] is not None
+            else None
+        )
+        docs.append((r["doc_id"], ws))
+    mx = max(i for i, _ in docs)
+    rows = sorted(
+        text_heaps_law_fit(spark, SF_DIR).collect(), key=lambda r: r["ck"]
+    )
+    assert len(rows) == HEAPS_CHECKPOINTS
+    pts = []
+    for r in rows:
+        thr = math.floor(mx * r["ck"] / HEAPS_CHECKPOINTS)
+        assert r["doc_id_cutoff"] == thr
+        vocab = len(
+            {w for i, ws in docs if ws and i <= thr for w in ws}
+        )
+        ntok = sum(len(ws) for i, ws in docs if ws is not None and i <= thr)
+        assert r["vocab_prefix"] == vocab
+        assert r["n_tokens_prefix"] == ntok
+        if vocab > 0 and ntok > 0:
+            pts.append((math.log(ntok), math.log(vocab)))
+    # monotone curve
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab_prefix"] >= a["vocab_prefix"]
+        assert b["n_tokens_prefix"] >= a["n_tokens_prefix"]
+    if len(pts) >= 2 and len({x for x, _ in pts}) > 1:
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(rows[0]["heaps_beta"] - round(beta, 6)) < 1e-6
+
+
+def test_bootstrap_ci_matches_python(spark):
+    """Full deterministic-bootstrap replay in Python: the md5 uniform,
+    the Poisson inverse CDF, every replicate mean, and the two
+    percentile order statistics."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        BOOT_B,
+        _BOOT_CDF,
+        _BOOT_K_HI,
+        _BOOT_K_LO,
+        events_bootstrap_ci,
+    )
+
+    per_user: dict = {}
+    for r in pq.read_table(os.path.join(SF_DIR, "events.parquet")).to_pylist():
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + int(
+            round(r["value"] * 100)
+        )
+    cdf = [(float(t), w) for t, w in _BOOT_CDF]
+    means = []
+    for b in range(1, BOOT_B + 1):
+        ws = wn = 0
+        for uid, cents in per_user.items():
+            u = (
+                int(
+                    hashlib.md5(f"{uid}:{b}".encode()).hexdigest()[:12], 16
+                )
+                / 281474976710656.0
+            )
+            w = 6
+            for t, k in cdf:
+                if u < t:
+                    w = k
+                    break
+            ws += w * cents
+            wn += w
+        if wn > 0:
+            means.append((ws / wn / 100.0, b))
+    means.sort()
+    row = events_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(per_user)
+    assert row["n_reps"] == len(means)
+    lo = means[min(_BOOT_K_LO, len(means)) - 1][0]
+    hi = means[min(_BOOT_K_HI, len(means)) - 1][0]
+    assert abs(row["ci_lo_usd"] - round(lo, 6)) < 1e-9
+    assert abs(row["ci_hi_usd"] - round(hi, 6)) < 1e-9
+    assert row["ci_lo_usd"] <= row["ci_hi_usd"]
+    exp_mean = sum(per_user.values()) / len(per_user) / 100.0
+    assert abs(row["mean_usd"] - round(exp_mean, 6)) < 1e-9

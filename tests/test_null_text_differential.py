@@ -91,6 +91,11 @@ SAMPLE = [
     # text-blind by construction)
     "bm25_ndcg_report",
     "hybrid_rrf_retrieval",
+    # round-12b: NULL text leaves the QL length norm and postings; a
+    # NULL-text doc contributes no tokens to the Heaps prefixes but
+    # its id still moves the cutoff grid — both engines share both
+    "ql_dirichlet_topk",
+    "text_heaps_law_fit",
     # round-7c: NULL prob docs leave the calibration bins; NULL source
     # leaves the gini mass; NULL text scores nothing incrementally
     "classifier_calibration_bins",
@@ -856,6 +861,10 @@ EVENTS_SAMPLE = [
     # round-12: NULL user/value/type rows carry no per-(type, user)
     # cell; the BH rank set shrinks identically on both engines
     "events_fdr_bh",
+    # round-12b: NULL user/value rows carry no per-user total on
+    # either side of the ratio/bootstrap scaffolds
+    "events_ratio_metric_delta",
+    "events_bootstrap_ci",
 ]
 
 

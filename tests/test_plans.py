@@ -2610,3 +2610,126 @@ def test_kruskal_and_gini_ride_rank_scaffold(spark, sf):
         assert "BatchEvalPython" not in plan
         assert n_ops(plan, "CartesianProduct") == 0
         assert "rangepartitioning" not in plan.lower()
+
+
+def test_ratio_metric_delta_welch_shape(spark, sf):
+    """The delta-method readout is the welch moment shape: one scan,
+    one user-keyed aggregate, a 1-row conditional-moment reduce — no
+    window, no join, no Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_ratio_metric_delta(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
+
+
+def test_adamic_adar_pair_graph_only(spark, sf):
+    """Link prediction never touches the corpus: every join keys on
+    the fenced support-filtered pair set (wedges, degrees, the anti
+    edge filter), and the global top-K is TakeOrderedAndProject — no
+    cartesian, no global sort, no Python."""
+    from stac_geoparquet_spark.operators import graph
+
+    plan = plan_of(graph.graph_adamic_adar(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Sort [aa_score" not in plan  # top-K, not a global sort
+
+
+def test_ql_dirichlet_two_linear_passes(spark, sf):
+    """QL scoring runs exactly two corpus passes (lengths + filtered
+    postings) joined doc-keyed — the smoothing statistics are fenced
+    1/4-row aggregates, the top-K is TakeOrderedAndProject, and the
+    one SortMergeJoin is the CO-KEYED doc join of those two linear
+    streams (the scale-correct choice — neither side broadcasts at
+    100 TB)."""
+    from stac_geoparquet_spark.operators import retrieval
+
+    plan = plan_of(retrieval.ql_dirichlet_topk(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 2
+    assert n_ops(plan, "SortMergeJoin") <= 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_fellegi_sunter_fenced_candidates(spark, sf):
+    """The FS estimate reads the FENCED labeled candidate set (the
+    gram-prefix pipeline ran once at build time) plus two keyed
+    attribute joins on the part dimension — no re-executed blocking
+    windows, no cartesian, no Python in the consumer plan."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.er_fellegi_sunter(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 2  # the two attribute reads
+    assert n_ops(plan, "Window") == 0  # blocking ran inside the fence
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_ewma_control_fenced_rollup(spark, sf):
+    """The chart consumes the fenced calendar-indexed rollup: the
+    corpus rollup and its index window ran once at build time, so the
+    consumer plan is the bounded lag join + moment broadcast — no
+    parquet scan, no window, no cartesian, no Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_ewma_control(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_theil_sen_fenced_rollup_one_window(spark, sf):
+    """Theil-Sen consumes the fenced calendar-indexed rollup; the only
+    window left is the selection rank over the lag-bounded pair set
+    (days x TS_MAX_LAG — a calendar constant), no corpus scan, no
+    cartesian, no Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_theil_sen_trend(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_heaps_fit_fenced_curve(spark, sf):
+    """The Heaps output joins the FENCED 10-row curve with its fit —
+    the two corpus passes (first occurrence, lengths) and the cutoff
+    broadcast ran once at build time; the consumer plan holds no
+    parquet scan, no window, no cartesian, no Python."""
+    from stac_geoparquet_spark.operators import curation
+
+    plan = plan_of(curation.text_heaps_law_fit(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_bootstrap_ci_one_point_pass(spark, sf):
+    """The percentile CI ranks the FENCED 200-row replicate means (the
+    x B explode ran once at build time); the consumer plan is the one
+    point-estimate scan + the bounded rank — one parquet scan, one
+    window over the constant replicate table, no cartesian, no
+    Python."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.events_bootstrap_ci(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan

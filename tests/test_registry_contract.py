@@ -375,6 +375,9 @@ _GROUPED_COLLECT_ALLOWLIST = {
     ("operators/retrieval.py", "bm25_ndcg_report"):
         "per-term ranked candidates pre-pruned by the twophase local "
         "top-K, so the list is K x P bounded (config, not data)",
+    ("operators/retrieval.py", "hybrid_rrf_retrieval"):
+        "per-query lexical candidates pre-pruned by the twophase "
+        "local top-K, so the list is K x P bounded (config, not data)",
     ("operators/curation.py", "_uni_vocab_map_cached"):
         "ONE row collecting the unigram vocab map — bounded by the "
         "char alphabet + UNI_TOP_K(=24) pieces (session-cached, "
