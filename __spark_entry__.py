@@ -162,7 +162,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 15 never-row + 5 churned + 30 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
+# 19 never-row + 5 churned + 26 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "bm25_ndcg_report",
@@ -180,6 +180,10 @@ WINDOW: list[str] = [
     "ql_dirichlet_topk",
     "er_fellegi_sunter",
     "text_heaps_law_fit",
+    "orders_stl_decompose",
+    "rm3_expansion_terms",
+    "text_mattr_diversity",
+    "classifier_lift_gains",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -213,10 +217,6 @@ WINDOW: list[str] = [
     "events_decayed_activity",
     "except_open_not_finished",
     "graph_triangle_count",
-    "grouping_sets_revenue",
-    "histogram_totalprice",
-    "lang_confusion_matrix",
-    "mixture_temperature_weights",
 ]
 # WINDOW:END
 

@@ -1020,3 +1020,126 @@ FROM (
 
 QUERIES["ql_dirichlet_topk"] = ql_dirichlet_topk
 ORACLE["ql_dirichlet_topk"] = QL_SQL
+
+
+# --------------------------------------------------------------------------
+# RM3 pseudo-relevance-feedback expansion (round 10): the classic
+# query-expansion step (Lavrenko & Croft relevance models, the
+# Anserini-default "RM3" interpolation) over the module's fixed probe
+# query — the op a retrieval stack runs between first-pass BM25 and
+# the re-ranked second pass.  From the top FB_DOCS feedback documents
+# of bm25_topk_retrieval:
+#
+#   RM1(t) = sum_d w_d * tf_{t,d} / dl_d      (ML term model per doc,
+#            w_d = score_d / sum score        BM25-score-normalized)
+#   RM3(t) = RM3_LAMBDA * P_q(t) + (1 - RM3_LAMBDA) * RM1(t)
+#            (P_q uniform over the probe terms)
+#
+# emitting the top FB_TERMS expansion terms.  Deterministic: feedback
+# ranks/scores follow the shipped bm25 contract (rounded scores,
+# doc_id tiebreaks), tf/dl are exact ints, w_d is a ratio of rounded
+# doubles, and the final ranking orders by the ROUNDED RM3 weight
+# with a term tiebreak.
+#
+# Scale shape: the feedback set is FB_DOCS rows (broadcast); the
+# corpus token stream joins against it BEFORE any aggregate, so the
+# only corpus-sized work is that one filtered tokenize pass; the term
+# model aggregates bounded (10-doc) postings, and the final cut is
+# orderBy+limit (TakeOrderedAndProject).  The sum-of-scores
+# normalizer is a fenced 1-row aggregate (multi-consumer).
+# --------------------------------------------------------------------------
+FB_DOCS = 10
+FB_TERMS = 20
+RM3_LAMBDA = 0.5
+
+
+def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    fb = fenced(
+        bm25_topk_retrieval(spark, sf_dir)
+        .where(F.col("rk") <= FB_DOCS)
+        .select("doc_id", "score")
+    )
+    norm = fenced(fb.agg(F.sum("score").alias("sum_score")))
+    toks = docs.join(F.broadcast(fb), "doc_id").select(
+        "doc_id",
+        "score",
+        F.size(_words(F.col("text"))).cast("bigint").alias("dl"),
+        F.explode(_words(F.col("text"))).alias("term"),
+    )
+    rm1 = (
+        toks.where(F.col("term") != "")
+        .groupBy("doc_id", "score", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .join(F.broadcast(norm))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                (F.col("score") / F.expr("nullif(sum_score, 0.0)"))
+                * F.col("tf").cast("double")
+                / F.col("dl").cast("double")
+            ).alias("rm1_raw")
+        )
+    )
+    in_q = F.col("term").isin(*QUERY_TERMS)
+    return (
+        rm1.select(
+            "term",
+            in_q.alias("in_query"),
+            F.round("rm1_raw", 6).alias("rm1_weight"),
+            F.round(
+                F.lit(RM3_LAMBDA)
+                * F.when(in_q, F.lit(1.0 / len(QUERY_TERMS))).otherwise(
+                    F.lit(0.0)
+                )
+                + F.lit(1.0 - RM3_LAMBDA) * F.col("rm1_raw"),
+                6,
+            ).alias("rm3_weight"),
+        )
+        .orderBy(F.col("rm3_weight").desc(), F.col("term").asc())
+        .limit(FB_TERMS)
+    )
+
+
+RM3_SQL = f"""
+WITH bm25 AS ({{bm25}}),
+fb AS (
+  SELECT doc_id, score FROM bm25 WHERE rk <= {FB_DOCS}
+),
+norm AS (SELECT sum(score) AS sum_score FROM fb),
+docs AS (
+  SELECT doc_id, text FROM {DOCS_CANON_SQL} d WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT f.doc_id, f.score,
+         CAST(len({_sql_words()}) AS BIGINT) AS dl,
+         unnest({_sql_words()}) AS term
+  FROM docs JOIN fb f USING (doc_id)
+),
+tf AS (
+  SELECT doc_id, score, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> ''
+  GROUP BY doc_id, score, dl, term
+),
+rm1 AS (
+  SELECT term,
+         sum((score / nullif(sum_score, 0.0))
+             * CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) AS rm1_raw
+  FROM tf CROSS JOIN norm
+  GROUP BY term
+)
+SELECT term,
+       term IN ({_TERMS_IN}) AS in_query,
+       round(rm1_raw, 6) AS rm1_weight,
+       round({RM3_LAMBDA} * (CASE WHEN term IN ({_TERMS_IN})
+                                  THEN {1.0 / len(QUERY_TERMS)}
+                                  ELSE 0.0 END)
+             + {1.0 - RM3_LAMBDA} * rm1_raw, 6) AS rm3_weight
+FROM rm1
+ORDER BY rm3_weight DESC, term
+LIMIT {FB_TERMS}
+""".format(bm25=BM25_SQL.strip())
+
+
+QUERIES["rm3_expansion_terms"] = rm3_expansion_terms
+ORACLE["rm3_expansion_terms"] = RM3_SQL

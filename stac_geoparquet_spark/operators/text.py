@@ -1968,3 +1968,212 @@ FROM counted
 
 QUERIES_ROTATION["text_script_mix_audit"] = text_script_mix_audit
 ORACLE_ROTATION["text_script_mix_audit"] = _script_mix_sql()
+
+
+# --------------------------------------------------------------------------
+# MATTR — moving-average type-token ratio (round 10, Covington &
+# McFall 2010): the length-robust lexical-diversity measure next to
+# lexical_diversity_by_source's raw TTR (raw TTR falls mechanically
+# with document length, so cross-length comparisons need either
+# MATTR's fixed window or Heaps-style modeling; quality filters use
+# MATTR to catch keyword-stuffed / template docs whose local
+# vocabulary collapses even when the global TTR looks fine).  Per
+# doc: the mean over every MATTR_W-token window of (distinct tokens
+# in window) / MATTR_W; docs shorter than the window carry NULL
+# (their raw TTR column still reports).
+#
+# Scale shape: pure IN-ROW computation — the token array
+# materializes ONCE per doc (a named column, NOT an inline split:
+# Catalyst does not CSE inside higher-order-function lambdas, the
+# bench-warmup n-gram lesson), and the window fold is
+# aggregate(sequence(...)) over slices of that array: O(tokens x W)
+# arithmetic per row, zero shuffle, zero join.  The degenerate
+# sequence guard (n < W -> no windows) is an explicit CASE on both
+# engines (Spark's sequence(1, 0) counts DOWN while DuckDB's
+# generate_series(1, 0) is empty — the bpe_merge_candidates trap).
+# Counts are exact ints; each ratio is one double division,
+# round(,6).
+# --------------------------------------------------------------------------
+MATTR_W = 25
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    return toks.selectExpr(
+        "doc_id",
+        "CAST(size(w) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(w)) AS BIGINT) AS n_types",
+        f"""CASE WHEN size(w) >= {MATTR_W} THEN
+              aggregate(
+                sequence(1, size(w) - {MATTR_W} + 1),
+                CAST(0 AS BIGINT),
+                (acc, i) -> acc + size(array_distinct(
+                              slice(w, i, {MATTR_W})))
+              )
+            END AS type_sum""",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "round(CAST(n_types AS DOUBLE)"
+        " / nullif(CAST(n_tokens AS DOUBLE), 0.0), 6) AS ttr",
+        f"""CASE WHEN n_tokens >= {MATTR_W} THEN
+              round(CAST(type_sum AS DOUBLE)
+                    / CAST(n_tokens - {MATTR_W} + 1 AS DOUBLE)
+                    / {float(MATTR_W)}, 6)
+            END AS mattr""",
+    )
+
+
+MATTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_words()} AS w FROM documents
+  WHERE text IS NOT NULL
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+         CASE WHEN len(w) >= {MATTR_W} THEN
+           CAST(list_sum(list_transform(
+             generate_series(1, len(w) - {MATTR_W} + 1),
+             i -> len(list_distinct(
+                    list_slice(w, i, i + {MATTR_W} - 1)))
+           )) AS BIGINT)
+         END AS type_sum
+  FROM toks
+)
+SELECT doc_id,
+       n_tokens,
+       n_types,
+       round(CAST(n_types AS DOUBLE)
+             / nullif(CAST(n_tokens AS DOUBLE), 0.0), 6) AS ttr,
+       CASE WHEN n_tokens >= {MATTR_W} THEN
+         round(CAST(type_sum AS DOUBLE)
+               / CAST(n_tokens - {MATTR_W} + 1 AS DOUBLE)
+               / {float(MATTR_W)}, 6)
+       END AS mattr
+FROM per_doc
+"""
+
+
+QUERIES_ROTATION["text_mattr_diversity"] = text_mattr_diversity
+ORACLE_ROTATION["text_mattr_diversity"] = MATTR_SQL
+
+
+# --------------------------------------------------------------------------
+# Classifier gains/lift table (round 10): the cumulative companion to
+# classifier_calibration_bins — walk the same prob-value bins from
+# the TOP score down and report, per bin, what a pipeline keeping
+# "everything scored at or above this bin" would get: cumulative doc
+# share, cumulative capture of the Gopher-rule positives (the gains
+# curve), and the lift over the base rate.  This is the readout that
+# picks a quality-score THRESHOLD (calibration says whether the
+# probabilities are honest; lift says where to cut).
+#
+# Scale shape: one scaling-key join of the two shipped per-doc
+# operators (the calibration/recall-report composition shape), one
+# 10-row bin aggregate, then prefix sums over the FENCED 10-row bin
+# table (the unpartitioned cumulative window runs on a constant-size
+# input — the offset-table class).  Counts exact int64; every
+# rate/lift is a fixed-shape double expression over them with
+# nullif-guarded denominators, round(,6).
+# --------------------------------------------------------------------------
+def classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stac_geoparquet_spark.operators._io import fenced
+
+    scores = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "prob"
+    )
+    labels = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    j = scores.join(labels, "doc_id").where(F.col("prob").isNotNull())
+    bins = fenced(
+        j.select(
+            F.least(F.floor(F.col("prob") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bin"),
+            F.col("keep").cast("bigint").alias("pass_flag"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pass_flag").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_docs").cast("bigint").alias("t_docs"),
+        F.sum("n_pos").cast("bigint").alias("t_pos"),
+    )
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bins.withColumn("cum_docs", F.sum("n_docs").over(w).cast("bigint"))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("bigint"))
+        .join(F.broadcast(tot))
+        .selectExpr(
+            "bin",
+            "n_docs",
+            "n_pos",
+            "cum_docs",
+            "cum_pos",
+            "round(CAST(cum_docs AS DOUBLE)"
+            " / nullif(CAST(t_docs AS DOUBLE), 0.0), 6) AS doc_share",
+            "round(CAST(cum_pos AS DOUBLE)"
+            " / nullif(CAST(t_pos AS DOUBLE), 0.0), 6) AS capture",
+            """round((CAST(cum_pos AS DOUBLE)
+                      / nullif(CAST(cum_docs AS DOUBLE), 0.0))
+                     / nullif(CAST(t_pos AS DOUBLE)
+                              / nullif(CAST(t_docs AS DOUBLE), 0.0),
+                              0.0), 6) AS cum_lift""",
+        )
+    )
+
+
+LIFT_SQL = f"""
+WITH g AS ({{gopher}}),
+c AS ({{classifier}}),
+bins AS (
+  SELECT CAST(least(floor(c.prob * 10), 9) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM c JOIN g USING (doc_id)
+  WHERE c.prob IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         CAST(sum(n_pos) AS BIGINT) AS t_pos
+  FROM bins
+),
+cum AS (
+  SELECT bin, n_docs, n_pos,
+         CAST(sum(n_docs) OVER (ORDER BY bin DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+         CAST(sum(n_pos) OVER (ORDER BY bin DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+  FROM bins
+)
+SELECT bin, n_docs, n_pos, cum_docs, cum_pos,
+       round(CAST(cum_docs AS DOUBLE)
+             / nullif(CAST(t_docs AS DOUBLE), 0.0), 6) AS doc_share,
+       round(CAST(cum_pos AS DOUBLE)
+             / nullif(CAST(t_pos AS DOUBLE), 0.0), 6) AS capture,
+       round((CAST(cum_pos AS DOUBLE)
+              / nullif(CAST(cum_docs AS DOUBLE), 0.0))
+             / nullif(CAST(t_pos AS DOUBLE)
+                      / nullif(CAST(t_docs AS DOUBLE), 0.0),
+                      0.0), 6) AS cum_lift
+FROM cum CROSS JOIN tot
+"""
+LIFT_SQL = LIFT_SQL.format(
+    gopher=GOPHER_RULES_SQL.strip(), classifier=CLASSIFIER_SQL.strip()
+)
+
+
+QUERIES_ROTATION["classifier_lift_gains"] = classifier_lift_gains
+ORACLE_ROTATION["classifier_lift_gains"] = LIFT_SQL

@@ -3983,3 +3983,126 @@ FROM point LEFT JOIN ci ON TRUE
 
 QUERIES["events_bootstrap_ci"] = events_bootstrap_ci
 ORACLE["events_bootstrap_ci"] = BOOT_SQL
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (round 10): daily order count =
+# trend + seasonal + remainder — the additive moving-average
+# decomposition (the deterministic core of STL without loess) that
+# turns the seasonality/anomaly screens into an actual series split:
+# trend_t is the CENTERED 7-day moving average (defined only where
+# all 7 calendar days exist — edges and gaps carry NULL), the
+# seasonal component is the day-of-week mean of the detrended series
+# re-centered to sum to zero (the classical normalization), and the
+# remainder is what anomaly monitors should actually score.
+#
+# Day-of-week is epoch-anchored integer arithmetic on BOTH engines
+# (floor-mod of the day difference from a fixed Monday — calendar
+# dayofweek() numbering differs across engines), and the centered
+# window joins on CALENDAR dates (date + offset), so a missing day
+# NULLs the trend instead of silently shortening the window.
+#
+# Scale shape: the corpus-sized work is the ONE daily rollup
+# (calendar-bounded, fenced: four consumers — window source, join
+# probe, DOW means, output — would each re-run it); the centered MA
+# is the x7 constant lag explode + date equi-join; the seasonal
+# table is a bounded 7-row aggregate broadcast back.  Counts are
+# exact int64; trend = sum7/7.0 and each mean is one fixed-shape
+# double expression, round(,6) + 0.0 on the signed outputs.
+# --------------------------------------------------------------------------
+STL_EPOCH = "1995-01-02"  # a Monday: dow 0 = Monday on both engines
+
+
+def orders_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
+    daily = fenced(
+        _daily_orders(spark, sf_dir).withColumn(
+            "dow",
+            F.expr(
+                f"((datediff(d, DATE '{STL_EPOCH}') % 7) + 7) % 7"
+            ).cast("bigint"),
+        )
+    )
+    src = daily.select(
+        F.col("d").alias("ds"),
+        F.col("c").alias("x"),
+        F.explode(F.expr("sequence(-3, 3)")).alias("l"),
+    ).select(F.expr("date_add(ds, l)").alias("d"), "x")
+    ma = src.groupBy("d").agg(
+        F.count(F.lit(1)).alias("cnt7"),
+        F.sum("x").cast("bigint").alias("sum7"),
+    )
+    base = daily.join(ma, "d").withColumn(
+        "trend",
+        F.when(
+            F.col("cnt7") == 7, F.col("sum7").cast("double") / F.lit(7.0)
+        ),
+    )
+    sdow = base.where(F.col("trend").isNotNull()).groupBy("dow").agg(
+        F.avg(F.col("c").cast("double") - F.col("trend")).alias("s_raw")
+    )
+    scent = sdow.agg(F.avg("s_raw").alias("s_mean"))
+    seas = fenced(
+        sdow.join(F.broadcast(scent)).select(
+            "dow", (F.col("s_raw") - F.col("s_mean")).alias("seasonal_raw")
+        )
+    )
+    return (
+        base.join(F.broadcast(seas), "dow", "left")
+        .selectExpr(
+            "d",
+            "c AS daily_orders",
+            "round(trend, 6) AS trend",
+            "round(seasonal_raw, 6) + 0.0 AS seasonal",
+            """CASE WHEN trend IS NULL OR seasonal_raw IS NULL THEN NULL
+                    ELSE round(CAST(c AS DOUBLE) - trend - seasonal_raw, 6)
+                         + 0.0 END AS remainder""",
+        )
+    )
+
+
+STL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c,
+         CAST(((CAST(CAST(o_orderdate AS DATE)
+                     - DATE '{STL_EPOCH}' AS BIGINT) % 7) + 7) % 7
+              AS BIGINT) AS dow
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 3
+),
+src AS (
+  SELECT ds + CAST(l AS INTEGER) AS d, x FROM (
+    SELECT d AS ds, c AS x, unnest(generate_series(-3, 3)) AS l
+    FROM daily
+  ) u
+),
+ma AS (
+  SELECT d, count(*) AS cnt7, CAST(sum(x) AS BIGINT) AS sum7
+  FROM src GROUP BY d
+),
+base AS (
+  SELECT daily.d, daily.c, daily.dow,
+         CASE WHEN cnt7 = 7 THEN CAST(sum7 AS DOUBLE) / 7.0 END AS trend
+  FROM daily JOIN ma ON ma.d = daily.d
+),
+sdow AS (
+  SELECT dow, avg(CAST(c AS DOUBLE) - trend) AS s_raw
+  FROM base WHERE trend IS NOT NULL GROUP BY dow
+),
+scent AS (SELECT avg(s_raw) AS s_mean FROM sdow),
+seas AS (
+  SELECT dow, s_raw - s_mean AS seasonal_raw FROM sdow CROSS JOIN scent
+)
+SELECT b.d,
+       b.c AS daily_orders,
+       round(trend, 6) AS trend,
+       round(seasonal_raw, 6) + 0.0 AS seasonal,
+       CASE WHEN trend IS NULL OR seasonal_raw IS NULL THEN NULL
+            ELSE round(CAST(b.c AS DOUBLE) - trend - seasonal_raw, 6)
+                 + 0.0 END AS remainder
+FROM base b LEFT JOIN seas ON seas.dow = b.dow
+"""
+
+
+QUERIES["orders_stl_decompose"] = orders_stl_decompose
+ORACLE["orders_stl_decompose"] = STL_SQL

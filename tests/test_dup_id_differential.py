@@ -146,6 +146,13 @@ SAMPLE = [
     "text_heaps_law_fit",
     "events_ratio_metric_delta",
     "events_bootstrap_ci",
+    # round-12c: RM3 feeds from the canonical BM25 feedback set (a
+    # re-ingested doc_id contributes one term model); the lift walk
+    # rides the canonical classifier/Gopher scores; MATTR reports the
+    # raw multiset row-for-row on both engines
+    "rm3_expansion_terms",
+    "text_mattr_diversity",
+    "classifier_lift_gains",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -209,6 +209,11 @@ SAMPLE = [
     "orders_theil_sen_trend",
     "text_heaps_law_fit",
     "events_bootstrap_ci",
+    # round-12c
+    "rm3_expansion_terms",
+    "orders_stl_decompose",
+    "text_mattr_diversity",
+    "classifier_lift_gains",
 ]
 
 TABLES = (

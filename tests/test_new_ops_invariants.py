@@ -5165,3 +5165,206 @@ def test_bootstrap_ci_matches_python(spark):
     assert row["ci_lo_usd"] <= row["ci_hi_usd"]
     exp_mean = sum(per_user.values()) / len(per_user) / 100.0
     assert abs(row["mean_usd"] - round(exp_mean, 6)) < 1e-9
+
+
+def test_rm3_expansion_matches_python(spark):
+    """Full RM3 replay in Python over the op's own feedback set:
+    score-normalized doc weights, per-doc ML term models, and the
+    lambda interpolation with the uniform query model."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.retrieval import (
+        FB_DOCS,
+        FB_TERMS,
+        QUERY_TERMS,
+        RM3_LAMBDA,
+        bm25_topk_retrieval,
+        rm3_expansion_terms,
+    )
+
+    fb = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_retrieval(spark, SF_DIR).collect()
+        if r["rk"] <= FB_DOCS
+    }
+    total = sum(fb.values())
+    # canonical collapse for the feedback docs' text
+    byid: dict = {}
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).to_pylist():
+        if r["doc_id"] not in fb:
+            continue
+        key = (r["text"] is None, r["text"])
+        cur = byid.get(r["doc_id"])
+        if cur is None or key < cur:
+            byid[r["doc_id"]] = key
+    rm1: dict = {}
+    for i, (is_null, t) in byid.items():
+        if is_null:
+            continue
+        ws = [
+            w
+            for w in re.split(
+                r"[ \t\n\x0b\f\r]+", t.strip().replace("Σ", "σ").lower()
+            )
+            if w
+        ]
+        tf: dict = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        for w, c in tf.items():
+            rm1[w] = rm1.get(w, 0.0) + (fb[i] / total) * c / len(ws)
+    exp = []
+    for w, v in rm1.items():
+        pq_t = 1.0 / len(QUERY_TERMS) if w in QUERY_TERMS else 0.0
+        exp.append(
+            (-round(RM3_LAMBDA * pq_t + (1 - RM3_LAMBDA) * v, 6), w)
+        )
+    exp.sort()
+    exp = exp[:FB_TERMS]
+    rows = rm3_expansion_terms(spark, SF_DIR).collect()
+    got = sorted((-r["rm3_weight"], r["term"]) for r in rows)
+    assert [(w, t) for w, t in got] == exp
+    for r in rows:
+        assert r["in_query"] == (r["term"] in QUERY_TERMS)
+        assert abs(r["rm1_weight"] - round(rm1[r["term"]], 6)) < 2e-6
+
+
+def test_stl_decompose_matches_python(spark):
+    """Full decomposition replay in Python: calendar-centered MA,
+    zero-centered DOW seasonals, additive remainder."""
+    import datetime
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.timeseries import (
+        STL_EPOCH,
+        orders_stl_decompose,
+    )
+
+    daily = Counter()
+    for r in pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist():
+        if r["o_orderdate"] is not None:
+            d = r["o_orderdate"]
+            d = d.date() if hasattr(d, "date") else d
+            daily[d] += 1
+    epoch = datetime.date.fromisoformat(STL_EPOCH)
+    trend = {}
+    for d in daily:
+        win = [daily.get(d + datetime.timedelta(days=l)) for l in range(-3, 4)]
+        if all(v is not None for v in win):
+            trend[d] = sum(win) / 7.0
+    sdow_acc: dict = {}
+    for d, t in trend.items():
+        dow = (d - epoch).days % 7
+        sdow_acc.setdefault(dow, []).append(daily[d] - t)
+    sraw = {k: sum(v) / len(v) for k, v in sdow_acc.items()}
+    smean = sum(sraw.values()) / len(sraw)
+    seas = {k: v - smean for k, v in sraw.items()}
+    rows = {r["d"]: r for r in orders_stl_decompose(spark, SF_DIR).collect()}
+    assert set(rows) == set(daily)
+    for d, r in rows.items():
+        dow = (d - epoch).days % 7
+        assert r["daily_orders"] == daily[d]
+        if dow not in seas:
+            # no trend-defined day ever fell on this weekday (sparse
+            # series): the left join emits NULL seasonal + remainder
+            assert r["seasonal"] is None and r["remainder"] is None
+            continue
+        assert abs(r["seasonal"] - round(seas[dow], 6)) < 1e-6
+        if d in trend:
+            assert abs(r["trend"] - round(trend[d], 6)) < 1e-9
+            assert abs(
+                r["remainder"] - round(daily[d] - trend[d] - seas[dow], 6)
+            ) < 1e-6
+        else:
+            assert r["trend"] is None and r["remainder"] is None
+    # the seasonal components sum to ~zero (classical centering)
+    assert abs(sum(seas.values())) < 1e-9
+
+
+def test_mattr_matches_python(spark):
+    """Full MATTR replay in Python: every sliding window's distinct
+    count over the shared tokenizer contract."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from stac_geoparquet_spark.operators.text import (
+        MATTR_W,
+        text_mattr_diversity,
+    )
+
+    rows = {
+        r["doc_id"]: r for r in text_mattr_diversity(spark, SF_DIR).collect()
+    }
+    seen = set()
+    for r in pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).to_pylist():
+        if r["text"] is None or r["doc_id"] in seen:
+            continue
+        seen.add(r["doc_id"])
+        ws = [
+            w
+            for w in re.split(
+                r"[ \t\n\x0b\f\r]+",
+                r["text"].strip().replace("Σ", "σ").lower(),
+            )
+        ]
+        # keep '' tokens: split semantics are shared raw, not filtered
+        ws = ws if ws != [""] else [""]
+        row = rows[r["doc_id"]]
+        assert row["n_tokens"] == len(ws)
+        assert row["n_types"] == len(set(ws))
+        if len(ws) >= MATTR_W:
+            wins = [
+                len(set(ws[i:i + MATTR_W]))
+                for i in range(len(ws) - MATTR_W + 1)
+            ]
+            exp = sum(wins) / len(wins) / MATTR_W
+            assert abs(row["mattr"] - round(exp, 6)) < 1e-9
+            assert 0.0 < row["mattr"] <= 1.0
+        else:
+            assert row["mattr"] is None
+
+
+def test_lift_gains_consistency(spark):
+    """The gains walk is internally consistent with the calibration
+    bins (same bin populations), cumulative columns telescope, the
+    full-corpus row has capture = doc_share = cum_lift = 1, and
+    capture/doc_share are nondecreasing toward bin 0."""
+    from stac_geoparquet_spark.operators.text import (
+        classifier_calibration_bins,
+        classifier_lift_gains,
+    )
+
+    lift = sorted(
+        classifier_lift_gains(spark, SF_DIR).collect(),
+        key=lambda r: -r["bin"],
+    )
+    cal = {
+        r["bin"]: r["n_docs"]
+        for r in classifier_calibration_bins(spark, SF_DIR).collect()
+    }
+    assert {r["bin"]: r["n_docs"] for r in lift} == cal
+    cum_d = cum_p = 0
+    for r in lift:
+        cum_d += r["n_docs"]
+        cum_p += r["n_pos"]
+        assert r["cum_docs"] == cum_d
+        assert r["cum_pos"] == cum_p
+    last = lift[-1]
+    assert last["doc_share"] == 1.0
+    assert last["capture"] == 1.0
+    assert last["cum_lift"] == 1.0
+    for a, b in zip(lift, lift[1:]):
+        assert b["doc_share"] >= a["doc_share"]
+        assert b["capture"] >= a["capture"]

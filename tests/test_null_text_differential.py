@@ -96,6 +96,11 @@ SAMPLE = [
     # its id still moves the cutoff grid — both engines share both
     "ql_dirichlet_topk",
     "text_heaps_law_fit",
+    # round-12c: NULL text leaves the feedback term models, the MATTR
+    # rows, and the classifier/Gopher score join identically
+    "rm3_expansion_terms",
+    "text_mattr_diversity",
+    "classifier_lift_gains",
     # round-7c: NULL prob docs leave the calibration bins; NULL source
     # leaves the gini mass; NULL text scores nothing incrementally
     "classifier_calibration_bins",

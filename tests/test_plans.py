@@ -2733,3 +2733,69 @@ def test_bootstrap_ci_one_point_pass(spark, sf):
     assert n_ops(plan, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_rm3_one_filtered_tokenize_pass(spark, sf):
+    """RM3's only corpus-sized work is ONE tokenize pass filtered by
+    the broadcast feedback set (the BM25 retrieval and normalizer are
+    fenced at build time); the expansion cut is
+    TakeOrderedAndProject — no cartesian, no window, no Python."""
+    from stac_geoparquet_spark.operators import retrieval
+
+    plan = plan_of(retrieval.rm3_expansion_terms(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_stl_decompose_fenced_rollup(spark, sf):
+    """The decomposition consumes the fenced calendar rollup and the
+    fenced 7-row seasonal table: no parquet scan, no window, no
+    cartesian, no Python in the consumer plan — the x7 lag explode
+    and both tiny aggregates are hash joins on the fence."""
+    from stac_geoparquet_spark.operators import timeseries
+
+    plan = plan_of(timeseries.orders_stl_decompose(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_mattr_pure_in_row(spark, sf):
+    """MATTR is one corpus scan of pure in-row array arithmetic — no
+    shuffle-producing operator of any kind, no window, no join, no
+    Python; the token array materializes once as a named column."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.text_mattr_diversity(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 0
+    # the only exchange is read_spread's round-robin block spread
+    # (toy-input parallelism, disappears at scale) — never a keyed
+    # shuffle of computed data
+    assert "hashpartitioning" not in plan
+    assert n_ops(plan, "Exchange") <= 1
+    assert "BatchEvalPython" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
+
+
+def test_lift_gains_fenced_bins(spark, sf):
+    """The gains walk runs on the FENCED 10-row bin table (the two
+    per-doc operators joined once at build time); the cumulative
+    window's input is that constant-size table — no parquet scan, no
+    cartesian, no Python in the consumer plan."""
+    from stac_geoparquet_spark.operators import text
+
+    plan = plan_of(text.classifier_lift_gains(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
