@@ -54,6 +54,9 @@ def _registries():
     from stac_geoparquet_spark.streaming import (
         histogram as streaming_histogram,
     )
+    from stac_geoparquet_spark.streaming import (
+        controlchart as streaming_controlchart,
+    )
     from stac_geoparquet_spark.streaming import dedup as streaming_dedup
     from stac_geoparquet_spark.streaming import novelty as streaming_novelty
     from stac_geoparquet_spark.streaming import quota as streaming_quota
@@ -103,6 +106,7 @@ def _registries():
         (streaming_quota.QUERIES, streaming_quota.ORACLE),
         (streaming_novelty.QUERIES, streaming_novelty.ORACLE),
         (streaming_histogram.QUERIES, streaming_histogram.ORACLE),
+        (streaming_controlchart.QUERIES, streaming_controlchart.ORACLE),
         (multimodal.QUERIES_ROTATION, multimodal.ORACLE_ROTATION),
         (stats.QUERIES_ROTATION, stats.ORACLE_ROTATION),
         (scan_opt.QUERIES_ROTATION, scan_opt.ORACLE_ROTATION),
@@ -162,7 +166,7 @@ CHURNED_THIS_ROUND: list[str] = [
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 19 never-row + 5 churned + 26 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
+# 21 never-row + 5 churned + 24 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
 WINDOW: list[str] = [
     # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
     "bm25_ndcg_report",
@@ -184,6 +188,8 @@ WINDOW: list[str] = [
     "rm3_expansion_terms",
     "text_mattr_diversity",
     "classifier_lift_gains",
+    "ewma_control_incremental",
+    "mm_scene_cuts",
     # churned read path (CHURNED_THIS_ROUND)
     "url_normalize_audit",
     "cap_docs_per_domain",
@@ -215,8 +221,6 @@ WINDOW: list[str] = [
     "dedup_minhash_lsh",
     "embedding_covariance",
     "events_decayed_activity",
-    "except_open_not_finished",
-    "graph_triangle_count",
 ]
 # WINDOW:END
 

@@ -623,3 +623,98 @@ HAVING count(*) >= 2
 
 QUERIES_ROTATION["mm_phash_dedup"] = mm_phash_dedup
 ORACLE_ROTATION["mm_phash_dedup"] = MM_PHASH_SQL
+
+
+# --------------------------------------------------------------------------
+# Scene-cut detection (round 10): per sampled video frame, a
+# luminance stand-in derived from the frame content key; a CUT is a
+# consecutive-frame luminance jump above MM_CUT_TAU — the shot-
+# boundary detector every video curation pipeline runs before
+# keyframe selection (sample one frame per SHOT, not per fixed
+# stride).  The luminance here is the md5 content key's leading 32
+# bits scaled to [0, 1) — the deterministic fake standing in for the
+# mean-luma a real decoder would emit (the mm-family contract:
+# plumbing real, decode swappable), so cuts are reproducible on both
+# engines bit-for-bit.
+#
+# Scale shape: the frame stream is doc-keyed; the lag comparison is
+# ONE window partitioned by doc_id (a scaling key) ordered by
+# frame_idx, then a per-video rollup — no self-join, nothing
+# quadratic; counts exact int64, the cut rate one guarded division.
+# --------------------------------------------------------------------------
+MM_CUT_TAU = 0.5
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    frames = mm_frame_sample(spark, sf_dir).withColumn(
+        "lum",
+        F.round(
+            F.conv(F.substring("frame_key", 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    scored = frames.withColumn(
+        "delta",
+        F.round(F.abs(F.col("lum") - F.lag("lum").over(w)), 6),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames_sampled"),
+        F.sum(F.when(F.col("delta") > MM_CUT_TAU, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.min(
+            F.when(F.col("delta") > MM_CUT_TAU, F.col("frame_idx"))
+        ).alias("first_cut_idx"),
+        F.round(
+            F.sum(F.when(F.col("delta") > MM_CUT_TAU, 1).otherwise(0))
+            .cast("double")
+            / F.expr(
+                "nullif(CAST(count(*) - 1 AS DOUBLE), 0.0)"
+            ),
+            6,
+        ).alias("cut_rate"),
+    )
+
+
+MM_SCENE_CUTS_SQL = f"""
+WITH v AS (
+  SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS n_frames
+  FROM {_DOCS_CANON_SQL} documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT doc_id,
+         CAST(f AS BIGINT) AS frame_idx,
+         round(('0x' || substr(md5(doc_id || ':' || f), 1, 8))::BIGINT
+               / 4294967296.0, 6) AS lum
+  FROM (
+    SELECT doc_id,
+           unnest(generate_series(0, n_frames - 1, {FRAME_STEP})) AS f
+    FROM v
+  ) u
+),
+scored AS (
+  SELECT doc_id, frame_idx,
+         round(abs(lum - lag(lum) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx)), 6) AS delta
+  FROM frames
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames_sampled,
+       CAST(sum(CASE WHEN delta > {MM_CUT_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       min(CASE WHEN delta > {MM_CUT_TAU} THEN frame_idx END)
+         AS first_cut_idx,
+       round(CAST(sum(CASE WHEN delta > {MM_CUT_TAU} THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / nullif(CAST(count(*) - 1 AS DOUBLE), 0.0), 6) AS cut_rate
+FROM scored
+GROUP BY doc_id
+"""
+
+
+QUERIES_ROTATION["mm_scene_cuts"] = mm_scene_cuts
+ORACLE_ROTATION["mm_scene_cuts"] = MM_SCENE_CUTS_SQL

@@ -3548,10 +3548,12 @@ _EWMA_HALF = (
 _EWMA_GUARD = "n < 2"
 
 
-def orders_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ewma_chart_from_daily(daily: DataFrame) -> DataFrame:
+    """The chart math over a (d, c) daily-count frame — shared by the
+    batch op and the streaming maintenance proof (the read-side
+    presentation over the mergeable daily state)."""
     from stac_geoparquet_spark.operators._io import fenced
 
-    daily = _daily_orders(spark, sf_dir)
     # calendar-bounded input: the unpartitioned index window and the
     # x W lag explode both run on the daily rollup (allowlisted).
     # The indexed rollup is FENCED (calendar-bounded rows): three
@@ -3657,6 +3659,10 @@ SELECT d,
        END AS out_of_control
 FROM sm CROSS JOIN mom
 """
+
+
+def orders_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_chart_from_daily(_daily_orders(spark, sf_dir))
 
 
 QUERIES["orders_ewma_control"] = orders_ewma_control

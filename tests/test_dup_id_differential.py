@@ -153,6 +153,10 @@ SAMPLE = [
     "rm3_expansion_terms",
     "text_mattr_diversity",
     "classifier_lift_gains",
+    # duplicate orders merge into the same daily state; the frame
+    # stream keys on the canonical asset store
+    "ewma_control_incremental",
+    "mm_scene_cuts",
     # raw-multiset representatives (must stay consistent WITHOUT
     # canonicalization — a regression here means someone canonicalized
     # one side only)

@@ -214,6 +214,8 @@ SAMPLE = [
     "orders_stl_decompose",
     "text_mattr_diversity",
     "classifier_lift_gains",
+    "ewma_control_incremental",
+    "mm_scene_cuts",
 ]
 
 TABLES = (

@@ -5368,3 +5368,65 @@ def test_lift_gains_consistency(spark):
     for a, b in zip(lift, lift[1:]):
         assert b["doc_share"] >= a["doc_share"]
         assert b["capture"] >= a["capture"]
+
+
+def test_ewma_incremental_equals_batch(spark):
+    """The maintenance proof's merged-state chart is row-identical to
+    the batch op (incremental == full recompute — the histogram.py
+    equivalence contract)."""
+    from stac_geoparquet_spark.operators.timeseries import (
+        orders_ewma_control,
+    )
+    from stac_geoparquet_spark.streaming.controlchart import (
+        ewma_control_incremental,
+    )
+
+    batch = {
+        r["d"]: tuple(r) for r in orders_ewma_control(spark, SF_DIR).collect()
+    }
+    incr = {
+        r["d"]: tuple(r)
+        for r in ewma_control_incremental(spark, SF_DIR).collect()
+    }
+    assert batch == incr
+
+
+def test_scene_cuts_matches_python(spark):
+    """Full shot-boundary replay in Python over the deterministic
+    frame keys: luminance derivation, lag deltas, cut flags, and the
+    per-video rollup."""
+    import hashlib
+
+    from stac_geoparquet_spark.operators.multimodal import (
+        MM_CUT_TAU,
+        mm_frame_sample,
+        mm_scene_cuts,
+    )
+
+    frames: dict = {}
+    for r in mm_frame_sample(spark, SF_DIR).collect():
+        lum = round(
+            int(hashlib.md5(f"{r['doc_id']}:{r['frame_idx']}".encode())
+                .hexdigest()[:8], 16) / 4294967296.0,
+            6,
+        )
+        frames.setdefault(r["doc_id"], []).append((r["frame_idx"], lum))
+    rows = {r["doc_id"]: r for r in mm_scene_cuts(spark, SF_DIR).collect()}
+    assert set(rows) == set(frames)
+    for doc, fs in frames.items():
+        fs.sort()
+        cuts = [
+            idx
+            for (pi, pl), (idx, lum) in zip(fs, fs[1:])
+            if round(abs(lum - pl), 6) > MM_CUT_TAU
+        ]
+        r = rows[doc]
+        assert r["n_frames_sampled"] == len(fs)
+        assert r["n_cuts"] == len(cuts)
+        assert r["first_cut_idx"] == (min(cuts) if cuts else None)
+        if len(fs) > 1:
+            assert abs(
+                r["cut_rate"] - round(len(cuts) / (len(fs) - 1), 6)
+            ) < 1e-9
+        else:
+            assert r["cut_rate"] is None

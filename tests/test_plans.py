@@ -2799,3 +2799,34 @@ def test_lift_gains_fenced_bins(spark, sf):
     assert n_ops(plan, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_ewma_incremental_merged_state_shape(spark, sf):
+    """The maintenance proof merges three day-keyed delta aggregates
+    before the chart fence — the consumer plan is the fenced chart
+    (no parquet scan, no window, no cartesian, no Python), identical
+    to the batch op's consumer shape."""
+    from stac_geoparquet_spark.streaming import controlchart
+
+    plan = plan_of(controlchart.ewma_control_incremental(spark, sf))
+    assert n_ops(plan, "Scan parquet") == 0
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_scene_cuts_one_keyed_window(spark, sf):
+    """Shot detection is one doc-keyed lag window over the sampled
+    frame stream + one doc-keyed rollup — no self-join, nothing
+    quadratic, no Python."""
+    from stac_geoparquet_spark.operators import multimodal
+
+    plan = plan_of(multimodal.mm_scene_cuts(spark, sf))
+    assert n_ops(plan, "Window") == 1
+    assert "windowspecdefinition(doc_id" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, j) == 0
