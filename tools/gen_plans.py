@@ -481,6 +481,45 @@ SHOWCASE = [
         "prefix-filter stages.",
     ),
     (
+        "hybrid_rrf_retrieval",
+        "Join-free rank fusion: the two top-K lists union and collapse in "
+        "ONE hash aggregate (Spark cannot broadcast full-outer joins — the "
+        "join form would SortMergeJoin); the ranking window's input is the "
+        "bounded per-query union.",
+    ),
+    (
+        "ql_dirichlet_topk",
+        "Two linear corpus passes (lengths + query-filtered postings) "
+        "joined CO-KEYED on doc_id (SortMergeJoin by choice — neither side "
+        "broadcasts at scale); smoothing statistics are fenced 1-row "
+        "aggregates; the global top-K is TakeOrderedAndProject.",
+    ),
+    (
+        "graph_adamic_adar",
+        "Link prediction never touches the corpus: wedges, degrees, and the "
+        "LEFT ANTI edge filter all key on the fenced support-filtered pair "
+        "set; the global top-K is TakeOrderedAndProject, no global sort.",
+    ),
+    (
+        "events_bootstrap_ci",
+        "The x200 Poisson-replicate explode map-side combines to B rows per "
+        "task; the CI ranks the FENCED 200-row replicate table — consumer "
+        "plan: one point-estimate scan + a constant-input window.",
+    ),
+    (
+        "orders_stl_decompose",
+        "All corpus work is the fenced calendar rollup; the centered MA is "
+        "a x7 constant lag explode joined on dates, the seasonal table a "
+        "broadcast 7-row aggregate — consumer plan has zero parquet scans.",
+    ),
+    (
+        "text_mattr_diversity",
+        "Pure in-row array arithmetic: one scan, ZERO exchanges of computed "
+        "data (the only exchange is read_spread's toy-input block spread) — "
+        "the token array materializes once as a named column because "
+        "Catalyst does not CSE inside lambda bodies.",
+    ),
+    (
         "hard_negative_mining",
         "Per-query pos/neg maxima as block-GEMM partials: one "
         "MapInPandas emits ONE row per (query, block) and a |Q|-row "
