@@ -106,7 +106,9 @@ def _canon_layout(
     # ``spread`` parallelizes single-split toy reads for worker-heavy
     # consumers; hash-early operators (dedup_exact) pass False so the
     # text column never rides a round-robin exchange
-    return read_spread(spark, out) if spread else spark.read.parquet(out)
+    from stac_geoparquet_spark.operators._io import scan_parquet
+
+    return read_spread(spark, out) if spread else scan_parquet(spark, out)
 
 
 def docs_canon(

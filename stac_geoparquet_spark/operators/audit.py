@@ -33,9 +33,11 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -356,7 +358,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.similarity import _valid_vec
 
     emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec() & F.col("label").isNotNull())
         .select("vec_id", "embedding", "label")
     )
@@ -687,7 +689,7 @@ FROM j GROUP BY hamming
 def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
-    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet")).where(
+    li = _scan_parquet(spark, _os.path.join(sf_dir, "lineitem.parquet")).where(
         F.col("l_suppkey").isNotNull()
     )
     return (

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 from stac_geoparquet_spark.caches import register_cache
 
 from stac_geoparquet_spark.operators._canon import (
@@ -542,7 +544,7 @@ def _ed_name_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     return (
-        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        _scan_parquet(spark, os.path.join(sf_dir, "part.parquet"))
         .where(
             (F.length("p_name") >= ED_MIN_LEN)
             & F.col("p_name").rlike("^[\\x00-\\x7f]*$")
@@ -1643,7 +1645,7 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.levenshtein("sa", "sb") <= ED_TAU).alias("is_match"),
         )
     )
-    attrs = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+    attrs = _scan_parquet(spark, os.path.join(sf_dir, "part.parquet")).select(
         "p_partkey",
         "p_brand",
         "p_type",

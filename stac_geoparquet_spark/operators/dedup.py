@@ -35,6 +35,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 from stac_geoparquet_spark.caches import register_cache
 from pyspark.sql.window import Window
 
@@ -1080,7 +1082,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no centroids -> no cells -> nothing to assign or prune
         return spark.createDataFrame([], out_schema)
     layout = build_ivf_layout(spark, sf_dir)
-    df = spark.read.parquet(layout).select("vec_id", "embedding", "ivf_cell")
+    df = _scan_parquet(spark, layout).select("vec_id", "embedding", "ivf_cell")
     tau = SEMDEDUP_TAU
 
     def prune(pdf):
@@ -1167,7 +1169,7 @@ def semantic_decontam_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(_load_centroids(sf_dir)[0]) == 0:
         return spark.createDataFrame([], out_schema)
     layout = build_ivf_layout(spark, sf_dir)
-    df = spark.read.parquet(layout).select("vec_id", "embedding", "ivf_cell")
+    df = _scan_parquet(spark, layout).select("vec_id", "embedding", "ivf_cell")
     tau = SEMDEDUP_TAU
     h_mod, h_lo = HOLDOUT_MOD, HOLDOUT_LO
 

@@ -33,6 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 ZBITS = 16  # bits per dimension after quantization
 CELL_LEVEL = 3  # quadtree level for the rollup: 4^3 = 64 cells
 
@@ -81,7 +83,7 @@ def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-curve over (l_partkey, l_suppkey) — the tightness evidence: every
     cell bounds BOTH dimensions, which is exactly what makes row-group
     stats selective after a z-ordered write."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+    li = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")).select(
         "l_partkey", "l_suppkey"
     )
     m = li.agg(

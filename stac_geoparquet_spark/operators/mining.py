@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 from stac_geoparquet_spark.caches import register_cache
 
 
@@ -37,11 +39,11 @@ PARETO_CUTS = ((0.99, "top_1pct"), (0.95, "top_5pct"), (0.90, "top_10pct"))
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,8 +134,17 @@ def decontaminate_against_holdout(
     # group holdout-contaminated with a partition-wide window max; a
     # hot boilerplate gram skews this partition exactly as it would
     # skew the join's build side — AQE skew handling applies to both.
+    # r10: per-doc in-row array_distinct BEFORE the explode — the
+    # window mark ("gram occurs in ANY holdout doc") and the per-doc
+    # DISTINCT overlap count are both insensitive to in-doc duplicate
+    # grams, so repeated boilerplate grams never reach the gram
+    # exchange (guide §2.3: aggregate/dedup before you shuffle).  The
+    # count_distinct aggregate stays — raw multiset doc_id re-ingest
+    # still collapses to distinct grams per id on both engines.
     doc_grams = labeled.select(
-        "doc_id", "split", F.explode("grams").alias("ngram")
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct("grams")).alias("ngram"),
     )
     in_holdout = F.max(
         (F.col("split") >= TRAIN_PCT).cast("int")

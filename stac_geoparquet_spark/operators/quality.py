@@ -28,6 +28,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 
 def _check_row(name: str, failed: DataFrame, total: DataFrame) -> DataFrame:
     """(check, failed, total) as a lazy 1-row frame from two 1-row
@@ -51,9 +53,9 @@ MEASURE_ENVELOPE = 1_000_000_000_000.0
 
 def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check, failed, total) across the star schema's core contracts."""
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    lineitem = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    customer = _scan_parquet(spark, os.path.join(sf_dir, "customer.parquet"))
 
     n_orders = orders.agg(F.count(F.lit(1)).alias("total"))
     n_li = lineitem.agg(F.count(F.lit(1)).alias("total"))
@@ -226,8 +228,8 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the operators whose contracts these are."""
     from stac_geoparquet_spark.operators.similarity import DIM, _valid_vec
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs = _scan_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    emb = _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
     bad_lang = F.col("lang").isNotNull() & ~F.col("lang").isin(*DOC_LANGS)
     len_drift = F.col("text").isNotNull() & (

@@ -56,9 +56,11 @@ def _davg(col, scale: int = 4):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
+    from stac_geoparquet_spark.operators._io import scan_parquet
+
     if name == "events":
         return read_events(spark, os.path.join(sf_dir, "events.parquet"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return scan_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -70,8 +72,10 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     — exactly what DuckDB does when it loads the same file into its
     microsecond TIMESTAMP.
     """
+    from stac_geoparquet_spark.operators._io import scan_parquet
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = scan_parquet(spark, path)
     ts_type = df.schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
         # integer `div`, NOT float division: ns epochs (~2^60) exceed a

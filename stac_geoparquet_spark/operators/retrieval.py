@@ -66,22 +66,47 @@ CHI2_CRIT = 3.84  # chi2 critical value at p < 0.05, 1 dof
 # final row_number window is unpartitioned but runs AFTER the top-K cut
 # — its input is BM25_TOP_K rows, a constant.
 # --------------------------------------------------------------------------
-def _term_freqs(docs: DataFrame) -> DataFrame:
-    """(doc_id, dl, term, tf) for the query terms only — the postings
-    filter lands BEFORE the aggregate, so the shuffled stream is
-    |QUERY_TERMS| postings, never the corpus token stream."""
-    toks = docs.select(
-        "doc_id", _words(F.col("text")).alias("w")
-    ).select(
+def _qterm_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf_0..tf_{|q|-1}) — per-doc occurrence counts of
+    each (compile-time constant) query term, computed IN-ROW: one
+    tokenize, one size(filter(w, x == term)) per term, zero exchanges.
+    The tokens array materializes once as a named column (Catalyst
+    does not CSE into lambda bodies)."""
+    out = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    return out.select(
         "doc_id",
         F.size("w").cast("bigint").alias("dl"),
-        F.explode("w").alias("term"),
+        *[
+            F.size(F.filter("w", lambda x: x == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ],
     )
-    return (
-        toks.where(F.col("term").isin(*QUERY_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _term_freqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) for the query terms only — r10: the
+    per-term counts are in-row expressions (``_qterm_counts``) and the
+    postings rows come from a NARROW explode of the non-zero counts,
+    so the corpus token stream is never exploded and the old
+    (doc_id, dl, term) aggregate exchange disappears from every
+    consumer (bm25_topk / ndcg / ql / incremental)."""
+    cnt = _qterm_counts(docs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.col(f"tf_{i}").alias("tf"),
+            )
+            for i, t in enumerate(QUERY_TERMS)
+        ]
     )
+    return cnt.select(
+        "doc_id",
+        "dl",
+        F.explode(F.filter(entries, lambda e: e["tf"] > 0)).alias("e"),
+    ).select("doc_id", "dl", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
 
 
 def _corpus_stats(docs: DataFrame) -> DataFrame:
@@ -111,17 +136,62 @@ def _bm25_tf_part():
     )
 
 
+def _bm25_idf_at(i: int):
+    return F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5))
+        / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+    )
+
+
+def _bm25_tf_part_at(i: int):
+    return (F.col(f"tf_{i}").cast("double") * (BM25_K1 + 1.0)) / (
+        F.col(f"tf_{i}").cast("double")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+
+
 def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 restructure (same results, proven against the unchanged
+    # oracle): the old shape exploded the corpus token stream into a
+    # (doc, term) aggregate, joined df/stats back, and re-aggregated
+    # per doc — four corpus-order exchanges across three tokenize
+    # passes.  QUERY_TERMS is a compile-time constant, so everything
+    # per-doc is IN-ROW: pass 1 aggregates (n_docs, avgdl, df_t) in
+    # ONE 1-row reduce; pass 2 scores each matching doc with a fixed
+    # |q|-term sum.  Two corpus passes, zero keyed exchanges, the
+    # global top-K stays TakeOrderedAndProject.  The fixed-order
+    # per-doc sum replaces the aggregate's arbitrary merge order —
+    # both land on the same round(,6) value (the accepted ~1e-16 vs
+    # 5e-7 quantum margin, same contract as before).
     docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
-    tf = _term_freqs(docs)
-    stats = _corpus_stats(docs)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf, tf_part = _bm25_idf(), _bm25_tf_part()
+    cnt = _qterm_counts(docs)
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    contrib = [
+        F.when(F.col(f"tf_{i}") > 0, _bm25_idf_at(i) * _bm25_tf_part_at(i))
+        .otherwise(F.lit(0.0))
+        for i in range(len(QUERY_TERMS))
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        cnt.where(
+            F.greatest(
+                *[F.col(f"tf_{i}") for i in range(len(QUERY_TERMS))]
+            )
+            > 0
+        )
         .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .select("doc_id", F.round(total, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_K)
     )
@@ -315,20 +385,47 @@ INCOMING_MOD = 50  # doc_id % 50 == 0 plays the incoming stream
 def bm25_incremental_scoring(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # r10 restructure (same results, unchanged oracle): base-side
+    # df/n_docs/avgdl reduce to ONE 1-row pass over the in-row term
+    # counts (the bm25_topk shape — the old form tokenized base twice
+    # and aggregated the exploded stream), and incoming docs score
+    # in-row with the fixed |q|-term sum instead of explode + join +
+    # re-aggregate.  Two corpus passes, zero keyed exchanges.
     docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
-    base = docs.where(F.col("doc_id") % INCOMING_MOD != 0)
-    incoming = docs.where(F.col("doc_id") % INCOMING_MOD == 0)
-    dfreq = _term_freqs(base).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    nq = len(QUERY_TERMS)
+    base_cnt = _qterm_counts(docs.where(F.col("doc_id") % INCOMING_MOD != 0))
+    in_cnt = _qterm_counts(docs.where(F.col("doc_id") % INCOMING_MOD == 0))
+    stats = base_cnt.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(nq)
+        ],
     )
-    stats = _corpus_stats(base)
-    tf_in = _term_freqs(incoming)
-    idf, tf_part = _bm25_idf(), _bm25_tf_part()
+    # a term ABSENT from the base index (df_i = 0) contributes nothing
+    # and does not qualify a doc for output — the old inner join on
+    # dfreq dropped those postings; the guards reproduce it exactly
+    contrib = [
+        F.when(
+            (F.col(f"tf_{i}") > 0) & (F.col(f"df_{i}") > 0),
+            _bm25_idf_at(i) * _bm25_tf_part_at(i),
+        ).otherwise(F.lit(0.0))
+        for i in range(nq)
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    matched = [
+        (F.col(f"tf_{i}") > 0) & (F.col(f"df_{i}") > 0) for i in range(nq)
+    ]
+    any_match = matched[0]
+    for m in matched[1:]:
+        any_match = any_match | m
     return (
-        tf_in.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        in_cnt.join(F.broadcast(stats))
+        .where(any_match)
+        .select("doc_id", F.round(total, 6).alias("score"))
     )
 
 
@@ -481,28 +578,66 @@ def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.twophase import local_topk
 
     docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
-    tfg = _term_freqs(docs).withColumn(
-        "grade",
-        F.least(F.lit(NDCG_MAX_GRADE), F.col("tf")).cast("bigint"),
-    )
-    # fenced: consumed twice (df into the scoring join, cums into the
-    # final report join) — without the fence each consumer re-executes
-    # the corpus-scale postings aggregate (the no-CSE trap); output is
-    # bounded by |QUERY_TERMS| rows, exactly the fence contract
-    gstats = fenced(
-        tfg.groupBy("term").agg(
-            F.count(F.lit(1)).cast("bigint").alias("df"),
+    cnt = _qterm_counts(docs)
+    nq = len(QUERY_TERMS)
+    # r10: ONE corpus reduce carries everything both stat consumers
+    # need — n_docs/avgdl (the old separate _corpus_stats pass) AND the
+    # per-term df + grade histogram (the old gstats aggregate) — as a
+    # single fenced 1-row frame; gstats pivots out of it in-plan (a
+    # |q|-element constant explode, no second corpus pass, and the old
+    # 3 corpus tokenize passes drop to 2).
+    wide = fenced(
+        cnt.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
+                .cast("bigint")
+                .alias(f"df_{i}")
+                for i in range(nq)
+            ],
             *[
                 F.coalesce(
-                    F.sum(F.when(F.col("grade") >= g, F.lit(1))), F.lit(0)
+                    F.sum(
+                        F.when(
+                            F.least(
+                                F.lit(NDCG_MAX_GRADE), F.col(f"tf_{i}")
+                            )
+                            >= g,
+                            F.lit(1),
+                        )
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
-                .alias(f"cum{g}")
+                .alias(f"cum_{i}_{g}")
+                for i in range(nq)
                 for g in range(1, NDCG_MAX_GRADE + 1)
             ],
         )
     )
-    stats = _corpus_stats(docs)
+    gstats = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.col(f"df_{i}").alias("df"),
+                        *[
+                            F.col(f"cum_{i}_{g}").alias(f"cum{g}")
+                            for g in range(1, NDCG_MAX_GRADE + 1)
+                        ],
+                    )
+                    for i, t in enumerate(QUERY_TERMS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    stats = wide.select("n_docs", "avgdl")
+    tfg = _term_freqs(docs).withColumn(
+        "grade",
+        F.least(F.lit(NDCG_MAX_GRADE), F.col("tf")).cast("bigint"),
+    )
     idf, tf_part = _bm25_idf(), _bm25_tf_part()
     scored = (
         tfg.join(F.broadcast(gstats.select("term", "df")), "term")
@@ -922,39 +1057,49 @@ QL_TOP_K = 25
 
 
 def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 restructure (same results, unchanged oracle): the old shape
+    # ran FOUR corpus tokenize passes (ctf fence, coll fence, match,
+    # scored) plus three fence jobs and a doc-keyed left join.  With
+    # the constant query-term counts in-row (_qterm_counts), pass 1
+    # reduces (c_total, ctf_t, q_eff) into ONE broadcast row and pass
+    # 2 scores every doc in-row — two passes, zero fences, zero keyed
+    # exchanges; the matching part still touches only nonzero counts
+    # (the CASE guard, which also keeps the ctf_t = 0 division out of
+    # the plan's reachable arithmetic).
     docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
-    dldocs = docs.select(
-        "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("dl")
+    cnt = _qterm_counts(docs)
+    nq = len(QUERY_TERMS)
+    stats = cnt.agg(
+        F.sum("dl").cast("bigint").alias("c_total"),
+        *[
+            F.sum(F.col(f"tf_{i}")).cast("bigint").alias(f"ctf_{i}")
+            for i in range(nq)
+        ],
+    ).selectExpr(
+        "c_total",
+        *[f"ctf_{i}" for i in range(nq)],
+        "CAST("
+        + " + ".join(f"(CASE WHEN ctf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(nq))
+        + " AS BIGINT) AS q_eff",
     )
-    tf = _term_freqs(docs)
-    # the three smoothing statistics are tiny aggregates (<= |q| rows)
-    # consumed by downstream joins — fenced so the corpus token/length
-    # passes behind them run once each (the no-CSE trap)
-    ctf = fenced(
-        tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("ctf"))
-    )
-    coll = fenced(dldocs.agg(F.sum("dl").cast("bigint").alias("c_total")))
-    qeff = fenced(
-        ctf.agg(F.count(F.lit(1)).cast("bigint").alias("q_eff"))
-    )
-    match = (
-        tf.join(F.broadcast(ctf), "term")
-        .join(F.broadcast(coll))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    F.lit(1.0)
-                    + F.col("tf").cast("double")
-                    * F.col("c_total").cast("double")
-                    / (F.lit(QL_MU) * F.col("ctf").cast("double"))
-                )
-            ).alias("m")
-        )
-    )
+    m_terms = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.log(
+                F.lit(1.0)
+                + F.col(f"tf_{i}").cast("double")
+                * F.col("c_total").cast("double")
+                / (F.lit(QL_MU) * F.col(f"ctf_{i}").cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+        for i in range(nq)
+    ]
+    m = m_terms[0]
+    for t in m_terms[1:]:
+        m = m + t
     scored = (
-        dldocs.join(match, "doc_id", "left")
-        .join(F.broadcast(qeff))
+        cnt.join(F.broadcast(stats))
+        .select("doc_id", "dl", m.alias("m"), "q_eff")
         .selectExpr(
             "doc_id",
             f"""round(coalesce(m, 0.0)

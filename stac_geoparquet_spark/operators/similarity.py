@@ -44,6 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 from stac_geoparquet_spark.caches import register_cache
 from pyspark.sql.window import Window
 
@@ -699,7 +701,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = build_ivf_layout(spark, sf_dir)
     probed_cells = sorted({int(c) for row in probes for c in row})
     cand = (
-        spark.read.parquet(layout)
+        _scan_parquet(spark, layout)
         # partition-column filter -> pruned at planning time
         .filter(F.col("ivf_cell").isin(probed_cells))
     )
@@ -836,7 +838,7 @@ def _kmeans_fit(
     session-cached (bounded: K x d floats); the vector table itself is
     a cheap canonical-layout read rebuilt per call."""
     emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec())
         # canonical-by-id (_canon.py): k-means is an index build — a
         # re-ingested duplicate id must not double-weight the means, so
@@ -1045,7 +1047,7 @@ FROM pp GROUP BY cluster
 # --------------------------------------------------------------------------
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
@@ -1111,7 +1113,7 @@ def embedding_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent to exact centroid distances; at 100 TB the exploded frame
     is what a pipeline would persist between the passes.
     """
-    emb = spark.read.parquet(
+    emb = _scan_parquet(spark, 
         os.path.join(sf_dir, "embeddings.parquet")
     ).where(_valid_vec())
     x = emb.select(
@@ -1406,7 +1408,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = build_ivf_layout(spark, sf_dir)
     probed_cells = sorted({int(c) for row in probes for c in row})
     cand = (
-        spark.read.parquet(layout)
+        _scan_parquet(spark, layout)
         # partition-column filter -> pruned at planning time
         .filter(F.col("ivf_cell").isin(probed_cells))
         .select("vec_id", "embedding", "ivf_cell")
@@ -1746,7 +1748,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_suspect bigint",
         )
     emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec())
         .select(
             "vec_id",
@@ -1962,7 +1964,7 @@ def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     if comp is None:
         return spark.createDataFrame([], out_schema)
     emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
         .where(_valid_vec())
         .select(
             "vec_id",

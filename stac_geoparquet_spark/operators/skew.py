@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 SALTS = 8
 
 
@@ -70,7 +72,7 @@ def salted_join(
 
 
 def skew_salted_flag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
     dim = (
         li.select("l_returnflag")
         .distinct()

@@ -31,6 +31,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 WORLD = 100_000  # integer coordinate space [0, WORLD)
 CELL = 1_000  # grid cell size -> 100 x 100 cells
 
@@ -67,14 +69,14 @@ def _grid_cells_expr(idiv: str) -> str:
 
 
 def _boxes_a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cust = _scan_parquet(spark, os.path.join(sf_dir, "customer.parquet"))
     return cust.selectExpr(
         "c_custkey AS a_id", *_boxes_sql("c_custkey", _AX, _AY, 97, 89)
     )
 
 
 def _boxes_b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    supp = _scan_parquet(spark, os.path.join(sf_dir, "supplier.parquet"))
     return supp.selectExpr(
         "s_suppkey AS b_id", *_boxes_sql("s_suppkey", _BX, _BY, 83, 79)
     )

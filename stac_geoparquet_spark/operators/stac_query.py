@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 N_ITEMS = 500
 
 
@@ -34,7 +36,7 @@ def _synth_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     part = (
-        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        _scan_parquet(spark, os.path.join(sf_dir, "part.parquet"))
         .orderBy("p_partkey")
         .limit(N_ITEMS)
     )
@@ -291,7 +293,7 @@ def cql2_orders_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]},
         ],
     }
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     return cql2_filter(orders, expr).select(
         "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
     )
@@ -327,7 +329,7 @@ def cql2_text_lineitem_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T_DURING(l_shipdate, INTERVAL('1996-01-01T00:00:00Z',"
         " '1996-12-31T23:59:59Z'))"
     )
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
     out = cql2_text_filter(li, text)
     return out.select(
         "l_orderkey",

@@ -27,6 +27,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 SAMPLE_K = 500  # fixed-size sample
 
 
@@ -53,7 +55,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified Bernoulli sample of orders: keep a row
     iff its hash bucket falls under its stratum's rate. Pure scan-stage
     filter — zero shuffles, pushdown-friendly, retry-stable."""
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     return orders.where(
         F.expr(f"{_bucket_sql('o_orderkey', 'smp')} < {_RATE_CASE}")
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -74,7 +76,7 @@ def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable fixed-size-sample shape (never a global sort). The hash
     column rides along so the result set is well-defined (hash is
     unique per (orderkey, linenumber) in practice; K smallest values)."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
     h = (
         "CAST(conv(substring(md5(concat('rsv:', CAST(l_orderkey AS STRING),"
         " ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
@@ -101,7 +103,7 @@ def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment profile of quantity vs price per return flag:
     Pearson correlation, sample covariance, sample stddevs, mean.
     One partial-aggregable groupBy (all moments are associative)."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -149,7 +151,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one global aggregate; here shuffled rows ~= distinct values.
     At 100 TB swap the exact pair compaction for approx_count_distinct
     when ±2% NDV is acceptable."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
     stack = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
     pairs = li.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, v)"
@@ -209,7 +211,7 @@ def outliers_iqr_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ by one ulp — enough to flip a row sitting exactly on a
     fence (the funnel-latency sf0.1 finding, applied to the
     comparison rather than the rounding)."""
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     priced = orders.select(
         "o_orderkey",
         "o_orderpriority",
@@ -499,7 +501,7 @@ QUERIES = {
 def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _scan_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
     h = (
         "CAST(conv(substring(md5(concat('kmvsrc:', text)),"
         " 1, 15), 16, 10) AS BIGINT)"
@@ -1115,8 +1117,8 @@ FROM sig a JOIN sig b ON a.source < b.source
 # everything partial-aggregates map-side.
 # --------------------------------------------------------------------------
 def ols_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    li = _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    part = _scan_parquet(spark, os.path.join(sf_dir, "part.parquet"))
     xy = (
         li.join(part, li.l_partkey == part.p_partkey)
         .where(

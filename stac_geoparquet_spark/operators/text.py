@@ -947,8 +947,11 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1
 _GOPHER_SYMBOLS = ("#", "…")
 
 
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def _gopher_cols() -> dict[str, Column]:
+    """The Gopher rule columns as in-row expressions over ``text`` —
+    ONE definition shared by gopher_quality_rules and the calibration
+    composition (classifier_calibration_bins) so the rule set cannot
+    drift between them."""
     w = _words(F.col("text"))
     n_words = F.size(w).cast("bigint")
     nonspace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
@@ -976,14 +979,21 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO),
         F.lit(False),
     )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wlen, 6),
+        "stop_types": stop_types,
+        "alpha_frac": F.round(alpha_frac, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "keep": keep,
+    }
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cols = _gopher_cols()
     return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        stop_types.alias("stop_types"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        keep.alias("keep"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -1037,8 +1047,10 @@ CLF_MIX = 2654435761  # Knuth's multiplicative-hash constant
 CLF_SCALE = 32.0
 
 
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def _clf_cols() -> dict[str, Column]:
+    """The hashed-linear-classifier columns as in-row expressions over
+    ``text`` — ONE definition shared by quality_classifier_score and
+    the calibration composition."""
     w = _words(F.col("text"))
 
     def tok_weight(x: Column) -> Column:
@@ -1054,12 +1066,19 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     prob = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-raw.cast("double") / F.lit(CLF_SCALE))
     )
+    return {
+        "n_tokens": F.size(w).cast("bigint"),
+        "raw_score": raw,
+        "prob": F.round(prob, 6),
+        "keep": F.coalesce(raw > 0, F.lit(False)),
+    }
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cols = _clf_cols()
     return docs.select(
-        "doc_id",
-        F.size(w).cast("bigint").alias("n_tokens"),
-        raw.alias("raw_score"),
-        F.round(prob, 6).alias("prob"),
-        F.coalesce(raw > 0, F.lit(False)).alias("keep"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -1688,11 +1707,19 @@ FROM counts GROUP BY doc_id
 def classifier_calibration_bins(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    scores = quality_classifier_score(spark, sf_dir).select(
-        "doc_id", "prob"
-    )
-    labels = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
-    j = scores.join(labels, "doc_id").where(F.col("prob").isNotNull())
+    # r10 optimization: both component ops are pure per-row
+    # projections of the SAME docs scan, so the doc_id equi-join of
+    # their outputs is the identity — compute prob and the Gopher keep
+    # in ONE select (one scan, one tokenize pass, zero join exchange;
+    # was: two full scans + a doc-keyed shuffle join).  The shared
+    # _clf_cols/_gopher_cols expression factories keep the semantics
+    # pinned to the component ops; the oracle still spells the join.
+    docs = _docs(spark, sf_dir)
+    j = docs.select(
+        "doc_id",
+        _clf_cols()["prob"].alias("prob"),
+        _gopher_cols()["keep"].alias("keep"),
+    ).where(F.col("prob").isNotNull())
     binned = j.select(
         F.least(F.floor(F.col("prob") * 10), F.lit(9))
         .cast("bigint")
@@ -1719,11 +1746,42 @@ def classifier_calibration_bins(
     )
 
 
-# the oracle COMPOSES the two shipped oracles verbatim (no re-derived
-# fragments to drift): g = the Gopher labels, c = the classifier probs
+# the oracle mirrors the one-pass composition (r10 optimization): the
+# prob and keep expressions are the component oracles' fragments
+# VERBATIM, computed from one scan of documents — exactly like the
+# Spark side's single select, so dup-id multiplicity agrees on every
+# axis (one output row per input row, never the join's k^2)
 CALIBRATION_SQL = f"""
-WITH g AS ({GOPHER_RULES_SQL}),
-c AS ({CLASSIFIER_SQL})
+WITH m AS (
+  SELECT doc_id,
+         len({_SQL_WORDS}) AS n_words,
+         length(regexp_replace(text, '{SQL_WS}+', '', 'g')) AS nonspace,
+         len(list_distinct(list_filter({_SQL_WORDS},
+                                       x -> x IN ({_STOP_IN})))) AS stop_types,
+         len(list_filter({_SQL_WORDS},
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, chr(8230), ''))) AS n_sym,
+         CAST(list_sum(list_transform({_SQL_WORDS},
+             x -> ((('0x' || substr(md5(x), 1, 4))::BIGINT % {CLF_BUCKETS})
+                   * {CLF_MIX}) % {CLF_WEIGHT_MOD} - 10)) AS BIGINT)
+           AS raw_score
+  FROM documents
+),
+j AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-raw_score / {CLF_SCALE})), 6) AS prob,
+         coalesce(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND nonspace * 1.0 / nullif(n_words, 0)
+                      BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                  AND stop_types >= {GOPHER_MIN_STOP_TYPES}
+                  AND n_alpha * 1.0 / nullif(n_words, 0)
+                      >= {GOPHER_MIN_ALPHA_FRAC}
+                  AND n_sym * 1.0 / nullif(n_words, 0)
+                      <= {GOPHER_MAX_SYMBOL_RATIO},
+                  false) AS keep
+  FROM m
+)
 SELECT bin,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(p_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
@@ -1733,11 +1791,11 @@ SELECT bin,
              - CAST(sum(pass_flag) AS DOUBLE) / count(*), 6) + 0.0
          AS calibration_gap
 FROM (
-  SELECT CAST(least(floor(c.prob * 10), 9) AS BIGINT) AS bin,
-         CAST(round(c.prob * 1000000) AS BIGINT) AS p_micro,
-         CASE WHEN g.keep THEN 1 ELSE 0 END AS pass_flag
-  FROM c JOIN g USING (doc_id)
-  WHERE c.prob IS NOT NULL
+  SELECT CAST(least(floor(j.prob * 10), 9) AS BIGINT) AS bin,
+         CAST(round(j.prob * 1000000) AS BIGINT) AS p_micro,
+         CASE WHEN j.keep THEN 1 ELSE 0 END AS pass_flag
+  FROM j
+  WHERE j.prob IS NOT NULL
 ) t
 GROUP BY bin
 """

@@ -33,16 +33,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 ACF_MAX_LAG = 7  # daily-series autocorrelation horizon (one week)
 LEADTIME_X_EPOCH = "2020-01-01"  # OLS x-origin: keeps day indexes small
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return _scan_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r10 optimization: coalesce post-shuffle partitions to the
+        # advisory byte size instead of splitting down to max
+        # parallelism.  parallelismFirst=true (the default) turns every
+        # tiny reduce stage into `cores` near-empty tasks — pure
+        # scheduling overhead at test scale (q1 final agg: 32 tasks of
+        # <1 ms; 0.53 s -> 0.20 s with this off) and exactly the many-
+        # small-blocks shuffle regime guide §2.2 warns about at scale.
+        # At 100 TB post-shuffle partitions exceed the 64 MB advisory
+        # size, so coalescing never reduces parallelism there; the
+        # advisory size stays conf-overridable per deployment.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -129,7 +140,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 
                 df = read_events(spark, path)
             else:
-                df = spark.read.parquet(path)
+                from stac_geoparquet_spark.operators._io import (
+                    scan_parquet,
+                )
+
+                df = scan_parquet(spark, path)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

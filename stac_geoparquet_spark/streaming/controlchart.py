@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 
 def daily_state(orders: DataFrame) -> DataFrame:
     """Aggregate a batch of raw orders into mergeable daily state."""
@@ -57,7 +59,7 @@ def ewma_control_incremental(spark, sf_dir: str) -> DataFrame:
         ewma_chart_from_daily,
     )
 
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     # pmod + coalesce: every row lands in exactly ONE delta (the
     # rollup.py convention — Spark's % keeps the dividend's sign and
     # NULL % 3 is NULL)

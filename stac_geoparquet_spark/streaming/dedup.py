@@ -31,6 +31,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
 from pyspark.sql import types as T
 
 from stac_geoparquet_spark.operators.dedup import (
@@ -145,7 +147,7 @@ def _join_and_verify(incoming: DataFrame, index: DataFrame) -> DataFrame:
 
 
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _scan_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
     incoming = incoming_signatures(
         docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
     )

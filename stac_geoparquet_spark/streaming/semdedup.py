@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
+
 from stac_geoparquet_spark.operators.dedup import SEMDEDUP_TAU
 from stac_geoparquet_spark.operators.similarity import (
     _DOT_SQL,
@@ -187,7 +189,7 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = build_ivf_layout(spark, sf_dir)
     touched = sorted({int(c) for c in cells})
     static = (
-        spark.read.parquet(layout)
+        _scan_parquet(spark, layout)
         # partition-column filter -> pruned at planning time; the
         # incoming stand-in rows are excluded from the index side
         .filter(F.col("ivf_cell").isin(touched))
@@ -305,7 +307,7 @@ def stream_semdedup_against_index(
         )
     )
     static = (
-        spark.read.parquet(build_ivf_layout(spark, sf_dir))
+        _scan_parquet(spark, build_ivf_layout(spark, sf_dir))
         .filter(F.col("vec_id") % INCOMING_MOD != 0)
         .select(
             F.col("vec_id").alias("index_id"),

@@ -1433,19 +1433,24 @@ def test_token_entropy_two_keyed_aggregates(spark, sf):
 
 
 def test_bm25_topk_is_tournament_not_global_sort(spark, sf):
-    """The postings stream is filtered to the constant query-term set
-    BEFORE the (doc, term) aggregate; df/corpus-stats join back
-    broadcast; the final top-K plans as TakeOrderedAndProject (local
-    top-K per task, driver merge) — never a global sort; the ranking
-    window runs on the K survivors only."""
+    """r10 shape: the constant query-term counts are IN-ROW
+    (size(filter(w, x == term)) per term — the corpus token stream is
+    never exploded), df/n_docs/avgdl reduce to ONE broadcast row
+    (BroadcastNestedLoopJoin), scoring is a fixed |q|-term in-row sum,
+    and the final top-K plans as TakeOrderedAndProject (local top-K
+    per task, driver merge) — never a global sort; the ranking window
+    runs on the K survivors only.  Exactly two corpus passes (stats
+    reduce + score scan), zero keyed exchanges."""
     from stac_geoparquet_spark.operators import retrieval
 
     plan = plan_of(retrieval.bm25_topk_retrieval(spark, sf))
     assert "TakeOrderedAndProject" in plan
     assert n_ops(plan, "Sort") <= 1  # only the K-row window sort
     assert n_ops(plan, "Window") == 1
-    assert n_ops(plan, "BroadcastHashJoin") >= 1  # dfreq joins broadcast
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row stats
     assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "Generate") == 0  # no token explode anywhere
+    assert n_ops(plan, "Scan parquet") == 2  # stats pass + score pass
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1466,9 +1471,10 @@ def test_bm25_ndcg_twophase_fenced_histogram(spark, sf):
     assert n_ops(plan, "BroadcastHashJoin") >= 2  # gstats df + report join
     # the fence shows up as ExistingRDD scans replacing re-aggregation
     assert n_ops(plan, "Scan ExistingRDD") >= 1
-    # corpus passes: postings explode + corpus stats — the fence keeps
-    # the histogram's consumers from adding more
-    assert n_ops(plan, "Scan parquet") <= 2
+    # r10: df + grade histogram + n_docs/avgdl all reduce in ONE fenced
+    # corpus pass (built outside this plan); the only corpus scan left
+    # here is the postings pass itself
+    assert n_ops(plan, "Scan parquet") <= 1
     # every window is (group, pid)-keyed local top-K scaffolding; the
     # registry contract test rejects bounded-key windows mechanically
 
@@ -1662,17 +1668,20 @@ def test_survival_km_windows_ride_bounded_spine(spark, sf):
 
 
 def test_calibration_composes_keyed_join_no_python(spark, sf):
-    """The reliability table composes the two shipped per-doc scorers
-    (the ann_recall_report compose pattern): both sides are in-row
-    expression pipelines, the join keys on the scaling doc_id, and the
-    decile rollup is one keyed aggregate.  No window, no cartesian,
-    no Python."""
+    """The reliability table composes the two shipped per-doc scorers.
+    r10 shape: both scorers are per-row projections of the SAME docs
+    scan, so the composition is ONE select over ONE scan (the old
+    doc_id equi-join of the two outputs was the identity) and the
+    decile rollup is one keyed aggregate.  No join, no window, no
+    cartesian, no Python."""
     from stac_geoparquet_spark.operators import text
 
     plan = plan_of(text.classifier_calibration_bins(spark, sf))
     assert "CartesianProduct" not in plan
     assert n_ops(plan, "Window") == 0
     assert n_ops(plan, "Generate") == 0  # both scorers fold in-row
+    assert n_ops(plan, "Scan parquet") == 1  # one pass, no join
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1711,7 +1720,12 @@ def test_bm25_incremental_is_stream_static(spark, sf):
     from stac_geoparquet_spark.operators import retrieval
 
     plan = plan_of(retrieval.bm25_incremental_scoring(spark, sf))
-    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    # r10 shape: the frozen index statistics (df_t, n_docs, avgdl)
+    # reduce to ONE broadcast row and the incoming batch scores with a
+    # fixed in-row |q|-term sum — the broadcast is the 1-row
+    # BroadcastNestedLoopJoin, and no token explode survives
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert n_ops(plan, "Generate") == 0
     assert n_ops(plan, "SortMergeJoin") == 0
     assert n_ops(plan, "Window") == 0
     assert "TakeOrderedAndProject" not in plan
@@ -2643,17 +2657,20 @@ def test_adamic_adar_pair_graph_only(spark, sf):
 
 
 def test_ql_dirichlet_two_linear_passes(spark, sf):
-    """QL scoring runs exactly two corpus passes (lengths + filtered
-    postings) joined doc-keyed — the smoothing statistics are fenced
-    1/4-row aggregates, the top-K is TakeOrderedAndProject, and the
-    one SortMergeJoin is the CO-KEYED doc join of those two linear
-    streams (the scale-correct choice — neither side broadcasts at
-    100 TB)."""
+    """r10 shape: QL scoring runs exactly two corpus passes — the
+    smoothing statistics (c_total, ctf_t, q_eff) reduce to ONE
+    broadcast row from the in-row constant-term counts, and every doc
+    scores in-row against it (matching part still touches only
+    nonzero counts via the CASE guard).  The old doc-keyed
+    SortMergeJoin of two linear streams is gone entirely; the top-K
+    is TakeOrderedAndProject."""
     from stac_geoparquet_spark.operators import retrieval
 
     plan = plan_of(retrieval.ql_dirichlet_topk(spark, sf))
     assert n_ops(plan, "Scan parquet") == 2
-    assert n_ops(plan, "SortMergeJoin") <= 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "Generate") == 0  # no token explode anywhere
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # the stats row
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "TakeOrderedAndProject") == 1
     assert "BatchEvalPython" not in plan
