@@ -146,8 +146,14 @@ def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select(
             "lang",
+            # r10: in-row array_distinct BEFORE the explode — in-doc
+            # duplicate grams never reach the (lang, gram) distinct
+            # exchange (guide §2.3); the cross-doc distinct below is
+            # unchanged and the result is identical
             F.explode(
-                _word_ngrams(_words(F.col("text")), XLANG_NGRAM_N)
+                F.array_distinct(
+                    _word_ngrams(_words(F.col("text")), XLANG_NGRAM_N)
+                )
             ).alias("ngram"),
         )
         .distinct()

@@ -2143,11 +2143,16 @@ def classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stac_geoparquet_spark.operators._io import fenced
 
-    scores = quality_classifier_score(spark, sf_dir).select(
-        "doc_id", "prob"
-    )
-    labels = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
-    j = scores.join(labels, "doc_id").where(F.col("prob").isNotNull())
+    # r10: same one-pass composition as classifier_calibration_bins —
+    # both scorers are per-row projections of the same scan, so the
+    # doc_id join was the identity (one scan, one tokenize pass, zero
+    # join exchange; oracle mirrors the one-scan shape)
+    docs = _docs(spark, sf_dir)
+    j = docs.select(
+        "doc_id",
+        _clf_cols()["prob"].alias("prob"),
+        _gopher_cols()["keep"].alias("keep"),
+    ).where(F.col("prob").isNotNull())
     bins = fenced(
         j.select(
             F.least(F.floor(F.col("prob") * 10), F.lit(9))
@@ -2192,15 +2197,46 @@ def classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r10: the oracle mirrors the one-pass composition — prob and keep
+# from ONE scan of documents (verbatim component fragments, the
+# CALIBRATION_SQL shape), so dup-id multiplicity agrees on every axis
 LIFT_SQL = f"""
-WITH g AS ({{gopher}}),
-c AS ({{classifier}}),
+WITH m AS (
+  SELECT doc_id,
+         len({_SQL_WORDS}) AS n_words,
+         length(regexp_replace(text, '{SQL_WS}+', '', 'g')) AS nonspace,
+         len(list_distinct(list_filter({_SQL_WORDS},
+                                       x -> x IN ({_STOP_IN})))) AS stop_types,
+         len(list_filter({_SQL_WORDS},
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, chr(8230), ''))) AS n_sym,
+         CAST(list_sum(list_transform({_SQL_WORDS},
+             x -> ((('0x' || substr(md5(x), 1, 4))::BIGINT % {CLF_BUCKETS})
+                   * {CLF_MIX}) % {CLF_WEIGHT_MOD} - 10)) AS BIGINT)
+           AS raw_score
+  FROM documents
+),
+j AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-raw_score / {CLF_SCALE})), 6) AS prob,
+         coalesce(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND nonspace * 1.0 / nullif(n_words, 0)
+                      BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                  AND stop_types >= {GOPHER_MIN_STOP_TYPES}
+                  AND n_alpha * 1.0 / nullif(n_words, 0)
+                      >= {GOPHER_MIN_ALPHA_FRAC}
+                  AND n_sym * 1.0 / nullif(n_words, 0)
+                      <= {GOPHER_MAX_SYMBOL_RATIO},
+                  false) AS keep
+  FROM m
+),
 bins AS (
-  SELECT CAST(least(floor(c.prob * 10), 9) AS BIGINT) AS bin,
+  SELECT CAST(least(floor(j.prob * 10), 9) AS BIGINT) AS bin,
          CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-  FROM c JOIN g USING (doc_id)
-  WHERE c.prob IS NOT NULL
+         CAST(sum(CASE WHEN j.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM j
+  WHERE j.prob IS NOT NULL
   GROUP BY 1
 ),
 tot AS (
@@ -2228,9 +2264,6 @@ SELECT bin, n_docs, n_pos, cum_docs, cum_pos,
                       0.0), 6) AS cum_lift
 FROM cum CROSS JOIN tot
 """
-LIFT_SQL = LIFT_SQL.format(
-    gopher=GOPHER_RULES_SQL.strip(), classifier=CLASSIFIER_SQL.strip()
-)
 
 
 QUERIES_ROTATION["classifier_lift_gains"] = classifier_lift_gains
