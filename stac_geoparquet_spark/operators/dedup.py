@@ -1355,59 +1355,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= CONTAIN_DF_CAP)
         .select("shash")
     )
-    posts = shh.join(rare, "shash")
+    # r10 optimization (guide §2.4): candidate pairs come from an
+    # IN-ROW pair expansion of each rare gram's posting list instead
+    # of the posting self-join.  The join form computed the whole
+    # rare-posting pipeline once per side (Catalyst does not CSE
+    # self-join subtrees) and shuffled every expanded pair row through
+    # a join exchange; here each rare gram aggregates its df_cap-
+    # bounded sorted posting array once and emits
+    # the same (doc_a < doc_b) pairs from a Generate — identical pair
+    # multiset, one pass, no join.  The df cap bounds the in-row
+    # expansion at C(df_cap, 2) structs per gram, so there is no skew
+    # and no unbounded array.
+    posts = shh.join(F.broadcast(rare), "shash")
     cand = (
-        posts.alias("a")
-        .join(posts.alias("b"), "shash")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        posts.groupBy("shash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_rare_shared"))
     )
-    # per-doc scalars for the bound: total grams + rare grams
-    bound = F.greatest(
-        F.lit(1).cast("bigint"),
-        F.col("rare_n")
-        - F.floor(F.lit(CONTAIN_EPS) * F.col("n")).cast("bigint"),
-    )
-    stats = (
-        shh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(
-            posts.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("rare_n")
-            ),
+    # r10: per-doc gram set, size, and rare-gram count in ONE doc-keyed
+    # aggregate (the old shape ran separate sizes / rare_n / sets
+    # aggregates — five passes over the shingle table where two
+    # suffice).  The support bound is the same PPJoin-style expression,
+    # computed from the same values.
+    docsets = (
+        shh.join(
+            F.broadcast(rare.withColumn("r", F.lit(1))), "shash", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("shash").alias("g"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("r"), F.lit(0)))
+            .cast("bigint")
+            .alias("rare_n"),
+        )
+        .select(
             "doc_id",
+            "g",
+            "n",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.col("rare_n")
+                - F.floor(F.lit(CONTAIN_EPS) * F.col("n")).cast("bigint"),
+            ).alias("bound"),
         )
-        .select("doc_id", bound.alias("bound"))
     )
-    sa_b = stats.select(
-        F.col("doc_id").alias("doc_a"), F.col("bound").alias("bound_a")
+    ga = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("g").alias("ga"),
+        F.col("bound").alias("bound_a"),
     )
-    sb_b = stats.select(
-        F.col("doc_id").alias("doc_b"), F.col("bound").alias("bound_b")
-    )
-    cand = (
-        cand.join(sa_b, "doc_a")
-        .join(sb_b, "doc_b")
-        .where(
-            F.col("n_rare_shared") >= F.least("bound_a", "bound_b")
-        )
-        .select("doc_a", "doc_b")
-    )
-    sets = shh.groupBy("doc_id").agg(F.collect_set("shash").alias("g"))
-    ga = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")
-    )
-    gb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")
+    gb = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("g").alias("gb"),
+        F.col("bound").alias("bound_b"),
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("bigint")
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
+        .where(F.col("n_rare_shared") >= F.least("bound_a", "bound_b"))
         .withColumn("cont_ab", F.round(inter / F.size("ga"), 6))
         .withColumn("cont_ba", F.round(inter / F.size("gb"), 6))
         .where(F.greatest("cont_ab", "cont_ba") >= CONTAIN_TAU)
