@@ -1121,14 +1121,21 @@ def tokenize_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    words = wf_src.select("word").distinct()
-    toks = words.crossJoin(
-        F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
-    ).select(
-        "word", F.expr(_BPE_FOLD).alias("toks")
-    )
+    # r10: the fold runs directly on the (source, word) frequency rows.
+    # The previous words.distinct() + equi-join re-planned the whole
+    # corpus explode + (source, word) aggregate into the join's other
+    # side (Catalyst does not CSE aggregate subtrees) — two corpus
+    # passes and two extra exchanges for a fold whose per-word result
+    # is identical on every (source, word) copy.  Folding per pair
+    # costs |sources| more fold evaluations over the vocab-scaled pair
+    # table; the deleted second corpus pass is corpus-scaled.
     agg = (
-        wf_src.join(toks, "word")
+        wf_src.crossJoin(
+            F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
+        )
+        .select(
+            "source", "word", "freq", F.expr(_BPE_FOLD).alias("toks")
+        )
         .groupBy("source")
         .agg(
             F.sum("freq").alias("n_words"),
@@ -1217,12 +1224,14 @@ def tokenize_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    words = wf_src.select("word").distinct()
-    rt = words.crossJoin(
-        F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
-    ).select("word", F.expr(_BPE_RT_FOLD).alias("r"))
+    # r10: fold directly on the (source, word) rows — same single-pass
+    # restructure as tokenize_bpe_encode (the distinct + join shape
+    # re-computed the corpus explode + pair aggregate twice)
     agg = (
-        wf_src.join(rt, "word")
+        wf_src.crossJoin(
+            F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
+        )
+        .select("source", "word", "freq", F.expr(_BPE_RT_FOLD).alias("r"))
         .groupBy("source")
         .agg(
             F.sum("freq").alias("n_words"),
@@ -1418,26 +1427,31 @@ def tokenize_unigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    words = wf_src.select("word").distinct()
-    scored = (
-        words.crossJoin(
+    # r10: both folds run directly on the (source, word) rows — the
+    # words.distinct() + equi-join shape re-computed the corpus explode
+    # + pair aggregate on both sides of the join (no aggregate CSE);
+    # per-pair folding is |sources|-bounded extra vocab-scaled work for
+    # one fewer corpus pass and two fewer exchanges.
+    agg = (
+        wf_src.crossJoin(
             F.broadcast(_uni_vocab_map_cached(spark, sf_dir))
         )
         .crossJoin(F.broadcast(bpe_merges_vocab_cached(spark, sf_dir)))
         .selectExpr(
+            "source",
             "word",
+            "freq",
             f"({_UNI_FOLD}) AS ukey",
             f"{_BPE_FOLD} AS bpe_toks",
         )
         .selectExpr(
+            "source",
             "word",
+            "freq",
             "ukey % 1024 AS uni_toks",
             "ukey div 1024 AS uni_cost_half",
             "bpe_toks",
         )
-    )
-    agg = (
-        wf_src.join(scored, "word")
         .groupBy("source")
         .agg(
             F.sum("freq").alias("n_words"),

@@ -45,10 +45,8 @@ _REV_SQL = "l_extendedprice * (1 - l_discount)"
 # p_partkey, dimensions broadcast.
 # --------------------------------------------------------------------------
 def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
+    pairs_raw = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
     )
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
@@ -64,10 +62,23 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+    # r10: the selective dimension filters (PROMO/size part, EUROPE
+    # supplier chain) apply via broadcast joins BEFORE the pair dedup,
+    # so the one exchange carries <1% of lineitem instead of every
+    # (partkey, suppkey) pair (guide §2.3: filter before the
+    # exchange).  Dedup-after-join == dedup-before-join because both
+    # joins are equi-joins on unique dimension keys (every surviving
+    # row of one pair is identical).  Partitioning by p_partkey alone
+    # serves the pair dedup (subset of its key), AND the correlation-
+    # max window — one exchange total where there were two.
     w = Window.partitionBy("p_partkey")
     return (
-        pairs.join(part, pairs.l_partkey == part.p_partkey)
-        .join(eu_supp, pairs.l_suppkey == F.col("s_suppkey"))
+        pairs_raw.join(
+            F.broadcast(part), pairs_raw.l_partkey == part.p_partkey
+        )
+        .join(F.broadcast(eu_supp), pairs_raw.l_suppkey == F.col("s_suppkey"))
+        .repartition(F.col("p_partkey"))
+        .dropDuplicates(["p_partkey", "l_suppkey"])
         .withColumn("max_bal", F.max("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("max_bal"))
         .select(
@@ -394,8 +405,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower). When exactly one supplier shipped late, max(late
     # suppkey) IS that supplier, so the culprit falls out of the same
     # aggregation — no second scan, no re-join of the lo relation.
-    pairs = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+    # r10: ONE orderkey exchange feeds BOTH aggregates.  Without the
+    # explicit repartition the pair dedup exchanges on (orderkey,
+    # suppkey) and the per-order rollup re-exchanges on orderkey — two
+    # shuffles of the same fact rows.  Partitioning by orderkey alone
+    # satisfies the clustering requirement of both groupBys (orderkey
+    # is a subset of the pair key), so they pipeline shuffle-free on
+    # top; suppliers-per-order is bounded (no skew concern).
+    pairs = (
+        lo.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
     per_order = pairs.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
