@@ -156,7 +156,10 @@ def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("ngram"),
         )
-        .distinct()
+        # r10 session 2: no .distinct() — the gram-keyed collect_set
+        # below dedups languages per gram anyway (map-side partials
+        # included), so the dedicated (lang, ngram) distinct exchange
+        # was a pure extra shuffle of the gram stream (guide §2.4)
     )
     gram_langs = lang_grams.groupBy("ngram").agg(
         F.array_sort(F.collect_set("lang")).alias("ls")

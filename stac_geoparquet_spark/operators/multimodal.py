@@ -61,7 +61,14 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracles read the same canonical subquery
     from stac_geoparquet_spark.operators._canon import docs_canon
 
-    docs = docs_canon(spark, sf_dir)
+    # r10 session 2: no toy-file spread — the mm decode stages run
+    # milliseconds of Python per row at test scale, so the round-robin
+    # exchange of the payload column + 32 near-empty Arrow tasks cost
+    # more than they parallelized (mm_phash solo noop 1.1-1.4 ->
+    # 0.5-0.64 s, interleaved A/B).  At scale the scan's natural split
+    # count IS the parallelism on both paths, and not round-robining
+    # the payload bytes is exactly guide §2.3.
+    docs = docs_canon(spark, sf_dir, spread=False)
     doc_id = F.col("doc_id")
     media_type = (
         F.when(doc_id % 3 == 0, "image")

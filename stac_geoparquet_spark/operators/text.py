@@ -1234,8 +1234,19 @@ FROM s
 # identically.
 # --------------------------------------------------------------------------
 def text_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 session 2: read WITHOUT the toy-file spread repartition —
+    # the NFC probe is a light per-row pass (5000 short strings
+    # normalize in milliseconds), so the round-robin exchange of the
+    # text column + 32 near-empty Python tasks cost more than the
+    # work they parallelized (solo noop 1.0 -> 0.37 s measured
+    # interleaved).  At scale the spread was a no-op anyway; the scan
+    # parallelism IS the split count on both paths.
+    import os as _os
+
+    from stac_geoparquet_spark.operators._io import scan_parquet
+
     docs = (
-        _docs(spark, sf_dir)
+        scan_parquet(spark, _os.path.join(sf_dir, "documents.parquet"))
         .select("lang", "text")
         .where(F.col("text").isNotNull())
     )
