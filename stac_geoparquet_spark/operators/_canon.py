@@ -112,8 +112,12 @@ def _canon_layout(
 
 
 def docs_canon(
-    spark: SparkSession, sf_dir: str, spread: bool = True
+    spark: SparkSession, sf_dir: str, spread: bool = False
 ) -> DataFrame:
+    # spread default flipped in the r10 optimization round: the
+    # round-robin exchange of the text column costs more at toy scale
+    # than the per-core work it parallelizes (see read_documents), and
+    # at real scale the layout scans as many splits either way.
     return _canon_layout(
         spark, sf_dir, "documents", "doc_id", DOC_PAYLOAD, spread=spread
     )

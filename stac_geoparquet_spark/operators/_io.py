@@ -118,7 +118,15 @@ def fenced(df: DataFrame) -> DataFrame:
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
+    # r10 session 2: plain scan, no toy-file spread.  Interleaved A/B
+    # at sf0.1 showed the round-robin exchange of the text column cost
+    # more than every consumer's per-core work gains: tfidf 1.11 ->
+    # 0.97, a synthetic 200-ln/row in-row load 1.06 -> 0.32, and the
+    # relational family (which always scanned un-spread via _t) sits
+    # at the bench floor.  At scale both paths are the scan's natural
+    # split count; per-op opt-in via read_spread stays available for
+    # any genuinely compute-bound toy-scale consumer.
+    return scan_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def source_stamp(src_file: str) -> str:

@@ -58,6 +58,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # toy-scale spread kept for the gram-heavy ops (see pipeline.py)
+    import os
+
+    from stac_geoparquet_spark.operators._io import read_spread
+
+    return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
 # --------------------------------------------------------------------------
 # Zipf slope: fit ln(freq) ~ ln(rank) over the top-K vocabulary — the
 # standard corpus-health statistic (natural text ~ -1; synthetic or
@@ -143,7 +152,9 @@ def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.pipeline import _word_ngrams
 
     lang_grams = (
-        _docs(spark, sf_dir)
+        # r10: gram-heavy — keep the toy-scale spread (read_spread)
+        # while the light per-row ops read the bare scan
+        _docs_spread(spark, sf_dir)
         .select(
             "lang",
             # r10: in-row array_distinct BEFORE the explode — in-doc

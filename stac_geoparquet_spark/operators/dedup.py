@@ -637,7 +637,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines (without the filter Spark emits a degenerate row
     while DuckDB's unnest drops it: a latent divergence found by
     NULL-injection differential testing)."""
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # r10: the 64 bit-filters over per-word hashes are genuinely
+    # compute-bound at toy scale (solo noop 0.23 spread vs 0.79
+    # un-spread) — keep the explicit spread the light ops dropped
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    docs = docs_canon(spark, sf_dir, spread=True).where(
+        F.col("text").isNotNull()
+    )
     base = docs.select(
         "doc_id", F.array_distinct(_words(F.col("text"))).alias("wd")
     ).select(

@@ -67,6 +67,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 session 2: explicit toy-scale spread for the GRAM-HEAVY ops
+    # below (5-gram construction / per-doc gram rollups): their
+    # single-split explode stage is genuinely compute-bound at test
+    # scale, so these keep the round-robin spread the light per-row
+    # ops dropped (read_documents).  Still a no-op at real scale.
+    import os
+
+    from stac_geoparquet_spark.operators._io import read_spread
+
+    return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_canon_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._canon import docs_canon
+
+    return docs_canon(spark, sf_dir, spread=True)
+
+
 # tokenizer and split hash are text.py's (single definition — the
 # decontamination contract "same hash split as split_train_holdout"
 # must survive any future tokenizer change)
@@ -123,7 +142,7 @@ def decontaminate_against_holdout(
     """
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id", _word_ngrams(_words(F.col("text")), NGRAM_N).alias("grams")
     )
     labeled = docs.withColumn("split", split_pct())
@@ -356,7 +375,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ``_gram2_rollup``; docs with no 2-grams are excluded (the
     oracle's inner join drops them identically).
     """
-    docs = _docs_canon(spark, sf_dir)
+    docs = _docs_canon_spread(spark, sf_dir)
     w = _words(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -766,7 +785,7 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.text import quality_score_expr
 
     per_doc = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         # contentless docs are excluded EXPLICITLY: least() skips NULL
         # operands, so a NULL-text doc would otherwise score 0.7 (the
         # capped-term defaults) and float to the top of the greedy
@@ -1100,7 +1119,7 @@ def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = _docs_canon(spark, sf_dir)
+    docs = _docs_canon_spread(spark, sf_dir)
     w = _words(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -1208,7 +1227,9 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     per_doc = (
-        _docs_canon(spark, sf_dir)
+        # r10: regex-heavy score evaluated on BOTH branches — keep the
+        # toy-scale spread (see _docs_spread)
+        _docs_canon_spread(spark, sf_dir)
         .where(
             F.col("text").isNotNull()
             & (F.length("text") > 0)

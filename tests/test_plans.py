@@ -407,9 +407,9 @@ def test_chunk_documents_no_shuffle(spark, sf):
     assert n_ops(plan, "HashAggregate") == 0
     assert n_ops(plan, "SortMergeJoin") == 0
     assert n_ops(plan, "CartesianProduct") == 0
-    # only the deliberate input-spreading round-robin repartition
-    assert "RoundRobinPartitioning" in plan
-    assert n_ops(plan, "Exchange") == 1
+    # r10: zero exchanges — the toy-file spread repartition was dropped
+    # (per-row generate needs no redistribution; guide §2.4)
+    assert n_ops(plan, "Exchange") == 0
 
 
 def test_decontam_single_scan_window_on_gram(spark, sf):
