@@ -124,7 +124,12 @@ def docs_canon(
 
 
 def events_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _canon_layout(spark, sf_dir, "events", "event_id", EVENT_PAYLOAD)
+    # r10: no toy-file spread — every consumer's first operation is a
+    # user-keyed window/aggregate, so the round-robin exchange was a
+    # pure extra shuffle in front of the keyed one (guide §2.4).
+    return _canon_layout(
+        spark, sf_dir, "events", "event_id", EVENT_PAYLOAD, spread=False
+    )
 
 
 def canon_subquery(table: str, id_col: str, payload) -> str:

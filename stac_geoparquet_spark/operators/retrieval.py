@@ -165,7 +165,7 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc sum replaces the aggregate's arbitrary merge order —
     # both land on the same round(,6) value (the accepted ~1e-16 vs
     # 5e-7 quantum margin, same contract as before).
-    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
     cnt = _qterm_counts(docs)
     stats = cnt.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -391,7 +391,7 @@ def bm25_incremental_scoring(
     # and aggregated the exploded stream), and incoming docs score
     # in-row with the fixed |q|-term sum instead of explode + join +
     # re-aggregate.  Two corpus passes, zero keyed exchanges.
-    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
     nq = len(QUERY_TERMS)
     base_cnt = _qterm_counts(docs.where(F.col("doc_id") % INCOMING_MOD != 0))
     in_cnt = _qterm_counts(docs.where(F.col("doc_id") % INCOMING_MOD == 0))
@@ -577,7 +577,7 @@ _NDCG_MRR_AGG = (
 def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.twophase import local_topk
 
-    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
     cnt = _qterm_counts(docs)
     nq = len(QUERY_TERMS)
     # r10: ONE corpus reduce carries everything both stat consumers
@@ -806,7 +806,10 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from stac_geoparquet_spark.operators.twophase import local_topk
 
-    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    # r10: tokenize-heavy multi-branch op — keep the toy-scale spread
+    docs = docs_canon(spark, sf_dir, spread=True).where(
+        F.col("text").isNotNull()
+    )
     qterms = (
         docs.where(F.col("doc_id") < N_QUERIES)
         .select(
@@ -1066,7 +1069,7 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanges; the matching part still touches only nonzero counts
     # (the CASE guard, which also keeps the ctf_t = 0 division out of
     # the plan's reachable arithmetic).
-    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
     cnt = _qterm_counts(docs)
     nq = len(QUERY_TERMS)
     stats = cnt.agg(
@@ -1199,7 +1202,7 @@ RM3_LAMBDA = 0.5
 
 
 def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
     fb = fenced(
         bm25_topk_retrieval(spark, sf_dir)
         .where(F.col("rk") <= FB_DOCS)

@@ -65,12 +65,14 @@ def main() -> None:
     results = {}
     for name in names:
         fn = queries[name]
-        best_noop = best_count = float("inf")
+        best_noop = best_count = best_cons = float("inf")
         jobs = 0
         for i in range(args.runs):
             sc.setJobDescription(f"{name} run{i}")
             j0 = len(tracker.getJobIdsForGroup(None) or [])
+            tc = time.perf_counter()
             df = fn(spark, args.sf_dir)
+            best_cons = min(best_cons, time.perf_counter() - tc)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
@@ -95,7 +97,8 @@ def main() -> None:
                 f.write(plan)
         results[name] = (round(best_noop, 3), round(best_count, 3))
         print(
-            f"{name:42s} noop_s={best_noop:7.3f} count_s={best_count:7.3f}",
+            f"{name:42s} noop_s={best_noop:7.3f} count_s={best_count:7.3f}"
+            f" cons_s={best_cons:7.3f}",
             flush=True,
         )
 
