@@ -560,10 +560,18 @@ def _ed_name_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein counts CODEPOINTS while DuckDB's counts BYTES
     (levenshtein('日本','日本語') = 1 vs 3 — cross-engine fuzz
     finding), so cross-engine edit distance is only well-defined
-    where byte == codepoint."""
+    where byte == codepoint.
+
+    r10: FENCED — vocabulary-bounded (the whole point of the distinct
+    domain), and every consumer reads it several times (the gram
+    explode + freq + both prefix self-join sides + the two name-attach
+    joins re-planned the part scan + distinct aggregate ~6x each per
+    query; guide §2.4)."""
     import os
 
-    return (
+    from stac_geoparquet_spark.operators._io import fenced
+
+    return fenced(
         _scan_parquet(spark, os.path.join(sf_dir, "part.parquet"))
         .where(
             (F.length("p_name") >= ED_MIN_LEN)

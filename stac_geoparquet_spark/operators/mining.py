@@ -571,9 +571,14 @@ AFFINITY_TOP_K = 5
 
 
 def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._io import fenced
+
     items = _basket_items(spark, sf_dir)
-    part_counts = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_part")
+    # r10: fenced — part-dimension-bounded, and consumed TWICE below
+    # (cp and cn): each side re-ran the full lineitem scan + distinct
+    # + aggregate without it (no CSE; guide §2.4)
+    part_counts = fenced(
+        items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     )
     pairs = basket_pair_support(spark, sf_dir)
     sym = pairs.select(

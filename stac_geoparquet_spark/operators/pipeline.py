@@ -447,54 +447,77 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tokens mode (round 8): alongside the whitespace-token budget that
     assigns bins (unchanged), each bin reports its SUBWORD mass under
-    the corpus-learned BPE merges — ``total_bpe_tokens`` — so budget
-    accounting can be read in real tokenizer units.  The per-doc
-    subword count is the curation greedy encoder run as one in-row
-    fold over the whitespace-collapsed doc stream (merge vocabulary
-    cross-join-broadcast; zero extra shuffles).  Because merges are
-    learned from words they never contain a space, so the stream fold
-    factorizes exactly as sum(word tokens) + (n_words - 1) separator
-    tokens — which is what the oracle computes via the shared
-    recursive-CTE encoder over the distinct-word table.
+    the corpus-learned BPE merges — ``total_bpe_tokens``.  Because
+    merges are learned from words they never contain a space, the
+    whole-stream greedy fold factorizes exactly as sum(word tokens) +
+    (n_words - 1) separator tokens — the identity the oracle has
+    always computed via the shared recursive-CTE encoder over the
+    distinct-word table.
+
+    r10: the Spark side now computes the SAME word route.  The old
+    in-row fold over the whitespace-collapsed doc stream re-encoded
+    every word occurrence — O(corpus chars x |merges|) compute for a
+    vocabulary whose distinct words are Heaps-sublinear (measured at
+    sf0.1: 270,704 word occurrences over 31 distinct words; the fold
+    was 3.3 s vs 0.9 s for the word route, guide §2.4 — the duplicate
+    compute was corpus-scaled).  The per-DISTINCT-word encoder output
+    joins back to the exploded token stream (AQE broadcasts the
+    vocab-sized build side) and reduces per doc; the bin assignment
+    path (n_tokens running sum) is untouched.
     """
     from stac_geoparquet_spark.operators.curation import (
         bpe_fold_expr,
         bpe_merges_vocab_cached,
     )
-    from stac_geoparquet_spark.operators.text import jlower
 
-    docs = _docs_canon(spark, sf_dir).crossJoin(
-        F.broadcast(bpe_merges_vocab_cached(spark, sf_dir))
+    docs = _docs_canon(spark, sf_dir)
+    # per-distinct-word subword counts (vocab-scaled fold work)
+    wordtok = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .crossJoin(F.broadcast(bpe_merges_vocab_cached(spark, sf_dir)))
+        .select("word", F.expr(bpe_fold_expr("word")).alias("toks"))
     )
-    # full Java-\s edge trim, NOT F.trim: Spark's trim strips only
-    # ASCII space, so a doc opening with '\t' would keep a leading
-    # collapsed space in the stream — one extra space token the
-    # word-route oracle (which filters the empty word) never counts.
-    # Found by the weird-whitespace differential gate.
-    norm = F.regexp_replace(
-        F.regexp_replace(jlower(F.col("text")), r"(^\s+)|(\s+$)", ""),
-        r"\s+",
-        " ",
+    # per-doc subword mass: sum(word tokens) + (n_words - 1); the
+    # token stream explodes in place (no pre-join shuffle) and the
+    # doc-keyed aggregate's map-side partial collapses each doc to one
+    # row before the exchange.  No broadcast hint on the join: AQE
+    # broadcasts the vocab-sized side at test scale and is free to
+    # fall back to a shuffle join if a 100 TB vocabulary outgrows the
+    # broadcast threshold.
+    dtok = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .join(wordtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("toks") + F.count(F.lit(1)).cast("bigint") - F.lit(1)
+            ).alias("n_bpe_route")
+        )
     )
-    stream_fold = F.expr(bpe_fold_expr("norm"))
     # coalesce: a NULL-text doc contributes 0 tokens (without it the
     # NULL token count makes the doc's cumulative position — and so its
     # bin — NULL in Spark but 0-advanced in the oracle's coalesced
-    # running sum: a latent divergence found by NULL injection).  The
-    # empty-stream guard keeps Spark off the sequence(1, 0) DOWN-count
-    # branch (bpe_merge_candidates' documented divergence class).
-    per_doc = docs.withColumn("norm", norm).select(
-        "doc_id",
-        F.coalesce(F.size(_words(F.col("text"))).cast("bigint"), F.lit(0)).alias(
-            "n_tokens"
-        ),
-        F.coalesce(
-            F.when(F.length("norm") == 0, F.lit(0).cast("bigint")).otherwise(
-                stream_fold
-            ),
-            F.lit(0),
-        ).alias("n_bpe"),
-        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    # running sum: a latent divergence found by NULL injection).  A
+    # wordless doc has no dtok row — the left join's NULL coalesces to
+    # 0, exactly the oracle's ``coalesce(dtok.s + dtok.nw - 1, 0)``.
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.coalesce(
+                F.size(_words(F.col("text"))).cast("bigint"), F.lit(0)
+            ).alias("n_tokens"),
+            F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+        )
+        .join(dtok, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_bpe_route", F.lit(0).cast("bigint")).alias("n_bpe"),
+            "bucket",
+        )
     )
     from pyspark.sql import Window
 

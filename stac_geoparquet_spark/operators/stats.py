@@ -828,9 +828,18 @@ FROM folded
 def hll_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.relational import read_events
 
+    from stac_geoparquet_spark.operators._io import fenced
+
     ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
     hashed = _hll_hashed(ev)
-    state = _hll_state(hashed)
+    # r10: the sketch state is consumed FOUR times below (singles,
+    # the type list, and both sides of the pair-keyed union) — without
+    # a fence each consumer re-ran the events scan + register
+    # aggregate (no CSE; guide §2.4).  State is alphabet-bounded
+    # (≤ |event types| × 64 register rows), so the fence contract
+    # holds; register values are deterministic maxima, so the fenced
+    # rows are bit-identical to each re-computation.
+    state = fenced(_hll_state(hashed))
     singles = _hll_present(state).select(
         "event_type", F.col("hll_estimate").alias("est")
     )

@@ -59,14 +59,35 @@ def ewma_control_incremental(spark, sf_dir: str) -> DataFrame:
         ewma_chart_from_daily,
     )
 
+    from stac_geoparquet_spark.operators._io import fenced
+
     orders = _scan_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     # pmod + coalesce: every row lands in exactly ONE delta (the
     # rollup.py convention — Spark's % keeps the dividend's sign and
     # NULL % 3 is NULL)
     bucket = F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(3))
-    state = daily_state(orders.where(bucket == 1))
-    state = merge_daily_state(state, daily_state(orders.where(bucket == 2)))
-    state = merge_daily_state(state, daily_state(orders.where(bucket == 0)))
+    # r10: ONE orders scan builds all three delta states.  The three
+    # `orders.where(bucket == i)` filters each re-ran the full scan +
+    # daily aggregate (no CSE across Union branches), tripling the
+    # fact pass the downstream fence then paid eagerly at construction
+    # (guide §2.4).  The per-(day, bucket) rollup is calendar-bounded
+    # (≤ 3 rows per day), so it satisfies the fence contract; each
+    # delta is a filter over the materialized rows and the merge chain
+    # below is byte-identical to before — per-(d, b) counts are exact
+    # ints, so delta(i) equals daily_state(orders.where(bucket == i))
+    # row for row.
+    per = fenced(
+        orders.select(F.to_date("o_orderdate").alias("d"), bucket.alias("b"))
+        .where(F.col("d").isNotNull())
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def delta(i: int) -> DataFrame:
+        return per.where(F.col("b") == i).select("d", "c")
+
+    state = merge_daily_state(delta(1), delta(2))
+    state = merge_daily_state(state, delta(0))
     return ewma_chart_from_daily(state)
 
 

@@ -49,12 +49,17 @@ def holdout_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators._io import read_documents
 
     docs = read_documents(spark, sf_dir)
+    # r10: in-doc duplicate grams collapse in-row (array_distinct)
+    # BEFORE the explode feeds the global DISTINCT shuffle — the
+    # distinct result is insensitive to in-doc multiplicity, so the
+    # exchange carries per-doc-unique rows only (guide §2.3, the same
+    # change decontaminate_against_holdout took).
     return (
         docs.withColumn("pct", split_pct())
         .filter(F.col("pct") >= TRAIN_PCT)
         .select(
             F.explode(
-                _word_ngrams(_words(F.col("text")), NGRAM_N)
+                F.array_distinct(_word_ngrams(_words(F.col("text")), NGRAM_N))
             ).alias("ngram")
         )
         .distinct()

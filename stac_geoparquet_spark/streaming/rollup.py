@@ -77,17 +77,62 @@ def events_rollup_incremental(spark, sf_dir: str) -> DataFrame:
 
     from stac_geoparquet_spark.operators.relational import read_events
 
+    from stac_geoparquet_spark.operators._io import fenced
+
     events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
     # pmod + coalesce: every row must land in exactly ONE delta —
     # Spark's % keeps the dividend's sign (negative ids would match no
     # branch) and NULL % 3 is NULL (a NULL-id row would silently drop
     # from the maintained state while the full-scan oracle counts it)
     bucket = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
-    parts = [events.where(bucket == i) for i in range(3)]
-    state = hourly_rollup_state(parts[1])
-    state = merge_rollup_state(state, hourly_rollup_state(parts[0]))
-    state = merge_rollup_state(state, hourly_rollup_state(parts[2]))
-    return present_rollup(state).drop("unique_users_est")
+    # r10: ONE events scan builds all three delta states (the three
+    # `events.where(bucket == i)` branches each re-ran the scan + the
+    # hourly aggregate — no CSE across Union branches; guide §2.4).
+    # The per-(hour, type, bucket) rollup is calendar×alphabet-bounded
+    # (≤ 3 rows per hour-type cell), so the fence contract holds.  The
+    # HLL column is left out of the pre-aggregate: this declared query
+    # drops the estimate anyway (column pruning removed the sketches
+    # from the executed plan before; materializing them in the fence
+    # would ADD work the query never reported) — the sketch path keeps
+    # its register-exact equivalence pin in
+    # tests/test_rollup_maintenance.py over the unchanged library
+    # helpers above.  Exact measures are unaffected: per-cell counts
+    # and DECIMAL sums merge associatively, so delta(i) equals
+    # hourly_rollup_state(parts[i]) minus the pruned sketch column.
+    per = fenced(
+        events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withColumn("b", bucket)
+        .groupBy("hour", "event_type", "b")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+        )
+    )
+
+    def delta(i: int) -> DataFrame:
+        return per.where(F.col("b") == i).select(
+            "hour", "event_type", "event_count", "value_sum"
+        )
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        # merge_rollup_state minus the pruned sketch column
+        return (
+            a.unionByName(b)
+            .groupBy("hour", "event_type")
+            .agg(
+                F.sum("event_count").alias("event_count"),
+                F.sum("value_sum").alias("value_sum"),
+            )
+        )
+
+    state = merge(delta(1), delta(0))
+    state = merge(state, delta(2))
+    return state.select(
+        "hour",
+        "event_type",
+        "event_count",
+        F.round(F.col("value_sum"), 2).cast("double").alias("value_sum"),
+    )
 
 
 EVENTS_ROLLUP_INCREMENTAL_SQL = """
