@@ -806,11 +806,19 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from stac_geoparquet_spark.operators.twophase import local_topk
 
-    # r10: tokenize-heavy multi-branch op — keep the toy-scale spread
-    docs = docs_canon(spark, sf_dir, spread=True).where(
-        F.col("text").isNotNull()
-    )
-    qterms = (
+    # r10: spread=False — unlike the single-pass retrieval ops, this
+    # op consumes the tf subtree TWICE (dfreq + lex_scored) and qterms
+    # twice; the round-robin spread exchange is NONDETERMINISTIC, so it
+    # defeats ReuseExchange (sameResult fails) and every duplicated
+    # subtree re-executes.  Un-spread, Catalyst reuses the tf exchange
+    # and the qterms broadcast (plan: ReusedExchange appears; exec
+    # 3.70 -> 2.80 s interleaved A/B solo at sf0.1).
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
+    # r10: fenced — bounded by the N_QUERIES query docs' distinct
+    # terms, and consumed THREE times (the tf semijoin build side and
+    # the lex_scored join, plus the distinct projection) — each read
+    # re-ran the docs scan + tokenize without it (guide §2.4).
+    qterms = fenced(
         docs.where(F.col("doc_id") < N_QUERIES)
         .select(
             F.col("doc_id").alias("query_id"),

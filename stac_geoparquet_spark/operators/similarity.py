@@ -803,12 +803,19 @@ def _kmeans_dist_structs(cents: list[tuple[int, list[float]]]):
 def _kmeans_assign(
     emb: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    best = F.array_min(_kmeans_dist_structs(cents))
+    # r10: layered projection — referencing `best` twice inlined the
+    # whole K×d distance array twice per row (no CSE through the HOF
+    # lambdas; noop 0.47 -> 0.37 s solo, and the duplicate GEMM is
+    # gone from every Lloyd round at scale)
     return emb.select(
         "vec_id",
         "v",
-        best["cid"].cast("bigint").alias("cluster"),
-        best["d"].alias("dist"),
+        F.array_min(_kmeans_dist_structs(cents)).alias("best"),
+    ).select(
+        "vec_id",
+        "v",
+        F.col("best")["cid"].cast("bigint").alias("cluster"),
+        F.col("best")["d"].alias("dist"),
     )
 
 
@@ -964,18 +971,29 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "cluster bigint, n_points bigint, mean_silhouette double",
         )
-    arr = _kmeans_dist_structs(cents)
-    best = F.array_min(arr)
-    others = F.filter(arr, lambda x: x["cid"] != best["cid"])
-    a_d = F.sqrt(best["d"])
+    # r10: layered projections so the K×d distance array and its
+    # array_min evaluate ONCE per row.  Inlined, every reference to
+    # `arr`/`best` re-evaluated the whole distance computation —
+    # codegen subexpression elimination does not reach inside
+    # higher-order-function lambdas (guide §4 boundary note), so the
+    # per-point stage ran the centroid GEMM ~4x (noop 1.46 -> 0.31 s
+    # solo at sf0.1).  CollapseProject keeps the layers: it only
+    # re-inlines cheap expressions.
+    l1 = emb.select(_kmeans_dist_structs(cents).alias("arr"))
+    l2 = l1.select("arr", F.array_min("arr").alias("best"))
+    others = F.filter(
+        F.col("arr"), lambda x: x["cid"] != F.col("best")["cid"]
+    )
+    l3 = l2.select("best", F.array_min(others).alias("obest"))
+    a_d = F.sqrt(F.col("best")["d"])
     # single-centroid fit (every other cluster emptied): b falls back
     # to a -> s = 0 on both engines
-    b_d = F.sqrt(F.coalesce(F.array_min(others)["d"], best["d"]))
+    b_d = F.sqrt(F.coalesce(F.col("obest")["d"], F.col("best")["d"]))
     s = F.when(F.greatest(a_d, b_d) == 0.0, F.lit(0.0)).otherwise(
         (b_d - a_d) / F.greatest(a_d, b_d)
     )
-    per_point = emb.select(
-        best["cid"].cast("bigint").alias("cluster"),
+    per_point = l3.select(
+        F.col("best")["cid"].cast("bigint").alias("cluster"),
         F.round(s * 1e6).cast("bigint").alias("s_micro"),
     )
     return per_point.groupBy("cluster").agg(
