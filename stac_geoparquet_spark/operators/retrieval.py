@@ -807,12 +807,12 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.twophase import local_topk
 
     # r10: spread=False — unlike the single-pass retrieval ops, this
-    # op consumes the tf subtree TWICE (dfreq + lex_scored) and qterms
-    # twice; the round-robin spread exchange is NONDETERMINISTIC, so it
-    # defeats ReuseExchange (sameResult fails) and every duplicated
-    # subtree re-executes.  Un-spread, Catalyst reuses the tf exchange
-    # and the qterms broadcast (plan: ReusedExchange appears; exec
-    # 3.70 -> 2.80 s interleaved A/B solo at sf0.1).
+    # op reads docs through several NON-identical branches (qterms /
+    # toks / stats / dfreq), and AQE stage reuse only deduplicates
+    # identical subtrees, so each distinct branch re-paid the spread's
+    # round-robin exchange of the full text column.  Un-spread, each
+    # branch is a bare (memoized) scan.  Interleaved A/B solo at
+    # sf0.1: min exec 3.70 spread vs 2.80 plain.
     docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
     # r10: fenced — bounded by the N_QUERIES query docs' distinct
     # terms, and consumed THREE times (the tf semijoin build side and
