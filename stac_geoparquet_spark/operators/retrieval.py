@@ -1210,7 +1210,14 @@ RM3_LAMBDA = 0.5
 
 
 def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
+    # r10: spread=False — this read broadcast-joins down to the
+    # FB_DOCS feedback docs immediately, so the round-robin spread
+    # exchanged the WHOLE corpus text column to keep 10 rows (the
+    # tokenize fan-out the spread exists for never sees more than
+    # FB_DOCS docs).  Interleaved A/B solo: min exec 1.15 spread vs
+    # 0.39 plain.  (bm25_topk_retrieval inside the fb fence keeps its
+    # own measured spread win.)
+    docs = docs_canon(spark, sf_dir).where(F.col("text").isNotNull())
     fb = fenced(
         bm25_topk_retrieval(spark, sf_dir)
         .where(F.col("rk") <= FB_DOCS)
