@@ -149,78 +149,90 @@ def _registries():
 # with the reason; gen_ledger slots them right after the never-row
 # group.  Clear entries once they re-earn a green row.
 CHURNED_THIS_ROUND: list[str] = [
-    # r09 rows; QUERY_EXPR changed again this round (r09 ADVICE:
-    # '^[^#?]*' prefix so the query anchors at the FIRST '?' before
-    # the fragment — the r08 fragment fix had silently re-anchored at
-    # the last '?') — the expression text sits in every URL op's plan
-    # and oracle via _parsed/_parsed_sql
-    "url_normalize_audit",
-    "cap_docs_per_domain",
-    "robots_disallow_filter",
-    "dedup_url_canonical",
-    # r09 row; the DiD estimator/SE were redefined this round (r09
-    # ADVICE: panel per-user zero-filled post-pre deltas + two-sample
-    # SE over deltas, replacing the four-independent-cells SE that
-    # ignored within-user covariance); output schema gained nu_t/nu_c
-    "events_diff_in_diff",
+    # The r10 optimization round structurally rewrote these 22 AFTER
+    # the r10 window was generated, so none has a driver row on the
+    # rewritten shape (r10 VERDICT gate section; its task #1 is this
+    # exact list).  The r10 URL/DiD churn entries all re-earned green
+    # r10 rows and are cleared.
+    "dedup_containment",
+    "q2_best_supplier_per_part",
+    "q21_waiting_suppliers",
+    "bm25_topk_retrieval",
+    "bm25_incremental_scoring",
+    "classifier_calibration_bins",
+    "pack_sequences",
+    "hll_event_type_overlap",
+    "kmeans_silhouette",
+    "kmeans_embeddings",
+    "events_rollup_incremental",
+    "part_affinity_topk",
+    "decontaminate_against_holdout",
+    "decontam_incremental",
+    "tokenize_bpe_encode",
+    "tokenize_bpe_roundtrip",
+    "cross_lang_contamination",
+    "split_unigram_jsd",
+    "edit_distance_join",
+    "user_path_entropy",
+    "events_conversion_paths",
+    "mm_phash_dedup",
 ]
 
 # WINDOW:BEGIN (generated by tools/gen_ledger.py --emit-window)
-# 21 never-row + 5 churned + 24 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09)
+# 0 never-row + 22 churned + 28 oldest-green-first (driver rounds seen: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10)
 WINDOW: list[str] = [
-    # never green (no driver row yet; entries marked RED stay front-pinned until they re-earn a green row)
-    "bm25_ndcg_report",
-    "embedding_whitening_report",
-    "graph_hyperball_reach",
-    "tokenize_unigram_eval",
-    "graph_harmonic_centrality",
-    "events_fdr_bh",
-    "hybrid_rrf_retrieval",
-    "events_ratio_metric_delta",
-    "orders_ewma_control",
-    "orders_theil_sen_trend",
-    "events_bootstrap_ci",
-    "graph_adamic_adar",
-    "ql_dirichlet_topk",
-    "er_fellegi_sunter",
-    "text_heaps_law_fit",
-    "orders_stl_decompose",
-    "rm3_expansion_terms",
-    "text_mattr_diversity",
-    "classifier_lift_gains",
-    "ewma_control_incremental",
-    "mm_scene_cuts",
     # churned read path (CHURNED_THIS_ROUND)
-    "url_normalize_audit",
-    "cap_docs_per_domain",
-    "robots_disallow_filter",
-    "dedup_url_canonical",
-    "events_diff_in_diff",
+    "dedup_containment",
+    "q2_best_supplier_per_part",
+    "q21_waiting_suppliers",
+    "bm25_topk_retrieval",
+    "bm25_incremental_scoring",
+    "classifier_calibration_bins",
+    "pack_sequences",
+    "hll_event_type_overlap",
+    "kmeans_silhouette",
+    "kmeans_embeddings",
+    "events_rollup_incremental",
+    "part_affinity_topk",
+    "decontaminate_against_holdout",
+    "decontam_incremental",
+    "tokenize_bpe_encode",
+    "tokenize_bpe_roundtrip",
+    "cross_lang_contamination",
+    "split_unigram_jsd",
+    "edit_distance_join",
+    "user_path_entropy",
+    "events_conversion_paths",
+    "mm_phash_dedup",
     # oldest green row first
-    "parts_above_avg_price",
-    "pca_power_projection",
-    "q6_forecast_revenue",
-    "quality_classifier_score",
-    "quality_repetition",
-    "select_token_budget",
-    "semantic_decontam_cells",
-    "source_quota_incremental",
-    "split_train_holdout",
-    "stratified_split_report",
-    "text_fingerprint",
-    "text_nfc_audit",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "text_unigram_logppl",
-    "token_fertility_by_lang",
-    "topk_orders_global",
-    "vocab_top_terms",
-    "cube_lineitem_flags",
-    "decontam_bloom_semijoin",
-    "dedup_minhash_lsh",
-    "embedding_covariance",
-    "events_decayed_activity",
+    "except_open_not_finished",
+    "graph_triangle_count",
+    "grouping_sets_revenue",
+    "histogram_totalprice",
+    "lang_confusion_matrix",
+    "mixture_temperature_weights",
+    "pagerank_neardup_graph",
+    "percentile_prices_by_priority",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q11_important_supplier_value",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q22_idle_customers",
+    "q4_priority_late_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_classifier_trained",
+    "quality_winsorize",
+    "rollup_customers",
 ]
 # WINDOW:END
 

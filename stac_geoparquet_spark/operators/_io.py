@@ -57,6 +57,34 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def scan_is_multisplit(
+    spark: SparkSession, path: str, target: int | None = None
+) -> bool:
+    """True when ``path`` scans as at least one split per core — the
+    scale regime.  Same memoized plan-time probe as ``read_spread``
+    (shared cache), exposed for callers that must pick a STRATEGY by
+    regime rather than re-spread rows: e.g. an eager fence over a
+    multi-consumer aggregate deletes a duplicate input pass (a real
+    win when every core is busy) but SERIALIZES branches that a toy
+    single-split fixture runs in parallel on idle cores — the r10
+    ``part_affinity_topk`` regression (driver cell 1.14 -> 1.39 s,
+    8->32-core scaling ratio 0.88)."""
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    df = scan_parquet(spark, path)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        source_stamp(path),
+        target,
+    )
+    spread = _SPREAD_CACHE.get(key)
+    if spread is None:
+        spread = df.rdd.getNumPartitions() < target
+        _SPREAD_CACHE[key] = spread
+    return not spread
+
+
 def read_spread(
     spark: SparkSession, path: str, target: int | None = None
 ) -> DataFrame:
@@ -76,17 +104,7 @@ def read_spread(
     df = scan_parquet(spark, path)
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(path),
-        source_stamp(path),
-        target,
-    )
-    spread = _SPREAD_CACHE.get(key)
-    if spread is None:
-        spread = df.rdd.getNumPartitions() < target
-        _SPREAD_CACHE[key] = spread
-    if spread:
+    if not scan_is_multisplit(spark, path, target):
         return df.repartition(target)
     return df
 

@@ -843,11 +843,34 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     stats = _corpus_stats(docs)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r11: dfreq and lex_scored both consume tf, and Catalyst plans the
+    # whole tokenize+explode+aggregate subtree twice (no CSE) — but AQE
+    # DOES reuse shuffle stages whose canonicalized plans are identical
+    # (ReusedQueryStage).  Two things made the copies differ in r10:
+    # (a) dfreq never read the ``tf`` count, so column pruning stripped
+    # count(1) from its copy of the aggregate; the ``tf > 0`` guard
+    # (a tautology: tf is a per-group count(1) >= 1) keeps the column
+    # alive so both partial aggregates compute the same functions;
+    # (b) the null-intolerant ``doc_id != query_id`` filter below
+    # inferred an extra isnotnull(doc_id) into the lex copy's scan —
+    # the coalesce form keeps identical WHERE semantics (NULL -> FALSE
+    # -> dropped, matching the oracle's ``t.doc_id <> q.query_id``)
+    # without licensing that inference.  With both aligned, the corpus
+    # tokenize/explode/aggregate pass runs ONCE and dfreq reads the
+    # reused stage.
+    dfreq = (
+        tf.where(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     idf, tf_part = _bm25_idf(), _bm25_tf_part()
     lex_scored = (
         tf.join(F.broadcast(qterms), "term")
-        .where(F.col("doc_id") != F.col("query_id"))
+        .where(
+            F.coalesce(
+                F.col("doc_id") != F.col("query_id"), F.lit(False)
+            )
+        )
         .join(F.broadcast(dfreq), "term")
         .join(F.broadcast(stats))
         .groupBy("query_id", "doc_id")

@@ -670,7 +670,6 @@ ORACLE["events_psi_incremental"] = _psi_incremental_sql()
 # --------------------------------------------------------------------------
 def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators._canon import events_canon
-    from stac_geoparquet_spark.operators._io import fenced
 
     ev = events_canon(spark, sf_dir).where(
         F.col("user_id").isNotNull()
@@ -694,15 +693,26 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("l1", F.lit("(start)")),
         ).alias("path")
     )
-    per = fenced(
-        paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_conversions"))
+    per = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_conversions")
     )
-    tot = per.agg(F.sum("n_conversions").alias("t"))
-    return per.join(F.broadcast(tot)).selectExpr(
+    # r11: the grand total rides an unpartitioned window over ``per``
+    # instead of the r10 fence + broadcast self-join — ``per`` is
+    # bounded by the path alphabet (|event types + start|^3 rows), so
+    # the single-partition window input is a constant, and the eager
+    # fence job (whose construction cost regressed the r10 driver cell
+    # 0.90 -> 1.25 s after the events-spread removal) disappears along
+    # with the join.  sum-over-all == the old tot by definition.
+    return per.select(
         "path",
         "n_conversions",
-        "round(CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE), 6)"
-        " AS conversion_share",
+        F.round(
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(Window.partitionBy()).cast(
+                "double"
+            ),
+            6,
+        ).alias("conversion_share"),
     )
 
 

@@ -1969,15 +1969,24 @@ def test_psi_incremental_one_scan_fenced(spark, sf):
     assert n_ops(plan, "Window") == 0
 
 
-def test_conversion_paths_one_window_fenced(spark, sf):
-    """The three lags share ONE user_id window, run at build time
-    inside the fenced path rollup — the returned plan reads
-    materialized rows only."""
+def test_conversion_paths_one_window_no_fence(spark, sf):
+    """r11 shape: the three lags share ONE user_id window over the
+    single canonical-events scan, and the grand total rides an
+    unpartitioned window over the path-alphabet-bounded per-path
+    rollup — no eager fence job, no broadcast self-join (the r10
+    fence's construction cost was the driver's 0.90 -> 1.25 s
+    regression)."""
     from stac_geoparquet_spark.operators import timeseries
 
     plan = plan_of(timeseries.events_conversion_paths(spark, sf))
-    assert "events.parquet" not in plan
-    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "Scan parquet") == 1  # one canon-events scan
+    assert n_ops(plan, "Window") == 2  # user_id lags + bounded total
+    assert (
+        n_ops(plan, "SortMergeJoin")
+        + n_ops(plan, "BroadcastHashJoin")
+        + n_ops(plan, "BroadcastNestedLoopJoin")
+        == 0
+    )
     assert "CartesianProduct" not in plan
 
 
