@@ -62,6 +62,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # r11 optimization (guide §5: the driver should do almost no
+        # work): every PySpark DataFrame/Column call is wrapped by
+        # errors.utils._with_origin, which per call reads a session
+        # conf, walks the Python stack, and makes TWO extra py4j round
+        # trips (PySparkCurrentOrigin.set/clear) purely to decorate
+        # error messages with user-code call sites.  A registry-wide
+        # construction profile measured ~91 s of the 114 s warm bench
+        # as driver-side construction, and this wrapper is a fixed tax
+        # on all of it (~2,900 py4j round trips for ONE mid-size query
+        # build).  Debug-origin capture off = identical plans/results,
+        # errors merely lose the "was called from user_file.py:N" hint.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
