@@ -185,6 +185,13 @@ def main() -> None:
     # covers every operator family and the heaviest queries, and the
     # complete per-query map goes to bench_detail.json next to this
     # file (git-ignored).
+    # r11 (r10 verdict item 8): per-layout build attribution.  When
+    # the scratch dir is cold, materialize_layout rebuilds derived
+    # layouts inside the first timed run of whichever query touches
+    # them; logging the builds here makes a cold-run total mechanically
+    # attributable (bench_detail only — the stdout line is unchanged).
+    from stac_geoparquet_spark.operators._io import LAYOUT_BUILD_LOG
+
     with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
         json.dump(
             {
@@ -193,6 +200,7 @@ def main() -> None:
                 "gc_ms_and_heap_mb": gc_log,
                 "gc_ms_total": _gc_ms(),
                 "clear_every": clear_every,
+                "layout_builds": LAYOUT_BUILD_LOG,
             },
             f,
             sort_keys=True,

@@ -79,6 +79,7 @@ def _canon_layout(
 
     from stac_geoparquet_spark.operators._io import (
         layout_scratch_path,
+        layout_write_partitions,
         materialize_layout,
         read_spread,
     )
@@ -98,17 +99,37 @@ def _canon_layout(
         return spark.read.parquet(p)
 
     def build(build_dir: str) -> None:
-        canonical_rows(_read(src), id_col, payload).write.mode(
-            "overwrite"
-        ).parquet(build_dir)
+        out = canonical_rows(_read(src), id_col, payload)
+        # toy-scale sources come out of the id-window as ONE
+        # advisory-coalesced partition -> one file -> one forever-
+        # single scan task (the openCostInBytes floor).  Split the
+        # one-time build into a file per core so every consumer's
+        # scan parallelizes with NO per-query exchange; at real scale
+        # layout_write_partitions returns None and the natural
+        # partitioning (hundreds of MB per file) is kept.
+        n = layout_write_partitions(spark, src)
+        if n:
+            out = out.repartition(n)
+        out.write.mode("overwrite").parquet(build_dir)
 
     out = materialize_layout(path, build)
     # ``spread`` parallelizes single-split toy reads for worker-heavy
     # consumers; hash-early operators (dedup_exact) pass False so the
-    # text column never rides a round-robin exchange
+    # text column never rides a round-robin exchange.  r11: the layout
+    # itself now writes 8 files in the toy regime, so the spread
+    # target is 8 — once the scan is 8-way, re-spreading 8 -> cores
+    # is a round-robin exchange of the text column that costs more
+    # than the extra parallelism buys (bm25_ndcg solo 1.30 -> 1.02 s
+    # without it; the embeddings consumers use the same target=8 for
+    # the same fatter-blocks reason), making spread=True a no-op
+    # unless the layout predates the multi-file build.
     from stac_geoparquet_spark.operators._io import scan_parquet
 
-    return read_spread(spark, out) if spread else scan_parquet(spark, out)
+    return (
+        read_spread(spark, out, target=8)
+        if spread
+        else scan_parquet(spark, out)
+    )
 
 
 def docs_canon(

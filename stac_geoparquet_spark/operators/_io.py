@@ -160,11 +160,73 @@ def source_stamp(src_file: str) -> str:
 
 # Bumped whenever the CONTENT a layout build writes changes (e.g. the
 # canonical-by-id contract changed what the IVF layout holds; v3: the
-# gram index switched to the canonical corpus).  Without it a layout
-# materialized by older code is stamp-identical to the new one and
-# would silently keep serving pre-upgrade content — the exact failure
-# a long-lived cluster hits on an engine upgrade.
-LAYOUT_FORMAT_VERSION = 3
+# gram index switched to the canonical corpus; v4: toy-scale builds
+# split the layout into one file per core so consumers' scans
+# parallelize without a per-query exchange — same rows, new file
+# layout).  Without it a layout materialized by older code is
+# stamp-identical to the new one and would silently keep serving
+# pre-upgrade content — the exact failure a long-lived cluster hits
+# on an engine upgrade.
+LAYOUT_FORMAT_VERSION = 4
+
+
+def layout_write_partitions(
+    spark: SparkSession, src_file: str, target: int | None = None
+) -> int | None:
+    """How many partitions a derived-layout BUILD should write, or
+    ``None`` to keep the build's natural partitioning.
+
+    Spark floors every scan split at ``spark.sql.files.openCostInBytes``
+    (4 MB), so a layout that comes out as ONE small file — AQE
+    advisory-size coalescing collapses any toy-scale shuffle to a
+    single partition — is forever a single scan task no matter how
+    many cores run the consumer (guide §6; the r10 scaling block's
+    ~1.0 ratios were exactly this fixture floor).  Splitting the
+    ONE-TIME build into one file per core makes every later scan of
+    the layout parallel for free — unlike ``read_spread``, no
+    round-robin exchange is re-paid inside each consuming query.
+
+    Scale guard: only fires when the SOURCE is smaller than
+    ``target x openCostInBytes`` (i.e. the whole table is below the
+    cluster's minimum useful split volume — the toy regime).  At real
+    scale the condition is false and the build keeps its natural
+    multi-hundred-MB partitioning; repartitioning a 100-TB build down
+    to a core-count constant would be a parallelism collapse.
+    """
+    if target is None:
+        # Measured sweet spot, not a core count: more files buy scan
+        # parallelism but every shuffle downstream pays ~8 ms per map
+        # task in local mode (solo min-of-3 at sf0.1, docs canon:
+        # quality_repetition 1.31 s @1 file -> 0.20 @32 -> 0.43 @8,
+        # but dedup_containment 1.62 -> 3.21 @32 -> 1.63 @8 and
+        # events_markov 0.44 -> 1.07 @32 -> 0.61 @8 — 32 files made
+        # every shuffle-bearing consumer of the layout regress).
+        # 8 files keeps the scan-bound wins and erases the shuffle
+        # regressions; it is also core-count-independent, so a layout
+        # built by a low-core session (the scratch path keys on source
+        # stamp + format version only) serves every local config the
+        # driver uses (8 and 32 cores).  Only reachable in the toy
+        # regime below; at scale the function returns None and the
+        # build keeps its natural partitioning.
+        target = 8
+    try:
+        size = os.stat(os.path.abspath(src_file)).st_size
+    except OSError:
+        return None
+    open_cost = int(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    if size < target * open_cost:
+        return target
+    return None
+
+
+# Per-process log of layout builds that actually RAN (cache misses):
+# [{"layout": basename, "seconds": s}].  bench.py copies it into
+# bench_detail.json so a cold-scratch run's extra wall time is
+# attributable mechanically (r10 verdict item 8) — never printed on
+# the one-line stdout contract.
+LAYOUT_BUILD_LOG: list[dict] = []
 
 
 def layout_scratch_path(src_file: str, prefix: str) -> str:
@@ -191,13 +253,21 @@ def materialize_layout(path: str, build) -> str:
     discards its copy — and no reader ever sees a half-written layout.
     """
     import shutil
+    import time
     import uuid
 
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     build_dir = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
     try:
         build(build_dir)
+        LAYOUT_BUILD_LOG.append(
+            {
+                "layout": os.path.basename(path),
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
         os.rename(build_dir, path)
     except OSError:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -98,9 +98,14 @@ def test_dedup_exact_single_exchange(spark, sf):
 
 def test_simhash_no_shuffle(spark, sf):
     plan = plan_of(dedup.dedup_simhash(spark, sf))
-    # a single projection pipeline: the only exchange is the explicit
-    # input-spread repartition
-    assert n_ops(plan, "Exchange") == 1
+    # a single projection pipeline: at most ONE exchange, and only the
+    # explicit input-spread repartition.  The r11 8-file canonical
+    # layout scans as 8 splits on the bench config (spread no-ops,
+    # zero exchanges); at this suite's local[4] the openCost packing
+    # folds the 8 files into 4 splits and the spread adds its one
+    # round-robin exchange back.  Either way the simhash math itself
+    # never shuffles.
+    assert n_ops(plan, "Exchange") <= 1
 
 
 def test_q17_threshold_table_broadcast(spark, sf):
