@@ -33,6 +33,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._exprs import const_cols
 from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
 
 
@@ -353,6 +354,42 @@ GROUP BY cc.cluster_id
 # (exact-int guard).  Canonical-by-vec_id input (keyed op), valid-
 # vector contract shared with the similarity family.
 # --------------------------------------------------------------------------
+@const_cols
+def _centroid_drift_cols() -> tuple:
+    """Every Column fragment of embedding_centroid_drift is
+    compile-time constant (~1,200 py4j round trips per rebuild —
+    _exprs.py contract)."""
+    half = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    arr = F.sort_array(F.collect_list(F.struct("dim", "ma", "mb")))
+    dot = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["ma"] * x["mb"]
+    )
+    na2 = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["ma"] * x["ma"]
+    )
+    nb2 = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["mb"] * x["mb"]
+    )
+    l2 = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc + (x["ma"] - x["mb"]) * (x["ma"] - x["mb"]),
+    )
+    out = (
+        F.when(
+            (na2 > 0) & (nb2 > 0),
+            F.round(dot / F.sqrt(na2 * nb2), 6) + F.lit(0.0),
+        ).alias("cos_centroids"),
+        (F.round(F.sqrt(l2) / 1e6, 6) + F.lit(0.0)).alias("l2_shift"),
+    )
+    return half, arr, out
+
+
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators._canon import canonical_rows
     from stac_geoparquet_spark.operators.similarity import _valid_vec
@@ -363,12 +400,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "label")
     )
     emb = canonical_rows(emb, "vec_id", ("embedding", "label"))
-    half = (
-        F.conv(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
-        ).cast("bigint")
-        % 2
-    )
+    half, arr, out_cols = _centroid_drift_cols()
     per_dim = (
         emb.select(
             "label",
@@ -412,38 +444,12 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    arr = F.sort_array(
-        F.collect_list(F.struct("dim", "ma", "mb"))
-    )
     per_label = per_dim.groupBy("label").agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
         arr.alias("arr"),
     )
-    dot = F.aggregate(
-        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["ma"] * x["mb"]
-    )
-    na2 = F.aggregate(
-        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["ma"] * x["ma"]
-    )
-    nb2 = F.aggregate(
-        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["mb"] * x["mb"]
-    )
-    l2 = F.aggregate(
-        F.col("arr"),
-        F.lit(0.0),
-        lambda acc, x: acc + (x["ma"] - x["mb"]) * (x["ma"] - x["mb"]),
-    )
-    return per_label.select(
-        "label",
-        "n_a",
-        "n_b",
-        F.when(
-            (na2 > 0) & (nb2 > 0),
-            F.round(dot / F.sqrt(na2 * nb2), 6) + F.lit(0.0),
-        ).alias("cos_centroids"),
-        (F.round(F.sqrt(l2) / 1e6, 6) + F.lit(0.0)).alias("l2_shift"),
-    )
+    return per_label.select("label", "n_a", "n_b", *out_cols)
 
 
 def _centroid_drift_sql() -> str:

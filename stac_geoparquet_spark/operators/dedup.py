@@ -346,7 +346,7 @@ def dedup_ngram_jaccard(
 
 
 _SHINGLE_HASH_CTE = """
-shh AS (
+shh AS MATERIALIZED (
   SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT AS shash FROM sh
 )
 """
@@ -464,7 +464,7 @@ sig AS (
          {min_exprs}
   FROM hashed GROUP BY doc_id
 ),
-bands AS (
+bands AS MATERIALIZED (
   SELECT doc_id, t.band_id, t.band_key
   FROM sig, LATERAL (VALUES {band_rows}) AS t(band_id, band_key)
 ),
@@ -483,7 +483,7 @@ inter AS (
   JOIN shh b ON b.doc_id = doc_b AND b.shash = a.shash
   GROUP BY doc_a, doc_b
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b,
          round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
   FROM inter

@@ -108,12 +108,12 @@ def _pagerank_oracle_sql() -> str:
     chain = ",\n".join(iters)
     return f"""
 WITH {_minhash_oracle_ctes()},
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a, doc_b FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
 ),
-deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY doc_a),
+deg AS MATERIALIZED (SELECT doc_a, count(*) AS deg FROM edges GROUP BY doc_a),
 p0 AS (
   SELECT doc_a AS doc_id,
          round(1.0 / (SELECT count(*) FROM deg), {PR_ROUND}) AS pr

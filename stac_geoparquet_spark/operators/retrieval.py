@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stac_geoparquet_spark.operators._canon import DOCS_CANON_SQL, docs_canon
+from stac_geoparquet_spark.operators._exprs import const_cols
 from stac_geoparquet_spark.operators._io import fenced
 from stac_geoparquet_spark.operators.text import _sql_words, _words
 
@@ -66,15 +67,15 @@ CHI2_CRIT = 3.84  # chi2 critical value at p < 0.05, 1 dof
 # final row_number window is unpartitioned but runs AFTER the top-K cut
 # — its input is BM25_TOP_K rows, a constant.
 # --------------------------------------------------------------------------
-def _qterm_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, dl, tf_0..tf_{|q|-1}) — per-doc occurrence counts of
-    each (compile-time constant) query term, computed IN-ROW: one
-    tokenize, one size(filter(w, x == term)) per term, zero exchanges.
-    The tokens array materializes once as a named column (Catalyst
-    does not CSE into lambda bodies)."""
-    out = docs.select("doc_id", _words(F.col("text")).alias("w"))
-    return out.select(
-        "doc_id",
+@const_cols
+def _qterm_cols() -> tuple:
+    """Constant Column fragments of ``_qterm_counts`` — built once per
+    process (every node is compile-time constant; _exprs.py contract).
+    The retrieval family re-constructs these on every call of its six
+    operators, so the per-node py4j round trips were a fixed driver
+    tax (guide §5)."""
+    tokenize = _words(F.col("text")).alias("w")
+    counts = (
         F.size("w").cast("bigint").alias("dl"),
         *[
             F.size(F.filter("w", lambda x: x == F.lit(t)))
@@ -83,6 +84,32 @@ def _qterm_counts(docs: DataFrame) -> DataFrame:
             for i, t in enumerate(QUERY_TERMS)
         ],
     )
+    return tokenize, counts
+
+
+def _qterm_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf_0..tf_{|q|-1}) — per-doc occurrence counts of
+    each (compile-time constant) query term, computed IN-ROW: one
+    tokenize, one size(filter(w, x == term)) per term, zero exchanges.
+    The tokens array materializes once as a named column (Catalyst
+    does not CSE into lambda bodies)."""
+    tokenize, counts = _qterm_cols()
+    out = docs.select("doc_id", tokenize)
+    return out.select("doc_id", *counts)
+
+
+@const_cols
+def _term_entries_col():
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.col(f"tf_{i}").alias("tf"),
+            )
+            for i, t in enumerate(QUERY_TERMS)
+        ]
+    )
+    return F.explode(F.filter(entries, lambda e: e["tf"] > 0)).alias("e")
 
 
 def _term_freqs(docs: DataFrame) -> DataFrame:
@@ -93,33 +120,28 @@ def _term_freqs(docs: DataFrame) -> DataFrame:
     (doc_id, dl, term) aggregate exchange disappears from every
     consumer (bm25_topk / ndcg / ql / incremental)."""
     cnt = _qterm_counts(docs)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("term"),
-                F.col(f"tf_{i}").alias("tf"),
-            )
-            for i, t in enumerate(QUERY_TERMS)
-        ]
+    return cnt.select("doc_id", "dl", _term_entries_col()).select(
+        "doc_id", "dl", F.col("e.term").alias("term"), F.col("e.tf").alias("tf")
     )
-    return cnt.select(
-        "doc_id",
-        "dl",
-        F.explode(F.filter(entries, lambda e: e["tf"] > 0)).alias("e"),
-    ).select("doc_id", "dl", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
 
 
-def _corpus_stats(docs: DataFrame) -> DataFrame:
-    """One-row (n_docs, avgdl) aggregate; avgdl is one exact-int
-    division so both engines compute the same double."""
-    return docs.select(
-        "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("dl")
-    ).agg(
+@const_cols
+def _corpus_stats_cols() -> tuple:
+    return (
+        F.size(_words(F.col("text"))).cast("bigint").alias("dl"),
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
 
 
+def _corpus_stats(docs: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) aggregate; avgdl is one exact-int
+    division so both engines compute the same double."""
+    dl, n_docs, avgdl = _corpus_stats_cols()
+    return docs.select("doc_id", dl).agg(n_docs, avgdl)
+
+
+@const_cols
 def _bm25_idf():
     return F.log(
         F.lit(1.0)
@@ -128,6 +150,7 @@ def _bm25_idf():
     )
 
 
+@const_cols
 def _bm25_tf_part():
     return (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / (
         F.col("tf").cast("double")
@@ -136,6 +159,7 @@ def _bm25_tf_part():
     )
 
 
+@const_cols
 def _bm25_idf_at(i: int):
     return F.log(
         F.lit(1.0)
@@ -144,6 +168,7 @@ def _bm25_idf_at(i: int):
     )
 
 
+@const_cols
 def _bm25_tf_part_at(i: int):
     return (F.col(f"tf_{i}").cast("double") * (BM25_K1 + 1.0)) / (
         F.col(f"tf_{i}").cast("double")
@@ -167,7 +192,24 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5e-7 quantum margin, same contract as before).
     docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
     cnt = _qterm_counts(docs)
-    stats = cnt.agg(
+    stats_aggs, gate, total = _bm25_topk_cols()
+    scored = (
+        cnt.where(gate)
+        .join(F.broadcast(cnt.agg(*stats_aggs)))
+        .select("doc_id", F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+@const_cols
+def _qstats_agg_cols() -> tuple:
+    """(n_docs, avgdl, df_0..df_{|q|-1}) aggregate list over the
+    in-row term counts — shared by bm25_topk and the incremental
+    scorer's frozen-index stats."""
+    return (
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         *[
@@ -175,28 +217,21 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(QUERY_TERMS))
         ],
     )
+
+
+@const_cols
+def _bm25_topk_cols() -> tuple:
+    nq = len(QUERY_TERMS)
     contrib = [
         F.when(F.col(f"tf_{i}") > 0, _bm25_idf_at(i) * _bm25_tf_part_at(i))
         .otherwise(F.lit(0.0))
-        for i in range(len(QUERY_TERMS))
+        for i in range(nq)
     ]
     total = contrib[0]
     for c in contrib[1:]:
         total = total + c
-    scored = (
-        cnt.where(
-            F.greatest(
-                *[F.col(f"tf_{i}") for i in range(len(QUERY_TERMS))]
-            )
-            > 0
-        )
-        .join(F.broadcast(stats))
-        .select("doc_id", F.round(total, 6).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOP_K)
-    )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    gate = F.greatest(*[F.col(f"tf_{i}") for i in range(nq)]) > 0
+    return _qstats_agg_cols(), gate, total
 
 
 _TERMS_IN = ", ".join(f"'{t}'" for t in QUERY_TERMS)
@@ -392,20 +427,22 @@ def bm25_incremental_scoring(
     # in-row with the fixed |q|-term sum instead of explode + join +
     # re-aggregate.  Two corpus passes, zero keyed exchanges.
     docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
-    nq = len(QUERY_TERMS)
     base_cnt = _qterm_counts(docs.where(F.col("doc_id") % INCOMING_MOD != 0))
     in_cnt = _qterm_counts(docs.where(F.col("doc_id") % INCOMING_MOD == 0))
-    stats = base_cnt.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
-            for i in range(nq)
-        ],
+    any_match, total = _bm25_incr_cols()
+    return (
+        in_cnt.join(F.broadcast(base_cnt.agg(*_qstats_agg_cols())))
+        .where(any_match)
+        .select("doc_id", F.round(total, 6).alias("score"))
     )
+
+
+@const_cols
+def _bm25_incr_cols() -> tuple:
     # a term ABSENT from the base index (df_i = 0) contributes nothing
     # and does not qualify a doc for output — the old inner join on
     # dfreq dropped those postings; the guards reproduce it exactly
+    nq = len(QUERY_TERMS)
     contrib = [
         F.when(
             (F.col(f"tf_{i}") > 0) & (F.col(f"df_{i}") > 0),
@@ -422,11 +459,7 @@ def bm25_incremental_scoring(
     any_match = matched[0]
     for m in matched[1:]:
         any_match = any_match | m
-    return (
-        in_cnt.join(F.broadcast(stats))
-        .where(any_match)
-        .select("doc_id", F.round(total, 6).alias("score"))
-    )
+    return any_match, total
 
 
 BM25_INCR_SQL = f"""
@@ -574,70 +607,76 @@ _NDCG_MRR_AGG = (
 )
 
 
+@const_cols
+def _ndcg_wide_agg_cols() -> tuple:
+    """The one-corpus-reduce aggregate list + the gstats pivot explode
+    of ``bm25_ndcg_report`` — every node compile-time constant, ~2,400
+    py4j round trips when rebuilt per call (the registry's single
+    largest construction cell)."""
+    nq = len(QUERY_TERMS)
+    aggs = (
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(nq)
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.least(
+                            F.lit(NDCG_MAX_GRADE), F.col(f"tf_{i}")
+                        )
+                        >= g,
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"cum_{i}_{g}")
+            for i in range(nq)
+            for g in range(1, NDCG_MAX_GRADE + 1)
+        ],
+    )
+    pivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.col(f"df_{i}").alias("df"),
+                    *[
+                        F.col(f"cum_{i}_{g}").alias(f"cum{g}")
+                        for g in range(1, NDCG_MAX_GRADE + 1)
+                    ],
+                )
+                for i, t in enumerate(QUERY_TERMS)
+            ]
+        )
+    ).alias("e")
+    grade = F.least(F.lit(NDCG_MAX_GRADE), F.col("tf")).cast("bigint")
+    return aggs, pivot, grade
+
+
 def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_geoparquet_spark.operators.twophase import local_topk
 
     docs = docs_canon(spark, sf_dir, spread=True).where(F.col("text").isNotNull())
     cnt = _qterm_counts(docs)
-    nq = len(QUERY_TERMS)
     # r10: ONE corpus reduce carries everything both stat consumers
     # need — n_docs/avgdl (the old separate _corpus_stats pass) AND the
     # per-term df + grade histogram (the old gstats aggregate) — as a
     # single fenced 1-row frame; gstats pivots out of it in-plan (a
     # |q|-element constant explode, no second corpus pass, and the old
     # 3 corpus tokenize passes drop to 2).
-    wide = fenced(
-        cnt.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-            *[
-                F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
-                .cast("bigint")
-                .alias(f"df_{i}")
-                for i in range(nq)
-            ],
-            *[
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.least(
-                                F.lit(NDCG_MAX_GRADE), F.col(f"tf_{i}")
-                            )
-                            >= g,
-                            F.lit(1),
-                        )
-                    ),
-                    F.lit(0),
-                )
-                .cast("bigint")
-                .alias(f"cum_{i}_{g}")
-                for i in range(nq)
-                for g in range(1, NDCG_MAX_GRADE + 1)
-            ],
-        )
-    )
-    gstats = wide.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("term"),
-                        F.col(f"df_{i}").alias("df"),
-                        *[
-                            F.col(f"cum_{i}_{g}").alias(f"cum{g}")
-                            for g in range(1, NDCG_MAX_GRADE + 1)
-                        ],
-                    )
-                    for i, t in enumerate(QUERY_TERMS)
-                ]
-            )
-        ).alias("e")
-    ).select("e.*")
+    aggs, pivot, grade = _ndcg_wide_agg_cols()
+    wide = fenced(cnt.agg(*aggs))
+    gstats = wide.select(pivot).select("e.*")
     stats = wide.select("n_docs", "avgdl")
-    tfg = _term_freqs(docs).withColumn(
-        "grade",
-        F.least(F.lit(NDCG_MAX_GRADE), F.col("tf")).cast("bigint"),
-    )
+    tfg = _term_freqs(docs).withColumn("grade", grade)
     idf, tf_part = _bm25_idf(), _bm25_tf_part()
     scored = (
         tfg.join(F.broadcast(gstats.select("term", "df")), "term")

@@ -44,6 +44,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._exprs import const_cols
 from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
 
 from stac_geoparquet_spark.caches import register_cache
@@ -777,27 +778,22 @@ def _kmeans_dist_structs(cents: list[tuple[int, list[float]]]):
     """array<struct<d, cid>> of the rounded squared distance to every
     centroid — array_min picks the assignment (lexicographic: distance
     first, centroid id as the tie-break, matching the oracle's
-    ORDER BY d, cid)."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.lit(c),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    ),
-                    6,
-                ).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in cents
-        ]
+    ORDER BY d, cid).
+
+    Built as ONE F.expr string: the Column-API form of this K x DIM
+    literal tree is ~1,300 py4j round trips (~0.45 s of driver-side
+    socket latency) per construction, re-paid by every kmeans/
+    silhouette call — the expr parse is one round trip and yields the
+    identical expression tree (_exprs.py round-trip arithmetic)."""
+    from stac_geoparquet_spark.operators._exprs import sql_double_array
+
+    structs = ", ".join(
+        "named_struct('d', round(aggregate(zip_with(v, "
+        f"{sql_double_array(c)}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (a, x) -> a + x), 6), 'cid', {int(cid)})"
+        for cid, c in cents
     )
+    return F.expr(f"array({structs})")
 
 
 def _kmeans_assign(
@@ -1557,11 +1553,32 @@ def _covariance_merged_fenced(
     return out
 
 
+@const_cols
+def _cov_assembly_cols() -> tuple:
+    return (
+        F.col("s").alias("sv"),
+        (
+            # + 0.0 after the round normalizes IEEE negative zero
+            # (-0.0 + 0.0 == +0.0): the s - sv*sw/n cancellation can
+            # leave a ±1e-13 residue whose SIGN depends on partial-sum
+            # merge order, so without this the rendered zero is flaky
+            # across runs and across engines (r04 red row, (i=5,j=9)).
+            F.round(
+                (F.col("s") - F.col("sv") * F.col("sw") / F.col("n"))
+                / F.nullif(F.col("n") - 1, F.lit(0)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov"),
+    )
+
+
 def _cov_assembly(merged: DataFrame) -> DataFrame:
     """(i, j, s, n) merged partials -> upper-triangle (i, j, n, cov)
     with cov rounded to 6 (+0.0 negative-zero normalization).  The
     input MUST be fenced: sums and products are two consumers."""
-    sums = merged.where(F.col("j") == -1).select("i", F.col("s").alias("sv"))
+    sv, cov = _cov_assembly_cols()
+    sums = merged.where(F.col("j") == -1).select("i", sv)
     prods = merged.where(F.col("j") >= 0)
     return (
         prods.join(F.broadcast(sums), "i")
@@ -1569,24 +1586,7 @@ def _cov_assembly(merged: DataFrame) -> DataFrame:
             F.broadcast(sums.select(F.col("i").alias("j"), F.col("sv").alias("sw"))),
             "j",
         )
-        .select(
-            "i",
-            "j",
-            F.col("n"),
-            # + 0.0 after the round normalizes IEEE negative zero
-            # (-0.0 + 0.0 == +0.0): the s - sv*sw/n cancellation can
-            # leave a ±1e-13 residue whose SIGN depends on partial-sum
-            # merge order, so without this the rendered zero is flaky
-            # across runs and across engines (r04 red row, (i=5,j=9)).
-            (
-                F.round(
-                    (F.col("s") - F.col("sv") * F.col("sw") / F.col("n"))
-                    / F.nullif(F.col("n") - 1, F.lit(0)).cast("double"),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("cov"),
-        )
+        .select("i", "j", F.col("n"), cov)
         .select("i", "j", "n", "cov")
     )
 
@@ -2112,10 +2112,10 @@ FROM scores GROUP BY label
 STD_DIMS = 8
 
 
-def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_blocks(spark, sf_dir, canonical=True).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+@const_cols
+def _std_stat_cols() -> tuple:
+    """embedding_standardize's constant aggregate + mu/sd projection
+    lists (~1,300 py4j nodes when rebuilt per call — _exprs.py)."""
     aggs = []
     for i in range(STD_DIMS):
         aggs += [
@@ -2123,11 +2123,8 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v")[i] * F.col("v")[i]).alias(f"q{i}"),
         ]
     aggs.append(F.count(F.lit(1)).alias("n"))
-    # rounding happens IN Spark (HALF_UP, matching DuckDB's round) so
-    # the collected constants equal the oracle's CTE values exactly
-    stat_row = emb.agg(*aggs)
     n = F.col("n").cast("double")
-    stats = stat_row.select(
+    proj = (
         *[
             F.round(F.col(f"s{i}") / n, 9).alias(f"mu{i}")
             for i in range(STD_DIMS)
@@ -2155,22 +2152,39 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"sd{i}")
             for i in range(STD_DIMS)
         ],
-    ).collect()
+    )
+    return tuple(aggs), proj
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_geoparquet_spark.operators._exprs import sql_double
+
+    emb = _emb_blocks(spark, sf_dir, canonical=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # rounding happens IN Spark (HALF_UP, matching DuckDB's round) so
+    # the collected constants equal the oracle's CTE values exactly
+    aggs, proj = _std_stat_cols()
+    stats = emb.agg(*aggs).select(*proj).collect()
     # a global (no-groupBy) aggregate always yields exactly ONE row —
     # on an empty table it carries NULL sums / n = 0, and the NULL
     # mu/sd handling below returns the correctly-empty projection
     r = stats[0]
-    cols = [F.col("vec_id")]
+    # z-columns embed the collected per-dataset constants, so they
+    # cannot be const_cols-memoized — ONE selectExpr string instead of
+    # ~500 Column nodes (sql_double round-trips binary64 exactly, so
+    # the parsed literals equal the old F.lit() values bit-for-bit)
+    zs = []
     for i in range(STD_DIMS):
         mu, sd = r[f"mu{i}"], r[f"sd{i}"]
         if sd is None or sd == 0.0:
-            z = F.lit(None).cast("double")
+            zs.append(f"CAST(NULL AS DOUBLE) AS z{i}")
         else:
-            z = F.round((F.col("v")[i] - F.lit(mu)) / F.lit(sd), 6) + F.lit(
-                0.0
+            zs.append(
+                f"round((v[{i}] - {sql_double(mu)}) / {sql_double(sd)}, 6)"
+                f" + 0.0D AS z{i}"
             )
-        cols.append(z.alias(f"z{i}"))
-    return emb.select(*cols)
+    return emb.selectExpr("vec_id", *zs)
 
 
 def _standardize_oracle_sql() -> str:
@@ -2220,16 +2234,13 @@ FROM e, sl
 # norms) flags nothing on either engine, which also sidesteps the
 # engines' different greatest(NULL, 0) conventions.
 # --------------------------------------------------------------------------
-def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_blocks(spark, sf_dir, canonical=True).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+@const_cols
+def _norm_outlier_cols() -> tuple:
     norm = F.sqrt(
         F.aggregate(
             F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
         )
-    )
-    norms = emb.select("vec_id", norm.alias("norm"))
+    ).alias("norm")
     n = F.count(F.lit(1)).cast("double")
     mu_expr = F.round(F.sum("norm") / n, 9)
     sd_expr = F.round(
@@ -2246,13 +2257,23 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    stat = norms.agg(
+    aggs = (
         mu_expr.alias("mu"),
         sd_expr.alias("sd"),
         # thr rides the SAME agg row so its round(,6) is the engine's
         # HALF_UP — identical to the oracle's round(mu + 3 * sd, 6)
         F.round(mu_expr + 3.0 * sd_expr, 6).alias("thr"),
-    ).collect()[0]
+    )
+    return norm, aggs
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_blocks(spark, sf_dir, canonical=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm, aggs = _norm_outlier_cols()
+    norms = emb.select("vec_id", norm)
+    stat = norms.agg(*aggs).collect()[0]
     mu, sd, thr = stat["mu"], stat["sd"], stat["thr"]
     if mu is None or sd is None or sd == 0.0:
         flag = F.lit(False)
@@ -3152,16 +3173,10 @@ def _whitened_cov_merged(
     )
 
 
-def _isotropy_metrics(cov_df: DataFrame, phase: str) -> DataFrame:
-    """The embedding_isotropy_report metric block over any rounded
-    upper-triangle covariance frame, tagged with a phase label."""
-    m = cov_df.where(F.col("cov").isNotNull()).select(
-        "i",
-        "j",
-        "n",
-        F.round(F.col("cov") * 1_000_000).cast("bigint").alias("micro"),
-    )
-    agg = m.agg(
+@const_cols
+def _isotropy_metric_cols() -> tuple:
+    micro = F.round(F.col("cov") * 1_000_000).cast("bigint").alias("micro")
+    aggs = (
         F.sum(F.when(F.col("i") == F.col("j"), 1).otherwise(0))
         .cast("bigint")
         .alias("d"),
@@ -3183,6 +3198,15 @@ def _isotropy_metrics(cov_df: DataFrame, phase: str) -> DataFrame:
             ).otherwise(2 * F.col("micro") * F.col("micro"))
         ).alias("frob"),
     )
+    return micro, aggs
+
+
+def _isotropy_metrics(cov_df: DataFrame, phase: str) -> DataFrame:
+    """The embedding_isotropy_report metric block over any rounded
+    upper-triangle covariance frame, tagged with a phase label."""
+    micro, aggs = _isotropy_metric_cols()
+    m = cov_df.where(F.col("cov").isNotNull()).select("i", "j", "n", micro)
+    agg = m.agg(*aggs)
     return agg.selectExpr(
         f"'{phase}' AS phase",
         "d",

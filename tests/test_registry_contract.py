@@ -359,8 +359,10 @@ def test_driver_collects_are_all_bounded_and_allowlisted():
 # when a group can accumulate a corpus-sized slice.
 # ---------------------------------------------------------------------------
 _GROUPED_COLLECT_ALLOWLIST = {
-    ("operators/audit.py", "embedding_centroid_drift"):
-        "per-label (dim, mean) structs — DIM-bounded per group",
+    ("operators/audit.py", "_centroid_drift_cols"):
+        "per-label (dim, mean) structs — DIM-bounded per group "
+        "(embedding_centroid_drift's constant Column fragments, "
+        "hoisted into a const_cols builder in r11)",
     ("operators/curation.py", "bpe_merges_vocab_cached"):
         "ONE row collecting the learned merge pairs — BPE_TOP_K(=20)-"
         "bounded by the upstream limit (session-cached table), "
