@@ -169,18 +169,25 @@ def events_attribution_last_touch(
         .where(F.col("event_type") == "purchase")
         .select(F.coalesce(F.col("carry"), F.lit("direct")).alias("touch"), "cents")
     )
-    from stac_geoparquet_spark.operators._io import fenced
-
-    # fenced (type-alphabet-bounded rollup, two consumers): the totals
-    # aggregate must not re-plan the window + scan chain
-    per = fenced(
-        purchases.groupBy("touch").agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.sum("cents").alias("attributed_cents"),
-        )
+    # r11: the total rides an unpartitioned window over the type-
+    # alphabet-bounded rollup instead of the r10 fence + 1-row
+    # aggregate + broadcast join — ONE consumer, so the window + scan
+    # chain still runs once but the construction-time checkpoint job
+    # and the per-call broadcast disappear (classifier_lift_gains
+    # move; results identical, oracle unchanged)
+    per = purchases.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("attributed_cents"),
     )
-    tot = per.agg(F.sum("attributed_cents").alias("t"))
-    return per.join(F.broadcast(tot)).selectExpr(
+    per = per.withColumn(
+        "t",
+        F.sum("attributed_cents").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return per.selectExpr(
         "touch",
         "n_purchases",
         "attributed_cents",

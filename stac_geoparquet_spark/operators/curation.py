@@ -149,7 +149,9 @@ def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, the gram-keyed set-collect, and the final count over
     C(|langs|, 2) groups.
     """
-    from stac_geoparquet_spark.operators.pipeline import _word_ngrams
+    from stac_geoparquet_spark.operators.pipeline import (
+        _text_word_ngrams,
+    )
 
     lang_grams = (
         # r10: gram-heavy — keep the toy-scale spread (read_spread)
@@ -163,7 +165,7 @@ def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             # unchanged and the result is identical
             F.explode(
                 F.array_distinct(
-                    _word_ngrams(_words(F.col("text")), XLANG_NGRAM_N)
+                    _text_word_ngrams(XLANG_NGRAM_N)
                 )
             ).alias("ngram"),
         )
@@ -1897,40 +1899,33 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ck")
         .agg(F.sum("dl").cast("bigint").alias("n_tokens_prefix"))
     )
-    # 10-row curve, consumed by the fit AND the output join — fenced
-    # so the two corpus passes (first-occurrence, lengths) run once
-    curve = fenced(vk.join(nk, "ck"))
-    fit = curve.where(
-        (F.col("vocab_prefix") > 0) & (F.col("n_tokens_prefix") > 0)
-    ).agg(
-        (
-            F.round(
-                F.regr_slope(
-                    F.log(F.col("vocab_prefix").cast("double")),
-                    F.log(F.col("n_tokens_prefix").cast("double")),
-                ),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("heaps_beta"),
-        (
-            F.round(
-                F.regr_intercept(
-                    F.log(F.col("vocab_prefix").cast("double")),
-                    F.log(F.col("n_tokens_prefix").cast("double")),
-                ),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("heaps_log_k"),
+    # r11: the regression fit rides an unpartitioned window over the
+    # 10-row curve instead of the r10 fence + 1-row aggregate +
+    # broadcast join — curve then has ONE consumer, so the two corpus
+    # passes (first-occurrence, lengths) still run once, minus the
+    # construction-time checkpoint job and the per-call broadcast.
+    # regr_* skips NULL pairs, so CASE-nulling the filtered rows'
+    # inputs reproduces the old WHERE exactly (results identical).
+    from pyspark.sql import Window
+
+    curve = vk.join(nk, "ck")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return curve.join(F.broadcast(fit)).select(
+    keep = (F.col("vocab_prefix") > 0) & (F.col("n_tokens_prefix") > 0)
+    ly = F.when(keep, F.log(F.col("vocab_prefix").cast("double")))
+    lx = F.when(keep, F.log(F.col("n_tokens_prefix").cast("double")))
+    return curve.select(
         "ck",
         "doc_id_cutoff",
         "n_tokens_prefix",
         "vocab_prefix",
-        "heaps_beta",
-        "heaps_log_k",
+        (F.round(F.regr_slope(ly, lx).over(w_all), 6) + F.lit(0.0)).alias(
+            "heaps_beta"
+        ),
+        (
+            F.round(F.regr_intercept(ly, lx).over(w_all), 6) + F.lit(0.0)
+        ).alias("heaps_log_k"),
     )
 
 

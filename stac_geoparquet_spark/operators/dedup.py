@@ -43,6 +43,7 @@ from pyspark.sql.window import Window
 from stac_geoparquet_spark.operators.similarity import (
     VALID_VEC_SQL as _VALID_VEC_SQL,
 )
+from stac_geoparquet_spark.operators._exprs import const_cols
 from stac_geoparquet_spark.operators._io import fenced
 from stac_geoparquet_spark.operators._canon import (
 
@@ -1354,8 +1355,46 @@ CONTAIN_DF_CAP = 10  # grams rarer than this generate candidates
 CONTAIN_EPS = 1.0 - CONTAIN_TAU
 
 
+@const_cols
+def _containment_cols() -> tuple:
+    """dedup_containment's compile-time-constant Column fragments
+    (~900 py4j round trips when rebuilt per call — _exprs.py)."""
+    pair_explode = F.explode(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size("ds")),
+                    lambda y: F.struct(
+                        x.alias("doc_a"), y.alias("doc_b")
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    docset_aggs = (
+        F.collect_set("shash").alias("g"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("r"), F.lit(0)))
+        .cast("bigint")
+        .alias("rare_n"),
+    )
+    bound = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.col("rare_n")
+        - F.floor(F.lit(CONTAIN_EPS) * F.col("n")).cast("bigint"),
+    ).alias("bound")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("bigint")
+    cont_ab = F.round(inter / F.size("ga"), 6)
+    cont_ba = F.round(inter / F.size("gb"), 6)
+    return pair_explode, docset_aggs, bound, cont_ab, cont_ba
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shh = _hashed_shingles(spark, sf_dir).select("doc_id", "shash")
+    pair_explode, docset_aggs, bound, cont_ab, cont_ba = (
+        _containment_cols()
+    )
     rare = (
         shh.groupBy("shash")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1377,21 +1416,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         posts.groupBy("shash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ds"), i + 2, F.size("ds")),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        .select(pair_explode)
         .groupBy(
             F.col("p.doc_a").alias("doc_a"),
             F.col("p.doc_b").alias("doc_b"),
@@ -1408,23 +1433,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(rare.withColumn("r", F.lit(1))), "shash", "left"
         )
         .groupBy("doc_id")
-        .agg(
-            F.collect_set("shash").alias("g"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce(F.col("r"), F.lit(0)))
-            .cast("bigint")
-            .alias("rare_n"),
-        )
-        .select(
-            "doc_id",
-            "g",
-            "n",
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.col("rare_n")
-                - F.floor(F.lit(CONTAIN_EPS) * F.col("n")).cast("bigint"),
-            ).alias("bound"),
-        )
+        .agg(*docset_aggs)
+        .select("doc_id", "g", "n", bound)
     )
     ga = docsets.select(
         F.col("doc_id").alias("doc_a"),
@@ -1436,13 +1446,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("gb"),
         F.col("bound").alias("bound_b"),
     )
-    inter = F.size(F.array_intersect("ga", "gb")).cast("bigint")
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
         .where(F.col("n_rare_shared") >= F.least("bound_a", "bound_b"))
-        .withColumn("cont_ab", F.round(inter / F.size("ga"), 6))
-        .withColumn("cont_ba", F.round(inter / F.size("gb"), 6))
+        .withColumn("cont_ab", cont_ab)
+        .withColumn("cont_ba", cont_ba)
         .where(F.greatest("cont_ab", "cont_ba") >= CONTAIN_TAU)
         .select("doc_a", "doc_b", "cont_ab", "cont_ba")
     )

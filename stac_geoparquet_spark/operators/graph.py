@@ -22,7 +22,7 @@ lineage per round exactly as in dedup_cluster_cc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stac_geoparquet_spark.caches import register_cache
@@ -896,21 +896,25 @@ def graph_eigenvector_centrality(
         edges.select(F.col("a").alias("n")).distinct()
     )
     x = nodes.select("n", F.lit(1.0).alias("x"))
+    # r11: the L1 normalizer rides an unpartitioned window over the
+    # JOINED iterate (sum skips the NULL y of in-edge-less nodes, so
+    # it equals the old separate 1-row aggregate exactly) — the r10
+    # shape computed contrib TWICE per round (the s aggregate and the
+    # join are two consumers; no CSE) and paid a broadcast exchange
+    # per round.  The window input is the node table — bounded by the
+    # part dimension, the same bound the fence already relies on.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     for _ in range(EIG_ROUNDS):
         contrib = (
             edges.join(x.selectExpr("n AS b", "x AS xb"), "b")
             .groupBy("a")
             .agg(F.sum("xb").alias("y"))
         )
-        # the L1 normalizer is the plain sum over contrib (nodes with
-        # no in-edges contribute the same 0 the coalesce would add),
-        # so y never needs its own fence: the two contrib consumers
-        # each recompute one keyed aggregate over FENCED leaves, which
-        # is cheaper than materializing an extra checkpoint per round
-        s = contrib.agg(F.sum("y").alias("s"))
         x = fenced(
             nodes.join(contrib.withColumnRenamed("a", "n"), "n", "left")
-            .crossJoin(F.broadcast(s))
+            .select("n", "y", F.sum("y").over(w_all).alias("s"))
             .select(
                 "n",
                 F.round(

@@ -29,6 +29,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._exprs import const_cols
+
 from stac_geoparquet_spark.operators._canon import (
     DOCS_CANON_SQL as _DOCS_CANON_SQL,
 )
@@ -114,6 +116,14 @@ def _word_ngrams(w: Column, n: int) -> Column:
     return grams
 
 
+@const_cols
+def _text_word_ngrams(n: int) -> Column:
+    """``_word_ngrams(_words(F.col("text")), n)`` memoized per n —
+    the zip_with chain is ~100 py4j nodes and six operators rebuild it
+    (twice each for the decontam pair) on every call (_exprs.py)."""
+    return _word_ngrams(_words(F.col("text")), n)
+
+
 def _sql_ngrams(n: int) -> str:
     # range(1, len-n+2) -> i = 1..len-n+1; words[i:i+n-1] is inclusive
     # slicing, n elements.  range() is empty when start >= stop, which
@@ -143,7 +153,7 @@ def decontaminate_against_holdout(
     from pyspark.sql import Window
 
     docs = _docs_spread(spark, sf_dir).select(
-        "doc_id", _word_ngrams(_words(F.col("text")), NGRAM_N).alias("grams")
+        "doc_id", _text_word_ngrams(NGRAM_N).alias("grams")
     )
     labeled = docs.withColumn("split", split_pct())
     # Single scan: a train/holdout self-JOIN would re-run the scan +
@@ -246,7 +256,7 @@ def build_gram_index(spark: SparkSession, sf_dir: str) -> str:
         .otherwise(F.lit("train"))
         .alias("bucket"),
         F.explode(
-            F.array_distinct(_word_ngrams(_words(F.col("text")), NGRAM_N))
+            F.array_distinct(_text_word_ngrams(NGRAM_N))
         ).alias("ngram"),
     )
 
@@ -930,7 +940,7 @@ def _budget_oracle_sql() -> str:
 def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _docs(spark, sf_dir).select(
         "doc_id",
-        F.explode(_word_ngrams(_words(F.col("text")), 2)).alias("g"),
+        F.explode(_text_word_ngrams(2)).alias("g"),
     )
     counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.groupBy("doc_id").agg(

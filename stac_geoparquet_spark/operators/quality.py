@@ -473,34 +473,34 @@ MEANAD_SCALE = 1.253314
 
 
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stac_geoparquet_spark.operators._io import fenced
+    from pyspark.sql import Window
+
     from stac_geoparquet_spark.operators.relational import _t
 
     ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    # fenced: the rollup is calendar-bounded (hours x types) and has
-    # FOUR downstream consumers through the med/dev/mad chain — an
-    # unfenced lineage re-scans the events table once per consumer
-    # (the covariance lesson, _io.fenced contract point 1)
-    hourly = fenced(
+    hourly = (
         ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    med = hourly.groupBy("event_type").agg(
-        F.expr("percentile(c, 0.5)").alias("med")
-    )
-    dev = fenced(
-        hourly.join(F.broadcast(med), "event_type").withColumn(
-            "absdev", F.abs(F.col("c") - F.col("med"))
-        )
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(absdev, 0.5)").alias("mad"),
-        F.avg("absdev").alias("meanad"),
-    )
+    # r11: the med/mad/meanad statistics ride windows PARTITIONED BY
+    # the event-type alphabet over the calendar-bounded hourly rollup
+    # (<= hours x types rows — the same bound the r10 fences relied
+    # on), so the whole med -> absdev -> mad -> rz chain is ONE plan
+    # with ONE events scan: the two construction-time checkpoint jobs
+    # and the two broadcast joins disappear (classifier_lift_gains
+    # move; exact percentile over the same rows — results identical,
+    # oracle unchanged)
+    w_type = Window.partitionBy("event_type")
+    dev = hourly.withColumn(
+        "med", F.expr("percentile(c, 0.5)").over(w_type)
+    ).withColumn("absdev", F.abs(F.col("c") - F.col("med")))
+    dev = dev.withColumn(
+        "mad", F.expr("percentile(absdev, 0.5)").over(w_type)
+    ).withColumn("meanad", F.avg("absdev").over(w_type))
     # + 0.0 on both branches: a sub-quantum negative deviation would
     # round to -0.0 — the covariance convention
-    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+    scored = dev.withColumn(
         "rz",
         F.when(
             F.col("mad") > 0,

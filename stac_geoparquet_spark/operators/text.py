@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._exprs import const_cols
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
 # language marker profiles for the n-gram/stopword heuristic (tiebreak
@@ -240,6 +242,7 @@ FROM documents
 # --------------------------------------------------------------------------
 # quality scoring: length / punctuation / stopword ratios
 # --------------------------------------------------------------------------
+@const_cols
 def quality_score_expr() -> Column:
     """THE quality-score definition (weighted length/punctuation/
     stopword blend in [0, 1]) — shared by ``text_quality_score`` and
@@ -957,6 +960,7 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1
 _GOPHER_SYMBOLS = ("#", "…")
 
 
+@const_cols
 def _gopher_cols() -> dict[str, Column]:
     """The Gopher rule columns as in-row expressions over ``text`` —
     ONE definition shared by gopher_quality_rules and the calibration
@@ -1057,6 +1061,7 @@ CLF_MIX = 2654435761  # Knuth's multiplicative-hash constant
 CLF_SCALE = 32.0
 
 
+@const_cols
 def _clf_cols() -> dict[str, Column]:
     """The hashed-linear-classifier columns as in-row expressions over
     ``text`` — ONE definition shared by quality_classifier_score and
@@ -2162,8 +2167,6 @@ ORACLE_ROTATION["text_mattr_diversity"] = MATTR_SQL
 def classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from stac_geoparquet_spark.operators._io import fenced
-
     # r10: same one-pass composition as classifier_calibration_bins —
     # both scorers are per-row projections of the same scan, so the
     # doc_id join was the identity (one scan, one tokenize pass, zero
@@ -2174,7 +2177,7 @@ def classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         _clf_cols()["prob"].alias("prob"),
         _gopher_cols()["keep"].alias("keep"),
     ).where(F.col("prob").isNotNull())
-    bins = fenced(
+    bins = (
         j.select(
             F.least(F.floor(F.col("prob") * 10), F.lit(9))
             .cast("bigint")
@@ -2187,18 +2190,25 @@ def classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pass_flag").cast("bigint").alias("n_pos"),
         )
     )
-    tot = bins.agg(
-        F.sum("n_docs").cast("bigint").alias("t_docs"),
-        F.sum("n_pos").cast("bigint").alias("t_pos"),
-    )
+    # r11: totals ride an unpartitioned window over the BOUNDED bin
+    # table (<= 10 rows post-aggregate) instead of the r10 fence +
+    # 1-row-aggregate broadcast join — the fence's localCheckpoint ran
+    # the whole scan+scorer job at CONSTRUCTION time and was re-paid
+    # on every call (cons 1.33 s solo); in-plan totals make the query
+    # one job with zero extra exchanges of the corpus (exact int sums,
+    # results identical, oracle unchanged)
     w = (
         Window.orderBy(F.col("bin").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         bins.withColumn("cum_docs", F.sum("n_docs").over(w).cast("bigint"))
         .withColumn("cum_pos", F.sum("n_pos").over(w).cast("bigint"))
-        .join(F.broadcast(tot))
+        .withColumn("t_docs", F.sum("n_docs").over(w_all).cast("bigint"))
+        .withColumn("t_pos", F.sum("n_pos").over(w_all).cast("bigint"))
         .selectExpr(
             "bin",
             "n_docs",

@@ -3171,14 +3171,23 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE {_BH_P}
            END AS p_value""",
     )
-    mtab = scored.agg(
+    # r11: m_tests rides an unpartitioned window over the alphabet-
+    # bounded scored table (input is the fenced per-type moments)
+    # instead of a separate 1-row aggregate broadcast onto BOTH output
+    # branches — two broadcast exchanges and one aggregate job gone
+    # per call, results identical (the classifier_lift_gains move)
+    scored = scored.withColumn(
+        "m_tests",
         F.sum(F.when(F.col("p_value").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("m_tests")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("bigint"),
     )
     tst = (
         scored.where(F.col("p_value").isNotNull())
-        .crossJoin(F.broadcast(mtab))
         .withColumn(
             "i",
             F.row_number()
@@ -3212,7 +3221,6 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rest = (
         scored.where(F.col("p_value").isNull())
-        .crossJoin(F.broadcast(mtab))
         .selectExpr(
             "event_type",
             "n_a",
@@ -3908,14 +3916,22 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0 AS m",
         )
     )
-    from stac_geoparquet_spark.operators._io import fenced
-
-    # fence the B-row replicate means: the rep count and the ranking
-    # both consume them, and each would re-run the x B explode over
-    # the corpus otherwise (the no-CSE trap); B = 200 rows, bounded
-    means = fenced(means)
-    nreps = means.agg(F.count(F.lit(1)).cast("bigint").alias("n_reps"))
-    ranked = means.join(F.broadcast(nreps)).withColumn(
+    # r11: the rep count rides an unpartitioned window over the B-row
+    # replicate means (B = 200, bounded) instead of the r10 fence +
+    # 1-row aggregate + broadcast join — means then has ONE consumer,
+    # so the xB explode still runs once but the fence's construction-
+    # time localCheckpoint job and the per-call broadcast disappear
+    # (the classifier_lift_gains move; results identical)
+    ranked = means.withColumn(
+        "n_reps",
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint"),
+    ).withColumn(
         "r", F.row_number().over(Window.orderBy("m", "b")).cast("bigint")
     )
     ci = (
@@ -4060,11 +4076,20 @@ def orders_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdow = base.where(F.col("trend").isNotNull()).groupBy("dow").agg(
         F.avg(F.col("c").cast("double") - F.col("trend")).alias("s_raw")
     )
-    scent = sdow.agg(F.avg("s_raw").alias("s_mean"))
-    seas = fenced(
-        sdow.join(F.broadcast(scent)).select(
-            "dow", (F.col("s_raw") - F.col("s_mean")).alias("seasonal_raw")
-        )
+    # r11: the centering mean rides an unpartitioned window over the
+    # 7-row DOW table instead of the r10 fence + 1-row aggregate +
+    # broadcast join (classifier_lift_gains move; seas has one
+    # consumer, and its corpus-side inputs read the fenced daily leaf)
+    seas = sdow.select(
+        "dow",
+        (
+            F.col("s_raw")
+            - F.avg("s_raw").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("seasonal_raw"),
     )
     return (
         base.join(F.broadcast(seas), "dow", "left")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from stac_geoparquet_spark.operators.pipeline import (
     NGRAM_N,
     _sql_ngrams,
-    _word_ngrams,
+    _text_word_ngrams,
 )
 from stac_geoparquet_spark.operators.text import (
     SPLIT_PCT_SQL,
@@ -59,7 +59,7 @@ def holdout_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pct") >= TRAIN_PCT)
         .select(
             F.explode(
-                F.array_distinct(_word_ngrams(_words(F.col("text")), NGRAM_N))
+                F.array_distinct(_text_word_ngrams(NGRAM_N))
             ).alias("ngram")
         )
         .distinct()
@@ -77,7 +77,7 @@ def _incoming_grams(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    _word_ngrams(_words(F.col("text")), NGRAM_N)
+                    _text_word_ngrams(NGRAM_N)
                 )
             ).alias("ngram"),
         )

@@ -2818,18 +2818,20 @@ def test_mattr_pure_in_row(spark, sf):
 
 
 def test_lift_gains_fenced_bins(spark, sf):
-    """The gains walk runs on the FENCED 10-row bin table (the two
-    per-doc operators joined once at build time); the cumulative
-    window's input is that constant-size table — no parquet scan, no
-    cartesian, no Python in the consumer plan."""
+    """The gains walk runs IN-PLAN on the 10-row bin aggregate (r11:
+    the fence + totals broadcast became unpartitioned windows over the
+    bounded bins, so the whole query is one job): exactly one scan of
+    the corpus feeding one bin aggregate, the cumulative + totals
+    windows over the constant-size table, no cartesian, no broadcast
+    join of a 1-row totals frame, no Python."""
     from stac_geoparquet_spark.operators import text
 
     plan = plan_of(text.classifier_lift_gains(spark, sf))
-    assert n_ops(plan, "Scan parquet") == 0
-    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "Scan parquet") == 1
+    assert n_ops(plan, "Window") == 2
     assert n_ops(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
-    assert "ExistingRDD" in plan
 
 
 def test_ewma_incremental_merged_state_shape(spark, sf):

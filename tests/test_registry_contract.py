@@ -120,6 +120,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     # same rollup rows); the corpus-sized work is the map-side-
     # combining rollup aggregate beneath the window
     ("events_hourly_anomaly", ("event_type",)),
+    # MAD screen (r11): med/mad/meanad windows over the HOURLY ROLLUP,
+    # whose per-type row count is calendar-bounded exactly like
+    # events_hourly_anomaly above — the corpus-sized work is the
+    # map-side-combining rollup aggregate beneath the windows
+    ("events_anomaly_mad", ("event_type",)),
 }
 
 
@@ -372,8 +377,12 @@ _GROUPED_COLLECT_ALLOWLIST = {
     ("operators/curation.py", "dedup_substring_removal"):
         "per-doc surviving tile list — doc-length-bounded",
     ("operators/dedup.py", "dedup_containment"):
+        "per-gram df-capped posting list (C(df_cap, 2) pair expansion)",
+    ("operators/dedup.py", "_containment_cols"):
         "per-doc distinct shingle set — doc-length-bounded (the "
-        "verification side of the df-capped candidate join)",
+        "verification side of the df-capped candidate join; "
+        "dedup_containment's constant fragments, hoisted into a "
+        "const_cols builder in r11)",
     ("operators/retrieval.py", "bm25_ndcg_report"):
         "per-term ranked candidates pre-pruned by the twophase local "
         "top-K, so the list is K x P bounded (config, not data)",
