@@ -51,7 +51,10 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    # r11: deg is node-bounded and multi-consumer (the contrib join
+    # AND the per-round node list below) — fence it per the _io.fenced
+    # contract so neither consumer re-runs the edge aggregate
+    deg = fenced(edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg")))
     n_nodes = deg.count()
     if n_nodes == 0:
         # empty pair graph (tiny/degenerate corpus): no nodes to rank —
@@ -63,6 +66,17 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0 / n_nodes), PR_ROUND).alias("pr"),
         )
     )
+    # r11 batch 3: NO per-round fence.  The node list is the constant
+    # key set of the FENCED deg (ranks carries exactly deg's doc_ids
+    # every round, including round 0), so taking it from deg instead
+    # of from the previous iterate leaves each iterate with exactly
+    # ONE consumer (the contrib join) — the fence prevented no
+    # recompute and only paid a localCheckpoint job per round at
+    # construction time (the eigenvector argument).  The whole damped
+    # iteration is ONE linear plan over the fenced edges/deg leaves,
+    # and the per-round round(pr, PR_ROUND) keeps both engines on
+    # identical float sequences exactly as before.
+    node_ids = deg.select(F.col("doc_a").alias("doc_id"))
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(deg, "doc_a")
@@ -70,9 +84,8 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
         )
-        ranks = fenced(
-            ranks.select("doc_id")
-            .join(contrib, "doc_id", "left")
+        ranks = (
+            node_ids.join(contrib, "doc_id", "left")
             .select(
                 "doc_id",
                 F.round(
@@ -906,13 +919,22 @@ def graph_eigenvector_centrality(
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # r11 batch 3: NO per-round fence.  With the normalizer riding the
+    # window, each iterate has exactly ONE consumer (the next round's
+    # join), so the fence prevented no recompute — it only paid a
+    # localCheckpoint job per round at construction time (4 jobs, the
+    # bulk of this query's 2.3 s construction).  The whole power
+    # iteration is now ONE linear plan over the two fenced leaves
+    # (edges, nodes); depth is EIG_ROUNDS (4), trivially plannable,
+    # and the per-round round(x, 10) keeps both engines on identical
+    # float sequences exactly as before.
     for _ in range(EIG_ROUNDS):
         contrib = (
             edges.join(x.selectExpr("n AS b", "x AS xb"), "b")
             .groupBy("a")
             .agg(F.sum("xb").alias("y"))
         )
-        x = fenced(
+        x = (
             nodes.join(contrib.withColumnRenamed("a", "n"), "n", "left")
             .select("n", "y", F.sum("y").over(w_all).alias("s"))
             .select(

@@ -28,6 +28,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._exprs import const_cols
+
 from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
 
 
@@ -49,6 +51,49 @@ def _check_row(name: str, failed: DataFrame, total: DataFrame) -> DataFrame:
 # <= 1e12 at any realistic row count; the dq gate flags rows outside
 # it (including +/-Infinity) so the ops can assume the envelope
 MEASURE_ENVELOPE = 1_000_000_000_000.0
+
+
+@const_cols
+def _dq_lineitem_scan_aggs() -> tuple:
+    """dq_report's one-pass lineitem check aggregates — constant
+    Column fragments rebuilt per call before r11 (_exprs.py)."""
+    nan_any = (
+        F.coalesce(F.isnan("l_quantity"), F.lit(False))
+        | F.coalesce(F.isnan("l_extendedprice"), F.lit(False))
+        | F.coalesce(F.isnan("l_discount"), F.lit(False))
+        | F.coalesce(F.isnan("l_tax"), F.lit(False))
+    )
+    return (
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "null_qty"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("bad_discount"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+        # NaN measures are CORRUPT, not merely missing: decimal-exact
+        # cross-engine aggregation cannot represent NaN (DuckDB errors
+        # casting NaN to DECIMAL), so the analytic operators' contract
+        # is non-NaN measures and THIS row is the promote/abort gate
+        # that enforces it (the NaN differential probe's finding)
+        F.sum(nan_any.cast("bigint")).alias("nan_measures"),
+        # magnitude envelope (also catches +/-Infinity, which isnan
+        # misses): every exact-int64 cent/moment bound stated in the
+        # analytic operators' comments assumes measures within ~1e12 —
+        # outside it, Spark int64 sums can wrap where DuckDB's HUGEINT
+        # keeps going, so out-of-envelope rows must be caught HERE at
+        # the promote/abort gate, not discovered as drift downstream
+        F.sum(
+            (
+                (F.abs(F.col("l_extendedprice")) > MEASURE_ENVELOPE)
+                | (F.abs(F.col("l_quantity")) > MEASURE_ENVELOPE)
+            ).cast("bigint")
+        ).alias("oob_measures"),
+    )
 
 
 def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,43 +128,7 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("failed"))
     )
     # lineitem scan checks: one pass, then split into report rows
-    nan_any = (
-        F.coalesce(F.isnan("l_quantity"), F.lit(False))
-        | F.coalesce(F.isnan("l_extendedprice"), F.lit(False))
-        | F.coalesce(F.isnan("l_discount"), F.lit(False))
-        | F.coalesce(F.isnan("l_tax"), F.lit(False))
-    )
-    scan = lineitem.agg(
-        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
-            "null_qty"
-        ),
-        F.sum(
-            F.when(
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
-            ).otherwise(0)
-        ).alias("bad_discount"),
-        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
-            "bad_price"
-        ),
-        # NaN measures are CORRUPT, not merely missing: decimal-exact
-        # cross-engine aggregation cannot represent NaN (DuckDB errors
-        # casting NaN to DECIMAL), so the analytic operators' contract
-        # is non-NaN measures and THIS row is the promote/abort gate
-        # that enforces it (the NaN differential probe's finding)
-        F.sum(nan_any.cast("bigint")).alias("nan_measures"),
-        # magnitude envelope (also catches +/-Infinity, which isnan
-        # misses): every exact-int64 cent/moment bound stated in the
-        # analytic operators' comments assumes measures within ~1e12 —
-        # outside it, Spark int64 sums can wrap where DuckDB's HUGEINT
-        # keeps going, so out-of-envelope rows must be caught HERE at
-        # the promote/abort gate, not discovered as drift downstream
-        F.sum(
-            (
-                (F.abs(F.col("l_extendedprice")) > MEASURE_ENVELOPE)
-                | (F.abs(F.col("l_quantity")) > MEASURE_ENVELOPE)
-            ).cast("bigint")
-        ).alias("oob_measures"),
-    )
+    scan = lineitem.agg(*_dq_lineitem_scan_aggs())
 
     parts = [
         _check_row("fk_orders_customer", fk_cust, n_orders),
@@ -219,23 +228,18 @@ ORACLE = {
 DOC_LANGS = ("en", "es", "de", "fr", "zh")
 
 
-def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(check, failed, total) over documents, embeddings and events:
-    NULL text, duplicate doc_ids, out-of-domain lang, n_chars drift,
-    NULL / wrong-dimension / non-finite vectors, duplicate vec_ids,
-    NaN event values.
-    `failed > 0` on any row is the promote/abort gate a pipeline runs
-    before the operators whose contracts these are."""
+@const_cols
+def _dq_corpus_aggs() -> tuple:
+    """dq_corpus_report's three one-pass check-aggregate tuples
+    (docs, embeddings, events) — constant Column fragments rebuilt per
+    call before r11 (_exprs.py)."""
     from stac_geoparquet_spark.operators.similarity import DIM, _valid_vec
-
-    docs = _scan_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
-    emb = _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
     bad_lang = F.col("lang").isNotNull() & ~F.col("lang").isin(*DOC_LANGS)
     len_drift = F.col("text").isNotNull() & (
         F.col("n_chars") != F.length("text")
     )
-    d = docs.agg(
+    d_aggs = (
         F.count(F.lit(1)).alias("total"),
         F.sum(F.col("text").isNull().cast("bigint")).alias("null_text"),
         (F.count(F.lit(1)) - F.count_distinct(F.col("doc_id"))).alias(
@@ -255,7 +259,7 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("embedding") == DIM)
         & ~F.coalesce(_valid_vec(), F.lit(False))
     )
-    e = emb.agg(
+    e_aggs = (
         F.count(F.lit(1)).alias("total"),
         F.sum(F.col("embedding").isNull().cast("bigint")).alias("null_vec"),
         F.sum(wrong_dim.cast("bigint")).alias("wrong_dim"),
@@ -267,9 +271,7 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events: a NaN interaction value poisons bucketed/aggregated
     # event analytics the same way (floor(NaN/b) has no integer
     # value); same gate-then-assume contract as finite_measures
-    from stac_geoparquet_spark.operators.relational import read_events
-
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet")).agg(
+    ev_aggs = (
         F.count(F.lit(1)).alias("total"),
         F.sum(
             F.coalesce(F.isnan("value"), F.lit(False)).cast("bigint")
@@ -279,6 +281,27 @@ def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("value")) > MEASURE_ENVELOPE, F.lit(False)
             ).cast("bigint")
         ).alias("oob_value"),
+    )
+    return d_aggs, e_aggs, ev_aggs
+
+
+def dq_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check, failed, total) over documents, embeddings and events:
+    NULL text, duplicate doc_ids, out-of-domain lang, n_chars drift,
+    NULL / wrong-dimension / non-finite vectors, duplicate vec_ids,
+    NaN event values.
+    `failed > 0` on any row is the promote/abort gate a pipeline runs
+    before the operators whose contracts these are."""
+    docs = _scan_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    emb = _scan_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+
+    d_aggs, e_aggs, ev_aggs = _dq_corpus_aggs()
+    d = docs.agg(*d_aggs)
+    e = emb.agg(*e_aggs)
+    from stac_geoparquet_spark.operators.relational import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet")).agg(
+        *ev_aggs
     )
     drows = d.selectExpr(
         "stack(4, 'doc_null_text', null_text, 'doc_dup_id', dup_doc_id,"

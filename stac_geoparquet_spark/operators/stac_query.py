@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_geoparquet_spark.operators._exprs import const_cols
 from stac_geoparquet_spark.operators._io import scan_parquet as _scan_parquet
 
 N_ITEMS = 500
@@ -173,15 +174,13 @@ FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT {N_ITEMS}) t
 """
 
 
-def cql2_flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The README's own goal query (reference README.md:15, SURVEY.md
-    §7.1) expressed as CQL2-JSON and evaluated by the engine's
-    translator against the *normalized* STAC table: collection
-    membership + open-ended datetime interval + bbox intersection
-    (sargable against the bbox struct) + numeric property threshold +
-    LIKE on a string property."""
-    from stac_geoparquet_spark.stac.cql2 import cql2_filter
-    from stac_geoparquet_spark.stac.forward import normalize_items
+@const_cols
+def _flagship_cql2_col():
+    """The flagship CQL2 filter translated ONCE per process — the
+    expression dict is a module constant, and cql2_to_column is a pure
+    function of it (~1,100 py4j round trips per translation rebuilt on
+    every call before r11; _exprs.py contract)."""
+    from stac_geoparquet_spark.stac.cql2 import cql2_to_column
 
     expr = {
         "op": "and",
@@ -217,8 +216,20 @@ def cql2_flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"op": "like", "args": [{"property": "platform"}, "%E%"]},
         ],
     }
+    return cql2_to_column(expr)
+
+
+def cql2_flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README's own goal query (reference README.md:15, SURVEY.md
+    §7.1) expressed as CQL2-JSON and evaluated by the engine's
+    translator against the *normalized* STAC table: collection
+    membership + open-ended datetime interval + bbox intersection
+    (sargable against the bbox struct) + numeric property threshold +
+    LIKE on a string property."""
+    from stac_geoparquet_spark.stac.forward import normalize_items
+
     norm = normalize_items(_synth_items(spark, sf_dir))
-    out = cql2_filter(norm, expr)
+    out = norm.filter(_flagship_cql2_col())
     return out.select(
         "id",
         "collection",

@@ -2585,10 +2585,11 @@ def test_approx_quantiles_incremental_merge_shape(spark, sf):
 
 
 def test_eigenvector_centrality_fenced_rounds(spark, sf):
-    """The returned plan reads the final fenced iterate (ExistingRDD)
-    — the fixed-round power iteration ran eagerly at build time, so
-    nothing iterative (and no Python, nothing quadratic) remains in
-    the consumer plan."""
+    """r11: the power iteration is ONE linear plan over the two fenced
+    leaves (edges, nodes — the ExistingRDD reads): each iterate has
+    exactly one consumer, so the per-round fences bought nothing and
+    were dropped.  EIG_ROUNDS joins/aggregates appear in-plan; still
+    no Python and nothing quadratic."""
     from stac_geoparquet_spark.operators import graph
 
     plan = plan_of(graph.graph_eigenvector_centrality(spark, sf))
