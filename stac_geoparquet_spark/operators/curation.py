@@ -1676,18 +1676,17 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     named = cand.join(
         p.select(F.col("k").alias("ka"), F.col("s").alias("sa")), "ka"
     ).join(p.select(F.col("k").alias("kb"), F.col("s").alias("sb")), "kb")
-    from stac_geoparquet_spark.operators._io import fenced
-
-    # fence the labeled candidate set: vocabulary-bounded (the
-    # edit_distance_join domain argument), and without it the whole
-    # gram-prefix pipeline (windows included) re-executes under each
-    # downstream join (the no-CSE trap)
-    lab = fenced(
-        named.select(
-            "ka",
-            "kb",
-            (F.levenshtein("sa", "sb") <= ED_TAU).alias("is_match"),
-        )
+    # r11 batch 4: the labeled candidate set has exactly ONE consumer
+    # (the attr-join -> aggregate chain below), so its former fence
+    # bought no reuse — a single plan tree evaluates each node once —
+    # and cost one construction-time materialization job per call
+    # (batch 3's single-consumer argument; the gram-prefix self-join's
+    # two identical subtree copies dedup via AQE exchange reuse over
+    # the fenced name domain).
+    lab = named.select(
+        "ka",
+        "kb",
+        (F.levenshtein("sa", "sb") <= ED_TAU).alias("is_match"),
     )
     attrs = _scan_parquet(spark, os.path.join(sf_dir, "part.parquet")).select(
         "p_partkey",

@@ -736,10 +736,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort the whole corpus on one task): orderBy+limit plans as
     # TakeOrderedAndProject (per-partition top-K, then K*partitions
     # rows merged), and the K-row keep-list broadcasts back as the
-    # `selected` marker.  scored is materialized first (one narrow row
-    # per train doc) so the token-scoring join isn't executed once for
-    # the top-K pass and again for the output.
-    scored = scored.localCheckpoint()
+    # `selected` marker.  r11 batch 4: the localCheckpoint fence that
+    # kept the token-scoring join from running once per consumer is
+    # gone — both consumers read the SAME post-aggregate subtree
+    # (identical plan copies), so AQE stage reuse dedups them
+    # (ReusedExchange in the committed plan), the same route the
+    # hybrid-RRF tf stage took; the fence's construction-time job and
+    # its corpus-sized executor materialization disappear.
     topk = (
         scored.orderBy(F.desc("log_iw"), F.asc("doc_id"))
         .limit(DSIR_K)

@@ -648,6 +648,12 @@ def _ndcg_wide_agg_cols() -> tuple:
                 F.struct(
                     F.lit(t).alias("term"),
                     F.col(f"df_{i}").alias("df"),
+                    # n_docs/avgdl ride every term struct (r11): the
+                    # pivot is then the aggregate's ONLY consumer, so
+                    # one corpus reduce serves scoring AND report with
+                    # no fence and no reliance on runtime stage reuse
+                    F.col("n_docs").alias("n_docs"),
+                    F.col("avgdl").alias("avgdl"),
                     *[
                         F.col(f"cum_{i}_{g}").alias(f"cum{g}")
                         for g in range(1, NDCG_MAX_GRADE + 1)
@@ -673,14 +679,25 @@ def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |q|-element constant explode, no second corpus pass, and the old
     # 3 corpus tokenize passes drop to 2).
     aggs, pivot, grade = _ndcg_wide_agg_cols()
+    # r11 batch 4: an un-fenced wide reduce was TRIED and REVERTED —
+    # the two gstats consumers prune the aggregate divergently (scoring
+    # keeps df/n_docs/avgdl, the report keeps the cums), so their
+    # exchange subtrees are NOT canonically equal and AQE stage reuse
+    # covers only one copy: the runtime final plan ran an EXTRA corpus
+    # pass (a third text scan) — a scale regression traded for ~0.1 s
+    # of local construction.  The fence keeps the corpus reduce at
+    # exactly one pass; what r11 does keep is the pivot carrying
+    # n_docs/avgdl so scoring needs ONE broadcast term join instead of
+    # a term join plus a 1-row BNLJ.
     wide = fenced(cnt.agg(*aggs))
     gstats = wide.select(pivot).select("e.*")
-    stats = wide.select("n_docs", "avgdl")
     tfg = _term_freqs(docs).withColumn("grade", grade)
     idf, tf_part = _bm25_idf(), _bm25_tf_part()
     scored = (
-        tfg.join(F.broadcast(gstats.select("term", "df")), "term")
-        .join(F.broadcast(stats))
+        tfg.join(
+            F.broadcast(gstats.select("term", "df", "n_docs", "avgdl")),
+            "term",
+        )
         .select(
             "term",
             "doc_id",
@@ -1285,7 +1302,10 @@ def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= FB_DOCS)
         .select("doc_id", "score")
     )
-    norm = fenced(fb.agg(F.sum("score").alias("sum_score")))
+    # r11 batch 4: single-consumer 1-row aggregate over the already-
+    # fenced 10-row fb — its former fence bought no reuse and cost one
+    # construction job per call (batch 3's single-consumer argument)
+    norm = fb.agg(F.sum("score").alias("sum_score"))
     toks = docs.join(F.broadcast(fb), "doc_id").select(
         "doc_id",
         "score",

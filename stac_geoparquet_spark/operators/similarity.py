@@ -2157,34 +2157,27 @@ def _std_stat_cols() -> tuple:
 
 
 def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stac_geoparquet_spark.operators._exprs import sql_double
-
     emb = _emb_blocks(spark, sf_dir, canonical=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # rounding happens IN Spark (HALF_UP, matching DuckDB's round) so
-    # the collected constants equal the oracle's CTE values exactly
+    # r11 batch 4: the 2*K bounded stats used to be .collect()ed at
+    # construction (2 driver-synced jobs per call) and re-embedded as
+    # literals; attaching the SAME one-row aggregate in-plan via a
+    # 1-row broadcast (the retrieval.py BNLJ pattern) runs the whole
+    # query as ONE job and drops the construction collect.  Identical
+    # arithmetic: mu/sd still round to 9dp inside the aggregate, the
+    # CASE reproduces the old driver-side sd NULL/0 -> NULL-column
+    # logic (greatest(NULL, 0.0) = 0.0 in Spark keeps the constant-
+    # dimension path on sd = 0), z still rounds to 6 with the +0.0
+    # negative-zero normalization.
     aggs, proj = _std_stat_cols()
-    stats = emb.agg(*aggs).select(*proj).collect()
-    # a global (no-groupBy) aggregate always yields exactly ONE row —
-    # on an empty table it carries NULL sums / n = 0, and the NULL
-    # mu/sd handling below returns the correctly-empty projection
-    r = stats[0]
-    # z-columns embed the collected per-dataset constants, so they
-    # cannot be const_cols-memoized — ONE selectExpr string instead of
-    # ~500 Column nodes (sql_double round-trips binary64 exactly, so
-    # the parsed literals equal the old F.lit() values bit-for-bit)
-    zs = []
-    for i in range(STD_DIMS):
-        mu, sd = r[f"mu{i}"], r[f"sd{i}"]
-        if sd is None or sd == 0.0:
-            zs.append(f"CAST(NULL AS DOUBLE) AS z{i}")
-        else:
-            zs.append(
-                f"round((v[{i}] - {sql_double(mu)}) / {sql_double(sd)}, 6)"
-                f" + 0.0D AS z{i}"
-            )
-    return emb.selectExpr("vec_id", *zs)
+    stats = emb.agg(*aggs).select(*proj)
+    zs = [
+        f"CASE WHEN sd{i} IS NULL OR sd{i} = 0.0D THEN CAST(NULL AS DOUBLE)"
+        f" ELSE round((v[{i}] - mu{i}) / sd{i}, 6) + 0.0D END AS z{i}"
+        for i in range(STD_DIMS)
+    ]
+    return emb.crossJoin(F.broadcast(stats)).selectExpr("vec_id", *zs)
 
 
 def _standardize_oracle_sql() -> str:
@@ -2273,16 +2266,19 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm, aggs = _norm_outlier_cols()
     norms = emb.select("vec_id", norm)
-    stat = norms.agg(*aggs).collect()[0]
-    mu, sd, thr = stat["mu"], stat["sd"], stat["thr"]
-    if mu is None or sd is None or sd == 0.0:
-        flag = F.lit(False)
-    else:
-        flag = F.round("norm", 6) >= F.lit(thr)
-    return norms.select(
+    # r11 batch 4: same in-plan move as embedding_standardize — the
+    # 3-constant stat row attaches via a 1-row broadcast instead of a
+    # construction-time .collect(); the CASE reproduces the driver-side
+    # mu/sd NULL / sd = 0 -> flag-nothing logic exactly (thr is
+    # non-NULL whenever mu and sd are).
+    stat = norms.agg(*aggs)
+    return norms.crossJoin(F.broadcast(stat)).select(
         "vec_id",
         F.round("norm", 6).alias("norm"),
-        flag.alias("is_outlier"),
+        F.expr(
+            "CASE WHEN mu IS NULL OR sd IS NULL OR sd = 0.0D THEN false"
+            " ELSE round(norm, 6) >= thr END"
+        ).alias("is_outlier"),
     )
 
 

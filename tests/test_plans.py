@@ -1106,12 +1106,15 @@ def test_hll_state_is_bounded_aggregate(spark, sf):
 
 
 def test_standardize_scoring_is_pure_map(spark, sf):
-    """After the bounded stats collect, the standardization itself is
-    a pure projection: no joins, no aggregates, no Python."""
+    """r11: the 2*K bounded stats attach IN-PLAN as a 1-row broadcast
+    (BroadcastNestedLoopJoin) instead of a construction-time collect —
+    one job, no keyed join, no shuffle of the vectors, no Python."""
     from stac_geoparquet_spark.operators import similarity
 
     plan = plan_of(similarity.embedding_standardize(spark, sf))
     assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row stats
+    assert n_ops(plan, "Window") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1228,15 +1231,17 @@ def test_readability_is_pure_map(spark, sf):
 
 
 def test_norm_outlier_scoring_is_pure_map(spark, sf):
-    """The mu/sd constants are collected at build time (2 scalars,
-    dimension-bounded); the RETURNED scoring plan is a pure map over
-    the scan — no aggregate, no join, no window, threshold embedded
-    as a literal."""
+    """r11: the (mu, sd, thr) stat row attaches IN-PLAN as a 1-row
+    broadcast (BroadcastNestedLoopJoin) instead of a construction-time
+    collect — one job; the scoring side stays a pure map (no keyed
+    join, no window, no Python), and the only aggregate is the 1-row
+    stats reduce (partial + final)."""
     from stac_geoparquet_spark.operators import similarity
 
     plan = plan_of(similarity.embedding_norm_outliers(spark, sf))
-    assert n_ops(plan, "HashAggregate") == 0
+    assert n_ops(plan, "HashAggregate") == 2  # the 1-row stats reduce
     assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row stats
     assert n_ops(plan, "Window") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -1464,14 +1469,18 @@ def test_bm25_ndcg_twophase_fenced_histogram(spark, sf):
     (windows always include spark_partition_id — never a bare window
     over the bounded term key); the grade histogram is FENCED so its
     two consumers (scoring join, report join) read materialized rows
-    instead of re-running the corpus postings aggregate; histogram and
-    corpus stats join back broadcast; no cartesian, no Python, no
-    sort-merge."""
+    instead of re-running the corpus postings aggregate (an un-fenced
+    variant was tried in r11 and reverted: the consumers prune the
+    aggregate divergently, defeating AQE stage reuse — an extra corpus
+    pass at scale).  r11: n_docs/avgdl ride the pivot structs, so
+    scoring is ONE broadcast term join — the old 1-row BNLJ is gone.
+    No cartesian, no Python, no sort-merge."""
     from stac_geoparquet_spark.operators import retrieval
 
     plan = plan_of(retrieval.bm25_ndcg_report(spark, sf))
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0  # r11: stats ride gstats
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert n_ops(plan, "BroadcastHashJoin") >= 2  # gstats df + report join
     # the fence shows up as ExistingRDD scans replacing re-aggregation
@@ -2692,18 +2701,23 @@ def test_ql_dirichlet_two_linear_passes(spark, sf):
 
 
 def test_fellegi_sunter_fenced_candidates(spark, sf):
-    """The FS estimate reads the FENCED labeled candidate set (the
-    gram-prefix pipeline ran once at build time) plus two keyed
-    attribute joins on the part dimension — no re-executed blocking
-    windows, no cartesian, no Python in the consumer plan."""
+    """r11: the labeled candidate set is single-consumer (one
+    attr-join -> aggregate chain), so its former fence bought no reuse
+    and is gone — the gram-prefix blocking pipeline now runs in-plan
+    over the still-FENCED distinct name domain (the multi-consumer
+    leaf every blocking side reads).  Two keyed attribute joins on the
+    part dimension; no cartesian, no Python."""
     from stac_geoparquet_spark.operators import curation
 
     plan = plan_of(curation.er_fellegi_sunter(spark, sf))
     assert n_ops(plan, "Scan parquet") == 2  # the two attribute reads
-    assert n_ops(plan, "Window") == 0  # blocking ran inside the fence
+    # the prefix-rank window is in-plan now (static copies per join
+    # side; identical subtrees over the fenced domain dedup via AQE
+    # stage reuse at runtime)
+    assert n_ops(plan, "Window") >= 2
     assert n_ops(plan, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan
-    assert "ExistingRDD" in plan
+    assert "ExistingRDD" in plan  # the fenced name domain
 
 
 def test_ewma_control_fenced_rollup(spark, sf):

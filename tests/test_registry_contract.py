@@ -286,11 +286,6 @@ _DRIVER_COLLECT_ALLOWLIST = {
     ("operators/similarity.py", "embedding_whitening_report"):
         "the d(d+1)/2 covariance rows for the driver-side 64x64 "
         "fixed-point Newton-Schulz inverse-sqrt (the pca precedent)",
-    ("operators/similarity.py", "embedding_standardize"):
-        "16 per-dimension standardization constants from ONE agg row",
-    ("operators/similarity.py", "embedding_norm_outliers"):
-        "one (mu, sd, thr) stats row — all thresholds ride the same "
-        "aggregate row (r06 ADVICE fix)",
     ("operators/similarity.py", "knn_kdist_outliers"):
         "one stats row over the |Q|-row (query-sample-bounded) "
         "k-distance rollup",
