@@ -500,7 +500,17 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stac_geoparquet_spark.operators.relational import _t
 
-    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # event_type IS NOT NULL: the oracle's med/mad attach via
+    # JOIN ... USING (event_type), which drops the NULL-type group
+    # (NULL never equi-matches).  The r11 window rewrite below keeps
+    # NULL partitions — a window partition is not a join — so the
+    # filter restores the join's NULL semantics explicitly (caught by
+    # the NULL-injection differential gate: spark=6 vs duckdb=5 rows;
+    # the driver SFs carry no NULL event_type, so the sf gates missed
+    # it).
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     hourly = (
         ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
         .groupBy("event_type", "hour")

@@ -1991,15 +1991,31 @@ def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     emb = canonical_rows(emb, "vec_id", ("v", "label"))
-    mean = [0.0] * DIM
-    for r in (
+    from stac_geoparquet_spark.operators._exprs import sql_double_array
+
+    comp_sql = sql_double_array(comp)
+    # r11 batch 4: the per-dimension mean collect (a driver-synced job
+    # per call) moves IN-PLAN as a 1-row broadcast.  center is rebuilt
+    # bit-for-bit: the old Python `sum(mean[i] * comp[i])` was a left
+    # fold over ascending i starting at 0, so the in-plan fold runs
+    # over the SAME per-dim avg rows sorted by i, multiplying by the
+    # same component literals, from the same 0.0 init — identical
+    # double arithmetic, just executed in the job instead of between
+    # two jobs.  (Vectors are DIM-length by the _valid_vec contract,
+    # so every i group exists, matching the old dense mean[] default.)
+    center_df = (
         emb.select(F.posexplode("v").alias("i", "val"))
         .groupBy("i")
         .agg(F.avg("val").alias("m"))
-        .collect()
-    ):
-        mean[r["i"]] = r["m"]
-    center = sum(mean[i] * comp[i] for i in range(DIM))
+        .agg(
+            F.expr(
+                "aggregate("
+                " transform(array_sort(collect_list(struct(i, m))),"
+                f"           t -> t.m * element_at({comp_sql}, t.i + 1)),"
+                " 0.0D, (acc, x) -> acc + x)"
+            ).alias("center")
+        )
+    )
     lit = F.array(*[F.lit(x) for x in comp])
     # sequential in-row fold (i ascending) — the same op order as the
     # oracle's list_sum, so per-row scores agree to fp noise well
@@ -2008,9 +2024,10 @@ def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("v"), lit, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    ) - F.lit(float(center))
+    ) - F.col("center")
     return (
-        emb.select("label", score.alias("score"))
+        emb.crossJoin(F.broadcast(center_df))
+        .select("label", score.alias("score"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -2648,16 +2665,15 @@ def _matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )
 
-    from stac_geoparquet_spark.operators._io import fenced
-
-    # |Q| x K rows, TWO consumers in the report (n_trunc + hits):
-    # without the fence Catalyst re-runs the whole truncated GEMM scan
-    # once per consumer (no aggregate-subtree CSE — caught by this
-    # op's own plan pin, which saw 2 MapInPandas)
-    return fenced(
-        _rank_topk(
-            _emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA)
-        )
+    # r11 batch 4: un-fenced.  The report's two consumers (n_trunc +
+    # hits) duplicate this subtree in the STATIC plan, but both copies
+    # keep identical columns below _rank_topk's query_id exchange (the
+    # window needs the full row for ordering, so pruning cannot
+    # diverge) and AQE stage reuse runs the GEMM once at runtime
+    # (ReusedExchange verified in plans/r11/matryoshka_..._final.txt);
+    # the fence's construction-time GEMM job disappears.
+    return _rank_topk(
+        _emb_blocks(spark, sf_dir).mapInPandas(score, SCORE_SCHEMA)
     )
 
 

@@ -1007,8 +1007,13 @@ def test_pca_projection_broadcast_fold_no_python(spark, sf):
     """pca_power_projection: after the (shared, verified) covariance
     build and the 64x64 driver eigensolve, the corpus pass is an
     in-row fold against broadcast component literals — no Python
-    stage, no join; only the canonical-by-id window and the per-label
-    two-phase rollup shuffle."""
+    stage, no keyed join; only the canonical-by-id window and the
+    per-label two-phase rollup shuffle.  r11: the per-dimension mean
+    (the projection's centering constant) attaches in-plan as a 1-row
+    broadcast instead of a construction-time collect — two more
+    bounded aggregates (the d-row mean + the ordered center fold) and
+    one BroadcastNestedLoopJoin in the plan, one fewer driver-synced
+    job per call."""
     from stac_geoparquet_spark.operators import similarity as sim
 
     plan = plan_of(sim.pca_power_projection(spark, sf))
@@ -1020,8 +1025,12 @@ def test_pca_projection_broadcast_fold_no_python(spark, sf):
         "CartesianProduct",
     ):
         assert n_ops(plan, op) == 0
-    assert n_ops(plan, "HashAggregate") == 2  # label rollup two-phase
-    assert n_ops(plan, "WindowGroupLimit") == 2  # canonical partial+final
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row center
+    assert n_ops(plan, "HashAggregate") == 4  # label rollup + mean/center
+    # the canonical-by-id window appears twice statically (score pass +
+    # mean pass consume the same canonical subtree; identical copies
+    # dedup via AQE stage reuse at runtime)
+    assert n_ops(plan, "WindowGroupLimit") == 4
 
 
 def test_classifier_trained_same_plan_shape_as_untrained(spark, sf):
@@ -2524,16 +2533,18 @@ def test_matryoshka_recall_two_gemm_passes(spark, sf):
     """The truncated pass is one more block-GEMM scan (MapInPandas);
     the ground truth comes from the session-cached knn fence — the
     report joins two |Q| x K tables, nothing quadratic through
-    Catalyst."""
+    Catalyst.  r11: the truncated side is UN-fenced — its two report
+    consumers duplicate the subtree statically (2 MapInPandas below),
+    but both copies are identical below the _rank_topk exchange and
+    AQE stage reuse runs the GEMM once at runtime (ReusedExchange in
+    the committed final plan); the construction-time fence job is
+    gone."""
     from stac_geoparquet_spark.operators import similarity
 
     plan = plan_of(similarity.matryoshka_recall_report(spark, sf))
-    # both GEMM passes are eager fences by plan time (the full-dim
-    # side is the session-cached knn fence; the truncated side fences
-    # its |Q| x K result because the report consumes it twice) — the
-    # report plan itself must contain NO scoring pass and nothing
-    # quadratic
-    assert n_ops(plan, "MapInPandas") == 0
+    # the full-dim side stays the session-cached knn fence — no third
+    # scoring pass; the two static truncated copies dedup at runtime
+    assert n_ops(plan, "MapInPandas") == 2
     assert n_ops(plan, "CartesianProduct") == 0
 
 

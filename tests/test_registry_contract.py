@@ -107,6 +107,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     ("ann_recall_report", ("query_id",)),
     # same composition, IVF side
     ("ivf_recall_report", ("query_id",)),
+    # matryoshka eval (r11, un-fenced): the truncated GEMM emits
+    # <= TOP_K rows per query BEFORE the ranking window (the same
+    # bounded-candidate argument as ann_recall_report; the fence that
+    # used to hide this window from the sweep is gone)
+    ("matryoshka_recall_report", ("query_id",)),
     # the k-distance screen rolls up knn_brute_force's (allowlisted)
     # ranked output — the window input is the bounded query sample
     ("knn_kdist_outliers", ("query_id",)),
@@ -281,8 +286,9 @@ _DRIVER_COLLECT_ALLOWLIST = {
         "KMEANS_K seed/centroid rows — model-size-bounded (two sites: "
         "seeds + per-round means)",
     ("operators/similarity.py", "pca_power_projection"):
-        "the d(d+1)/2 + d covariance rows for the driver-side 64x64 "
-        "eigensolve (two sites: matrix + the projection norm row)",
+        "the d(d+1)/2 covariance rows for the driver-side 64x64 "
+        "eigensolve (the per-dim mean moved in-plan in r11 — one "
+        "site left)",
     ("operators/similarity.py", "embedding_whitening_report"):
         "the d(d+1)/2 covariance rows for the driver-side 64x64 "
         "fixed-point Newton-Schulz inverse-sqrt (the pca precedent)",
@@ -359,6 +365,9 @@ def test_driver_collects_are_all_bounded_and_allowlisted():
 # when a group can accumulate a corpus-sized slice.
 # ---------------------------------------------------------------------------
 _GROUPED_COLLECT_ALLOWLIST = {
+    ("operators/similarity.py", "pca_power_projection"):
+        "the ordered (i, mean) fold for the in-plan centering "
+        "constant — DIM-bounded (one global group of d rows)",
     ("operators/audit.py", "_centroid_drift_cols"):
         "per-label (dim, mean) structs — DIM-bounded per group "
         "(embedding_centroid_drift's constant Column fragments, "
